@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named query: the Spark plan builder plus (when expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet.
+  * Column names/aliases MUST match between `fn`'s output and `oracle`.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** Loaders for the driver test tables (`TESTDATA.md`): one parquet file per
+  * table under `/root/testdata/sf0.001 .. sf0.1`. Plain `spark.read.parquet`
+  * — column pruning and predicate pushdown reach the scan via Catalyst, so
+  * no manual projection is needed here.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+}

@@ -1,0 +1,518 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface over the TPC-H-ish driver tables
+  * (`FIXTURES.md` §B). The reference has no relational operators at all
+  * (SURVEY.md §2.b — closest analogue: the pattern-id lookup at
+  * `eventstream.py:354-356` is a broadcast-hash-join shape), so this module
+  * is the engine's own query surface, designed Spark-first:
+  *
+  *   - small dims (`region`,`nation`,`supplier`,`part`,`customer`) are
+  *     explicitly `broadcast()` — at 100 TB the fact tables scale but these
+  *     stay bounded, so a shuffle join there would be a planning bug;
+  *   - `lineitem ⋈ orders` is left to Catalyst/AQE (both sides scale →
+  *     sort-merge with AQE skew handling is the right default);
+  *   - aggregates go through hash-agg with map-side partial aggregation
+  *     (Catalyst default) — no `collect()` anywhere;
+  *   - every query ends in a deterministic total ORDER BY so the DuckDB
+  *     oracle compare is order-stable;
+  *   - double-typed aggregates are `round()`ed (sum order across partitions
+  *     perturbs low bits; integer-valued doubles like `l_quantity` sums are
+  *     exact in any order and stay raw).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan-filter → hash agg (partial +
+    * final) → small sort. Filter + 7-column projection push into the
+    * parquet scan.
+    */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .filter($"l_shipdate" < lit("1999-06-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("sum_disc_price"),
+        round(
+          sum(
+            $"l_extendedprice" * (lit(1.0) - $"l_discount") *
+              (lit(1.0) + $"l_tax")
+          ),
+          2,
+        ).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1999-06-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective scan: predicate + projection pushdown (explain shows
+    * PushedFilters on l_quantity/l_returnflag and a 5-column ReadSchema).
+    */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+          .as("net_price"),
+      )
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_extendedprice * (1.0 - l_discount), 2) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-k: agg then orderBy().limit() — Spark plans TakeOrderedAndProject,
+    * which keeps only k rows per partition before the final merge (no full
+    * sort at scale). Tie-broken on the key for determinism.
+    */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Broadcast hash join: `part` is a bounded dimension (200 rows at
+    * sf0.001, ~20k at sf0.1, still tiny at 100 TB fact scale) — explicit
+    * broadcast avoids shuffling the lineitem side entirely.
+    */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .join(
+        broadcast(Tables.part(s, d)),
+        $"l_partkey" === $"p_partkey",
+        "inner",
+      )
+      .groupBy($"p_brand")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy($"p_brand")
+  }
+
+  private val q04Sql =
+    """SELECT p_brand,
+      |  SUM(l_quantity) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Star join: lineitem→orders is the only big⋈big edge (left to
+    * Catalyst/AQE → sort-merge); customer/nation/region are broadcast.
+    */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q05Sql =
+    """SELECT r_name, n_name,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Semi join (EXISTS): left_semi keeps orders columns only and never
+    * duplicates rows — at scale this is a broadcast/shuffled hash semi,
+    * strictly cheaper than inner-join + distinct.
+    */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .join(
+        Tables.lineitem(s, d).filter($"l_quantity" >= 48),
+        $"o_orderkey" === $"l_orderkey",
+        "left_semi",
+      )
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q06Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers that never placed an urgent order.
+    * The filter on the right side is applied before the anti join (pushed
+    * into the orders scan).
+    */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .customer(s, d)
+      .join(
+        Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey",
+        "left_anti",
+      )
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Exact distinct aggregation: COUNT(DISTINCT) expands to a two-phase
+    * partial/final plan in Spark; exact (not HLL) so the oracle matches.
+    */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        countDistinct($"o_orderpriority").as("n_prios"),
+        count(lit(1)).as("n_orders"),
+      )
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q08Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT o_orderpriority) AS n_prios,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Window top-k per group: row_number over (brand, price desc) with a
+    * unique tie-break so rank assignment is total-order deterministic.
+    */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables
+      .part(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"rn", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"rn")
+  }
+
+  private val q09Sql =
+    """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |  FROM part) t
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin
+
+  /** Running aggregate: cumulative sum per supplier over a unique total
+    * order (shipdate, orderkey, linenumber); truncated to the first 5 rows
+    * per supplier to keep the result bounded at any SF.
+    */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables
+      .lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "running_qty",
+        sum($"l_quantity")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+      .filter($"rn" <= 5)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber",
+        $"running_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  private val q10Sql =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+      |    SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |  FROM lineitem) t
+      |WHERE rn <= 5
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Set operations: UNION (distinct) → EXCEPT → INTERSECT, composed the
+    * same way on both sides (Spark's except/intersect are the SQL DISTINCT
+    * variants).
+    */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val a = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val b = c.filter($"c_acctbal" > 8000).select($"c_custkey")
+    val x = c.filter($"c_nationkey" < 3).select($"c_custkey")
+    val y = c.filter($"c_custkey" % 3 =!= 0).select($"c_custkey")
+    a.union(b).distinct().except(x).intersect(y).orderBy($"c_custkey")
+  }
+
+  private val q11Sql =
+    """SELECT c_custkey FROM (
+      |  ((SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    UNION
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+      |   EXCEPT
+      |   SELECT c_custkey FROM customer WHERE c_nationkey < 3)
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+      |) t
+      |ORDER BY c_custkey""".stripMargin
+
+  /** ROLLUP with grouping-null keys projected away via COALESCE so the
+    * oracle compare never sees engine-specific null ordering.
+    */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty",
+        $"n",
+      )
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val q12Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Conditional aggregation: SUM(CASE WHEN) / COUNT(CASE WHEN) — stays in
+    * one hash-agg pass (no per-branch scans).
+    */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(
+          sum(
+            when(
+              $"l_discount" > 0.05,
+              $"l_extendedprice" * (lit(1.0) - $"l_discount"),
+            ).otherwise(lit(0.0))
+          ),
+          2,
+        ).as("high_disc_rev"),
+        count(when($"l_quantity" >= 25, lit(1))).as("big_lines"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  private val q13Sql =
+    """SELECT l_returnflag,
+      |  ROUND(SUM(CASE WHEN l_discount > 0.05
+      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+      |    AS high_disc_rev,
+      |  COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS big_lines,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Date bucketing: month-truncated revenue series. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupBy(
+        date_trunc("month", $"o_orderdate").cast("date").as("month")
+      )
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+      )
+      .orderBy($"month")
+  }
+
+  private val q14Sql =
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  ROUND(SUM(o_totalprice), 2) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
+  /** String functions: LIKE pushdown + upper/length/substring in the agg. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .part(s, d)
+      .filter($"p_name".like("%a%"))
+      .groupBy(substring($"p_type", 1, 4).as("type_prefix"))
+      .agg(
+        min(length($"p_name")).as("min_name_len"),
+        max(upper($"p_brand")).as("max_brand_uc"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"type_prefix")
+  }
+
+  private val q15Sql =
+    """SELECT SUBSTRING(p_type, 1, 4) AS type_prefix,
+      |  MIN(LENGTH(p_name)) AS min_name_len,
+      |  MAX(UPPER(p_brand)) AS max_brand_uc,
+      |  COUNT(*) AS n
+      |FROM part
+      |WHERE p_name LIKE '%a%'
+      |GROUP BY 1
+      |ORDER BY type_prefix""".stripMargin
+
+  /** Scalar "subquery" kept declarative: the 1-row aggregate is broadcast
+    * and cross-joined instead of collected to the driver, so the plan stays
+    * fully distributed.
+    */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val thr = o.agg((avg($"o_totalprice") * 1.5).as("thr"))
+    o.join(broadcast(thr))
+      .filter($"o_totalprice" > $"thr")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q16Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated-subquery shape solved with a window (one pass, no
+    * self-join): lineitems far above their own order's mean quantity.
+    * Quantities are integer-valued doubles → the window AVG is exact and
+    * the predicate is bit-identical across engines.
+    */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+    Tables
+      .lineitem(s, d)
+      .withColumn("avg_qty", avg($"l_quantity").over(w))
+      .filter($"l_quantity" > $"avg_qty" * 1.9)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q17Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    AVG(l_quantity) OVER (PARTITION BY l_orderkey) AS avg_qty
+      |  FROM lineitem) t
+      |WHERE l_quantity > avg_qty * 1.9
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_selective_scan", q02, Some(q02Sql)),
+    QueryDef("q03_topk_orders", q03, Some(q03Sql)),
+    QueryDef("q04_brand_volume", q04, Some(q04Sql)),
+    QueryDef("q05_star_revenue", q05, Some(q05Sql)),
+    QueryDef("q06_semi_join", q06, Some(q06Sql)),
+    QueryDef("q07_anti_join", q07, Some(q07Sql)),
+    QueryDef("q08_distinct_agg", q08, Some(q08Sql)),
+    QueryDef("q09_window_topk", q09, Some(q09Sql)),
+    QueryDef("q10_running_sum", q10, Some(q10Sql)),
+    QueryDef("q11_set_ops", q11, Some(q11Sql)),
+    QueryDef("q12_rollup", q12, Some(q12Sql)),
+    QueryDef("q13_case_agg", q13, Some(q13Sql)),
+    QueryDef("q14_monthly_revenue", q14, Some(q14Sql)),
+    QueryDef("q15_string_funcs", q15, Some(q15Sql)),
+    QueryDef("q16_scalar_subquery", q16, Some(q16Sql)),
+    QueryDef("q17_window_filter", q17, Some(q17Sql)),
+  )
+}
