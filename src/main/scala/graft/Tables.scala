@@ -28,7 +28,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs-precision
+    * TimestampType rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos
+    * as raw longs and convert with integer division — the data's sub-µs
+    * part is all zero, and `DIV` (not `/`) avoids double rounding at
+    * ~1.7e18 ns magnitudes (> 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

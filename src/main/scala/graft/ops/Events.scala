@@ -1,0 +1,276 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table — the consumer-side
+  * mirror of the reference generator: inter-arrival analysis inverts the
+  * gap sampling of `eventstream.py:314-348`, sessionization/windowing is
+  * the workload the reference generates data FOR (`README.md:6`).
+  *
+  * Scale notes: every query here partitions by `user_id` — at 100 TB the
+  * events table shuffles once on user_id and all window work is
+  * partition-local; there are no driver-side collects and no
+  * whole-stream single-partition windows. Timestamps are compared in
+  * integer microseconds (`unix_micros`) so Spark (µs) and DuckDB (ns,
+  * sub-µs all zero in this data) agree bit-for-bit.
+  */
+object Events {
+
+  /** Per-user total order: ts then event_id (unique tie-break). */
+  private def userWindow = Window.partitionBy("user_id")
+    .orderBy("ts", "event_id")
+
+  /** Sessionization: 30-min inactivity gap splits sessions (lag + running
+    * sum of session-start flags — one shuffle on user_id, no state loop).
+    */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = userWindow
+    val withGap = Tables
+      .events(s, d)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(
+          $"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L,
+          1L,
+        ).otherwise(0L),
+      )
+      .withColumn(
+        "session_id",
+        sum($"new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+    withGap
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"session_events").as("n_events"),
+        max($"session_events").as("max_session_events"),
+      )
+      .orderBy($"user_id")
+  }
+
+  private val q20Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS session_events
+      |  FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(session_events) AS n_events,
+      |       MAX(session_events) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Inter-arrival gaps per user (lag): the analytics inverse of the
+    * generator's gap sampling (`eventstream.py:317-338`).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .withColumn(
+        "gap_us",
+        unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(userWindow),
+      )
+      .filter($"gap_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        // Integer-µs domain end to end: min/max are exact longs and the
+        // avg is rounded well above any decimal-grid midpoint (a µs/1e6
+        // divide-then-round would sit exactly on x.xxx5 for 1-in-1000
+        // gaps and the two engines break those ties differently).
+        round(avg($"gap_us"), 1).as("avg_gap_us"),
+        max($"gap_us").as("max_gap_us"),
+        min($"gap_us").as("min_gap_us"),
+      )
+      .orderBy($"user_id")
+  }
+
+  private val q21Sql =
+    """SELECT user_id, COUNT(*) AS n_gaps,
+      |  ROUND(AVG(gap_us), 1) AS avg_gap_us,
+      |  MAX(gap_us) AS max_gap_us,
+      |  MIN(gap_us) AS min_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap_us
+      |  FROM events) t
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Tumbling 1-hour windows per event type (batch shape of the streaming
+    * `window($"ts", "1 hour")` agg — date_trunc keeps the oracle exact).
+    */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy(
+        date_trunc("hour", $"ts").as("hour"),
+        $"event_type",
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"),
+      )
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val q22Sql =
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** JSON extraction from the `props` string column. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"),
+        count(when($"k" > 50, lit(1))).as("n_high"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q23Sql =
+    """SELECT event_type,
+      |  SUM(k) AS sum_k,
+      |  ROUND(AVG(k), 4) AS avg_k,
+      |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high,
+      |  COUNT(*) AS n
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Funnel: purchases that happen after the user's first signup —
+    * sequence detection via a per-user window min, one pass, no self-join.
+    */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id")
+    Tables
+      .events(s, d)
+      .withColumn(
+        "first_signup",
+        min(when($"event_type" === "signup", $"ts")).over(w),
+      )
+      .filter(
+        $"event_type" === "purchase" &&
+          $"first_signup".isNotNull && $"ts" > $"first_signup"
+      )
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("purchases_after_signup"),
+        round(sum($"value"), 2).as("funnel_value"),
+      )
+      .orderBy($"user_id")
+  }
+
+  private val q24Sql =
+    """SELECT user_id, COUNT(*) AS purchases_after_signup,
+      |  ROUND(SUM(value), 2) AS funnel_value
+      |FROM (
+      |  SELECT user_id, event_type, ts, value,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS first_signup
+      |  FROM events) t
+      |WHERE event_type = 'purchase' AND first_signup IS NOT NULL
+      |  AND ts > first_signup
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Per-type value stats (count/avg/stddev/extremes). */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"value"), 4).as("avg_value"),
+        round(stddev_samp($"value"), 4).as("sd_value"),
+        round(min($"value"), 2).as("min_value"),
+        round(max($"value"), 2).as("max_value"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q25Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(AVG(value), 4) AS avg_value,
+      |  ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+      |  ROUND(MIN(value), 2) AS min_value,
+      |  ROUND(MAX(value), 2) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** As-of shape: each purchase matched to the user's most recent STRICTLY
+    * earlier error (window max over an open frame) — the same-table as-of
+    * join; the generic two-table version is `AsOf.join` in this package.
+    */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = userWindow.rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .events(s, d)
+      .withColumn(
+        "last_err_us",
+        max(when($"event_type" === "error", unix_micros($"ts"))).over(w),
+      )
+      .filter($"event_type" === "purchase" && $"last_err_us".isNotNull)
+      .select(
+        $"event_id",
+        $"user_id",
+        (unix_micros($"ts") - $"last_err_us").as("us_since_error"),
+      )
+      .orderBy($"event_id")
+  }
+
+  private val q26Sql =
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - last_err_us AS us_since_error
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_err_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase' AND last_err_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q20_sessionize", q20, Some(q20Sql)),
+    QueryDef("q21_interarrival", q21, Some(q21Sql)),
+    QueryDef("q22_hourly_windows", q22, Some(q22Sql)),
+    QueryDef("q23_json_extract", q23, Some(q23Sql)),
+    QueryDef("q24_funnel", q24, Some(q24Sql)),
+    QueryDef("q25_event_stats", q25, Some(q25Sql)),
+    QueryDef("q26_asof_error", q26, Some(q26Sql)),
+  )
+}

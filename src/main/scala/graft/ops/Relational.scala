@@ -39,14 +39,14 @@ object Relational {
       .agg(
         sum($"l_quantity").as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
           .as("sum_disc_price"),
         round(
           sum(
             $"l_extendedprice" * (lit(1.0) - $"l_discount") *
               (lit(1.0) + $"l_tax")
           ),
-          2,
+          6,
         ).as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
@@ -59,8 +59,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
       |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_discount), 6) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -80,15 +80,14 @@ object Relational {
       .select(
         $"l_orderkey",
         $"l_linenumber",
-        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
-          .as("net_price"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"),
       )
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
   private val q02Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  ROUND(l_extendedprice * (1.0 - l_discount), 2) AS net_price
+      |  l_extendedprice * (1.0 - l_discount) AS net_price
       |FROM lineitem
       |WHERE l_quantity > 45 AND l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -103,7 +102,7 @@ object Relational {
       .lineitem(s, d)
       .groupBy($"l_orderkey")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
           .as("revenue"),
         count(lit(1)).as("n_items"),
       )
@@ -113,7 +112,7 @@ object Relational {
 
   private val q03Sql =
     """SELECT l_orderkey,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |GROUP BY l_orderkey
@@ -164,7 +163,7 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
           .as("revenue"),
         count(lit(1)).as("n_lines"),
       )
@@ -173,7 +172,7 @@ object Relational {
 
   private val q05Sql =
     """SELECT r_name, n_name,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |  JOIN orders   ON l_orderkey = o_orderkey
@@ -385,7 +384,7 @@ object Relational {
               $"l_extendedprice" * (lit(1.0) - $"l_discount"),
             ).otherwise(lit(0.0))
           ),
-          2,
+          4,
         ).as("high_disc_rev"),
         count(when($"l_quantity" >= 25, lit(1))).as("big_lines"),
         count(lit(1)).as("n"),
@@ -396,7 +395,7 @@ object Relational {
   private val q13Sql =
     """SELECT l_returnflag,
       |  ROUND(SUM(CASE WHEN l_discount > 0.05
-      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 4)
       |    AS high_disc_rev,
       |  COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS big_lines,
       |  COUNT(*) AS n

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("as-of join picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+      (2L, 9L, 9.0)).toDF("key", "ts", "px")
+
+    val got = ops.AsOf
+      .join(trades, quotes, "key", "ts")
+      .select("key", "ts", "trade", "right_px")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+
+    assert(
+      got == Set(
+        (1L, 10L, "t1", Some(2.0)),  // ties match in non-strict mode
+        (1L, 20L, "t2", Some(3.0)),
+        (2L, 5L, "t3", None),        // nothing at-or-before
+      )
+    )
+  }
+
+  test("strict as-of join excludes same-instant right rows") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "v")
+    val r = Seq((1L, 10L, 99.0), (1L, 7L, 7.0)).toDF("key", "ts", "px")
+    val got = ops.AsOf.join(l, r, "key", "ts", strict = true)
+      .select("right_px").collect()
+    assert(got.head.getDouble(0) == 7.0)
+  }
+
+  test("every left row survives (left-outer semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "x"), (9L, 1L, "y")).toDF("key", "ts", "v")
+    val r = Seq((1L, 1L, 1.0)).toDF("key", "ts", "px")
+    assert(ops.AsOf.join(l, r, "key", "ts").count() == 2)
+  }
+}
