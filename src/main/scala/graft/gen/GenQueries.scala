@@ -1,0 +1,86 @@
+package graft.gen
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Rng.{DensityMode, IntervalDist, JitterDist}
+
+/** Generator-backed queries for the driver contract. Generator output
+  * is not expressible as SQL over the driver's tables, so these entries
+  * carry no oracleSql (contract escape hatch) — correctness is enforced
+  * by GenSpec's structural invariants instead (SURVEY.md §5.2, §7.5.5).
+  */
+object GenQueries {
+
+  /** The reference demo configuration (`main.py:4-38`), verbatim. */
+  def demoSpec(n: Long): StreamSpec =
+    StreamSpec(
+      patterns = Patterns.generate(
+        PatternSpec(
+          nPatterns = 8, patternLength = 10, nTypes = 6,
+          gapDist = IntervalDist.Uniform, gapLow = 3, gapHigh = 9,
+          seed = 137L,
+        )
+      ),
+      nTypes = 6,
+      totalEvents = n,
+      randomRatio = 0.7,
+      patternJitterDist = JitterDist.Uniform,
+      patternJitter = 2.0,
+      randIntervalDist = IntervalDist.Poisson,
+      randIntervalBase = 6,
+      randJitterDist = JitterDist.Uniform,
+      randJitter = 1.0,
+      density = DensityMode.Sin(baseRate = 1.0, period = 8000.0, amp = 0.6),
+      seed = 2025L,
+    )
+
+  /** Exact-mode 40k demo stream reduced to its invariant fingerprint
+    * (count / exact ratio / monotonicity / zero-gap placement) — the
+    * FIXTURES.md §A.1 golden checks as one row.
+    */
+  private def genInvariants(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamGen.exact(s, demoSpec(40000L))
+    val w  = Window.orderBy("seq")
+    ev.withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap", $"ts" - $"prev_ts")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(!$"is_pattern", 1L).otherwise(0L)).as("n_random"),
+        sum(when($"is_pattern", 1L).otherwise(0L)).as("n_pattern"),
+        sum(when($"gap" === 0, 1L).otherwise(0L)).as("n_zero_gaps"),
+        sum(when($"gap" === 0 && !$"is_pattern", 1L).otherwise(0L))
+          .as("zero_gaps_not_at_pattern"),
+        sum(when($"gap" < 0, 1L).otherwise(0L)).as("monotone_violations"),
+        min($"event_type").as("min_type"),
+        max($"event_type").as("max_type"),
+        max($"ts").as("ts_span"),
+      )
+  }
+
+  /** Block-parallel 1M-event stream (the scale path): distributed fill +
+    * two-pass prefix sum; the aggregate keeps Bench's timing honest
+    * (full materialization, no windows). Reference baseline: 9.6 s
+    * single-thread for the same N (BASELINE.md).
+    */
+  private def genBlock1m(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StreamGen
+      .block(s, demoSpec(1000000L))
+      .groupBy($"is_pattern")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"ts").as("min_ts"),
+        max($"ts").as("max_ts"),
+        countDistinct($"event_type").as("n_types"),
+      )
+      .orderBy($"is_pattern")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("gen_demo_invariants", genInvariants, None),
+    QueryDef("gen_block_1m", genBlock1m, None),
+  )
+}
