@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def modules: Seq[QueryDef] =
-    ops.Relational.all ++ ops.Events.all ++ gen.GenQueries.all
+    ops.Relational.all ++ ops.Events.all ++ ops.Text.all ++
+      ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
+      gen.GenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

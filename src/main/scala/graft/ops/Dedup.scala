@@ -1,0 +1,229 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale: MinHash+LSH and SimHash.
+  *
+  * Both follow the shingle→sketch→band→bucket-join shape: candidate pairs
+  * only ever materialize inside small LSH buckets, so the plan is
+  * projection + explode + one shuffle on the bucket key + a bucket-local
+  * self-join — never an O(n²) cross join. All sketching is built-in
+  * Catalyst (split / transform / aggregate / xxhash64 / bit ops): fully
+  * codegen'd, deterministic, partition-layout independent.
+  */
+object Dedup {
+
+  /** Word w-shingles of `text`, hashed to 64-bit, deduplicated. */
+  def shingleHashes(text: Column, w: Int = 3): Column = {
+    val words = split(text, " ")
+    val n     = size(words)
+    val grams = transform(
+      sequence(lit(0), greatest(n - w, lit(0))),
+      i =>
+        concat_ws(
+          " ",
+          (0 until w).map(k => element_at(words, i + k + 1)): _*
+        ),
+    )
+    array_distinct(transform(grams, g => xxhash64(g)))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * re-hashing each shingle hash with the permutation index as seed.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array(
+      (0 until numHashes).map(i =>
+        array_min(transform(shingles, h => xxhash64(lit(i), h)))
+      ): _*
+    )
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * @param df          input with an id column and a text column
+    * @param threshold   minimum verified Jaccard to keep a pair
+    * @param numHashes   signature width (bands * rowsPerBand)
+    * @param bands       LSH bands; rowsPerBand = numHashes / bands
+    * @param maxBucket   skip degenerate buckets above this size (skew guard
+    *                    — a pathological shingle bucket would otherwise go
+    *                    quadratic; dropped buckets are boilerplate-like
+    *                    content you'd handle with exact dedup anyway)
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 64,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sketched = df
+      .select(
+        col(idCol).as("doc"),
+        shingleHashes(col(textCol)).as("sh"),
+      )
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band key: hash of the band's signature slice (+ band index)
+    val banded = sketched
+      .select(
+        col("doc"),
+        col("sh"),
+        explode(
+          array((0 until bands).map(b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
+                .as("bkey"),
+            )
+          ): _*)
+        ).as("bk"),
+      )
+      .select(col("doc"), col("sh"), col("bk.band"), col("bk.bkey"))
+
+    // skew guard: drop pathological buckets before the self-join
+    val bucketed = banded.withColumn(
+      "bsize",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+      ),
+    ).filter(col("bsize") <= maxBucket)
+
+    val l = bucketed.select(col("band"), col("bkey"),
+      col("doc").as("a"), col("sh").as("sha"))
+    val r = bucketed.select(col("band"), col("bkey"),
+      col("doc").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .dropDuplicates("a", "b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))),
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from unigram hashes: per bit, sign of the sum of ±1
+    * votes across tokens. Pure expressions — one `aggregate` per bit over
+    * the token-hash array.
+    */
+  def simhash64(text: Column): Column = {
+    val th = transform(split(text, " "), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(
+        th,
+        lit(0L),
+        (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L),
+      )
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: bucket on four 16-bit bands — by pigeonhole
+    * any pair within hamming distance ≤ 3 agrees exactly on at least one
+    * band — then verify with bit_count(xor).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      simhash64(col(textCol)).as("sim"))
+    val banded = sh.select(
+      col("doc"),
+      col("sim"),
+      explode(
+        array((0 until 4).map(h =>
+          struct(
+            lit(h).as("half"),
+            shiftright(col("sim"), h * 16).bitwiseAND(lit(0xFFFFL))
+              .as("key"),
+          )
+        ): _*)
+      ).as("bk"),
+    ).select(col("doc"), col("sim"), col("bk.half"), col("bk.key"))
+    val l = banded.select(col("half"), col("key"), col("doc").as("a"),
+      col("sim").as("sima"))
+    val r = banded.select(col("half"), col("key"), col("doc").as("b"),
+      col("sim").as("simb"))
+    l.join(r, Seq("half", "key"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming",
+        bit_count(col("sima").bitwiseXOR(col("simb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  // ---- registered queries (LSH internals use engine-specific hashing →
+  //      no SQL oracle; ScalaTest verifies against brute force instead) --
+
+  private def q35(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+
+  private def q36(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
+  /** N-gram Jaccard over an oracle-friendly candidate set: documents
+    * sharing their first-5-word prefix — exact list arithmetic both
+    * engines can run.
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 5)).as("prefix"),
+        array_distinct(split($"text", " ")).as("words"),
+      )
+    val l = docs.select($"prefix", $"doc_id".as("a"), $"words".as("wa"))
+    val r = docs.select($"prefix", $"doc_id".as("b"), $"words".as("wb"))
+    l.join(r, "prefix")
+      .filter($"a" < $"b")
+      .select(
+        $"a",
+        $"b",
+        round(
+          size(array_intersect($"wa", $"wb")).cast("double") /
+            size(array_union($"wa", $"wb")),
+          4,
+        ).as("word_jaccard"),
+      )
+      .orderBy($"a", $"b")
+  }
+
+  private val q37Sql =
+    """SELECT a, b,
+      |  ROUND(CAST(len(list_intersect(wa, wb)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(wa, wb))), 4) AS word_jaccard
+      |FROM (SELECT d1.doc_id AS a, d2.doc_id AS b,
+      |             list_distinct(string_split(d1.text, ' ')) AS wa,
+      |             list_distinct(string_split(d2.text, ' ')) AS wb
+      |      FROM documents d1 JOIN documents d2
+      |        ON array_to_string(list_slice(string_split(d1.text, ' '), 1, 5), ' ') =
+      |           array_to_string(list_slice(string_split(d2.text, ' '), 1, 5), ' ')
+      |       AND d1.doc_id < d2.doc_id) t
+      |ORDER BY a, b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q35_minhash_pairs", q35, None),
+    QueryDef("q36_simhash_pairs", q36, None),
+    QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
+  )
+}

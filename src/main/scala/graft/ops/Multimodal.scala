@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `BINARY` payloads with typed
+  * metadata, batch "decode" → fixed-width feature vectors.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecodeFeatures`) — what is
+  * real and load-bearing is the Spark side a production pipeline needs:
+  * binary columns flowing through parquet-friendly schemas, per-partition
+  * batch processing (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batch shape), typed metadata extraction as pure
+  * expressions, and bounded-size feature output (ARRAY<DOUBLE>(8)).
+  * Swapping the stub for a real JNI/codec call changes one function.
+  */
+object Multimodal {
+
+  /** Asset row after metadata extraction. */
+  final case class Asset(
+      doc_id: Long,
+      source: String,
+      payload: Array[Byte],
+      n_bytes: Int,
+  )
+
+  final case class AssetFeatures(
+      doc_id: Long,
+      source: String,
+      n_bytes: Int,
+      features: Array[Double],
+  )
+
+  /** Stand-in asset table: text bytes as the opaque payload (the real
+    * pipeline would read image/audio bytes from parquet exactly like
+    * this — `BINARY` column + metadata columns).
+    */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        encode(col("text"), "UTF-8").as("payload"),
+      )
+      .withColumn("n_bytes", octet_length(col("payload")))
+
+  /** STUB decode kernel: deterministic 8-bucket byte-mean "features" in
+    * place of a real image/audio decode. Replace with the codec call;
+    * signature and batch shape stay identical.
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    val nBuckets = 8
+    val sums   = new Array[Double](nBuckets)
+    val counts = new Array[Int](nBuckets)
+    var i = 0
+    while (i < payload.length) {
+      val b = i % nBuckets
+      sums(b) += (payload(i) & 0xFF)
+      counts(b) += 1
+      i += 1
+    }
+    Array.tabulate(nBuckets)(b =>
+      if (counts(b) == 0) 0.0 else sums(b) / counts(b))
+  }
+
+  /** Batch feature extraction: one partition = one decode batch (the
+    * mapInPandas shape) — codec state would be initialized once per
+    * partition, not per row.
+    */
+  def withFeatures(s: SparkSession, d: String): DataFrame = {
+    implicit val enc = Encoders.product[AssetFeatures]
+    assets(s, d)
+      .as(Encoders.product[Asset])
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map(a =>
+          AssetFeatures(a.doc_id, a.source, a.n_bytes,
+            fakeDecodeFeatures(a.payload)))
+      }
+      .toDF()
+  }
+
+  /** Metadata aggregation — pure expressions over the binary column, so
+    * it is SQL-oracle-checkable (octet_length of UTF-8 text payload).
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"n_bytes"), 4).as("avg_bytes"),
+        max($"n_bytes").as("max_bytes"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q50Sql =
+    """SELECT source, COUNT(*) AS n_assets,
+      |  SUM(n_bytes) AS total_bytes,
+      |  ROUND(AVG(n_bytes), 4) AS avg_bytes,
+      |  MAX(n_bytes) AS max_bytes
+      |FROM (SELECT source, octet_length(encode(text)) AS n_bytes
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Feature pipeline end-to-end (stub decode → per-source feature
+    * stats). No SQL oracle — the decode kernel is engine-side code; the
+    * row-count/schema check plus MultimodalSpec cover it.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withFeatures(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(element_at($"features", 1)), 4).as("avg_f0"),
+        round(avg(element_at($"features", 8)), 4).as("avg_f7"),
+        round(avg($"n_bytes"), 4).as("avg_bytes"),
+      )
+      .orderBy($"source")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
+    QueryDef("q51_mm_features", q51, None),
+  )
+}

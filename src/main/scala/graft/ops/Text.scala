@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the LLM-training-pipeline
+  * surface (language stats, token counting, quality scoring, content
+  * fingerprinting, heuristic language ID). All pure Catalyst expressions
+  * (split / higher-order functions / md5) — codegen'd, no UDFs, so every
+  * operator scales as a plain projection + hash-agg.
+  */
+object Text {
+
+  /** Whitespace tokens (the `documents.text` corpus is space-joined). */
+  private def tokens(c: Column): Column = split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  private def stopTokens(c: Column): Column =
+    filter(tokens(c), t => t.isin(stopwords: _*))
+
+  /** Exact duplicate detection by content hash (hash-groupBy dedup — the
+    * 100 TB shape: one shuffle on a 128-bit key, no pairwise compare).
+    */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text".cast("binary"))).as("n_distinct_texts"),
+      )
+      .withColumn("n_dup_docs", $"n_docs" - $"n_distinct_texts")
+      .orderBy($"source")
+  }
+
+  private val q30Sql =
+    """SELECT source, n_docs, n_distinct_texts,
+      |       n_docs - n_distinct_texts AS n_dup_docs
+      |FROM (SELECT source, COUNT(*) AS n_docs,
+      |             COUNT(DISTINCT md5(text)) AS n_distinct_texts
+      |      FROM documents GROUP BY source) t
+      |ORDER BY source""".stripMargin
+
+  /** Token counting per language (whitespace tokenization). */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(tokens($"text")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        round(avg($"n_tokens"), 4).as("avg_tokens"),
+        max($"n_tokens").as("max_tokens"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q31Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(n_tokens) AS sum_tokens,
+      |  ROUND(AVG(n_tokens), 4) AS avg_tokens,
+      |  MAX(n_tokens) AS max_tokens
+      |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Quality scoring: stopword ratio + chars-per-token, aggregated per
+    * (lang, source) — the filter-before-training signal.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(tokens($"text")))
+      .withColumn("n_stop", size(stopTokens($"text")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_stop" / $"n_tokens"), 4).as("avg_stop_ratio"),
+        round(avg(length($"text") / $"n_tokens"), 4).as("avg_chars_per_tok"),
+        sum(when($"n_stop" / $"n_tokens" > 0.12, 1L).otherwise(0L))
+          .as("n_high_stop"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q32Sql =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  ROUND(AVG(n_stop / n_tokens), 4) AS avg_stop_ratio,
+       |  ROUND(AVG(n_chars / n_tokens), 4) AS avg_chars_per_tok,
+       |  SUM(CASE WHEN n_stop / n_tokens > 0.12 THEN 1 ELSE 0 END)
+       |    AS n_high_stop
+       |FROM (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |      AS DOUBLE) AS n_stop,
+       |    CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Content fingerprinting: md5 over normalized text (lower + trim +
+    * whitespace squeeze) — the canonical-form dedup key.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(lower(trim($"text")), " +", " ")
+    Tables
+      .documents(s, d)
+      .withColumn("fp", md5(norm.cast("binary")))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_fingerprints"),
+        min($"fp").as("min_fp"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q33Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT fp) AS n_fingerprints,
+      |  MIN(fp) AS min_fp
+      |FROM (SELECT source,
+      |        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Heuristic language ID (n-gram/stopword signals as a deterministic
+    * decision list) vs the labeled `lang` column → confusion counts.
+    * The corpus is a shared-vocabulary word soup, so the heuristic's
+    * value here is the operator shape (pure expression, groupable),
+    * not classification accuracy.
+    */
+  private def langidExpr(s: SparkSession): Column = {
+    import s.implicits._
+    val toks  = size(tokens($"text"))
+    val stops = size(stopTokens($"text"))
+    val ratio = stops.cast("double") / toks
+    when(ratio > 0.10, "en")
+      .when(ratio > 0.06, "de")
+      .when(toks > 60, "fr")
+      .when(length($"text") > 300, "es")
+      .otherwise("zh")
+  }
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("predicted", langidExpr(s))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  private val q34Sql =
+    s"""SELECT lang, predicted, COUNT(*) AS n
+       |FROM (
+       |  SELECT lang,
+       |    CASE WHEN ratio > 0.10 THEN 'en'
+       |         WHEN ratio > 0.06 THEN 'de'
+       |         WHEN toks > 60 THEN 'fr'
+       |         WHEN n_chars > 300 THEN 'es'
+       |         ELSE 'zh' END AS predicted
+       |  FROM (
+       |    SELECT lang, length(text) AS n_chars,
+       |      len(string_split(text, ' ')) AS toks,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |        AS DOUBLE) / len(string_split(text, ' ')) AS ratio
+       |    FROM documents) a) b
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
+    QueryDef("q31_token_stats", q31, Some(q31Sql)),
+    QueryDef("q32_quality_score", q32, Some(q32Sql)),
+    QueryDef("q33_fingerprint", q33, Some(q33Sql)),
+    QueryDef("q34_langid", q34, Some(q34Sql)),
+  )
+}

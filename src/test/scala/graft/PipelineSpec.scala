@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force verification of the LSH-based pipeline operators on
+  * sf0.001 (500 docs / 500 vectors — small enough for exact pairwise
+  * ground truth).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs: Seq[(Long, String)] = {
+    import spark.implicits._
+    Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+  }
+
+  private def shingleSet(text: String, w: Int = 3): Set[String] = {
+    val words = text.split(" ")
+    if (words.length <= w) Set(text)
+    else words.sliding(w).map(_.mkString(" ")).toSet
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  test("minhash: reported pairs carry exact Jaccard; high-sim recall = 1") {
+    val got = ops.Dedup
+      .minhashPairs(Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = jaccard(shingleSet(ta), shingleSet(tb)) if j >= 0.5
+    } yield ((ia, ib), j)).toMap
+
+    // verified pairs must be true pairs with matching Jaccard
+    got.foreach { case (k, j) =>
+      assert(truth.contains(k), s"false positive $k")
+      assert(math.abs(truth(k) - j) < 1e-3, s"jaccard mismatch $k: $j")
+    }
+    // recall at j>=0.9 is ~1 for 8 bands × 4 rows — require completeness
+    val high = truth.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty, "fixture should contain near-dups")
+    assert(high.subsetOf(got.keySet),
+      s"missed high-similarity pairs: ${high -- got.keySet}")
+  }
+
+  test("simhash: banding finds EVERY pair within hamming<=3 (pigeonhole)") {
+    import spark.implicits._
+    val sims = Tables.documents(spark, sf)
+      .select($"doc_id", ops.Dedup.simhash64($"text").as("sim"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+
+    val got = ops.Dedup
+      .simhashPairs(Tables.documents(spark, sf), "doc_id", "text",
+        maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.get(2).asInstanceOf[Number].longValue())
+      .toMap
+
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
+  test("ann: reported neighbor cosines equal brute-force values") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val got = ops.Vectors.annTopNeighbor(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    got.foreach { case (v, nn, c) =>
+      val expect = cos(vecs(v), vecs(nn))
+      assert(math.abs(c - expect) < 1e-3, s"cos mismatch for ($v,$nn)")
+    }
+    // every vector appears at most once (top-1 per vector)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("multimodal: stub features are deterministic, 8-dim, byte-valued") {
+    import spark.implicits._
+    val f1 = ops.Multimodal.withFeatures(spark, sf)
+      .orderBy($"doc_id").limit(5).collect()
+    val f2 = ops.Multimodal.withFeatures(spark, sf)
+      .orderBy($"doc_id").limit(5).collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    f1.foreach { r =>
+      val feats = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(feats.length == 8)
+      assert(feats.forall(v => v >= 0 && v <= 255))
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+}
