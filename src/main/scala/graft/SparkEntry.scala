@@ -13,9 +13,11 @@ object SparkEntry {
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
       gen.GenQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * SURVEY.md §7.3: generator → window agg → pattern-dim join → sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.all.find(_.name == "q05_star_revenue").get
+    gen.GenQueries.all.find(_.name == "gen_flagship_windows").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -79,8 +79,35 @@ object GenQueries {
       .orderBy($"is_pattern")
   }
 
+  /** Flagship end-to-end slice (SURVEY.md §7.3): generate the 40k demo
+    * stream → tick→wall-clock projection → tumbling 60-tick window counts
+    * by (event_type, is_pattern) → broadcast join of the pattern-type
+    * dimension (how many patterns contain each type) → ordered result.
+    * Touches generator core, window agg, broadcast join, and sort in one
+    * plan.
+    */
+  private def flagship(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = demoSpec(40000L)
+    val ev = StreamGen.exact(s, spec)
+      .withColumn("bucket", expr("ts DIV 60"))
+    val typeDim = spec.patterns
+      .toDF(s)
+      .select(explode($"types").as("event_type"), $"pattern_id")
+      .groupBy($"event_type")
+      .agg(countDistinct($"pattern_id").as("n_patterns_with_type"))
+    ev.groupBy($"bucket", $"event_type", $"is_pattern")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(typeDim), Seq("event_type"), "left")
+      .select($"bucket", $"event_type", $"is_pattern", $"n",
+        coalesce($"n_patterns_with_type", lit(0L))
+          .as("n_patterns_with_type"))
+      .orderBy($"bucket", $"event_type", $"is_pattern")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
+    QueryDef("gen_flagship_windows", flagship, None),
   )
 }

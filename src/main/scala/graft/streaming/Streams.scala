@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the reference's "streamable" goal
+  * (`eventstream.py:9`, iterator sink `:429-432`) re-expressed as
+  * event-time streaming — replay a generated tick stream as a wall-clock
+  * stream, window it with watermarks, and run stateful per-key
+  * sessionization. This is the workload the reference generates data FOR
+  * ("sequence-learning systems that operate in real time", `README.md:6`).
+  */
+object Streams {
+
+  /** Replay a generated stream (parquet of gen.Event) as a streaming
+    * DataFrame with a wall-clock event-time column: tick → epoch + tick
+    * seconds (SURVEY.md §7.5.4 — ticks stay the ground truth; the
+    * projection is explicit and lossless).
+    */
+  def replayTicks(
+      spark: SparkSession,
+      parquetDir: String,
+      epochSeconds: Long = 0L,
+  ): DataFrame =
+    spark.readStream
+      .schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "seq LONG, ts LONG, event_type INT, is_pattern BOOLEAN"
+        )
+      )
+      .parquet(parquetDir)
+      .withColumn("wts", timestamp_seconds(col("ts") + epochSeconds))
+
+  /** Tumbling event-time window counts with a watermark for late data.
+    * Append mode emits each window once, when the watermark passes it —
+    * the scalable shape (state is bounded by watermark horizon).
+    */
+  def windowedTypeCounts(
+      replayed: DataFrame,
+      windowWidth: String = "60 seconds",
+      lateness: String = "120 seconds",
+  ): DataFrame =
+    replayed
+      .withWatermark("wts", lateness)
+      .groupBy(window(col("wts"), windowWidth), col("event_type"),
+        col("is_pattern"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"),
+        col("is_pattern"),
+        col("n"),
+      )
+
+  final case class SessionState(lastUs: Long, sessions: Long, events: Long)
+  final case class SessionCount(user_id: Long, sessions: Long, events: Long)
+
+  /** Stateful streaming sessionization: per-user inactivity-gap session
+    * counting with explicit state (`flatMapGroupsWithState`) — emits the
+    * running per-user totals each microbatch (Update mode).
+    *
+    * Within a microbatch events are sorted by time; across microbatches
+    * the state carries the last-seen timestamp, so ordered replay yields
+    * exactly the batch semantics of `Events.q20`. A production deployment
+    * would add `withWatermark` + EventTimeTimeout to bound state and emit
+    * closed sessions; the counting logic is identical.
+    */
+  def sessionize(
+      events: Dataset[(Long, Long)], // (user_id, epoch micros)
+      gapUs: Long,
+  ): Dataset[SessionCount] = {
+    implicit val stateEnc  = Encoders.product[SessionState]
+    implicit val outEnc    = Encoders.product[SessionCount]
+    implicit val longEnc   = Encoders.scalaLong
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) =>
+          val sorted = it.map(_._2).toArray
+          java.util.Arrays.sort(sorted)
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { us =>
+            val newSession =
+              st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            st = SessionState(
+              us,
+              st.sessions + (if (newSession) 1 else 0),
+              st.events + 1,
+            )
+          }
+          state.update(st)
+          Iterator.single(SessionCount(user, st.sessions, st.events))
+      }
+  }
+}

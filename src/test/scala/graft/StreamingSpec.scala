@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming behavior driven synchronously: parquet source dirs + memory
+  * sink + processAllAvailable (the batch-drives-stream harness from the
+  * Spark guide).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("replayed generated stream: windowed counts equal batch counts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val spec = gen.GenQueries.demoSpec(5000L)
+    val ds = gen.StreamGen.exact(spark, spec)
+    ds.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val q = Streams
+      .windowedTypeCounts(Streams.replayTicks(spark, s"$tmp/in"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_counts")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    // append mode holds back windows newer than the watermark; advance it
+    // with a far-future tick so every real window is emitted
+    ds.limit(1).withColumn("ts", lit(10000000L)).withColumn("seq", lit(-1L))
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_counts")
+      .filter($"w_start" < to_timestamp(lit("1970-04-01")))
+      .agg(sum($"n")).first().getLong(0)
+    assert(streamed == 5000L, s"streamed window counts cover all events")
+
+    // per-(window,type) equality against the batch plan
+    val batch = gen.StreamGen.exact(spark, spec)
+      .groupBy(
+        timestamp_seconds(expr("ts DIV 60") * 60).as("w_start"),
+        $"event_type", $"is_pattern")
+      .agg(count(lit(1)).as("n"))
+    val diff = spark.table("win_counts")
+      .filter($"w_start" < to_timestamp(lit("1970-04-01")))
+      .except(batch)
+    assert(diff.isEmpty, "streamed windows must equal batch windows")
+  }
+
+  test("stateful sessionization across microbatches matches batch q20") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", unix_micros($"ts").as("us"))
+    // two time-ordered chunks → two microbatches, state must carry over
+    val cut = ev.agg(expr("percentile(us, 0.5)")).first().getDouble(0).toLong
+    ev.filter($"us" <= cut).write.mode("overwrite")
+      .parquet(s"$tmp/in")
+
+    val src = spark.readStream
+      .schema("user_id LONG, us LONG")
+      .parquet(s"$tmp/in")
+      .as[(Long, Long)]
+    val q = Streams
+      .sessionize(src, gapUs = 1800L * 1000000L)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("sess")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    ev.filter($"us" > cut).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+
+    // latest update per user
+    val got = spark.table("sess")
+      .groupBy($"user_id")
+      .agg(max($"sessions").as("n_sessions"), max($"events").as("n_events"))
+    val batch = SparkEntry.queries("q20_sessionize")(
+      spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"n_sessions", $"n_events")
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "streaming sessionization must equal the batch oracle query")
+  }
+}
