@@ -495,6 +495,87 @@ object Relational {
       |WHERE l_quantity > avg_qty * 1.9
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** CUBE over two dimensions with grouping-null keys coalesced (same
+    * reasoning as q12's ROLLUP).
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"revenue",
+        $"n",
+      )
+      .orderBy($"status", $"priority")
+  }
+
+  private val q18Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts —
+    * the cardinality operator that stays O(1) memory at 100 TB. No SQL
+    * oracle (DuckDB's approx sketch differs); the exact counterpart is
+    * q08. Deterministic for a fixed input, so the rows-only check is
+    * stable.
+    */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.01)
+          .as("approx_orders"),
+        approx_count_distinct($"l_partkey", rsd = 0.01).as("approx_parts"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Range join (equi key + date-range predicate): lineitems shipped
+    * within 30 days of their order's date. Catalyst plans the equi key
+    * as a normal join with the range as a post-condition — no
+    * nested-loop blowup.
+    */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    Tables
+      .lineitem(s, d)
+      .join(
+        o,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" < $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+      )
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_fast_lines"),
+        sum($"l_quantity").as("sum_qty"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q27Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_fast_lines,
+      |  SUM(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -513,5 +594,8 @@ object Relational {
     QueryDef("q15_string_funcs", q15, Some(q15Sql)),
     QueryDef("q16_scalar_subquery", q16, Some(q16Sql)),
     QueryDef("q17_window_filter", q17, Some(q17Sql)),
+    QueryDef("q18_cube", q18, Some(q18Sql)),
+    QueryDef("q19_approx_distinct", q19, None),
+    QueryDef("q27_range_join", q27, Some(q27Sql)),
   )
 }

@@ -39,6 +39,7 @@ object Vectors {
       queryVecId: Long,
       k: Int,
   ): DataFrame = {
+    val spark = embeddings.sparkSession
     val q = embeddings
       .filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qe"))
@@ -48,7 +49,8 @@ object Vectors {
       .select(
         col("vec_id"),
         col("label"),
-        round(cosine(col("embedding"), col("qe")), 4).as("cos"),
+        round(graft.functions.VectorExprs
+          .vecCosine(spark, col("embedding"), col("qe")), 4).as("cos"),
       )
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -101,7 +103,8 @@ object Vectors {
     l.join(r, Seq("tbl", "bkey"))
       .filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 4))
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(embeddings.sparkSession, col("ea"), col("eb")), 4))
       .filter(col("cos") >= minCosine)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen cosine must agree with the composable HOF cosine
+  * bit-for-bit (same per-element order, double accumulation), in both
+  * interpreted (nullSafeEval) and whole-stage-codegen execution.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("vec_cosine == HOF cosine on real embeddings (codegen path)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val both = e.join(broadcast(q))
+      .select(
+        $"vec_id",
+        VectorExprs.vecCosine(spark, $"embedding", $"qe").as("native"),
+        ops.Vectors.cosine($"embedding", $"qe").as("hof"),
+      )
+      .withColumn("diff", abs($"native" - $"hof"))
+      .agg(max($"diff")).first().getDouble(0)
+    assert(both == 0.0, s"native vs HOF max diff $both")
+  }
+
+  test("vec_cosine rejects non-float-array inputs with a clear error") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(call_function("vec_cosine", $"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_cosine"))
+  }
+
+  test("vec_cosine is callable from SQL text") {
+    VectorExprs.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_t")
+    val v = spark.sql(
+      "SELECT vec_cosine(embedding, embedding) c FROM emb_t LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(v.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+}
