@@ -105,9 +105,41 @@ object GenQueries {
       .orderBy($"bucket", $"event_type", $"is_pattern")
   }
 
+  /** Pattern detection by sequence match — the inverse of generation and
+    * the very workload the reference generates data FOR (`README.md:6`):
+    * slide an L-wide frame over the type sequence and match it against
+    * the pattern dictionary (literal array equality, no UDF). Labels
+    * (`is_pattern`) are ground truth: every labeled instance must be
+    * rediscovered; chance collisions on top are the false-positive rate.
+    * On a keyed stream this windows per key; the demo stream is one
+    * global sequence (single-partition window, verification-scale only).
+    */
+  private def patternDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = demoSpec(40000L)
+    val L    = spec.patterns.length
+    val w    = Window.orderBy("seq").rowsBetween(0, L - 1)
+    val dict = spec.patterns.types.map(ts => array(ts.map(lit(_)): _*))
+    val windows = StreamGen.exact(s, spec)
+      .withColumn("win_types", collect_list($"event_type").over(w))
+      .withColumn("win_pattern", min($"is_pattern".cast("int")).over(w))
+      .filter(size($"win_types") === L)
+    val isMatch = dict.map($"win_types" === _).reduce(_ || _)
+    windows
+      .withColumn("matched", isMatch)
+      .agg(
+        sum(when($"matched", 1L).otherwise(0L)).as("n_detected"),
+        sum(when($"matched" && $"win_pattern" === 1, 1L).otherwise(0L))
+          .as("n_true_instances"),
+        sum(when($"matched" && $"win_pattern" =!= 1, 1L).otherwise(0L))
+          .as("n_chance_matches"),
+      )
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
     QueryDef("gen_flagship_windows", flagship, None),
+    QueryDef("gen_pattern_detect", patternDetect, None),
   )
 }

@@ -46,6 +46,98 @@ object Schedule {
     * planetary N the same recurrence is expressible in closed form per
     * block index, see the regularity proven by ScheduleSpec).
     */
+  /** Closed-form random-access view of the same schedule: `blockAt(k)`
+    * in O(log #blocks), no iteration, no driver materialization — the
+    * planetary-N path (`spark.range(numBlocks)` can map any index to its
+    * block on any executor). Structure exploited:
+    *
+    *  - interleave phase: before pattern m the controller has inserted
+    *    `R(m)` randoms, where R(m) is the smallest x (capped at
+    *    targetRandom) whose running ratio x/(x+mL) reaches `ratio` under
+    *    the loop's own double arithmetic — computed by a candidate
+    *    `ceil(r·mL/(1-r))` plus a short predicate walk, so every
+    *    floating-point edge matches the iterative controller exactly;
+    *  - M = ⌊targetPattern/L⌋ full patterns fit the interleave budget
+    *    (`nP + L > tP` forces randoms after that, `eventstream.py:394`);
+    *  - tail: the remaining randoms up to targetRandom, then unconditional
+    *    pattern instances truncated at N.
+    *
+    * Equivalence with `blocks()` is property-tested across ratios,
+    * lengths, and adversarial rounding cases (ScheduleSpec).
+    */
+  final case class Layout(
+      totalEvents: Long,
+      randomRatio: Double,
+      patternLen: Int,
+  ) {
+    private val tR = targetRandom(totalEvents, randomRatio)
+    private val tP = totalEvents - tR
+    private val L  = patternLen.toLong
+
+    /** Full interleave patterns (pattern m insertable iff (m+1)L <= tP). */
+    private val mFull: Long = tP / L
+
+    /** Tail pattern count (unconditional, last one truncated at N). */
+    private val tailPatterns: Long = {
+      val tailEvents = totalEvents - tR - mFull * L
+      (tailEvents + L - 1) / L
+    }
+
+    val numPatternBlocks: Long = mFull + tailPatterns
+    val numBlocks: Long        = tR + numPatternBlocks
+
+    /** ratio_now >= ratio test, in exactly the loop's arithmetic. */
+    private def reached(x: Long, m: Long): Boolean =
+      x.toDouble / math.max(1L, x + m * L).toDouble >= randomRatio
+
+    /** Randoms inserted before pattern m (0-indexed). */
+    def randomsBefore(m: Long): Long = {
+      if (m >= mFull) return tR // tail patterns: all randoms spent
+      if (randomRatio <= 0.0) return 0L
+      if (m == 0L) return math.min(tR, 1L) // 0/1 < r → exactly one random
+      val est =
+        math.ceil(randomRatio * m * L / (1.0 - randomRatio)).toLong
+      var x = math.max(0L, est - 2)
+      while (!reached(x, m)) x += 1
+      math.min(tR, x)
+    }
+
+    /** Global block position of pattern m. */
+    private def patternPos(m: Long): Long = randomsBefore(m) + m
+
+    /** Patterns strictly before block index k (binary search on the
+      * increasing patternPos).
+      */
+    private def patternsBefore(k: Long): Long = {
+      var lo = 0L
+      var hi = numPatternBlocks
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (patternPos(mid) < k) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    def blockAt(k: Long): Block = {
+      require(k >= 0 && k < numBlocks, s"block $k of $numBlocks")
+      val before = patternsBefore(k)
+      val isPat  = before < numPatternBlocks && patternPos(before) == k
+      val prevIsPattern = k > 0 && {
+        val pb = patternsBefore(k - 1)
+        pb < numPatternBlocks && patternPos(pb) == k - 1
+      }
+      if (isPat) {
+        val seqStart = randomsBefore(before) + before * L
+        val len      = math.min(L, totalEvents - seqStart).toInt
+        Block(seqStart, len, isPattern = true, afterPattern = prevIsPattern)
+      } else {
+        val nRandomBefore = k - before
+        val seqStart      = nRandomBefore + before * L
+        Block(seqStart, 1, isPattern = false, afterPattern = prevIsPattern)
+      }
+    }
+  }
+
   def blocks(
       totalEvents: Long,
       randomRatio: Double,

@@ -56,11 +56,39 @@ final case class StreamSpec(
     if (g.isEmpty) 1.0 else g.sum.toDouble / g.length
   }
 
-  /** Expected block duration in ticks at rate factor r. */
-  def expectedBlockTicks(b: Schedule.Block, r: Double): Double = {
-    val rest = if (b.afterPattern) 1.0 else 0.0
-    if (b.isPattern) rest + (b.len - 1) * (patternMeanGap / r)
-    else rest + b.len * (meanBase / r)
+  /** Mean ticks per event at unit rate (blend of random-event intervals
+    * and pattern gaps incl. the zero first-gap and +1 rest).
+    */
+  def meanTicksPerEvent: Double = {
+    val l = math.max(2, patterns.length)
+    randomRatio * meanBase +
+      (1.0 - randomRatio) * ((l - 1) * patternMeanGap + 1.0) / l
+  }
+
+  /** Expected clock t̂ at event index s — closed form, computable on any
+    * executor: invert s(t) = F(t)/μ where F(t) = ∫₀ᵗ r(u) du and μ is
+    * meanTicksPerEvent. Captures the density feedback (events cluster
+    * where the rate is high) without any sequential driver pass: for Sin,
+    * F has a closed form and t̂ comes from a few Newton steps on the
+    * strictly-increasing F (r ≥ 1e-6). Density None is exact linear.
+    */
+  def expectedClock(s: Long): Double = density match {
+    case DensityMode.None => s * meanTicksPerEvent
+    case DensityMode.Sin(baseRate, period, amp) =>
+      val target = s * meanTicksPerEvent
+      val p      = math.max(1.0, period)
+      val c      = amp * p / (2.0 * math.Pi)
+      def bigF(t: Double): Double =
+        baseRate * (t + c * (1.0 - math.cos(2.0 * math.Pi * t / p)))
+      var t = target / math.max(1e-6, baseRate) // linear initial guess
+      var i = 0
+      while (i < 30) {
+        val f  = bigF(t) - target
+        val fp = Rng.densityScale(math.rint(t).toLong, density)
+        t -= f / fp
+        i += 1
+      }
+      math.max(0.0, t)
   }
 }
 
@@ -144,7 +172,7 @@ object StreamGen {
     * sum). Every draw is keyed on (seed, block seqStart, local counter) —
     * no sequential RNG state crosses a block boundary.
     */
-  private def fillBlock(
+  private[gen] def fillBlock(
       spec: StreamSpec,
       b: Schedule.Block,
       approxStart: Double,
@@ -186,10 +214,14 @@ object StreamGen {
     out
   }
 
-  /** Block-parallel mode: schedule → parallel fill → two-pass prefix sum.
-    * `parallelize` slices the block list into contiguous ranges, so each
-    * partition owns a contiguous seq span and the per-partition running
-    * sums compose with one broadcast of partition offsets.
+  /** Block-parallel mode: closed-form schedule → `spark.range` over block
+    * indices → parallel fill → two-pass prefix sum. NOTHING is
+    * materialized on the driver — any executor maps any block index to
+    * its block (`Schedule.Layout.blockAt`, O(log)) and to its expected
+    * clock (`StreamSpec.expectedClock`, closed form), so the plan is the
+    * same at N=10⁶ and N=10¹². Range partitions are contiguous index
+    * spans, so per-partition running gap sums compose with one tiny
+    * offsets collect (one long per partition).
     */
   def block(
       spark: SparkSession,
@@ -198,29 +230,16 @@ object StreamGen {
   ): Dataset[Event] = {
     val nPart =
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val blockList = Schedule
-      .blocks(spec.totalEvents, spec.randomRatio, spec.patterns.length)
-      .toIndexedSeq
-
-    // Expected clock per block: integrate dt ≈ len·meanBase/r(t̂) on the
-    // driver (one double per block). This tracks the density feedback —
-    // events cluster where the rate is high, so the naive seq·meanGap
-    // clock would drift the sin phase and inflate the span; the
-    // recurrence keeps block mode's density profile aligned with exact
-    // mode's true running clock. O(#blocks) driver time, no RNG.
-    val withStarts: IndexedSeq[(Schedule.Block, Double)] = {
-      var tHat = 0.0
-      blockList.map { b =>
-        val r = Rng.densityScale(math.rint(tHat).toLong, spec.density)
-        val entry = (b, tHat)
-        tHat += spec.expectedBlockTicks(b, r)
-        entry
-      }
-    }
+    val layout = Schedule.Layout(
+      spec.totalEvents, spec.randomRatio, spec.patterns.length)
     val bcSpec = spark.sparkContext.broadcast(spec)
     val gapsRdd = spark.sparkContext
-      .parallelize(withStarts, math.min(nPart, math.max(1, blockList.size)))
-      .flatMap { case (b, t0) => fillBlock(bcSpec.value, b, t0) }
+      .range(0L, layout.numBlocks, 1,
+        math.min(nPart.toLong, math.max(1L, layout.numBlocks)).toInt)
+      .flatMap { k =>
+        val b = layout.blockAt(k)
+        fillBlock(bcSpec.value, b, bcSpec.value.expectedClock(b.seqStart))
+      }
 
     // pass 1: total gap per partition (tiny collect: one long per partition)
     val partSums = gapsRdd

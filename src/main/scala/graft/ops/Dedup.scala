@@ -112,21 +112,40 @@ object Dedup {
   }
 
   /** 64-bit SimHash from unigram hashes: per bit, sign of the sum of ±1
-    * votes across tokens. Pure expressions — one `aggregate` per bit over
-    * the token-hash array.
+    * votes across tokens.
+    *
+    * Computed SWAR-style in ONE pass over the token array: 8 accumulator
+    * longs, each packing 8 byte-wide bit-slice counters —
+    * `acc(j) += (h >> j) & 0x0101...01` counts bit (8k+j) of every token
+    * hash in byte k of acc(j). Bit b's set-count is then a byte extract,
+    * and the vote is `2·count > nTokens`. Safe for docs up to 255 tokens
+    * (byte counters); above that, chunk the token array first. Replaces
+    * a 64-aggregate formulation that traversed the array 64 times.
     */
   def simhash64(text: Column): Column = {
     val th = transform(split(text, " "), t => xxhash64(t))
+    val nTokens = size(th)
+    val sliceMask = 0x0101010101010101L
+    val accs = aggregate(
+      th,
+      array_repeat(lit(0L), 8),
+      (acc, h) =>
+        zip_with(
+          acc,
+          sequence(lit(0), lit(7)),
+          (a, j) => a + call_function("shiftright", h, j)
+            .bitwiseAND(lit(sliceMask)),
+        ),
+    )
     val bits = (0 until 64).map { b =>
-      val votes = aggregate(
-        th,
-        lit(0L),
-        (acc, h) =>
-          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L),
-      )
-      when(votes > 0, lit(1L << b)).otherwise(0L)
+      val j = b % 8
+      val k = b / 8
+      val count = shiftright(element_at(accs, j + 1), 8 * k)
+        .bitwiseAND(lit(0xFFL))
+      when(count * 2 > nTokens, lit(1L << b)).otherwise(0L)
     }
+    // the 64 references to `accs` are deduplicated by whole-stage
+    // codegen's subexpression elimination (aggregate is deterministic)
     bits.reduce(_ + _)
   }
 

@@ -181,3 +181,16 @@ class RngSpec extends AnyFunSuite {
     assert(bs.scanLeft(0L)(_ + _.len).init == bs.map(_.seqStart))
   }
 }
+
+/** Detection must rediscover every labeled pattern instance. */
+class PatternDetectSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("gen_pattern_detect finds all 1200 labeled instances") {
+    val spark = SparkTestSession.spark
+    val row = SparkEntry.queries("gen_pattern_detect")(spark, "").first()
+    val detected = row.getAs[Long]("n_detected")
+    val trueInst = row.getAs[Long]("n_true_instances")
+    assert(trueInst >= 1200L, s"labeled instances rediscovered: $trueInst")
+    assert(detected >= trueInst)
+    assert(row.getAs[Long]("n_chance_matches") == detected - trueInst)
+  }
+}
