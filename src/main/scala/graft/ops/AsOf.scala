@@ -24,6 +24,11 @@ object AsOf {
     * @param tsCol      ordering column name present on both sides
     * @param strict     true → match right.ts <  left.ts;
     *                   false → match right.ts <= left.ts
+    * @param tolerance  optional max lookback in tsCol units: a match older
+    *                   than `left.ts - tolerance` is dropped (nulled) —
+    *                   the usual as-of staleness bound. Applied as a
+    *                   post-filter on the matched ts, so the plan is
+    *                   unchanged (still one shuffle + window).
     */
   def join(
       left: DataFrame,
@@ -31,6 +36,7 @@ object AsOf {
       keyCol: String,
       tsCol: String,
       strict: Boolean = false,
+      tolerance: Option[Long] = None,
   ): DataFrame = {
     val leftCols  = left.columns.toSeq
     val rightCols = right.columns.toSeq.filterNot(c => c == keyCol)
@@ -64,10 +70,18 @@ object AsOf {
     val frame =
       ordered.rowsBetween(Window.unboundedPreceding, if (strict) -1 else 0)
 
-    val joined = l
+    val joined0 = l
       .unionByName(r)
       .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(frame))
       .filter(col("_side") === 1)
+    val joined = tolerance match {
+      case Some(tol) =>
+        joined0.withColumn(
+          "_match",
+          when(col(s"_match.$tsCol") >= col("_ts") - lit(tol), col("_match")),
+        )
+      case None => joined0
+    }
 
     val out = leftCols.map(c => col(s"_lpay.$c").as(c)) ++
       rightCols.map(c => col(s"_match.$c").as(s"right_$c"))

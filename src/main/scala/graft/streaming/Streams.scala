@@ -53,6 +53,27 @@ object Streams {
         col("n"),
       )
 
+  /** Built-in session windows (dynamic-gap session_window aggregation):
+    * one row per (user, session) with its event count — the declarative
+    * counterpart of `sessionize` below. Append mode: sessions emit once
+    * closed by the watermark.
+    */
+  def sessionWindows(
+      events: DataFrame, // needs user_id + wts (event-time timestamp)
+      gap: String = "30 minutes",
+      lateness: String = "1 minute",
+  ): DataFrame =
+    events
+      .withWatermark("wts", lateness)
+      .groupBy(session_window(col("wts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("session_events"),
+      )
+
   final case class SessionState(lastUs: Long, sessions: Long, events: Long)
   final case class SessionCount(user_id: Long, sessions: Long, events: Long)
 

@@ -57,3 +57,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(ops.AsOf.join(l, r, "key", "ts").count() == 2)
   }
 }
+
+class AsOfToleranceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("tolerance drops matches older than the lookback bound") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "x"), (1L, 11L, "y")).toDF("key", "ts", "v")
+    val r = Seq((1L, 10L, 5.0)).toDF("key", "ts", "px")
+    val got = ops.AsOf.join(l, r, "key", "ts", tolerance = Some(5L))
+      .select($"ts", $"right_px").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(11L).contains(5.0))  // within 5 ticks
+    assert(got(100L).isEmpty)       // stale match nulled
+  }
+}

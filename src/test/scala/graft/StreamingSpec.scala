@@ -90,3 +90,41 @@ class StreamingSpec extends AnyFunSuite {
       "streaming sessionization must equal the batch oracle query")
   }
 }
+
+/** Built-in session_window path must agree with the batch sessionization
+  * on session counts and sizes.
+  */
+class SessionWindowSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming session_window == batch q20 per-user session stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts".as("wts"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+
+    val src = spark.readStream.schema("user_id LONG, wts TIMESTAMP")
+      .parquet(s"$tmp/in")
+    val q = graft.streaming.Streams.sessionWindows(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sw").option("checkpointLocation", s"$tmp/ckpt").start()
+    q.processAllAvailable()
+    // close the final sessions: advance the watermark far past the data
+    Seq((999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("user_id", "wts").write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sw").filter($"user_id" =!= 999L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"session_events").as("n_events"),
+        max($"session_events").as("max_session_events"))
+    val batch = SparkEntry.queries("q20_sessionize")(
+      spark, "/root/testdata/sf0.001")
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "session_window must equal batch sessionization")
+  }
+}
