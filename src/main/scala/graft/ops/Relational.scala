@@ -576,6 +576,64 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** lead/lag + date arithmetic: inter-order gap in days per customer. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate",
+      $"o_orderkey")
+    Tables
+      .orders(s, d)
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("gap_days",
+        datediff($"o_orderdate".cast("date"), $"prev_date".cast("date")))
+      .filter($"gap_days".isNotNull)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg($"gap_days"), 4).as("avg_gap_days"),
+        max($"gap_days").as("max_gap_days"),
+      )
+      .orderBy($"o_custkey")
+  }
+
+  private val q28Sql =
+    """SELECT o_custkey, COUNT(*) AS n_gaps,
+      |  ROUND(AVG(gap_days), 4) AS avg_gap_days,
+      |  MAX(gap_days) AS max_gap_days
+      |FROM (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders) t
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Exact quantiles (linear interpolation) per group — Spark's exact
+    * `percentile` vs DuckDB's `quantile_cont`.
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q29Sql =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -597,5 +655,7 @@ object Relational {
     QueryDef("q18_cube", q18, Some(q18Sql)),
     QueryDef("q19_approx_distinct", q19, None),
     QueryDef("q27_range_join", q27, Some(q27Sql)),
+    QueryDef("q28_order_gaps", q28, Some(q28Sql)),
+    QueryDef("q29_quantiles", q29, Some(q29Sql)),
   )
 }
