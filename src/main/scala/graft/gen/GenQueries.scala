@@ -136,10 +136,36 @@ object GenQueries {
       )
   }
 
+  /** Type-distribution drift profile (extension — the reference promises
+    * drift in its header but never implements it, SURVEY.md §2.a): type
+    * shares per drift-phase quarter. With the sin-weighted sampler each
+    * type's share swings across phases; drift off would show ~1/6
+    * everywhere.
+    */
+  private def driftProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = demoSpec(40000L).copy(
+      randomRatio = 1.0, // isolate the drifting random-event population
+      typeDriftAmp = 0.9,
+      typeDriftPeriod = 8000.0,
+    )
+    StreamGen.exact(s, spec)
+      .withColumn("phase", expr("(ts % 8000) DIV 2000"))
+      .groupBy($"phase", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "share",
+        round($"n" / sum($"n").over(
+          Window.partitionBy($"phase")), 4),
+      )
+      .orderBy($"phase", $"event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
     QueryDef("gen_flagship_windows", flagship, None),
     QueryDef("gen_pattern_detect", patternDetect, None),
+    QueryDef("gen_drift_profile", driftProfile, None),
   )
 }

@@ -34,6 +34,8 @@ final case class StreamSpec(
     randJitter: Double = 0.0,
     density: DensityMode = DensityMode.None,
     seed: Long = 2025L,
+    typeDriftAmp: Double = 0.0,
+    typeDriftPeriod: Double = 8000.0,
 ) {
   require(
     randomRatio >= 0.0 && randomRatio <= 1.0,
@@ -115,6 +117,39 @@ final case class StreamSpec(
   */
 object StreamGen {
 
+  /** Random-event type sampling with optional time-varying distribution
+    * drift — the half of "density (rate) and type distribution drift"
+    * the reference PROMISES in its header comment (`eventstream.py:7-8`)
+    * but never implements (its only type-sampling site is uniform,
+    * `eventstream.py:341`). Shipped here as a documented extension:
+    * weight of type k at time t is `1 + amp·sin(2π(t/period + k/n))`
+    * (phase-shifted per type, floored at 0.01), sampled by inverse CDF
+    * from ONE uniform — with amp = 0 the walk degenerates to
+    * `floor(u·n)`, exactly the uniform draw, so drift-off streams are
+    * byte-identical to pre-extension output.
+    */
+  private[graft] def sampleType(
+      u: Double,
+      t: Long,
+      nTypes: Int,
+      amp: Double,
+      period: Double,
+  ): Int = {
+    if (amp <= 0.0) return math.floor(u * nTypes).toInt.min(nTypes - 1)
+    val w = Array.tabulate(nTypes) { k =>
+      math.max(
+        0.01,
+        1.0 + amp * math.sin(
+          2.0 * math.Pi * (t / math.max(1.0, period) + k.toDouble / nTypes)),
+      )
+    }
+    val x = u * w.sum
+    var cum = 0.0
+    var k = 0
+    while (k < nTypes - 1 && cum + w(k) <= x) { cum += w(k); k += 1 }
+    k
+  }
+
   /** Faithful sequential generator (shared by exact mode and tests).
     * Draws come from the same per-block substreams as block mode (keyed
     * on the block's seqStart), so with density off the two modes emit
@@ -138,8 +173,9 @@ object StreamGen {
           val r   = Rng.densityScale(t, spec.density)
           val gap = math.max(1L, math.rint(jit / r).toLong)
           t += gap
-          val ev = Event(emitted, t, rng.nextInt(0, spec.nTypes - 1),
-            is_pattern = false)
+          val tpe = sampleType(rng.nextUniform(), t, spec.nTypes,
+            spec.typeDriftAmp, spec.typeDriftPeriod)
+          val ev = Event(emitted, t, tpe, is_pattern = false)
           emitted += 1
           Iterator.single(ev)
         } else {
@@ -193,7 +229,9 @@ object StreamGen {
       val jit = Rng.jitter(base, spec.randJitterDist, spec.randJitter, rng)
       val r   = Rng.densityScale(tApprox(0), spec.density)
       val gap = math.max(1L, math.rint(jit / r).toLong)
-      out(0) = (b.seqStart, lead + gap, rng.nextInt(0, spec.nTypes - 1), false)
+      val tpe = sampleType(rng.nextUniform(), tApprox(0), spec.nTypes,
+        spec.typeDriftAmp, spec.typeDriftPeriod)
+      out(0) = (b.seqStart, lead + gap, tpe, false)
     } else {
       val p = rng.nextInt(0, pat.nPatterns - 1)
       var j = 0

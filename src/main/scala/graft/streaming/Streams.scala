@@ -74,6 +74,52 @@ object Streams {
         col("session_events"),
       )
 
+  final case class DetectState(tail: Array[Int], nextSeq: Long,
+      matches: Long)
+  final case class DetectCount(stream_id: Long, matches: Long)
+
+  /** Online pattern detection over a replayed event stream — the
+    * reference's target workload ("learning sequences lifelong and
+    * online", its README) as a stateful streaming job: per stream key,
+    * keep the last L-1 event types as state, slide an L-window across
+    * batch boundaries, and count dictionary matches. Events must arrive
+    * seq-ordered per key (replay guarantees it; state tracks nextSeq and
+    * fails loudly on gaps rather than miscounting).
+    */
+  def detectPatterns(
+      events: Dataset[(Long, Long, Int)], // (stream_id, seq, event_type)
+      dictionary: Array[Array[Int]],
+  ): Dataset[DetectCount] = {
+    val L = dictionary.headOption.map(_.length).getOrElse(0)
+    require(L >= 2, "pattern dictionary must have length >= 2")
+    implicit val stEnc  = Encoders.product[DetectState]
+    implicit val outEnc = Encoders.product[DetectCount]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[(Long, Long, Int)],
+         state: GroupState[DetectState]) =>
+          val batch = it.toArray.sortBy(_._2)
+          var st = state.getOption.getOrElse(
+            DetectState(Array.empty, 0L, 0L))
+          var buf     = st.tail
+          var matches = st.matches
+          batch.foreach { case (_, seq, tpe) =>
+            require(st.nextSeq == 0L || seq == st.nextSeq,
+              s"stream $id gap/out-of-order at seq $seq (want ${st.nextSeq})")
+            buf = (buf :+ tpe).takeRight(L)
+            if (buf.length == L &&
+              dictionary.exists(java.util.Arrays.equals(_, buf)))
+              matches += 1
+            st = DetectState(buf, seq + 1, matches)
+          }
+          state.update(st)
+          Iterator.single(DetectCount(id, matches))
+      }
+  }
+
   final case class SessionState(lastUs: Long, sessions: Long, events: Long)
   final case class SessionCount(user_id: Long, sessions: Long, events: Long)
 

@@ -128,3 +128,43 @@ class SessionWindowSpec extends org.scalatest.funsuite.AnyFunSuite {
       "session_window must equal batch sessionization")
   }
 }
+
+/** Online detection across microbatches must equal offline detection. */
+class StreamDetectSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming pattern detection == offline sliding-window count") {
+    import spark.implicits._
+    val spec = gen.GenQueries.demoSpec(5000L)
+    val all = gen.StreamGen.exactIterator(spec).toVector
+    // offline ground truth: sliding L-window over types
+    val dict = spec.patterns.types.map(_.toVector).toSet
+    val expected = all.map(_.event_type).sliding(10)
+      .count(w => dict.contains(w.toVector))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_det").toString
+    def write(evs: Seq[gen.Event], mode: String): Unit =
+      evs.map(e => (0L, e.seq, e.event_type))
+        .toDF("stream_id", "seq", "event_type")
+        .coalesce(1).write.mode(mode).parquet(s"$tmp/in")
+    // chunk 1 splits MID-PATTERN so state must carry the window tail
+    write(all.take(2503), "overwrite")
+
+    val src = spark.readStream
+      .schema("stream_id LONG, seq LONG, event_type INT")
+      .parquet(s"$tmp/in").as[(Long, Long, Int)]
+    val q = streaming.Streams.detectPatterns(src, spec.patterns.types)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("det").option("checkpointLocation", s"$tmp/ckpt").start()
+    q.processAllAvailable()
+    write(all.drop(2503), "append")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("det").agg(
+      org.apache.spark.sql.functions.max($"matches")).first().getLong(0)
+    assert(streamed == expected,
+      s"online $streamed vs offline $expected matches")
+    assert(expected >= 100, "fixture should contain many instances")
+  }
+}
