@@ -161,11 +161,31 @@ object GenQueries {
       .orderBy($"phase", $"event_type")
   }
 
+  /** Keyed multi-stream corpus (the events-table shape): 50 independent
+    * streams × 10k events, generated fully distributed, reduced to
+    * per-stream invariant stats. Parallelism scales with streams — the
+    * 100 TB shape is millions of keys, each a partition-local sequence.
+    */
+  private def multiStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StreamGen
+      .multi(s, demoSpec(10000L), nStreams = 50)
+      .groupBy($"stream_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(!$"is_pattern", 1L).otherwise(0L)).as("n_random"),
+        max($"ts").as("span"),
+        countDistinct($"event_type").as("n_types"),
+      )
+      .orderBy($"stream_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
     QueryDef("gen_flagship_windows", flagship, None),
     QueryDef("gen_pattern_detect", patternDetect, None),
     QueryDef("gen_drift_profile", driftProfile, None),
+    QueryDef("gen_multi_stream", multiStream, None),
   )
 }

@@ -300,4 +300,62 @@ object StreamGen {
     implicit val enc = Encoders.product[Event]
     spark.createDataset(events)
   }
+
+  /** One event of a keyed multi-stream corpus. */
+  final case class KeyedEvent(
+      stream_id: Long,
+      seq: Long,
+      ts: Long,
+      event_type: Int,
+      is_pattern: Boolean,
+  )
+
+  /** Many independent streams with the same spec (the `events`-table
+    * shape: one sequence per user/device). Every stream gets its own RNG
+    * substream family (seed xor'd per stream through the mixer), shares
+    * the one RNG-free schedule, and is generated fully distributed:
+    * `spark.range(nStreams × numBlocks)` maps any global index to
+    * (stream, block) on any executor. Timestamps are a per-stream prefix
+    * sum — a window partitioned by stream_id, so parallelism scales with
+    * the number of streams and no stream ever crosses an executor
+    * boundary mid-sum.
+    */
+  def multi(
+      spark: SparkSession,
+      spec: StreamSpec,
+      nStreams: Long,
+      partitions: Int = 0,
+  ): Dataset[KeyedEvent] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum}
+    val nPart =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val layout = Schedule.Layout(
+      spec.totalEvents, spec.randomRatio, spec.patterns.length)
+    val bcSpec = spark.sparkContext.broadcast(spec)
+    val b      = layout.numBlocks
+    val gaps = spark.sparkContext
+      .range(0L, nStreams * b, 1, nPart)
+      .flatMap { g =>
+        val sid   = g / b
+        val blk   = layout.blockAt(g % b)
+        val sSpec = bcSpec.value.copy(
+          seed = Rng.mix64(bcSpec.value.seed ^ (sid + 0x5851F42D4C957F2DL)))
+        fillBlock(sSpec, blk, sSpec.expectedClock(blk.seqStart))
+          .map { case (seq, gap, tpe, isPat) => (sid, seq, gap, tpe, isPat) }
+      }
+    implicit val enc = Encoders.product[KeyedEvent]
+    val df = spark.createDataFrame(
+      gaps.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "stream_id LONG, seq LONG, gap LONG, event_type INT, " +
+          "is_pattern BOOLEAN"),
+    )
+    val w = Window.partitionBy("stream_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ts", sum(col("gap")).over(w))
+      .select(col("stream_id"), col("seq"), col("ts"), col("event_type"),
+        col("is_pattern"))
+      .as[KeyedEvent]
+  }
 }

@@ -32,6 +32,10 @@ object Dedup {
 
   /** MinHash signature: `numHashes` independent permutations simulated by
     * re-hashing each shingle hash with the permutation index as seed.
+    * (Cheaper schemes were measured head-to-head — Kirsch–Mitzenmacher
+    * double hashing and one-permutation hashing — and neither moved the
+    * wall clock at bench scale while both weakened the independence
+    * story, so the straightforward form stays.)
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array(
@@ -62,18 +66,24 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // The sketch subtree feeds three plan branches (two self-join sides
+    // + the verification lookups); without a persist Catalyst recomputes
+    // the string shingling per branch, which dominates the runtime.
     val sketched = df
       .select(
         col(idCol).as("doc"),
         shingleHashes(col(textCol)).as("sh"),
       )
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key: hash of the band's signature slice (+ band index)
+    // band key: hash of the band's signature slice (+ band index).
+    // Banding/bucketing work on SLIM (doc, band, bkey) rows — the wide
+    // shingle arrays would otherwise ride through two shuffles; they are
+    // joined back only for the surviving candidate pairs.
     val banded = sketched
       .select(
         col("doc"),
-        col("sh"),
         explode(
           array((0 until bands).map(b =>
             struct(
@@ -84,7 +94,7 @@ object Dedup {
           ): _*)
         ).as("bk"),
       )
-      .select(col("doc"), col("sh"), col("bk.band"), col("bk.bkey"))
+      .select(col("doc"), col("bk.band"), col("bk.bkey"))
 
     // skew guard: drop pathological buckets before the self-join
     val bucketed = banded.withColumn(
@@ -94,14 +104,17 @@ object Dedup {
       ),
     ).filter(col("bsize") <= maxBucket)
 
-    val l = bucketed.select(col("band"), col("bkey"),
-      col("doc").as("a"), col("sh").as("sha"))
-    val r = bucketed.select(col("band"), col("bkey"),
-      col("doc").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bkey"))
+    val l = bucketed.select(col("band"), col("bkey"), col("doc").as("a"))
+    val r = bucketed.select(col("band"), col("bkey"), col("doc").as("b"))
+    val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+
+    val shingleTab = sketched.select(col("doc"), col("sh"))
+    candidates
+      .join(shingleTab.select(col("doc").as("a"), col("sh").as("sha")), "a")
+      .join(shingleTab.select(col("doc").as("b"), col("sh").as("shb")), "b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /

@@ -243,3 +243,32 @@ class DriftSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Keyed multi-stream generation: per-stream invariants + independence. */
+class MultiStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("every stream keeps the invariants; streams differ; deterministic") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val spec = GenQueries.demoSpec(2000L)
+    val ds = StreamGen.multi(spark, spec, nStreams = 10, partitions = 8)
+    val rows = ds.collect()
+    assert(rows.length == 20000)
+    val byStream = rows.groupBy(_.stream_id)
+    assert(byStream.size == 10)
+    byStream.values.foreach { evs =>
+      val s = evs.sortBy(_.seq)
+      assert(s.length == 2000)
+      assert(s.count(!_.is_pattern) == 1400) // exact 0.7 per stream
+      assert(s.sliding(2).forall(p => p(0).ts <= p(1).ts))
+    }
+    // streams are genuinely different sequences
+    val sigs = byStream.values.map(_.sortBy(_.seq).take(50)
+      .map(e => (e.ts, e.event_type)).toVector).toSet
+    assert(sigs.size == 10)
+    // deterministic across runs and partitionings
+    val again = StreamGen.multi(spark, spec, 10, partitions = 3).collect()
+    assert(again.sortBy(e => (e.stream_id, e.seq)).toVector ==
+      rows.sortBy(e => (e.stream_id, e.seq)).toVector)
+  }
+}
