@@ -125,22 +125,24 @@ object Events {
     Tables
       .events(s, d)
       .groupBy(
-        date_trunc("hour", $"ts").as("hour"),
+        // integer epoch-µs group key: raw TIMESTAMP output would hash
+        // differently across engines (ns vs µs physical representation)
+        unix_micros(date_trunc("hour", $"ts")).as("hour_us"),
         $"event_type",
       )
       .agg(
         count(lit(1)).as("n"),
         round(sum($"value"), 2).as("sum_value"),
       )
-      .orderBy($"hour", $"event_type")
+      .orderBy($"hour_us", $"event_type")
   }
 
   private val q22Sql =
-    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+    """SELECT epoch_us(DATE_TRUNC('hour', ts)) AS hour_us, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY hour, event_type""".stripMargin
+      |ORDER BY hour_us, event_type""".stripMargin
 
   /** JSON extraction from the `props` string column. */
   private def q23(s: SparkSession, d: String): DataFrame = {

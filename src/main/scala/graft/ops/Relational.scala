@@ -634,6 +634,78 @@ object Relational {
       |FROM orders
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Pivot (fixed value list → static schema, so the oracle's CASE-sum
+    * formulation matches column-for-column).
+    */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity"))
+      .select(
+        $"l_returnflag",
+        coalesce($"F", lit(0.0)).as("qty_f"),
+        coalesce($"O", lit(0.0)).as("qty_o"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  private val q43Sql =
+    """SELECT l_returnflag,
+      |  COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0)
+      |    AS qty_f,
+      |  COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0)
+      |    AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** posexplode over the embedding arrays: per-dimension mean across the
+    * corpus (array → rows with ordinality).
+    */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .embeddings(s, d)
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(
+        round(avg($"x".cast("double")), 4).as("avg_x"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"dim")
+  }
+
+  private val q44Sql =
+    """SELECT i - 1 AS dim, ROUND(AVG(CAST(x AS DOUBLE)), 4) AS avg_x,
+      |  COUNT(*) AS n
+      |FROM (SELECT unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings) t
+      |GROUP BY 1 ORDER BY dim""".stripMargin
+
+  /** Regex extraction: first word of p_type as a derived dimension. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .part(s, d)
+      .groupBy(regexp_extract($"p_type", "^(\\w+)", 1).as("type_head"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"p_retailprice"), 4).as("avg_price"),
+      )
+      .orderBy($"type_head")
+  }
+
+  private val q45Sql =
+    """SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+      |  COUNT(*) AS n,
+      |  ROUND(AVG(p_retailprice), 4) AS avg_price
+      |FROM part
+      |GROUP BY 1 ORDER BY type_head""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -657,5 +729,8 @@ object Relational {
     QueryDef("q27_range_join", q27, Some(q27Sql)),
     QueryDef("q28_order_gaps", q28, Some(q28Sql)),
     QueryDef("q29_quantiles", q29, Some(q29Sql)),
+    QueryDef("q43_pivot", q43, Some(q43Sql)),
+    QueryDef("q44_explode_dims", q44, Some(q44Sql)),
+    QueryDef("q45_regexp_extract", q45, Some(q45Sql)),
   )
 }
