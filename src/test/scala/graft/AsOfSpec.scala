@@ -72,3 +72,45 @@ class AsOfToleranceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(100L).isEmpty)       // stale match nulled
   }
 }
+
+class SaltingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("salted join == plain join on a skewed dataset") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 90% of fact rows hit one hot key
+    val fact = spark.range(10000).select(
+      $"id".as("row_id"),
+      when($"id" % 10 =!= 0, 7L).otherwise($"id" % 100).as("k"),
+      ($"id" * 2).as("v"))
+    val dim = spark.range(100).select($"id".as("k"),
+      concat(lit("d"), $"id").as("name"))
+    val plain  = fact.join(dim, "k").agg(count(lit(1)), sum($"v")).first()
+    val salted = ops.Salting.saltedJoin(fact, dim, "k", "row_id", 16)
+      .agg(count(lit(1)), sum($"v")).first()
+    assert(plain == salted, s"$plain vs $salted")
+    // the hot key's rows really spread over multiple salts
+    val spread = fact.withColumn("_salt",
+      pmod(xxhash64($"row_id"), lit(16L))).filter($"k" === 7)
+      .select("_salt").distinct().count()
+    assert(spread == 16, s"hot key spread over $spread salts")
+  }
+}
+
+class SaltingEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("salts=1 degenerates to the plain join; salts=0 rejected") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(1000).select($"id".as("row_id"),
+      ($"id" % 7).as("k"), $"id".as("v"))
+    val dim = spark.range(7).select($"id".as("k"), $"id".as("w"))
+    val plain  = fact.join(dim, "k").count()
+    val salted = ops.Salting.saltedJoin(fact, dim, "k", "row_id", 1).count()
+    assert(plain == salted)
+    intercept[IllegalArgumentException] {
+      ops.Salting.saltedJoin(fact, dim, "k", "row_id", 0)
+    }
+  }
+}
