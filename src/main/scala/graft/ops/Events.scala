@@ -74,7 +74,8 @@ object Events {
       |  SELECT user_id, session_id, COUNT(*) AS session_events
       |  FROM sess GROUP BY user_id, session_id
       |)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(session_events) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |       CAST(SUM(session_events) AS BIGINT) AS n_events,
       |       MAX(session_events) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -162,7 +163,7 @@ object Events {
 
   private val q23Sql =
     """SELECT event_type,
-      |  SUM(k) AS sum_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
       |  ROUND(AVG(k), 4) AS avg_k,
       |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high,
       |  COUNT(*) AS n

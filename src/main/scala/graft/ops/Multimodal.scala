@@ -101,7 +101,7 @@ object Multimodal {
 
   private val q50Sql =
     """SELECT source, COUNT(*) AS n_assets,
-      |  SUM(n_bytes) AS total_bytes,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |  ROUND(AVG(n_bytes), 4) AS avg_bytes,
       |  MAX(n_bytes) AS max_bytes
       |FROM (SELECT source, octet_length(encode(text)) AS n_bytes

@@ -62,7 +62,7 @@ object Text {
 
   private val q31Sql =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(n_tokens) AS sum_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
       |  ROUND(AVG(n_tokens), 4) AS avg_tokens,
       |  MAX(n_tokens) AS max_tokens
       |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens
@@ -93,8 +93,8 @@ object Text {
     s"""SELECT lang, COUNT(*) AS n_docs,
        |  ROUND(AVG(n_stop / n_tokens), 4) AS avg_stop_ratio,
        |  ROUND(AVG(n_chars / n_tokens), 4) AS avg_chars_per_tok,
-       |  SUM(CASE WHEN n_stop / n_tokens > 0.12 THEN 1 ELSE 0 END)
-       |    AS n_high_stop
+       |  CAST(SUM(CASE WHEN n_stop / n_tokens > 0.12 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_high_stop
        |FROM (
        |  SELECT lang,
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,

@@ -5,8 +5,13 @@ Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB over the sf_dir
-tables, and compares: row count, column names (sorted), and values
-(columns sorted by name, rows sorted, floats to 1e-6 relative).
+tables, and compares the way the driver does: both sides fetched to
+pandas, columns sorted by name, dtypes compared EXACTLY, values
+compared EXACTLY (no float tolerance — the driver hashes stringified
+values, so a HUGEINT->float64 coercion or a 1-ulp float difference is
+a real failure here, by design). Rows are sorted by stringified
+content before the element-wise compare so engine tie-order cannot
+cause spurious failures.
 """
 import json
 import math
@@ -21,21 +26,12 @@ TABLES = [
 
 
 def norm(v):
+    """Canonical token for one cell — mirrors an exact stringify-hash."""
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return v
-    return v
-
-
-def close(a, b):
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
-            return True
-        return math.isclose(a, float(b), rel_tol=1e-6, abs_tol=1e-9)
-    if isinstance(b, float) and isinstance(a, (float, int)):
-        return close(b, a)
-    return a == b
+        return repr(v)
+    return repr(v)
 
 
 def main():
@@ -66,15 +62,22 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
-        g = got[gcols].values.tolist()
-        e = exp[ecols].values.tolist()
+        # dtype divergence is only fatal when it changes the value token
+        # (int64 vs int32 both .tolist() to int -> same hash at the driver;
+        # HUGEINT -> float64 vs int64 does NOT -> caught by the value
+        # compare below). Surface it as a warning so silent coercions are
+        # visible without failing queries the driver passes.
+        gdt = [str(got[c].dtype) for c in gcols]
+        edt = [str(exp[c].dtype) for c in ecols]
+        if gdt != edt:
+            print(f"WARN {name}: dtypes {dict(zip(gcols, gdt))} != "
+                  f"{dict(zip(ecols, edt))}")
+        g = sorted([norm(v) for v in row] for row in got[gcols].values.tolist())
+        e = sorted([norm(v) for v in row] for row in exp[ecols].values.tolist())
         bad = None
         for i, (gr, er) in enumerate(zip(g, e)):
-            for gv, ev in zip(gr, er):
-                if not close(norm(gv), norm(ev)):
-                    bad = (i, gr, er)
-                    break
-            if bad:
+            if gr != er:
+                bad = (i, gr, er)
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]}: got {bad[1]} exp {bad[2]}")
