@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for float-vector cosine similarity.
   *
@@ -83,6 +83,87 @@ case class FloatVecCosine(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket key over a float vector with a PRECOMPUTED ±1
+  * hyperplane matrix (flat, row-major: `signs(bit * dims + dim)`).
+  *
+  * The composable formulation re-derived each hyperplane component with
+  * `xxhash64(table, bit, dim)` per row — 2048 row-invariant hash calls
+  * per row at 8 bits × 4 tables × 64 dims. The matrix depends only on
+  * (table, bit, dim), so it is evaluated once at plan-build time and
+  * shipped as a codegen reference object; the per-row work collapses to
+  * one fused multiply-add loop. Bit b is set iff the signed projection
+  * is strictly positive, accumulated left-to-right in double — exactly
+  * the semantics (and bit patterns) of the original HOF form.
+  */
+case class FloatVecLshBits(
+    child: Expression,
+    signs: Array[Double],
+    nBits: Int,
+    dims: Int,
+) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"vec_lsh_bits expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dims)
+    var key = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0
+      val off = b * dims
+      var d = 0
+      while (d < n) {
+        s += x.getFloat(d).toDouble * signs(off + d)
+        d += 1
+      }
+      if (s > 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode,
+  ): ExprCode = {
+    val mat = ctx.addReferenceObj("lshSigns", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n   = ctx.freshName("n")
+      val b   = ctx.freshName("b")
+      val d   = ctx.freshName("d")
+      val s   = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = Math.min($a.numElements(), $dims);
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $s = 0.0;
+         |  int $off = $b * $dims;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $s += (double) $a.getFloat($d) * $mat[$off + $d];
+         |  }
+         |  if ($s > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExprs {
 
   private val fnName = "vec_cosine"
@@ -101,5 +182,40 @@ object VectorExprs {
   def vecCosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(fnName, a, b)
+  }
+
+  private val lshFnName = "vec_lsh_bits"
+
+  /** Register `vec_lsh_bits`. The sign matrix / nBits / dims arguments
+    * must be foldable (literals): they are evaluated once at plan-build
+    * time and baked into the expression as constants.
+    */
+  def registerLsh(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      lshFnName,
+      exprs => {
+        require(exprs.drop(1).forall(_.foldable),
+          "vec_lsh_bits(emb, signs, nBits, dims): signs/nBits/dims must be literals")
+        val signs = exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+        val nBits = exprs(2).eval(null).asInstanceOf[Int]
+        val dims  = exprs(3).eval(null).asInstanceOf[Int]
+        require(signs.length == nBits * dims,
+          s"sign matrix length ${signs.length} != nBits*dims ${nBits * dims}")
+        FloatVecLshBits(exprs(0), signs, nBits, dims)
+      },
+      "built-in",
+    )
+
+  /** Column-API handle for the precomputed-hyperplane LSH key. */
+  def vecLshBits(
+      spark: SparkSession,
+      emb: Column,
+      signs: Array[Double],
+      nBits: Int,
+      dims: Int,
+  ): Column = {
+    registerLsh(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+    call_function(lshFnName, emb, typedLit(signs.toSeq), lit(nBits), lit(dims))
   }
 }

@@ -56,28 +56,49 @@ object Vectors {
       .limit(k)
   }
 
-  /** Sign-LSH bucket key: `nBits` random-hyperplane signs. Hyperplane
-    * components are Rademacher ±1 derived from xxhash64(table, bit, dim)
-    * — no stored index, any executor rebuilds any plane.
+  /** Rademacher ±1 hyperplane matrix for one LSH table, flat row-major
+    * (`bit * dims + dim`). Derived from the low bit of
+    * `xxhash64(table, bit, dim)` — evaluated HERE, once, via the same
+    * Catalyst expression the per-row formulation used, so bucket keys
+    * are bit-identical to hashing inside the scan while costing zero
+    * per-row hash work. No stored index: any driver rebuilds any plane.
     */
-  def lshKey(emb: Column, nBits: Int, table: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      val s = aggregate(
-        zip_with(
-          emb,
-          sequence(lit(0), size(emb) - 1),
-          (x, i) =>
-            x.cast("double") *
-              when(xxhash64(lit(table), lit(b), i).bitwiseAND(lit(1L)) === 1L,
-                1.0).otherwise(-1.0),
-        ),
-        lit(0.0),
-        (acc, x) => acc + x,
-      )
-      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+  private[ops] def hyperplaneSigns(
+      table: Int,
+      nBits: Int,
+      dims: Int,
+  ): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val out = new Array[Double](nBits * dims)
+    var b = 0
+    while (b < nBits) {
+      var d = 0
+      while (d < dims) {
+        // seed 42L = the SQL `xxhash64` default, so keys match the
+        // original per-row formulation bit-for-bit
+        val h = XxHash64(Seq(Literal(table), Literal(b), Literal(d)), 42L)
+          .eval(null).asInstanceOf[Long]
+        out(b * dims + d) = if ((h & 1L) == 1L) 1.0 else -1.0
+        d += 1
+      }
+      b += 1
     }
-    bits.reduce(_ + _)
+    out
   }
+
+  /** Sign-LSH bucket key: `nBits` random-hyperplane signs in one fused
+    * codegen loop over a plan-build-time sign matrix (see
+    * [[hyperplaneSigns]] and `functions.FloatVecLshBits`).
+    */
+  def lshKey(
+      spark: SparkSession,
+      emb: Column,
+      nBits: Int,
+      table: Int,
+      dims: Int = 64,
+  ): Column =
+    graft.functions.VectorExprs.vecLshBits(
+      spark, emb, hyperplaneSigns(table, nBits, dims), nBits, dims)
 
   /** ANN candidate pairs via multi-table sign-LSH: `tables` independent
     * `nBits`-bit keys; a pair is a candidate if it collides in ANY table
@@ -89,12 +110,13 @@ object Vectors {
       tables: Int = 4,
       minCosine: Double = 0.0,
   ): DataFrame = {
+    val spark = embeddings.sparkSession
     val keyed = embeddings.select(
       col("vec_id"),
       col("embedding"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), lshKey(col("embedding"), nBits, t)
-          .as("bkey"))): _*)).as("k"),
+        struct(lit(t).as("tbl"),
+          lshKey(spark, col("embedding"), nBits, t).as("bkey"))): _*)).as("k"),
     ).select(col("vec_id"), col("embedding"), col("k.tbl"), col("k.bkey"))
     val l = keyed.select(col("tbl"), col("bkey"), col("vec_id").as("a"),
       col("embedding").as("ea"))
