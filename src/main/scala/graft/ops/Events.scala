@@ -267,6 +267,90 @@ object Events {
       |WHERE event_type = 'purchase' AND last_err_us IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** Two-table as-of with tolerance — drives the generic `AsOf.join`
+    * (union + per-key window; one shuffle) under the driver harness:
+    * each purchase is matched to the user's latest strictly-earlier
+    * error event within a 1-hour lookback. The right side is
+    * pre-aggregated to one row per (user, instant) so `last()` over the
+    * window is deterministic under any partitioning. Timestamps are
+    * integer µs per the cross-engine parity rule.
+    */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros($"ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val errors = e.filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("err_value"))
+    AsOf.join(purchases, errors, keyCol = "user_id", tsCol = "ts_us",
+        strict = true, tolerance = Some(3600L * 1000000L))
+      .filter($"right_ts_us".isNotNull)
+      .select(
+        $"event_id",
+        $"user_id",
+        ($"ts_us" - $"right_ts_us").as("us_since_error"),
+        $"right_err_value",
+      )
+      .orderBy($"event_id")
+  }
+
+  private val q46Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+      |  FROM events
+      |), err AS (
+      |  SELECT user_id, ts_us AS err_us, MAX(value) AS err_value
+      |  FROM e WHERE event_type = 'error' GROUP BY 1, 2
+      |), u AS (
+      |  SELECT event_id, user_id, ts_us, 1 AS side
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT NULL AS event_id, user_id, err_us AS ts_us, 0 AS side
+      |  FROM err
+      |), m AS (
+      |  SELECT event_id, user_id, ts_us, side,
+      |    MAX(CASE WHEN side = 0 THEN ts_us END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, side DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err_us
+      |  FROM u
+      |)
+      |SELECT m.event_id, m.user_id,
+      |  m.ts_us - m.last_err_us AS us_since_error,
+      |  err.err_value AS right_err_value
+      |FROM m JOIN err
+      |  ON err.user_id = m.user_id AND err.err_us = m.last_err_us
+      |WHERE m.side = 1
+      |  AND m.last_err_us >= m.ts_us - 3600000000
+      |ORDER BY m.event_id""".stripMargin
+
+  /** Typed-UDAF surface under the driver harness: Welford/Chan moments
+    * (`functions.WelfordAgg`) through the `udaf()` bridge, checked
+    * against DuckDB's var_samp. 4-dp rounding absorbs merge-order ulps
+    * (same grid as q25's stddev).
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val welford = udaf(graft.functions.WelfordAgg.of)
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(welford($"value").as("w"))
+      .select(
+        $"event_type",
+        $"w.n".as("n"),
+        round($"w.mean", 4).as("mean_value"),
+        round($"w.varSamp", 4).as("var_value"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q48Sql =
+    """SELECT event_type, COUNT(value) AS n,
+      |  ROUND(AVG(value), 4) AS mean_value,
+      |  ROUND(VAR_SAMP(value), 4) AS var_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -275,5 +359,7 @@ object Events {
     QueryDef("q24_funnel", q24, Some(q24Sql)),
     QueryDef("q25_event_stats", q25, Some(q25Sql)),
     QueryDef("q26_asof_error", q26, Some(q26Sql)),
+    QueryDef("q46_asof_tolerance", q46, Some(q46Sql)),
+    QueryDef("q48_welford_stats", q48, Some(q48Sql)),
   )
 }

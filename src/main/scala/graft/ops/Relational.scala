@@ -706,6 +706,37 @@ object Relational {
       |FROM part
       |GROUP BY 1 ORDER BY type_head""".stripMargin
 
+  /** Skew-salted fact⋈dim join under the driver harness: plan-wise the
+    * salted join fans each hot l_suppkey over 16 sub-keys (the 100 TB
+    * skew fix); the oracle is the PLAIN SQL join, so the driver check
+    * proves salted ≡ unsalted. The row-id for salt derivation is the
+    * lineitem natural key (orderkey, linenumber) — deterministic, never
+    * rand(). Revenue rounds at 4 dp, the intrinsic grid of
+    * price(2dp)×discount(2dp).
+    */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, d)
+      .withColumn("_rid", concat_ws("_", $"l_orderkey", $"l_linenumber"))
+    val dim = Tables.supplier(s, d)
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    Salting.saltedJoin(fact, dim, key = "l_suppkey", rowIdCol = "_rid",
+        salts = 16)
+      .groupBy($"s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"),
+      )
+      .orderBy($"s_nationkey")
+  }
+
+  private val q47Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -732,5 +763,6 @@ object Relational {
     QueryDef("q43_pivot", q43, Some(q43Sql)),
     QueryDef("q44_explode_dims", q44, Some(q44Sql)),
     QueryDef("q45_regexp_extract", q45, Some(q45Sql)),
+    QueryDef("q47_salted_join", q47, Some(q47Sql)),
   )
 }
