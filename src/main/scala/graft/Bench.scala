@@ -15,7 +15,15 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional local-profiling filter (comma-separated names). The driver
+    // never sets this, so the per-round bench always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {

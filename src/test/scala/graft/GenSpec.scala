@@ -110,6 +110,35 @@ class GenSpec extends AnyFunSuite {
     val e = StreamGen.exactIterator(demoSpec(40007)).toVector
     assert(e.length == 40007)
   }
+
+  test("gap-sum twin ≡ fillBlock across jitter/interval/density variants") {
+    // blockGapSum must consume the same RNG draw counters as fillBlock's
+    // gap path for every spec shape, or pass-1 offsets silently diverge.
+    val variants = Seq(
+      demoSpec(5000),
+      demoSpec(5000).copy(
+        randIntervalDist = IntervalDist.Poisson,
+        randJitterDist = JitterDist.Gaussian, randJitter = 0.4),
+      demoSpec(5000).copy(
+        randIntervalDist = IntervalDist.Uniform, randLow = 2, randHigh = 9,
+        patternJitterDist = JitterDist.Laplace, patternJitter = 0.3),
+      demoSpec(5000).copy(
+        density = DensityMode.Sin(baseRate = 1.0, period = 500.0, amp = 0.5)),
+    )
+    for (spec <- variants) {
+      val layout = Schedule.Layout(
+        spec.totalEvents, spec.randomRatio, spec.patterns.length)
+      var k = 0L
+      while (k < layout.numBlocks) {
+        val b = layout.blockAt(k)
+        val approx = spec.expectedClock(b.seqStart)
+        val filled = StreamGen.fillBlock(spec, b, approx).map(_._2).sum
+        assert(StreamGen.blockGapSum(spec, b, approx) == filled,
+          s"block $k of $spec")
+        k += 1
+      }
+    }
+  }
 }
 
 /** Distribution-level checks for the samplers (FIXTURES.md §A.3). */
