@@ -99,6 +99,11 @@ object Schedule {
         math.ceil(randomRatio * m * L / (1.0 - randomRatio)).toLong
       var x = math.max(0L, est - 2)
       while (!reached(x, m)) x += 1
+      // The estimate's FP error is <2 for every tested N, but grows with
+      // m·L; walk back down so the MINIMAL satisfying x is returned even
+      // if the start point ever lands above it (≡ the iterative
+      // controller by construction, not by error bound).
+      while (x > 0 && reached(x - 1, m)) x -= 1
       math.min(tR, x)
     }
 

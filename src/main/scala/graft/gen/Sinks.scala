@@ -9,21 +9,30 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** ≡ `EventStream.to_csv` (`eventstream.py:417-427`): header
-    * `timestamp,event_type,is_pattern`, bool as 0/1. Written as a
-    * directory of part files (distributed writer), not the reference's
-    * single file.
+    * `timestamp,event_type,is_pattern`, bool as 0/1.
+    *
+    * By default written as a directory of part files (the distributed
+    * writer — correct at scale). `singleFile = true` gives byte-level
+    * layout parity with the reference's one-file output via
+    * `coalesce(1)` — driver-sized streams only; at 100 TB a single
+    * file is the wrong ask.
     */
-  def toCsv(ds: Dataset[Event], path: String): Unit =
-    ds.orderBy("seq")
+  def toCsv(
+      ds: Dataset[Event],
+      path: String,
+      singleFile: Boolean = false,
+  ): Unit = {
+    val ordered = ds.orderBy("seq")
       .select(
         col("ts").as("timestamp"),
         col("event_type"),
         col("is_pattern").cast("int").as("is_pattern"),
       )
-      .write
+    (if (singleFile) ordered.coalesce(1) else ordered).write
       .mode("overwrite")
       .option("header", "true")
       .csv(path)
+  }
 
   /** Columnar export for downstream analytics (replaces `to_numpy`,
     * `eventstream.py:413-415`, which materializes on one machine).
@@ -44,10 +53,10 @@ object Sinks {
     * different PatternSets of equal shape collide in the cache
     * (`eventstream.py:249-264`, SURVEY.md §3.3).
     */
-  def specKey(spec: StreamSpec): String = {
+  def specKey(spec: StreamSpec, exactMode: Boolean = true): String = {
     val p = spec.patterns
     val body = Seq(
-      "v1",
+      "v2",
       p.types.map(_.mkString(",")).mkString(";"),
       p.gaps.map(_.mkString(",")).mkString(";"),
       spec.nTypes, spec.totalEvents, spec.randomRatio,
@@ -55,6 +64,11 @@ object Sinks {
       spec.randIntervalDist, spec.randIntervalBase, spec.randLow,
       spec.randHigh, spec.randJitterDist, spec.randJitter,
       spec.density, spec.seed,
+      // drift + generation mode are semantic too: with density on, exact
+      // and block mode differ by design (true-clock vs expected-clock
+      // density), and drift changes every type draw — omitting any of
+      // these from the key would silently serve a stale cached stream.
+      spec.typeDriftAmp, spec.typeDriftPeriod, exactMode,
     ).mkString("|")
     java.security.MessageDigest
       .getInstance("MD5")
@@ -74,7 +88,7 @@ object Sinks {
       exactMode: Boolean = true,
       regenerate: Boolean = false,
   ): DataFrame = {
-    val dir  = s"$cacheDir/stream_${specKey(spec)}"
+    val dir  = s"$cacheDir/stream_${specKey(spec, exactMode)}"
     val okFile = new java.io.File(s"$dir/_SUCCESS")
     if (regenerate || !okFile.exists()) {
       val ds =

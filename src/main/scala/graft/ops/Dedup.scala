@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word w-shingles of `text`, hashed to 64-bit, deduplicated. */
+  /** Word w-shingles of `text`, hashed to 64-bit, deduplicated.
+    *
+    * Composable HOF formulation — kept as the readable reference twin of
+    * the fused kernel [[graft.functions.WordShingleHashes]], which
+    * produces bit-identical hashes (TextHashSpec) in one primitive loop.
+    * The pipeline entry points use the kernel: profiling showed this
+    * expression's interpreted per-gram lambdas dominating q35.
+    */
   def shingleHashes(text: Column, w: Int = 3): Column = {
     val words = split(text, " ")
     val n     = size(words)
@@ -66,15 +73,20 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    val spark = df.sparkSession
     // The sketch subtree feeds three plan branches (two self-join sides
     // + the verification lookups); without a persist Catalyst recomputes
-    // the string shingling per branch, which dominates the runtime.
+    // the shingling per branch. Sketching runs through the fused native
+    // kernels (bit-identical to the HOF twins above, ~15× less per-row
+    // overhead — see tools/ProfileDedup).
     val sketched = df
       .select(
         col(idCol).as("doc"),
-        shingleHashes(col(textCol)).as("sh"),
+        graft.functions.TextHashExprs
+          .shingleHashes(spark, col(textCol), 3).as("sh"),
       )
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig",
+        graft.functions.TextHashExprs.minhashSig(spark, col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key: hash of the band's signature slice (+ band index).
@@ -125,41 +137,61 @@ object Dedup {
   }
 
   /** 64-bit SimHash from unigram hashes: per bit, sign of the sum of ±1
-    * votes across tokens.
-    *
-    * Computed SWAR-style in ONE pass over the token array: 8 accumulator
-    * longs, each packing 8 byte-wide bit-slice counters —
-    * `acc(j) += (h >> j) & 0x0101...01` counts bit (8k+j) of every token
-    * hash in byte k of acc(j). Bit b's set-count is then a byte extract,
-    * and the vote is `2·count > nTokens`. Safe for docs up to 255 tokens
-    * (byte counters); above that, chunk the token array first. Replaces
-    * a 64-aggregate formulation that traversed the array 64 times.
+    * votes across tokens. Fused native kernel
+    * ([[graft.functions.SimHash64]]) — exact for any document length;
+    * bit-identical to the SWAR twin below on its supported range
+    * (TextHashSpec + PipelineSpec brute-force majority).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.TextHashExprs
+      .simhash64(org.apache.spark.sql.SparkSession.active, text)
+
+  /** Composable-built-ins twin of [[simhash64]], kept as the readable
+    * specification of the bit semantics.
+    *
+    * Computed SWAR-style in ONE pass over the token array: 16 accumulator
+    * longs, each packing 4 16-bit bit-slice counters —
+    * `acc(j) += (h >> j) & 0x0001000100010001` counts bit (16k+j) of every
+    * token hash in 16-bit field k of acc(j). Bit b's set-count is then a
+    * field extract, and the vote is `2·count > nTokens`. The 16-bit
+    * counters are exact for docs up to 65535 whitespace tokens (the
+    * earlier byte-counter variant silently wrapped at 255); past that the
+    * expression raises instead of corrupting the sketch — chunk upstream
+    * if such documents are expected. Replaces a 64-aggregate formulation
+    * that traversed the array 64 times.
+    */
+  def simhash64Swar(text: Column): Column = {
     val th = transform(split(text, " "), t => xxhash64(t))
     val nTokens = size(th)
-    val sliceMask = 0x0101010101010101L
+    val sliceMask = 0x0001000100010001L
     val accs = aggregate(
       th,
-      array_repeat(lit(0L), 8),
+      array_repeat(lit(0L), 16),
       (acc, h) =>
         zip_with(
           acc,
-          sequence(lit(0), lit(7)),
+          sequence(lit(0), lit(15)),
           (a, j) => a + call_function("shiftright", h, j)
             .bitwiseAND(lit(sliceMask)),
         ),
     )
     val bits = (0 until 64).map { b =>
-      val j = b % 8
-      val k = b / 8
-      val count = shiftright(element_at(accs, j + 1), 8 * k)
-        .bitwiseAND(lit(0xFFL))
+      val j = b % 16
+      val k = b / 16
+      val count = shiftright(element_at(accs, j + 1), 16 * k)
+        .bitwiseAND(lit(0xFFFFL))
       when(count * 2 > nTokens, lit(1L << b)).otherwise(0L)
     }
-    // the 64 references to `accs` are deduplicated by whole-stage
-    // codegen's subexpression elimination (aggregate is deterministic)
-    bits.reduce(_ + _)
+    // counter-overflow guard, kept OUTSIDE the sketch expression so the
+    // 64 `accs` references stay unconditional for whole-stage codegen's
+    // subexpression elimination (aggregate is deterministic)
+    val guard = when(
+      nTokens > 65535,
+      raise_error(concat(
+        lit("simhash64: document exceeds 65535 tokens ("),
+        nTokens.cast("string"), lit(") — chunk before sketching"))),
+    ).otherwise(lit(0L))
+    bits.reduce(_ + _) + guard
   }
 
   /** SimHash near-dup pairs: bucket on four 16-bit bands — by pigeonhole

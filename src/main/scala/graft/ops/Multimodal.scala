@@ -94,7 +94,7 @@ object Multimodal {
         count(lit(1)).as("n_assets"),
         sum($"n_bytes").as("total_bytes"),
         round(avg($"n_bytes"), 4).as("avg_bytes"),
-        max($"n_bytes").as("max_bytes"),
+        max($"n_bytes").cast("long").as("max_bytes"), // int64: dtype parity
       )
       .orderBy($"source")
   }

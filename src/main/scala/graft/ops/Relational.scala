@@ -670,7 +670,7 @@ object Relational {
     Tables
       .embeddings(s, d)
       .select(posexplode($"embedding").as(Seq("dim", "x")))
-      .groupBy($"dim")
+      .groupBy($"dim".cast("long").as("dim")) // int64: exact dtype parity with the oracle
       .agg(
         round(avg($"x".cast("double")), 4).as("avg_x"),
         count(lit(1)).as("n"),

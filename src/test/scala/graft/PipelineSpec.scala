@@ -72,6 +72,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
   }
 
+  test("simhash: 1000-token doc matches brute-force per-bit majority") {
+    import spark.implicits._
+    // 1000 tokens far exceeds the old byte-counter cap of 255; the 16-bit
+    // SWAR counters must match an independent per-bit tally exactly.
+    val text = (0 until 1000).map(i => s"tok${i % 37}").mkString(" ")
+    val df = Seq(text).toDF("text")
+    val got = df.select(ops.Dedup.simhash64($"text").as("sim"))
+      .as[Long].head()
+
+    val tokenHashes = df
+      .select(explode(split($"text", " ")).as("t"))
+      .select(xxhash64($"t").as("h"))
+      .as[Long].collect()
+    val expect = (0 until 64).map { b =>
+      val ones = tokenHashes.count(h => ((h >> b) & 1L) == 1L)
+      if (2 * ones > tokenHashes.length) 1L << b else 0L
+    }.sum
+    assert(got == expect, f"sim $got%016x != brute $expect%016x")
+  }
+
+  test("simhash: >65535-token doc exceeds the SWAR twin's counters — " +
+    "twin fails loudly, native kernel stays exact") {
+    import spark.implicits._
+    val text = (0 to 65535).map(i => s"t${i % 3}").mkString(" ")
+    val ex = intercept[Exception] {
+      Seq(text).toDF("text")
+        .select(ops.Dedup.simhash64Swar($"text")).collect()
+    }
+    assert(ex.getMessage != null)
+    // the native kernel has int counters: exact at any realistic length
+    val got = Seq(text).toDF("text")
+      .select(ops.Dedup.simhash64($"text")).as[Long].head()
+    val hashes = Seq(text).toDF("text")
+      .select(explode(split($"text", " ")).as("t"))
+      .select(xxhash64($"t").as("h")).as[Long].collect()
+    val expect = (0 until 64).map { b =>
+      if (2L * hashes.count(h => ((h >> b) & 1L) == 1L) > hashes.length)
+        1L << b
+      else 0L
+    }.sum
+    assert(got == expect)
+  }
+
   test("ann: reported neighbor cosines equal brute-force values") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
