@@ -268,7 +268,8 @@ object Relational {
       .part(s, d)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"p_brand", $"rn", $"p_partkey", $"p_retailprice")
+      .select($"p_brand", $"rn".cast("long").as("rn"), $"p_partkey",
+        $"p_retailprice")
       .orderBy($"p_brand", $"rn")
   }
 
@@ -299,7 +300,8 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
       )
       .filter($"rn" <= 5)
-      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber",
+      .select($"l_suppkey", $"rn".cast("long").as("rn"), $"l_orderkey",
+        $"l_linenumber",
         $"running_qty")
       .orderBy($"l_suppkey", $"rn")
   }
@@ -434,7 +436,7 @@ object Relational {
       .filter($"p_name".like("%a%"))
       .groupBy(substring($"p_type", 1, 4).as("type_prefix"))
       .agg(
-        min(length($"p_name")).as("min_name_len"),
+        min(length($"p_name")).cast("long").as("min_name_len"),
         max(upper($"p_brand")).as("max_brand_uc"),
         count(lit(1)).as("n"),
       )
@@ -591,7 +593,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_gaps"),
         round(avg($"gap_days"), 4).as("avg_gap_days"),
-        max($"gap_days").as("max_gap_days"),
+        max($"gap_days").cast("long").as("max_gap_days"),
       )
       .orderBy($"o_custkey")
   }

@@ -55,7 +55,7 @@ object Text {
         count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("sum_tokens"),
         round(avg($"n_tokens"), 4).as("avg_tokens"),
-        max($"n_tokens").as("max_tokens"),
+        max($"n_tokens").cast("long").as("max_tokens"),
       )
       .orderBy($"lang")
   }
@@ -179,11 +179,51 @@ object Text {
        |GROUP BY lang, predicted
        |ORDER BY lang, predicted""".stripMargin
 
+  /** BPE-ish sub-word pre-tokenization: the GPT-2-style pre-tokenizer
+    * regex, simplified to the alternation-only subset that Java regex
+    * (Spark) and RE2 (DuckDB) evaluate identically — letter runs, digit
+    * runs, and punctuation runs, each with an optional leading space.
+    * Counts both tokenizations per document, aggregated per language —
+    * the "how many training tokens is this corpus" question, where
+    * whitespace counting undercounts punctuation-heavy text.
+    */
+  private val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("n_bpe",
+        size(regexp_extract_all($"text", lit(bpePattern), lit(0))))
+      .withColumn("n_ws", size(tokens($"text")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bpe").cast("long").as("sum_bpe_tokens"),
+        round(avg($"n_bpe".cast("double") / $"n_ws"), 4)
+          .as("avg_bpe_per_word"),
+        max($"n_bpe").cast("long").as("max_bpe_tokens"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q38Sql =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       |  ROUND(AVG(CAST(n_bpe AS DOUBLE) / n_ws), 4) AS avg_bpe_per_word,
+       |  CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+       |FROM (SELECT lang,
+       |        len(regexp_extract_all(text, '$bpePattern')) AS n_bpe,
+       |        len(string_split(text, ' ')) AS n_ws
+       |      FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
     QueryDef("q32_quality_score", q32, Some(q32Sql)),
     QueryDef("q33_fingerprint", q33, Some(q33Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
+    QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
   )
 }

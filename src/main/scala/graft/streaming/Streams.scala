@@ -74,6 +74,25 @@ object Streams {
         col("session_events"),
       )
 
+  /** Streaming exact dedup — the streaming counterpart of the batch
+    * content-hash dedup (q30/q33): first arrival of each fingerprint
+    * passes, repeats within the watermark horizon are dropped, and state
+    * is BOUNDED (fingerprints older than the watermark are evicted —
+    * `dropDuplicates` without the watermark variant would grow state
+    * forever on an unbounded corpus feed).
+    *
+    * @param docs  streaming DataFrame with a `text` column and an
+    *              event-time column `wts`
+    */
+  def dedupStream(
+      docs: DataFrame,
+      lateness: String = "10 minutes",
+  ): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("wts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class DetectState(tail: Array[Int], nextSeq: Long,
       matches: Long)
   final case class DetectCount(stream_id: Long, matches: Long)
