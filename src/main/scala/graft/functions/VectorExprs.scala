@@ -164,6 +164,98 @@ case class FloatVecLshBits(
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Shared primitive loops for the vector expressions (serializable —
+  * codegen ships it as a reference object).
+  */
+object VectorKernels extends Serializable {
+
+  /** Indices of the `nProbe` centroids with the largest dot product
+    * against `v` (descending; ties broken by lower cell id). Centroids
+    * are flat row-major `cents(cell * dims + d)` and L2-normalized, so
+    * argmax-dot ≡ argmax-cosine for any input norm.
+    */
+  def topCells(
+      v: ArrayData,
+      cents: Array[Double],
+      nCells: Int,
+      dims: Int,
+      nProbe: Int,
+  ): ArrayData = {
+    val n = math.min(v.numElements(), dims)
+    val bestIdx = new Array[Int](nProbe)
+    val bestDot = new Array[Double](nProbe)
+    java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0
+      val off = c * dims
+      var d = 0
+      while (d < n) {
+        dot += v.getFloat(d).toDouble * cents(off + d)
+        d += 1
+      }
+      // insertion into the running top-nProbe (descending)
+      var i = nProbe - 1
+      if (dot > bestDot(i)) {
+        while (i > 0 && dot > bestDot(i - 1)) {
+          bestDot(i) = bestDot(i - 1); bestIdx(i) = bestIdx(i - 1)
+          i -= 1
+        }
+        bestDot(i) = dot; bestIdx(i) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bestIdx.take(math.min(nProbe, nCells)))
+  }
+}
+
+/** `vec_top_cells(emb)` — see [[VectorKernels.topCells]]; the IVF
+  * coarse-quantizer assignment/probe primitive. The centroid matrix is a
+  * plan-build-time constant shipped as a codegen reference object, same
+  * principle as [[FloatVecLshBits]].
+  */
+case class FloatVecTopCells(
+    child: Expression,
+    cents: Array[Double],
+    nCells: Int,
+    dims: Int,
+    nProbe: Int,
+) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"vec_top_cells expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.topCells(
+      a.asInstanceOf[ArrayData], cents, nCells, dims, nProbe)
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode,
+  ): ExprCode = {
+    val kern = ctx.addReferenceObj("vecKernels", VectorKernels,
+      VectorKernels.getClass.getName)
+    val mat = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $kern.topCells($a, $mat, $nCells, $dims, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExprs {
 
   private val fnName = "vec_cosine"
@@ -205,6 +297,44 @@ object VectorExprs {
       },
       "built-in",
     )
+
+  private val topCellsFnName = "vec_top_cells"
+
+  /** Register `vec_top_cells`. Non-vector arguments must be foldable —
+    * evaluated once at plan-build time, baked in as constants.
+    */
+  def registerTopCells(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      topCellsFnName,
+      exprs => {
+        require(exprs.drop(1).forall(_.foldable),
+          "vec_top_cells(emb, cents, nCells, dims, nProbe): " +
+            "cents/nCells/dims/nProbe must be literals")
+        val cents = exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+        val nCells = exprs(2).eval(null).asInstanceOf[Int]
+        val dims   = exprs(3).eval(null).asInstanceOf[Int]
+        val nProbe = exprs(4).eval(null).asInstanceOf[Int]
+        require(cents.length == nCells * dims,
+          s"centroid matrix length ${cents.length} != nCells*dims ${nCells * dims}")
+        FloatVecTopCells(exprs(0), cents, nCells, dims, nProbe)
+      },
+      "built-in",
+    )
+
+  /** Column-API handle for the IVF top-cells probe. */
+  def vecTopCells(
+      spark: SparkSession,
+      emb: Column,
+      cents: Array[Double],
+      nCells: Int,
+      dims: Int,
+      nProbe: Int,
+  ): Column = {
+    registerTopCells(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+    call_function(topCellsFnName, emb, typedLit(cents.toSeq),
+      lit(nCells), lit(dims), lit(nProbe))
+  }
 
   /** Column-API handle for the precomputed-hyperplane LSH key. */
   def vecLshBits(

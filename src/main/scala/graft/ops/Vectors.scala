@@ -151,6 +151,134 @@ object Vectors {
       .select(col("v"), col("nn"), col("cos"))
   }
 
+  /** Deterministic IVF coarse centroids: a hash-stride sample (one
+    * bounded pass — ~`sampleTarget` rows regardless of corpus size)
+    * refined by `iters` spherical-k-means Lloyd steps on the driver.
+    * Driver state is `nCells × dims` doubles + the sample; both are
+    * CONSTANT in corpus size, so this is not a driver-side loop over
+    * data — it is index construction, the one legitimately centralized
+    * step of IVF (FAISS does the same on a training sample). Centroids
+    * come out L2-normalized: argmax-dot ≡ argmax-cosine at assign time.
+    */
+  def ivfCentroids(
+      embeddings: DataFrame,
+      nCells: Int,
+      dims: Int = 64,
+      sampleTarget: Int = 2048,
+      iters: Int = 5,
+  ): Array[Double] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.count()
+    val step = math.max(1L, n / sampleTarget)
+    val sample = embeddings
+      .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (_, v) =>
+        val a = v.map(_.toDouble).toArray
+        val nrm = math.sqrt(a.map(x => x * x).sum)
+        if (nrm > 0) a.map(_ / nrm) else a
+      }
+    require(sample.length >= nCells,
+      s"IVF sample ${sample.length} smaller than nCells $nCells")
+
+    // init: evenly strided over the (vec_id-sorted) sample
+    var cents = Array.tabulate(nCells)(c =>
+      sample((c.toLong * sample.length / nCells).toInt).clone())
+    def assign(v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < nCells) {
+        var dot = 0.0; var d = 0
+        while (d < dims) { dot += v(d) * cents(c)(d); d += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nCells, dims)
+      val cnt  = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = assign(v); cnt(c) += 1
+        var d = 0
+        while (d < dims) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (cnt(c) == 0) cents(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c).map(_ / cnt(c))
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm > 0) m.map(_ / nrm) else m
+        }
+      }
+      it += 1
+    }
+    cents.flatten
+  }
+
+  /** Embeddings with their IVF cell id. At corpus scale the index is
+    * this DataFrame written `partitionBy("cell")` — a probe then prunes
+    * to `nProbe` partitions at the SCAN (partition pruning), which is the
+    * IVF win: the un-probed 100 TB is never read.
+    */
+  def ivfIndex(
+      embeddings: DataFrame,
+      cents: Array[Double],
+      nCells: Int,
+      dims: Int = 64,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    embeddings.withColumn(
+      "cell",
+      element_at(graft.functions.VectorExprs
+        .vecTopCells(spark, col("embedding"), cents, nCells, dims, 1), 1),
+    )
+  }
+
+  /** Approximate top-k by cosine through the IVF index: the query row's
+    * `nProbe` nearest cells are computed with the same kernel (broadcast,
+    * no driver collect of the query vector), candidates are the vectors
+    * in those cells only, then exact cosine + TakeOrdered. `nProbe =
+    * nCells` degenerates to the exact scan — PipelineSpec locks that
+    * equivalence and the recall at partial probes.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      dims: Int = 64,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = ivfCentroids(embeddings, nCells, dims)
+    val q = embeddings
+      .filter(col("vec_id") === queryVecId)
+      .select(
+        col("embedding").as("qe"),
+        graft.functions.VectorExprs
+          .vecTopCells(spark, col("embedding"), cents, nCells, dims, nProbe)
+          .as("qcells"),
+      )
+    ivfIndex(embeddings.filter(col("vec_id") =!= queryVecId), cents, nCells,
+      dims)
+      .join(broadcast(q))
+      .filter(array_contains(col("qcells"), col("cell")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(graft.functions.VectorExprs
+          .vecCosine(spark, col("embedding"), col("qe")), 4).as("cos"),
+      )
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- registered queries ----
 
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -202,9 +330,14 @@ object Vectors {
       .orderBy(col("cos").desc, col("v"))
       .limit(50)
 
+  private def q49(s: SparkSession, d: String): DataFrame =
+    ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
+      nCells = 16, nProbe = 4)
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_cosine_topk", q40, Some(q40Sql)),
     QueryDef("q41_ann_pairs", q41, None),
     QueryDef("q42_embedding_norms", q42, Some(q42Sql)),
+    QueryDef("q49_ivf_topk", q49, None),
   )
 }
