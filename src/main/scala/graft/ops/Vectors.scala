@@ -111,22 +111,31 @@ object Vectors {
       minCosine: Double = 0.0,
   ): DataFrame = {
     val spark = embeddings.sparkSession
+    // Bucketing works on SLIM (vec_id, tbl, bkey) rows — the 64-float
+    // embedding would otherwise ride the explode and BOTH self-join
+    // shuffles (8 copies of the fat column per vector at tables=4). The
+    // vectors are joined back only for surviving candidate pairs, same
+    // slim-banding shape as Dedup.minhashPairs.
     val keyed = embeddings.select(
       col("vec_id"),
-      col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           lshKey(spark, col("embedding"), nBits, t).as("bkey"))): _*)).as("k"),
-    ).select(col("vec_id"), col("embedding"), col("k.tbl"), col("k.bkey"))
-    val l = keyed.select(col("tbl"), col("bkey"), col("vec_id").as("a"),
-      col("embedding").as("ea"))
-    val r = keyed.select(col("tbl"), col("bkey"), col("vec_id").as("b"),
-      col("embedding").as("eb"))
-    l.join(r, Seq("tbl", "bkey"))
+    ).select(col("vec_id"), col("k.tbl"), col("k.bkey"))
+    val l = keyed.select(col("tbl"), col("bkey"), col("vec_id").as("a"))
+    val r = keyed.select(col("tbl"), col("bkey"), col("vec_id").as("b"))
+    val candidates = l.join(r, Seq("tbl", "bkey"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")),
+        "a")
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        "b")
       .withColumn("cos", round(graft.functions.VectorExprs
-        .vecCosine(embeddings.sparkSession, col("ea"), col("eb")), 4))
+        .vecCosine(spark, col("ea"), col("eb")), 4))
       .filter(col("cos") >= minCosine)
       .select(col("a"), col("b"), col("cos"))
   }
