@@ -83,6 +83,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** Strided frame sampling over the binary payload — the video/audio
+    * frame-sample shape: one asset row explodes into its every-`stride`-th
+    * fixed-width frame (a pure generator expression: `sequence` →
+    * `explode` → binary `substr`, no UDF, so sampling is a projection
+    * that scales as a scan). A real decoder replaces the byte-slice with
+    * a codec frame read; the row-explosion plumbing is the part that
+    * matters at 100 TB (frame tables are written `partitionBy` source /
+    * bucketed by doc for the downstream feature joins).
+    */
+  def sampleFrames(
+      assetsDf: DataFrame,
+      frameBytes: Int = 256,
+      stride: Int = 4,
+  ): DataFrame = {
+    val nFrames = expr(s"(n_bytes + ${frameBytes - 1}) DIV $frameBytes")
+    assetsDf
+      .withColumn("fi",
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)),
+          lit(stride.toLong))))
+      .withColumn("frame",
+        col("payload").substr(col("fi") * frameBytes + 1, lit(frameBytes)))
+      .select(col("doc_id"), col("source"), col("fi").as("frame_idx"),
+        col("frame"))
+  }
+
   /** Metadata aggregation — pure expressions over the binary column, so
     * it is SQL-oracle-checkable (octet_length of UTF-8 text payload).
     */
@@ -125,8 +150,39 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  /** Frame-sampling end-to-end, oracle-checkable: the corpus is ASCII
+    * (verified per SF), so byte-slicing the BINARY payload here equals
+    * character-slicing the VARCHAR in DuckDB, md5 included.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(assets(s, d))
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        countDistinct(md5($"frame")).as("n_distinct_frames"),
+        sum(octet_length($"frame")).cast("long").as("sum_frame_bytes"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q52Sql =
+    """SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_frames,
+      |  COUNT(DISTINCT md5(frame)) AS n_distinct_frames,
+      |  CAST(SUM(length(frame)) AS BIGINT) AS sum_frame_bytes
+      |FROM (
+      |  SELECT doc_id, source,
+      |    substring(text, CAST(i*256+1 AS INT), 256) AS frame
+      |  FROM documents,
+      |    unnest(generate_series(0,
+      |      greatest((length(text) + 255) // 256 - 1, 0), 4)) AS t(i)
+      |) x GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
     QueryDef("q51_mm_features", q51, None),
+    QueryDef("q52_mm_frames", q52, Some(q52Sql)),
   )
 }

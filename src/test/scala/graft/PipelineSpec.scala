@@ -161,6 +161,23 @@ class PipelineSpec extends AnyFunSuite {
       s"recall $recall collapsed — probe/cell assignment is broken")
   }
 
+  test("multimodal: stride-1 frame sampling losslessly tiles the payload") {
+    import spark.implicits._
+    val a = ops.Multimodal.assets(spark, sf)
+    val rebuilt = ops.Multimodal.sampleFrames(a, frameBytes = 256, stride = 1)
+      .groupBy($"doc_id")
+      .agg(
+        sum(octet_length($"frame")).as("n"),
+        count(lit(1)).as("n_frames"),
+      )
+      .join(a.select($"doc_id", $"n_bytes"), "doc_id")
+    // every byte lands in exactly one frame
+    assert(rebuilt.filter($"n" =!= $"n_bytes").count() == 0)
+    // frame count is ceil(n_bytes / 256)
+    assert(rebuilt
+      .filter($"n_frames" =!= expr("(n_bytes + 255) DIV 256")).count() == 0)
+  }
+
   test("multimodal: stub features are deterministic, 8-dim, byte-valued") {
     import spark.implicits._
     val f1 = ops.Multimodal.withFeatures(spark, sf)
