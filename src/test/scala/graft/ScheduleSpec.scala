@@ -27,6 +27,37 @@ class ScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("randomsBefore returns the MINIMAL satisfying count, incl. huge N") {
+    // The closed form estimates a start point and walks the ratio
+    // predicate; if the FP estimate ever overshoots, a non-minimal x
+    // would silently shift every later block. Re-derive the predicate
+    // here and check x-1 fails it, at bench sizes AND at N where the
+    // estimate's absolute FP error is largest.
+    for {
+      n <- Seq(40007L, 1000000000000L, 100000000000000000L) // up to 1e17
+      r <- Seq(0.1, 1.0 / 3.0, 0.5, 0.7, 0.999)
+      l <- Seq(2, 10)
+    } {
+      val layout = Schedule.Layout(n, r, l)
+      val tR = Schedule.targetRandom(n, r)
+      def reached(x: Long, m: Long): Boolean =
+        x.toDouble / math.max(1L, x + m * l.toLong).toDouble >= r
+      val mMax = (n - tR) / l
+      val probes = Seq(1L, 2L, 3L, mMax / 3, mMax / 2, mMax - 1)
+        .filter(m => m > 0 && m < mMax).distinct
+      probes.foreach { m =>
+        val x = layout.randomsBefore(m)
+        assert(x <= tR)
+        if (x < tR) {
+          assert(reached(x, m), s"n=$n r=$r L=$l m=$m: x=$x not reached")
+          if (x > 0)
+            assert(!reached(x - 1, m),
+              s"n=$n r=$r L=$l m=$m: x=$x not minimal")
+        }
+      }
+    }
+  }
+
   test("closed-form is O(log) random access at planetary N") {
     // 1e12 events would need ~7e11 iterative steps; closed form answers
     // arbitrary probes immediately and self-consistently
