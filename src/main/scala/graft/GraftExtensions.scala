@@ -20,16 +20,36 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * extension surface is deliberately just functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def inject(
+      ext: SparkSessionExtensions,
+      name: String,
+      clazz: Class[_],
+      builder: Seq[Expression] => Expression,
+  ): Unit =
     ext.injectFunction(
-      (
-        new FunctionIdentifier("vec_cosine"),
-        new ExpressionInfo(
-          classOf[functions.FloatVecCosine].getCanonicalName,
-          "vec_cosine"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.FloatVecCosine(exprs(0), exprs(1)),
-      )
-    )
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getCanonicalName, name), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "vec_cosine", classOf[functions.FloatVecCosine],
+      exprs => functions.FloatVecCosine(exprs(0), exprs(1)))
+    inject(ext, "simhash64", classOf[functions.SimHash64],
+      exprs => functions.SimHash64(exprs(0)))
+    inject(ext, "text_shingle_hashes", classOf[functions.WordShingleHashes],
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "text_shingle_hashes(text, w): w must be a literal")
+        functions.WordShingleHashes(
+          exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+      })
+    inject(ext, "minhash_sig", classOf[functions.MinHashSignature],
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "minhash_sig(shingles, numHashes): numHashes must be a literal")
+        functions.MinHashSignature(
+          exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+      })
   }
 }

@@ -56,6 +56,18 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     new GraftExtensions().apply(ext) // would throw on a bad signature
   }
 
+  test("text kernels resolve from SQL via the registry path") {
+    val spark = SparkTestSession.spark
+    functions.TextHashExprs.register(spark)
+    val row = spark.sql(
+      "SELECT simhash64('a b c') AS s, " +
+        "size(text_shingle_hashes('a b c d e', 3)) AS n, " +
+        "size(minhash_sig(text_shingle_hashes('a b c d e', 3), 16)) AS m")
+      .first()
+    assert(row.getInt(1) == 3)  // 5 words → 3 trigram shingles
+    assert(row.getInt(2) == 16) // signature width
+  }
+
   test("vec_cosine resolves from SQL in a session with the extension") {
     // the shared test session predates the extension config, so apply
     // the same injection path it would take at build time
