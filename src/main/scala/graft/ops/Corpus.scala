@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings` —
+  * the corpus-preparation surface a 100 TB pretraining run needs beyond
+  * per-document text stats (`ops/Text.scala`) and sketch dedup
+  * (`ops/Dedup.scala`):
+  *
+  *   - deterministic train/val/test splits (content-hash bucketing — no
+  *     RNG, so any executor, any partitioning, any rerun lands every doc
+  *     in the same split; the property that makes a split reproducible
+  *     across a 1000-node cluster);
+  *   - sequence packing: explode documents into fixed-token-budget
+  *     chunks (the pretokenization shard shape), one codegen'd
+  *     `transform`+`explode` — no UDFs, no shuffle until the caller
+  *     aggregates;
+  *   - exact within-block embedding near-dup pairs — the oracle-checkable
+  *     exact twin of the sign-LSH path (`Vectors.annPairs`): blocking on
+  *     a cheap equality key bounds the pair space the same way LSH
+  *     buckets do, but stays reproducible in ANSI SQL;
+  *   - bounded edit-distance fuzzy matching within a blocking key (the
+  *     record-linkage shape: never all-pairs, block → pairwise inside
+  *     the block → aggregate).
+  *
+  * All pure Catalyst expressions; every query ends in a total ORDER BY
+  * for the DuckDB hash compare.
+  */
+object Corpus {
+
+  /** Deterministic split id from the first hex digit of md5(doc_id):
+    * '0'..'b' → train (12/16), 'c'..'d' → val (2/16), else test (2/16).
+    * Pure string compare on the hash prefix — both engines produce the
+    * identical lowercase hex, so no integer parsing is needed.
+    */
+  def splitCol(id: Column): Column = {
+    val h = substring(md5(id.cast("string").cast("binary")), 1, 1)
+    when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+  }
+
+  /** q53: split the corpus and profile each split — doc counts, token
+    * mass, and a content checksum (min fingerprint) proving the split is
+    * stable across engines. At 100 TB this is a projection + one
+    * hash-agg on a 3-value key: map-side partial aggregation collapses
+    * it before the shuffle.
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("split", splitCol($"doc_id"))
+      .withColumn("n_tokens", size(split($"text", " ")))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("sum_tokens"),
+        min(md5($"text".cast("binary"))).as("min_fp"),
+      )
+      .orderBy($"split")
+  }
+
+  private val q53Sql =
+    """SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(fp) AS min_fp
+      |FROM (SELECT
+      |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |               THEN 'train'
+      |             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+      |               THEN 'val'
+      |             ELSE 'test' END AS split,
+      |        len(string_split(text, ' ')) AS n_tokens,
+      |        md5(text) AS fp
+      |      FROM documents) t
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  /** q54: sequence packing — explode each document into chunks of
+    * `chunkTokens` whitespace tokens (last chunk ragged), with a per-chunk
+    * fingerprint. The whole transform is a single codegen'd projection +
+    * generator (no shuffle, no UDF): `sequence` builds the chunk index
+    * range, `slice` takes each token window. This is the pretokenizer
+    * shard step: downstream a writer would `partitionBy(split)` these
+    * chunks straight to parquet.
+    */
+  def packChunks(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("toks", toks)
+      .withColumn(
+        "chunk_id",
+        explode(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(chunkTokens.toDouble))
+              .cast("int") - 1)),
+      )
+      .withColumn("chunk",
+        array_join(
+          slice(col("toks"), col("chunk_id") * chunkTokens + 1,
+            lit(chunkTokens)),
+          " "))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"),
+      )
+  }
+
+  private def q54(s: SparkSession, d: String): DataFrame =
+    packChunks(Tables.documents(s, d), chunkTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q54Sql =
+    """SELECT doc_id, gs AS chunk_id,
+      |  len(string_split(chunk, ' ')) AS n_chunk_tokens,
+      |  md5(chunk) AS chunk_fp
+      |FROM (
+      |  SELECT doc_id, gs,
+      |    array_to_string(toks[gs*16+1 : gs*16+16], ' ') AS chunk
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents) d,
+      |    LATERAL (SELECT unnest(generate_series(0,
+      |      CAST(ceil(len(toks) / 16.0) AS INT) - 1)) AS gs) g) t
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q55: exact embedding near-dup pairs within a blocking key (label).
+    * The oracle-checkable exact twin of `Vectors.annPairs`: blocking
+    * bounds the pair space like LSH buckets do (never all-pairs across
+    * the corpus), but with an equality key DuckDB reproduces. The join
+    * carries only (block, id, vector); cosine runs in the codegen'd
+    * `FloatVecCosine` kernel on the joined rows.
+    */
+  def blockedNearDupPairs(
+      embeddings: DataFrame,
+      minCosine: Double,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val slim = embeddings.select(
+      col("label"), col("vec_id"), col("embedding"))
+    val l = slim.select(col("label"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = slim.select(col("label"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    l.join(r, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(spark, col("ea"), col("eb")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("label"), col("a"), col("b"), col("cos"))
+  }
+
+  private def q55(s: SparkSession, d: String): DataFrame =
+    blockedNearDupPairs(Tables.embeddings(s, d), minCosine = 0.3)
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(100)
+
+  private val q55Sql =
+    """SELECT label, a, b, cos FROM (
+      |  SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+      |    ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])))), 4)
+      |      AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+      |WHERE cos >= 0.3
+      |ORDER BY cos DESC, a, b
+      |LIMIT 100""".stripMargin
+
+  /** q56: fuzzy matching by bounded edit distance within a blocking key
+    * (brand) — the record-linkage / catalog-dedup shape. All-pairs is
+    * only ever formed INSIDE a block (the scale contract: block size is
+    * bounded, corpus size is not), then aggregated per block.
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slim = Tables.part(s, d).select($"p_brand", $"p_partkey", $"p_name")
+    val l = slim.select($"p_brand", $"p_partkey".as("a"), $"p_name".as("na"))
+    val r = slim.select($"p_brand", $"p_partkey".as("b"), $"p_name".as("nb"))
+    l.join(r, Seq("p_brand"))
+      .filter($"a" < $"b")
+      .withColumn("dist", levenshtein($"na", $"nb"))
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"dist" <= 4, 1L).otherwise(0L)).as("n_close"),
+        min($"dist").cast("long").as("min_dist"),
+        round(avg($"dist"), 4).as("avg_dist"),
+      )
+      .orderBy($"p_brand")
+  }
+
+  private val q56Sql =
+    """SELECT p_brand, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN dist <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_close,
+      |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+      |  ROUND(AVG(dist), 4) AS avg_dist
+      |FROM (
+      |  SELECT a.p_brand AS p_brand,
+      |    levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q53_train_split", q53, Some(q53Sql)),
+    QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
+    QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
+    QueryDef("q56_fuzzy_brand", q56, Some(q56Sql)),
+  )
+}

@@ -739,6 +739,116 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Statistical moment aggregates: corr / covar / stddev plus Spark's
+    * POPULATION skewness and excess kurtosis. DuckDB's builtin
+    * skewness/kurtosis are sample-bias-corrected (different estimator),
+    * so the oracle states Spark's definition directly from central
+    * moments (windowed group mean → avg of powered deviations) rather
+    * than pretending the builtins agree. All single-pass hash aggs on
+    * the Spark side.
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6)
+          .as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 4)
+          .as("covar_qty_price"),
+        round(stddev_samp($"l_quantity"), 6).as("std_qty"),
+        round(skewness($"l_quantity"), 6).as("skew_qty"),
+        round(kurtosis($"l_quantity"), 6).as("kurt_qty"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  private val q57Sql =
+    """SELECT l_returnflag,
+      |  ROUND(corr(x, y), 6) AS corr_qty_price,
+      |  ROUND(covar_samp(x, y), 4) AS covar_qty_price,
+      |  ROUND(stddev_samp(x), 6) AS std_qty,
+      |  ROUND(AVG(dx*dx*dx) / POW(AVG(dx*dx), 1.5), 6) AS skew_qty,
+      |  ROUND(AVG(dx*dx*dx*dx) / POW(AVG(dx*dx), 2) - 3, 6) AS kurt_qty,
+      |  COUNT(*) AS n
+      |FROM (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y,
+      |        l_quantity - AVG(l_quantity)
+      |          OVER (PARTITION BY l_returnflag) AS dx
+      |      FROM lineitem) t
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Distribution windows: ntile / percent_rank / cume_dist over a fully
+    * tie-broken ordering (acctbal DESC, custkey — rank functions are only
+    * cross-engine-deterministic under a total order), folded to quartile
+    * profiles per market segment.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables
+      .customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy($"c_mktsegment", $"quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"c_acctbal"), 4).as("avg_bal"),
+        round(max($"pr"), 6).as("max_pct_rank"),
+        round(max($"cd"), 6).as("max_cume_dist"),
+      )
+      .orderBy($"c_mktsegment", $"quartile")
+  }
+
+  private val q58Sql =
+    """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      |  ROUND(AVG(c_acctbal), 4) AS avg_bal,
+      |  ROUND(MAX(pr), 6) AS max_pct_rank,
+      |  ROUND(MAX(cd), 6) AS max_cume_dist
+      |FROM (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal DESC, c_custkey)) t
+      |GROUP BY c_mktsegment, quartile
+      |ORDER BY c_mktsegment, quartile""".stripMargin
+
+  /** GROUPING SETS beyond rollup/cube (q12/q18): an explicit lattice
+    * subset with `grouping()` null-markers — Catalyst plans one Expand +
+    * hash-agg, the same single-shuffle shape as rollup.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q59_lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM graft_q59_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+  }
+
+  private val q59Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -766,5 +876,8 @@ object Relational {
     QueryDef("q44_explode_dims", q44, Some(q44Sql)),
     QueryDef("q45_regexp_extract", q45, Some(q45Sql)),
     QueryDef("q47_salted_join", q47, Some(q47Sql)),
+    QueryDef("q57_stats_moments", q57, Some(q57Sql)),
+    QueryDef("q58_ntile_quartiles", q58, Some(q58Sql)),
+    QueryDef("q59_grouping_sets", q59, Some(q59Sql)),
   )
 }
