@@ -38,6 +38,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final hash agg:\n$p")
   }
 
+  test("q54: sequence packing is a pure generator — no shuffle") {
+    // the registered query sorts for the oracle; the OPERATOR itself must
+    // be scan→project→generate with no Exchange (the 100 TB contract:
+    // chunking never reshuffles the corpus)
+    val p = ops.Corpus
+      .packChunks(Tables.documents(spark, sf), 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), s"no generator:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("q55/q56: blocked pair joins are equi-joins, never nested-loop") {
+    Seq("q55_embed_neardup", "q56_fuzzy_brand").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("q59: grouping sets plan one Expand, not a union of scans") {
+    val p = plan("q59_grouping_sets")
+    assert(p.contains("Expand"), s"no Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"grouping sets must share one scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→agg pipeline") {
     // AQE finalizes the plan lazily — execute first, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
