@@ -208,10 +208,80 @@ object Corpus {
       |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Per-language keep-fraction for the q60 mixture (the "data mixture"
+    * weights of a pretraining corpus: upsample-by-omission — here
+    * en=1.0, de/es=0.5, fr/zh=0.25).
+    */
+  private val mixCutoffs: Seq[(String, String)] =
+    Seq("de" -> "8000", "es" -> "8000", "fr" -> "4000", "zh" -> "4000")
+
+  /** Deterministic sampling predicate: keep a doc iff the first 4 hex
+    * digits of md5("mix:" + doc_id) fall under its language's cutoff
+    * (0x8000/0x10000 = 1/2, 0x4000 = 1/4; 'en' keeps everything). Pure
+    * string compare on the hash prefix — same reproducibility contract
+    * as [[splitCol]]: no RNG, no placement dependence, and the salt
+    * ("mix:") makes the draw independent of the train/val/test draw.
+    */
+  def mixKeep(id: Column, lang: Column): Column = {
+    val h = substring(
+      md5(concat(lit("mix:"), id.cast("string")).cast("binary")), 1, 4)
+    mixCutoffs.foldLeft(lang === "en") { case (acc, (l, cut)) =>
+      acc || (lang === l && h < cut)
+    }
+  }
+
+  /** q60: corpus mixing — profile the post-mixture corpus per language:
+    * kept docs, realized rate, surviving token mass, and a content
+    * checksum over the kept set. One projection + hash-agg; the filter
+    * is a codegen'd expression, so at 100 TB the mixture is applied in
+    * the scan stage with nothing materialized.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("keep", mixKeep($"doc_id", $"lang"))
+      .withColumn("n_tokens", size(split($"text", " ")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep".cast("long")).as("n_kept"),
+        round(avg($"keep".cast("double")), 4).as("rate"),
+        sum(when($"keep", $"n_tokens").otherwise(0)).cast("long")
+          .as("kept_tokens"),
+        min(when($"keep", md5($"text".cast("binary")))).as("min_kept_fp"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q60Sql = {
+    val cases = mixCutoffs
+      .map { case (l, cut) => s"WHEN lang = '$l' THEN h < '$cut'" }
+      .mkString("\n      |            ")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ROUND(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS rate,
+       |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  MIN(CASE WHEN keep THEN fp END) AS min_kept_fp
+       |FROM (SELECT lang,
+       |        CASE WHEN lang = 'en' THEN TRUE
+       |            $cases
+       |            ELSE FALSE END AS keep,
+       |        len(string_split(text, ' ')) AS n_tokens,
+       |        md5(text) AS fp
+       |      FROM (SELECT *,
+       |              substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |                AS h
+       |            FROM documents) raw) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
     QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
     QueryDef("q56_fuzzy_brand", q56, Some(q56Sql)),
+    QueryDef("q60_corpus_mix", q60, Some(q60Sql)),
   )
 }

@@ -93,6 +93,30 @@ object Streams {
       .withWatermark("wts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join (attribution): each right-side event
+    * joins the left-side events of the same user that precede it within
+    * `horizon`. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can evict state once the
+    * watermark passes `lts + horizon` — the property that keeps a
+    * stream-stream join's buffer finite on an unbounded feed. Column
+    * names are caller-chosen; the contract is (`luser`, `lts`) ×
+    * (`ruser`, `rts`).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "10 minutes",
+  ): DataFrame =
+    left
+      .withWatermark("lts", lateness)
+      .join(
+        right.withWatermark("rts", lateness),
+        expr(
+          s"""luser = ruser AND
+             |rts >= lts AND rts <= lts + interval $horizon""".stripMargin),
+      )
+
   final case class DetectState(tail: Array[Int], nextSeq: Long,
       matches: Long)
   final case class DetectCount(stream_id: Long, matches: Long)

@@ -55,6 +55,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(ragged.count() == 0)
   }
 
+  test("corpus mix realizes its per-language rates, placement-free") {
+    import spark.implicits._
+    // sf0.01 has ~70 docs per minority language — enough for a loose
+    // binomial bound on the realized rate
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rates = docs
+      .withColumn("keep", ops.Corpus.mixKeep($"doc_id", $"lang"))
+      .groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("rate"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map { case (l, r, n) => l -> (r, n) }.toMap
+    assert(rates("en")._1 == 1.0)
+    Seq("de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.25).foreach {
+      case (l, want) =>
+        val (got, n) = rates(l)
+        val tol = 4 * math.sqrt(want * (1 - want) / n) // ±4σ
+        assert(math.abs(got - want) < tol,
+          s"$l rate $got vs $want (n=$n, tol $tol)")
+    }
+    // same kept-set under a different layout
+    val a = docs.withColumn("k", ops.Corpus.mixKeep($"doc_id", $"lang"))
+      .filter($"k").select($"doc_id")
+    val b = docs.repartition(13)
+      .withColumn("k", ops.Corpus.mixKeep($"doc_id", $"lang"))
+      .filter($"k").select($"doc_id")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("blockedNearDupPairs matches driver-side brute force within blocks") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
