@@ -285,9 +285,110 @@ object Dedup {
       |       AND d1.doc_id < d2.doc_id) t
       |ORDER BY a, b""".stripMargin
 
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every node's label converges to the smallest doc_id
+    * reachable from it, so each duplicate CLUSTER gets one canonical
+    * root — the step that turns pairwise near-dup hits into "keep one
+    * per cluster". Each iteration is one join + hash-agg (labels are
+    * (node, long) slim rows; the fat columns never enter the loop);
+    * iterations = graph diameter, which for near-dup clusters is small
+    * in practice. `localCheckpoint` truncates the lineage each round so
+    * the plan stays O(1) across iterations instead of nesting; at
+    * production scale the same loop runs over checkpointed cluster
+    * storage, and a diameter-heavy graph would swap this for the
+    * large-star/small-star variant of the same join shape.
+    */
+  def connectedComponents(
+      edges: DataFrame, // columns a, b (undirected, a != b)
+      maxIters: Int = 25,
+  ): DataFrame = {
+    val sym = edges
+      .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .unionByName(edges.select(col("b").cast("long").as("u"),
+        col("a").cast("long").as("v")))
+      .persist()
+    var labels = sym
+      .groupBy("u")
+      .agg(min("v").as("mv"))
+      .select(col("u").as("node"), least(col("u"), col("mv")).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node")
+        .agg(min("label").as("label"))
+        .localCheckpoint(true)
+      done = next
+        .withColumnRenamed("label", "next_label")
+        .join(labels, "node")
+        .filter(col("next_label") =!= col("label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIters")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_root"))
+  }
+
+  /** q63: cluster the prefix-blocked Jaccard pair graph (q37's derivation
+    * — fully SQL-reproducible, unlike the minhash pairs) and emit each
+    * node's canonical root. The oracle computes the same fixpoint as a
+    * DuckDB recursive CTE (transitive closure → min reachable id), so
+    * the driver check covers the distributed iteration end-to-end.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 5)).as("prefix"),
+        array_distinct(split($"text", " ")).as("words"),
+      )
+    val l = docs.select($"prefix", $"doc_id".as("a"), $"words".as("wa"))
+    val r = docs.select($"prefix", $"doc_id".as("b"), $"words".as("wb"))
+    val edges = l.join(r, "prefix")
+      .filter($"a" < $"b")
+      .filter(
+        size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb")) >= 0.5)
+      .select($"a", $"b")
+    connectedComponents(edges).orderBy($"doc_id")
+  }
+
+  private val q63Sql =
+    """WITH RECURSIVE
+      |  e AS (
+      |    SELECT a, b FROM (
+      |      SELECT d1.doc_id AS a, d2.doc_id AS b,
+      |        CAST(len(list_intersect(
+      |               list_distinct(string_split(d1.text, ' ')),
+      |               list_distinct(string_split(d2.text, ' ')))) AS DOUBLE) /
+      |        len(list_distinct(list_concat(
+      |               list_distinct(string_split(d1.text, ' ')),
+      |               list_distinct(string_split(d2.text, ' '))))) AS j
+      |      FROM documents d1 JOIN documents d2
+      |        ON array_to_string(list_slice(string_split(d1.text, ' '), 1, 5), ' ') =
+      |           array_to_string(list_slice(string_split(d2.text, ' '), 1, 5), ' ')
+      |       AND d1.doc_id < d2.doc_id) t
+      |    WHERE j >= 0.5),
+      |  sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      |  reach(u, v) AS (
+      |    SELECT u, v FROM sym
+      |    UNION
+      |    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+      |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q35_minhash_pairs", q35, None),
     QueryDef("q36_simhash_pairs", q36, None),
     QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
+    QueryDef("q63_jaccard_clusters", q63, Some(q63Sql)),
   )
 }

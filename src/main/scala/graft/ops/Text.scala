@@ -218,6 +218,65 @@ object Text {
        |      FROM documents) t
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q61: type-token ratio (lexical diversity) — the repetition-quality
+    * signal: boilerplate/spam repeats tokens, so low TTR flags docs a
+    * pretraining filter drops. Pure projection + hash-agg per source.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("ttr",
+        size(array_distinct(tokens($"text"))).cast("double") /
+          size(tokens($"text")))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"ttr"), 4).as("avg_ttr"),
+        round(min($"ttr"), 4).as("min_ttr"),
+        sum(when($"ttr" < 0.45, 1L).otherwise(0L)).as("n_repetitive"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q61Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(ttr), 4) AS avg_ttr,
+      |  ROUND(MIN(ttr), 4) AS min_ttr,
+      |  CAST(SUM(CASE WHEN ttr < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive
+      |FROM (SELECT source,
+      |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |          len(string_split(text, ' ')) AS ttr
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q62: materialize the deduplicated corpus — one survivor (min doc_id)
+    * per content fingerprint with its duplicate count. q30 reports dedup
+    * STATS; this is the dedup OUTPUT a pipeline actually feeds forward.
+    * One hash-agg shuffle on the fingerprint; survivors join back to
+    * nothing (doc_id rides the agg as min()).
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .groupBy(md5($"text".cast("binary")).as("fp"))
+      .agg(
+        min($"doc_id").as("keeper"),
+        count(lit(1)).as("n_copies"),
+      )
+      .select($"keeper", $"n_copies", $"fp")
+      .orderBy($"keeper")
+  }
+
+  private val q62Sql =
+    """SELECT keeper, n_copies, fp FROM (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS keeper,
+      |    COUNT(*) AS n_copies
+      |  FROM documents GROUP BY md5(text)) t
+      |ORDER BY keeper""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
@@ -225,5 +284,7 @@ object Text {
     QueryDef("q33_fingerprint", q33, Some(q33Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
+    QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
+    QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
   )
 }

@@ -84,6 +84,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("connectedComponents == driver union-find on the jaccard graph") {
+    import spark.implicits._
+    // real edges: q37's prefix-blocked pairs at j >= 0.4 (looser than the
+    // registered query so the graph is denser)
+    val pairs = SparkEntry.queries("q37_prefix_jaccard")(spark, sf)
+      .filter($"word_jaccard" >= 0.4)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(pairs.length > 10, s"weak fixture: ${pairs.length} edges")
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+
+    val got = ops.Dedup
+      .connectedComponents(pairs.toSeq.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == truth)
+  }
+
+  test("connectedComponents converges on a long chain (diameter >> 1)") {
+    import spark.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val got = ops.Dedup.connectedComponents(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 21 && got.values.forall(_ == 0L),
+      s"chain must collapse to root 0: $got")
+  }
+
   test("blockedNearDupPairs matches driver-side brute force within blocks") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
