@@ -41,15 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => {
         require(exprs.length == 2 && exprs(1).foldable,
           "text_shingle_hashes(text, w): w must be a literal")
-        functions.WordShingleHashes(
-          exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+        functions.WordShingleHashes(exprs(0),
+          functions.FoldableArg.positiveInt(exprs(1), "text_shingle_hashes w"))
       })
     inject(ext, "minhash_sig", classOf[functions.MinHashSignature],
       exprs => {
         require(exprs.length == 2 && exprs(1).foldable,
           "minhash_sig(shingles, numHashes): numHashes must be a literal")
-        functions.MinHashSignature(
-          exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+        functions.MinHashSignature(exprs(0),
+          functions.FoldableArg.positiveInt(exprs(1), "minhash_sig numHashes"))
       })
   }
 }

@@ -230,7 +230,8 @@ object TextHashExprs {
       exprs => {
         require(exprs.length == 2 && exprs(1).foldable,
           "text_shingle_hashes(text, w): w must be a literal")
-        WordShingleHashes(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+        WordShingleHashes(exprs(0),
+          FoldableArg.positiveInt(exprs(1), "text_shingle_hashes w"))
       },
       "built-in",
     )
@@ -247,7 +248,8 @@ object TextHashExprs {
       exprs => {
         require(exprs.length == 2 && exprs(1).foldable,
           "minhash_sig(shingles, numHashes): numHashes must be a literal")
-        MinHashSignature(exprs(0), exprs(1).eval(null).asInstanceOf[Int])
+        MinHashSignature(exprs(0),
+          FoldableArg.positiveInt(exprs(1), "minhash_sig numHashes"))
       },
       "built-in",
     )

@@ -97,10 +97,16 @@ case class FloatVecCosine(left: Expression, right: Expression)
   */
 case class FloatVecLshBits(
     child: Expression,
-    signs: Array[Double],
+    signs: Seq[Double],
     nBits: Int,
     dims: Int,
 ) extends UnaryExpression {
+
+  // Seq (not Array) in the constructor so case-class equality is
+  // element-wise: two identically-built kernels canonicalize equal and
+  // stay eligible for subexpression elimination / exchange reuse. The
+  // hot loops index a plain array.
+  @transient private lazy val signsArr: Array[Double] = signs.toArray
 
   override def dataType: DataType = LongType
 
@@ -125,7 +131,7 @@ case class FloatVecLshBits(
       val off = b * dims
       var d = 0
       while (d < n) {
-        s += x.getFloat(d).toDouble * signs(off + d)
+        s += x.getFloat(d).toDouble * signsArr(off + d)
         d += 1
       }
       if (s > 0) key |= (1L << b)
@@ -138,7 +144,7 @@ case class FloatVecLshBits(
       ctx: CodegenContext,
       ev: ExprCode,
   ): ExprCode = {
-    val mat = ctx.addReferenceObj("lshSigns", signs, "double[]")
+    val mat = ctx.addReferenceObj("lshSigns", signsArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n   = ctx.freshName("n")
       val b   = ctx.freshName("b")
@@ -217,11 +223,14 @@ object VectorKernels extends Serializable {
   */
 case class FloatVecTopCells(
     child: Expression,
-    cents: Array[Double],
+    cents: Seq[Double],
     nCells: Int,
     dims: Int,
     nProbe: Int,
 ) extends UnaryExpression {
+
+  // Seq for element-wise case-class equality (see FloatVecLshBits).
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -239,7 +248,7 @@ case class FloatVecTopCells(
 
   override def nullSafeEval(a: Any): Any =
     VectorKernels.topCells(
-      a.asInstanceOf[ArrayData], cents, nCells, dims, nProbe)
+      a.asInstanceOf[ArrayData], centsArr, nCells, dims, nProbe)
 
   override protected def doGenCode(
       ctx: CodegenContext,
@@ -247,7 +256,7 @@ case class FloatVecTopCells(
   ): ExprCode = {
     val kern = ctx.addReferenceObj("vecKernels", VectorKernels,
       VectorKernels.getClass.getName)
-    val mat = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val mat = ctx.addReferenceObj("ivfCents", centsArr, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = $kern.topCells($a, $mat, $nCells, $dims, $nProbe);")
   }
@@ -289,11 +298,13 @@ object VectorExprs {
         require(exprs.drop(1).forall(_.foldable),
           "vec_lsh_bits(emb, signs, nBits, dims): signs/nBits/dims must be literals")
         val signs = exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()
-        val nBits = exprs(2).eval(null).asInstanceOf[Int]
-        val dims  = exprs(3).eval(null).asInstanceOf[Int]
+        val nBits = FoldableArg.positiveInt(exprs(2), "vec_lsh_bits nBits")
+        val dims  = FoldableArg.positiveInt(exprs(3), "vec_lsh_bits dims")
         require(signs.length == nBits * dims,
           s"sign matrix length ${signs.length} != nBits*dims ${nBits * dims}")
-        FloatVecLshBits(exprs(0), signs, nBits, dims)
+        FloatVecLshBits(exprs(0),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(signs),
+          nBits, dims)
       },
       "built-in",
     )
@@ -311,12 +322,14 @@ object VectorExprs {
           "vec_top_cells(emb, cents, nCells, dims, nProbe): " +
             "cents/nCells/dims/nProbe must be literals")
         val cents = exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray()
-        val nCells = exprs(2).eval(null).asInstanceOf[Int]
-        val dims   = exprs(3).eval(null).asInstanceOf[Int]
-        val nProbe = exprs(4).eval(null).asInstanceOf[Int]
+        val nCells = FoldableArg.positiveInt(exprs(2), "vec_top_cells nCells")
+        val dims   = FoldableArg.positiveInt(exprs(3), "vec_top_cells dims")
+        val nProbe = FoldableArg.positiveInt(exprs(4), "vec_top_cells nProbe")
         require(cents.length == nCells * dims,
           s"centroid matrix length ${cents.length} != nCells*dims ${nCells * dims}")
-        FloatVecTopCells(exprs(0), cents, nCells, dims, nProbe)
+        FloatVecTopCells(exprs(0),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(cents),
+          nCells, dims, nProbe)
       },
       "built-in",
     )

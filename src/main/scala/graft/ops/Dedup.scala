@@ -142,9 +142,18 @@ object Dedup {
     * bit-identical to the SWAR twin below on its supported range
     * (TextHashSpec + PipelineSpec brute-force majority).
     */
-  def simhash64(text: Column): Column =
-    graft.functions.TextHashExprs
-      .simhash64(org.apache.spark.sql.SparkSession.active, text)
+  def simhash64(text: Column): Column = {
+    // Column construction may happen off the session's main thread (no
+    // thread-local active session); fall back to the default session
+    // rather than letting SparkSession.active throw opaquely.
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "Dedup.simhash64(Column) needs a SparkSession to register the " +
+          "native kernel; start one first or use " +
+          "TextHashExprs.simhash64(spark, text)"))
+    graft.functions.TextHashExprs.simhash64(spark, text)
+  }
 
   /** Composable-built-ins twin of [[simhash64]], kept as the readable
     * specification of the bit semantics.

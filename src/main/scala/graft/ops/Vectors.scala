@@ -187,7 +187,10 @@ object Vectors {
       .collect()
       .sortBy(_._1) // deterministic iteration order
       .map { case (_, v) =>
-        val a = v.map(_.toDouble).toArray
+        // Pad/truncate to exactly `dims` (missing dims = 0), matching the
+        // codegen kernels' min(numElements, dims) clamp — a short
+        // embedding must not crash the Lloyd loops below.
+        val a = java.util.Arrays.copyOf(v.map(_.toDouble).toArray, dims)
         val nrm = math.sqrt(a.map(x => x * x).sum)
         if (nrm > 0) a.map(_ / nrm) else a
       }

@@ -6,12 +6,17 @@ Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir>
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB over the sf_dir
 tables, and compares the way the driver does: both sides fetched to
-pandas, columns sorted by name, dtypes compared EXACTLY, values
-compared EXACTLY (no float tolerance — the driver hashes stringified
-values, so a HUGEINT->float64 coercion or a 1-ulp float difference is
-a real failure here, by design). Rows are sorted by stringified
-content before the element-wise compare so engine tie-order cannot
-cause spurious failures.
+pandas, columns sorted by name, values compared EXACTLY (no float
+tolerance — the driver hashes stringified values, so a
+HUGEINT->float64 coercion or a 1-ulp float difference is a real
+failure here, by design). Dtype divergence is only a WARN: it is
+fatal iff it changes the value token, which the exact value compare
+catches. Rows are sorted by stringified content before the
+element-wise compare so engine tie-order cannot cause spurious
+failures; because of that sort, a broken ORDER BY would PASS the
+fatal compare — a second, order-preserving pass prints a WARN when
+the as-fetched row order diverges, so ordering regressions surface
+locally without false-failing queries that have no ORDER BY.
 """
 import json
 import math
@@ -83,6 +88,14 @@ def main():
             print(f"FAIL {name}: row {bad[0]}: got {bad[1]} exp {bad[2]}")
             n_fail += 1
         else:
+            # order-preserving pass: WARN only (no ORDER BY -> both
+            # engines may legitimately emit different physical orders)
+            gu = [[norm(v) for v in row] for row in got[gcols].values.tolist()]
+            eu = [[norm(v) for v in row] for row in exp[ecols].values.tolist()]
+            if gu != eu:
+                print(f"WARN {name}: as-fetched row order differs from "
+                      f"oracle (harmless without ORDER BY; check the "
+                      f"query's ORDER BY if it has one)")
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
