@@ -277,11 +277,155 @@ object Corpus {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q64: corpus-level TF-IDF top terms, in FIXED-POINT arithmetic so the
+    * score is exact across engines: `idf_ppm = (1e6 * N) DIV df` is pure
+    * integer, and the final score is ONE double multiplication of two
+    * exactly-representable integers — IEEE-deterministic, unlike a
+    * float `ln(N/df)` whose last ulp differs between libm builds, and
+    * unlike summed doubles whose value depends on reduction order.
+    *
+    * Plan shape at 100 TB: explode → one hash-agg on `term` computing
+    * tf (count) and df (count distinct doc) together — partial map-side
+    * aggregation collapses the token stream before the single shuffle;
+    * N arrives as a broadcast 1-row cross join (no driver collect);
+    * top-k is TakeOrderedAndProject, never a global sort.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val stats = toks
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats
+      .crossJoin(broadcast(n))
+      .withColumn("idf_ppm", expr("(1000000 * n_docs) DIV df"))
+      .select(
+        $"term",
+        $"tf",
+        $"df",
+        ($"tf".cast("double") * $"idf_ppm".cast("double")).as("score"),
+      )
+      .orderBy($"score".desc, $"term")
+      .limit(20)
+  }
+
+  private val q64Sql =
+    """SELECT term, tf, df,
+      |  CAST(tf AS DOUBLE) * CAST((1000000 * n_docs) // df AS DOUBLE)
+      |    AS score
+      |FROM (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents) toks
+      |      GROUP BY term) stats,
+      |     (SELECT COUNT(*) AS n_docs FROM documents) n
+      |ORDER BY score DESC, term LIMIT 20""".stripMargin
+
+  /** q65: train/test contamination — for every test-split document, the
+    * fraction of its distinct terms that also occur anywhere in the
+    * train split. The decontamination check a pretraining pipeline runs
+    * before trusting an eval set. Integer percent (`DIV`) keeps the
+    * compare exact.
+    *
+    * Plan shape at 100 TB: the train vocabulary is `distinct` on a
+    * single string column (map-side combine collapses repeats before
+    * the shuffle); the probe is a left join on `term` — Spark picks
+    * SMJ/shuffled-hash by size, and the vocabulary side, being
+    * post-distinct, is the smaller one. Never all-pairs, never a
+    * driver-side set.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables
+      .documents(s, d)
+      .withColumn("split", splitCol($"doc_id"))
+      .select($"doc_id", $"split", explode(split($"text", " ")).as("term"))
+      .distinct()
+    val testToks = toks.filter($"split" === "test").select($"doc_id", $"term")
+    val trainVocab = toks
+      .filter($"split" === "train")
+      .select($"term")
+      .distinct()
+      .withColumn("in_train", lit(1))
+    testToks
+      .join(trainVocab, Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        count($"in_train").as("n_overlap"),
+      )
+      .withColumn("contam_pct", expr("(100 * n_overlap) DIV n_terms"))
+      .orderBy($"doc_id")
+  }
+
+  private val q65Sql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN h <= 'b' THEN 'train'
+      |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
+      |    term
+      |  FROM (SELECT doc_id,
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |          unnest(string_split(text, ' ')) AS term
+      |        FROM documents) raw),
+      |train_vocab AS (
+      |  SELECT DISTINCT term FROM toks WHERE split = 'train')
+      |SELECT doc_id, COUNT(*) AS n_terms,
+      |  COUNT(v.term) AS n_overlap,
+      |  (100 * COUNT(v.term)) // COUNT(*) AS contam_pct
+      |FROM (SELECT doc_id, term FROM toks WHERE split = 'test') t
+      |LEFT JOIN train_vocab v USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q68: duplicate-bigram repetition ratio per document — the
+    * Gopher-style "fraction of repeated n-grams" quality filter. All
+    * counts integer; the percent is integer division, so the compare is
+    * exact. Pure per-row expression work (no shuffle at all until the
+    * final sort): `transform` over an index `sequence` builds the bigram
+    * list inside whole-stage codegen.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .withColumn("bigrams",
+        expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .select(
+        $"doc_id",
+        size($"bigrams").cast("long").as("n_bigrams"),
+        size(array_distinct($"bigrams")).cast("long").as("n_distinct"),
+      )
+      .withColumn("dup_pct",
+        expr("(100 * (n_bigrams - n_distinct)) DIV n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  private val q68Sql =
+    """SELECT doc_id,
+      |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+      |  (100 * (len(bigrams) - len(list_distinct(bigrams))))
+      |    // len(bigrams) AS dup_pct
+      |FROM (SELECT doc_id,
+      |        list_transform(range(1, len(w)),
+      |                       i -> w[i] || ' ' || w[i + 1]) AS bigrams
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents) t0
+      |      WHERE len(w) >= 2) t
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
     QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
     QueryDef("q56_fuzzy_brand", q56, Some(q56Sql)),
     QueryDef("q60_corpus_mix", q60, Some(q60Sql)),
+    QueryDef("q64_tfidf_terms", q64, Some(q64Sql)),
+    QueryDef("q65_contamination", q65, Some(q65Sql)),
+    QueryDef("q68_dup_bigrams", q68, Some(q68Sql)),
   )
 }

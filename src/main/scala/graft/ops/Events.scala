@@ -351,6 +351,78 @@ object Events {
       |  ROUND(VAR_SAMP(value), 4) AS var_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q66: hourly event counts with the gaps FILLED — a generated time
+    * spine (`sequence` + `explode` from a 1-row bounds agg) left-joined
+    * against the per-hour counts, missing hours coalesced to 0. The
+    * standard "don't silently skip empty buckets" time-series shape.
+    * Keys are integer epoch-hours (`epoch_us DIV 3600e6`) so both
+    * engines compare exact integers, never timestamp objects.
+    *
+    * Scale: the spine is rows=hours (tiny even for years of data) built
+    * without a driver collect; the join broadcasts the spine, and the
+    * count side is one map-side-combined hash-agg of the event stream.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables
+      .events(s, d)
+      .select(expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+    val counts = hours.groupBy($"hour_id").agg(count(lit(1)).as("n_events"))
+    val spine = hours
+      .agg(min($"hour_id").as("lo"), max($"hour_id").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("hour_id"))
+    broadcast(spine)
+      .join(counts, Seq("hour_id"), "left")
+      .select($"hour_id", coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy($"hour_id")
+  }
+
+  private val q66Sql =
+    """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hour_id
+      |            FROM events),
+      |counts AS (SELECT hour_id, COUNT(*) AS n_events
+      |           FROM ev GROUP BY hour_id),
+      |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour_id
+      |          FROM (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi
+      |                FROM ev) b)
+      |SELECT s.hour_id, COALESCE(c.n_events, 0) AS n_events
+      |FROM spine s LEFT JOIN counts c USING (hour_id)
+      |ORDER BY hour_id""".stripMargin
+
+  /** q69: burstiness via a RANGE window frame — for each event, how many
+    * events the same user produced in the trailing hour (inclusive),
+    * reduced to the per-user maximum. The frame bound is integer
+    * microseconds, so peers at identical timestamps are in-frame
+    * regardless of tie order and both engines count identically.
+    *
+    * Scale: one shuffle on user_id, then partition-local ordered frame
+    * scans; the reduction to per-user max keeps the output a row per
+    * user, not per event.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables
+      .events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(max($"n_1h").as("max_burst"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q69Sql =
+    """SELECT user_id, MAX(n_1h) AS max_burst, COUNT(*) AS n_events
+      |FROM (SELECT user_id,
+      |        COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |          AS n_1h
+      |      FROM events) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -361,5 +433,7 @@ object Events {
     QueryDef("q26_asof_error", q26, Some(q26Sql)),
     QueryDef("q46_asof_tolerance", q46, Some(q46Sql)),
     QueryDef("q48_welford_stats", q48, Some(q48Sql)),
+    QueryDef("q66_hourly_spine", q66, Some(q66Sql)),
+    QueryDef("q69_user_bursts", q69, Some(q69Sql)),
   )
 }

@@ -849,6 +849,93 @@ object Relational {
       |                        (l_returnflag), (l_linestatus), ())
       |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
 
+  /** q67: FULL OUTER merge of two daily aggregates — order counts by
+    * order date vs shipment counts by ship date. Ship dates run past the
+    * last order date (and vice versa at the epoch edges), so both outer
+    * sides are genuinely exercised; the USING join coalesces the key and
+    * a provenance marker records which side(s) produced each day. The
+    * upsert/reconciliation shape: align two independently-aggregated
+    * ledgers on a shared key without dropping either side's tail.
+    *
+    * Scale: both inputs are already one hash-agg each (map-side combine),
+    * so the outer join runs on two day-cardinality relations — tiny
+    * regardless of fact-table size.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables
+      .orders(s, d)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables
+      .lineitem(s, d)
+      .groupBy($"l_shipdate".as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full")
+      .select(
+        $"day",
+        when($"n_orders".isNull, "ship_only")
+          .when($"n_ships".isNull, "order_only")
+          .otherwise("both")
+          .as("src"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"),
+      )
+      .orderBy($"day")
+  }
+
+  private val q67Sql =
+    """SELECT day,
+      |  CASE WHEN n_orders IS NULL THEN 'ship_only'
+      |       WHEN n_ships IS NULL THEN 'order_only'
+      |       ELSE 'both' END AS src,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(n_ships, 0) AS n_ships
+      |FROM (SELECT o_orderdate AS day, COUNT(*) AS n_orders
+      |      FROM orders GROUP BY 1) o
+      |FULL JOIN (SELECT l_shipdate AS day, COUNT(*) AS n_ships
+      |           FROM lineitem GROUP BY 1) l USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** q70: window VALUE functions — first/last/nth order date per
+    * customer over an unbounded frame with a unique tie-break
+    * (`o_orderdate, o_orderkey`), collapsed to one row per customer via
+    * DISTINCT (every row in a partition carries identical frame values,
+    * so DISTINCT is exact, not a sample). `nth_value(_, 2)` is NULL for
+    * single-order customers — the null-propagation case the compare
+    * locks down.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .orders(s, d)
+      .select(
+        $"o_custkey",
+        first($"o_orderdate").over(w).as("first_day"),
+        nth_value($"o_orderdate", 2).over(w).as("second_day"),
+        last($"o_orderdate").over(w).as("last_day"),
+        count(lit(1)).over(w).as("n_orders"),
+      )
+      .distinct()
+      .orderBy($"o_custkey")
+  }
+
+  private val q70Sql =
+    """SELECT DISTINCT o_custkey,
+      |  FIRST_VALUE(o_orderdate) OVER w AS first_day,
+      |  NTH_VALUE(o_orderdate, 2) OVER w AS second_day,
+      |  LAST_VALUE(o_orderdate) OVER w AS last_day,
+      |  COUNT(*) OVER w AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -879,5 +966,7 @@ object Relational {
     QueryDef("q57_stats_moments", q57, Some(q57Sql)),
     QueryDef("q58_ntile_quartiles", q58, Some(q58Sql)),
     QueryDef("q59_grouping_sets", q59, Some(q59Sql)),
+    QueryDef("q67_date_merge", q67, Some(q67Sql)),
+    QueryDef("q70_order_milestones", q70, Some(q70Sql)),
   )
 }
