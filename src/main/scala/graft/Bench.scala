@@ -11,8 +11,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, executor threads)
-    // so the first timed query doesn't absorb JVM startup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // so the first timed query doesn't absorb JVM startup. The custom
+    // kernel expressions (text sketches, vector cosine) compile real
+    // Janino classes on first use — exercise each once on a 2-row slice
+    // so that one-time cost isn't charged to whichever kernel query the
+    // map iteration happens to run first (round-2 driver bench showed
+    // q36 at ~5× its steady-state time for exactly this reason).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val doc2 = spark.read.parquet(s"$sfDir/documents.parquet").limit(2)
+      doc2.select(
+        graft.functions.TextHashExprs.simhash64(spark, doc2("text")),
+        graft.functions.TextHashExprs.minhashSig(spark,
+          graft.functions.TextHashExprs.shingleHashes(spark, doc2("text"), 3),
+          16),
+      ).count()
+      val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(2)
+      emb2.select(graft.functions.VectorExprs
+        .vecCosine(spark, emb2("embedding"), emb2("embedding"))).count()
+      spark.read.parquet(s"$sfDir/events.parquet").count()
+    }
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // Optional local-profiling filter (comma-separated names). The driver
@@ -23,7 +41,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Deterministic name order: Map iteration order is arbitrary, and a
+    // run-order change shifts which query absorbs shared lazy costs.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {
@@ -39,14 +59,14 @@ object Bench {
     // flush-order guarantee vs our JSON line, and anything printed after
     // it would push it out of the driver's 2000-char tail window.
     locally {
-      val full = results.toSeq.sortBy(-_._2)
+      val full = results.sortBy(-_._2)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window (round 2's full 68-query map at
     // 9-decimal precision was ~4 KB → truncated at the front → the
@@ -58,7 +78,7 @@ object Bench {
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val budget = 1300 // chars for the queries map; total line stays <1.5k
-    val sorted = results.toSeq.sortBy(-_._2)
+    val sorted = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     var omitted = 0
