@@ -936,6 +936,70 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  /** q71: incremental aggregation — maintain a monthly revenue rollup by
+    * merging two independently-computed partial aggregates (a "base"
+    * history and a "delta" of new data) instead of re-scanning history.
+    * The incremental-view-maintenance shape: at 100 TB you aggregate
+    * yesterday's partition and MERGE it into the materialized rollup;
+    * count/sum merge by re-aggregation because they are associative.
+    * Money is summed in integer cents (`round(price*100)` → BIGINT), so
+    * base+delta merge is bit-exact regardless of association order — a
+    * double sum would differ in the last ulp between the merged and the
+    * one-pass plan. The oracle is the ONE-PASS aggregate: passing proves
+    * the incremental plan equals the full recomputation.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"),
+      )
+    val orders = Tables.orders(s, d)
+    val base  = partial(orders.filter($"o_orderdate" < "1998-01-01"))
+    val delta = partial(orders.filter($"o_orderdate" >= "1998-01-01"))
+    base
+      .unionByName(delta)
+      .groupBy($"month")
+      .agg(
+        sum($"n_orders").as("n_orders"),
+        sum($"revenue_cents").as("revenue_cents"),
+      )
+      .orderBy($"month")
+  }
+
+  private val q71Sql =
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** q72: approximate quantiles — the sketch-based scale path next to
+    * q29's exact percentiles (same pairing as q19's HLL next to q08's
+    * exact distinct). `percentile_approx` (GK sketch) is mergeable
+    * state: at 100 TB each partition builds a bounded sketch and the
+    * merge is one small shuffle, where exact percentiles must shuffle
+    * the full column. No DuckDB oracle (its approx_quantile is t-digest
+    * — different sketch, different answers by design); Round3Spec bounds
+    * the rank error against the exact quantiles instead.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("approx_quartiles"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -968,5 +1032,7 @@ object Relational {
     QueryDef("q59_grouping_sets", q59, Some(q59Sql)),
     QueryDef("q67_date_merge", q67, Some(q67Sql)),
     QueryDef("q70_order_milestones", q70, Some(q70Sql)),
+    QueryDef("q71_incremental_agg", q71, Some(q71Sql)),
+    QueryDef("q72_approx_quantiles", q72, None),
   )
 }

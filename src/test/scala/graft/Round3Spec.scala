@@ -134,6 +134,46 @@ class Round3Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q71 incremental merge equals one-pass aggregation exactly") {
+    import spark.implicits._
+    val onePass = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"))
+      .orderBy($"month")
+    val inc = run("q71_incremental_agg")
+    assert(inc.collect().map(_.toString).toSeq ==
+      onePass.collect().map(_.toString).toSeq)
+    // and the merge genuinely had two sides: months exist on each side
+    // of the 1998-01-01 split (data spans 1995..2001)
+    val months = inc.select($"month".cast("string")).as[String].collect()
+    assert(months.exists(_ < "1998-01-01") && months.exists(_ >= "1998-01-01"))
+  }
+
+  test("q72 approx quartiles bound the exact quantiles' rank error") {
+    import spark.implicits._
+    val got = run("q72_approx_quantiles").collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    val prices = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == prices.keySet)
+    for ((flag, (approx, n)) <- got) {
+      val xs = prices(flag)
+      assert(n == xs.length.toLong)
+      assert(approx.length == 3)
+      for ((q, a) <- Seq(0.25, 0.5, 0.75).zip(approx)) {
+        // rank of the approx answer must be within 1% of the target
+        // rank (accuracy 10000 → eps 1e-4; 1% is a loose outer bound)
+        val rank = xs.count(_ <= a).toDouble / xs.length
+        assert(math.abs(rank - q) <= 0.01,
+          s"$flag p$q: approx $a has rank $rank")
+      }
+    }
+  }
+
   test("q67 full-outer merge loses neither ledger and marks provenance") {
     import spark.implicits._
     val rows = run("q67_date_merge").collect()
