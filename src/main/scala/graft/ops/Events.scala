@@ -435,5 +435,10 @@ object Events {
     QueryDef("q48_welford_stats", q48, Some(q48Sql)),
     QueryDef("q66_hourly_spine", q66, Some(q66Sql)),
     QueryDef("q69_user_bursts", q69, Some(q69Sql)),
+    // Structured Streaming under the driver's oracle gate: the streamed
+    // hourly rollup must hash-match the SAME DuckDB SQL as batch q22.
+    QueryDef("q73_stream_hourly",
+      (s, d) => graft.streaming.Streams.hourlyTypeCounts(s, d),
+      Some(q22Sql)),
   )
 }

@@ -53,6 +53,47 @@ object Streams {
         col("n"),
       )
 
+  /** Streaming twin of the batch hourly rollup (`ops/Events` q22): read
+    * the driver `events` table as a file-source STREAM, aggregate in
+    * COMPLETE output mode (the streaming materialized-view shape — state
+    * is the rollup itself, bounded by hour×type cardinality, not by the
+    * stream), run the query to completion, and return the final result
+    * table. Registered as driver query q73 with the SAME DuckDB oracle
+    * as q22 — streaming ≡ batch under the exact hash compare. Money-grid
+    * note: `value` is on a 2-decimal grid, so rounding the streamed sum
+    * at 2dp is association-order-safe (same rule as the batch twin).
+    */
+  def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    // same TIMESTAMP(NANOS) handling as Tables.events — file streams
+    // need an explicit schema, so nanos arrive as LONG by declaration
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    // the file source lists a DIRECTORY; select just the events table
+    // out of the shared sf dir by filename glob
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .groupBy(
+        unix_micros(date_trunc("hour", col("wts"))).as("hour_us"),
+        col("event_type"),
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val name = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("hour_us"), col("event_type"))
+  }
+
   /** Built-in session windows (dynamic-gap session_window aggregation):
     * one row per (user, session) with its event count — the declarative
     * counterpart of `sessionize` below. Append mode: sessions emit once

@@ -174,6 +174,12 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("q73 streamed hourly rollup equals the batch q22 result") {
+    val streamed = run("q73_stream_hourly").collect().map(_.toString).toSeq
+    val batch = run("q22_hourly_windows").collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("q67 full-outer merge loses neither ledger and marks provenance") {
     import spark.implicits._
     val rows = run("q67_date_merge").collect()
