@@ -79,4 +79,22 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .first().getDouble(0)
     assert(math.abs(one - 1.0) < 1e-12)
   }
+
+  test("identically-built kernel expressions canonicalize equal") {
+    // constant matrices ride in a Seq so case-class equality is
+    // element-wise — a reference-compared Array would silently defeat
+    // subexpression elimination and exchange reuse for identical kernels
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal.create(Array(1.0f, 2.0f),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    def lsh() = graft.functions.FloatVecLshBits(
+      child, Seq(1.0, -1.0, 1.0, -1.0).map(identity), 2, 2)
+    def cells() = graft.functions.FloatVecTopCells(
+      child, Vector(1.0, 0.0, 0.0, 1.0), 2, 2, 1)
+    assert(lsh() == lsh() && lsh().canonicalized == lsh().canonicalized)
+    assert(cells() == cells() &&
+      cells().canonicalized == cells().canonicalized)
+    assert(lsh().semanticEquals(lsh()) && cells().semanticEquals(cells()))
+  }
 }
