@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relations (no graph library — graphs
+  * ARE relations: an edge table and iterated joins). Complements the
+  * connected-components operator in [[Dedup]] (q63).
+  *
+  * PageRank here is FIXED-POINT: ranks are integer parts-per-million and
+  * every step is integer arithmetic (`DIV`), so a fixed number of
+  * iterations is bit-exact on any engine and any partitioning — which is
+  * what makes the DuckDB oracle an exact hash match, where a double
+  * formulation would drift in the last ulp with summation order. The
+  * standard damping split: `rank' = 0.15 + 0.85 · Σ in-contributions`,
+  * scaled by 1e6. Dangling mass (sinks contribute nothing) is dropped,
+  * not redistributed — stated semantics, identical on both sides.
+  */
+object Graph {
+
+  /** One fixed-point PageRank sweep: `ranks(id, r)` → next ranks over
+    * `edges(src, dst)` with out-degrees `deg(src, outd)`. Every node
+    * keeps a row (left join from the node set), so rank mass for
+    * in-degree-0 nodes is the bare damping term.
+    */
+  private def step(
+      nodes: DataFrame,
+      edges: DataFrame,
+      deg: DataFrame,
+      ranks: DataFrame,
+  ): DataFrame =
+    nodes
+      .join(edges, nodes("id") === edges("dst"), "left")
+      .join(deg, Seq("src"), "left")
+      .join(ranks.withColumnRenamed("id", "rid"),
+        col("src") === col("rid"), "left")
+      .groupBy(nodes("id"))
+      .agg(coalesce(sum(expr("r DIV outd")), lit(0L)).as("contrib"))
+      .select(col("id"),
+        (lit(150000L) + expr("(85 * contrib) DIV 100")).as("r"))
+
+  /** Fixed-point PageRank over an edge list, `iters` sweeps from a
+    * uniform 1e6 start. At scale: the edge table shuffles once per sweep
+    * on `dst` (the aggregation key); ranks are one row per node; the
+    * out-degree table is computed once and reused. Lineage is truncated
+    * per sweep so the plan does not grow with iteration count (same
+    * discipline as the connected-components loop, `Dedup.scala` q63).
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd")).cache()
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters)
+      ranks = step(nodes, e, deg, ranks).localCheckpoint(eager = true)
+    ranks
+  }
+
+  /** q75: supplier→customer influence — PageRank over the "supplier
+    * ships to customer" graph (distinct `l_suppkey → o_custkey` pairs
+    * through orders), 3 fixed-point sweeps, top 25 by rank. The oracle
+    * unrolls the same 3 sweeps as chained CTEs — exact because every
+    * step is integer.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+    pageRank(edges, iters = 3)
+      .select(col("id"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("id"))
+      .limit(25)
+  }
+
+  private val q75Sql = {
+    def sweep(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.id,
+         |    150000 + (85 * COALESCE(SUM($prev.r // d.outd), 0)) // 100 AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  LEFT JOIN $prev ON $prev.id = e.src
+         |  GROUP BY n.id)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM edges
+       |          UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${sweep("r0", "r1")},
+       |${sweep("r1", "r2")},
+       |${sweep("r2", "r3")}
+       |SELECT id, CAST(r AS BIGINT) AS rank_ppm FROM r3
+       |ORDER BY rank_ppm DESC, id LIMIT 25""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q75_pagerank", q75, Some(q75Sql)),
+  )
+}

@@ -1000,6 +1000,46 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q74: NULL semantics, locked cross-engine — the silent-corruption
+    * corner of every engine port. Derives nullable columns with NULLIF,
+    * then checks in one query: a NULL grouping key forms its own group;
+    * `COUNT(*)` vs `COUNT(col)` vs `COUNT(DISTINCT col)` (the latter two
+    * skip NULLs); conditional counts of `IS NULL`; `MAX` over a group
+    * whose values are all NULL returns NULL (not a crash or a default);
+    * and ordering is pinned with an explicit NULLS FIRST (Spark's ASC
+    * default is nulls-first, DuckDB's is nulls-LAST — left implicit,
+    * the hash compare would order-split).
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .withColumn("prio_n", expr("nullif(o_orderpriority, '1-URGENT')"))
+      .groupBy(expr("nullif(o_orderstatus, 'F')").as("status_n"))
+      .agg(
+        count(lit(1)).as("n"),
+        count($"prio_n").as("n_nonnull"),
+        count_distinct($"prio_n").as("n_distinct_prio"),
+        count(when($"prio_n".isNull, lit(1))).as("n_null_prio"),
+        max(when($"prio_n".isNull, $"prio_n")).as("all_null_max"),
+        max($"prio_n").as("max_prio"),
+      )
+      .orderBy($"status_n".asc_nulls_first)
+  }
+
+  private val q74Sql =
+    """SELECT NULLIF(o_orderstatus, 'F') AS status_n,
+      |  COUNT(*) AS n,
+      |  COUNT(prio_n) AS n_nonnull,
+      |  COUNT(DISTINCT prio_n) AS n_distinct_prio,
+      |  COUNT(CASE WHEN prio_n IS NULL THEN 1 END) AS n_null_prio,
+      |  MAX(CASE WHEN prio_n IS NULL THEN prio_n END) AS all_null_max,
+      |  MAX(prio_n) AS max_prio
+      |FROM (SELECT o_orderstatus,
+      |        NULLIF(o_orderpriority, '1-URGENT') AS prio_n
+      |      FROM orders) t
+      |GROUP BY 1 ORDER BY status_n NULLS FIRST""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1034,5 +1074,6 @@ object Relational {
     QueryDef("q70_order_milestones", q70, Some(q70Sql)),
     QueryDef("q71_incremental_agg", q71, Some(q71Sql)),
     QueryDef("q72_approx_quantiles", q72, None),
+    QueryDef("q74_null_semantics", q74, Some(q74Sql)),
   )
 }

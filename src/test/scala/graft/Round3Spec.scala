@@ -180,6 +180,29 @@ class Round3Spec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("q75 fixed-point PageRank matches an in-memory power iteration") {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("src"), $"o_custkey".as("dst"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inEdges = edges.groupBy(_._2)
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3)
+      rank = nodes.map { n =>
+        val contrib = inEdges.getOrElse(n, Nil)
+          .map { case (s, _) => rank(s) / outd(s) }.sum
+        n -> (150000L + (85L * contrib) / 100L)
+      }.toMap
+    val expected = rank.toSeq.map { case (id, r) => (id, r) }
+      .sortBy { case (id, r) => (-r, id) }.take(25)
+    val got = run("q75_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("q67 full-outer merge loses neither ledger and marks provenance") {
     import spark.implicits._
     val rows = run("q67_date_merge").collect()
