@@ -19,42 +19,49 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** One fixed-point PageRank sweep: `ranks(id, r)` → next ranks over
-    * `edges(src, dst)` with out-degrees `deg(src, outd)`. Every node
-    * keeps a row (left join from the node set), so rank mass for
+  /** One fixed-point PageRank sweep over `degEdges(src, dst, outd)` —
+    * the edge list pre-joined with out-degrees ONCE (that join is
+    * rank-independent, so it is hoisted out of the iteration). Every
+    * node keeps a row (left join from the node set), so rank mass for
     * in-degree-0 nodes is the bare damping term.
     */
   private def step(
       nodes: DataFrame,
-      edges: DataFrame,
-      deg: DataFrame,
+      degEdges: DataFrame,
       ranks: DataFrame,
-  ): DataFrame =
-    nodes
-      .join(edges, nodes("id") === edges("dst"), "left")
-      .join(deg, Seq("src"), "left")
+  ): DataFrame = {
+    val contrib = degEdges
       .join(ranks.withColumnRenamed("id", "rid"),
-        col("src") === col("rid"), "left")
-      .groupBy(nodes("id"))
-      .agg(coalesce(sum(expr("r DIV outd")), lit(0L)).as("contrib"))
-      .select(col("id"),
-        (lit(150000L) + expr("(85 * contrib) DIV 100")).as("r"))
+        col("src") === col("rid"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("r DIV outd")).as("contrib"))
+    nodes
+      .join(contrib, nodes("id") === contrib("dst"), "left")
+      .select(nodes("id"),
+        (lit(150000L) +
+          expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+  }
 
   /** Fixed-point PageRank over an edge list, `iters` sweeps from a
-    * uniform 1e6 start. At scale: the edge table shuffles once per sweep
-    * on `dst` (the aggregation key); ranks are one row per node; the
-    * out-degree table is computed once and reused. Lineage is truncated
+    * uniform 1e6 start. At scale: each sweep is one join of ranks onto
+    * the (static, cached) degree-annotated edge table and one hash-agg
+    * shuffled on `dst`; ranks are one row per node. Lineage is truncated
     * per sweep so the plan does not grow with iteration count (same
     * discipline as the connected-components loop, `Dedup.scala` q63).
+    * The static caches are released before returning — the final ranks
+    * are an (eager) localCheckpoint, independent of them.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val degEdges = e.join(deg, Seq("src")).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd")).cache()
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
-      ranks = step(nodes, e, deg, ranks).localCheckpoint(eager = true)
+      ranks = step(nodes, degEdges, ranks).localCheckpoint(eager = true)
+    degEdges.unpersist()
+    nodes.unpersist()
     ranks
   }
 
