@@ -423,6 +423,46 @@ object Events {
       |      FROM events) t
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q77: gaps-and-islands — maximal runs of consecutive active hours
+    * per user via the row_number-difference idiom (`hour_id - row_number`
+    * is constant exactly within a consecutive run). All integer, so the
+    * compare is exact; one shuffle on user_id, everything after is
+    * partition-local.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"hour_id")
+    Tables
+      .events(s, d)
+      .select($"user_id",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+      .distinct()
+      .withColumn("grp", $"hour_id" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        max($"run_len").as("longest_run"),
+        sum($"run_len").cast("long").as("n_active_hours"),
+      )
+      .orderBy($"user_id")
+  }
+
+  private val q77Sql =
+    """SELECT user_id, COUNT(*) AS n_islands,
+      |  MAX(run_len) AS longest_run,
+      |  CAST(SUM(run_len) AS BIGINT) AS n_active_hours
+      |FROM (SELECT user_id, grp, COUNT(*) AS run_len
+      |      FROM (SELECT user_id, hour_id,
+      |              hour_id - ROW_NUMBER() OVER (PARTITION BY user_id
+      |                ORDER BY hour_id) AS grp
+      |            FROM (SELECT DISTINCT user_id,
+      |                    epoch_us(ts) // 3600000000 AS hour_id
+      |                  FROM events) h) g
+      |      GROUP BY user_id, grp) runs
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -440,5 +480,6 @@ object Events {
     QueryDef("q73_stream_hourly",
       (s, d) => graft.streaming.Streams.hourlyTypeCounts(s, d),
       Some(q22Sql)),
+    QueryDef("q77_active_islands", q77, Some(q77Sql)),
   )
 }

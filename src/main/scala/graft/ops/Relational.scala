@@ -1040,6 +1040,40 @@ object Relational {
       |      FROM orders) t
       |GROUP BY 1 ORDER BY status_n NULLS FIRST""".stripMargin
 
+  /** q78: percent-of-total in integer BASIS POINTS, overflow-free at any
+    * scale: `share_bp = cents DIV (total DIV 10000)` never multiplies a
+    * corpus-sized sum (the textbook `(10000·x) DIV total` overflows
+    * BIGINT once total passes ~9e14 cents — real at 100 TB). Total
+    * revenue arrives as a broadcast 1-row aggregate, not an
+    * unpartitioned window over the whole result.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables
+      .lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+    val total = cents.agg(sum($"cents").as("total_cents"))
+    cents
+      .crossJoin(broadcast(total))
+      .select($"p_brand", $"cents",
+        expr("cents DIV (total_cents DIV 10000)").as("share_bp"))
+      .orderBy($"p_brand")
+  }
+
+  private val q78Sql =
+    """WITH b AS (
+      |  SELECT p_brand,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM b)
+      |SELECT p_brand, cents,
+      |  CAST(cents // (total_cents // 10000) AS BIGINT) AS share_bp
+      |FROM b, t ORDER BY p_brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1075,5 +1109,6 @@ object Relational {
     QueryDef("q71_incremental_agg", q71, Some(q71Sql)),
     QueryDef("q72_approx_quantiles", q72, None),
     QueryDef("q74_null_semantics", q74, Some(q74Sql)),
+    QueryDef("q78_brand_share", q78, Some(q78Sql)),
   )
 }

@@ -203,6 +203,40 @@ class Round3Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q77 islands match a run-length recomputation over sorted hours") {
+    import spark.implicits._
+    val hours = Tables.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = hours.toSeq.map { case (u, hs) =>
+      // split the sorted hour list into maximal consecutive runs
+      val runs = hs.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run @ (last :: _)) :: rest, h) if h == last + 1 =>
+          (h :: run) :: rest
+        case (acc, h) => List(h) :: acc
+      }.map(_.size.toLong)
+      (u, runs.size.toLong, runs.max, runs.sum)
+    }.sortBy(_._1)
+    val got = run("q77_active_islands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q78 shares sum to ~10000 bp and match integer recomputation") {
+    val rows = run("q78_brand_share").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, cents, bp) =>
+      assert(bp == cents / (total / 10000L))
+    }
+    // truncation loses at most 1 bp per brand
+    val bpSum = rows.map(_._3).sum
+    assert(bpSum <= 10001 && bpSum >= 10000 - rows.length,
+      s"shares sum to $bpSum bp")
+  }
+
   test("q67 full-outer merge loses neither ledger and marks provenance") {
     import spark.implicits._
     val rows = run("q67_date_merge").collect()
