@@ -65,6 +65,49 @@ class PlanSpec extends AnyFunSuite {
       s"grouping sets must share one scan:\n$p")
   }
 
+  test("r3 queries keep their scale-critical plan shapes") {
+    // q64: top-k is TakeOrderedAndProject; the doc count is broadcast
+    val p64 = plan("q64_tfidf_terms")
+    assert(p64.contains("TakeOrderedAndProject"), s"q64 full sort:\n$p64")
+    assert(p64.contains("BroadcastNestedLoopJoin") ||
+      p64.contains("BroadcastExchange"), s"q64 N not broadcast:\n$p64")
+    // q66: the generated spine joins via broadcast, not a shuffle of
+    // the (at scale, huge) hourly count side into a sort-merge join
+    val p66 = plan("q66_hourly_spine")
+    assert(p66.contains("BroadcastExchange"), s"q66 spine shuffled:\n$p66")
+    // q78: percent-of-total gets its denominator from a broadcast 1-row
+    // aggregate — never an unpartitioned window over the result
+    val p78 = plan("q78_brand_share")
+    assert(!p78.contains("Window"), s"q78 uses a global window:\n$p78")
+    assert(p78.contains("BroadcastNestedLoopJoin") ||
+      p78.contains("BroadcastExchange"), s"q78 total not broadcast:\n$p78")
+    // q69: the RANGE-frame window and the per-user reduction reuse ONE
+    // shuffle on user_id (the orderBy adds a range exchange at the end)
+    val p69 = plan("q69_user_bursts")
+    val hashEx = "hashpartitioning".r.findAllIn(p69).size
+    assert(hashEx <= 1, s"q69 reshuffles between window and agg:\n$p69")
+  }
+
+  test("no registered batch query degenerates to an unbounded cartesian") {
+    // 1-row-broadcast denominators (scalar subquery shape) legitimately
+    // plan as BroadcastNestedLoopJoin over exactly one row — allow those
+    // q40/q49: broadcast 1-row query vector for the top-k scan
+    val oneRowBroadcast = Set(
+      "q16_scalar_subquery", "q64_tfidf_terms", "q78_brand_share",
+      "q40_cosine_topk", "q49_ivf_topk")
+    // streaming/generator entries build side effects or stream plans —
+    // plan text is checked by their own specs
+    val skip = Set("q73_stream_hourly")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+        if (!oneRowBroadcast(q))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$q: nested-loop join:\n$p")
+      }
+  }
+
   test("whole-stage codegen covers the scan→agg pipeline") {
     // AQE finalizes the plan lazily — execute first, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
