@@ -418,6 +418,88 @@ object Corpus {
       |      WHERE len(w) >= 2) t
       |ORDER BY doc_id""".stripMargin
 
+  /** q79: the end-to-end corpus manifest — the deliverable a data
+    * pipeline actually ships. Composes the library's own stages in one
+    * plan: exact-dedup survivorship (min doc_id per content
+    * fingerprint, q62's rule), quality gates (token count, type-token
+    * ratio, duplicate-bigram ratio — q31/q61/q68's metrics), and the
+    * content-hash train split (q53's rule), reduced to per-language
+    * counts, token mass, and a content checksum of what ships. Every
+    * metric is integer or string, so the full composition stays exact
+    * under the oracle hash.
+    *
+    * Plan: one scan, per-row codegen feature projection, one window
+    * over the fingerprint (dedup survivorship), one hash-agg on lang.
+    * At 100 TB: fingerprint window = one shuffle on fp (same key a
+    * dedup would shuffle anyway); everything else is map-side.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    Tables
+      .documents(s, d)
+      .withColumn("fp", md5($"text".cast("binary")))
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("ttr_pct",
+        expr("(100 * size(array_distinct(toks))) DIV size(toks)"))
+      .withColumn("bigrams",
+        expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("dup_pct",
+        // single-token docs have zero bigrams — ANSI DIV would throw
+        expr("CASE WHEN size(bigrams) = 0 THEN 0 ELSE " +
+          "(100 * (size(bigrams) - size(array_distinct(bigrams)))) " +
+          "DIV size(bigrams) END"))
+      .withColumn("survivor", min($"doc_id").over(w) === $"doc_id")
+      .withColumn("split", splitCol($"doc_id"))
+      .withColumn("keep",
+        $"survivor" && $"split" === "train" &&
+          $"n_tokens" >= 20 && $"ttr_pct" >= 30 && $"dup_pct" <= 50)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", lit(1)).otherwise(lit(0)))
+          .cast("long").as("n_kept"),
+        sum(when($"keep", $"n_tokens").otherwise(lit(0L)))
+          .cast("long").as("kept_tokens"),
+        min(when($"keep", $"fp")).as("min_kept_fp"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q79Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  MIN(CASE WHEN keep THEN fp END) AS min_kept_fp
+      |FROM (
+      |  SELECT lang, n_tokens, fp,
+      |    (survivor AND split = 'train' AND n_tokens >= 20
+      |      AND ttr_pct >= 30 AND dup_pct <= 50) AS keep
+      |  FROM (
+      |    SELECT lang, fp, n_tokens, ttr_pct, dup_pct,
+      |      MIN(doc_id) OVER (PARTITION BY fp) = doc_id AS survivor,
+      |      CASE WHEN h <= 'b' THEN 'train'
+      |           WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split
+      |    FROM (
+      |      SELECT doc_id, lang, md5(text) AS fp,
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |        CAST(len(w) AS BIGINT) AS n_tokens,
+      |        (100 * len(list_distinct(w))) // len(w) AS ttr_pct,
+      |        CASE WHEN len(bg) = 0 THEN 0 ELSE
+      |          (100 * (len(bg) - len(list_distinct(bg)))) // len(bg)
+      |        END AS dup_pct
+      |      FROM (
+      |        SELECT *,
+      |          list_transform(range(1, len(w)),
+      |                         i -> w[i] || ' ' || w[i + 1]) AS bg
+      |        FROM (SELECT doc_id, lang, text,
+      |                string_split(text, ' ') AS w
+      |              FROM documents) t0) t1) t2) t3) t4
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -427,5 +509,6 @@ object Corpus {
     QueryDef("q64_tfidf_terms", q64, Some(q64Sql)),
     QueryDef("q65_contamination", q65, Some(q65Sql)),
     QueryDef("q68_dup_bigrams", q68, Some(q68Sql)),
+    QueryDef("q79_corpus_manifest", q79, Some(q79Sql)),
   )
 }
