@@ -52,7 +52,10 @@ object Graph {
     * are an (eager) localCheckpoint, independent of them.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // e is cached too: degEdges and nodes both derive from it, and
+    // without the cache the upstream edge-building join runs once per
+    // derived table
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
     val degEdges = e.join(deg, Seq("src")).cache()
     val nodes = e.select(col("src").as("id"))
@@ -60,6 +63,7 @@ object Graph {
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
       ranks = step(nodes, degEdges, ranks).localCheckpoint(eager = true)
+    e.unpersist()
     degEdges.unpersist()
     nodes.unpersist()
     ranks
