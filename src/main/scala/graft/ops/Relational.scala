@@ -35,19 +35,24 @@ object Relational {
     Tables
       .lineitem(s, d)
       .filter($"l_shipdate" < lit("1999-06-01 00:00:00").cast("timestamp"))
+      // Money sums in EXACT integer grid units (price 2dp → cents;
+      // ×(1-disc) → 1e4 units; ×(1+tax) → 1e6 units): a double sum
+      // rounded at the 6dp grid loses parity once magnitude × 1e6
+      // approaches 2^53 — observed at sf0.1 where the two engines'
+      // summation orders straddled a half-ulp of the grid. Integer sums
+      // are association-free; the single final int64→double division is
+      // IEEE-deterministic on both engines.
+      .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+      .withColumn("disc_pct", round($"l_discount" * 100).cast("long"))
+      .withColumn("tax_pct", round($"l_tax" * 100).cast("long"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        (sum($"cents").cast("double") / 100.0).as("sum_base_price"),
+        (sum($"cents" * (lit(100L) - $"disc_pct")).cast("double") / 1e4)
           .as("sum_disc_price"),
-        round(
-          sum(
-            $"l_extendedprice" * (lit(1.0) - $"l_discount") *
-              (lit(1.0) + $"l_tax")
-          ),
-          6,
-        ).as("sum_charge"),
+        (sum($"cents" * (lit(100L) - $"disc_pct") *
+          (lit(100L) + $"tax_pct")).cast("double") / 1e6).as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"),
@@ -58,14 +63,21 @@ object Relational {
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+      |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0
+      |    AS sum_base_price,
+      |  CAST(CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS DOUBLE)
+      |    / 10000.0 AS sum_disc_price,
+      |  CAST(CAST(SUM(cents * (100 - disc_pct) * (100 + tax_pct))
+      |    AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_discount), 6) AS avg_disc,
       |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate < TIMESTAMP '1999-06-01 00:00:00'
+      |FROM (SELECT *,
+      |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+      |        CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+      |        CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct
+      |      FROM lineitem
+      |      WHERE l_shipdate < TIMESTAMP '1999-06-01 00:00:00') t
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -672,20 +684,31 @@ object Relational {
     Tables
       .embeddings(s, d)
       .select(posexplode($"embedding").as(Seq("dim", "x")))
+      // quantize each float to exact integer micro-units BEFORE the
+      // sum: a rounded double AVG lost parity at sf0.1 when one dim's
+      // mean landed within a summation-order half-ulp of the 4dp grid.
+      // float32→double is exact, so the per-element ROUND is identical
+      // on both engines, and integer sums are association-free.
+      .withColumn("x_e6", round($"x".cast("double") * 1e6).cast("long"))
       .groupBy($"dim".cast("long").as("dim")) // int64: exact dtype parity with the oracle
       .agg(
-        round(avg($"x".cast("double")), 4).as("avg_x"),
+        (sum($"x_e6").cast("double") /
+          (count(lit(1)) * lit(1000000L)).cast("double")).as("avg_x"),
         count(lit(1)).as("n"),
       )
       .orderBy($"dim")
   }
 
   private val q44Sql =
-    """SELECT i - 1 AS dim, ROUND(AVG(CAST(x AS DOUBLE)), 4) AS avg_x,
+    """SELECT i - 1 AS dim,
+      |  CAST(CAST(SUM(x_e6) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) * 1000000 AS DOUBLE) AS avg_x,
       |  COUNT(*) AS n
-      |FROM (SELECT unnest(embedding) AS x,
-      |             generate_subscripts(embedding, 1) AS i
-      |      FROM embeddings) t
+      |FROM (SELECT CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |          AS x_e6, i
+      |      FROM (SELECT unnest(embedding) AS x,
+      |              generate_subscripts(embedding, 1) AS i
+      |            FROM embeddings) t0) t
       |GROUP BY 1 ORDER BY dim""".stripMargin
 
   /** Regex extraction: first word of p_type as a derived dimension. */
