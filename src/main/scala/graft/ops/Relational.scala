@@ -173,10 +173,14 @@ object Relational {
       .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      // integer 1e4-grid units: per-nation groups grow with the fact
+      // table, so a rounded double sum eventually loses parity the way
+      // q01's charge did at sf0.1 (see that query's note)
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"),
+        (sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
+          .cast("double") / 1e4).as("revenue"),
         count(lit(1)).as("n_lines"),
       )
       .orderBy($"r_name", $"n_name")
@@ -184,7 +188,9 @@ object Relational {
 
   private val q05Sql =
     """SELECT r_name, n_name,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS DOUBLE) / 10000.0 AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |  JOIN orders   ON l_orderkey = o_orderkey
@@ -750,15 +756,19 @@ object Relational {
       .groupBy($"s_nationkey")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"),
+        // integer 1e4-grid units — same scale-parity rationale as q05
+        (sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
+          .cast("double") / 1e4).as("revenue"),
       )
       .orderBy($"s_nationkey")
   }
 
   private val q47Sql =
     """SELECT s_nationkey, COUNT(*) AS n_items,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
