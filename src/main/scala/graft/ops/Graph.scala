@@ -29,9 +29,10 @@ object Graph {
       nodes: DataFrame,
       degEdges: DataFrame,
       ranks: DataFrame,
+      hintRanks: DataFrame => DataFrame,
   ): DataFrame = {
     val contrib = degEdges
-      .join(ranks.withColumnRenamed("id", "rid"),
+      .join(hintRanks(ranks.withColumnRenamed("id", "rid")),
         col("src") === col("rid"))
       .groupBy(col("dst"))
       .agg(sum(expr("r DIV outd")).as("contrib"))
@@ -51,18 +52,38 @@ object Graph {
     * The static caches are released before returning — the final ranks
     * are an (eager) localCheckpoint, independent of them.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      broadcastRanks: Boolean = false,
+  ): DataFrame = {
+    // `broadcastRanks` forces the ranks side of the sweep join to
+    // broadcast — only sound when the node set fits an executor, so the
+    // default stays shuffle-based (co-partitioned with the cached edge
+    // table). Measured at sf0.1 (ProfileGraph, 587k edges / 15k nodes):
+    // per-sweep ≈ 0.75 s under EITHER strategy — local-mode job overhead
+    // dominates, not data movement, so there is nothing left to claw
+    // back at this SF; the knob exists for genuinely small graphs.
+    val hintRanks: DataFrame => DataFrame =
+      if (broadcastRanks) broadcast else identity
     // e is cached too: degEdges and nodes both derive from it, and
     // without the cache the upstream edge-building join runs once per
     // derived table
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-    val degEdges = e.join(deg, Seq("src")).cache()
+    // both static tables are hash-partitioned on their sweep-join key
+    // BEFORE caching: InMemoryTableScan preserves that partitioning, so
+    // each sweep's join moves only the ranks side (one row per node) —
+    // the edge table, the big side at corpus scale, never re-shuffles
+    val degEdges = e.join(deg, Seq("src"))
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+      .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).cache()
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters)
-      ranks = step(nodes, degEdges, ranks).localCheckpoint(eager = true)
+      ranks = step(nodes, degEdges, ranks, hintRanks)
+        .localCheckpoint(eager = true)
     e.unpersist()
     degEdges.unpersist()
     nodes.unpersist()

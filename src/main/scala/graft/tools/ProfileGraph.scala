@@ -32,17 +32,25 @@ object ProfileGraph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
 
-    // stage timings once: edge build vs the iterative part
-    val t0 = System.nanoTime()
-    val nEdges = edges.distinct().count()
-    val tEdges = (System.nanoTime() - t0) / 1e9
-    println(f"[profile] edge build+distinct: $tEdges%.2f s ($nEdges edges)")
+    // stage timings, twice: cold (scan+codegen) vs steady edge build
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val nEdges = edges.distinct().count()
+      val tEdges = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] edge build+distinct #$i: $tEdges%.2f s ($nEdges edges)")
+    }
 
-    (1 to reps).foreach { i =>
+    // slope over sweep count isolates per-sweep cost from the fixed
+    // edge-build + cache-fill part that every run repays
+    for {
+      bc <- Seq(false, true)
+      it <- Seq(0, 1, iters, 2 * iters)
+      r  <- 1 to reps
+    } {
       val t = System.nanoTime()
-      val n = Graph.pageRank(edges, iters).count()
+      val n = Graph.pageRank(edges, it, broadcastRanks = bc).count()
       val dt = (System.nanoTime() - t) / 1e9
-      println(f"[profile] run $i: $dt%.2f s ($n nodes, $iters sweeps)")
+      println(f"[profile] run $r @ $it sweeps bc=$bc: $dt%.2f s ($n nodes)")
     }
     spark.stop()
   }
