@@ -11,7 +11,8 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     ops.Relational.all ++ ops.Events.all ++ ops.Text.all ++
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
-      ops.Corpus.all ++ ops.Graph.all ++ gen.GenQueries.all
+      ops.Corpus.all ++ ops.Graph.all ++ ops.Sources.all ++
+      gen.GenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.3: generator → window agg → pattern-dim join → sort.

@@ -1107,6 +1107,127 @@ object Relational {
       |  CAST(cents // (total_cents // 10000) AS BIGINT) AS share_bp
       |FROM b, t ORDER BY p_brand""".stripMargin
 
+  /** q80: correlated-aggregate decorrelation — orders strictly above
+    * their own customer's average order value. The textbook form is a
+    * correlated scalar subquery (the oracle states exactly that); the
+    * Spark plan is the decorrelated single-shuffle form: both the
+    * customer total and the customer count come from ONE window over
+    * `o_custkey`, so there is no self-join and the fact table moves
+    * once. The comparison is integer cross-multiplied
+    * (`cents · n > sum_cents`, never `price > avg`): an average is a
+    * division whose last ulp depends on engine summation order, and a
+    * strict inequality on it would flip rows at scale.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables
+      .orders(s, d)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .withColumn("cust_cents", sum($"cents").over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      .filter($"cents" * $"cust_n" > $"cust_cents")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_above"),
+        (sum($"cents").cast("double") / 100.0).as("sum_above"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q80Sql =
+    """WITH o AS (SELECT o_orderpriority, o_custkey,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_above,
+      |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS sum_above
+      |FROM o
+      |WHERE cents * (SELECT COUNT(*) FROM o o2
+      |               WHERE o2.o_custkey = o.o_custkey)
+      |    > (SELECT CAST(SUM(cents) AS BIGINT) FROM o o3
+      |       WHERE o3.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q81: nested collection round-trip — per priority, collect the
+    * distinct (order-year, order-count) pairs as an array of structs,
+    * sort it, then flatten back out with `posexplode`. Exercises
+    * `collect_list(struct)`, `sort_array`, and generator output in one
+    * plan; the oracle rebuilds the same rows with a window ordinal.
+    * The collected arrays stay bounded (one element per year per
+    * priority — grouped BEFORE collecting), which is the only shape a
+    * driver-side array aggregate is allowed to take at 100 TB: collect
+    * aggregated keys, never raw rows.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupBy($"o_orderpriority", year($"o_orderdate").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(sort_array(collect_list(struct($"y", $"n"))).as("years"))
+      .select($"o_orderpriority", posexplode($"years").as(Seq("pos", "e")))
+      .select(
+        $"o_orderpriority",
+        $"pos".cast("long").as("pos"),
+        $"e.y".cast("long").as("y"),
+        $"e.n".as("n"),
+      )
+      .orderBy($"o_orderpriority", $"pos")
+  }
+
+  private val q81Sql =
+    """WITH per_year AS (
+      |  SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS y,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY y)
+      |    - 1 AS BIGINT) AS pos,
+      |  CAST(y AS BIGINT) AS y, n
+      |FROM per_year
+      |ORDER BY o_orderpriority, pos""".stripMargin
+
+  /** q84: schema-drift union — two supplier projections with different
+    * column order, one missing a column, merged with
+    * `unionByName(allowMissingColumns = true)` (position-blind, absent
+    * columns null-filled — the ingestion posture for a corpus whose
+    * shards were written by different pipeline versions). The aggregate
+    * proves both the name-based alignment and the null fill.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, d)
+    val v1 = sup
+      .filter($"s_suppkey" % 2 === 0)
+      .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
+    val v2 = sup
+      .filter($"s_suppkey" % 2 === 1)
+      .select($"s_suppkey", $"s_nationkey") // reordered, acctbal absent
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy($"s_nationkey")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"s_acctbal").as("n_with_bal"),
+        sum(round($"s_acctbal" * 100).cast("long")).as("bal_cents"),
+      )
+      .orderBy($"s_nationkey")
+  }
+
+  private val q84Sql =
+    """WITH u AS (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal
+      |  FROM supplier WHERE s_suppkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey, s_nationkey FROM supplier
+      |  WHERE s_suppkey % 2 = 1)
+      |SELECT s_nationkey, COUNT(*) AS n_rows,
+      |  COUNT(s_acctbal) AS n_with_bal,
+      |  CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM u GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1143,5 +1264,8 @@ object Relational {
     QueryDef("q72_approx_quantiles", q72, None),
     QueryDef("q74_null_semantics", q74, Some(q74Sql)),
     QueryDef("q78_brand_share", q78, Some(q78Sql)),
+    QueryDef("q80_above_cust_avg", q80, Some(q80Sql)),
+    QueryDef("q81_collect_structs", q81, Some(q81Sql)),
+    QueryDef("q84_union_by_name", q84, Some(q84Sql)),
   )
 }
