@@ -481,5 +481,10 @@ object Events {
       (s, d) => graft.streaming.Streams.hourlyTypeCounts(s, d),
       Some(q22Sql)),
     QueryDef("q77_active_islands", q77, Some(q77Sql)),
+    // Stateful streaming under the oracle gate: flatMapGroupsWithState
+    // session stats must hash-match the SAME DuckDB SQL as batch q20.
+    QueryDef("q85_stream_sessions",
+      (s, d) => graft.streaming.Streams.sessionStats(s, d),
+      Some(q20Sql)),
   )
 }

@@ -108,6 +108,72 @@ object Multimodal {
         col("frame"))
   }
 
+  /** Nearest-neighbor 2-D downsample of a row-major byte grid — the
+    * image-resize shape. The payload is treated as `width`-byte rows;
+    * the output keeps every `sy`-th row and every `sx`-th byte within
+    * it, rebuilt with nested `transform`/`sequence` + 1-byte substrings
+    * (pure codegen'd expressions, no UDF — resize is a projection that
+    * scales as a scan, exactly like [[sampleFrames]]). A real decoder
+    * swaps the byte-grid arithmetic for pixel rows; the plumbing
+    * (metadata-driven dims, per-row striding, reassembly) is identical.
+    * Out-of-range 1-byte substrings yield "" in both Spark and DuckDB,
+    * so the ragged last row needs no special casing.
+    */
+  def resizeGrid(
+      assetsDf: DataFrame,
+      width: Int = 64,
+      sx: Int = 2,
+      sy: Int = 2,
+  ): DataFrame = {
+    val wOut = (width + sx - 1) / sx
+    assetsDf
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("h_out",
+        expr(s"((n_bytes + ${width - 1}) DIV $width + ${sy - 1}) DIV $sy"))
+      .withColumn("resized", expr(
+        s"""array_join(transform(
+           |  sequence(0L, greatest(h_out - 1, 0L)), r ->
+           |    array_join(transform(sequence(0, ${wOut - 1}), c ->
+           |      substring(txt, cast(r * $sy * $width + c * $sx + 1
+           |        as int), 1)), '')), '')""".stripMargin))
+      .select(col("doc_id"), col("source"), col("n_bytes"),
+        col("resized"))
+  }
+
+  /** Resize end-to-end, oracle-checkable on the ASCII corpus: distinct
+    * md5 over the resized payloads certifies every output byte, and the
+    * exact output length pins the dimension arithmetic.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resizeGrid(assets(s, d))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length($"resized")).as("sum_out_bytes"),
+        countDistinct(md5($"resized")).as("n_distinct"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q86Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, source, text,
+      |    ((length(text) + 63) // 64 + 1) // 2 AS h_out
+      |  FROM documents),
+      |resized AS (
+      |  SELECT doc_id, source,
+      |    COALESCE(list_aggregate(flatten(
+      |      list_transform(generate_series(0, greatest(h_out - 1, 0)),
+      |        r -> list_transform(generate_series(0, 31),
+      |          c -> substring(text, CAST(r*2*64 + c*2 + 1 AS INT), 1)))),
+      |      'string_agg', ''), '') AS resized
+      |  FROM dims)
+      |SELECT source, COUNT(*) AS n_assets,
+      |  CAST(SUM(length(resized)) AS BIGINT) AS sum_out_bytes,
+      |  COUNT(DISTINCT md5(resized)) AS n_distinct
+      |FROM resized GROUP BY source ORDER BY source""".stripMargin
+
   /** Metadata aggregation — pure expressions over the binary column, so
     * it is SQL-oracle-checkable (octet_length of UTF-8 text payload).
     */
@@ -184,5 +250,6 @@ object Multimodal {
     QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
     QueryDef("q51_mm_features", q51, None),
     QueryDef("q52_mm_frames", q52, Some(q52Sql)),
+    QueryDef("q86_mm_resize", q86, Some(q86Sql)),
   )
 }

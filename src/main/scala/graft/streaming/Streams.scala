@@ -207,6 +207,95 @@ object Streams {
   final case class SessionState(lastUs: Long, sessions: Long, events: Long)
   final case class SessionCount(user_id: Long, sessions: Long, events: Long)
 
+  final case class SessStatState(
+      lastUs: Long,
+      sessions: Long,
+      events: Long,
+      curEvents: Long,
+      maxEvents: Long,
+  )
+  final case class SessStatRow(
+      user_id: Long,
+      n_sessions: Long,
+      n_events: Long,
+      max_session_events: Long,
+  )
+
+  /** Stateful streaming under the driver's oracle gate: per-user session
+    * stats via `flatMapGroupsWithState`, run to completion over the
+    * driver `events` table as a file-source stream, with the SAME output
+    * columns (and DuckDB oracle) as the batch sessionizer `Events.q20` —
+    * custom streaming state, externally hash-verified.
+    *
+    * Update mode emits the running per-user row each microbatch; every
+    * emitted measure is monotone non-decreasing, so the final value per
+    * user is a `max` over the memory-sink rows — correct whether the
+    * source arrives as one microbatch or many. Events are sorted by
+    * time inside a batch and the state carries the last-seen timestamp,
+    * so ordered replay reproduces batch semantics exactly (the
+    * cross-microbatch split case is pinned by StreamingSpec).
+    */
+  def sessionStats(
+      spark: SparkSession,
+      dir: String,
+      gapUs: Long = 1800L * 1000000L,
+  ): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    implicit val stEnc  = Encoders.product[SessStatState]
+    implicit val outEnc = Encoders.product[SessStatRow]
+    val updates = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select($"user_id", expr("ts DIV 1000").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)],
+         state: GroupState[SessStatState]) =>
+          val sorted = it.map(_._2).toArray
+          java.util.Arrays.sort(sorted)
+          var st = state.getOption.getOrElse(
+            SessStatState(Long.MinValue, 0L, 0L, 0L, 0L))
+          sorted.foreach { us =>
+            val newSession =
+              st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            val cur = if (newSession) 1L else st.curEvents + 1L
+            st = SessStatState(
+              us,
+              st.sessions + (if (newSession) 1L else 0L),
+              st.events + 1L,
+              cur,
+              math.max(st.maxEvents, cur),
+            )
+          }
+          state.update(st)
+          Iterator.single(
+            SessStatRow(user, st.sessions, st.events, st.maxEvents))
+      }
+    val name = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = updates.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"),
+        max(col("max_session_events")).as("max_session_events"),
+      )
+      .orderBy(col("user_id"))
+  }
+
   /** Stateful streaming sessionization: per-user inactivity-gap session
     * counting with explicit state (`flatMapGroupsWithState`) — emits the
     * running per-user totals each microbatch (Update mode).
