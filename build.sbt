@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver greps the LAST 2000 chars of `sbt runMain` stdout
+// for Bench's one-line JSON. sbt's default LoggedOutput prefixes every
+// forked-process line with "[info] ", so no line ever starts with '{' —
+// three rounds of BENCH_r*.json recorded parsed:null with the complete
+// JSON visibly sitting in the tail window. StdoutOutput passes the child's
+// stdout through verbatim (and its stderr to stderr, keeping Spark WARN
+// chatter out of the stdout tail entirely).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,7 +77,11 @@ object Bench {
     // locale-safe 3-decimal rendering (f"%..f" honors the JVM locale and
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val budget = 1300 // chars for the queries map; total line stays <1.5k
+    // 800-char map budget keeps the whole line ≤ ~1k chars: even with
+    // sbt's trailing "[success] Total time" line and any late WARN chatter
+    // in the same window, the complete JSON line fits the driver's
+    // 2000-char tail with 2× headroom.
+    val budget = 800
     val sorted = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0

@@ -444,10 +444,15 @@ object Corpus {
       .withColumn("ttr_pct",
         expr("(100 * size(array_distinct(toks))) DIV size(toks)"))
       .withColumn("bigrams",
-        expr("transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1]))"))
+        // For a <2-token doc, sequence(0, size-2) would be sequence(0,-1)
+        // = [0,-1] (Spark steps -1 when start > stop), and toks[-1] throws
+        // INVALID_ARRAY_INDEX under ANSI. q68 filters such docs out; the
+        // manifest must keep every row, so guard the construction itself.
+        expr("CASE WHEN size(toks) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])) END"))
       .withColumn("dup_pct",
-        // single-token docs have zero bigrams — ANSI DIV would throw
+        // zero-bigram docs (guard above) — ANSI DIV would throw
         expr("CASE WHEN size(bigrams) = 0 THEN 0 ELSE " +
           "(100 * (size(bigrams) - size(array_distinct(bigrams)))) " +
           "DIV size(bigrams) END"))

@@ -359,8 +359,11 @@ object Events {
     * engines compare exact integers, never timestamp objects.
     *
     * Scale: the spine is rows=hours (tiny even for years of data) built
-    * without a driver collect; the join broadcasts the spine, and the
-    * count side is one map-side-combined hash-agg of the event stream.
+    * without a driver collect; the count side is one map-side-combined
+    * hash-agg of the event stream, reduced to hour cardinality — so it
+    * is the broadcast-able build side. (Hinting the spine would be
+    * useless: it is the stream-preserved side of the left-outer join,
+    * where BroadcastHashJoin cannot build, and Spark ignores the hint.)
     */
   private def q66(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -371,8 +374,8 @@ object Events {
     val spine = hours
       .agg(min($"hour_id").as("lo"), max($"hour_id").as("hi"))
       .select(explode(sequence($"lo", $"hi")).as("hour_id"))
-    broadcast(spine)
-      .join(counts, Seq("hour_id"), "left")
+    spine
+      .join(broadcast(counts), Seq("hour_id"), "left")
       .select($"hour_id", coalesce($"n_events", lit(0L)).as("n_events"))
       .orderBy($"hour_id")
   }

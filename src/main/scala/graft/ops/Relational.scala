@@ -39,20 +39,26 @@ object Relational {
       // ×(1-disc) → 1e4 units; ×(1+tax) → 1e6 units): a double sum
       // rounded at the 6dp grid loses parity once magnitude × 1e6
       // approaches 2^53 — observed at sf0.1 where the two engines'
-      // summation orders straddled a half-ulp of the grid. Integer sums
-      // are association-free; the single final int64→double division is
-      // IEEE-deterministic on both engines.
+      // summation orders straddled a half-ulp of the grid. The per-row
+      // grid products fit long (≤ ~1.1e11), but their SUM is
+      // accumulated in decimal(38,0): an int64 accumulator overflows
+      // around sf 40-60 for the 1e6-unit charge (ANSI: runtime error),
+      // and decimal sums are just as association-free. The single final
+      // exact-integer→double conversion is IEEE round-to-nearest on
+      // both engines, hence deterministic.
       .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
       .withColumn("disc_pct", round($"l_discount" * 100).cast("long"))
       .withColumn("tax_pct", round($"l_tax" * 100).cast("long"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
-        (sum($"cents").cast("double") / 100.0).as("sum_base_price"),
-        (sum($"cents" * (lit(100L) - $"disc_pct")).cast("double") / 1e4)
-          .as("sum_disc_price"),
-        (sum($"cents" * (lit(100L) - $"disc_pct") *
-          (lit(100L) + $"tax_pct")).cast("double") / 1e6).as("sum_charge"),
+        (sum($"cents".cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (sum(($"cents" * (lit(100L) - $"disc_pct")).cast("decimal(38,0)"))
+          .cast("double") / 1e4).as("sum_disc_price"),
+        (sum(($"cents" * (lit(100L) - $"disc_pct") *
+          (lit(100L) + $"tax_pct")).cast("decimal(38,0)"))
+          .cast("double") / 1e6).as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"),
@@ -1017,7 +1023,10 @@ object Relational {
     * merge is one small shuffle, where exact percentiles must shuffle
     * the full column. No DuckDB oracle (its approx_quantile is t-digest
     * — different sketch, different answers by design); Round3Spec bounds
-    * the rank error against the exact quantiles instead.
+    * the rank error against the exact quantiles instead. The three
+    * quantiles ship as scalar columns (element_at), not the raw array:
+    * the driver's pandas row-sort/hash path can't hash an ndarray cell,
+    * and scalars keep the no-oracle row count/schema record clean.
     */
   private def q72(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1027,8 +1036,15 @@ object Relational {
       .agg(
         percentile_approx($"l_extendedprice",
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-          .as("approx_quartiles"),
+          .as("aq"),
         count(lit(1)).as("n"),
+      )
+      .select(
+        $"l_returnflag",
+        element_at($"aq", 1).as("p25"),
+        element_at($"aq", 2).as("p50"),
+        element_at($"aq", 3).as("p75"),
+        $"n",
       )
       .orderBy($"l_returnflag")
   }
@@ -1130,7 +1146,10 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_above"),
-        (sum($"cents").cast("double") / 100.0).as("sum_above"),
+        // decimal accumulator: same association-free exactness, int64
+        // headroom bound (≈9e16 dollars) removed — see q01's note
+        (sum($"cents".cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("sum_above"),
       )
       .orderBy($"o_orderpriority")
   }

@@ -71,10 +71,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p64.contains("TakeOrderedAndProject"), s"q64 full sort:\n$p64")
     assert(p64.contains("BroadcastNestedLoopJoin") ||
       p64.contains("BroadcastExchange"), s"q64 N not broadcast:\n$p64")
-    // q66: the generated spine joins via broadcast, not a shuffle of
-    // the (at scale, huge) hourly count side into a sort-merge join
+    // q66: the hour-cardinality counts side is the hinted broadcast
+    // build of the left-outer join (the spine is stream-preserved and
+    // can never be the build side) — no sort-merge shuffle
     val p66 = plan("q66_hourly_spine")
-    assert(p66.contains("BroadcastExchange"), s"q66 spine shuffled:\n$p66")
+    assert(p66.contains("BroadcastExchange"), s"q66 counts shuffled:\n$p66")
+    assert(!p66.contains("SortMergeJoin"), s"q66 fell back to SMJ:\n$p66")
     // q78: percent-of-total gets its denominator from a broadcast 1-row
     // aggregate — never an unpartitioned window over the result
     val p78 = plan("q78_brand_share")
