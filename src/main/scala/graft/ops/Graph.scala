@@ -56,6 +56,7 @@ object Graph {
       edges: DataFrame,
       iters: Int,
       broadcastRanks: Boolean = false,
+      checkpointEvery: Int = 1,
   ): DataFrame = {
     // `broadcastRanks` forces the ranks side of the sweep join to
     // broadcast — only sound when the node set fits an executor, so the
@@ -80,10 +81,19 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).cache()
+    // `checkpointEvery` trades lineage depth against materialization
+    // jobs: each eager localCheckpoint is a full job whose fixed
+    // scheduling cost dominates a sweep at bench SFs (per-sweep data is
+    // one ranks row per node). Chaining K sweeps into one plan keeps a
+    // bounded K-join lineage (Catalyst planning stays O(K)) and pays
+    // one materialization per K sweeps; the final ranks are always
+    // checkpointed so the caches below can be released safely.
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters)
+    for (i <- 1 to iters) {
       ranks = step(nodes, degEdges, ranks, hintRanks)
-        .localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(eager = true)
+    }
     e.unpersist()
     degEdges.unpersist()
     nodes.unpersist()
@@ -102,7 +112,10 @@ object Graph {
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
-    pageRank(edges, iters = 3)
+    // 3 sweeps chain into one plan (checkpointEvery=3): measured at
+    // sf0.1 the per-sweep eager checkpoint was pure job overhead; at
+    // hundreds of sweeps the default per-sweep truncation is the knob.
+    pageRank(edges, iters = 3, checkpointEvery = 3)
       .select(col("id"), col("r").as("rank_ppm"))
       .orderBy(col("rank_ppm").desc, col("id"))
       .limit(25)

@@ -43,14 +43,14 @@ object ProfileGraph {
     // slope over sweep count isolates per-sweep cost from the fixed
     // edge-build + cache-fill part that every run repays
     for {
-      bc <- Seq(false, true)
+      ck <- Seq(1, iters)
       it <- Seq(0, 1, iters, 2 * iters)
       r  <- 1 to reps
     } {
       val t = System.nanoTime()
-      val n = Graph.pageRank(edges, it, broadcastRanks = bc).count()
+      val n = Graph.pageRank(edges, it, checkpointEvery = ck).count()
       val dt = (System.nanoTime() - t) / 1e9
-      println(f"[profile] run $r @ $it sweeps bc=$bc: $dt%.2f s ($n nodes)")
+      println(f"[profile] run $r @ $it sweeps ck=$ck: $dt%.2f s ($n nodes)")
     }
     spark.stop()
   }
