@@ -505,6 +505,46 @@ object Corpus {
       |              FROM documents) t0) t1) t2) t3) t4
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q90: deterministic stratified sampling — per-language rates (en is
+    * over-represented, so it downsamples hardest) decided by a hash of
+    * the stable doc id, NOT `rand()`: the sample is reproducible across
+    * engines, partitionings, retries, and re-runs, which is what makes
+    * a corpus mix auditable. Same md5-prefix device as q53's split;
+    * per-stratum thresholds over the uniform first hex nibble (en 4/16,
+    * zh 8/16, rest 12/16). One projection + one hash-agg on lang.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+    Tables
+      .documents(s, d)
+      .withColumn("keep",
+        when($"lang" === "en", h <= "3")
+          .when($"lang" === "zh", h <= "7")
+          .otherwise(h <= "b"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).cast("long").as("n_kept"),
+        min(when($"keep", md5($"text".cast("binary")))).as("min_kept_fp"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q90Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN keep THEN fp END) AS min_kept_fp
+      |FROM (SELECT lang, md5(text) AS fp,
+      |        CASE WHEN lang = 'en'
+      |               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
+      |             WHEN lang = 'zh'
+      |               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'
+      |             ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |        END AS keep
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -515,5 +555,6 @@ object Corpus {
     QueryDef("q65_contamination", q65, Some(q65Sql)),
     QueryDef("q68_dup_bigrams", q68, Some(q68Sql)),
     QueryDef("q79_corpus_manifest", q79, Some(q79Sql)),
+    QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
   )
 }

@@ -466,6 +466,13 @@ object Events {
       |      GROUP BY user_id, grp) runs
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val q92Sql =
+    """SELECT n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events JOIN nation ON n_nationkey = user_id % 25
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -489,5 +496,10 @@ object Events {
     QueryDef("q85_stream_sessions",
       (s, d) => graft.streaming.Streams.sessionStats(s, d),
       Some(q20Sql)),
+    // Stream-static broadcast enrichment join under the oracle gate:
+    // the streamed per-nation rollup must hash-match the batch SQL.
+    QueryDef("q92_stream_enrich",
+      (s, d) => graft.streaming.Streams.enrichedNationCounts(s, d),
+      Some(q92Sql)),
   )
 }

@@ -1247,6 +1247,44 @@ object Relational {
       |    AS bal_cents
       |FROM u GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** q93: unpivot (wide → long) — the inverse of q43's pivot, via the
+    * dedicated `Dataset.unpivot` (MELT) operator. The wide side is a
+    * small aggregate, so the reshape itself is a per-row expression
+    * expansion (no shuffle); all measures are exact integers. The
+    * oracle states the reshape as the dialect-portable UNION ALL.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity").cast("long").as("qty"),
+        count(lit(1)).as("items"),
+        countDistinct($"l_orderkey").as("orders"),
+      )
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"qty", $"items", $"orders"),
+        "metric",
+        "value",
+      )
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  private val q93Sql =
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS qty,
+      |    COUNT(*) AS items,
+      |    COUNT(DISTINCT l_orderkey) AS orders
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'items', items FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'orders', orders FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1286,5 +1324,6 @@ object Relational {
     QueryDef("q80_above_cust_avg", q80, Some(q80Sql)),
     QueryDef("q81_collect_structs", q81, Some(q81Sql)),
     QueryDef("q84_union_by_name", q84, Some(q84Sql)),
+    QueryDef("q93_unpivot", q93, Some(q93Sql)),
   )
 }

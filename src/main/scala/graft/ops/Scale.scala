@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical scale patterns as first-class operators: the three plan
+  * shapes that decide whether a 100 TB join/aggregate is feasible at
+  * all — runtime bloom prefilters (ship a sketch of the small side into
+  * the big side's scan), bucketed storage (pre-shuffle once at write
+  * time, join shuffle-free forever after), and mergeable sketches
+  * (aggregate state that composes across partitions/shards/days).
+  */
+object Scale {
+
+  /** q87: bloom-prefiltered semi-join. The dim side (urgent orders) is
+    * sketched into a driver-held bloom filter in one pass; the fact
+    * scan drops non-matching rows BEFORE the join shuffle; the final
+    * left-semi join makes the result exact (the bloom admits ~1% false
+    * positives, so it is only ever a volume reducer — the same
+    * prefilter/exact-join split Catalyst's InjectRuntimeFilter applies
+    * to shuffle joins, done here explicitly and deterministically).
+    *
+    * At 100 TB: the sketch is ~1.2 MB per million keys at 1% fpp —
+    * broadcast-able far beyond the size where a broadcast hash join of
+    * the keys themselves stops fitting; the fact-side shuffle shrinks
+    * by the prefilter's selectivity. The UDF sits outside whole-stage
+    * codegen but touches only pre-filtered longs; for a hotter path the
+    * same test is a Catalyst `might_contain` on a bloom built by
+    * `BloomFilterAggregate`.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables
+      .orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    // capacity covers the dim side at bench SFs with room to spare; a
+    // production build sizes it from a cheap approx_count_distinct pass
+    val bf = urgent.stat.bloomFilter($"o_orderkey", 1000000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    Tables
+      .lineitem(s, d)
+      .filter(mightContain($"l_orderkey"))
+      .join(urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q87Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q88: co-located join via bucketed tables — pay the shuffle ONCE at
+    * write time (`bucketBy` on the join key), then every subsequent
+    * join on that key is exchange-free: both scans report the same
+    * `HashPartitioning(custkey, 16)`, so the SortMergeJoin runs with no
+    * Exchange on either side (locked by PlanSpec). This is THE pattern
+    * for a fact table joined daily against the same dimensions at
+    * 100 TB — bucket counts are chosen once per table (here 16; real
+    * deployments use hundreds) and each side is `repartition`ed onto
+    * its buckets before the write so every bucket is a single sorted
+    * file.
+    *
+    * The bucketed copies are session-catalog tables (in-memory catalog,
+    * parquet under `spark.sql.warehouse.dir`), (re)written per session
+    * and keyed by the source dir so different SFs never collide.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = java.lang.Long.toHexString(
+      d.getBytes("UTF-8").foldLeft(17L)(31L * _ + _))
+    val ot = s"graft_bk_orders_$tag"
+    val ct = s"graft_bk_customer_$tag"
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      // the warehouse dir outlives the in-memory catalog (a fresh JVM
+      // forgets the table but its files remain), and CTAS refuses a
+      // managed-table location that already exists — clear both
+      Seq(ot, ct).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables.orders(s, d)
+        .repartition(16, $"o_custkey")
+        .write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ot)
+      Tables.customer(s, d)
+        .repartition(16, $"c_custkey")
+        .write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(ct)
+    }
+    bucketedJoin(s, ot, ct)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"),
+      )
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The exchange-free join of the two bucketed tables (factored out so
+    * PlanSpec can assert its physical plan has no Exchange).
+    */
+  def bucketedJoin(s: SparkSession, ordersTable: String,
+      customerTable: String): DataFrame =
+    s.table(ordersTable).join(s.table(customerTable),
+      col("o_custkey") === col("c_custkey"))
+
+  private val q88Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q91: mergeable HLL sketches (Apache DataSketches via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`) — the distributed-aggregation
+    * contract made visible: per-month sketches union into exactly the
+    * sketch a single pass over the whole table builds, so partial
+    * aggregates can be computed per shard/day/partition and merged
+    * later without drift. The query PROVES it on the driver data:
+    * `est_merged` (union of 84 monthly sketches) equals `est_direct`
+    * (one global sketch), alongside the exact distinct count.
+    *
+    * No DuckDB oracle by design — its approx_count_distinct is a
+    * different HLL implementation; Round4Spec asserts merged ≡ direct
+    * and both within 5% of exact.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables
+      .orders(s, d)
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(hll_sketch_agg($"o_custkey", lit(12)).as("sk"))
+    val merged = monthly
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false)))
+        .as("est_merged"), count(lit(1)).as("n_sketches"))
+    val direct = Tables
+      .orders(s, d)
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(12)))
+          .as("est_direct"),
+        countDistinct($"o_custkey").as("exact_distinct"),
+      )
+    merged
+      .crossJoin(direct)
+      .select(
+        $"n_sketches",
+        $"est_merged",
+        $"est_direct",
+        ($"est_merged" === $"est_direct").as("merge_exact"),
+        $"exact_distinct",
+      )
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
+    QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
+    QueryDef("q91_hll_merge", q91, None),
+  )
+}

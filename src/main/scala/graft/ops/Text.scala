@@ -277,6 +277,44 @@ object Text {
       |  FROM documents GROUP BY md5(text)) t
       |ORDER BY keeper""".stripMargin
 
+  /** q89: PII masking — the scrub-before-training pass. Digit runs in
+    * the identifying column are replaced wholesale (`[0-9]+` → `<ID>`),
+    * and the audit the compliance side wants ships with the redaction:
+    * how many records were touched and how many characters left the
+    * corpus, per segment. Pure codegen'd projection + one hash-agg (no
+    * shuffle before it) — redaction cost at 100 TB is the scan itself.
+    * The character-class regex means Java (Spark) and RE2 (DuckDB)
+    * agree; DuckDB needs the explicit 'g' flag to match Spark's
+    * replace-all semantics.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .customer(s, d)
+      .withColumn("masked", regexp_replace($"c_name", "[0-9]+", "<ID>"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when($"masked" =!= $"c_name", 1L).otherwise(0L))
+          .cast("long").as("n_masked"),
+        sum((length($"c_name") - length($"masked")).cast("long"))
+          .cast("long").as("chars_removed"),
+        min($"masked").as("min_masked"),
+      )
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q89Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN masked <> c_name THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_masked,
+      |  CAST(SUM(len(c_name) - len(masked)) AS BIGINT) AS chars_removed,
+      |  MIN(masked) AS min_masked
+      |FROM (SELECT *,
+      |        regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked
+      |      FROM customer) t
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
@@ -286,5 +324,6 @@ object Text {
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
+    QueryDef("q89_pii_mask", q89, Some(q89Sql)),
   )
 }

@@ -94,6 +94,47 @@ object Streams {
     spark.table(name).orderBy(col("hour_us"), col("event_type"))
   }
 
+  /** Stream-static enrichment join under the driver's oracle gate: the
+    * event stream (file source over the driver `events` table) joins a
+    * STATIC broadcast dimension (nation, via the deterministic
+    * `user_id % 25` assignment) inside the streaming query, then
+    * aggregates per nation in complete mode. This is the standard
+    * "enrich the firehose against reference data" shape: the static
+    * side is planned per microbatch as an ordinary broadcast hash join,
+    * no streaming state beyond the rollup itself. Money stays on the
+    * integer cent grid so the streamed sum is association-order-safe.
+    */
+  def enrichedNationCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val dim = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("nationkey", pmod(col("user_id"), lit(25L)))
+    val agg = stream
+      .join(broadcast(dim), col("nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("value_cents"),
+      )
+    val name = s"graft_stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("n_name"))
+  }
+
   /** Built-in session windows (dynamic-gap session_window aggregation):
     * one row per (user, session) with its event count — the declarative
     * counterpart of `sessionize` below. Append mode: sessions emit once
