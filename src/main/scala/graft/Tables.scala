@@ -34,8 +34,17 @@ object Tables {
     * part is all zero, and `DIV` (not `/`) avoids double rounding at
     * ~1.7e18 ns magnitudes (> 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** The single place the `nanosAsLong` session flag is set: every graft
+    * reader of the `events` table (batch and streaming) calls this, so
+    * the whole session uniformly surfaces parquet TIMESTAMP(NANOS) as
+    * LONG — a deliberate session-wide contract, not a per-query toggle
+    * (a save/restore would race across lazily-executed plans).
+    */
+  def ensureNanosAsLong(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    ensureNanosAsLong(s)
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))

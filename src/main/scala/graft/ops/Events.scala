@@ -501,5 +501,10 @@ object Events {
     QueryDef("q92_stream_enrich",
       (s, d) => graft.streaming.Streams.enrichedNationCounts(s, d),
       Some(q92Sql)),
+    // Append-mode watermarked streaming under the oracle gate: windows
+    // finalized by watermark eviction must hash-match batch q22's SQL.
+    QueryDef("q94_stream_append",
+      (s, d) => graft.streaming.Streams.appendHourlyTypeCounts(s, d),
+      Some(q22Sql)),
   )
 }

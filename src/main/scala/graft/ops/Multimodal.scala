@@ -5,16 +5,17 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `BINARY` payloads with typed
-  * metadata, batch "decode" → fixed-width feature vectors.
+  * metadata, batch decode → features.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`fakeDecodeFeatures`) — what is
-  * real and load-bearing is the Spark side a production pipeline needs:
-  * binary columns flowing through parquet-friendly schemas, per-partition
-  * batch processing (`mapPartitions`, the Scala analogue of
-  * `mapInPandas` batch shape), typed metadata extraction as pure
-  * expressions, and bounded-size feature output (ARRAY<DOUBLE>(8)).
-  * Swapping the stub for a real JNI/codec call changes one function.
+  * The decode path is REAL: deterministic grayscale images are encoded
+  * to PNG bytes with `javax.imageio` (a genuine codec, real container
+  * format, real compression), flow through a `BINARY` DataFrame column,
+  * and are decoded back per-partition (`mapPartitions` — one codec
+  * context per batch, the `mapInPandas` shape). PNG is lossless, so the
+  * decoded width/height/pixel-sum admit a closed form in the doc_id and
+  * the whole encode→decode round trip sits under the DuckDB oracle gate
+  * (q51). The text-payload operators (q50/q52/q86) exercise the same
+  * plumbing on UTF-8 bytes where byte slicing is SQL-expressible.
   */
 object Multimodal {
 
@@ -26,12 +27,11 @@ object Multimodal {
       n_bytes: Int,
   )
 
-  final case class AssetFeatures(
-      doc_id: Long,
-      source: String,
-      n_bytes: Int,
-      features: Array[Double],
-  )
+  final case class ImageAsset(doc_id: Long, source: String,
+      png: Array[Byte])
+
+  final case class ImageFeatures(doc_id: Long, source: String,
+      width: Int, height: Int, px_sum: Long)
 
   /** Stand-in asset table: text bytes as the opaque payload (the real
     * pipeline would read image/audio bytes from parquet exactly like
@@ -47,38 +47,77 @@ object Multimodal {
       )
       .withColumn("n_bytes", octet_length(col("payload")))
 
-  /** STUB decode kernel: deterministic 8-bucket byte-mean "features" in
-    * place of a real image/audio decode. Replace with the codec call;
-    * signature and batch shape stay identical.
+  /** Image dimensions for a document's synthetic image — varied per doc
+    * so width/height genuinely come OUT of the decoder (a constant
+    * would let a broken metadata path pass unnoticed).
     */
-  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val nBuckets = 8
-    val sums   = new Array[Double](nBuckets)
-    val counts = new Array[Int](nBuckets)
-    var i = 0
-    while (i < payload.length) {
-      val b = i % nBuckets
-      sums(b) += (payload(i) & 0xFF)
-      counts(b) += 1
-      i += 1
-    }
-    Array.tabulate(nBuckets)(b =>
-      if (counts(b) == 0) 0.0 else sums(b) / counts(b))
+  def imageDims(docId: Long): (Int, Int) =
+    ((4 + docId % 5).toInt, (4 + docId % 3).toInt)
+
+  /** Gray level of row-major pixel `i` of document `docId`'s image —
+    * the closed form the DuckDB oracle recomputes without any codec.
+    */
+  def imagePixel(docId: Long, i: Long): Int = ((docId * 31 + i) % 256).toInt
+
+  /** Real PNG payloads, one tiny grayscale image per document: pixels
+    * from the closed form above, ENCODED with `javax.imageio` into
+    * genuine PNG bytes (IHDR/IDAT/zlib — a real container, not a fake),
+    * flowing through a parquet-friendly `BINARY` column. Per-partition
+    * batch shape: the encoder context lives once per partition.
+    */
+  def imageAssets(s: SparkSession, d: String): DataFrame = {
+    implicit val enc = Encoders.product[ImageAsset]
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn
+        it.map { case (id, src) =>
+          val (w, h) = imageDims(id)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0, imagePixel(id, i.toLong))
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageAsset(id, src, bos.toByteArray)
+        }
+      }
+      .toDF()
   }
 
-  /** Batch feature extraction: one partition = one decode batch (the
-    * mapInPandas shape) — codec state would be initialized once per
-    * partition, not per row.
+  /** Real decode: `ImageIO.read` parses the PNG container, inflates the
+    * scanlines, and the features (width/height from the decoder's
+    * metadata, pixel sum from the decoded raster) are exact because PNG
+    * is lossless. One decoder per partition batch — the mapInPandas
+    * shape; at 100 TB this stage is a scan-shaped projection with no
+    * shuffle, parallel in the number of input partitions.
     */
-  def withFeatures(s: SparkSession, d: String): DataFrame = {
-    implicit val enc = Encoders.product[AssetFeatures]
-    assets(s, d)
-      .as(Encoders.product[Asset])
+  def decodeImageFeatures(assetsDf: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    assetsDf
+      .as(Encoders.product[ImageAsset])
       .mapPartitions { it =>
-        // per-partition codec init would go here
-        it.map(a =>
-          AssetFeatures(a.doc_id, a.source, a.n_bytes,
-            fakeDecodeFeatures(a.payload)))
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { a =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.png))
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var i = 0
+          while (i < w * h) {
+            sum += raster.getSample(i % w, i / w, 0)
+            i += 1
+          }
+          ImageFeatures(a.doc_id, a.source, w, h, sum)
+        }
       }
       .toDF()
   }
@@ -199,22 +238,39 @@ object Multimodal {
       |      FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
-  /** Feature pipeline end-to-end (stub decode → per-source feature
-    * stats). No SQL oracle — the decode kernel is engine-side code; the
-    * row-count/schema check plus MultimodalSpec cover it.
+  /** Feature pipeline end-to-end: PNG encode → real ImageIO decode →
+    * per-source feature stats. Oracle-checkable BECAUSE the codec is
+    * lossless: DuckDB recomputes the decoded width/height/pixel-sum
+    * from the closed form, never touching a codec — a hash match
+    * certifies the whole encode→decode round trip byte-exactly.
     */
   private def q51(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    withFeatures(s, d)
+    decodeImageFeatures(imageAssets(s, d))
       .groupBy($"source")
       .agg(
-        count(lit(1)).as("n"),
-        round(avg(element_at($"features", 1)), 4).as("avg_f0"),
-        round(avg(element_at($"features", 8)), 4).as("avg_f7"),
-        round(avg($"n_bytes"), 4).as("avg_bytes"),
+        count(lit(1)).as("n_images"),
+        sum(($"width" * $"height").cast("long")).as("total_px"),
+        sum($"px_sum").as("total_px_sum"),
       )
       .orderBy($"source")
   }
+
+  private val q51Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, source,
+      |    4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.source, d.w, d.h,
+      |    SUM((d.doc_id * 31 + t.i) % 256) AS px_sum
+      |  FROM dims d,
+      |    unnest(generate_series(0, d.w * d.h - 1)) AS t(i)
+      |  GROUP BY d.doc_id, d.source, d.w, d.h)
+      |SELECT source, COUNT(*) AS n_images,
+      |  CAST(SUM(w * h) AS BIGINT) AS total_px,
+      |  CAST(SUM(px_sum) AS BIGINT) AS total_px_sum
+      |FROM px GROUP BY source ORDER BY source""".stripMargin
 
   /** Frame-sampling end-to-end, oracle-checkable: the corpus is ASCII
     * (verified per SF), so byte-slicing the BINARY payload here equals
@@ -248,7 +304,7 @@ object Multimodal {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
-    QueryDef("q51_mm_features", q51, None),
+    QueryDef("q51_mm_features", q51, Some(q51Sql)),
     QueryDef("q52_mm_frames", q52, Some(q52Sql)),
     QueryDef("q86_mm_resize", q86, Some(q86Sql)),
   )

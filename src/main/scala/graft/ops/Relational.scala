@@ -1259,7 +1259,10 @@ object Relational {
       .lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        sum($"l_quantity").cast("long").as("qty"),
+        // cast BEFORE summing: values are exactly-integral doubles, so
+        // both engines sum exact longs and the Spark-truncates vs
+        // DuckDB-rounds cast-direction difference can't surface
+        sum($"l_quantity".cast("long")).as("qty"),
         count(lit(1)).as("items"),
         countDistinct($"l_orderkey").as("orders"),
       )
@@ -1274,7 +1277,7 @@ object Relational {
 
   private val q93Sql =
     """WITH w AS (SELECT l_returnflag,
-      |    CAST(SUM(l_quantity) AS BIGINT) AS qty,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
       |    COUNT(*) AS items,
       |    COUNT(DISTINCT l_orderkey) AS orders
       |  FROM lineitem GROUP BY l_returnflag)

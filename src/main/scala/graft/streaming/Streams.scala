@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,6 +53,35 @@ object Streams {
         col("n"),
       )
 
+  /** Run a streaming query to completion, sinking every microbatch to a
+    * throwaway parquet dir via `foreachBatch`, and return that dir. This
+    * is the 100×-safe verification harness shape: results land on
+    * (distributed) storage, never in a driver-resident memory sink, and
+    * nothing is registered in the session catalog — so one query's
+    * harness can't leak state into the next one's timing (the round-4
+    * bench showed up to 3.8× cross-query interference from accumulated
+    * memory-sink tables). Complete-mode queries overwrite (each batch
+    * carries the full result); update-mode queries append (the caller
+    * reduces, e.g. per-key `max` over monotone emissions — a production
+    * job would upsert into a keyed sink instead).
+    */
+  private def runToParquet(agg: DataFrame, mode: OutputMode): String = {
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream",
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      .toString
+    val saveMode = if (mode == OutputMode.Update) "append" else "overwrite"
+    val q = agg.writeStream
+      .outputMode(mode)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode(saveMode).parquet(out)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    out
+  }
+
   /** Streaming twin of the batch hourly rollup (`ops/Events` q22): read
     * the driver `events` table as a file-source STREAM, aggregate in
     * COMPLETE output mode (the streaming materialized-view shape — state
@@ -66,7 +95,7 @@ object Streams {
   def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     // same TIMESTAMP(NANOS) handling as Tables.events — file streams
     // need an explicit schema, so nanos arrive as LONG by declaration
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, ts LONG, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")
@@ -83,15 +112,82 @@ object Streams {
         col("event_type"),
       )
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    val name = s"graft_stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = runToParquet(agg, OutputMode.Complete)
+    spark.read.parquet(out).orderBy(col("hour_us"), col("event_type"))
+  }
+
+  /** Append-mode watermarked hourly rollup under the driver's oracle
+    * gate (q94) — the late-data semantic no complete/update-mode query
+    * exercises externally: each (hour, type) window is emitted EXACTLY
+    * ONCE, when the event-time watermark passes it, and its state is
+    * then evicted (bounded state — the shape of a real first streaming
+    * job on an unbounded feed). Verified against the SAME DuckDB SQL as
+    * batch q22, so watermark-driven finalization must reproduce the
+    * batch rollup bit-for-bit.
+    *
+    * To flush the final windows the source is staged into a private dir
+    * and, after the real data is processed, a single far-future sentinel
+    * event is appended: its event time advances the watermark past every
+    * real window (forcing their append-mode emission) while its own
+    * window stays in state forever, never emitted — so the sunk result
+    * is exactly the finalized real windows. The value sum is on the
+    * 2-decimal money grid (same argument as q22/q73), so incremental
+    * per-window accumulation across microbatches is association-safe.
+    */
+  def appendHourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = java.nio.file.Paths.get("target", "graft_stream", s"src_$uuid")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      src.resolve("events.parquet"))
+    val agg = spark.readStream
+      .schema(schema)
+      .parquet(src.toString)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("wts", "1 hour")
+      .groupBy(window(col("wts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"),
+      )
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream", uuid).toString
     val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy(col("hour_us"), col("event_type"))
+    try {
+      q.processAllAvailable() // all real data through the aggregate
+      // Sentinels: events far past the real horizon (epoch + ~126 yr,
+      // nanos like the source), BOTH inside one far-future hour window.
+      // Batch emission uses the watermark computed from PRIOR batches,
+      // so sentinel #1 advances the watermark past every real window
+      // and sentinel #2's batch deterministically emits them (no
+      // reliance on Spark scheduling a no-data eviction batch). The
+      // sentinels' own window never closes, so only real windows land
+      // in the sink; the read-back filter is belt-and-braces.
+      import spark.implicits._
+      val far = 4000000000000000000L
+      Seq(far, far + 1000000000L).foreach { ts =>
+        Seq((-1L, ts, -1L, "__sentinel__", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(src.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy(col("hour_us"), col("event_type"))
   }
 
   /** Stream-static enrichment join under the driver's oracle gate: the
@@ -105,7 +201,7 @@ object Streams {
     * integer cent grid so the streamed sum is association-order-safe.
     */
   def enrichedNationCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, ts LONG, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")
@@ -116,7 +212,10 @@ object Streams {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("nationkey", pmod(col("user_id"), lit(25L)))
+      // `%` (not pmod): the DuckDB oracle's `user_id % 25` keeps the
+      // dividend's sign, so the Spark side must use the same operator —
+      // they only coincide under pmod because generated ids are >= 0
+      .withColumn("nationkey", expr("user_id % 25"))
     val agg = stream
       .join(broadcast(dim), col("nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -124,15 +223,8 @@ object Streams {
         count(lit(1)).as("n_events"),
         sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("value_cents"),
       )
-    val name = s"graft_stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy(col("n_name"))
+    val out = runToParquet(agg, OutputMode.Complete)
+    spark.read.parquet(out).orderBy(col("n_name"))
   }
 
   /** Built-in session windows (dynamic-gap session_window aggregation):
@@ -270,7 +362,7 @@ object Streams {
     *
     * Update mode emits the running per-user row each microbatch; every
     * emitted measure is monotone non-decreasing, so the final value per
-    * user is a `max` over the memory-sink rows — correct whether the
+    * user is a `max` over the sunk rows — correct whether the
     * source arrives as one microbatch or many. Events are sorted by
     * time inside a batch and the state carries the last-seen timestamp,
     * so ordered replay reproduces batch semantics exactly (the
@@ -282,7 +374,7 @@ object Streams {
       gapUs: Long = 1800L * 1000000L,
   ): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id LONG, ts LONG, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")
@@ -319,15 +411,8 @@ object Streams {
           Iterator.single(
             SessStatRow(user, st.sessions, st.events, st.maxEvents))
       }
-    val name = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = updates.toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Update)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    val out = runToParquet(updates.toDF(), OutputMode.Update)
+    spark.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(
         max(col("n_sessions")).as("n_sessions"),

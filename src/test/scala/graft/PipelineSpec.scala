@@ -178,18 +178,29 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"n_frames" =!= expr("(n_bytes + 255) DIV 256")).count() == 0)
   }
 
-  test("multimodal: stub features are deterministic, 8-dim, byte-valued") {
+  test("multimodal: PNG encode → ImageIO decode round-trips exactly") {
     import spark.implicits._
-    val f1 = ops.Multimodal.withFeatures(spark, sf)
-      .orderBy($"doc_id").limit(5).collect()
-    val f2 = ops.Multimodal.withFeatures(spark, sf)
-      .orderBy($"doc_id").limit(5).collect()
-    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
-    f1.foreach { r =>
-      val feats = r.getAs[scala.collection.Seq[Double]]("features")
-      assert(feats.length == 8)
-      assert(feats.forall(v => v >= 0 && v <= 255))
-      assert(r.getAs[Int]("n_bytes") > 0)
+    val assets = ops.Multimodal.imageAssets(spark, sf)
+    // the payloads are genuine PNG containers, not passthrough pixels
+    assets.limit(5).collect().foreach { r =>
+      val png = r.getAs[Array[Byte]]("png")
+      assert(png.length > 8 &&
+        (png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+        png(3) == 'G', "payload is not a PNG container")
+    }
+    // decoder output (metadata AND pixels) equals the closed form the
+    // oracle uses — lossless round trip through a real codec
+    val rows = ops.Multimodal.decodeImageFeatures(assets)
+      .orderBy($"doc_id").limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ops.Multimodal.imageDims(id)
+      assert((r.getInt(2), r.getInt(3)) == ((w, h)),
+        s"decoded dims mismatch for doc $id")
+      val expect = (0L until (w.toLong * h)).map(
+        ops.Multimodal.imagePixel(id, _).toLong).sum
+      assert(r.getLong(4) == expect, s"decoded pixel sum mismatch doc $id")
     }
   }
 }

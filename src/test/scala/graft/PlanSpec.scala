@@ -36,9 +36,11 @@ class PlanSpec extends AnyFunSuite {
     // materialize q88 once so the bucketed tables exist in this
     // session's catalog, then inspect the bare join's physical plan
     SparkEntry.queries("q88_bucketed_join")(spark, sf).collect()
-    val ts = spark.catalog.listTables().collect().map(_.name)
-    val ot = ts.find(_.startsWith("graft_bk_orders_")).get
-    val ct = ts.find(_.startsWith("graft_bk_customer_")).get
+    // exact names via the dir-hash tag — a prefix scan of the shared
+    // catalog could pick up another spec's tables for a different dir
+    val tag = ops.Scale.bucketTag(sf)
+    val ot = s"graft_bk_orders_$tag"
+    val ct = s"graft_bk_customer_$tag"
     // at this tiny SF the planner rightly prefers broadcast (and skips
     // the bucketed scan); the property under test is the big-big case,
     // so turn auto-broadcast off to see the plan a 100 TB join gets
