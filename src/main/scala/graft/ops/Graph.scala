@@ -24,16 +24,39 @@ object Graph {
     * rank-independent, so it is hoisted out of the iteration). Every
     * node keeps a row (left join from the node set), so rank mass for
     * in-degree-0 nodes is the bare damping term.
+    *
+    * Skew: the two hot-key risks of a power-law graph are handled
+    * differently because they ARE different. A hub `dst` (huge
+    * in-degree) is a non-issue for the `groupBy(dst)` because `sum` is
+    * algebraic — partial aggregation combines map-side, so each map
+    * task ships AT MOST ONE row per dst regardless of in-degree (plan
+    * shape locked by Round5Spec). A hub `src` (huge out-degree) WOULD
+    * straggle the sweep join — all its edge rows live in one
+    * src-partition — so with `salts > 1` the static edge table is
+    * pre-partitioned on `(src, _salt)` (salt derived from `dst` via
+    * xxhash64 — deterministic, never rand()) and the small ranks side
+    * is replicated once per salt: the hub's edges spread over `salts`
+    * reducers and the static side still never re-shuffles across
+    * sweeps.
     */
   private def step(
       nodes: DataFrame,
       degEdges: DataFrame,
       ranks: DataFrame,
       hintRanks: DataFrame => DataFrame,
+      salts: Int,
   ): DataFrame = {
+    val rSide0 = ranks.withColumnRenamed("id", "rid")
+    val rSide =
+      if (salts <= 1) rSide0
+      else rSide0.withColumn("_salt",
+        explode(array((0 until salts).map(lit(_)): _*)))
+    val cond =
+      if (salts <= 1) col("src") === col("rid")
+      else col("src") === col("rid") &&
+        degEdges("_salt") === rSide("_salt")
     val contrib = degEdges
-      .join(hintRanks(ranks.withColumnRenamed("id", "rid")),
-        col("src") === col("rid"))
+      .join(hintRanks(rSide), cond)
       .groupBy(col("dst"))
       .agg(sum(expr("r DIV outd")).as("contrib"))
     nodes
@@ -57,7 +80,9 @@ object Graph {
       iters: Int,
       broadcastRanks: Boolean = false,
       checkpointEvery: Int = 1,
+      skewSalts: Int = 1,
   ): DataFrame = {
+    require(skewSalts >= 1, "skewSalts must be >= 1")
     // `broadcastRanks` forces the ranks side of the sweep join to
     // broadcast — only sound when the node set fits an executor, so the
     // default stays shuffle-based (co-partitioned with the cached edge
@@ -75,9 +100,17 @@ object Graph {
     // both static tables are hash-partitioned on their sweep-join key
     // BEFORE caching: InMemoryTableScan preserves that partitioning, so
     // each sweep's join moves only the ranks side (one row per node) —
-    // the edge table, the big side at corpus scale, never re-shuffles
-    val degEdges = e.join(deg, Seq("src"))
-      .repartition(col("src")).cache()
+    // the edge table, the big side at corpus scale, never re-shuffles.
+    // With skewSalts > 1 the key is (src, _salt), so a hub src's edges
+    // land on skewSalts partitions instead of one (see `step`).
+    val degEdges0 = e.join(deg, Seq("src"))
+    val degEdges = (
+      if (skewSalts <= 1) degEdges0.repartition(col("src"))
+      else degEdges0
+        .withColumn("_salt",
+          pmod(xxhash64(col("dst")), lit(skewSalts.toLong)).cast("int"))
+        .repartition(col("src"), col("_salt"))
+    ).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).cache()
@@ -90,7 +123,7 @@ object Graph {
     // checkpointed so the caches below can be released safely.
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
-      ranks = step(nodes, degEdges, ranks, hintRanks)
+      ranks = step(nodes, degEdges, ranks, hintRanks, skewSalts)
       if (i % checkpointEvery == 0 || i == iters)
         ranks = ranks.localCheckpoint(eager = true)
     }
