@@ -49,14 +49,21 @@ object Scale {
   def bloomBuild(dim: DataFrame, key: Column): Option[Array[Byte]] = {
     val s = dim.sparkSession
     registerBloomFns(s)
-    // exact count, not approx: this scan is the filtered dim side (the
-    // cheap side by construction) and the count reuses its pushdown
-    val n = dim.count()
-    if (n == 0L) None
-    else
-      Option(
-        dim.select(call_function("graft_bloom_agg", xxhash64(key), lit(n))
-          .as("bf")).head.getAs[Array[Byte]](0))
+    // exact count, not approx: the count sizes the filter's capacity
+    // (an undersized filter degrades fpp silently). The filtered dim is
+    // cached across the count+aggregate pair so the build is ONE source
+    // scan, not two — on a cluster the cache is executor-local, so the
+    // second pass reads memory instead of repeating the dim scan.
+    val cached = dim.cache()
+    try {
+      val n = cached.count()
+      if (n == 0L) None
+      else
+        Option(
+          cached
+            .select(call_function("graft_bloom_agg", xxhash64(key), lit(n))
+              .as("bf")).head.getAs[Array[Byte]](0))
+    } finally cached.unpersist()
   }
 
   /** Codegen'd membership probe against a built bloom: the filter bytes
