@@ -124,7 +124,7 @@ object Dedup {
       .dropDuplicates("a", "b")
 
     val shingleTab = sketched.select(col("doc"), col("sh"))
-    candidates
+    val verified = candidates
       .join(shingleTab.select(col("doc").as("a"), col("sh").as("sha")), "a")
       .join(shingleTab.select(col("doc").as("b"), col("sh").as("shb")), "b")
       .withColumn(
@@ -134,6 +134,17 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    // The sketch cache exists only to serve this operator's three plan
+    // branches in one pass; materialize the (small — pairs above
+    // threshold) result eagerly and release the cache before returning,
+    // so no sketch blocks stay pinned for the session's lifetime — the
+    // same caches-die-with-the-operator discipline as the pageRank
+    // statics (Graph.pageRank) and the bloom build (Scale.bloomBuild).
+    // The checkpoint truncates lineage, so the returned frame is
+    // independent of the released cache.
+    val out = verified.localCheckpoint(eager = true)
+    sketched.unpersist()
+    out
   }
 
   /** 64-bit SimHash from unigram hashes: per bit, sign of the sum of ±1

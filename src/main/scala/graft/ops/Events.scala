@@ -473,6 +473,41 @@ object Events {
       |FROM events JOIN nation ON n_nationkey = user_id % 25
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q96 oracle: the stream-stream interval join stated as the batch
+    * self-join — per user, clicks joined to the same user's purchases
+    * within the following hour, at exact integer microseconds.
+    */
+  private val q96Sql =
+    """SELECT l.user_id AS user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT r.event_id) AS n_purchases
+      |FROM events l JOIN events r ON l.user_id = r.user_id
+      |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+      |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+      |GROUP BY l.user_id ORDER BY user_id""".stripMargin
+
+  /** q97 oracle: session_window's merge rule as gaps-and-islands — a new
+    * session starts when the gap to the previous event is >= the window
+    * gap (events merge only while they overlap the prior [t, t+gap)
+    * window); session end is last event + gap.
+    */
+  private val q97Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |        CASE WHEN LAG(us) OVER w IS NULL
+      |               OR us - LAG(us) OVER w >= 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, MIN(us) AS s_start_us,
+      |  MAX(us) + 1800000000 AS s_end_us,
+      |  COUNT(*) AS session_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -506,5 +541,15 @@ object Events {
     QueryDef("q94_stream_append",
       (s, d) => graft.streaming.Streams.appendHourlyTypeCounts(s, d),
       Some(q22Sql)),
+    // Stream-stream interval join under the oracle gate: buffered-state
+    // matching must emit exactly the batch self-join's pair set.
+    QueryDef("q96_stream_attrib",
+      (s, d) => graft.streaming.Streams.attributionCounts(s, d),
+      Some(q96Sql)),
+    // Built-in session windows under the oracle gate: dynamic-gap
+    // session_window merging must equal the batch gaps-and-islands SQL.
+    QueryDef("q97_stream_sessionw",
+      (s, d) => graft.streaming.Streams.sessionWindowRollup(s, d),
+      Some(q97Sql)),
   )
 }

@@ -30,7 +30,7 @@ object Graph {
     * in-degree) is a non-issue for the `groupBy(dst)` because `sum` is
     * algebraic — partial aggregation combines map-side, so each map
     * task ships AT MOST ONE row per dst regardless of in-degree (plan
-    * shape locked by Round5Spec). A hub `src` (huge out-degree) WOULD
+    * shape locked by Round6Spec). A hub `src` (huge out-degree) WOULD
     * straggle the sweep join — all its edge rows live in one
     * src-partition — so with `salts > 1` the static edge table is
     * pre-partitioned on `(src, _salt)` (salt derived from `dst` via
@@ -39,7 +39,7 @@ object Graph {
     * reducers and the static side still never re-shuffles across
     * sweeps.
     */
-  private def step(
+  private[graft] def step(
       nodes: DataFrame,
       degEdges: DataFrame,
       ranks: DataFrame,
@@ -64,6 +64,26 @@ object Graph {
       .select(nodes("id"),
         (lit(150000L) +
           expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+  }
+
+  /** The degree-annotated static edge table, hash-partitioned on its
+    * sweep-join key: both static tables are partitioned BEFORE caching —
+    * InMemoryTableScan preserves that partitioning, so each sweep's join
+    * moves only the ranks side (one row per node) and the edge table,
+    * the big side at corpus scale, never re-shuffles. With skewSalts > 1
+    * the key is `(src, _salt)` (salt from `dst` via xxhash64 —
+    * deterministic, never rand()), so a hub src's edges land on
+    * skewSalts partitions instead of one (see `step`). Exposed
+    * package-private so Round6Spec can lock the salted partitioning.
+    */
+  private[graft] def saltedDegEdges(e: DataFrame, skewSalts: Int): DataFrame = {
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val degEdges0 = e.join(deg, Seq("src"))
+    if (skewSalts <= 1) degEdges0.repartition(col("src"))
+    else degEdges0
+      .withColumn("_salt",
+        pmod(xxhash64(col("dst")), lit(skewSalts.toLong)).cast("int"))
+      .repartition(col("src"), col("_salt"))
   }
 
   /** Fixed-point PageRank over an edge list, `iters` sweeps from a
@@ -96,21 +116,7 @@ object Graph {
     // without the cache the upstream edge-building join runs once per
     // derived table
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-    // both static tables are hash-partitioned on their sweep-join key
-    // BEFORE caching: InMemoryTableScan preserves that partitioning, so
-    // each sweep's join moves only the ranks side (one row per node) —
-    // the edge table, the big side at corpus scale, never re-shuffles.
-    // With skewSalts > 1 the key is (src, _salt), so a hub src's edges
-    // land on skewSalts partitions instead of one (see `step`).
-    val degEdges0 = e.join(deg, Seq("src"))
-    val degEdges = (
-      if (skewSalts <= 1) degEdges0.repartition(col("src"))
-      else degEdges0
-        .withColumn("_salt",
-          pmod(xxhash64(col("dst")), lit(skewSalts.toLong)).cast("int"))
-        .repartition(col("src"), col("_salt"))
-    ).cache()
+    val degEdges = saltedDegEdges(e, skewSalts).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).cache()

@@ -315,6 +315,17 @@ object Text {
       |      FROM customer) t
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q95 oracle: the streaming dedup's survivor set, stated batch-side —
+    * one row per distinct content fingerprint; `n_rows` is literally 1
+    * here, and counts the emitted survivors per fingerprint on the Spark
+    * side, so a dropped fingerprint and a passed-through duplicate both
+    * break the hash.
+    */
+  private val q95Sql =
+    """SELECT fp, CAST(1 AS BIGINT) AS n_rows
+      |FROM (SELECT DISTINCT md5(text) AS fp FROM documents) t
+      |ORDER BY fp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
@@ -325,5 +336,11 @@ object Text {
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),
+    // Streaming dedup under the oracle gate: watermark-bounded
+    // dropDuplicates (streaming twin of q30/q62) must keep exactly one
+    // survivor per content fingerprint.
+    QueryDef("q95_stream_dedup",
+      (s, d) => graft.streaming.Streams.dedupDistinctFingerprints(s, d),
+      Some(q95Sql)),
   )
 }

@@ -13,6 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** File-stream schema for the driver `events` table: streaming file
+    * sources need an explicit schema, and declaring `ts` LONG is the
+    * same TIMESTAMP(NANOS)-as-long contract as `Tables.events` (the
+    * session-wide `nanosAsLong` flag must be set — every harness below
+    * calls `Tables.ensureNanosAsLong` first).
+    */
+  private val eventsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
   /** Replay a generated stream (parquet of gen.Event) as a streaming
     * DataFrame with a wall-clock event-time column: tick → epoch + tick
     * seconds (SURVEY.md §7.5.4 — ticks stay the ground truth; the
@@ -70,16 +81,45 @@ object Streams {
       .get("target", "graft_stream",
         java.util.UUID.randomUUID().toString.replace("-", ""))
       .toString
-    val saveMode = if (mode == OutputMode.Update) "append" else "overwrite"
-    val q = agg.writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode(saveMode).parquet(out)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Complete mode re-emits the full result each batch → overwrite;
+    // Update/Append emit deltas → accumulate (the caller reduces or
+    // reads the union).
+    val saveMode = if (mode == OutputMode.Complete) "overwrite" else "append"
+    withFewStatePartitions(agg.sparkSession) {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          // each emitted batch is a small rollup/delta; one file per
+          // batch beats shuffle.partitions near-empty files per batch
+          batch.coalesce(1).write.mode(saveMode).parquet(out)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     out
+  }
+
+  /** Run `body` (which must define AND finish a streaming query) with a
+    * small `spark.sql.shuffle.partitions`. Stateful streaming pins the
+    * state-store partition count from this conf at the query's FIRST
+    * batch, and every microbatch then commits one state file per
+    * partition — at the bench's bounded result cardinalities (hours ×
+    * types, one row per user), 32-way state is pure per-batch task and
+    * commit overhead (the round-6 verdict measured q94 at 6.8 s clean
+    * with harness, not data, dominating). On a real cluster this knob is
+    * sized to state volume; these harnesses own their (throwaway)
+    * checkpoints, so the pinned value never conflicts across runs. The
+    * session default is restored before returning — batch plans created
+    * AFTER the harness (including the read-back of the sunk result) are
+    * unaffected.
+    */
+  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body
+    finally spark.conf.set(key, saved)
   }
 
   /** Streaming twin of the batch hourly rollup (`ops/Events` q22): read
@@ -96,9 +136,7 @@ object Streams {
     // same TIMESTAMP(NANOS) handling as Tables.events — file streams
     // need an explicit schema, so nanos arrive as LONG by declaration
     graft.Tables.ensureNanosAsLong(spark)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+    val schema = eventsSchema
     // the file source lists a DIRECTORY; select just the events table
     // out of the shared sf dir by filename glob
     val stream = spark.readStream
@@ -126,25 +164,37 @@ object Streams {
     * batch rollup bit-for-bit.
     *
     * To flush the final windows the source is staged into a private dir
-    * and, after the real data is processed, a single far-future sentinel
-    * event is appended: its event time advances the watermark past every
-    * real window (forcing their append-mode emission) while its own
-    * window stays in state forever, never emitted — so the sunk result
-    * is exactly the finalized real windows. The value sum is on the
-    * 2-decimal money grid (same argument as q22/q73), so incremental
+    * with a far-future sentinel event alongside the real data: batch 0
+    * consumes both (no watermark yet, so nothing emits but the watermark
+    * advances past every real window), then a second sentinel in the
+    * same far-future hour triggers batch 1, which deterministically
+    * emits all finalized real windows. The sentinels' own window never
+    * closes (the watermark trails it by the lateness), so only real
+    * windows land in the sink; the read-back filter is belt-and-braces.
+    * Two `processAllAvailable` rounds total — batch emission uses the
+    * watermark computed from PRIOR batches, which is also why sentinel
+    * #1 can ride with the real data but #2 cannot. The value sum is on
+    * the 2-decimal money grid (same argument as q22/q73), so incremental
     * per-window accumulation across microbatches is association-safe.
     */
   def appendHourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+    val schema = eventsSchema
+    import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val src = java.nio.file.Paths.get("target", "graft_stream", s"src_$uuid")
     java.nio.file.Files.createDirectories(src)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       src.resolve("events.parquet"))
+    // nanos like the source, epoch + ~126 yr; both sentinels land in ONE
+    // far-future hour window
+    val far = 4000000000000000000L
+    def writeSentinel(ts: Long): Unit =
+      Seq((-1L, ts, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    writeSentinel(far) // rides with the real data in batch 0
     val agg = spark.readStream
       .schema(schema)
       .parquet(src.toString)
@@ -160,31 +210,24 @@ object Streams {
       )
     val out = java.nio.file.Paths
       .get("target", "graft_stream", uuid).toString
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    try {
-      q.processAllAvailable() // all real data through the aggregate
-      // Sentinels: events far past the real horizon (epoch + ~126 yr,
-      // nanos like the source), BOTH inside one far-future hour window.
-      // Batch emission uses the watermark computed from PRIOR batches,
-      // so sentinel #1 advances the watermark past every real window
-      // and sentinel #2's batch deterministically emits them (no
-      // reliance on Spark scheduling a no-data eviction batch). The
-      // sentinels' own window never closes, so only real windows land
-      // in the sink; the read-back filter is belt-and-braces.
-      import spark.implicits._
-      val far = 4000000000000000000L
-      Seq(far, far + 1000000000L).foreach { ts =>
-        Seq((-1L, ts, -1L, "__sentinel__", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("append").parquet(src.toString)
+    withFewStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        // batch 0: all real data + sentinel #1 through the aggregate —
+        // emits nothing (watermark starts at 0) but advances the
+        // watermark past every real window
         q.processAllAvailable()
-      }
-    } finally q.stop()
+        // batch 1: sentinel #2 (same far-future hour) — emits every
+        // finalized real window under the batch-0 watermark
+        writeSentinel(far + 1000000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.read.parquet(out)
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy(col("hour_us"), col("event_type"))
@@ -202,9 +245,7 @@ object Streams {
     */
   def enrichedNationCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+    val schema = eventsSchema
     val dim = graft.Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
         col("n_name"))
@@ -291,6 +332,104 @@ object Streams {
              |rts >= lts AND rts <= lts + interval $horizon""".stripMargin),
       )
 
+  /** Streaming exact dedup under the driver's oracle gate (q95): run
+    * [[dedupStream]] to completion over the `documents` table as a
+    * file-source stream and reduce the sunk survivors to one row per
+    * content fingerprint. The oracle is the batch distinct-fingerprint
+    * SQL, and `n_rows` is the COUNT of emitted survivor rows per
+    * fingerprint — a constant 1 on the oracle side — so the hash compare
+    * fails if the streaming dedup either drops a fingerprint entirely OR
+    * lets a duplicate through (the two ways dedup can be wrong). Which
+    * physical row survives a duplicate set is arrival-order-dependent,
+    * so only the (deterministic) fingerprint is sunk. Event time is a
+    * constant here — the watermark column exists to bound state on an
+    * unbounded production feed (StreamingSpec pins the eviction/
+    * re-admission semantics); a constant keeps the one-shot replay's
+    * watermark behind every fingerprint's expiry so nothing can be
+    * re-admitted mid-run. The constant must be POSITIVE: the stateful
+    * late-row filter initializes the watermark to epoch 0, and rows at
+    * exactly the watermark are dropped as late (verified empirically —
+    * event time 0 yields an empty stream).
+    */
+  def dedupDistinctFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("wts", timestamp_seconds(lit(1000000000L)))
+    val survivors = dedupStream(docs).select(col("fp"))
+    val out = runToParquet(survivors, OutputMode.Append)
+    spark.read.parquet(out)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("fp"))
+  }
+
+  /** Stream-stream interval join under the driver's oracle gate (q96):
+    * click→purchase attribution over the `events` table — each purchase
+    * joins the same user's clicks in the preceding hour via
+    * [[intervalJoin]], run to completion, then reduced batch-side to
+    * per-user pair counts. The oracle is the equivalent batch self-join
+    * in DuckDB, so the stream-stream join's buffered-state matching must
+    * emit exactly the batch join's pair set — no duplicate emissions, no
+    * dropped matches. Timestamps compare at exact integer microseconds
+    * on both sides.
+    */
+  def attributionCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("luser"), col("wts").as("lts"),
+        col("event_id").as("levent"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruser"), col("wts").as("rts"),
+        col("event_id").as("revent"))
+    val pairs = intervalJoin(clicks, buys, horizon = "1 hour")
+      .select(col("luser"), col("levent"), col("revent"))
+    val out = runToParquet(pairs, OutputMode.Append)
+    spark.read.parquet(out)
+      .groupBy(col("luser").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("revent")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Built-in session windows under the driver's oracle gate (q97):
+    * [[sessionWindows]] (30-minute dynamic gap) over the `events` table
+    * as a file-source stream, run to completion in COMPLETE mode — every
+    * trigger emits the full current session set, so the final sink state
+    * is the batch-equivalent sessionization without any sentinel
+    * machinery (append mode + watermark eviction is the unbounded-feed
+    * shape; StreamingSpec covers it). The oracle is the gaps-and-islands
+    * SQL with the SAME merge rule as session_window: a new session
+    * starts when the gap is >= the window gap (an event extends a
+    * session only while it overlaps the previous event's [t, t+gap)
+    * window). Session bounds are exact integer microseconds.
+    */
+  def sessionWindowRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .select(col("user_id"), col("wts"))
+    val sessions = sessionWindows(src, gap = "30 minutes")
+      .select(
+        col("user_id"),
+        unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("session_events"),
+      )
+    val out = runToParquet(sessions, OutputMode.Complete)
+    spark.read.parquet(out).orderBy(col("user_id"), col("s_start_us"))
+  }
+
   final case class DetectState(tail: Array[Int], nextSeq: Long,
       matches: Long)
   final case class DetectCount(stream_id: Long, matches: Long)
@@ -375,9 +514,7 @@ object Streams {
   ): DataFrame = {
     import spark.implicits._
     graft.Tables.ensureNanosAsLong(spark)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+    val schema = eventsSchema
     implicit val stEnc  = Encoders.product[SessStatState]
     implicit val outEnc = Encoders.product[SessStatRow]
     val updates = spark.readStream
