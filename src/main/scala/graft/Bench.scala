@@ -61,6 +61,34 @@ object Bench {
       gen.StreamGen.block(spark, gen.GenQueries.demoSpec(2000L))
         .count(): Unit
     }
+    // 2-row stream-stream join: the symmetric-hash-join machinery
+    // (state-store formats, per-side key/index stores, codegen) loads on
+    // the FIRST stream-stream join in a session, and q96 is the only
+    // query using one — without this slice its timed number is class
+    // loading + join, ~2× the steady-state join alone (measured: 8.5 s
+    // cold vs 2.7 s warm at sf0.1)
+    warm("stream-stream join") {
+      import spark.implicits._
+      // identical pipeline on a 2-row source so the codegen cache is hot
+      // for q96's exact query shape, not just the join classes; the file
+      // source needs a literal `events.parquet` FILE, so write one part
+      // file and rename it
+      val root = java.nio.file.Paths.get("target", "graft_stream", "warm_ss")
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val tmp = root.resolve("tmp").toString
+      Seq((1L, 1000000000000000L, 1L, "click", 0.0, "{}"),
+          (2L, 1000000001000000L, 1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      java.nio.file.Files.move(part, srcDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.Streams
+        .attributionCounts(spark, srcDir.toString).count(): Unit
+    }
     // q88's bucketed tables are one-time storage PREPARATION (the
     // pattern is "pay the shuffle at write time, join exchange-free
     // forever after") — build them here so q88's timed number is the
