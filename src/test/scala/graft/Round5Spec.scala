@@ -61,7 +61,8 @@ class Round5Spec extends AnyFunSuite {
   test("streaming + bucketed harnesses leave no tables/views behind") {
     val before = spark.catalog.listTables().collect().map(_.name).toSet
     Seq("q73_stream_hourly", "q85_stream_sessions", "q92_stream_enrich",
-      "q94_stream_append").foreach(q => run(q).collect())
+      "q94_stream_append", "q95_stream_dedup", "q96_stream_attrib",
+      "q97_stream_sessionw").foreach(q => run(q).collect())
     val after = spark.catalog.listTables().collect().map(_.name).toSet
     val leaked = (after -- before).filter(_.startsWith("graft_stream"))
     assert(leaked.isEmpty, s"harness leaked catalog entries: $leaked")
