@@ -508,6 +508,86 @@ object Events {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, s_start_us""".stripMargin
 
+  /** Hopping (sliding) event-time windows: 1-hour windows advancing every
+    * 15 minutes — each event lands in exactly width/slide = 4 overlapping
+    * windows. Spark plans this as an Expand (4 rows per event) feeding ONE
+    * partially-aggregated hash-agg, which is the right 100 TB shape: the
+    * duplication factor is the constant width/slide, map-side combine
+    * collapses it to at most one row per (window, type) per task before
+    * the shuffle, and state is bounded by window×type cardinality. Money
+    * goes to the integer cent grid (same association-order argument as
+    * q92); window starts are epoch-aligned multiples of the slide, so the
+    * oracle can enumerate the k = 0..3 containing windows in closed form.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("value_cents"),
+      )
+      .select(
+        unix_micros($"window.start").as("w_start_us"),
+        $"event_type",
+        $"n",
+        $"value_cents",
+      )
+      .orderBy($"w_start_us", $"event_type")
+  }
+
+  /** q98 oracle: an event at µs `us` belongs to the 4 hopping windows
+    * whose starts are `(us // slide - k) * slide` for k = 0..3 (width =
+    * 4 × slide, starts epoch-aligned) — enumerated with a 4-row range
+    * cross join.
+    */
+  private val q98Sql =
+    """WITH ev AS (SELECT epoch_us(ts) AS us, event_type,
+      |              CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |            FROM events)
+      |SELECT (us // 900000000 - k) * 900000000 AS w_start_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM ev CROSS JOIN range(4) t(k)
+      |GROUP BY 1, 2
+      |ORDER BY w_start_us, event_type""".stripMargin
+
+  /** Latest-wins compaction — the batch form of CDC changelog compaction
+    * / keyed-upsert materialization: one row per user carrying the most
+    * recent event's attributes under the total (ts, event_id) order.
+    * `max_by` over a struct ordering keeps this a SINGLE map-side-
+    * combinable hash-agg (each task ships one candidate row per user);
+    * the row_number-then-filter formulation would instead shuffle every
+    * event row into a per-user window sort — the wrong plan when the
+    * output is one row per key.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = struct(unix_micros($"ts"), $"event_id")
+    Tables
+      .events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", ord).as("last_type"),
+        max_by(expr("CAST(ROUND(value * 100) AS LONG)"), ord)
+          .as("last_value_cents"),
+        max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("n_events"),
+      )
+      .orderBy($"user_id")
+  }
+
+  private val q100Sql =
+    """SELECT user_id,
+      |  first(event_type ORDER BY ts DESC, event_id DESC) AS last_type,
+      |  first(CAST(ROUND(value * 100) AS BIGINT)
+      |        ORDER BY ts DESC, event_id DESC) AS last_value_cents,
+      |  MAX(epoch_us(ts)) AS last_us,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -551,5 +631,7 @@ object Events {
     QueryDef("q97_stream_sessionw",
       (s, d) => graft.streaming.Streams.sessionWindowRollup(s, d),
       Some(q97Sql)),
+    QueryDef("q98_sliding_windows", q98, Some(q98Sql)),
+    QueryDef("q100_latest_compact", q100, Some(q100Sql)),
   )
 }

@@ -337,6 +337,52 @@ object Vectors {
       |      FROM embeddings) t
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Higher-order array functions (`filter`/`transform`/`aggregate`) as
+    * first-class columnar vector ops — the codegen'd lambda path a user
+    * reaches for before writing any UDF. All arithmetic is fixed-point:
+    * each float component widens exactly to double, scales by 1000 and
+    * rounds to a long ("millis-of-component"), so per-row fold order and
+    * cross-engine float handling cannot drift the result. The whole query
+    * is a projection plus one partially-aggregated hash-agg — no shuffle
+    * before the 5-group rollup, the right shape at any corpus size.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def mf = transform($"embedding",
+      x => round(x.cast("double") * 1000).cast("long"))
+    Tables
+      .embeddings(s, d)
+      .select(
+        $"label",
+        size(filter($"embedding", x => x > lit(0f))).as("n_pos"),
+        aggregate(mf, lit(0L), (acc, x) => acc + x).as("sum_mf"),
+        array_max(mf).as("max_mf"),
+      )
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_pos").as("n_pos_total"),
+        sum($"sum_mf").as("sum_mf"),
+        max($"max_mf").as("max_mf"),
+      )
+      .orderBy($"label")
+  }
+
+  private val q99Sql =
+    """SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(n_pos) AS BIGINT) AS n_pos_total,
+      |  CAST(SUM(sum_mf) AS BIGINT) AS sum_mf,
+      |  MAX(max_mf) AS max_mf
+      |FROM (
+      |  SELECT label,
+      |    len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |    list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(ROUND(x * 1000) AS BIGINT))) AS sum_mf,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(ROUND(x * 1000) AS BIGINT))) AS max_mf
+      |  FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin
+
   private def q41(s: SparkSession, d: String): DataFrame =
     annTopNeighbor(Tables.embeddings(s, d), nBits = 8, tables = 4)
       .orderBy(col("cos").desc, col("v"))
@@ -351,5 +397,6 @@ object Vectors {
     QueryDef("q41_ann_pairs", q41, None),
     QueryDef("q42_embedding_norms", q42, Some(q42Sql)),
     QueryDef("q49_ivf_topk", q49, None),
+    QueryDef("q99_hof_arrays", q99, Some(q99Sql)),
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions, locked: hopping windows must place each event in
+  * exactly width/slide windows through an Expand (not a join), latest-wins
+  * compaction must be a single max_by hash-agg that agrees with the
+  * window-sort formulation, and the HOF fixed-point vector math must agree
+  * with an explode-based reshuffle of the same arithmetic.
+  */
+class Round7Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q98 places each event in exactly width/slide = 4 windows") {
+    val total = SparkEntry.queries("q98_sliding_windows")(spark, sf)
+      .agg(sum(col("n"))).head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total == 4 * events,
+      s"window multiplicity broken: $total rows over $events events")
+  }
+
+  test("q98 plans as Expand + partial hash-agg, not a window join") {
+    val p = SparkEntry.queries("q98_sliding_windows")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"hopping windows lost the Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"hopping-window rollup lost its map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"hopping windows planned as a join:\n$p")
+  }
+
+  test("q100 max_by compaction equals the window-sort formulation") {
+    import spark.implicits._
+    val viaAgg = SparkEntry.queries("q100_latest_compact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"event_id".desc)
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .withColumn("last_us", max(unix_micros($"ts"))
+        .over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("last_type"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("last_value_cents"),
+        $"last_us", $"n_events")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("q100 is one hash-agg: no window sort in the compaction plan") {
+    val p = SparkEntry.queries("q100_latest_compact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"compaction fell back to a window sort:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"compaction lost its map-side combine:\n$p")
+  }
+
+  test("q99 HOF fixed-point math equals the explode formulation") {
+    import spark.implicits._
+    val viaHof = SparkEntry.queries("q99_hof_arrays")(spark, sf)
+      .collect().map(r => r.get(0) -> r.toSeq).toMap
+    val viaExplode = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", posexplode($"embedding"))
+      .withColumn("mf", round($"col".cast("double") * 1000).cast("long"))
+      .groupBy($"vec_id", $"label")
+      .agg(
+        count(when($"col" > 0f, lit(1))).cast("int").as("n_pos"),
+        sum($"mf").as("sum_mf"),
+        max($"mf").as("max_mf"),
+      )
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_pos").as("n_pos_total"),
+        sum($"sum_mf").as("sum_mf"),
+        max($"max_mf").as("max_mf"),
+      )
+      .collect().map(r => r.get(0) -> r.toSeq).toMap
+    assert(viaHof == viaExplode)
+  }
+}
