@@ -588,6 +588,43 @@ object Events {
       |FROM events
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Cohort retention: users bucketed by their first-seen hour (the
+    * cohort) crossed with every hour they were later active — the
+    * standard retention triangle. One shuffle on user_id computes the
+    * per-user first-seen hour as a window min (partition-local after the
+    * shuffle, no self-join), then one hash-agg rolls up the
+    * (cohort_hour, active_hour) grid; COUNT(DISTINCT user_id) is exact,
+    * planned as Spark's two-phase distinct expand. All keys are integer
+    * epoch-µs hours, so the grid hashes identically across engines.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables
+      .events(s, d)
+      .withColumn("cohort_hour",
+        unix_micros(date_trunc("hour", min($"ts").over(w))))
+      .groupBy($"cohort_hour",
+        unix_micros(date_trunc("hour", $"ts")).as("active_hour"))
+      .agg(
+        countDistinct($"user_id").as("active_users"),
+        count(lit(1)).as("n_events"),
+      )
+      .orderBy($"cohort_hour", $"active_hour")
+  }
+
+  private val q101Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    epoch_us(DATE_TRUNC('hour',
+      |      MIN(ts) OVER (PARTITION BY user_id))) AS cohort_hour,
+      |    epoch_us(DATE_TRUNC('hour', ts)) AS active_hour
+      |  FROM events)
+      |SELECT cohort_hour, active_hour,
+      |  COUNT(DISTINCT user_id) AS active_users, COUNT(*) AS n_events
+      |FROM f GROUP BY 1, 2
+      |ORDER BY cohort_hour, active_hour""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -633,5 +670,6 @@ object Events {
       Some(q97Sql)),
     QueryDef("q98_sliding_windows", q98, Some(q98Sql)),
     QueryDef("q100_latest_compact", q100, Some(q100Sql)),
+    QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
   )
 }

@@ -265,4 +265,46 @@ class StreamDetectSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"online $streamed vs offline $expected matches")
     assert(expected >= 100, "fixture should contain many instances")
   }
+
+  test("restart from checkpoint recovers aggregation state exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    // Fault-tolerance semantics: a streaming aggregation killed between
+    // microbatches and restarted AS A NEW QUERY from the same checkpoint
+    // must resume source offsets AND state-store contents — the recovery
+    // contract a production job leans on. The complete-mode overwrite
+    // sink is idempotent, so a replayed batch cannot double-count. If
+    // state recovery were broken, the restarted query's result would
+    // cover only the second half of the data; if offset recovery were
+    // broken, it would re-read (and the half-split totals would drift).
+    val tmp = Files.createTempDirectory("graft_ckpt").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type",
+        (unix_micros($"ts") % 1000000L).as("us"))
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$tmp/src")
+    def run(): Unit = {
+      val agg = spark.readStream
+        .schema("event_id LONG, event_type STRING, us LONG")
+        .parquet(s"$tmp/src")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"us").as("sum_us"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first query instance sees the even half, then "crashes"
+    ev.filter($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    run() // new instance, same checkpoint: must resume, not restart
+    val restored = spark.read.parquet(s"$tmp/out")
+    val batch = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"us").as("sum_us"))
+    assert(restored.except(batch).isEmpty && batch.except(restored).isEmpty,
+      "restarted aggregation must equal the batch aggregate over all data")
+  }
 }
