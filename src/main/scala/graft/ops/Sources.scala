@@ -114,8 +114,64 @@ object Sources {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY y""".stripMargin
 
+  /** q102: lineitem slice → ORC (the other columnar format Spark ships
+    * natively: stripe-indexed, min/max-statistic'd, predicate-pushdown
+    * capable like parquet) → explicit-schema read → per-flag rollup.
+    * Timestamps are carried as epoch-µs longs (the engine-neutral
+    * convention the events table uses); doubles and strings must survive
+    * the ORC encode/decode bit-exactly for the oracle — which aggregates
+    * the ORIGINAL parquet — to hash-match.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "orc")
+    Tables
+      .lineitem(s, d)
+      .filter($"l_quantity" >= 25)
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus",
+        $"l_quantity", $"l_extendedprice",
+        // NTZ → timestamp is identity under the UTC session TZ Verify
+        // pins (same convention as q83's o_orderdate)
+        unix_micros($"l_shipdate".cast("timestamp")).as("ship_us"))
+      .write.mode(SaveMode.Overwrite)
+      .orc(path)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("ship_us", LongType),
+    ))
+    s.read
+      .schema(schema)
+      .orc(path)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        // integral-valued double on both sides, so cast-then-sum is exact
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("price_cents"),
+        max($"ship_us").as("max_ship_us"),
+        countDistinct($"l_orderkey").as("n_orders"),
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q102Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents,
+      |  MAX(epoch_us(l_shipdate)) AS max_ship_us,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_quantity >= 25
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
+    QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),
   )
 }
