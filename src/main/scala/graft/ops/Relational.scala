@@ -1089,6 +1089,48 @@ object Relational {
       |      FROM orders) t
       |GROUP BY 1 ORDER BY status_n NULLS FIRST""".stripMargin
 
+  /** q103: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join-side companion of q74's null semantics: under plain `=` a NULL
+    * key matches nothing (those rows silently vanish from an inner
+    * join), under null-safe equality NULL matches NULL and forms a real
+    * group. Catalyst treats `EqualNullSafe` as an equi-join key, so the
+    * plan stays a hash/broadcast join — NOT a nested loop — which is
+    * what makes the operator usable at scale; the orderNulls dim here is
+    * broadcast. The oracle uses IS NOT DISTINCT FROM; a plain-equality
+    * plan would drop the NULL group and fail the row-count compare.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables
+      .orders(s, d)
+      .withColumn("pk", expr("nullif(o_orderpriority, '1-URGENT')"))
+    val dim = o
+      .select($"pk".as("dk")).distinct()
+      .withColumn("dim_label", coalesce($"dk", lit("URGENT(NULL)")))
+    o.join(broadcast(dim), $"pk" <=> $"dk")
+      .groupBy($"dim_label")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+      )
+      .orderBy($"dim_label")
+  }
+
+  private val q103Sql =
+    """WITH o AS (
+      |  SELECT o_totalprice,
+      |    NULLIF(o_orderpriority, '1-URGENT') AS pk
+      |  FROM orders),
+      |dim AS (
+      |  SELECT DISTINCT pk AS dk,
+      |    COALESCE(pk, 'URGENT(NULL)') AS dim_label
+      |  FROM o)
+      |SELECT dim_label, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM o JOIN dim ON o.pk IS NOT DISTINCT FROM dim.dk
+      |GROUP BY dim_label ORDER BY dim_label""".stripMargin
+
   /** q78: percent-of-total in integer BASIS POINTS, overflow-free at any
     * scale: `share_bp = cents DIV (total DIV 10000)` never multiplies a
     * corpus-sized sum (the textbook `(10000·x) DIV total` overflows
@@ -1328,5 +1370,6 @@ object Relational {
     QueryDef("q81_collect_structs", q81, Some(q81Sql)),
     QueryDef("q84_union_by_name", q84, Some(q84Sql)),
     QueryDef("q93_unpivot", q93, Some(q93Sql)),
+    QueryDef("q103_nullsafe_join", q103, Some(q103Sql)),
   )
 }

@@ -59,6 +59,18 @@ class Round7Spec extends AnyFunSuite {
       s"compaction lost its map-side combine:\n$p")
   }
 
+  test("q103 null-safe join is a hash join, not a nested loop") {
+    val df = SparkEntry.queries("q103_nullsafe_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"EqualNullSafe fell out of the equi-join path:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"null-safe join lost its hash-join plan:\n$p")
+    // and the NULL key really joins: the NULL-labeled group exists
+    assert(df.filter(col("dim_label") === "URGENT(NULL)").count() == 1)
+  }
+
   test("q99 HOF fixed-point math equals the explode formulation") {
     import spark.implicits._
     val viaHof = SparkEntry.queries("q99_hof_arrays")(spark, sf)
