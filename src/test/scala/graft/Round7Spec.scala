@@ -71,6 +71,27 @@ class Round7Spec extends AnyFunSuite {
     assert(df.filter(col("dim_label") === "URGENT(NULL)").count() == 1)
   }
 
+  test("observe() collects pipeline QC metrics in the same single scan") {
+    // The 100 TB audit pattern: a job that filters/transforms must still
+    // report whole-input counters (rows seen, value mass) WITHOUT a
+    // second scan — `observe` attaches the metrics to the one pass the
+    // action already makes. The filtered action below sees only clicks;
+    // the observation must still cover every row.
+    val obs = org.apache.spark.sql.Observation("qc")
+    val ev = Tables.events(spark, sf)
+    val clicks = ev
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("cents"))
+      .filter(col("event_type") === "click")
+      .count()
+    val m = obs.get
+    assert(m("n_rows") == ev.count())
+    assert(clicks < m("n_rows").asInstanceOf[Long])
+    val cents = ev.agg(sum(expr("CAST(ROUND(value * 100) AS LONG)")))
+      .head.getLong(0)
+    assert(m("cents") == cents)
+  }
+
   test("q99 HOF fixed-point math equals the explode formulation") {
     import spark.implicits._
     val viaHof = SparkEntry.queries("q99_hof_arrays")(spark, sf)
