@@ -625,6 +625,47 @@ object Events {
       |FROM f GROUP BY 1, 2
       |ORDER BY cohort_hour, active_hour""".stripMargin
 
+  /** Exponentially-weighted moving average per user — inherently
+    * SEQUENTIAL state (each step folds the previous), which no
+    * distributed agg can reorder. The admissible distributed shape is
+    * the q81 pattern: bound the sequence by its grouping key FIRST
+    * (per-user event counts are bounded by construction), collect and
+    * sort inside the group, then fold with a HOF — one user_id shuffle,
+    * no driver involvement, no window-over-everything. The fold is
+    * integer fixed-point (α = 1/4: `s' = (c + 3s) div 4` on cents, all
+    * values non-negative so trunc-vs-floor division cannot differ), so
+    * the sequential recurrence is bit-exact on both engines; DuckDB's
+    * `list_reduce` seeds with the first element, mirrored in Spark by
+    * `aggregate` over the tail with `element_at(…, 1)` as the seed.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          expr("CAST(ROUND(value * 100) AS LONG)").as("cents")).as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select($"user_id",
+        size($"es").cast("long").as("n_events"),
+        expr("""aggregate(
+            slice(transform(es, x -> x.cents), 2, size(es) - 1),
+            element_at(transform(es, x -> x.cents), 1),
+            (acc, c) -> (c + 3 * acc) div 4)""").as("ewma_cents"))
+      .orderBy($"user_id")
+  }
+
+  private val q104Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |g AS (SELECT user_id, list(cents ORDER BY us, event_id) AS cs
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(len(cs) AS BIGINT) AS n_events,
+      |  list_reduce(cs, (x, y) -> (y + 3 * x) // 4) AS ewma_cents
+      |FROM g ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
@@ -671,5 +712,6 @@ object Events {
     QueryDef("q98_sliding_windows", q98, Some(q98Sql)),
     QueryDef("q100_latest_compact", q100, Some(q100Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
+    QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )
 }

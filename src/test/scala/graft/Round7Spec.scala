@@ -92,6 +92,20 @@ class Round7Spec extends AnyFunSuite {
     assert(m("cents") == cents)
   }
 
+  test("q104 EWMA fold seeds correctly at the 1- and 2-element edges") {
+    // the Spark side seeds `aggregate` with element 1 and folds the tail
+    // (mirroring DuckDB's list_reduce); slice(…, 2, size-1) must be
+    // empty — not an error, not the full array — when there is exactly
+    // one event
+    def ewma(arr: String): Long = spark.sql(
+      s"""SELECT aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
+         |  (acc, c) -> (c + 3 * acc) div 4)
+         |FROM (SELECT array($arr) AS a)""".stripMargin).head.getLong(0)
+    assert(ewma("40L") == 40L)                 // seed only
+    assert(ewma("40L, 8L") == 32L)             // (8 + 120) div 4
+    assert(ewma("40L, 8L, 100L") == 49L)       // (100 + 96) div 4
+  }
+
   test("q99 HOF fixed-point math equals the explode formulation") {
     import spark.implicits._
     val viaHof = SparkEntry.queries("q99_hof_arrays")(spark, sf)
