@@ -106,6 +106,47 @@ class Round7Spec extends AnyFunSuite {
     assert(ewma("40L, 8L, 100L") == 49L)       // (100 + 96) div 4
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The runtime half of the skew story: q47 shows PLANNED salting for
+    // known-skewed keys; this locks that UNKNOWN skew is rescued by
+    // AQE's OptimizeSkewedJoin — one reducer partition far above the
+    // advisory size is split after the map stage materializes, so a hot
+    // key cannot straggle a 1000-executor join even when nobody salted
+    // it. Thresholds are lowered so a test-sized build (one key holding
+    // ~95% of rows) crosses them.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "16KB")
+      spark.conf.set(keys(1), "64KB")
+      spark.conf.set(keys(2), "2")
+      spark.conf.set(keys(3), "-1") // force SMJ; broadcast would hide skew
+      spark.conf.set(keys(4), "false")
+      val left = spark.range(200000)
+        .select(when($"id" < 190000, 7L).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 64).select($"id".as("k"), $"id".as("w"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS DataFrame's queryExecution (count() would
+      // execute a separate aggregate plan and leave `joined`'s adaptive
+      // plan unfinalized)
+      assert(joined.collect().length == 190000) // hot key matches its rows
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q99 HOF fixed-point math equals the explode formulation") {
     import spark.implicits._
     val viaHof = SparkEntry.queries("q99_hof_arrays")(spark, sf)
