@@ -590,11 +590,12 @@ object Events {
 
   /** Cohort retention: users bucketed by their first-seen hour (the
     * cohort) crossed with every hour they were later active — the
-    * standard retention triangle. One shuffle on user_id computes the
+    * standard retention triangle. One user_id shuffle computes the
     * per-user first-seen hour as a window min (partition-local after the
-    * shuffle, no self-join), then one hash-agg rolls up the
-    * (cohort_hour, active_hour) grid; COUNT(DISTINCT user_id) is exact,
-    * planned as Spark's two-phase distinct expand. All keys are integer
+    * shuffle, no self-join); the (cohort_hour, active_hour) rollup then
+    * takes its own exchange, with COUNT(DISTINCT user_id) exact via
+    * Spark's two-phase distinct expand — two exchanges total, each
+    * keyed on what it aggregates. All keys are integer
     * epoch-µs hours, so the grid hashes identically across engines.
     */
   private def q101(s: SparkSession, d: String): DataFrame = {
@@ -625,34 +626,61 @@ object Events {
       |FROM f GROUP BY 1, 2
       |ORDER BY cohort_hour, active_hour""".stripMargin
 
+  /** One output row of the q104 streaming fold. */
+  final case class UserEwma(user_id: Long, n_events: Long, ewma_cents: Long)
+
   /** Exponentially-weighted moving average per user — inherently
     * SEQUENTIAL state (each step folds the previous), which no
-    * distributed agg can reorder. The admissible distributed shape is
-    * the q81 pattern: bound the sequence by its grouping key FIRST
-    * (per-user event counts are bounded by construction), collect and
-    * sort inside the group, then fold with a HOF — one user_id shuffle,
-    * no driver involvement, no window-over-everything. The fold is
+    * distributed agg can reorder. The scale-safe shape for a sequential
+    * per-key fold is SECONDARY SORT: one `repartition(user_id)` shuffle
+    * co-locates each user's history, `sortWithinPartitions(user_id, us,
+    * event_id)` orders it WITHIN the partition (a local sort — no global
+    * range exchange), and a `mapPartitions` fold consumes the rows as a
+    * stream, carrying one (accumulator, count) pair per user at a time.
+    * Memory is O(1) per task regardless of how long any one user's
+    * history is — unlike a `collect_list` formulation, which would
+    * materialize a power user's entire multi-year history as a single
+    * array in a single task (Round8Spec pins this fold ≡ the collect_list
+    * form on multi-partition data, so the cheap-at-small-scale variant
+    * remains documented without being the shipped plan). The fold is
     * integer fixed-point (α = 1/4: `s' = (c + 3s) div 4` on cents, all
     * values non-negative so trunc-vs-floor division cannot differ), so
     * the sequential recurrence is bit-exact on both engines; DuckDB's
-    * `list_reduce` seeds with the first element, mirrored in Spark by
-    * `aggregate` over the tail with `element_at(…, 1)` as the seed.
+    * `list_reduce` seeds with the first element, mirrored here by seeding
+    * the accumulator with each user's first-ordered cents value.
     */
   private def q104(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables
+    val rows = Tables
       .events(s, d)
       .select($"user_id",
-        struct(unix_micros($"ts").as("us"), $"event_id",
-          expr("CAST(ROUND(value * 100) AS LONG)").as("cents")).as("e"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list($"e")).as("es"))
-      .select($"user_id",
-        size($"es").cast("long").as("n_events"),
-        expr("""aggregate(
-            slice(transform(es, x -> x.cents), 2, size(es) - 1),
-            element_at(transform(es, x -> x.cents), 1),
-            (acc, c) -> (c + 3 * acc) div 4)""").as("ewma_cents"))
+        unix_micros($"ts").as("us"),
+        $"event_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .as[(Long, Long, Long, Long)]
+    rows
+      .mapPartitions { it =>
+        // hash partitioning puts ALL of a user's rows in one partition
+        // and the local sort makes them consecutive, so a single forward
+        // pass emits each user exactly once — constant memory
+        val buf = it.buffered
+        new Iterator[UserEwma] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): UserEwma = {
+            val user = buf.head._1
+            var acc  = buf.next()._4 // seed = first-ordered cents
+            var n    = 1L
+            while (buf.hasNext && buf.head._1 == user) {
+              acc = (buf.next()._4 + 3L * acc) / 4L
+              n += 1L
+            }
+            UserEwma(user, n, acc)
+          }
+        }
+      }
+      .toDF()
       .orderBy($"user_id")
   }
 

@@ -55,8 +55,8 @@ class Round7Spec extends AnyFunSuite {
     val p = SparkEntry.queries("q100_latest_compact")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"compaction fell back to a window sort:\n$p")
-    assert(p.contains("partial_max_by") || p.contains("partial_"),
-      s"compaction lost its map-side combine:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"compaction lost its map-side max_by combine:\n$p")
   }
 
   test("q103 null-safe join is a hash join, not a nested loop") {

