@@ -739,6 +739,12 @@ object Events {
       Some(q97Sql)),
     QueryDef("q98_sliding_windows", q98, Some(q98Sql)),
     QueryDef("q100_latest_compact", q100, Some(q100Sql)),
+    // Update-mode streaming upsert under the oracle gate: the foreachBatch
+    // keyed merge of per-user latest-wins deltas must hash-match the SAME
+    // DuckDB oracle as batch q100 — streaming CDC ≡ batch compaction.
+    QueryDef("q107_stream_upsert",
+      (s, d) => graft.streaming.Streams.latestCompactUpsert(s, d),
+      Some(q100Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )

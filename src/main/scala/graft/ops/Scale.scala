@@ -244,9 +244,57 @@ object Scale {
       )
   }
 
+  /** q106: single-scan pipeline QC metrics via `observe()` — the audit
+    * counters every production training-data job must report (rows seen,
+    * value mass, event-time freshness range) attached to the ONE pass a
+    * filtering job already makes over its input. `CollectMetrics` is an
+    * optimizer barrier: the downstream `event_type = 'click'` filter
+    * cannot be pushed below it, so the whole-input counters genuinely
+    * cover every row while the job's own action (counting the kept
+    * subset) drives the scan — no second read of a 100 TB input just to
+    * audit it. The metrics themselves ARE this query's result row;
+    * the DuckDB oracle recomputes all of them as plain aggregates, so a
+    * green row proves the observed counters equal a dedicated pass.
+    * `observe` forbids distinct aggregates (metrics must be mergeable
+    * across tasks — same law as any 1000-executor counter), which is why
+    * the freshness range is min/max, not a cardinality.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val rowsKept = Tables
+      .events(s, d)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("cents_total"),
+        min(unix_micros($"ts")).as("min_us"),
+        max(unix_micros($"ts")).as("max_us"))
+      .filter($"event_type" === "click")
+      .count() // the single scan: filtered action + whole-input metrics
+    val m = obs.get
+    Seq((
+      m("rows_seen").asInstanceOf[Long],
+      m("cents_total").asInstanceOf[Long],
+      m("min_us").asInstanceOf[Long],
+      m("max_us").asInstanceOf[Long],
+      rowsKept,
+    )).toDF("rows_seen", "cents_total", "min_us", "max_us", "rows_kept")
+  }
+
+  private val q106Sql =
+    """SELECT COUNT(*) AS rows_seen,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total,
+      |  MIN(epoch_us(ts)) AS min_us,
+      |  MAX(epoch_us(ts)) AS max_us,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS rows_kept
+      |FROM events""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
+    QueryDef("q106_observe_qc", q106, Some(q106Sql)),
   )
 }

@@ -169,9 +169,72 @@ object Sources {
       |WHERE l_quantity >= 25
       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q105: Hive-style partitioned layout — `partitionBy("event_type")`
+    * on write, partition PRUNING on read. THE canonical 100 TB access
+    * pattern: a corpus laid out by its hottest filter key (day, hour,
+    * source, type) so that a filter on that key eliminates whole
+    * directories at PLANNING time. The distinction this query certifies
+    * is `PartitionFilters` (never read) versus `PushedFilters`
+    * (read-then-skip via footer stats): the filtered read below must
+    * plan as the former — enforced by a hard `require` on the physical
+    * plan at every run, so the driver itself fails if pruning regresses
+    * — and the result must equal the same filter over the UNpartitioned
+    * original, which is exactly what the DuckDB oracle computes.
+    * Columns partitioned on move into directory names (`event_type=
+    * click/`), so string values must survive the path encode/decode;
+    * the cent/µs projections are written pre-computed so the round-trip
+    * is pure long/string, the layout's row content is byte-stable, and
+    * the rollup is a single map-side-combinable hash-agg over only the
+    * two surviving directories.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "part") + "/events_by_type"
+    Tables
+      .events(s, d)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_type")
+      .parquet(path)
+    val agg = s.read
+      .parquet(path)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        countDistinct($"user_id").as("n_users"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+    // planning-time self-check (cheap — inspects the plan, runs nothing):
+    // the event_type filter must be a directory-pruning PartitionFilter;
+    // if it ever degrades to a row filter the query aborts rather than
+    // silently scanning everything
+    val plan = agg.queryExecution.executedPlan.toString
+    require(
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"q105: event_type filter fell out of PartitionFilters:\n$plan")
+    agg
+  }
+
+  private val q105Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
     QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),
+    QueryDef("q105_partition_prune", q105, Some(q105Sql)),
   )
 }

@@ -100,24 +100,28 @@ object Streams {
     out
   }
 
-  /** Run `body` (which must define AND finish a streaming query) with a
-    * small `spark.sql.shuffle.partitions`. Stateful streaming pins the
+  /** Run `body` (which must define AND finish a streaming query) with
+    * `spark.sql.shuffle.partitions = 1`. Stateful streaming pins the
     * state-store partition count from this conf at the query's FIRST
-    * batch, and every microbatch then commits one state file per
-    * partition — at the bench's bounded result cardinalities (hours ×
-    * types, one row per user), 32-way state is pure per-batch task and
-    * commit overhead (the round-6 verdict measured q94 at 6.8 s clean
-    * with harness, not data, dominating). On a real cluster this knob is
-    * sized to state volume; these harnesses own their (throwaway)
-    * checkpoints, so the pinned value never conflicts across runs. The
-    * session default is restored before returning — batch plans created
-    * AFTER the harness (including the read-back of the sunk result) are
+    * batch, and every microbatch then commits one state file (plus logs)
+    * per partition per store — at the bench's bounded result
+    * cardinalities (hours × types, one row per user) the run cost is
+    * DOMINATED by that per-partition commit fan-out, not by compute:
+    * round 6 measured q94 at 6.8 s clean under 32-way state, round 7 got
+    * 3.5 s under 4-way, and round 8 measured 4-way → 1-way saving a
+    * further ~0.9 s on q96 and ~1.1 s on the 4-batch upsert q107. On a
+    * real cluster this knob is sized to state VOLUME (fit each
+    * partition's state in an executor's memory), not left at the
+    * session default; these harnesses own their (throwaway) checkpoints,
+    * so the pinned value never conflicts across runs. The session
+    * default is restored before returning — batch plans created AFTER
+    * the harness (including the read-back of the sunk result) are
     * unaffected.
     */
   private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, "1")
     try body
     finally spark.conf.set(key, saved)
   }
@@ -378,10 +382,29 @@ object Streams {
     */
   def attributionCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark)
-    def src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // Stage the one table this query reads into a private single-file
+    // dir (q94's pattern) and derive BOTH join branches from ONE
+    // readStream: the original harness built two independent sources
+    // over the shared sf directory, so every microbatch listed and
+    // scanned that directory twice (through a pathGlobFilter over all
+    // ten tables). One source → one listing, one scan, two filters.
+    // Projection/selection pushed to the staging write, the way a
+    // production ingest would land an attribution feed: only the two
+    // event types the join consumes, only the three columns it keys on
+    // (the wide props JSON never enters the stream). The staged file is
+    // ~1/10 the table, and each microbatch's two branch scans read that.
+    val src0 = java.nio.file.Paths.get("target", "graft_stream",
+      "attr_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    spark.read.schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .coalesce(1)
+      .write.parquet(src0.toString)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+      .parquet(src0.toString)
       .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("luser"), col("wts").as("lts"),
@@ -397,6 +420,87 @@ object Streams {
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("revent")).as("n_purchases"))
       .orderBy(col("user_id"))
+  }
+
+  /** Streaming UPDATE-mode upsert under the driver's oracle gate (q107)
+    * — the CDC-shaped third output mode (append is q94, complete is
+    * q73/q97): a per-user latest-wins aggregate emits only the keys each
+    * microbatch CHANGED, and `foreachBatch` merges those deltas into a
+    * keyed sink — delete-and-replace by key, the upsert every
+    * incremental materialization job performs against a real keyed
+    * store. The sink here is a sequence of immutable snapshot
+    * directories (write `v<batchId>` by anti-joining the delta's keys
+    * out of `v<prev>` and unioning the delta — the same
+    * copy-on-write MVCC discipline table formats use), because
+    * overwriting a directory that the merge plan is lazily READING
+    * would corrupt it; one snapshot per batch, last snapshot wins.
+    *
+    * The source is staged into a private dir SPLIT INTO FOUR FILES with
+    * `maxFilesPerTrigger=1`, so the run genuinely exercises four
+    * microbatches of cross-batch state: a user whose events span files
+    * is emitted repeatedly, each emission reflecting TOTAL state so far,
+    * and the final snapshot must equal batch q100 exactly — same
+    * max_by-over-(ts,event_id) ordering, same DuckDB oracle. Update-mode
+    * emission per key is the CURRENT aggregate value (not a delta), so
+    * "latest emission per key" ≡ "final state per key" regardless of how
+    * the file splitter scattered each user's rows across batches.
+    */
+  def latestCompactUpsert(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream", s"ups_$uuid")
+    val srcDir = root.resolve("src").toString
+    // Stage the input as 4 part files → 4 genuine cross-batch
+    // microbatches, projecting away the wide props JSON the aggregate
+    // never touches (the staging shuffle would otherwise move and
+    // rewrite it 1:1 — column pruning belongs at the WRITE when the
+    // writer owns the layout).
+    val upsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+    spark.read.schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(4)
+      .write.parquet(srcDir)
+    val ord = struct(unix_micros($"wts"), $"event_id")
+    val agg = spark.readStream
+      .schema(upsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", ord).as("last_type"),
+        max_by(expr("CAST(ROUND(value * 100) AS LONG)"), ord)
+          .as("last_value_cents"),
+        max(unix_micros($"wts")).as("last_us"),
+        count(lit(1)).as("n_events"),
+      )
+    val sink = root.resolve("sink").toString
+    @volatile var latest = -1L
+    withFewStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          val sp = batch.sparkSession
+          val merged =
+            if (latest < 0) batch
+            else sp.read.parquet(s"$sink/v$latest")
+              .join(batch.select(col("user_id")), Seq("user_id"),
+                "left_anti")
+              .unionByName(batch)
+          // new snapshot dir per batch: the merge plan lazily reads
+          // v<latest>, so it must never be the overwrite target
+          merged.coalesce(1).write.parquet(s"$sink/v$id")
+          latest = id
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$sink/v$latest").orderBy(col("user_id"))
   }
 
   /** Built-in session windows under the driver's oracle gate (q97):
