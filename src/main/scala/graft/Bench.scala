@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The bench contract is local[32] with shuffle.partitions=32; the
+    // v0 scaffold shipped a default of 4 that rounds 1-7 inherited
+    // unquestioned — the generator and every compute-bound query were
+    // leaving 8× the machine idle (gen_block_10m: 17.3 s at 4 threads,
+    // 3.4 s at 32). Env-overridable for constrained local profiling.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

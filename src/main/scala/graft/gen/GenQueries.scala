@@ -79,6 +79,28 @@ object GenQueries {
       .orderBy($"is_pattern")
   }
 
+  /** Block-parallel 10M-event stream — gen_block_1m at 10× N, as a
+    * timed proof of the closed-form schedule's flat scaling (SCALE.md:
+    * `Layout.blockAt` is O(log) per block, so the plan — and the
+    * per-event cost — is the SAME at 10⁶ and 10⁷; only the partition
+    * count grows). The bench row should read ~linear in N with zero
+    * driver-side materialization: the reference's sequential generator
+    * is 9.6 s/M, so this N would cost it ~96 s single-thread.
+    */
+  private def genBlock10m(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StreamGen
+      .block(s, demoSpec(10000000L))
+      .groupBy($"is_pattern")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"ts").as("min_ts"),
+        max($"ts").as("max_ts"),
+        countDistinct($"event_type").as("n_types"),
+      )
+      .orderBy($"is_pattern")
+  }
+
   /** Flagship end-to-end slice (SURVEY.md §7.3): generate the 40k demo
     * stream → tick→wall-clock projection → tumbling 60-tick window counts
     * by (event_type, is_pattern) → broadcast join of the pattern-type
@@ -183,6 +205,7 @@ object GenQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
+    QueryDef("gen_block_10m", genBlock10m, None),
     QueryDef("gen_flagship_windows", flagship, None),
     QueryDef("gen_pattern_detect", patternDetect, None),
     QueryDef("gen_drift_profile", driftProfile, None),
