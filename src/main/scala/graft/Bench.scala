@@ -15,6 +15,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming-harness scratch space: staged sources are deleted by the
+    // harnesses themselves, but sink dirs outlive their query (the
+    // returned DataFrame reads them lazily), so each RUN starts by
+    // wiping the previous run's accumulation — bounded disk, and no
+    // ever-growing directory for the OS to manage across a 20-round
+    // campaign.
+    val scratch = java.nio.file.Paths.get("target", "graft_stream")
+    if (java.nio.file.Files.exists(scratch))
+      java.nio.file.Files.walk(scratch)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
     // Warm the session (codegen, parquet footer cache, executor threads)
     // so the first timed query doesn't absorb JVM startup. The custom
     // kernel expressions (text sketches, vector cosine) compile real

@@ -126,6 +126,21 @@ object Streams {
     finally spark.conf.set(key, saved)
   }
 
+  /** Recursively delete a finished harness's staging artifacts (source
+    * copies, superseded snapshots). Same discipline as the cache
+    * releases in `Dedup`/`Graph`, applied to disk: a 20-round bench run
+    * must not accumulate a staged copy of the events table per
+    * query per round. Only ever called on paths under
+    * `target/graft_stream` AFTER the stream that read them stopped;
+    * the returned result DataFrame must never point inside `p`.
+    */
+  private def deleteStaged(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
   /** Streaming twin of the batch hourly rollup (`ops/Events` q22): read
     * the driver `events` table as a file-source STREAM, aggregate in
     * COMPLETE output mode (the streaming materialized-view shape — state
@@ -232,6 +247,7 @@ object Streams {
         q.processAllAvailable()
       } finally q.stop()
     }
+    deleteStaged(src) // stream stopped; the result reads `out` only
     spark.read.parquet(out)
       .filter(col("event_type") =!= "__sentinel__")
       .orderBy(col("hour_us"), col("event_type"))
@@ -415,6 +431,7 @@ object Streams {
     val pairs = intervalJoin(clicks, buys, horizon = "1 hour")
       .select(col("luser"), col("levent"), col("revent"))
     val out = runToParquet(pairs, OutputMode.Append)
+    deleteStaged(src0) // stream stopped; the result reads `out` only
     spark.read.parquet(out)
       .groupBy(col("luser").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -492,14 +509,19 @@ object Streams {
                 "left_anti")
               .unionByName(batch)
           // new snapshot dir per batch: the merge plan lazily reads
-          // v<latest>, so it must never be the overwrite target
+          // v<latest>, so it must never be the overwrite target; once
+          // the new snapshot is durable the superseded one is garbage
+          // (retention = 1, the copy-on-write format's vacuum)
           merged.coalesce(1).write.parquet(s"$sink/v$id")
+          val prev = latest
           latest = id
+          if (prev >= 0) deleteStaged(root.resolve("sink").resolve(s"v$prev"))
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
+    deleteStaged(root.resolve("src")) // stream stopped; staged copy is dead
     spark.read.parquet(s"$sink/v$latest").orderBy(col("user_id"))
   }
 
