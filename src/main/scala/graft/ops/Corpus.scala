@@ -545,6 +545,44 @@ object Corpus {
       |      FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q109: deterministic fixed-k per-group sample — "give me exactly 10
+    * inspectable documents per language", the eyeball-QA / few-shot-
+    * selection primitive q90's rate-based sampling cannot provide (a
+    * hash THRESHOLD yields a binomial count per group; a hash RANK
+    * yields exactly k). Ordering by `md5(doc_id)` with a doc_id
+    * tie-break makes the choice uniform-ish, engine-independent, and
+    * stable across partitionings/retries (never `rand()`). The plan is
+    * the part that matters at 100 TB: Spark rewrites the
+    * `row_number() <= k` filter into a WindowGroupLimit, which keeps a
+    * bounded top-k heap per group on the MAP side before the lang
+    * shuffle — each task ships at most k rows per language, so the
+    * exchange carries k·langs·tasks rows, not the corpus
+    * (Round8Spec locks the WindowGroupLimit + its partial/map-side
+    * phase in the physical plan).
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables
+      .documents(s, d)
+      .select($"lang", $"doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  private val q109Sql =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -556,5 +594,6 @@ object Corpus {
     QueryDef("q68_dup_bigrams", q68, Some(q68Sql)),
     QueryDef("q79_corpus_manifest", q79, Some(q79Sql)),
     QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
+    QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
   )
 }

@@ -392,11 +392,68 @@ object Vectors {
     ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
       nCells = 16, nProbe = 4)
 
+  /** q108: int8 embedding quantization — the compression step every
+    * embedding store/ANN index runs before serving (float32 → int8 is
+    * 4× less memory and bandwidth, and integer dot products). Per
+    * vector: symmetric max-abs scaling (`q = round(x · 127 / max|x|)`
+    * — the argmax element maps to ±127 exactly, nothing can clip), then
+    * the quantized self-dot product (the quantity an int8 ANN actually
+    * computes) and the saturation count (|q| = 127 — the QC stat that
+    * catches a bad scale choice), rolled up per label. Pure codegen
+    * HOFs (`aggregate`/`transform`/`filter`) — no shuffle until the
+    * final label rollup, whose map-side combine ships one row per
+    * label per task. Outputs are INTEGER (quantized grids + counts),
+    * so the hash compare is exact: the only float step, round(x·127 /
+    * mx) on doubles, is the q22-family ROUND discipline both engines
+    * share; all-zero vectors (mx = 0, none in the fixture but the
+    * guard is semantics, not data-dependent) are excluded on both
+    * sides rather than dividing by zero.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .embeddings(s, d)
+      .withColumn("mx",
+        expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"""))
+      .filter($"mx" > 0.0)
+      .withColumn("qv",
+        expr("""transform(embedding,
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / mx) AS LONG))"""))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
+          .as("qdot_total"),
+        sum(expr("CAST(size(filter(qv, v -> abs(v) = 127)) AS LONG)"))
+          .as("n_saturated"),
+      )
+      .orderBy($"label")
+  }
+
+  private val q108Sql =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 /
+      |        list_max(list_transform(embedding,
+      |          y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |  WHERE list_max(list_transform(embedding,
+      |          y -> abs(CAST(y AS DOUBLE)))) > 0)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(list_reduce(list_transform(qv, v -> v * v),
+      |    (a, b) -> a + b)) AS BIGINT) AS qdot_total,
+      |  CAST(SUM(len(list_filter(qv, v -> abs(v) = 127))) AS BIGINT)
+      |    AS n_saturated
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_cosine_topk", q40, Some(q40Sql)),
     QueryDef("q41_ann_pairs", q41, None),
     QueryDef("q42_embedding_norms", q42, Some(q42Sql)),
     QueryDef("q49_ivf_topk", q49, None),
     QueryDef("q99_hof_arrays", q99, Some(q99Sql)),
+    QueryDef("q108_int8_quant", q108, Some(q108Sql)),
   )
 }

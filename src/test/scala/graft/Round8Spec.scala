@@ -127,6 +127,43 @@ class Round8Spec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("q108 saturates exactly the argmax elements and combines map-side") {
+    val df = SparkEntry.queries("q108_int8_quant")(spark, sf)
+    val rows = df.collect()
+    // symmetric max-abs scaling maps each vector's argmax to ±127, so
+    // every vector saturates at least one element — a broken scale
+    // (e.g. 128, or un-abs'd max) breaks this immediately
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(3) >= r.getLong(1)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q108 label rollup lost its map-side combine:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"q108 HOFs fell out of codegen:\n$p")
+  }
+
+  test("q109 keeps a bounded per-group top-k heap BEFORE the shuffle") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q109_fixed_k_sample")(spark, sf)
+    // exactly k rows per group, ranks 1..k dense
+    val perLang = df.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), max($"rk").as("mx"), min($"rk").as("mn"))
+      .collect()
+    assert(perLang.nonEmpty &&
+      perLang.forall(r => r.getLong(1) == 10 && r.getLong(2) == 10 &&
+        r.getLong(3) == 1))
+    // the row_number <= k filter must rewrite into a partial+final
+    // WindowGroupLimit pair; plan strings print root-first, so the
+    // PARTIAL (map-side) limit — the one that keeps each task to k rows
+    // per group BEFORE the lang shuffle — must appear after the last
+    // Exchange in the rendered tree
+    val p = df.queryExecution.executedPlan.toString
+    val firstLimit = p.indexOf("WindowGroupLimit")
+    assert(firstLimit >= 0 && p.indexOf("WindowGroupLimit", firstLimit + 1) > 0,
+      s"q109 lost its partial+final WindowGroupLimit pair:\n$p")
+    assert(p.lastIndexOf("WindowGroupLimit") > p.lastIndexOf("Exchange"),
+      s"q109's partial WindowGroupLimit is not upstream of the shuffle:\n$p")
+  }
+
   test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
     val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
