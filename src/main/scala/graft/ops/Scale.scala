@@ -291,10 +291,49 @@ object Scale {
       |    AS BIGINT) AS rows_kept
       |FROM events""".stripMargin
 
+  /** q110: group-size histogram — the skew DIAGNOSTIC run before
+    * choosing a mitigation (salting q47, AQE splitting, broadcast):
+    * how many keys are at each order of magnitude, and how many rows
+    * the biggest keys cover. Two hash-aggs: the user_id rollup is the
+    * only data-sized shuffle (map-side combined — one row per key per
+    * task), the magnitude rollup shuffles one row per KEY. Magnitude =
+    * decimal digit count of the group size (`length(cast(n as
+    * string))`) — integer and identical across engines, where a
+    * floor(log2) on doubles could disagree at exact powers of two.
+    * On a power-law feed the top bucket holding a large rows_covered
+    * share while n_keys ≈ 1 is the signature that says "salt that key"
+    * — this query is how the q47/AQE decision gets made from data
+    * instead of from an incident.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(length($"n".cast("string")).cast("long").as("magnitude"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        min($"n").as("min_n"),
+        max($"n").as("max_n"),
+        sum($"n").as("rows_covered"),
+      )
+      .orderBy($"magnitude")
+  }
+
+  private val q110Sql =
+    """WITH g AS (SELECT user_id, COUNT(*) AS n FROM events
+      |           GROUP BY user_id)
+      |SELECT CAST(LENGTH(CAST(n AS VARCHAR)) AS BIGINT) AS magnitude,
+      |  COUNT(*) AS n_keys, MIN(n) AS min_n, MAX(n) AS max_n,
+      |  CAST(SUM(n) AS BIGINT) AS rows_covered
+      |FROM g GROUP BY 1 ORDER BY magnitude""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
     QueryDef("q106_observe_qc", q106, Some(q106Sql)),
+    QueryDef("q110_skew_histogram", q110, Some(q110Sql)),
   )
 }

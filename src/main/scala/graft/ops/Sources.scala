@@ -231,10 +231,73 @@ object Sources {
       |WHERE event_type IN ('click', 'purchase')
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q111: clustered (sort-ordered) layout + row-group statistics
+    * skipping — the second half of the 100 TB layout story. q105 prunes
+    * DIRECTORIES on the partition key; this clusters WITHIN the data on
+    * the range key every time filter hits (`repartitionByRange(ts)` +
+    * `sortWithinPartitions(ts)` at write time), so parquet min/max
+    * row-group statistics make a narrow time-window read skip almost
+    * every row group in the pushed scan — the poor man's z-order, and
+    * the reason "sort your fact table by event time" is layout advice,
+    * not folklore. The staged write shrinks `parquet.block.size` so the
+    * test-scale file actually has many row groups (at corpus scale the
+    * default 128 MB blocks give the same structure for free); Round8Spec
+    * proves the physical skip via scan metrics (scan output rows ≪
+    * table rows under an 8% time window). The oracle aggregates the
+    * same window over the ORIGINAL parquet, so the clustered round-trip
+    * must also be value-exact.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "sorted") + "/events_by_ts"
+    val ev = Tables
+      .events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+    ev.repartitionByRange(4, $"us")
+      .sortWithinPartitions($"us")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", 64 * 1024) // many row groups at test SF
+      .parquet(path)
+    // Window = first ~8% of the time span, derived from the data so the
+    // query is SF-independent. The bounds are COLLECTED (one row, two
+    // longs — the bounded "index construction" class of driver-side
+    // work): parquet row-group skipping only happens for LITERAL
+    // predicates, so the cut must be a constant in the plan, not a
+    // joined column. Integer division on driver-side longs ≡ DuckDB's
+    // `//` (both values non-negative).
+    val b = ev.agg(min($"us"), max($"us")).head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = lo + (hi - lo) / 12
+    s.read
+      .parquet(path)
+      .filter($"us" <= cut)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q111Sql =
+    """WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events, b
+      |WHERE epoch_us(ts) <= b.lo + (b.hi - b.lo) // 12
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
     QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),
     QueryDef("q105_partition_prune", q105, Some(q105Sql)),
+    QueryDef("q111_clustered_scan", q111, Some(q111Sql)),
   )
 }

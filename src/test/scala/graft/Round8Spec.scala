@@ -164,6 +164,72 @@ class Round8Spec extends AnyFunSuite {
       s"q109's partial WindowGroupLimit is not upstream of the shuffle:\n$p")
   }
 
+  test("q111 clustered layout skips row groups; unsorted layout cannot") {
+    import spark.implicits._
+    // sf0.01, not the suite's default sf0.001: with only 1000 rows the
+    // staged file holds one tiny row group per range partition and the
+    // measurement reduces to file-level granularity; 10k rows give each
+    // file several 64KB row groups, which is the structure the query
+    // demonstrates
+    val sf01 = "/root/testdata/sf0.01"
+    // run the registered query once so its staged sorted layout exists
+    assert(SparkEntry.queries("q111_clustered_scan")(spark, sf01).count() > 0)
+    val dir = "target/stage_sources/sorted_" +
+      sf01.replaceAll("[^A-Za-z0-9]", "_") + "/events_by_ts"
+    val ev = Tables.events(spark, sf01)
+      .select($"event_id", unix_micros($"ts").as("us"))
+    val total = ev.count()
+    val b = ev.agg(min($"us"), max($"us")).head
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 12
+    // A/B control: the SAME rows and block size, written UNsorted —
+    // every 64KB row group then spans the whole time range, so min/max
+    // statistics can skip nothing
+    val unsortedDir = java.nio.file.Files
+      .createTempDirectory("graft_unsorted").toString + "/events"
+    Tables.events(spark, sf01)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+      .repartition(4) // round-robin: time-interleaved, the anti-layout
+      .write.option("parquet.block.size", 64 * 1024).parquet(unsortedDir)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter($"us" <= cut)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(fail(s"no FileSourceScanExec for $path"))
+      scan.metrics("numOutputRows").value
+    }
+    val sortedRows   = scanRows(dir)
+    val unsortedRows = scanRows(unsortedDir)
+    // the pushed range predicate drops ~11/12 of row groups on the
+    // clustered file and none on the interleaved one
+    assert(sortedRows < total / 5,
+      s"clustered scan read $sortedRows of $total rows - stats skipped nothing")
+    assert(unsortedRows > total / 2,
+      s"control broke: unsorted scan read only $unsortedRows of $total")
+    assert(sortedRows * 3 < unsortedRows,
+      s"clustering won nothing: $sortedRows vs $unsortedRows")
+  }
+
+  test("q110 diagnoses an injected hot key in the top magnitude bucket") {
+    import spark.implicits._
+    // synthetic power-law check of the diagnostic itself: 1 key with
+    // 100k rows, 1000 keys with ~10 — the hot key must surface as a
+    // lone key in the top magnitude bucket covering >90% of rows
+    val skewed = spark.range(100000).select(lit(7L).as("user_id"))
+      .unionAll(spark.range(10000)
+        .select((col("id") % 1000 + 100L).as("user_id")))
+    val hist = skewed.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(length($"n".cast("string")).cast("long").as("magnitude"))
+      .agg(count(lit(1)).as("n_keys"), sum($"n").as("rows_covered"))
+      .orderBy($"magnitude".desc)
+      .head
+    assert(hist.getLong(0) == 6 && hist.getLong(1) == 1 &&
+      hist.getLong(2) == 100000L)
+  }
+
   test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
     val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
