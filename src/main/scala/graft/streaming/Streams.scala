@@ -439,6 +439,26 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Keyed upsert of an update-mode delta into a snapshot: delete-and-
+    * replace by key (anti-join the delta's keys out of the current
+    * snapshot, union the delta). IDEMPOTENT by construction —
+    * `merge(merge(s, d), d) = merge(s, d)` — which is what turns
+    * `foreachBatch`'s at-least-once delivery into exactly-once state at
+    * the sink: a batch replayed after a failure deletes its own
+    * previous writes before re-inserting them (StreamingSpec locks the
+    * property). This is the merge every CDC-consuming table format
+    * performs; here the snapshot is a parquet dir, there it is a keyed
+    * table.
+    */
+  private[graft] def upsertMerge(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      key: String,
+  ): DataFrame =
+    snapshot
+      .join(delta.select(col(key)), Seq(key), "left_anti")
+      .unionByName(delta)
+
   /** Streaming UPDATE-mode upsert under the driver's oracle gate (q107)
     * — the CDC-shaped third output mode (append is q94, complete is
     * q73/q97): a per-user latest-wins aggregate emits only the keys each
@@ -503,11 +523,9 @@ object Streams {
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           val sp = batch.sparkSession
           val merged =
-            if (latest < 0) batch
-            else sp.read.parquet(s"$sink/v$latest")
-              .join(batch.select(col("user_id")), Seq("user_id"),
-                "left_anti")
-              .unionByName(batch)
+            if (latest < 0) batch.toDF()
+            else upsertMerge(sp.read.parquet(s"$sink/v$latest"),
+              batch.toDF(), "user_id")
           // new snapshot dir per batch: the merge plan lazily reads
           // v<latest>, so it must never be the overwrite target; once
           // the new snapshot is durable the superseded one is garbage

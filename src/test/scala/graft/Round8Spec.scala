@@ -230,6 +230,29 @@ class Round8Spec extends AnyFunSuite {
       hist.getLong(2) == 100000L)
   }
 
+  test("streaming aggregation is backend-portable: RocksDB state store") {
+    // The default HDFSBackedStateStore keeps state on the executor HEAP
+    // — fine at bounded cardinalities, fatal for 100 TB keyed state. The
+    // production backend is RocksDB (off-heap, spill-to-disk, bounded
+    // GC); this locks that our streaming queries produce IDENTICAL
+    // results under it, i.e. nothing in the harnesses or aggregates
+    // depends on the default provider's semantics.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val streamed = SparkEntry.queries("q73_stream_hourly")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q22_hourly_windows")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
     val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
     val p = qe.executedPlan.toString

@@ -307,4 +307,25 @@ class StreamDetectSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(restored.except(batch).isEmpty && batch.except(restored).isEmpty,
       "restarted aggregation must equal the batch aggregate over all data")
   }
+
+  test("upsert merge is idempotent: a replayed batch cannot corrupt the sink") {
+    import spark.implicits._
+    // foreachBatch delivers at-least-once: after a crash between the
+    // sink write and the checkpoint commit, the SAME batch (same id,
+    // same contents) is replayed. q107's delete-and-replace merge must
+    // therefore be idempotent — merge(merge(s, d), d) == merge(s, d) —
+    // or every recovery would duplicate keys. Overlapping keys (2, 3
+    // updated), a new key (4), and an untouched key (1) cover the cases.
+    val snap  = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("user_id", "last_type", "last_value_cents")
+    val delta = Seq((2L, "B", 21L), (3L, "C", 31L), (4L, "d", 40L))
+      .toDF("user_id", "last_type", "last_value_cents")
+    def m(s: org.apache.spark.sql.DataFrame) =
+      Streams.upsertMerge(s, delta, "user_id")
+    val once  = m(snap).orderBy($"user_id").collect().map(_.toSeq).toSeq
+    val twice = m(m(snap)).orderBy($"user_id").collect().map(_.toSeq).toSeq
+    assert(once == twice)
+    assert(once == Seq(Seq(1L, "a", 10L), Seq(2L, "B", 21L),
+      Seq(3L, "C", 31L), Seq(4L, "d", 40L)))
+  }
 }
