@@ -717,6 +717,12 @@ object Events {
     QueryDef("q85_stream_sessions",
       (s, d) => graft.streaming.Streams.sessionStats(s, d),
       Some(q20Sql)),
+    // The transformWithState arbitrary-state API under the oracle gate:
+    // the StatefulProcessor session stats must hash-match the SAME
+    // DuckDB oracle as batch q20 and legacy-API q85.
+    QueryDef("q112_tws_sessions",
+      (s, d) => graft.streaming.Streams.sessionStatsTws(s, d),
+      Some(q20Sql)),
     // Stream-static broadcast enrichment join under the oracle gate:
     // the streamed per-nation rollup must hash-match the batch SQL.
     QueryDef("q92_stream_enrich",

@@ -703,6 +703,98 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user session stats as a [[org.apache.spark.sql.streaming.
+    * StatefulProcessor]] — the transformWithState successor of the
+    * `flatMapGroupsWithState` sessionizer above (q85): named typed state
+    * (`ValueState`) from a handle instead of one opaque blob, explicit
+    * init/close lifecycle, per-state TTL support, and a RocksDB-backed
+    * store required by contract. Semantics are identical to q85's fold
+    * by construction: same in-batch time sort, same carried last-seen
+    * timestamp, so ordered replay reproduces `Events.q20` exactly.
+    */
+  final class SessStatProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), SessStatRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessStatState] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessStatState]("sess",
+        Encoders.product[SessStatState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[SessStatRow] = {
+      val sorted = rows.map(_._2).toArray
+      java.util.Arrays.sort(sorted)
+      var s =
+        if (st.exists()) st.get()
+        else SessStatState(Long.MinValue, 0L, 0L, 0L, 0L)
+      sorted.foreach { us =>
+        val newSession = s.lastUs == Long.MinValue || us - s.lastUs > gapUs
+        val cur = if (newSession) 1L else s.curEvents + 1L
+        s = SessStatState(
+          us,
+          s.sessions + (if (newSession) 1L else 0L),
+          s.events + 1L,
+          cur,
+          math.max(s.maxEvents, cur),
+        )
+      }
+      st.update(s)
+      Iterator.single(SessStatRow(user, s.sessions, s.events, s.maxEvents))
+    }
+  }
+
+  /** q112: [[SessStatProcessor]] run to completion under the driver's
+    * oracle gate — the same DuckDB oracle as batch q20 and legacy-API
+    * q85, so the NEW arbitrary-state API (transformWithState) is
+    * externally hash-verified against both the batch semantics and its
+    * predecessor. transformWithState requires the RocksDB state store;
+    * the conf is pinned for this query and restored after (the same
+    * save/restore discipline as the shuffle-partition wrap).
+    */
+  def sessionStatsTws(
+      spark: SparkSession,
+      dir: String,
+      gapUs: Long = 1800L * 1000000L,
+  ): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureNanosAsLong(spark)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      implicit val outEnc = Encoders.product[SessStatRow]
+      val updates = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select($"user_id", expr("ts DIV 1000").as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessStatProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      spark.read.parquet(out)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_sessions")).as("n_sessions"),
+          max(col("n_events")).as("n_events"),
+          max(col("max_session_events")).as("max_session_events"),
+        )
+        .orderBy(col("user_id"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Stateful streaming sessionization: per-user inactivity-gap session
     * counting with explicit state (`flatMapGroupsWithState`) — emits the
     * running per-user totals each microbatch (Update mode).

@@ -253,6 +253,17 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q112 transformWithState equals the legacy flatMapGroupsWithState") {
+    // same fold, two stateful APIs a decade apart: the StatefulProcessor
+    // port must be row-identical to the flatMapGroupsWithState original
+    // (both are independently oracle-gated against batch q20)
+    val tws = SparkEntry.queries("q112_tws_sessions")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val legacy = SparkEntry.queries("q85_stream_sessions")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(tws.nonEmpty && tws == legacy)
+  }
+
   test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
     val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
