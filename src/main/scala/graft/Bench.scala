@@ -105,6 +105,28 @@ object Bench {
       graft.streaming.Streams
         .attributionCounts(spark, srcDir.toString).count(): Unit
     }
+    // 2-row transformWithState run: q112 is the only query on the new
+    // stateful API, and its first use loads the RocksDB native library
+    // + store machinery — without this slice q112's timed number is
+    // JNI loading + query, not the processor
+    warm("transformWithState slice") {
+      import spark.implicits._
+      val root = java.nio.file.Paths.get("target", "graft_stream", "warm_tws")
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val tmp = root.resolve("tmp").toString
+      Seq((1L, 1000000000000000L, 1L, "click", 0.0, "{}"),
+          (2L, 1000000001000000L, 1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      java.nio.file.Files.move(part, srcDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.Streams
+        .sessionStatsTws(spark, srcDir.toString).count(): Unit
+    }
     // q88's bucketed tables are one-time storage PREPARATION (the
     // pattern is "pay the shuffle at write time, join exchange-free
     // forever after") — build them here so q88's timed number is the
