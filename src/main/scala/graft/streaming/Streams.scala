@@ -73,8 +73,9 @@ object Streams {
     * bench showed up to 3.8× cross-query interference from accumulated
     * memory-sink tables). Complete-mode queries overwrite (each batch
     * carries the full result); update-mode queries append (the caller
-    * reduces, e.g. per-key `max` over monotone emissions — a production
-    * job would upsert into a keyed sink instead).
+    * reduces, e.g. per-key `max` over monotone emissions — the keyed-
+    * sink upsert a production job performs instead is demonstrated by
+    * q107's `upsertMerge` harness).
     */
   private def runToParquet(agg: DataFrame, mode: OutputMode): String = {
     val out = java.nio.file.Paths
@@ -747,6 +748,81 @@ object Streams {
       st.update(s)
       Iterator.single(SessStatRow(user, s.sessions, s.events, s.maxEvents))
     }
+  }
+
+  final case class ClosedSession(
+      user_id: Long,
+      s_start_us: Long,
+      s_last_us: Long,
+      n: Long,
+  )
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Event-time-timer sessionizer on the transformWithState API — the
+    * UNBOUNDED-feed shape the oracle-gated session queries gesture at:
+    * a session is emitted exactly once, when the event-time WATERMARK
+    * passes its inactivity gap (a registered timer fires), and its
+    * state is cleared — so state is bounded by open sessions, not
+    * stream length, and no sentinel/run-to-completion machinery is
+    * needed to flush results. Input rows must arrive with event-time
+    * (`wts`) under a watermark; each batch re-registers the key's
+    * single timer at `last + gap` (the previous registration is
+    * deleted — timers are per-key-per-timestamp, not upserts).
+    * In-batch gaps also close sessions immediately (batch-side close),
+    * so one processor handles both the dense and the idle case.
+    * Round8Spec drives it across microbatches and checks the closed
+    * set against a driver-side replay.
+    */
+  final class SessionCloser(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), ClosedSession] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[ClosedSession] = {
+      val sorted = rows.map(_._2).toArray
+      java.util.Arrays.sort(sorted)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var open = if (st.exists()) Option(st.get()) else None
+      sorted.foreach { us =>
+        open match {
+          case Some(o) if us - o.lastUs > gapUs =>
+            closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
+            open = Some(OpenSession(us, us, 1L))
+          case Some(o) =>
+            open = Some(OpenSession(o.startUs, us, o.n + 1L))
+          case None =>
+            open = Some(OpenSession(us, us, 1L))
+        }
+      }
+      open.foreach { o =>
+        st.update(o)
+        // single live timer per key: re-arm at the new expiry (timers
+        // are keyed by timestamp, so the stale one must be deleted)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer((o.lastUs + gapUs) / 1000L + 1L)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
+    ): Iterator[ClosedSession] =
+      if (st.exists()) {
+        val o = st.get()
+        st.clear()
+        Iterator.single(ClosedSession(user, o.startUs, o.lastUs, o.n))
+      } else Iterator.empty
   }
 
   /** q112: [[SessStatProcessor]] run to completion under the driver's

@@ -264,6 +264,74 @@ class Round8Spec extends AnyFunSuite {
     assert(tws.nonEmpty && tws == legacy)
   }
 
+  test("transformWithState event-time timers close idle sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // The unbounded-feed session shape: a session closes EXACTLY ONCE,
+    // when the watermark passes its inactivity gap (registered timer),
+    // with state cleared — no run-to-completion flush. Three hand-built
+    // microbatches: user 1's first session closes batch-side when its
+    // own later event arrives; user 2 goes idle and ONLY a timer can
+    // close it; user 1's second session closes by timer once the final
+    // watermark (20000s, applied by the no-data batch that
+    // processAllAvailable runs after the last data batch) passes its
+    // 10060s expiry; user 3's expiry is BEYOND the final watermark, so
+    // it stays open and must NOT be emitted.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_timer").toString
+    try {
+      def writeBatch(rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("user_id", "us").coalesce(1)
+          .write.mode("append").parquet(s"$tmp/src")
+      writeBatch(Seq((1L, 0L), (1L, 10000000L), (2L, 5000000L)))
+      val gapUs = 60L * 1000000L
+      implicit val outEnc =
+        org.apache.spark.sql.Encoders.product[
+          graft.streaming.Streams.ClosedSession]
+      val closed = spark.readStream
+        .schema("user_id LONG, us LONG")
+        .parquet(s"$tmp/src")
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "0 seconds")
+        .select($"user_id", $"us")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.SessionCloser(gapUs),
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = closed.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: everything open, nothing emitted
+        writeBatch(Seq((1L, 10000000000L)))
+        q.processAllAvailable() // batch 2: user 1 closes batch-side
+        writeBatch(Seq((3L, 20000000000L)))
+        q.processAllAvailable() // batch 3: user 2's timer fires
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, 0L, 10000000L, 2L),      // closed by its own next event
+        (2L, 5000000L, 5000000L, 1L), // closed by the event-time TIMER
+        (1L, 10000000000L, 10000000000L, 1L), // timer, final watermark
+      ))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q104 plans as exchange + local sort + mapPartitions, no collect_list") {
     val qe = SparkEntry.queries("q104_ewma_decay")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
