@@ -6,10 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Round-8 additions, locked: the q104 EWMA fold must be the
   * constant-memory secondary-sort shape (repartition + local sort +
   * mapPartitions streaming fold) AND agree bit-exactly with the
-  * collect_list+HOF formulation it replaced; q105 must prune partitions
-  * at the scan; q106's audit counters must come from the single scan the
-  * filtered action already makes; q107's streaming upsert must equal the
-  * batch compaction it mirrors.
+  * collect_list+HOF formulation it replaced; q105 must prune partition
+  * directories and q111 must skip row groups (A/B against an
+  * interleaved control); q106's audit counters must come from the
+  * single scan the filtered action already makes; q107's streaming
+  * upsert must equal the batch compaction it mirrors; q108 must
+  * saturate exactly the argmax elements; q109 must keep its map-side
+  * WindowGroupLimit; q110 must surface an injected hot key; the
+  * transformWithState port (q112) must equal the legacy API row for
+  * row, its timer-based sessionizer must close sessions exactly once
+  * on watermark expiry, and streaming must be state-backend-portable
+  * (RocksDB).
   */
 class Round8Spec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
