@@ -23,9 +23,10 @@ object Bench {
     // campaign.
     val scratch = java.nio.file.Paths.get("target", "graft_stream")
     if (java.nio.file.Files.exists(scratch))
-      java.nio.file.Files.walk(scratch)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(scratch)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     // Warm the session (codegen, parquet footer cache, executor threads)
     // so the first timed query doesn't absorb JVM startup. The custom
     // kernel expressions (text sketches, vector cosine) compile real
@@ -126,6 +127,12 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.streaming.Streams
         .sessionStatsTws(spark, srcDir.toString).count(): Unit
+      // same staged 2-row table through the event-time TIMER path: q113
+      // is the only query registering/expiring timers, and that
+      // machinery (timer column families, watermark plumbing) loads on
+      // first use
+      graft.streaming.Streams
+        .closedSessions(spark, srcDir.toString).count(): Unit
     }
     // q88's bucketed tables are one-time storage PREPARATION (the
     // pattern is "pay the shuffle at write time, join exchange-free
@@ -172,33 +179,58 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window (round 2's full 68-query map at
     // 9-decimal precision was ~4 KB → truncated at the front → the
-    // driver recorded parsed:null). Emit a line that always fits:
-    // 3-decimal seconds, slowest queries first, and stop adding entries
-    // at a hard budget; the remainder is summarized, never dropped
-    // silently.
+    // driver recorded parsed:null). The round-8 answer was a top-N map
+    // under a char budget, but that hides the TAIL judges need for
+    // regression adjudication (r8's "q81/q78 regressions" were
+    // invisible-tail artifacts). So: emit the COMPLETE per-query vector
+    // whenever it fits the window, degrading key verbosity first and
+    // completeness only as a last resort —
+    //   1. full names, 3-decimals       (fits up to ~60 queries)
+    //   2. qNN short keys, 3-decimals   (fits 117+ — the expected path;
+    //      "q104" ↔ "q104_ewma_decay" is a lossless rename, gen_*
+    //      names have no number and stay full)
+    //   3. the round-8 top-N budget map (never expected; keeps the
+    //      contract unbreakable if the registry triples)
+    // Cap = 1700 chars for the whole line: the driver's 2000-char tail
+    // minus sbt's trailing "[success]" line and headroom for late WARN
+    // chatter. target/bench_full.json (above) always has full names at
+    // full precision.
     // locale-safe 3-decimal rendering (f"%..f" honors the JVM locale and
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    // 800-char map budget keeps the whole line ≤ ~1k chars: even with
-    // sbt's trailing "[success] Total time" line and any late WARN chatter
-    // in the same window, the complete JSON line fits the driver's
-    // 2000-char tail with 2× headroom.
-    val budget = 800
     val sorted = results.sortBy(-_._2)
-    val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var used = 0
-    var omitted = 0
-    var omittedSec = 0.0
-    sorted.foreach { case (k, v) =>
-      val ent = "\"" + k + "\":" + r3(v)
-      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
-      else { omitted += 1; omittedSec += v }
-    }
-    val qs = kept.mkString("{", ",", "}")
-    val omit =
-      if (omitted == 0) ""
-      else s""","queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}""")
+    def line(qs: String, omit: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
+    val cap = 1700
+    def shortKey(k: String): String =
+      if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val fullMap = sorted
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val shortMap = sorted
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val out =
+      if (line(fullMap, "").length <= cap) line(fullMap, "")
+      else if (line(shortMap, "").length <= cap) line(shortMap, "")
+      else {
+        val budget = 800
+        val kept = scala.collection.mutable.ListBuffer.empty[String]
+        var used = 0
+        var omitted = 0
+        var omittedSec = 0.0
+        sorted.foreach { case (k, v) =>
+          val ent = "\"" + k + "\":" + r3(v)
+          if (used + ent.length + 1 <= budget) {
+            kept += ent; used += ent.length + 1
+          } else { omitted += 1; omittedSec += v }
+        }
+        val omit =
+          if (omitted == 0) ""
+          else s""","queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)}"""
+        line(kept.mkString("{", ",", "}"), omit)
+      }
+    println(out)
     spark.stop()
   }
 }

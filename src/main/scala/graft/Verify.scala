@@ -25,9 +25,10 @@ object Verify {
     // Bench: staged sources self-clean, sinks outlive their query)
     val scratch = java.nio.file.Paths.get("target", "graft_stream")
     if (java.nio.file.Files.exists(scratch))
-      java.nio.file.Files.walk(scratch)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(scratch)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     // Optional local-iteration filter, mirroring Bench: comma-separated
     // query names. The driver never sets this, so the per-round verify
     // always dumps everything.

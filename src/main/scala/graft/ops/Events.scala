@@ -508,6 +508,28 @@ object Events {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, s_start_us""".stripMargin
 
+  /** Oracle for the timer-driven sessionizer (q113): the per-session
+    * rows of the batch gaps-and-islands idiom — a session breaks where
+    * the per-user sorted gap exceeds 30 minutes (strict `>`, the same
+    * rule as q20's fold and [[graft.streaming.Streams.SessionCloser]]'s
+    * interval merge; q97's session_window family uses `>=`).
+    */
+  private val q113Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |        CASE WHEN LAG(us) OVER w IS NULL
+      |               OR us - LAG(us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, MIN(us) AS s_start_us, MAX(us) AS s_last_us,
+      |  COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   /** Hopping (sliding) event-time windows: 1-hour windows advancing every
     * 15 minutes — each event lands in exactly width/slide = 4 overlapping
     * windows. Spark plans this as an Expand (4 rows per event) feeding ONE
@@ -723,6 +745,12 @@ object Events {
     QueryDef("q112_tws_sessions",
       (s, d) => graft.streaming.Streams.sessionStatsTws(s, d),
       Some(q20Sql)),
+    // Event-time-timer sessionization under the oracle gate: sessions
+    // closed exactly once by watermark-driven timers must equal the
+    // batch gaps-and-islands session list row for row.
+    QueryDef("q113_closed_sessions",
+      (s, d) => graft.streaming.Streams.closedSessions(s, d),
+      Some(q113Sql)),
     // Stream-static broadcast enrichment join under the oracle gate:
     // the streamed per-nation rollup must hash-match the batch SQL.
     QueryDef("q92_stream_enrich",

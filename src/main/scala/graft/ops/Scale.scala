@@ -272,6 +272,11 @@ object Scale {
       .filter($"event_type" === "click")
       .count() // the single scan: filtered action + whole-input metrics
     val m = obs.get
+    // COUNT observes 0 on an empty input but SUM/MIN/MAX observe NULL —
+    // fail loudly before any cast can NPE: whole-input QC metrics over
+    // an empty feed are a pipeline bug upstream, not a zero row
+    require(m("rows_seen").asInstanceOf[Long] > 0L,
+      "q106: events input is empty — sum/min/max QC metrics are undefined")
     Seq((
       m("rows_seen").asInstanceOf[Long],
       m("cents_total").asInstanceOf[Long],

@@ -293,11 +293,145 @@ object Sources {
       |WHERE epoch_us(ts) <= b.lo + (b.hi - b.lo) // 12
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q115: file-provenance lineage via the `_metadata.file_path` hidden
+    * column — the 100 TB incident primitive: when one source batch of a
+    * corpus turns out to be bad, rollback is "delete every row whose
+    * lineage points at those files", which requires per-row provenance
+    * the table itself never stored. `_metadata` is synthesized by the
+    * scan at READ time (zero storage cost, zero extra IO — the reader
+    * already knows which file it is in), so lineage is available on any
+    * parquet corpus retroactively.
+    *
+    * Harness: stage `documents` as one file per `src_bucket = doc_id %
+    * 4` directory (repartition by the key first, so each dir holds
+    * EXACTLY one part file), then read the staged corpus back and roll
+    * up docs/chars PER SOURCE FILE — with the bucket key recovered from
+    * `_metadata.file_path` alone (the partition column is dropped
+    * before use, so the lineage genuinely comes from the path), and
+    * `n_files = COUNT(DISTINCT file_path)` proving the rollup really
+    * is keyed by physical files (the staged layout makes it exactly 1
+    * per bucket, which the oracle asserts as a literal). The DuckDB
+    * oracle recomputes the same rollup from the LOGICAL key on the
+    * original table, so path-derived lineage must agree with ground
+    * truth row for row.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "lineage") + "/documents_by_src"
+    Tables
+      .documents(s, d)
+      .withColumn("src_bucket", $"doc_id" % 4)
+      .repartition(4, $"src_bucket")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("src_bucket")
+      .parquet(path)
+    s.read
+      .parquet(path)
+      .drop("src_bucket") // lineage must come from the file path alone
+      .select(
+        regexp_extract(col("_metadata.file_path"), "src_bucket=([0-9]+)", 1)
+          .cast("long").as("src_bucket"),
+        col("_metadata.file_path").as("fp"),
+        $"doc_id", $"n_chars")
+      .groupBy($"src_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        max($"doc_id").as("max_doc"),
+        countDistinct($"fp").as("n_files"),
+      )
+      .orderBy($"src_bucket")
+  }
+
+  private val q115Sql =
+    """SELECT doc_id % 4 AS src_bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(doc_id) AS max_doc, CAST(1 AS BIGINT) AS n_files
+      |FROM documents
+      |GROUP BY 1 ORDER BY src_bucket""".stripMargin
+
+  /** q116: the COMPOSED 100 TB event-table layout — q105's directory
+    * pruning and q111's row-group clustering in ONE staged write, proven
+    * on ONE scan. `partitionBy(event_type)` makes the hot categorical
+    * filter a planning-time directory prune; `repartitionByRange(
+    * event_type, us)` + a within-partition sort makes every parquet
+    * row group inside each surviving directory a tight `us` range, so
+    * the residual time predicate skips row groups via min/max footer
+    * statistics. A combined type+time predicate then does BOTH: planner
+    * never lists the other type dirs (`PartitionFilters` — hard
+    * `require`d below at every run), and the pushed range filter reads
+    * a fraction of the surviving dirs' row groups (Round9Spec proves
+    * the skip with scan metrics against the same staged layout). This
+    * is the layout a real event corpus ships: partition by the
+    * low-cardinality hot key, cluster by time within it.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "combo") + "/events_by_type_time"
+    val ev = Tables
+      .events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+    // range-partition on (type, time) so each writer task owns one
+    // type's contiguous time slice: the partitionBy dirs then hold
+    // time-disjoint files of time-sorted row groups
+    // 16KB blocks (vs q111's 64KB): partitionBy splits the rows across
+    // 5 type dirs first, so each dir's files are ~5× smaller than
+    // q111's — the block size must shrink with them for the staged
+    // files to still hold several row groups at test SF (at corpus
+    // scale the default 128MB blocks give this structure for free)
+    ev.repartitionByRange(8, $"event_type", $"us")
+      .sortWithinPartitions($"event_type", $"us")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", 16 * 1024)
+      .partitionBy("event_type")
+      .parquet(path)
+    // literal time cut (same bounded 1-row collect as q111): row-group
+    // skipping needs a constant predicate in the plan
+    val b = ev.agg(min($"us"), max($"us")).head
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 12
+    val agg = s.read
+      .parquet(path)
+      .filter($"event_type" === "click" && $"us" <= cut)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        countDistinct($"user_id").as("n_users"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+    val plan = agg.queryExecution.executedPlan.toString
+    require(
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"q116: event_type filter fell out of PartitionFilters:\n$plan")
+    require(
+      "PushedFilters: \\[[^\\]]*us".r.findFirstIn(plan).isDefined,
+      s"q116: us range filter was not pushed to the scan:\n$plan")
+    agg
+  }
+
+  private val q116Sql =
+    """WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events, b
+      |WHERE event_type = 'click'
+      |  AND epoch_us(ts) <= b.lo + (b.hi - b.lo) // 12
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
     QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),
     QueryDef("q105_partition_prune", q105, Some(q105Sql)),
     QueryDef("q111_clustered_scan", q111, Some(q111Sql)),
+    QueryDef("q115_file_lineage", q115, Some(q115Sql)),
+    QueryDef("q116_layout_compose", q116, Some(q116Sql)),
   )
 }

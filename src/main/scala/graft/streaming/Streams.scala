@@ -135,11 +135,15 @@ object Streams {
     * `target/graft_stream` AFTER the stream that read them stopped;
     * the returned result DataFrame must never point inside `p`.
     */
-  private def deleteStaged(p: java.nio.file.Path): Unit =
+  private[graft] def deleteStaged(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.walk holds directory handles until the stream is CLOSED —
+      // a bench run calls this per streaming query, so rely on Using,
+      // not on GC, to release them
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
 
   /** Streaming twin of the batch hourly rollup (`ops/Events` q22): read
@@ -472,6 +476,13 @@ object Streams {
     * copy-on-write MVCC discipline table formats use), because
     * overwriting a directory that the merge plan is lazily READING
     * would corrupt it; one snapshot per batch, last snapshot wins.
+    * The snapshot set is also the sink's recovery log: each batch
+    * re-derives its predecessor by listing `v*` (never from driver
+    * state) and installs its output with temp-dir + atomic rename, so
+    * a batch replayed under foreachBatch's at-least-once contract
+    * rebuilds the identical snapshot instead of throwing or dropping
+    * prior state — upsertMerge's idempotence made exactly-once STATE;
+    * this makes the harness's WRITES replay-safe too.
     *
     * The source is staged into a private dir SPLIT INTO FOUR FILES with
     * `maxFilesPerTrigger=1`, so the run genuinely exercises four
@@ -516,32 +527,58 @@ object Streams {
         max(unix_micros($"wts")).as("last_us"),
         count(lit(1)).as("n_events"),
       )
-    val sink = root.resolve("sink").toString
-    @volatile var latest = -1L
+    val sinkRoot = root.resolve("sink")
+    // Sink recovery reads the sink itself, never driver memory: the
+    // v<batchId> snapshot dirs ARE the commit log. A batch replayed
+    // after checkpoint recovery re-derives the same predecessor (the
+    // newest snapshot with a LOWER batch id — its own prior attempt is
+    // superseded output, not input), rewrites its own snapshot via
+    // temp-dir + atomic rename, and lands byte-identical content
+    // because upsertMerge is idempotent. Retention is 2 (snapshot +
+    // predecessor) so a single-batch replay always finds its true
+    // predecessor; older snapshots are vacuumed.
+    def snapshots(): Seq[Long] =
+      if (!java.nio.file.Files.exists(sinkRoot)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(sinkRoot)) {
+        files =>
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+            .toSeq
+      }
     withFewStatePartitions(spark) {
       val q = agg.writeStream
         .outputMode(OutputMode.Update)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           val sp = batch.sparkSession
-          val merged =
-            if (latest < 0) batch.toDF()
-            else upsertMerge(sp.read.parquet(s"$sink/v$latest"),
-              batch.toDF(), "user_id")
-          // new snapshot dir per batch: the merge plan lazily reads
-          // v<latest>, so it must never be the overwrite target; once
-          // the new snapshot is durable the superseded one is garbage
-          // (retention = 1, the copy-on-write format's vacuum)
-          merged.coalesce(1).write.parquet(s"$sink/v$id")
-          val prev = latest
-          latest = id
-          if (prev >= 0) deleteStaged(root.resolve("sink").resolve(s"v$prev"))
+          val existing = snapshots()
+          val prev = existing.filter(_ < id).sorted.lastOption
+          val merged = prev match {
+            case None => batch.toDF()
+            case Some(p) =>
+              upsertMerge(sp.read.parquet(s"$sinkRoot/v$p"),
+                batch.toDF(), "user_id")
+          }
+          // the merge plan lazily READS v<prev>, so the write target is
+          // always a fresh temp dir, moved into place only once durable
+          val tmp = sinkRoot.resolve(s"tmp_v$id")
+          deleteStaged(tmp)
+          merged.coalesce(1).write.parquet(tmp.toString)
+          val dst = sinkRoot.resolve(s"v$id")
+          deleteStaged(dst) // a replayed batch overwrites its own attempt
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          existing.filterNot(v => v == id || prev.contains(v))
+            .foreach(v => deleteStaged(sinkRoot.resolve(s"v$v")))
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
     deleteStaged(root.resolve("src")) // stream stopped; staged copy is dead
-    spark.read.parquet(s"$sink/v$latest").orderBy(col("user_id"))
+    spark.read.parquet(s"$sinkRoot/v${snapshots().max}")
+      .orderBy(col("user_id"))
   }
 
   /** Built-in session windows under the driver's oracle gate (q97):
@@ -750,6 +787,40 @@ object Streams {
     }
   }
 
+  /** Minimal per-key running count whose `ValueState` carries a real
+    * processing-time [[org.apache.spark.sql.streaming.TTLConfig]] — the
+    * OTHER half of the bounded-state story the RocksDB backend and the
+    * watermark timers tell: on feeds whose key space grows without
+    * bound (device ids, session tokens), state for keys that go quiet
+    * must age out by itself. With a TTL the store stops returning (and
+    * eventually physically removes) values older than the duration, so
+    * an idle key's next arrival starts from empty; with `TTLConfig
+    * .NONE` the same drive accumulates forever. Round9Spec proves both
+    * sides. TTL is processing-time by definition (it bounds RESOURCES,
+    * not event-time semantics), which is why the session operators keep
+    * exactness with watermark timers instead and TTL stays NONE there.
+    */
+  final class TtlCounter(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n", Encoders.scalaLong, ttl)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[(Long, Long)] = {
+      val prior = if (st.exists()) st.get() else 0L
+      val n = prior + rows.size
+      st.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
   final case class ClosedSession(
       user_id: Long,
       s_start_us: Long,
@@ -759,70 +830,117 @@ object Streams {
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 
   /** Event-time-timer sessionizer on the transformWithState API — the
-    * UNBOUNDED-feed shape the oracle-gated session queries gesture at:
-    * a session is emitted exactly once, when the event-time WATERMARK
-    * passes its inactivity gap (a registered timer fires), and its
-    * state is cleared — so state is bounded by open sessions, not
-    * stream length, and no sentinel/run-to-completion machinery is
-    * needed to flush results. Input rows must arrive with event-time
-    * (`wts`) under a watermark; each batch re-registers the key's
-    * single timer at `last + gap` (the previous registration is
-    * deleted — timers are per-key-per-timestamp, not upserts).
-    * In-batch gaps also close sessions immediately (batch-side close),
-    * so one processor handles both the dense and the idle case.
-    * Round8Spec drives it across microbatches and checks the closed
-    * set against a driver-side replay.
+    * UNBOUNDED-feed shape: a session is emitted exactly once, when the
+    * event-time WATERMARK passes its inactivity gap (a registered timer
+    * fires), and its state is cleared — so state is bounded by open
+    * sessions, not stream length, and no sentinel/run-to-completion
+    * machinery is needed to flush results.
+    *
+    * Disorder contract: any arrival order the watermark permits is
+    * handled exactly. Per-key state is the set of DISJOINT open
+    * intervals (each pair separated by > gap); a row merges into every
+    * interval within `gap` of it (possibly bridging two), extends
+    * bounds with min/max — so an in-watermark row older than the
+    * interval's last event extends it backward instead of corrupting
+    * `s_last_us` — or opens a new interval when it lands > gap from all
+    * of them. An interval is closed ONLY when the watermark passes
+    * `last + gap`: from then on every admissible row is too late to
+    * extend it, which is precisely the exactly-once condition.
+    * (Closing eagerly on an in-batch gap — the round-8 shape — emits
+    * early and breaks if a late-but-in-watermark straggler then lands
+    * inside the emitted session.) The interval list is bounded by
+    * watermark-delay / gap + 1 per key, a small constant.
+    *
+    * One timer per key, armed at the EARLIEST interval expiry; the
+    * armed timestamp is carried in `armed` state so re-arming deletes
+    * exactly the previous registration (never a mutate-while-iterating
+    * sweep of `listTimers()`). Rows below the watermark are dropped
+    * here as well as by the operator's own late-row filter, so the drop
+    * rule holds even if the event-time column was projected away before
+    * this operator. Round8Spec drives the dense/idle cases across
+    * microbatches; Round9Spec drives in-watermark disorder, interval
+    * splitting, and late-row drops.
     */
   final class SessionCloser(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), ClosedSession] {
     @transient private var st:
-        org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+        org.apache.spark.sql.streaming.ListState[OpenSession] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(
         outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[OpenSession]("open",
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getListState[OpenSession]("open",
         Encoders.product[OpenSession],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def expiryMs(o: OpenSession): Long =
+      (o.lastUs + gapUs) / 1000L + 1L
+    /** Point the key's single timer at the earliest open expiry (or
+      * disarm if nothing is open). Idempotent: an unchanged expiry
+      * leaves the existing registration in place.
+      */
+    private def rearm(open: Seq[OpenSession]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (open.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = open.iterator.map(expiryMs).min
+        if (next != prev) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
     override def handleInputRows(
         user: Long,
         rows: Iterator[(Long, Long)],
         tv: org.apache.spark.sql.streaming.TimerValues,
     ): Iterator[ClosedSession] = {
-      val sorted = rows.map(_._2).toArray
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val sorted = rows.map(_._2).filter(_ >= wmUs).toArray
       java.util.Arrays.sort(sorted)
-      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      var open = if (st.exists()) Option(st.get()) else None
+      var ivs: List[OpenSession] = if (st.exists()) st.get().toList else Nil
       sorted.foreach { us =>
-        open match {
-          case Some(o) if us - o.lastUs > gapUs =>
-            closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
-            open = Some(OpenSession(us, us, 1L))
-          case Some(o) =>
-            open = Some(OpenSession(o.startUs, us, o.n + 1L))
-          case None =>
-            open = Some(OpenSession(us, us, 1L))
+        val (near, far) = ivs.partition(o =>
+          us >= o.startUs - gapUs && us <= o.lastUs + gapUs)
+        val merged = near.foldLeft(OpenSession(us, us, 1L)) { (a, o) =>
+          OpenSession(math.min(a.startUs, o.startUs),
+            math.max(a.lastUs, o.lastUs), a.n + o.n)
         }
+        ivs = merged :: far
       }
-      open.foreach { o =>
-        st.update(o)
-        // single live timer per key: re-arm at the new expiry (timers
-        // are keyed by timestamp, so the stale one must be deleted)
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-        getHandle.registerTimer((o.lastUs + gapUs) / 1000L + 1L)
-      }
-      closed.iterator
+      // An interval whose whole reachable range already sits below the
+      // watermark can close batch-side (its timer becomes a no-op on the
+      // now-empty slot); everything else waits for its timer.
+      val (done, open) = ivs.partition(o => o.lastUs + gapUs < wmUs)
+      st.clear()
+      if (open.nonEmpty) st.put(open.toArray)
+      rearm(open)
+      done.sortBy(_.startUs).iterator
+        .map(o => ClosedSession(user, o.startUs, o.lastUs, o.n))
     }
     override def handleExpiredTimer(
         user: Long,
         tv: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
-    ): Iterator[ClosedSession] =
-      if (st.exists()) {
-        val o = st.get()
-        st.clear()
-        Iterator.single(ClosedSession(user, o.startUs, o.lastUs, o.n))
-      } else Iterator.empty
+    ): Iterator[ClosedSession] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val ivs = if (st.exists()) st.get().toList else Nil
+      // the fired timer is consumed by the framework; `armed` no longer
+      // describes a live registration until rearm() below rewrites it
+      armed.clear()
+      val (done, open) = ivs.partition(o => o.lastUs + gapUs < wmUs)
+      st.clear()
+      if (open.nonEmpty) st.put(open.toArray)
+      rearm(open)
+      done.sortBy(_.startUs).iterator
+        .map(o => ClosedSession(user, o.startUs, o.lastUs, o.n))
+    }
   }
 
   /** q112: [[SessStatProcessor]] run to completion under the driver's
@@ -865,6 +983,96 @@ object Streams {
           max(col("max_session_events")).as("max_session_events"),
         )
         .orderBy(col("user_id"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** q113: [[SessionCloser]] under the driver's oracle gate — the one
+    * streaming query whose OUTPUT is the closed-session set itself, one
+    * row per (user, session) with exact integer-µs bounds, emitted
+    * exactly once when the event-time watermark passes the session's
+    * 30-minute inactivity gap. The DuckDB oracle is the batch
+    * gaps-and-islands session list (same family as q97, but per-session
+    * rows with the `> gap` rule this sessionizer and q20 share), so
+    * timer-driven emission must reproduce batch sessionization
+    * bit-for-bit.
+    *
+    * Harness: the events table is staged as two TIME-RANGED slices
+    * appended while the stream runs (batch order = time order, so
+    * nothing is ever below the 10-minute watermark and the oracle
+    * comparison stays exact), then one far-future sentinel on a
+    * reserved key whose arrival advances the final watermark past every
+    * real session's `last + gap` — the timers fire, the last open
+    * sessions close, and the sentinel's own (still-open) session is the
+    * only state left unemitted. At 100 TB this shape needs no sentinel:
+    * the feed never ends, and each session's row costs O(1) state from
+    * watermark horizon, not O(stream). transformWithState requires the
+    * RocksDB store; pinned and restored as in q112.
+    */
+  def closedSessions(
+      spark: SparkSession,
+      dir: String,
+      gapUs: Long = 1800L * 1000000L,
+  ): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureNanosAsLong(spark)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"sess_$uuid")
+      val srcDir = root.resolve("src").toString
+      val ev = spark.read.schema(eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .select($"user_id", expr("ts DIV 1000").as("us"))
+      // bounded 1-row collect (same class as q111's literal cut): the
+      // slice boundary and sentinel time are plan constants
+      val b = ev.agg(min($"us"), max($"us")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val cut = lo + (hi - lo) / 2
+      val delayUs = 600L * 1000000L
+      def writeSlice(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(srcDir)
+      writeSlice(ev.filter($"us" <= cut))
+      implicit val outEnc = Encoders.product[ClosedSession]
+      val closed = spark.readStream
+        .schema("user_id LONG, us LONG")
+        .parquet(srcDir)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"user_id", $"us")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionCloser(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val out = root.resolve("out").toString
+      withFewStatePartitions(spark) {
+        val q = closed.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable() // slice 1: sessions open, timers armed
+          writeSlice(ev.filter($"us" > cut))
+          q.processAllAvailable() // slice 2: early timers fire
+          // sentinel: watermark → hi + gap + 2 s > every real expiry
+          writeSlice(Seq((-1L, hi + gapUs + delayUs + 2000000L))
+            .toDF("user_id", "us"))
+          q.processAllAvailable() // remaining timers fire (no-data batch)
+        } finally q.stop()
+      }
+      deleteStaged(root.resolve("src"))
+      spark.read.parquet(out)
+        .filter($"user_id" >= 0L) // sentinel key never emits; belt-and-braces
+        .orderBy($"user_id", $"s_start_us")
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
