@@ -530,6 +530,33 @@ object Events {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, s_start_us""".stripMargin
 
+  /** Oracle for the left-outer streaming attribution join (q117): the
+    * equivalent batch LEFT JOIN — every click with its qualifying
+    * purchases, or one NULL row when none exist in the following hour.
+    */
+  private val q117Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id AS user_id, c.event_id AS levent,
+      |        p.event_id AS revent
+      |      FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |        AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      |SELECT user_id, COUNT(revent) AS n_pairs,
+      |  CAST(SUM(CASE WHEN revent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans,
+      |  COUNT(DISTINCT revent) AS n_purchases
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Oracle for the MapState type counter (q118): the plain batch
+    * rollup the dynamic per-user map must reproduce.
+    */
+  private val q118Sql =
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Hopping (sliding) event-time windows: 1-hour windows advancing every
     * 15 minutes — each event lands in exactly width/slide = 4 overlapping
     * windows. Spark plans this as an Expand (4 rows per event) feeding ONE
@@ -771,6 +798,17 @@ object Events {
     QueryDef("q97_stream_sessionw",
       (s, d) => graft.streaming.Streams.sessionWindowRollup(s, d),
       Some(q97Sql)),
+    // LEFT OUTER stream-stream interval join under the oracle gate:
+    // watermark-driven orphan release must equal the batch LEFT JOIN —
+    // matched pairs AND null rows both exact.
+    QueryDef("q117_stream_outer",
+      (s, d) => graft.streaming.Streams.attributionOuter(s, d),
+      Some(q117Sql)),
+    // MapState (dynamic per-key sub-keys) under the oracle gate: the
+    // per-(user, type) map counts must equal the batch rollup.
+    QueryDef("q118_tws_mapstate",
+      (s, d) => graft.streaming.Streams.typeCountsTws(s, d),
+      Some(q118Sql)),
     QueryDef("q98_sliding_windows", q98, Some(q98Sql)),
     QueryDef("q100_latest_compact", q100, Some(q100Sql)),
     // Update-mode streaming upsert under the oracle gate: the foreachBatch

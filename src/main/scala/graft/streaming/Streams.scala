@@ -119,10 +119,11 @@ object Streams {
     * the harness (including the read-back of the sunk result) are
     * unaffected.
     */
-  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withFewStatePartitions[T](spark: SparkSession, n: Int = 1)(
+      body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, "1")
+    spark.conf.set(key, n.toString)
     try body
     finally spark.conf.set(key, saved)
   }
@@ -613,6 +614,173 @@ object Streams {
     deleteStaged(root.resolve("src")) // stream stopped; staged copy is dead
     spark.read.parquet(s"$sinkRoot/v${snapshots().max}")
       .orderBy(col("user_id"))
+  }
+
+  /** LEFT OUTER stream-stream interval join under the driver's oracle
+    * gate (q117) — the semantic q96's inner join cannot exercise: an
+    * unmatched click is emitted WITH NULLS exactly once, when the
+    * watermark proves no qualifying purchase can still arrive (the
+    * join's time bound lets the engine evict left state past
+    * `lts + horizon`, and eviction is what RELEASES the null row — on
+    * an unbounded feed outer results are a consequence of state
+    * lifecycle, not of end-of-input). The oracle is the equivalent
+    * batch LEFT JOIN in DuckDB, so both the matched pair set AND the
+    * orphan set must be exact: a dropped orphan, a duplicate null row,
+    * or an orphan emitted despite a live match all break the hash.
+    *
+    * Harness: q96's staged single-file source (clicks+purchases only,
+    * three join columns), one data batch; then one far-future
+    * click+purchase sentinel pair on a reserved key advances BOTH
+    * sides' watermarks past `max(ts) + horizon`, flushing every
+    * still-buffered orphan. Sentinel rows join only each other and are
+    * filtered at readback.
+    */
+  def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    import spark.implicits._
+    val src0 = java.nio.file.Paths.get("target", "graft_stream",
+      "outer_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val ev = spark.read.schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(1).write.parquet(src0.toString)
+    // bounded 1-row collect: the sentinel must clear every click's
+    // outer-eviction bound, max(ts) + horizon, plus the watermark delay
+    val hiNs = ev.agg(max(col("ts"))).head.getLong(0)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+      .parquet(src0.toString)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("luser"), col("wts").as("lts"),
+        col("event_id").as("levent"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruser"), col("wts").as("rts"),
+        col("event_id").as("revent"))
+    val joined = clicks
+      .withWatermark("lts", "10 minutes")
+      .join(
+        buys.withWatermark("rts", "10 minutes"),
+        expr(
+          """luser = ruser AND
+            |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
+        "leftOuter")
+      .select(col("luser"), col("levent"), col("revent"))
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream",
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      .toString
+    // 1 state partition like every bounded-result harness here:
+    // measured 4-way at sf0.1 and the four join stores' extra
+    // per-partition commits cost ~1.5 s more than the added task
+    // parallelism recovers
+    withFewStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // data batch: pairs emit, orphans buffer
+        // sentinel pair: watermark → max + 1h + 10min + 2s on both sides
+        val sentNs = hiNs + (3600L + 600L + 2L) * 1000000000L
+        Seq((-1L, sentNs, -1L, "click"), (-2L, sentNs, -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(src0.toString)
+        q.processAllAvailable() // eviction batch: orphans release
+      } finally q.stop()
+    }
+    deleteStaged(src0) // stream stopped; the result reads `out` only
+    spark.read.parquet(out)
+      .filter(col("luser") >= 0L)
+      .groupBy(col("luser").as("user_id"))
+      .agg(
+        count(col("revent")).as("n_pairs"),
+        sum(when(col("revent").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        countDistinct(col("revent")).as("n_purchases"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, event-type) running counts on a transformWithState
+    * [[org.apache.spark.sql.streaming.MapState]] — the third state
+    * primitive, for the case where a key's state has DYNAMIC sub-keys
+    * (the map key is data, not schema): one map entry per event type
+    * ever seen by the user, point-updated per row. A ValueState of a
+    * whole map would rewrite every entry on any update; MapState
+    * reads/writes only the touched sub-keys — at 100 TB keyed state
+    * with wide per-key maps that difference is the store's write
+    * amplification. Emits only the types touched in the batch (update
+    * mode, monotone per (user, type)).
+    */
+  final class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TypeCount] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[TypeCount] = {
+      // batch-local pre-aggregation first: one store read+write per
+      // TOUCHED TYPE instead of three per input row — store ops (JNI
+      // for RocksDB) are the cost at scale, exactly like map-side
+      // combine ahead of a shuffle
+      val local = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, tpe) =>
+        local.update(tpe, local.getOrElse(tpe, 0L) + 1L)
+      }
+      // materialized before returning: the emitted counts must be read
+      // while this key's state handle is the active one
+      local.iterator.map { case (tpe, add) =>
+        val n = (if (st.containsKey(tpe)) st.getValue(tpe) else 0L) + add
+        st.updateValue(tpe, n)
+        TypeCount(user, tpe, n)
+      }.toArray.iterator
+    }
+  }
+
+  /** q118: [[TypeCountProcessor]] run to completion under the driver's
+    * oracle gate — MapState externally hash-verified against the plain
+    * batch rollup (`COUNT(*) per (user, type)`). Update-mode emissions
+    * are monotone per (user, type), so the final value is a `max` over
+    * the sunk rows, the same reduction as q85/q112. Cross-batch map
+    * accumulation is driven by Round9Spec; RocksDB + changelog as for
+    * every transformWithState query.
+    */
+  def typeCountsTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureNanosAsLong(spark)
+    withRocksDbStore(spark) {
+      implicit val outEnc = Encoders.product[TypeCount]
+      val updates = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select($"user_id", $"event_type")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      spark.read.parquet(out)
+        .groupBy($"user_id", $"event_type")
+        .agg(max($"n").as("n"))
+        .orderBy($"user_id", $"event_type")
+    }
   }
 
   /** Built-in session windows under the driver's oracle gate (q97):
