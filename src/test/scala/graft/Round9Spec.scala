@@ -187,6 +187,63 @@ class Round9Spec extends AnyFunSuite {
         "stats skipped nothing")
   }
 
+  test("SessionCloser intervals AND timers survive a checkpoint restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // Timers are state: a query killed between microbatches and
+    // restarted from its checkpoint must recover the open intervals
+    // and the armed timers, or idle sessions opened before the crash
+    // would never close. Batch 1 opens two sessions (gap 60 s), the
+    // query stops; the restarted query's only input is a far-future
+    // row on a third key, so BOTH recovered sessions can only be
+    // closed by recovered/re-armed timer machinery.
+    withRocksDb {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rst").toString
+      def writeBatch(rows: Seq[(Long, Long)]): Unit =
+        rows.map { case (u, sec) => (u, sec * 1000000L) }
+          .toDF("user_id", "us").coalesce(1)
+          .write.mode("append").parquet(s"$tmp/src")
+      val gapUs = 60L * 1000000L
+      implicit val outEnc = org.apache.spark.sql.Encoders.product[
+        graft.streaming.Streams.ClosedSession]
+      def startQuery() = spark.readStream
+        .schema("user_id LONG, us LONG")
+        .parquet(s"$tmp/src")
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "0 seconds")
+        .select($"user_id", $"us")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.SessionCloser(gapUs),
+          TimeMode.EventTime(), OutputMode.Update())
+        .toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$tmp/chk")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      writeBatch(Seq((1L, 0L), (2L, 5000L)))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop() // crash point: both sessions open, timers armed
+      writeBatch(Seq((3L, 20000L)))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+          r.getLong(2) / 1000000L, r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, 0L, 0L, 1L),       // closed post-restart by recovered timer
+        (2L, 5000L, 5000L, 1L), // closed post-restart by recovered timer
+        // u3 stays open (its expiry is beyond the final watermark)
+      ))
+    }
+  }
+
   test("q117 outer streaming join equals the batch left join") {
     import spark.implicits._
     val got = SparkEntry.queries("q117_stream_outer")(spark, sf)
