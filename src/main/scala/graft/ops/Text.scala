@@ -132,6 +132,80 @@ object Text {
       |      FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q119: WINNOWING document fingerprints (the MOSS scheme) — the
+    * rolling-hash fingerprinting layer between exact content hashing
+    * (q33: one fingerprint per doc, breaks on any edit) and
+    * MinHash/SimHash sketches (q35/q36: fixed-size, similarity-tuned):
+    * hash every 3-token shingle, slide a 4-gram window across the hash
+    * sequence, keep each window's MINIMUM — a local edit perturbs only
+    * the few windows that see it, so near-identical documents share
+    * most selected fingerprints, and winnowing GUARANTEES every match
+    * of ≥ window+gram tokens is caught (the property random sampling
+    * lacks). All selection is lexicographic min over fixed-width md5
+    * hex prefixes — cross-engine deterministic with no integer
+    * conversion — and the whole pipeline is codegen HOFs (transform /
+    * slice / array_min / array_distinct) on one scan, no shuffle
+    * before the per-source rollup. Short docs degrade gracefully:
+    * fewer grams than a window → one fingerprint (min of all), no
+    * grams → none.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams =
+      """CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(1, size(toks) - 2),
+        |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3))
+        |           as binary)), 1, 8))
+        |ELSE cast(array() as array<string>) END""".stripMargin
+    val wins =
+      """CASE WHEN size(gh) >= 4 THEN
+        |  transform(sequence(1, size(gh) - 3),
+        |    j -> array_min(slice(gh, j, 4)))
+        |WHEN size(gh) > 0 THEN array(array_min(gh))
+        |ELSE cast(array() as array<string>) END""".stripMargin
+    Tables
+      .documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("gh", expr(grams))
+      .withColumn("fps", array_distinct(expr(wins)))
+      // explode_outer: a doc with no fingerprints still counts as a doc
+      .select($"source", $"doc_id", explode_outer($"fps").as("fp"))
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count($"fp").as("sum_fps"),
+        countDistinct($"fp").as("n_distinct_fps"),
+        min($"fp").as("min_fp"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q119Sql =
+    """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT source, doc_id,
+      |        CASE WHEN len(toks) >= 3 THEN
+      |          list_transform(generate_series(1, len(toks) - 2),
+      |            i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))
+      |        ELSE [] END AS gh
+      |      FROM t),
+      |w AS (SELECT source, doc_id,
+      |        list_distinct(
+      |          CASE WHEN len(gh) >= 4 THEN
+      |            list_transform(generate_series(1, len(gh) - 3),
+      |              j -> list_min(gh[j:j+3]))
+      |          WHEN len(gh) > 0 THEN [list_min(gh)]
+      |          ELSE [] END) AS fps
+      |      FROM g),
+      |e AS (SELECT source, doc_id,
+      |        unnest(CASE WHEN len(fps) = 0 THEN [NULL] ELSE fps END) AS fp
+      |      FROM w)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(fp) AS sum_fps,
+      |  COUNT(DISTINCT fp) AS n_distinct_fps,
+      |  MIN(fp) AS min_fp
+      |FROM e GROUP BY source ORDER BY source""".stripMargin
+
   /** Heuristic language ID (n-gram/stopword signals as a deterministic
     * decision list) vs the labeled `lang` column → confusion counts.
     * The corpus is a shared-vocabulary word soup, so the heuristic's
@@ -331,6 +405,7 @@ object Text {
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
     QueryDef("q32_quality_score", q32, Some(q32Sql)),
     QueryDef("q33_fingerprint", q33, Some(q33Sql)),
+    QueryDef("q119_winnow_fps", q119, Some(q119Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),

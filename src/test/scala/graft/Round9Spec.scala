@@ -319,6 +319,50 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints: edit-local, and long matches always caught") {
+    import spark.implicits._
+    // the two properties that make winnowing the right near-dup
+    // fingerprint: (1) a one-token edit changes only the few windows
+    // that see it; (2) any shared run of >= window+gram-1 = 6 tokens
+    // GUARANTEES a shared selected fingerprint (random sampling lacks
+    // this)
+    val base   = (0 until 100).map(i => s"w$i").mkString(" ")
+    val edited = (0 until 100).map(i => if (i == 50) "XX" else s"w$i")
+      .mkString(" ")
+    // disjoint vocabulary except tokens 20..39 of base, embedded mid-doc
+    val overlap = ((0 until 30).map(i => s"a$i") ++
+      (20 until 40).map(i => s"w$i") ++
+      (0 until 30).map(i => s"b$i")).mkString(" ")
+    val grams =
+      """CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(1, size(toks) - 2),
+        |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3))
+        |           as binary)), 1, 8))
+        |ELSE cast(array() as array<string>) END""".stripMargin
+    val wins =
+      """CASE WHEN size(gh) >= 4 THEN
+        |  transform(sequence(1, size(gh) - 3),
+        |    j -> array_min(slice(gh, j, 4)))
+        |WHEN size(gh) > 0 THEN array(array_min(gh))
+        |ELSE cast(array() as array<string>) END""".stripMargin
+    val fps = Seq((1L, base), (2L, edited), (3L, overlap))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("gh", expr(grams))
+      .withColumn("fps", array_distinct(expr(wins)))
+      .select($"doc_id", $"fps")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    val (f1, f2, f3) = (fps(1L), fps(2L), fps(3L))
+    // (1) edit-local: high overlap, but not identical
+    val jaccard = (f1 & f2).size.toDouble / (f1 | f2).size
+    assert(jaccard > 0.6 && f1 != f2, s"jaccard $jaccard")
+    // (2) guaranteed detection of the 20-token shared run
+    assert((f1 & f3).nonEmpty, "shared long run selected no common fp")
+    // sanity: mostly-disjoint docs share little
+    assert((f1 & f3).size * 3 < f1.size)
+  }
+
   test("transformWithState TTL evicts idle state; TTL-free control keeps it") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Encoders, Row}
