@@ -425,6 +425,120 @@ object Sources {
       |  AND epoch_us(ts) <= b.lo + (b.hi - b.lo) // 12
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q120: malformed-record QUARANTINE — the ingestion reality every
+    * 100 TB feed has and no clean-fixture query shows: some fraction of
+    * a text feed is broken (truncated writes, partial flushes, junk),
+    * and the job must neither crash (FAILFAST) nor silently drop rows
+    * (DROPMALFORMED) but parse in PERMISSIVE mode with a corrupt-record
+    * column: good rows flow, broken lines land intact in quarantine for
+    * replay/audit. Staged feed = the urgent-orders JSONL (q83's
+    * convention) plus a file of deterministically malformed lines; the
+    * rollup counts both sides and aggregates the good rows' values.
+    * The oracle recomputes the good side from the ORIGINAL table and
+    * pins the quarantine count — so a dropped good row, a good row
+    * mis-quarantined, or a crash on the bad file all fail the gate.
+    * Parsed-field access on a corrupt row is engine-defined, so the
+    * aggregate reads parsed fields only where `_corrupt IS NULL`.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "quarantine") + "/orders_feed"
+    Tables
+      .orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .write.mode(SaveMode.Overwrite)
+      .json(path)
+    // three deterministically broken lines ride in their own part file:
+    // truncated object, bare junk, unclosed string — all syntactically
+    // invalid, so every engine agrees they cannot parse
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-junk.json"),
+      java.util.Arrays.asList(
+        """{"o_orderkey": 1, "o_orderstatus":""",
+        """this is not json at all""",
+        """{"o_orderkey": 2, "o_orderstatus": "O"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType),
+      StructField("_corrupt", StringType),
+    ))
+    s.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .agg(
+        count(when($"_corrupt".isNull, lit(1))).as("n_good"),
+        count($"_corrupt").as("n_quarantined"),
+        sum(when($"_corrupt".isNull, $"cents")).as("cents_total"),
+        countDistinct(when($"_corrupt".isNull, $"o_orderstatus"))
+          .as("n_status"),
+      )
+  }
+
+  private val q120Sql =
+    """SELECT COUNT(*) AS n_good, CAST(3 AS BIGINT) AS n_quarantined,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** q121: storage-level schema EVOLUTION — a table written over months
+    * drifts: newer files carry a column the older files lack, and a
+    * 100 TB table is never rewritten to chase that. `mergeSchema=true`
+    * reconciles at SCAN time: the footer schemas union, old-generation
+    * rows surface the evolved schema with NULLs, and aggregates over
+    * the new column skip them (q84 is the same drift story one level
+    * up, for DataFrames; this is the storage layer's version). Staged
+    * layout = one dir holding a v1 write (3 columns) and an appended
+    * v2 write (+ `discount_bp`), deterministically split by order-key
+    * parity so the DuckDB oracle can recompute both generations from
+    * the original table. A dropped old-generation row, a misaligned
+    * column, or discount values leaking into v1 rows all break the
+    * hash.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "evolve") + "/lineitem_generations"
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag",
+        $"l_quantity".cast("long").as("qty"),
+        round($"l_discount" * 10000).cast("long").as("discount_bp"))
+    li.filter($"l_orderkey" % 2 === 0)
+      .select($"l_orderkey", $"l_returnflag", $"qty") // v1: no discount
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    li.filter($"l_orderkey" % 2 === 1) // v2: evolved schema
+      .write.mode(SaveMode.Append).parquet(path)
+    s.read
+      .option("mergeSchema", "true")
+      .parquet(path)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"qty").as("sum_qty"),
+        count($"discount_bp").as("n_v2_rows"), // nulls = v1 generation
+        sum($"discount_bp").as("discount_bp_total"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  private val q121Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_v2_rows,
+      |  CAST(SUM(CASE WHEN l_orderkey % 2 = 1
+      |            THEN CAST(ROUND(l_discount * 10000) AS BIGINT) END)
+      |    AS BIGINT) AS discount_bp_total
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
@@ -433,5 +547,7 @@ object Sources {
     QueryDef("q111_clustered_scan", q111, Some(q111Sql)),
     QueryDef("q115_file_lineage", q115, Some(q115Sql)),
     QueryDef("q116_layout_compose", q116, Some(q116Sql)),
+    QueryDef("q120_corrupt_quarantine", q120, Some(q120Sql)),
+    QueryDef("q121_schema_evolution", q121, Some(q121Sql)),
   )
 }
