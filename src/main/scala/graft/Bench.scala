@@ -186,29 +186,31 @@ object Bench {
     // whenever it fits the window, degrading key verbosity first and
     // completeness only as a last resort —
     //   1. full names, 3-decimals       (fits up to ~60 queries)
-    //   2. qNN short keys, 3-decimals   (fits 117+ — the expected path;
+    //   2. qNN short keys, 2-decimals   (fits ~135 — the expected path;
     //      "q104" ↔ "q104_ewma_decay" is a lossless rename, gen_*
     //      names have no number and stay full)
     //   3. the round-8 top-N budget map (never expected; keeps the
     //      contract unbreakable if the registry triples)
-    // Cap = 1700 chars for the whole line: the driver's 2000-char tail
+    // Cap = 1800 chars for the whole line: the driver's 2000-char tail
     // minus sbt's trailing "[success]" line and headroom for late WARN
-    // chatter. target/bench_full.json (above) always has full names at
-    // full precision.
+    // chatter (126 queries measured 1706 chars at 2dp short keys).
+    // target/bench_full.json (above) always has full names at full
+    // precision.
     // locale-safe 3-decimal rendering (f"%..f" honors the JVM locale and
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
     val sorted = results.sortBy(-_._2)
     def line(qs: String, omit: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"errors":$errs,"sf":"$sfDir"}"""
-    val cap = 1700
+    val cap = 1800
     def shortKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     val fullMap = sorted
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val shortMap = sorted
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val out =
       if (line(fullMap, "").length <= cap) line(fullMap, "")

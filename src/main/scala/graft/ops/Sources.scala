@@ -539,6 +539,75 @@ object Sources {
       |FROM lineitem
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** q122: small-file COMPACTION — the maintenance job every streaming
+    * sink eventually needs: micro-batch writers land a file per
+    * (batch × partition), directory listings and task scheduling then
+    * drown in tiny files, and a periodic compactor rewrites each
+    * directory into size-targeted files. Staged input = the events
+    * projection scattered across 64 tiny files (the sink reality);
+    * the compactor SIZES its output from the data — file count =
+    * ceil(input bytes / target file size), the arithmetic a real
+    * compactor runs with a 128 MB–1 GB target — instead of hardcoding
+    * a partition count. Hard `require`s prove the file count actually
+    * collapsed; the oracle aggregates the ORIGINAL table, so the
+    * rewrite must preserve every row and value bit-exactly.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val smallDir = stage(d, "compact") + "/events_small"
+    val bigDir   = stage(d, "compact") + "/events_compacted"
+    Tables
+      .events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(smallDir)
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { l =>
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      }
+    val smallFiles = parquetFiles(smallDir)
+    // size-targeted output: 256 KB target at test SF stands in for the
+    // 128 MB-1 GB a cluster compactor uses — the ARITHMETIC is the
+    // operator, the constant is configuration
+    val targetBytes = 256L * 1024
+    val totalBytes =
+      smallFiles.map(java.nio.file.Files.size(_)).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(smallDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(bigDir)
+    val bigFiles = parquetFiles(bigDir)
+    require(smallFiles.size >= 32,
+      s"q122: staging produced only ${smallFiles.size} small files")
+    require(bigFiles.size <= smallFiles.size / 4,
+      s"q122: compaction left ${bigFiles.size} of ${smallFiles.size} files")
+    s.read
+      .parquet(bigDir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        countDistinct($"event_id").as("n_ids"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q122Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  COUNT(DISTINCT event_id) AS n_ids,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
@@ -549,5 +618,6 @@ object Sources {
     QueryDef("q116_layout_compose", q116, Some(q116Sql)),
     QueryDef("q120_corrupt_quarantine", q120, Some(q120Sql)),
     QueryDef("q121_schema_evolution", q121, Some(q121Sql)),
+    QueryDef("q122_compaction", q122, Some(q122Sql)),
   )
 }
