@@ -133,27 +133,55 @@ object GenQueries {
     * the pattern dictionary (literal array equality, no UDF). Labels
     * (`is_pattern`) are ground truth: every labeled instance must be
     * rediscovered; chance collisions on top are the false-positive rate.
-    * On a keyed stream this windows per key; the demo stream is one
-    * global sequence (single-partition window, verification-scale only).
+    *
+    * Plan shape (r9): CHUNKED OVERLAP, not a global window — a global
+    * `Window.orderBy(seq)` serializes the whole stream through one
+    * task, the one plan that cannot survive 100×. Instead the dense
+    * seq domain splits into C-row chunks, each chunk's first L-1 rows
+    * are REPLICATED into the previous chunk ("ghosts"), so every
+    * L-window lives wholly inside one bounded group (≤ C+L-1 rows —
+    * the q81-admissible bounded-by-grouping array shape); windows are
+    * enumerated per chunk with codegen HOFs and counted only by the
+    * chunk that OWNS their start seq, so the overlap never
+    * double-counts. Parallelism scales with chunks; Round9Spec pins
+    * the result ≡ the global-window formulation it replaced.
     */
   private def patternDetect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val spec = demoSpec(40000L)
     val L    = spec.patterns.length
-    val w    = Window.orderBy("seq").rowsBetween(0, L - 1)
+    val C    = 4096L
     val dict = spec.patterns.types.map(ts => array(ts.map(lit(_)): _*))
-    val windows = StreamGen.exact(s, spec)
-      .withColumn("win_types", collect_list($"event_type").over(w))
-      .withColumn("win_pattern", min($"is_pattern".cast("int")).over(w))
-      .filter(size($"win_types") === L)
-    val isMatch = dict.map($"win_types" === _).reduce(_ || _)
+    val ev = StreamGen.exact(s, spec)
+      .select($"seq", $"event_type", $"is_pattern")
+    val own = ev.withColumn("chunk", expr(s"seq DIV $C"))
+    val ghost = ev
+      .filter($"seq" % C < (L - 1) && $"seq" >= C)
+      .withColumn("chunk", expr(s"seq DIV $C - 1"))
+    val winExpr = expr(
+      s"""transform(
+         |  sequence(1, size(rows) - ${L - 1}),
+         |  i -> struct(
+         |    rows[i-1].seq AS start_seq,
+         |    transform(slice(rows, i, $L), r -> r.event_type) AS types,
+         |    array_min(transform(slice(rows, i, $L),
+         |      r -> CAST(r.is_pattern AS INT))) AS all_pattern))""".stripMargin)
+    val windows = own
+      .unionByName(ghost)
+      .groupBy($"chunk")
+      .agg(sort_array(collect_list(
+        struct($"seq", $"event_type", $"is_pattern"))).as("rows"))
+      .filter(size($"rows") >= L) // a shorter tail chunk holds no window
+      .select($"chunk", explode(winExpr).as("w"))
+      .filter(expr(s"w.start_seq DIV $C") === $"chunk")
+    val isMatch = dict.map($"w.types" === _).reduce(_ || _)
     windows
       .withColumn("matched", isMatch)
       .agg(
         sum(when($"matched", 1L).otherwise(0L)).as("n_detected"),
-        sum(when($"matched" && $"win_pattern" === 1, 1L).otherwise(0L))
+        sum(when($"matched" && $"w.all_pattern" === 1, 1L).otherwise(0L))
           .as("n_true_instances"),
-        sum(when($"matched" && $"win_pattern" =!= 1, 1L).otherwise(0L))
+        sum(when($"matched" && $"w.all_pattern" =!= 1, 1L).otherwise(0L))
           .as("n_chance_matches"),
       )
   }

@@ -319,6 +319,36 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("chunked pattern detection equals the global-window formulation") {
+    import spark.implicits._
+    // the replaced plan, kept as the independent cross-check (same
+    // discipline as q104's collect_list twin): one global ordered
+    // window — correct, but serialized through a single task
+    val spec = graft.gen.GenQueries.demoSpec(40000L)
+    val L = spec.patterns.length
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("seq").rowsBetween(0, L - 1)
+    val dict = spec.patterns.types.map(ts => array(ts.map(lit(_)): _*))
+    val windows = graft.gen.StreamGen.exact(spark, spec)
+      .withColumn("win_types", collect_list($"event_type").over(w))
+      .withColumn("win_pattern", min($"is_pattern".cast("int")).over(w))
+      .filter(size($"win_types") === L)
+    val isMatch = dict.map($"win_types" === _).reduce(_ || _)
+    val viaGlobal = windows
+      .withColumn("matched", isMatch)
+      .agg(
+        sum(when($"matched", 1L).otherwise(0L)),
+        sum(when($"matched" && $"win_pattern" === 1, 1L).otherwise(0L)),
+        sum(when($"matched" && $"win_pattern" =!= 1, 1L).otherwise(0L)))
+      .head.toSeq
+    val viaChunks = SparkEntry.queries("gen_pattern_detect")(spark, sf)
+      .head.toSeq
+    assert(viaChunks == viaGlobal)
+    // the detection itself must stay meaningful: every labeled instance
+    // rediscovered (the generator plants 1200 with zero-gap starts)
+    assert(viaChunks(1).asInstanceOf[Long] > 0L)
+  }
+
   test("winnowing fingerprints: edit-local, and long matches always caught") {
     import spark.implicits._
     // the two properties that make winnowing the right near-dup
