@@ -109,8 +109,10 @@ class Round8Spec extends AnyFunSuite {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.getOrElse(fail("no FileSourceScanExec leaf"))
     val scanned = scan.metrics("numFiles").value
-    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(f => f.toString.endsWith(".parquet")).count()
+    val allFiles = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { w =>
+      w.filter(f => f.toString.endsWith(".parquet")).count()
+    }
     assert(scanned > 0 && scanned < allFiles,
       s"pruning read $scanned of $allFiles files")
   }
