@@ -105,6 +105,11 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.streaming.Streams
         .attributionCounts(spark, srcDir.toString).count(): Unit
+      // the OUTER variant loads its own operator classes (outer state
+      // tracking, null-release path) on first use — q117 is the only
+      // query on them
+      graft.streaming.Streams
+        .attributionOuter(spark, srcDir.toString).count(): Unit
     }
     // 2-row transformWithState run: q112 is the only query on the new
     // stateful API, and its first use loads the RocksDB native library
@@ -133,6 +138,9 @@ object Bench {
       // first use
       graft.streaming.Streams
         .closedSessions(spark, srcDir.toString).count(): Unit
+      // and through the MapState column family (q118 is its only user)
+      graft.streaming.Streams
+        .typeCountsTws(spark, srcDir.toString).count(): Unit
     }
     // q88's bucketed tables are one-time storage PREPARATION (the
     // pattern is "pay the shuffle at write time, join exchange-free
