@@ -21,12 +21,8 @@ object Bench {
     // wiping the previous run's accumulation — bounded disk, and no
     // ever-growing directory for the OS to manage across a 20-round
     // campaign.
-    val scratch = java.nio.file.Paths.get("target", "graft_stream")
-    if (java.nio.file.Files.exists(scratch))
-      scala.util.Using.resource(java.nio.file.Files.walk(scratch)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get("target", "graft_stream"))
     // Warm the session (codegen, parquet footer cache, executor threads)
     // so the first timed query doesn't absorb JVM startup. The custom
     // kernel expressions (text sketches, vector cosine) compile real
@@ -98,9 +94,11 @@ object Bench {
           (2L, 1000000001000000L, 1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst.get
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+      }
       java.nio.file.Files.move(part, srcDir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.streaming.Streams
@@ -125,9 +123,11 @@ object Bench {
           (2L, 1000000001000000L, 1L, "view", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst.get
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+      }
       java.nio.file.Files.move(part, srcDir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.streaming.Streams

@@ -23,12 +23,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // wipe the previous run's streaming sink dirs (same rationale as
     // Bench: staged sources self-clean, sinks outlive their query)
-    val scratch = java.nio.file.Paths.get("target", "graft_stream")
-    if (java.nio.file.Files.exists(scratch))
-      scala.util.Using.resource(java.nio.file.Files.walk(scratch)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get("target", "graft_stream"))
     // Optional local-iteration filter, mirroring Bench: comma-separated
     // query names. The driver never sets this, so the per-round verify
     // always dumps everything.

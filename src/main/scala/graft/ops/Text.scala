@@ -149,25 +149,31 @@ object Text {
     * fewer grams than a window → one fingerprint (min of all), no
     * grams → none.
     */
+  /** Winnowing building blocks, exposed so the Round9Spec property test
+    * locks the SHIPPED expressions (over columns `toks` / `gh`), never
+    * a private copy that could drift.
+    */
+  private[graft] val winnowGramsExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(1, size(toks) - 2),
+      |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3))
+      |           as binary)), 1, 8))
+      |ELSE cast(array() as array<string>) END""".stripMargin
+
+  private[graft] val winnowWindowsExpr =
+    """CASE WHEN size(gh) >= 4 THEN
+      |  transform(sequence(1, size(gh) - 3),
+      |    j -> array_min(slice(gh, j, 4)))
+      |WHEN size(gh) > 0 THEN array(array_min(gh))
+      |ELSE cast(array() as array<string>) END""".stripMargin
+
   private def q119(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams =
-      """CASE WHEN size(toks) >= 3 THEN
-        |  transform(sequence(1, size(toks) - 2),
-        |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3))
-        |           as binary)), 1, 8))
-        |ELSE cast(array() as array<string>) END""".stripMargin
-    val wins =
-      """CASE WHEN size(gh) >= 4 THEN
-        |  transform(sequence(1, size(gh) - 3),
-        |    j -> array_min(slice(gh, j, 4)))
-        |WHEN size(gh) > 0 THEN array(array_min(gh))
-        |ELSE cast(array() as array<string>) END""".stripMargin
     Tables
       .documents(s, d)
       .withColumn("toks", tokens($"text"))
-      .withColumn("gh", expr(grams))
-      .withColumn("fps", array_distinct(expr(wins)))
+      .withColumn("gh", expr(winnowGramsExpr))
+      .withColumn("fps", array_distinct(expr(winnowWindowsExpr)))
       // explode_outer: a doc with no fingerprints still counts as a doc
       .select($"source", $"doc_id", explode_outer($"fps").as("fp"))
       .groupBy($"source")

@@ -119,11 +119,10 @@ object Streams {
     * the harness (including the read-back of the sunk result) are
     * unaffected.
     */
-  private def withFewStatePartitions[T](spark: SparkSession, n: Int = 1)(
-      body: => T): T = {
+  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, "1")
     try body
     finally spark.conf.set(key, saved)
   }

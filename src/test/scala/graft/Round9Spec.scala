@@ -363,23 +363,13 @@ class Round9Spec extends AnyFunSuite {
     val overlap = ((0 until 30).map(i => s"a$i") ++
       (20 until 40).map(i => s"w$i") ++
       (0 until 30).map(i => s"b$i")).mkString(" ")
-    val grams =
-      """CASE WHEN size(toks) >= 3 THEN
-        |  transform(sequence(1, size(toks) - 2),
-        |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3))
-        |           as binary)), 1, 8))
-        |ELSE cast(array() as array<string>) END""".stripMargin
-    val wins =
-      """CASE WHEN size(gh) >= 4 THEN
-        |  transform(sequence(1, size(gh) - 3),
-        |    j -> array_min(slice(gh, j, 4)))
-        |WHEN size(gh) > 0 THEN array(array_min(gh))
-        |ELSE cast(array() as array<string>) END""".stripMargin
+    // the SHIPPED expressions, not copies — an edit to q119's shingle
+    // or window parameters re-runs these properties against it
     val fps = Seq((1L, base), (2L, edited), (3L, overlap))
       .toDF("doc_id", "text")
       .withColumn("toks", split($"text", " "))
-      .withColumn("gh", expr(grams))
-      .withColumn("fps", array_distinct(expr(wins)))
+      .withColumn("gh", expr(graft.ops.Text.winnowGramsExpr))
+      .withColumn("fps", array_distinct(expr(graft.ops.Text.winnowWindowsExpr)))
       .select($"doc_id", $"fps")
       .collect().map(r => r.getLong(0) ->
         r.getSeq[String](1).toSet).toMap
