@@ -818,6 +818,49 @@ object Relational {
       |      FROM lineitem) t
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q123: per-group linear TREND via the regression aggregates
+    * (`regr_slope`/`regr_intercept`/`regr_r2`) — the drift-detection QC
+    * every long-running feed wants ("is this metric moving?") as one
+    * mergeable aggregate per group, no windowing, no model library:
+    * cents regressed on hours-since-first-event per event type. The
+    * regressor is CENTERED per group (hours since the group's own min,
+    * via a window min on the same event_type shuffle the aggregate
+    * needs anyway) — at epoch-scale x the co-moment cancellation would
+    * eat the 6-decimal rounding margin; centered, both engines agree to
+    * ~1e-12 relative and the q57 rounding discipline holds. regr_* are
+    * plain co-moment aggregates, so the plan is the usual
+    * partial+final hash-agg — mergeable at any parallelism.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+    Tables
+      .events(s, d)
+      .select($"event_type", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").cast("double").as("y"))
+      .withColumn("x", ($"us" - min($"us").over(w)) / 3600000000.0)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope($"y", $"x"), 6).as("slope_cents_per_hr"),
+        round(regr_intercept($"y", $"x"), 4).as("intercept_cents"),
+        round(regr_r2($"y", $"x"), 6).as("r2"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q123Sql =
+    """WITH e AS (SELECT event_type,
+      |    (epoch_us(ts) - MIN(epoch_us(ts))
+      |       OVER (PARTITION BY event_type)) / 3600000000.0 AS x,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS y
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(regr_slope(y, x), 6) AS slope_cents_per_hr,
+      |  ROUND(regr_intercept(y, x), 4) AS intercept_cents,
+      |  ROUND(regr_r2(y, x), 6) AS r2
+      |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Distribution windows: ntile / percent_rank / cume_dist over a fully
     * tie-broken ordering (acctbal DESC, custkey — rank functions are only
     * cross-engine-deterministic under a total order), folded to quartile
@@ -1358,6 +1401,7 @@ object Relational {
     QueryDef("q45_regexp_extract", q45, Some(q45Sql)),
     QueryDef("q47_salted_join", q47, Some(q47Sql)),
     QueryDef("q57_stats_moments", q57, Some(q57Sql)),
+    QueryDef("q123_regr_trend", q123, Some(q123Sql)),
     QueryDef("q58_ntile_quartiles", q58, Some(q58Sql)),
     QueryDef("q59_grouping_sets", q59, Some(q59Sql)),
     QueryDef("q67_date_merge", q67, Some(q67Sql)),
