@@ -378,6 +378,83 @@ object Corpus {
       |LEFT JOIN train_vocab v USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q124: sliding 13-gram train/test decontamination — the n-gram
+    * upgrade of q65's vocabulary gate: a test document is contaminated
+    * where an EXACT 13-token subsequence of it also appears anywhere in
+    * the train split. Term overlap (q65) passes paraphrased test data;
+    * subsequence overlap is what pretraining decontamination actually
+    * checks (the GPT-3/PaLM 8–13-gram discipline).
+    *
+    * Plan shape at 100 TB: each side is shingled by the native
+    * [[graft.functions.TextHashExprs]] kernel into DISTINCT 64-bit
+    * 13-gram hashes per document — the 13-word gram STRING never leaves
+    * the row it was read from, so the shuffle moves 8-byte longs, not
+    * ~100-byte text. The probe is a hash-partitioned left join of
+    * test-side (doc, gram-hash) against the post-distinct train gram-hash
+    * table — the join's hash partitioning IS the blocking (never
+    * corpus-wide pairs). Collision risk of hashed grams vs the oracle's
+    * string grams is birthday-bounded: ~1e-11 at sf0.01, and at 100 TB
+    * a collision only perturbs one count by 1 — the standard sketch
+    * trade every production decontamination pipeline makes.
+    *
+    * The oracle is the exact STRING twin (split → windowed
+    * array_to_string concat → distinct → left join), so the gate also
+    * re-proves the kernel's gram framing (single-space split, empties
+    * kept) against an independent engine. Docs shorter than 13 tokens
+    * carry no 13-gram and are out of scope on both sides.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 13
+    val grams = Tables
+      .documents(s, d)
+      .withColumn("split", splitCol($"doc_id"))
+      .filter(size(split($"text", " ")) >= n)
+      .select(
+        $"doc_id",
+        $"split",
+        explode(graft.functions.TextHashExprs.shingleHashes(s, $"text", n))
+          .as("gh"),
+      )
+    val trainGrams = grams
+      .filter($"split" === "train")
+      .select($"gh")
+      .distinct()
+      .withColumn("hit", lit(1))
+    grams
+      .filter($"split" === "test")
+      .select($"doc_id", $"gh")
+      .join(trainGrams, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_contam"))
+      .withColumn("contam_pct", expr("(100 * n_contam) DIV n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  private val q124Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h <= 'b' THEN 'train'
+      |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
+      |    t
+      |  FROM (SELECT doc_id,
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |          string_split(text, ' ') AS t
+      |        FROM documents) raw
+      |  WHERE len(t) >= 13),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM (SELECT doc_id, split, t,
+      |          unnest(generate_series(1, len(t) - 12)) AS i
+      |        FROM base) g),
+      |train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train')
+      |SELECT doc_id, COUNT(*) AS n_grams, COUNT(tr.gram) AS n_contam,
+      |  (100 * COUNT(tr.gram)) // COUNT(*) AS contam_pct
+      |FROM (SELECT doc_id, gram FROM grams WHERE split = 'test') te
+      |LEFT JOIN train_grams tr USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q68: duplicate-bigram repetition ratio per document — the
     * Gopher-style "fraction of repeated n-grams" quality filter. All
     * counts integer; the percent is integer division, so the compare is
@@ -595,5 +672,6 @@ object Corpus {
     QueryDef("q79_corpus_manifest", q79, Some(q79Sql)),
     QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
+    QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
   )
 }
