@@ -230,6 +230,68 @@ object GenQueries {
       .orderBy($"stream_id")
   }
 
+  /** Keyed chunked pattern detection — gen_pattern_detect's
+    * chunked-overlap plan grouped by (stream_id, chunk), the shape the
+    * chunking was BUILT for: parallelism = streams × chunks, every
+    * group bounded by C + L - 1 rows regardless of stream length, no
+    * global or even per-stream ordering anywhere in the plan. Shared by
+    * the 10M-row bench query below and Round10Spec's equivalence test
+    * against the per-stream global-window formulation.
+    */
+  private[graft] def keyedDetect(
+      s: SparkSession,
+      spec: StreamSpec,
+      nStreams: Long,
+      C: Long = 4096L,
+  ): DataFrame = {
+    import s.implicits._
+    val L    = spec.patterns.length
+    val dict = spec.patterns.types.map(ts => array(ts.map(lit(_)): _*))
+    val ev = StreamGen.multi(s, spec, nStreams)
+      .select($"stream_id", $"seq", $"event_type", $"is_pattern")
+    val own = ev.withColumn("chunk", expr(s"seq DIV $C"))
+    val ghost = ev
+      .filter($"seq" % C < (L - 1) && $"seq" >= C)
+      .withColumn("chunk", expr(s"seq DIV $C - 1"))
+    val winExpr = expr(
+      s"""transform(
+         |  sequence(1, size(rows) - ${L - 1}),
+         |  i -> struct(
+         |    rows[i-1].seq AS start_seq,
+         |    transform(slice(rows, i, $L), r -> r.event_type) AS types,
+         |    array_min(transform(slice(rows, i, $L),
+         |      r -> CAST(r.is_pattern AS INT))) AS all_pattern))""".stripMargin)
+    val windows = own
+      .unionByName(ghost)
+      .groupBy($"stream_id", $"chunk")
+      .agg(sort_array(collect_list(
+        struct($"seq", $"event_type", $"is_pattern"))).as("rows"))
+      .filter(size($"rows") >= L)
+      .select($"stream_id", $"chunk", explode(winExpr).as("w"))
+      .filter(expr(s"w.start_seq DIV $C") === $"chunk")
+    val isMatch = dict.map($"w.types" === _).reduce(_ || _)
+    windows
+      .withColumn("matched", isMatch)
+      .agg(
+        sum(when($"matched", 1L).otherwise(0L)).as("n_detected"),
+        sum(when($"matched" && $"w.all_pattern" === 1, 1L).otherwise(0L))
+          .as("n_true_instances"),
+        sum(when($"matched" && $"w.all_pattern" =!= 1, 1L).otherwise(0L))
+          .as("n_chance_matches"),
+      )
+  }
+
+  /** Pattern detection at the 10M-event scale: 1000 independent streams
+    * × 10k events, generated distributed (gen_multi_stream's path) and
+    * scanned by [[keyedDetect]] — the row that TIMES the parallelism
+    * claim the chunked plan was built on. Wall-clock should sit near
+    * gen_block_10m's (same event count, same generator core) plus one
+    * bounded-group shuffle; a superlinear gap would mean the detect
+    * plan serializes somewhere.
+    */
+  private def genDetect10m(s: SparkSession, d: String): DataFrame =
+    keyedDetect(s, demoSpec(10000L), nStreams = 1000L)
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
     QueryDef("gen_block_1m", genBlock1m, None),
@@ -238,5 +300,6 @@ object GenQueries {
     QueryDef("gen_pattern_detect", patternDetect, None),
     QueryDef("gen_drift_profile", driftProfile, None),
     QueryDef("gen_multi_stream", multiStream, None),
+    QueryDef("gen_detect_10m", genDetect10m, None),
   )
 }

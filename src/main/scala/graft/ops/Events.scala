@@ -549,6 +549,47 @@ object Events {
       |  COUNT(DISTINCT revent) AS n_purchases
       |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Oracle for the CDC tombstone compaction (q125): q100's
+    * latest-compaction minus the keys whose final changelog action is a
+    * delete — and `error` being the synthetic tombstone op, a user's
+    * last action is a delete exactly when their latest event (under the
+    * total (ts, event_id) order) is an `error`.
+    */
+  private val q125Sql =
+    """SELECT user_id, last_type, last_value_cents, last_us, n_events
+      |FROM (SELECT user_id,
+      |        first(event_type ORDER BY ts DESC, event_id DESC) AS last_type,
+      |        first(CAST(ROUND(value * 100) AS BIGINT)
+      |              ORDER BY ts DESC, event_id DESC) AS last_value_cents,
+      |        MAX(epoch_us(ts)) AS last_us,
+      |        COUNT(*) AS n_events
+      |      FROM events GROUP BY user_id) c
+      |WHERE last_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Oracle for the full-outer streaming attribution join (q126): the
+    * equivalent batch FULL OUTER JOIN — matched pairs plus BOTH orphan
+    * populations (clicks with no purchase in the following hour, and
+    * purchases with no click in the preceding hour).
+    */
+  private val q126Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |        c.event_id AS levent, p.event_id AS revent
+      |      FROM c FULL JOIN p ON c.user_id = p.user_id
+      |        AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN levent IS NOT NULL AND revent IS NOT NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN revent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_left_orphans,
+      |  CAST(SUM(CASE WHEN levent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_right_orphans
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Oracle for the MapState type counter (q118): the plain batch
     * rollup the dynamic per-user map must reproduce.
     */
@@ -804,6 +845,12 @@ object Events {
     QueryDef("q117_stream_outer",
       (s, d) => graft.streaming.Streams.attributionOuter(s, d),
       Some(q117Sql)),
+    // FULL OUTER stream-stream interval join under the oracle gate:
+    // both sides' eviction-driven orphan release must equal the batch
+    // FULL OUTER JOIN — pairs, left orphans, right orphans all exact.
+    QueryDef("q126_stream_fullouter",
+      (s, d) => graft.streaming.Streams.attributionFullOuter(s, d),
+      Some(q126Sql)),
     // MapState (dynamic per-key sub-keys) under the oracle gate: the
     // per-(user, type) map counts must equal the batch rollup.
     QueryDef("q118_tws_mapstate",
@@ -817,6 +864,12 @@ object Events {
     QueryDef("q107_stream_upsert",
       (s, d) => graft.streaming.Streams.latestCompactUpsert(s, d),
       Some(q100Sql)),
+    // CDC changelog with DELETES under the oracle gate: the tombstone-
+    // aware snapshot fold must equal batch latest-compaction minus the
+    // keys whose final action is a tombstone.
+    QueryDef("q125_cdc_tombstones",
+      (s, d) => graft.streaming.Streams.cdcTombstoneCompact(s, d),
+      Some(q125Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )

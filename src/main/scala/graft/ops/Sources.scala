@@ -406,8 +406,12 @@ object Sources {
     require(
       "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
       s"q116: event_type filter fell out of PartitionFilters:\n$plan")
+    // the column must appear as the OPERAND of a pushed comparison —
+    // a bare substring match ("us") would be satisfied by e.g.
+    // IsNotNull(user_id) and pass spuriously
     require(
-      "PushedFilters: \\[[^\\]]*us".r.findFirstIn(plan).isDefined,
+      "PushedFilters: \\[[^\\]]*(LessThan|LessThanOrEqual)\\(us,".r
+        .findFirstIn(plan).isDefined,
       s"q116: us range filter was not pushed to the scan:\n$plan")
     agg
   }

@@ -529,10 +529,103 @@ object Streams {
     * the file splitter scattered each user's rows across batches.
     */
   def latestCompactUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = struct(unix_micros(col("wts")), col("event_id"))
+    cowUpsertHarness(spark, dir, "ups",
+      agg = src => src
+        .groupBy($"user_id")
+        .agg(
+          max_by($"event_type", ord).as("last_type"),
+          max_by(expr("CAST(ROUND(value * 100) AS LONG)"), ord)
+            .as("last_value_cents"),
+          max(unix_micros($"wts")).as("last_us"),
+          count(lit(1)).as("n_events"),
+        ),
+      merge = {
+        case (None, delta)    => delta
+        case (Some(p), delta) => upsertMerge(p, delta, "user_id")
+      })
+  }
+
+  /** Tombstone-aware keyed merge — the CDC DELETE primitive on top of
+    * [[upsertMerge]]: every key the delta touches is first anti-joined
+    * out of the snapshot, then only the delta rows whose `opCol` is NOT
+    * a tombstone are re-inserted (with the op column dropped — a live
+    * snapshot row carries values, not changelog verbs). Idempotent for
+    * the same reason upsertMerge is: replaying a delta anti-joins its
+    * own previous application away before re-applying, so a tombstone
+    * replayed against a snapshot it already deleted from is a no-op
+    * (Round10Spec locks this).
+    */
+  private[graft] def tombstoneMerge(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      key: String,
+      opCol: String,
+  ): DataFrame =
+    snapshot
+      .join(delta.select(col(key)), Seq(key), "left_anti")
+      .unionByName(delta.filter(col(opCol) =!= "delete").drop(opCol))
+
+  /** CDC changelog with DELETES under the driver's oracle gate (q125) —
+    * the GDPR / right-to-be-forgotten primitive q107's insert/update
+    * upsert lacks: each event carries an op (`error` events are the
+    * synthetic tombstone action, everything else upserts), the
+    * update-mode aggregate tracks each user's LATEST op under the total
+    * (ts, event_id) order, and the [[tombstoneMerge]] fold removes a
+    * key from the snapshot when its latest changelog action is a
+    * delete. A user deleted in one microbatch and re-upserted by a
+    * later event re-enters the snapshot — latest-wins semantics across
+    * ops, which is exactly what the batch oracle states: q100's
+    * latest-compaction MINUS the keys whose final action is a
+    * tombstone. Same staged 4-file source, so delete→reinsert genuinely
+    * crosses microbatch boundaries; same replay-safe copy-on-write
+    * snapshot chain.
+    */
+  def cdcTombstoneCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = struct(unix_micros(col("wts")), col("event_id"))
+    cowUpsertHarness(spark, dir, "cdc",
+      agg = src => src
+        .withColumn("op",
+          when($"event_type" === "error", "delete").otherwise("upsert"))
+        .groupBy($"user_id")
+        .agg(
+          max_by($"op", ord).as("last_op"),
+          max_by($"event_type", ord).as("last_type"),
+          max_by(expr("CAST(ROUND(value * 100) AS LONG)"), ord)
+            .as("last_value_cents"),
+          max(unix_micros($"wts")).as("last_us"),
+          count(lit(1)).as("n_events"),
+        ),
+      merge = {
+        case (None, delta) =>
+          delta.filter(col("last_op") =!= "delete").drop("last_op")
+        case (Some(p), delta) =>
+          tombstoneMerge(p, delta, "user_id", "last_op")
+      })
+  }
+
+  /** Shared staging + copy-on-write snapshot machinery for the
+    * update-mode CDC harnesses (q107 upsert, q125 tombstone): stage the
+    * events as FOUR part files read with `maxFilesPerTrigger=1` (four
+    * genuine cross-batch microbatches), run `agg` over the staged
+    * stream in update mode, and fold each emitted delta into a
+    * `v<batchId>` snapshot chain via `merge` — temp-dir + atomic
+    * rename, self-recovering from the sink's own directory listing,
+    * retention 2. Returns the final snapshot ordered by `user_id`.
+    */
+  private def cowUpsertHarness(
+      spark: SparkSession,
+      dir: String,
+      tag: String,
+      agg: DataFrame => DataFrame,
+      merge: (Option[DataFrame], DataFrame) => DataFrame,
+  ): DataFrame = {
     graft.Tables.ensureNanosAsLong(spark)
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
-    val root = java.nio.file.Paths.get("target", "graft_stream", s"ups_$uuid")
+    val root = java.nio.file.Paths.get("target", "graft_stream", s"${tag}_$uuid")
     val srcDir = root.resolve("src").toString
     // Stage the input as 4 part files → 4 genuine cross-batch
     // microbatches, projecting away the wide props JSON the aggregate
@@ -547,20 +640,11 @@ object Streams {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .repartition(4)
       .write.parquet(srcDir)
-    val ord = struct(unix_micros($"wts"), $"event_id")
-    val agg = spark.readStream
+    val aggDf = agg(spark.readStream
       .schema(upsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
-      .groupBy($"user_id")
-      .agg(
-        max_by($"event_type", ord).as("last_type"),
-        max_by(expr("CAST(ROUND(value * 100) AS LONG)"), ord)
-          .as("last_value_cents"),
-        max(unix_micros($"wts")).as("last_us"),
-        count(lit(1)).as("n_events"),
-      )
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000"))))
     val sinkRoot = root.resolve("sink")
     // Sink recovery reads the sink itself, never driver memory: the
     // v<batchId> snapshot dirs ARE the commit log. A batch replayed
@@ -582,18 +666,15 @@ object Streams {
             .toSeq
       }
     withFewStatePartitions(spark) {
-      val q = agg.writeStream
+      val q = aggDf.writeStream
         .outputMode(OutputMode.Update)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           val sp = batch.sparkSession
           val existing = snapshots()
           val prev = existing.filter(_ < id).sorted.lastOption
-          val merged = prev match {
-            case None => batch.toDF()
-            case Some(p) =>
-              upsertMerge(sp.read.parquet(s"$sinkRoot/v$p"),
-                batch.toDF(), "user_id")
-          }
+          val merged = merge(
+            prev.map(p => sp.read.parquet(s"$sinkRoot/v$p")),
+            batch.toDF())
           // the merge plan lazily READS v<prev>, so the write target is
           // always a fresh temp dir, moved into place only once durable
           val tmp = sinkRoot.resolve(s"tmp_v$id")
@@ -611,7 +692,9 @@ object Streams {
       finally q.stop()
     }
     deleteStaged(root.resolve("src")) // stream stopped; staged copy is dead
-    spark.read.parquet(s"$sinkRoot/v${snapshots().max}")
+    val snaps = snapshots()
+    require(snaps.nonEmpty, s"$tag: no sink snapshot was written")
+    spark.read.parquet(s"$sinkRoot/v${snaps.max}")
       .orderBy(col("user_id"))
   }
 
@@ -700,6 +783,90 @@ object Streams {
         count(col("revent")).as("n_pairs"),
         sum(when(col("revent").isNull, 1L).otherwise(0L)).as("n_orphans"),
         countDistinct(col("revent")).as("n_purchases"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** FULL OUTER stream-stream interval join under the driver's oracle
+    * gate (q126) — completes the outer matrix (q96 inner, q117 left):
+    * BOTH sides' state lifecycles must now emit on eviction. A click
+    * with no qualifying purchase releases a (click, NULL) row when the
+    * right watermark passes `lts + horizon`; a purchase preceded by no
+    * qualifying click releases a (NULL, purchase) row when the left
+    * watermark passes `rts` — two independent eviction paths, each
+    * required to fire exactly once per orphan. The batch FULL OUTER
+    * join oracle makes all three populations exact at once: a dangling
+    * orphan on either side, a duplicate null-row, or a pair double-
+    * counted across the eviction batches all break the hash.
+    *
+    * Harness identical to q117's: staged single-file source, one data
+    * batch, then one sentinel click+purchase pair on a reserved key
+    * advances both watermarks past `max(ts) + horizon`, flushing every
+    * buffered orphan on both sides. The sentinels match each other, so
+    * they surface as one filtered pair, never as orphans.
+    */
+  def attributionFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    import spark.implicits._
+    val src0 = java.nio.file.Paths.get("target", "graft_stream",
+      "fouter_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val ev = spark.read.schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(1).write.parquet(src0.toString)
+    val hiNs = ev.agg(max(col("ts"))).head.getLong(0)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+      .parquet(src0.toString)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("luser"), col("wts").as("lts"),
+        col("event_id").as("levent"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruser"), col("wts").as("rts"),
+        col("event_id").as("revent"))
+    val joined = clicks
+      .withWatermark("lts", "10 minutes")
+      .join(
+        buys.withWatermark("rts", "10 minutes"),
+        expr(
+          """luser = ruser AND
+            |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
+        "fullOuter")
+      .select(col("luser"), col("ruser"), col("levent"), col("revent"))
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream",
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      .toString
+    withFewStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // data batch: pairs emit, orphans buffer
+        val sentNs = hiNs + (3600L + 600L + 2L) * 1000000000L
+        Seq((-1L, sentNs, -1L, "click"), (-2L, sentNs, -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(src0.toString)
+        q.processAllAvailable() // eviction batch: both sides' orphans
+      } finally q.stop()
+    }
+    deleteStaged(src0)
+    spark.read.parquet(out)
+      .filter(coalesce(col("luser"), col("ruser")) >= 0L)
+      .groupBy(coalesce(col("luser"), col("ruser")).as("user_id"))
+      .agg(
+        sum(when(col("levent").isNotNull && col("revent").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("revent").isNull, 1L).otherwise(0L))
+          .as("n_left_orphans"),
+        sum(when(col("levent").isNull, 1L).otherwise(0L))
+          .as("n_right_orphans"),
       )
       .orderBy(col("user_id"))
   }
@@ -1102,6 +1269,15 @@ object Streams {
         rows: Iterator[(Long, Long)],
         tv: org.apache.spark.sql.streaming.TimerValues,
     ): Iterator[ClosedSession] = {
+      // getCurrentWatermarkInMs() is the batch's EVICTION watermark (the
+      // value the same batch's timer pass closes against), NOT the
+      // late-record admission watermark one update behind it — pinned by
+      // Round10Spec's straggler-between-the-two-watermarks probe. A row
+      // the operator admitted but that lands below this value is dropped
+      // HERE, deterministically, so a session can never be extended by a
+      // row the eviction sweep has already sealed past — the invariant
+      // that keeps this processor equal to the batch oracle under any
+      // staging, not just time-ordered harnesses.
       val wmUs = tv.getCurrentWatermarkInMs() * 1000L
       val sorted = rows.map(_._2).filter(_ >= wmUs).toArray
       java.util.Arrays.sort(sorted)

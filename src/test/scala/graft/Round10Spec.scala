@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 additions, locked: the tombstone-aware CDC merge (q125)
+  * must delete, replay idempotently, and reinsert; the full-outer
+  * streaming join (q126) must equal the batch FULL OUTER join with
+  * orphans genuinely present on BOTH sides; and SessionCloser's
+  * late-row cutoff is pinned against a straggler landing BETWEEN the
+  * late-admission and eviction watermarks.
+  */
+class Round10Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("tombstoneMerge deletes, replays idempotently, and reinserts") {
+    import spark.implicits._
+    def rows(df: DataFrame): Seq[(Long, String, Long)] =
+      df.orderBy($"user_id").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("v"),
+          r.getAs[Long]("n"))).toSeq
+    def merge(s: DataFrame, d: DataFrame): DataFrame =
+      graft.streaming.Streams.tombstoneMerge(s, d, "user_id", "last_op")
+    val snap0 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("user_id", "v", "n")
+    val delta1 = Seq((2L, "delete", "x", 99L), (3L, "upsert", "c", 30L))
+      .toDF("user_id", "last_op", "v", "n")
+    // delete removes the key; the tombstone's payload never lands
+    val snap1 = merge(snap0, delta1)
+    assert(rows(snap1) == Seq((1L, "a", 10L), (3L, "c", 30L)))
+    // at-least-once replay: the same delta applied to the snapshot it
+    // already produced is a no-op (foreachBatch's recovery contract)
+    assert(rows(merge(snap1, delta1)) == rows(snap1))
+    // a later upsert on the tombstoned key re-enters the snapshot —
+    // latest-wins across ops, not delete-forever
+    val delta2 = Seq((2L, "upsert", "b2", 21L))
+      .toDF("user_id", "last_op", "v", "n")
+    assert(rows(merge(snap1, delta2)) ==
+      Seq((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+
+  test("q126 full-outer streaming join equals batch, orphans on BOTH sides") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q126_stream_fullouter")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // independent batch twin: the same interval condition as a plain
+    // FULL OUTER DataFrame join, aggregated identically
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("luser"), $"us".as("lus"),
+        $"event_id".as("levent"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("ruser"), $"us".as("rus"),
+        $"event_id".as("revent"))
+    val batch = c.join(p,
+        $"luser" === $"ruser" && $"rus" >= $"lus" &&
+          $"rus" <= $"lus" + 3600000000L,
+        "fullOuter")
+      .groupBy(coalesce($"luser", $"ruser").as("user_id"))
+      .agg(
+        sum(when($"levent".isNotNull && $"revent".isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when($"revent".isNull, 1L).otherwise(0L)).as("n_left_orphans"),
+        sum(when($"levent".isNull, 1L).otherwise(0L)).as("n_right_orphans"),
+      )
+      .orderBy($"user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batch)
+    // the fixture must genuinely exercise both eviction paths: clicks
+    // that never converted AND purchases with no preceding click
+    val totals = SparkEntry.queries("q126_stream_fullouter")(spark, sf)
+      .agg(sum($"n_left_orphans"), sum($"n_right_orphans")).head
+    assert(totals.getLong(0) > 0, "no left orphans — left eviction untested")
+    assert(totals.getLong(1) > 0, "no right orphans — right eviction untested")
+  }
+
+  test("keyed chunked detect equals the per-stream global-window twin") {
+    // the 10M bench row's plan at verification scale: 5 streams × 3000
+    // events, C=512 (6 chunks/stream, ghost rows live) vs C larger than
+    // any stream (one chunk per stream ≡ the global-window formulation,
+    // ghosts vacuously empty) — identical totals or the overlap logic
+    // double-counts / drops a boundary window somewhere
+    val spec = gen.GenQueries.demoSpec(3000L)
+    val got = gen.GenQueries.keyedDetect(spark, spec, nStreams = 5L,
+      C = 512L).head.toSeq
+    val twin = gen.GenQueries.keyedDetect(spark, spec, nStreams = 5L,
+      C = 1L << 40).head.toSeq
+    assert(got == twin)
+    assert(got(1).asInstanceOf[Long] > 0L,
+      "no labeled instances rediscovered — the fixture is degenerate")
+  }
+
+  test("SessionCloser drops a straggler between the two watermarks") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // A batch runs under TWO watermarks: late-record admission (the
+    // previous batch's eviction value) and eviction (advanced by the
+    // previous batch's max event time). A straggler BETWEEN them is
+    // admitted by the operator's late filter but sits below the value
+    // SessionCloser reads via getCurrentWatermarkInMs(). This pins the
+    // processor's behavior for that window: the row is DROPPED —
+    // getCurrentWatermarkInMs() is the EVICTION watermark, so the
+    // processor's cutoff equals the one the same batch's timer pass
+    // closes against, which is exactly the determinism the q113 batch
+    // oracle needs (a session can never be extended by a row the
+    // eviction sweep has already sealed past).
+    withRocksDb {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wm").toString
+      def writeBatch(rows: Seq[(Long, Long)], ageSec: Long): Unit = {
+        rows.map { case (u, sec) => (u, sec * 1000000L) }
+          .toDF("user_id", "us").coalesce(1)
+          .write.mode("append").parquet(s"$tmp/src")
+        // stamp mtimes so maxFilesPerTrigger=1 serves files oldest-first
+        // in the order written (write cadence alone can tie at ms grain)
+        val now = System.currentTimeMillis()
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/src"))) { l =>
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              val t = java.nio.file.Files.getLastModifiedTime(p).toMillis
+              if (t > now - 5000) // only freshly-written parts
+                java.nio.file.Files.setLastModifiedTime(p,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    now - ageSec * 1000))
+            }
+        }
+      }
+      val gapUs = 60L * 1000000L
+      implicit val outEnc = org.apache.spark.sql.Encoders.product[
+        graft.streaming.Streams.ClosedSession]
+      // file A: u1 opens at t=0; u9's far row advances the watermark to
+      // 10000s AFTER batch 1. file B: u1 straggler at t=5000s — above
+      // batch 2's late-admission watermark (0) and below its eviction
+      // watermark (10000s).
+      writeBatch(Seq((1L, 0L), (9L, 10000L)), ageSec = 60)
+      writeBatch(Seq((1L, 5000L)), ageSec = 0)
+      val q = spark.readStream
+        .schema("user_id LONG, us LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/src")
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "0 seconds")
+        .select($"user_id", $"us")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.SessionCloser(gapUs),
+          TimeMode.EventTime(), OutputMode.Update())
+        .toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+          r.getLong(2) / 1000000L, r.getLong(3))).toSet
+      // dropped straggler: u1 closes as the single-row session the
+      // timer sealed; an admitted straggler would surface as an extra
+      // (1, 5000, 5000, 1) session. u9 stays open (expiry 10060s is
+      // past the final watermark).
+      assert(got == Set((1L, 0L, 0L, 1L)),
+        s"straggler handling changed: $got")
+    }
+  }
+}
