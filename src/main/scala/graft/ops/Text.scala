@@ -298,6 +298,205 @@ object Text {
        |      FROM documents) t
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The pretrained BPE merge table q128 applies — ordered (a merge may
+    * consume the product of an earlier one: `t h→th` before `th e→the`),
+    * staged as a plan constant the way a production tokenizer ships its
+    * `merges.txt`. Training-side machinery lives in [[learnBpeMerges]]
+    * (bounded-sample driver learn, gated in Round10Spec); the APPLY step
+    * — the pipeline operation that runs over the 100 TB — uses this
+    * fixed table so the DuckDB oracle can replay the identical rewrite
+    * chain and the row stays hash-exact.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n",
+    "e" -> "r", "th" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "s" -> "t", "e" -> "d", "i" -> "s", "i" -> "t", "o" -> "u",
+    "a" -> "r", "an" -> "d", "in" -> "g", "t" -> "o", "o" -> "f",
+    "e" -> "s", "a" -> "l", "l" -> "e", "c" -> "h", "w" -> "h",
+    "s" -> "h", "er" -> "s", "re" -> "s", "o" -> "w", "a" -> "s",
+    "ou" -> "t", "it" -> "h",
+  )
+
+  /** One BPE merge step ≡ one literal `replace` on the DOUBLE-spaced
+    * symbol string (see [[bpeSpaced]]): searching `" a  b "` and writing
+    * `" ab "` rewrites all non-overlapping occurrences left-to-right,
+    * which is exactly how a learned merge is applied to a word — so the
+    * folded chain IS classic BPE application, not an approximation.
+    * The boundary spaces in the search string stop a pair from matching
+    * INSIDE a multi-char symbol (symbols `st,h` contain no `" t  h "`),
+    * and the two-space separator keeps consecutive occurrences from
+    * overlapping: each match consumes one space from each flanking
+    * pair, so `" t  h  t  h "` merges to `" th  th "` in one pass while
+    * the single-space around the replacement restores the invariant.
+    * Codegen string ops end-to-end; Round10Spec proves the chain equal
+    * to a driver-side reference BPE applier token-for-token.
+    */
+  private[graft] def bpeApply(spaced: Column): Column =
+    bpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+
+  /** Double-spaced symbol string of a pre-token: every char becomes
+    * `" c "`, so symbols end up separated by two spaces with one space
+    * at each end (`"the"` → `" t  h  e "`). The `[\s\S]` class (not
+    * `.`) spaces EVERY char identically in Java regex and RE2 — `.`
+    * excludes different line-terminator sets in the two engines, which
+    * would silently de-sync the Spark result from the DuckDB oracle on
+    * a token with an embedded control char. Tokens are pre-trimmed and
+    * space-free (the pre-tokenizer classes exclude `' '`), so the
+    * spacing is unambiguous. Symbol count = `split` on the two-space
+    * separator.
+    */
+  private def bpeSpaced(tok: Column): Column =
+    regexp_replace(trim(tok), "([\\s\\S])", " $1 ")
+
+  /** q128: learned-merge BPE tokenization — the missing half of q38's
+    * regex PRE-tokenizer: each pre-token is exploded to symbols and the
+    * ordered merge table is applied (chained literal `replace`, one per
+    * merge — see [[bpeApply]]), yielding REAL subword token counts, the
+    * quantity mixture weighting (q60) and sequence packing (q54) are
+    * proxied on. Per-doc work is pure higher-order functions over the
+    * pre-token array — zero shuffle before the per-lang rollup; the
+    * merge table is a broadcast-free plan constant. Reports per lang:
+    * docs, pre-tokens, chars, BPE tokens, and the char→token
+    * compression the merges achieve. DuckDB replays the identical
+    * rewrite chain, so the row is hash-exact end-to-end.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(
+      regexp_extract_all($"text", lit(bpePattern), lit(0)),
+      t => length(trim(t)) > 0)
+    Tables
+      .documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("n_pre", size($"toks").cast("long"))
+      .withColumn("n_chars",
+        aggregate($"toks", lit(0L),
+          (acc, t) => acc + length(trim(t)).cast("long")))
+      .withColumn("n_bpe",
+        aggregate($"toks", lit(0L),
+          (acc, t) => acc + size(split(bpeApply(bpeSpaced(t)), "  "))
+            .cast("long")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_pre").as("n_pre_tokens"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_bpe").as("n_bpe_tokens"),
+        round(sum($"n_chars").cast("double") / sum($"n_bpe"), 4)
+          .as("char_compression"),
+      )
+      .orderBy($"lang")
+  }
+
+  /** The identical rewrite chain in DuckDB SQL, generated from the same
+    * [[bpeMerges]] constant — the two engines cannot drift apart.
+    */
+  private val q128Sql: String = {
+    val chain = bpeMerges.foldLeft(
+      "regexp_replace(trim(tok), '([\\s\\S])', ' \\1 ', 'g')") {
+      case (s0, (a, b)) => s"replace($s0, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (
+       |  SELECT lang, unnest(regexp_extract_all(text, '$bpePattern')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang, length(trim(tok)) AS nch,
+       |    len(string_split($chain, '  ')) AS nb
+       |  FROM t WHERE length(trim(tok)) > 0),
+       |a AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pre_tokens,
+       |    CAST(SUM(nch) AS BIGINT) AS n_chars,
+       |    CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens
+       |  FROM m GROUP BY lang),
+       |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT d.lang, d.n_docs, a.n_pre_tokens, a.n_chars, a.n_bpe_tokens,
+       |  ROUND(CAST(a.n_chars AS DOUBLE) / a.n_bpe_tokens, 4)
+       |    AS char_compression
+       |FROM d JOIN a ON d.lang = a.lang ORDER BY d.lang""".stripMargin
+  }
+
+  /** Learn a BPE merge table from the corpus itself — the training side
+    * of q128, same bounded-driver discipline as IVF centroid training
+    * (`ops/Vectors.scala`): ONE distributed pre-token frequency
+    * aggregate, a map-side top-`vocabTarget` cut (TakeOrdered — the
+    * driver holds ≤ `vocabTarget` (token, weight) rows no matter the
+    * corpus size), then classic frequency-weighted pair counting over
+    * that vocabulary for `nMerges` iterations. Ties break
+    * deterministically (count desc, then pair lexicographic), so the
+    * learned table is stable across partitionings. Gated in Round10Spec:
+    * the distributed replace-chain apply of a LEARNED table must equal a
+    * driver-side reference BPE apply token-for-token.
+    */
+  def learnBpeMerges(
+      docs: DataFrame,
+      nMerges: Int = 32,
+      vocabTarget: Int = 2048,
+  ): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(
+        regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
+      .select(trim($"tok").as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(vocabTarget)
+      .as[(String, Long)]
+      .collect()
+    // words as mutable symbol sequences, weighted by corpus frequency
+    val words = vocab.map { case (w, n) =>
+      (scala.collection.mutable.ArrayBuffer(w.map(_.toString): _*), n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < 2) done = true
+        else {
+          merges += pair
+          val merged = pair._1 + pair._2
+          words.foreach { case (syms, _) =>
+            var i = 0
+            // left-to-right non-overlapping, same as the replace chain
+            while (i < syms.length - 1) {
+              if (syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                syms(i) = merged; syms.remove(i + 1)
+              }
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed apply of an arbitrary (e.g. learned) merge table to one
+    * string column of pre-tokens → resulting BPE token count. Same
+    * replace-chain shape as [[bpeApply]], parameterized.
+    */
+  def applyMerges(tok: Column, merges: Seq[(String, String)]): Column =
+    size(split(
+      merges.foldLeft(bpeSpaced(tok)) { case (c, (a, b)) =>
+        replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
+      }, "  "))
+
   /** q61: type-token ratio (lexical diversity) — the repetition-quality
     * signal: boilerplate/spam repeats tokens, so low TTR flags docs a
     * pretraining filter drops. Pure projection + hash-agg per source.
@@ -414,6 +613,7 @@ object Text {
     QueryDef("q119_winnow_fps", q119, Some(q119Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
+    QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),

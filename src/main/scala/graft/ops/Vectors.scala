@@ -291,6 +291,208 @@ object Vectors {
       .limit(k)
   }
 
+  /** Product-quantization codebooks: the embedding space split into `m`
+    * contiguous sub-spaces of `dims/m` dims, each with its own `k`-entry
+    * codebook learned by plain (L2) Lloyd iterations over the SAME
+    * bounded hash-stride sample discipline as [[ivfCentroids]] — driver
+    * state is `m × k × dims/m` doubles plus the ~`sampleTarget`-row
+    * sample, both constant in corpus size (FAISS trains PQ codebooks on
+    * a sample the same way). Vectors are L2-normalized before
+    * sub-slicing so the PQ-approximated inner product IS approximate
+    * cosine (the standard normalize-then-IP reduction for cosine ANN).
+    * Returns `m` codebooks, each `k × (dims/m)`.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      dims: Int = 64,
+      sampleTarget: Int = 2048,
+      iters: Int = 8,
+  ): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val n = embeddings.count()
+    val step = math.max(1L, n / sampleTarget)
+    val sample = embeddings
+      .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (_, v) =>
+        val a = java.util.Arrays.copyOf(v.map(_.toDouble).toArray, dims)
+        val nrm = math.sqrt(a.map(x => x * x).sum)
+        if (nrm > 0) a.map(_ / nrm) else a
+      }
+    require(sample.length >= k,
+      s"PQ sample ${sample.length} smaller than k $k")
+    Array.tabulate(m) { mi =>
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      // init: evenly strided over the (vec_id-sorted) sample
+      var cents = Array.tabulate(k)(c =>
+        slices((c.toLong * slices.length / k).toInt).clone())
+      def assign(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var d = 0
+          while (d < sub) {
+            val diff = v(d) - cents(c)(d); d2 += diff * diff; d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](k, sub)
+        val cnt  = new Array[Int](k)
+        slices.foreach { v =>
+          val c = assign(v); cnt(c) += 1
+          var d = 0
+          while (d < sub) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (cnt(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / cnt(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** L2-normalized copy of a float-array embedding column (zero vectors
+    * pass through unscaled rather than dividing by zero), cast back to
+    * ARRAY<FLOAT> so the codegen kernels accept it.
+    */
+  private def normalizedF(a: Column): Column =
+    when(l2norm(a) === 0.0, a)
+      .otherwise(transform(a, x => x.cast("double") / l2norm(a)))
+      .cast("array<float>")
+
+  /** PQ code assignment for sub-space `mi` as a codegen expression:
+    * nearest codebook entry by L2 over the sub-slice. Reuses the IVF
+    * [[graft.functions.VectorExprs.vecTopCells]] argmax-DOT kernel via
+    * the augmented-dimension trick — extend the sub-vector with a
+    * constant 1.0 and each centroid with `-‖c‖²/2`, so
+    * `argmax (x·c - ‖c‖²/2) = argmin ‖x - c‖²` exactly. Zero shuffle:
+    * encoding is a per-row projection.
+    */
+  private def pqCode(
+      spark: SparkSession,
+      nvec: Column,
+      cb: Array[Array[Double]],
+      mi: Int,
+      sub: Int,
+  ): Column = {
+    val ext = cb.flatMap(c => c :+ (-0.5 * c.map(x => x * x).sum))
+    element_at(
+      graft.functions.VectorExprs.vecTopCells(
+        spark,
+        concat(slice(nvec, mi * sub + 1, sub), array(lit(1.0f))),
+        ext, cb.length, sub + 1, 1),
+      1)
+  }
+
+  /** IVF-PQ approximate top-k (q127) — the serving-grade 100 TB layout
+    * on top of q49's coarse index: each vector is stored as its IVF
+    * cell plus `m` sub-space codes (m·log₂(k) bits — 4 bytes here vs
+    * 256 for the raw float32s, a 64× logical compression), the raw
+    * embedding column is DROPPED from the index, and a probe scores
+    * candidates by asymmetric distance computation (ADC): the query's
+    * exact sub-vectors dotted against each candidate's RECONSTRUCTED
+    * sub-vectors, `Σₘ q⁽ᵐ⁾ · C⁽ᵐ⁾[codeₘ]` — the codebook lookup is an
+    * `element_at` into a `typedlit` constant and the dot is the
+    * zip_with/aggregate HOF pair, all codegen, no UDF, no driver
+    * collect of the query vector. At corpus scale the index DataFrame
+    * is written `partitionBy(cell)` exactly as q49's, so the un-probed
+    * bulk is never read AND what is read is 32× smaller — that product
+    * is the reason IVF-PQ is the standard billion-vector serving
+    * layout. With `rerank > 0` the ADC shortlist of that many rows is
+    * re-scored EXACTLY against the raw vectors fetched for just those
+    * ids (the FAISS refine stage — a broadcast point-lookup into the
+    * vector store, never a second corpus scan), which recovers the
+    * recall the quantized scores alone cannot resolve when true
+    * neighbors are separated by less than the quantization error.
+    * Recall vs the exact q40 scan and the ADC error bound are gated in
+    * Round10Spec (sketch class — no SQL oracle by contract).
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      nCodes: Int = 256,
+      dims: Int = 64,
+      rerank: Int = 0,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val cents = ivfCentroids(embeddings, nCells, dims)
+    val cbs = pqCodebooks(embeddings, m, nCodes, dims)
+    val base = embeddings.withColumn("nvec", normalizedF(col("embedding")))
+    // index rows carry ONLY (vec_id, label, cell, codes) — the raw
+    // embedding never leaves the scan, which is the PQ storage win
+    val index = ivfIndex(
+        base.filter(col("vec_id") =!= queryVecId), cents, nCells, dims)
+      .withColumn("codes",
+        array((0 until m).map(mi =>
+          pqCode(spark, col("nvec"), cbs(mi), mi, sub)): _*))
+      .select(col("vec_id"), col("label"), col("cell"), col("codes"))
+    val q = base
+      .filter(col("vec_id") === queryVecId)
+      .select(
+        col("nvec").as("qn"),
+        graft.functions.VectorExprs
+          .vecTopCells(spark, col("embedding"), cents, nCells, dims, nProbe)
+          .as("qcells"),
+      )
+    val adc = (0 until m).map { mi =>
+      val chosen = element_at(
+        typedLit(cbs(mi).map(_.toSeq).toSeq),
+        element_at(col("codes"), mi + 1) + 1)
+      aggregate(
+        zip_with(slice(col("qn"), mi * sub + 1, sub), chosen,
+          (a, b) => a.cast("double") * b),
+        lit(0.0),
+        (acc, x) => acc + x,
+      )
+    }.reduce(_ + _)
+    val ranked = index
+      .join(broadcast(q))
+      .filter(array_contains(col("qcells"), col("cell")))
+      .select(col("vec_id"), col("label"), round(adc, 4).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+    if (rerank <= 0) ranked.limit(k)
+    else {
+      // refine: the ≤`rerank`-row shortlist broadcasts as the BUILD side
+      // of a join against the vector store, so fetching the raw floats
+      // for the shortlist is a map-side lookup on the scan, not a
+      // shuffle; exact cosine then re-orders those few rows
+      val shortlist = ranked.limit(rerank)
+      embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(embeddings.filter(col("vec_id") === queryVecId)
+          .select(col("embedding").as("qe"))))
+        .select(col("vec_id"), col("label"), col("adc_cos"),
+          round(graft.functions.VectorExprs
+            .vecCosine(embeddings.sparkSession, col("embedding"), col("qe")),
+            4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
   // ---- registered queries ----
 
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -392,6 +594,10 @@ object Vectors {
     ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
       nCells = 16, nProbe = 4)
 
+  private def q127(s: SparkSession, d: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
+      nCells = 16, nProbe = 4, rerank = 50)
+
   /** q108: int8 embedding quantization — the compression step every
     * embedding store/ANN index runs before serving (float32 → int8 is
     * 4× less memory and bandwidth, and integer dot products). Per
@@ -453,6 +659,9 @@ object Vectors {
     QueryDef("q41_ann_pairs", q41, None),
     QueryDef("q42_embedding_norms", q42, Some(q42Sql)),
     QueryDef("q49_ivf_topk", q49, None),
+    // sketch class (ADC-approximate scores) — gated by Round10Spec's
+    // recall/ADC-error bounds instead of a SQL oracle, like q49/q41
+    QueryDef("q127_ivfpq_topk", q127, None),
     QueryDef("q99_hof_arrays", q99, Some(q99Sql)),
     QueryDef("q108_int8_quant", q108, Some(q108Sql)),
   )

@@ -105,6 +105,131 @@ class Round10Spec extends AnyFunSuite {
       "no labeled instances rediscovered — the fixture is degenerate")
   }
 
+  test("q127 ivf-pq: recall@10 vs exact, ADC error bounded, probe-all no worse") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ops.Vectors.topKCosine(emb, queryVecId = 0L, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = SparkEntry.queries("q127_ivfpq_topk")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    info(s"IVF-PQ recall@10 (nProbe=4/16, m=8, k=256, rerank=50): $recall")
+    assert(recall >= 0.6,
+      s"recall $recall collapsed — PQ codes, ADC, or the refine join broke")
+    // probe-all removes coarse-quantizer loss; what remains is the PQ
+    // shortlist, so recall must not DROP when probing more cells
+    // (measured 1.0 on this fixture)
+    val allCells = ops.Vectors.ivfPqTopK(emb, queryVecId = 0L, k = 10,
+      nCells = 16, nProbe = 16, rerank = 50)
+      .select($"vec_id").as[Long].collect().toSet
+    val recallAll = exact.intersect(allCells).size / 10.0
+    info(s"IVF-PQ recall@10 at nProbe=16/16: $recallAll")
+    assert(recallAll >= 0.8,
+      "probe-all + rerank lost true neighbors — the ADC shortlist is broken")
+    assert(recallAll >= recall - 0.101,
+      "probing MORE cells lost MORE neighbors — cell probe order is broken")
+    // ADC is an approximation of true cosine, not a rank heuristic:
+    // reconstructed dot must track the exact value on the returned rows
+    val truth = ops.Vectors.topKCosine(emb, queryVecId = 0L, k = 499)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    val errs = ops.Vectors.ivfPqTopK(emb, queryVecId = 0L, k = 10,
+      nCells = 16, nProbe = 16) // rerank=0: raw ADC ranking and scores
+      .select($"vec_id", $"adc_cos").as[(Long, Double)].collect()
+      .map { case (v, adc) => math.abs(adc - truth(v)) }
+    info(f"IVF-PQ max ADC |err| on returned rows: ${errs.max}%.4f")
+    assert(errs.max < 0.25,
+      s"ADC error ${errs.max} — codebooks are not approximating the space")
+    // the refine stage's exact column must BE exact: every rerank row's
+    // cos equals the brute-force scan's value for that id
+    ops.Vectors.ivfPqTopK(emb, queryVecId = 0L, k = 10,
+      nCells = 16, nProbe = 16, rerank = 50)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+      .foreach { case (v, c) =>
+        assert(math.abs(c - truth(v)) < 1e-9, s"refine cos drifted on $v")
+      }
+  }
+
+  /** Reference classic BPE applier: ordered merges, each applied to the
+    * symbol sequence left-to-right non-overlapping — the ground truth
+    * the distributed replace-chain must match token-for-token.
+    */
+  private def refBpe(tok: String, merges: Seq[(String, String)]): Int = {
+    val syms = scala.collection.mutable.ArrayBuffer(
+      tok.map(_.toString): _*)
+    merges.foreach { case (a, b) =>
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) {
+          syms(i) = a + b; syms.remove(i + 1)
+        }
+        i += 1
+      }
+    }
+    syms.length
+  }
+
+  test("q128 bpe: replace-chain apply == reference BPE; learned table deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    val toks = docs
+      .select(explode(regexp_extract_all($"text", lit(pat), lit(0)))
+        .as("tok"))
+      .select(trim($"tok").as("tok"))
+      .filter(length($"tok") > 0)
+      .distinct().orderBy($"tok").limit(300)
+    // the fixed q128 table: distributed chain ≡ reference, per token —
+    // this is the gate that catches the classic flat-replace bug where a
+    // pair matches INSIDE a multi-char symbol (st+h vs (t,h))
+    val gotFixed = toks
+      .withColumn("n", ops.Text.applyMerges($"tok", ops.Text.bpeMerges))
+      .as[(String, Int)].collect()
+    gotFixed.foreach { case (t, n) =>
+      assert(n == refBpe(t, ops.Text.bpeMerges),
+        s"fixed-table mismatch on token '$t': chain=$n ref=${refBpe(t, ops.Text.bpeMerges)}")
+    }
+    // adversarial fixture for exactly that bug: with merges
+    // (s,t),(t,h), "sth" must stay [st, h] = 2, never fuse to 1
+    val hazard = Seq("sth").toDF("tok")
+      .withColumn("n",
+        ops.Text.applyMerges($"tok", Seq("s" -> "t", "t" -> "h")))
+      .as[(String, Int)].head
+    assert(hazard._2 == 2, s"boundary bug: 'sth' fused to ${hazard._2}")
+    // learned table: deterministic across calls, equal to reference
+    // apply, and genuinely compressing on the corpus it was learned from
+    val m1 = ops.Text.learnBpeMerges(docs, nMerges = 24)
+    val m2 = ops.Text.learnBpeMerges(docs, nMerges = 24)
+    assert(m1 == m2, "learnBpeMerges is not deterministic")
+    assert(m1.length == 24)
+    val gotLearned = toks
+      .withColumn("n", ops.Text.applyMerges($"tok", m1))
+      .as[(String, Int)].collect()
+    gotLearned.foreach { case (t, n) =>
+      assert(n == refBpe(t, m1), s"learned-table mismatch on token '$t'")
+    }
+    assert(gotLearned.map(_._2).sum < gotFixed.map(_._1.length).sum,
+      "learned merges achieved zero compression on their own corpus")
+    // q54's packing invariant re-proven on REAL (merged) token counts:
+    // chunking conserves exactly the BPE tokens the docs contain
+    val withBpe = docs
+      .withColumn("toks", filter(
+        regexp_extract_all($"text", lit(pat), lit(0)),
+        t => length(trim(t)) > 0))
+      .withColumn("n_bpe", aggregate($"toks", lit(0L),
+        (acc, t) => acc + ops.Text.applyMerges(trim(t), m1).cast("long")))
+    val totalBpe = withBpe.agg(sum($"n_bpe")).head.getLong(0)
+    val packed = ops.Corpus.packChunks(
+      docs.select($"doc_id", $"text"), chunkTokens = 16)
+    val packedTotal = packed.agg(sum($"n_chunk_tokens")).head.getLong(0)
+    val wsTotal = docs
+      .agg(sum(size(split($"text", " ")))).head.getLong(0)
+    assert(packedTotal == wsTotal,
+      "q54 packing no longer conserves whitespace tokens")
+    assert(totalBpe >= wsTotal,
+      "BPE token total below whitespace total — merge counting is broken")
+    info(s"corpus tokens: ws=$wsTotal bpe(learned)=$totalBpe packed=$packedTotal")
+  }
+
   test("SessionCloser drops a straggler between the two watermarks") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Row}
