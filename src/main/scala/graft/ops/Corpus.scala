@@ -660,6 +660,109 @@ object Corpus {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
       |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** Token-budget shard assignment over a deterministic global document
+    * order — the "cut the corpus into ~budget-token training shards"
+    * step that follows packing (q54 packs WITHIN a document; this packs
+    * ACROSS documents). A doc's shard is `floor(tokens_before_it /
+    * budget)` in `(md5(text), doc_id)` order, i.e. a running token sum
+    * over a global total order — the operation that is one global
+    * `Window.orderBy` in textbook SQL and therefore a single-partition
+    * scale-killer on a real corpus.
+    *
+    * This is the scale-safe plan instead, the generator's two-pass
+    * prefix-sum discipline (`gen/StreamGen.scala` block mode) applied to
+    * corpus prep: `repartitionByRange` on the order key + partition-local
+    * sort gives a globally ordered partitioning; pass 1 reduces each
+    * partition to ONE long (its token sum — the only driver
+    * materialization, `nParts` longs total, same bounded-collect class
+    * as StreamGen's per-partition offsets); pass 2 streams each
+    * partition once with its exclusive prefix as the starting offset.
+    * O(1) task memory, no global window, no single-reducer sort.
+    *
+    * The two passes evaluate the ranged plan twice, which is only
+    * correct because every step is deterministic: the scan split is
+    * file-order stable, RangePartitioner's boundary sampling is
+    * seeded by partition index, and the in-partition sort key
+    * `(h, doc_id)` is unique (doc_id breaks duplicate-text ties) — the
+    * same replay-determinism contract StreamGen's two-pass block mode
+    * rests on, here additionally locked by Round10Spec's
+    * partition-count-independence gate.
+    */
+  def packShards(
+      docs: DataFrame,
+      budgetTokens: Long,
+      nParts: Int = 32,
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .repartitionByRange(nParts, col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+      .as[(Long, String, Long)]
+    val partSums = keyed
+      .mapPartitions { it =>
+        var s = 0L
+        it.foreach(s += _._3)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+      }
+      .collect()
+      .toMap
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
+      .toArray
+    val bOff = spark.sparkContext.broadcast(offsets)
+    keyed
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = bOff.value(pid)
+        it.map { case (id, _, t) =>
+          val shard = run / budgetTokens // shard of the doc's FIRST token
+          run += t
+          (id, t, shard)
+        }
+      }
+      .toDF("doc_id", "n_toks", "shard")
+  }
+
+  /** q131: the registered shard-packing rollup — per shard: docs,
+    * tokens, and an id checksum, so a single misplaced document anywhere
+    * in the global order breaks the cross-engine hash. The oracle IS the
+    * textbook global-window formulation (DuckDB can afford it at
+    * oracle scale), which independently proves the two-pass plan
+    * computes exactly the running-sum semantics it replaced.
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    packShards(Tables.documents(s, d), budgetTokens = 1024L)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"doc_id").as("id_sum"),
+      )
+      .orderBy($"shard")
+  }
+
+  private val q131Sql =
+    """WITH t AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CAST((SUM(n) OVER (ORDER BY h, doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) // 1024
+      |      AS BIGINT) AS shard
+      |  FROM t)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -673,5 +776,6 @@ object Corpus {
     QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
+    QueryDef("q131_shard_packing", q131, Some(q131Sql)),
   )
 }

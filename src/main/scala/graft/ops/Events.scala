@@ -392,6 +392,70 @@ object Events {
       |FROM spine s LEFT JOIN counts c USING (hour_id)
       |ORDER BY hour_id""".stripMargin
 
+  /** q129: gap-filled resampling with last-observation-carried-forward —
+    * the time-series regularization step q66's zero-fill cannot express:
+    * a metric like "revenue rate" is not zero in an empty hour, it is
+    * STALE, and downstream models want the last known value on a regular
+    * grid. Per event_type: the hourly observed (count, cents) aggregate
+    * is left-joined onto that type's own min..max hour spine, and empty
+    * hours carry the last observed cents forward via
+    * `last(_, ignoreNulls)` over an unbounded-preceding row frame — the
+    * IGNORE NULLS window semantic, new surface vs q70's first/last/nth
+    * on a dense frame. The first spine hour of each type is observed by
+    * construction (the spine starts at that type's min observed hour),
+    * so the LOCF column is never NULL.
+    *
+    * Scale: the raw stream reduces by a map-side-combined hash-agg to
+    * (type, hour) cardinality BEFORE any window; the spine join and the
+    * LOCF window run over types × hours rows (a few thousand per year,
+    * regardless of event volume), partitioned by type — the window never
+    * sees the event table. Same bounded-spine discipline as q66.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables
+      .events(s, d)
+      .groupBy(
+        $"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("cents"))
+    val spine = obs
+      .groupBy($"event_type")
+      .agg(min($"hour_id").as("lo"), max($"hour_id").as("hi"))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("hour_id"))
+    val locf = Window.partitionBy("event_type").orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, Seq("event_type", "hour_id"), "left")
+      .select(
+        $"event_type",
+        $"hour_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"cents", ignoreNulls = true).over(locf).as("cents_locf"))
+      .orderBy($"event_type", $"hour_id")
+  }
+
+  private val q129Sql =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(hour_id) AS lo, MAX(hour_id) AS hi
+      |      FROM obs GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour_id
+      |          FROM b),
+      |j AS (SELECT s.event_type, s.hour_id, o.n_events, o.cents
+      |      FROM spine s LEFT JOIN obs o USING (event_type, hour_id))
+      |SELECT event_type, hour_id, COALESCE(n_events, 0) AS n_events,
+      |  last_value(cents IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY hour_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+      |FROM j ORDER BY event_type, hour_id""".stripMargin
+
   /** q69: burstiness via a RANGE window frame — for each event, how many
     * events the same user produced in the trailing hour (inclusive),
     * reduced to the per-user maximum. The frame bound is integer
@@ -796,6 +860,7 @@ object Events {
     QueryDef("q48_welford_stats", q48, Some(q48Sql)),
     QueryDef("q66_hourly_spine", q66, Some(q66Sql)),
     QueryDef("q69_user_bursts", q69, Some(q69Sql)),
+    QueryDef("q129_gapfill_locf", q129, Some(q129Sql)),
     // Structured Streaming under the driver's oracle gate: the streamed
     // hourly rollup must hash-match the SAME DuckDB SQL as batch q22.
     QueryDef("q73_stream_hourly",

@@ -497,6 +497,76 @@ object Text {
         replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
       }, "  "))
 
+  /** q130: quality-classifier INFERENCE as a projection — the shape of
+    * every learned document filter (fastText quality scores, logistic
+    * regressors over engineered features) when it runs inside the
+    * pipeline: the model is a plan CONSTANT (weight literals), scoring
+    * is pure per-row column math, and the only shuffle is the per-lang
+    * rollup of decisions. No sigmoid is needed for a keep/drop gate —
+    * the sigmoid is monotone, so thresholding the logit IS thresholding
+    * the probability — which is what lets the whole score stay in exact
+    * integer ppm: features are integer percents/counts (`DIV`, never
+    * float division), weights integer ppm-per-unit, the logit an exact
+    * BIGINT both engines compute bit-identically. Features: stopword
+    * percent (naturalistic prose), type-token percent (diversity, q61's
+    * signal), capped token count (length prior), and a penalty for
+    * average token length straying from English-like ~5.5 chars. All
+    * DIV numerators are non-negative — Spark truncates toward zero and
+    * DuckDB floors, so negative intermediate divisions are the one
+    * integer op this file must never emit (only `abs` sees a negative).
+    */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("n_toks", size(tokens($"text")).cast("long"))
+      .withColumn("ttr_pct",
+        expr("(100 * size(array_distinct(split(text, ' ')))) DIV n_toks"))
+      .withColumn("stop_pct",
+        expr(s"(100 * size(filter(split(text, ' '), t -> t IN " +
+          s"(${stopwords.map("'" + _ + "'").mkString(",")})))) DIV n_toks"))
+      .withColumn("len10", expr("(10 * length(text)) DIV n_toks"))
+      .withColumn("logit_ppm",
+        lit(-1500000L)
+          + lit(9000L) * $"stop_pct"
+          + lit(11000L) * $"ttr_pct"
+          + lit(2000L) * least($"n_toks", lit(200L))
+          - lit(40000L) * abs($"len10" - lit(55L)))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"logit_ppm" >= 0L, 1L).otherwise(0L)).as("n_keep"),
+        sum($"logit_ppm").as("sum_logit_ppm"),
+      )
+      .withColumn("keep_pct", expr("(100 * n_keep) DIV n_docs"))
+      .orderBy($"lang")
+  }
+
+  private val q130Sql =
+    s"""WITH f AS (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    (100 * len(list_distinct(string_split(text, ' '))))
+       |      // len(string_split(text, ' ')) AS ttr_pct,
+       |    (100 * len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))))
+       |      // len(string_split(text, ' ')) AS stop_pct,
+       |    (10 * length(text)) // len(string_split(text, ' ')) AS len10
+       |  FROM documents),
+       |l AS (
+       |  SELECT lang,
+       |    -1500000 + 9000 * stop_pct + 11000 * ttr_pct
+       |      + 2000 * least(n_toks, 200) - 40000 * abs(len10 - 55)
+       |      AS logit_ppm
+       |  FROM f)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN logit_ppm >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(SUM(logit_ppm) AS BIGINT) AS sum_logit_ppm,
+       |  (100 * CAST(SUM(CASE WHEN logit_ppm >= 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS keep_pct
+       |FROM l GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q61: type-token ratio (lexical diversity) — the repetition-quality
     * signal: boilerplate/spam repeats tokens, so low TTR flags docs a
     * pretraining filter drops. Pure projection + hash-agg per source.
@@ -614,6 +684,7 @@ object Text {
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
+    QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),

@@ -116,10 +116,11 @@ class PlanSpec extends AnyFunSuite {
   test("no registered batch query degenerates to an unbounded cartesian") {
     // 1-row-broadcast denominators (scalar subquery shape) legitimately
     // plan as BroadcastNestedLoopJoin over exactly one row — allow those
-    // q40/q49: broadcast 1-row query vector for the top-k scan
+    // q40/q49/q127: broadcast 1-row query vector for the top-k scan
+    // (q127 adds the 1-row query embedding again in the refine re-score)
     val oneRowBroadcast = Set(
       "q16_scalar_subquery", "q64_tfidf_terms", "q78_brand_share",
-      "q40_cosine_topk", "q49_ivf_topk",
+      "q40_cosine_topk", "q49_ivf_topk", "q127_ivfpq_topk",
       "q91_hll_merge") // 1-row merged × 1-row direct cross
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs

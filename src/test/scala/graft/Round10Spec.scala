@@ -230,6 +230,81 @@ class Round10Spec extends AnyFunSuite {
     info(s"corpus tokens: ws=$wsTotal bpe(learned)=$totalBpe packed=$packedTotal")
   }
 
+  test("q131 shard packing: partition-count independent, conserving, == reference fold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val budget = 256L
+    val a = ops.Corpus.packShards(docs, budget, nParts = 32)
+      .select($"doc_id", $"n_toks", $"shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // the scale knob must not change the answer: 3 range partitions and
+    // 32 walk different two-pass offsets to the same global prefix sums
+    val b = ops.Corpus.packShards(docs, budget, nParts = 3)
+      .select($"doc_id", $"n_toks", $"shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "shard assignment depends on nParts")
+    // reference: a driver-side fold over the same (md5, doc_id) order
+    val ref = docs
+      .select($"doc_id", md5($"text").as("h"),
+        size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+      .sortBy { case (id, h, _) => (h, id) }
+    var run = 0L
+    val expect = ref.map { case (id, _, n) =>
+      val sh = run / budget; run += n; (id, n, sh)
+    }.sortBy(_._1)
+    assert(a.sameElements(expect), "two-pass prefix != reference fold")
+    assert(a.map(_._2).sum == run, "token mass not conserved")
+    // shards are contiguous, and each non-final shard's token mass is at
+    // least budget minus the worst-case spill of the PREVIOUS shard's
+    // last document across the boundary (a doc of n tokens starting
+    // before the boundary can occupy up to n-1 of this shard's range)
+    val byShard = a.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byShard.map(_._1) == (0L until byShard.length.toLong),
+      "shard ids not contiguous from 0")
+    val maxDoc = a.map(_._2).max
+    byShard.dropRight(1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sum >= budget - maxDoc + 1,
+        s"shard $sh ended before filling its budget")
+    }
+  }
+
+  test("q129 LOCF: gap hours carry the last observed value, never zero-fill") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q129_gapfill_locf")(spark, sf)
+      .select($"event_type", $"hour_id", $"n_events", $"cents_locf")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the spine is dense per type
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val hours = rows.map(_._2).sorted
+      assert(hours.last - hours.head + 1 == hours.length,
+        s"$t spine has holes")
+    }
+    // LOCF semantics on the real data: every gap hour (n_events == 0)
+    // reports exactly the previous hour's carried value, and observed
+    // hours report their own aggregate (spot-checked against a direct
+    // per-hour aggregate)
+    val direct = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("cents"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, h, c) => (t, h) -> c }.toMap
+    val gaps = got.count(_._3 == 0L)
+    assert(gaps > 0, "fixture has no gap hours — LOCF untested")
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var carried = Long.MinValue
+      rows.sortBy(_._2).foreach { case (t, h, n, locf) =>
+        if (n == 0L) assert(locf == carried, s"$t/$h gap did not carry")
+        else {
+          assert(locf == direct((t, h)), s"$t/$h observed hour wrong")
+          carried = locf
+        }
+      }
+    }
+  }
+
   test("SessionCloser drops a straggler between the two watermarks") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Row}
