@@ -224,10 +224,14 @@ object Bench {
     // whenever it fits the window, degrading key verbosity first and
     // completeness only as a last resort —
     //   1. full names, 3-decimals       (fits up to ~60 queries)
-    //   2. qNN short keys, 2-decimals   (fits ~135 — the expected path;
+    //   2. qNN short keys, 2-decimals   (fits ~120;
     //      "q104" ↔ "q104_ewma_decay" is a lossless rename, gen_*
     //      names have no number and stay full)
-    //   3. the round-8 top-N budget map (never expected; keeps the
+    //   3. qNN short keys, 1-decimal    (fits ~160 — the r10 path: the
+    //      136-query vector + the 8-entry dual-pass retimed map no
+    //      longer fit at 2dp; 1dp keeps the COMPLETE vector, and the
+    //      heavy tail stays 2dp inside "retimed")
+    //   4. the round-8 top-N budget map (never expected; keeps the
     //      contract unbreakable if the registry triples)
     // Cap = 1800 chars for the whole line: the driver's 2000-char tail
     // minus sbt's trailing "[success]" line and headroom for late WARN
@@ -238,6 +242,7 @@ object Bench {
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
+    def r1(v: Double): String = (math.round(v * 10) / 10.0).toString
     val sorted = results.sortBy(-_._2)
     def shortKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
@@ -257,9 +262,13 @@ object Bench {
     val shortMap = sorted
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    val shortMap1 = sorted
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + r1(v) }
+      .mkString("{", ",", "}")
     val out =
       if (line(fullMap, "").length <= cap) line(fullMap, "")
       else if (line(shortMap, "").length <= cap) line(shortMap, "")
+      else if (line(shortMap1, "").length <= cap) line(shortMap1, "")
       else {
         val budget = 800
         val kept = scala.collection.mutable.ListBuffer.empty[String]
