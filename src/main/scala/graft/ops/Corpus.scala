@@ -495,6 +495,78 @@ object Corpus {
       |      WHERE len(w) >= 2) t
       |ORDER BY doc_id""".stripMargin
 
+  /** q132: top-n-gram character concentration — the OTHER half of the
+    * Gopher repetition rules, complementing q68: q68 measures how many
+    * bigrams are duplicated ANYWHERE in the doc; this measures how much
+    * of the document's character mass the SINGLE most frequent bigram
+    * accounts for (boilerplate/spam pages repeat one phrase — their top
+    * bigram covers a large char fraction even when overall dup ratio is
+    * modest). Per doc: most frequent word-bigram under a total
+    * deterministic order (count desc, then bigram desc — both engines
+    * break ties identically), its char coverage as an integer percent of
+    * doc chars; rolled up per lang with a repetitiveness flag count.
+    *
+    * Plan: explode bigrams → ONE (doc, bigram) hash-agg carrying the
+    * per-doc constants (lang, n_chars) through min/max — map-side
+    * combined — then a per-doc window over the surviving distinct
+    * bigrams (bounded per doc) to pick rank 1, then the lang rollup.
+    * Never a corpus-wide sort; the window partitions by doc_id.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy($"cnt".desc, $"bg".desc)
+    Tables
+      .documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select(
+        $"doc_id", $"lang", length($"text").cast("long").as("n_chars"),
+        explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+      .groupBy($"doc_id", $"bg")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min($"lang").as("lang"),
+        min($"n_chars").as("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .withColumn("top_pct",
+        expr("(100 * cnt * length(bg)) DIV n_chars"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"top_pct").as("sum_top_pct"),
+        sum(when($"top_pct" >= 10L, 1L).otherwise(0L)).as("n_repetitive"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q132Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+      |    unnest(list_transform(range(1, len(w)),
+      |                          i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+      |        FROM documents) t0
+      |  WHERE len(w) >= 2),
+      |c AS (
+      |  SELECT doc_id, bg, COUNT(*) AS cnt,
+      |    MIN(lang) AS lang, MIN(n_chars) AS n_chars
+      |  FROM b GROUP BY doc_id, bg),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY cnt DESC, bg DESC) AS rn
+      |  FROM c),
+      |p AS (
+      |  SELECT lang, (100 * cnt * length(bg)) // n_chars AS top_pct
+      |  FROM r WHERE rn = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(top_pct) AS BIGINT) AS sum_top_pct,
+      |  CAST(SUM(CASE WHEN top_pct >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q79: the end-to-end corpus manifest — the deliverable a data
     * pipeline actually ships. Composes the library's own stages in one
     * plan: exact-dedup survivorship (min doc_id per content
@@ -777,5 +849,6 @@ object Corpus {
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),
+    QueryDef("q132_top_ngram", q132, Some(q132Sql)),
   )
 }

@@ -172,6 +172,56 @@ object Events {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q133: semi-structured processing on the Spark 4 VARIANT type — the
+    * modern replacement for q23's per-access string re-parse: a nested
+    * JSON payload (built in-plan from typed columns, so the oracle can
+    * state ground truth without any JSON at all) is parsed ONCE with
+    * `parse_json` into a binary VARIANT value, then every field access
+    * is a typed `variant_get` path lookup into that binary encoding —
+    * including a nested path (`$.t.us`) — instead of re-tokenizing the
+    * JSON text per field the way `get_json_object` does. At 100 TB the
+    * difference is parse-once-access-many vs parse-per-access, and
+    * VARIANT columns shred/push down in parquet. The rollup must equal
+    * the oracle computed directly from the raw typed columns, proving
+    * the encode→parse→typed-extract round trip is lossless for ints,
+    * strings, and nested objects.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payload = to_json(struct(
+      get_json_object($"props", "$.k").cast("int").as("k"),
+      $"event_type".as("etype"),
+      expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+      struct(expr("unix_micros(ts)").as("us")).as("t")))
+    Tables
+      .events(s, d)
+      .withColumn("v", parse_json(payload))
+      .select(
+        expr("variant_get(v, '$.etype', 'string')").as("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("variant_get(v, '$.cents', 'bigint')").as("cents"),
+        expr("variant_get(v, '$.t.us', 'bigint')").as("us"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"k".cast("long")).as("sum_k"),
+        sum($"cents").as("sum_cents"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q133Sql =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Funnel: purchases that happen after the user's first signup —
     * sequence detection via a per-user window min, one pass, no self-join.
     */
@@ -861,6 +911,7 @@ object Events {
     QueryDef("q66_hourly_spine", q66, Some(q66Sql)),
     QueryDef("q69_user_bursts", q69, Some(q69Sql)),
     QueryDef("q129_gapfill_locf", q129, Some(q129Sql)),
+    QueryDef("q133_variant_shred", q133, Some(q133Sql)),
     // Structured Streaming under the driver's oracle gate: the streamed
     // hourly rollup must hash-match the SAME DuckDB SQL as batch q22.
     QueryDef("q73_stream_hourly",
