@@ -305,6 +305,97 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed SMJ partition — the automatic twin of q47's salting") {
+    import spark.implicits._
+    // SURVEY's skew story has two halves: explicit salting (q47, proven
+    // result-identical) and AQE's runtime skew-join split. This pins the
+    // second half ACTUALLY FIRES: with the skew thresholds scaled to
+    // test-fixture bytes, a hot-key SMJ partition must be split (the
+    // final plan advertises skew=true), and the result must equal the
+    // same join with AQE skew handling off.
+    val keys = (0 until 50).map(_.toLong)
+    val hot = Seq.fill(200000)(0L)
+    val uniform = (1 to 2000).map(i => keys(i % 50))
+    val fact = (hot ++ uniform).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("key", "row_id")
+      .repartition(8)
+    val dim = keys.map(k => (k, s"name_$k")).toDF("key", "name")
+      .repartition(4)
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+    ) {
+      val joined = fact.join(dim, "key")
+      // AQE finalizes lazily — execute THIS plan (count() would build
+      // and finalize a different one), then inspect
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+      val nOff = withConf(
+        "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        fact.join(dim, "key").count()
+      }
+      assert(n == nOff, "skew-split join changed the result")
+      assert(n == 202000L)
+    }
+  }
+
+  test("Trigger.AvailableNow catch-up run equals the batch aggregate") {
+    import spark.implicits._
+    // Every streaming harness drives queries with processAllAvailable();
+    // production catch-up jobs use Trigger.AvailableNow (process all
+    // data available NOW, in rate-limited batches, then stop). Pin that
+    // the trigger semantics, not the harness idiom, produce the batch
+    // answer: a file-source windowed count under AvailableNow must equal
+    // the batch groupBy on the same staged files.
+    val root = java.nio.file.Files.createTempDirectory("graft_an")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ck = root.resolve("ck").toString
+    try {
+      val rows = (0 until 3000).map { i =>
+        (i.toLong, 1000000000000000L + i.toLong * 60000000L,
+          (i % 7).toLong, if (i % 3 == 0) "click" else "view", 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(3).write.parquet(src.toString + "/p")
+      val schema = spark.read.parquet(src.toString + "/p").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // rate limit: several batches
+        .parquet(src.toString + "/p")
+        .groupBy($"event_type").count()
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory").queryName("an_counts")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow query did not self-terminate")
+      val got = spark.table("an_counts")
+        .as[(String, Long)].collect().toMap
+      val expect = spark.read.parquet(src.toString + "/p")
+        .groupBy($"event_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == expect, s"AvailableNow $got != batch $expect")
+    } finally {
+      graft.streaming.Streams.deleteStaged(root)
+    }
+  }
+
   test("SessionCloser drops a straggler between the two watermarks") {
     import spark.implicits._
     import org.apache.spark.sql.{Dataset, Row}
