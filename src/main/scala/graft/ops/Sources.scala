@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -429,6 +429,87 @@ object Sources {
       |  AND epoch_us(ts) <= b.lo + (b.hi - b.lo) // 12
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Morton (Z-order) interleave of two 16-bit bucket columns into one
+    * 32-bit cluster key: bit i of `a` lands at position 2i+1, bit i of
+    * `b` at 2i. Pure codegen shift/mask arithmetic — the same closed
+    * form every lakehouse OPTIMIZE ZORDER implements.
+    */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until 16)
+      .map { i =>
+        shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(
+            shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+      }
+      .reduce(_ bitwiseOR _)
+
+  /** q134: Z-ORDER clustering — the multi-dimensional data-skipping
+    * layout q111/q116 cannot give: clustering by time alone makes a
+    * user-only predicate read everything, and partitioning by user would
+    * explode directory counts. Z-order interleaves the bits of the
+    * 16-bit-bucketed (time, user) pair into ONE sort key, so rows close
+    * in EITHER dimension are close in the file order and parquet
+    * row-group min/max stats stay narrow on BOTH columns — a time slice
+    * AND a user band each skip row groups on a single copy of the data
+    * (the spec proves the skip with scan metrics A/B against the
+    * time-only layout; this registered run proves the layout answers
+    * the two-sided predicate exactly). Bucket bounds are one collected
+    * row (the q111 "index construction" class); the cuts are literals
+    * so the pushed filters prune at plan time. The bucket math is
+    * integer DIV on non-negative operands — engine-exact.
+    */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "zorder") + "/events_z"
+    val ev = Tables
+      .events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+    val b = ev.agg(min($"us"), max($"us"), max($"user_id")).head
+    val (lo, hi, maxU) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val span = math.max(1L, hi - lo)
+    val uDiv = math.max(1L, maxU)
+    val tb = expr(s"((us - $lo) * 65535) DIV $span")
+    val ub = expr(s"(user_id * 65535) DIV $uDiv")
+    ev.withColumn("zkey", zInterleave(tb, ub))
+      .repartitionByRange(8, $"zkey")
+      .sortWithinPartitions($"zkey")
+      .drop("zkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", 16 * 1024) // many row groups at test SF
+      .parquet(path)
+    // the production access pattern the layout exists for: a time slice
+    // AND a user band in one scan — both cuts literal, both pushed
+    val tCut = lo + span / 10
+    val uLo = maxU / 2
+    s.read
+      .parquet(path)
+      .filter($"us" <= tCut && $"user_id" >= uLo)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        countDistinct($"user_id").as("n_users"),
+        max($"us").as("max_us"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q134Sql =
+    """WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi,
+      |                  MAX(user_id) AS mu
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MAX(epoch_us(ts)) AS max_us
+      |FROM events, b
+      |WHERE epoch_us(ts) <= b.lo + (b.hi - b.lo) // 10
+      |  AND user_id >= b.mu // 2
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** q120: malformed-record QUARANTINE — the ingestion reality every
     * 100 TB feed has and no clean-fixture query shows: some fraction of
     * a text feed is broken (truncated writes, partial flushes, junk),
@@ -627,6 +708,7 @@ object Sources {
     QueryDef("q111_clustered_scan", q111, Some(q111Sql)),
     QueryDef("q115_file_lineage", q115, Some(q115Sql)),
     QueryDef("q116_layout_compose", q116, Some(q116Sql)),
+    QueryDef("q134_zorder_layout", q134, Some(q134Sql)),
     QueryDef("q120_corrupt_quarantine", q120, Some(q120Sql)),
     QueryDef("q121_schema_evolution", q121, Some(q121Sql)),
     QueryDef("q122_compaction", q122, Some(q122Sql)),

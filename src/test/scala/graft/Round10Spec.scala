@@ -305,6 +305,51 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("q134 z-order: BOTH time and user predicates skip row groups; time-only layout cannot") {
+    import spark.implicits._
+    // sf0.01 so the 16KB-block staged layouts hold several row groups
+    // per file (same rationale as the q111/q116 scan-metric proofs)
+    val sf01 = "/root/testdata/sf0.01"
+    assert(SparkEntry.queries("q134_zorder_layout")(spark, sf01).count() > 0)
+    assert(SparkEntry.queries("q111_clustered_scan")(spark, sf01).count() > 0)
+    val tag = sf01.replaceAll("[^A-Za-z0-9]", "_")
+    val zDir = s"target/stage_sources/zorder_$tag/events_z"
+    val tDir = s"target/stage_sources/sorted_$tag/events_by_ts"
+    val ev = Tables.events(spark, sf01)
+      .select(unix_micros($"ts").as("us"), $"user_id")
+    val total = ev.count()
+    val b = ev.agg(min($"us"), max($"us"), max($"user_id")).head
+    val (lo, hi, maxU) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(dir).filter(pred)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(fail(s"no FileSourceScanExec leaf for $dir"))
+      scan.metrics("numOutputRows").value
+    }
+    // user band alone: the z layout clusters user ranges into row
+    // groups, so min/max stats skip; the time-sorted layout interleaves
+    // every user through every row group, so stats skip NOTHING
+    val userBand = col("user_id") >= maxU / 2
+    val zUser = scanRows(zDir, userBand)
+    val tUser = scanRows(tDir, userBand)
+    info(s"user-band scan: z=$zUser time-sorted=$tUser of $total")
+    assert(tUser == total,
+      "time-sorted layout unexpectedly skipped on user_id — fixture broken")
+    assert(zUser < (total * 3) / 4,
+      s"z-order skipped too little on user_id: $zUser of $total")
+    // time slice alone: BOTH layouts skip (z is coarser — it trades a
+    // little time locality for user locality, never all of it)
+    val timeSlice = col("us") <= lo + (hi - lo) / 10
+    val zTime = scanRows(zDir, timeSlice)
+    val tTime = scanRows(tDir, timeSlice)
+    info(s"time-slice scan: z=$zTime time-sorted=$tTime of $total")
+    assert(tTime < total / 3, "time-sorted layout failed its own dimension")
+    assert(zTime < (total * 3) / 4,
+      s"z-order skipped too little on time: $zTime of $total")
+  }
+
   test("AQE splits a skewed SMJ partition — the automatic twin of q47's salting") {
     import spark.implicits._
     // SURVEY's skew story has two halves: explicit salting (q47, proven
