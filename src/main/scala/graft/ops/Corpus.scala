@@ -835,6 +835,111 @@ object Corpus {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q135: the round-10 pipeline MANIFEST — q79's deliverable rebuilt
+    * from this round's operators, composed in ONE oracled plan the way
+    * the shipped job actually runs:
+    *
+    *   1. exact-dedup survivorship (min doc_id per `md5(text)` — q62's
+    *      convention) as a semi-join;
+    *   2. the train split (`splitCol`, q53's convention);
+    *   3. the learned quality gate ([[Text.withQualityLogit]] ≥ 0 —
+    *      q130's classifier, reused verbatim);
+    *   4. 13-gram test-set decontamination as an ANTI-join: any train
+    *      doc sharing one exact 13-token subsequence with ANY test doc
+    *      is dropped (q124's gram machinery with the sides flipped —
+    *      decontamination REMOVES from train, reporting on test);
+    *   5. token-budget shard packing of what survives ([[packShards]],
+    *      q131's two-pass prefix sum).
+    *
+    * Output: the per-shard manifest (docs, tokens, id checksum). Every
+    * stage is the already-verified operator — the new claim this row
+    * gates is that the COMPOSITION is engine-exact end-to-end: the
+    * DuckDB oracle re-derives all five stages (string grams where Spark
+    * uses hashed grams, a global running-sum window where Spark runs
+    * the two-pass prefix) and the final hash must still match.
+    */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .groupBy(md5($"text".cast("binary")).as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val qualityTrain = graft.ops.Text
+      .withQualityLogit(docs)
+      .filter(splitCol($"doc_id") === "train" && $"logit_ppm" >= 0L)
+      .select($"doc_id", $"text")
+    val n = 13
+    val grams = docs
+      .withColumn("split", splitCol($"doc_id"))
+      .filter(size(split($"text", " ")) >= n)
+      .select($"doc_id", $"split",
+        explode(graft.functions.TextHashExprs.shingleHashes(s, $"text", n))
+          .as("gh"))
+    val testGrams = grams.filter($"split" === "test").select($"gh").distinct()
+    val contaminated = grams
+      .filter($"split" === "train")
+      .join(testGrams, Seq("gh"), "left_semi")
+      .select($"doc_id")
+      .distinct()
+    val corpus = qualityTrain
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    packShards(corpus, budgetTokens = 512L)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"doc_id").as("id_sum"),
+      )
+      .orderBy($"shard")
+  }
+
+  private val q135Sql =
+    s"""WITH keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |quality AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+       |    AND ${graft.ops.Text.logitPpmSql} >= 0),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h <= 'b' THEN 'train'
+       |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
+       |    t
+       |  FROM (SELECT doc_id,
+       |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+       |          string_split(text, ' ') AS t
+       |        FROM documents) raw
+       |  WHERE len(t) >= 13),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    array_to_string(t[i:i+12], ' ') AS gram
+       |  FROM (SELECT doc_id, split, t,
+       |          unnest(generate_series(1, len(t) - 12)) AS i
+       |        FROM base) g),
+       |contam AS (
+       |  SELECT DISTINCT tr.doc_id
+       |  FROM (SELECT doc_id, gram FROM grams WHERE split = 'train') tr
+       |  JOIN (SELECT DISTINCT gram FROM grams WHERE split = 'test') te
+       |    USING (gram)),
+       |kept AS (
+       |  SELECT q.doc_id, q.text FROM quality q
+       |  WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |       OVER (ORDER BY md5(text), doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - len(string_split(text, ' '))) // 512 AS BIGINT) AS shard
+       |  FROM kept)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -850,5 +955,6 @@ object Corpus {
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),
     QueryDef("q132_top_ngram", q132, Some(q132Sql)),
+    QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
   )
 }

@@ -515,23 +515,42 @@ object Text {
     * DuckDB floors, so negative intermediate divisions are the one
     * integer op this file must never emit (only `abs` sees a negative).
     */
+  /** The q130 scoring chain on any frame with a `text` column — also
+    * the quality gate inside the q135 manifest. Adds `n_toks`,
+    * `ttr_pct`, `stop_pct`, `len10`, `logit_ppm`.
+    */
+  private[ops] def withQualityLogit(df: DataFrame): DataFrame = df
+    .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+    .withColumn("ttr_pct",
+      expr("(100 * size(array_distinct(split(text, ' ')))) DIV n_toks"))
+    .withColumn("stop_pct",
+      expr(s"(100 * size(filter(split(text, ' '), t -> t IN " +
+        s"(${stopwords.map("'" + _ + "'").mkString(",")})))) DIV n_toks"))
+    .withColumn("len10", expr("(10 * length(text)) DIV n_toks"))
+    .withColumn("logit_ppm",
+      lit(-560000L)
+        + lit(9000L) * col("stop_pct")
+        + lit(11000L) * col("ttr_pct")
+        + lit(2000L) * least(col("n_toks"), lit(200L))
+        - lit(40000L) * abs(col("len10") - lit(55L)))
+
+  /** The same logit as ONE DuckDB scalar expression over a `text`
+    * column — the oracle-side twin of [[withQualityLogit]], consumed by
+    * the q135 manifest's oracle.
+    */
+  private[ops] val logitPpmSql: String = {
+    val ss = "string_split(text, ' ')"
+    val n = s"CAST(len($ss) AS BIGINT)"
+    s"(-560000 + 9000 * ((100 * len(list_filter($ss, t -> t IN " +
+      s"(${stopwords.map("'" + _ + "'").mkString(",")})))) // $n) " +
+      s"+ 11000 * ((100 * len(list_distinct($ss))) // $n) " +
+      s"+ 2000 * least($n, 200) " +
+      s"- 40000 * abs(((10 * length(text)) // $n) - 55))"
+  }
+
   private def q130(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables
-      .documents(s, d)
-      .withColumn("n_toks", size(tokens($"text")).cast("long"))
-      .withColumn("ttr_pct",
-        expr("(100 * size(array_distinct(split(text, ' ')))) DIV n_toks"))
-      .withColumn("stop_pct",
-        expr(s"(100 * size(filter(split(text, ' '), t -> t IN " +
-          s"(${stopwords.map("'" + _ + "'").mkString(",")})))) DIV n_toks"))
-      .withColumn("len10", expr("(10 * length(text)) DIV n_toks"))
-      .withColumn("logit_ppm",
-        lit(-1500000L)
-          + lit(9000L) * $"stop_pct"
-          + lit(11000L) * $"ttr_pct"
-          + lit(2000L) * least($"n_toks", lit(200L))
-          - lit(40000L) * abs($"len10" - lit(55L)))
+    withQualityLogit(Tables.documents(s, d))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -555,7 +574,7 @@ object Text {
        |  FROM documents),
        |l AS (
        |  SELECT lang,
-       |    -1500000 + 9000 * stop_pct + 11000 * ttr_pct
+       |    -560000 + 9000 * stop_pct + 11000 * ttr_pct
        |      + 2000 * least(n_toks, 200) - 40000 * abs(len10 - 55)
        |      AS logit_ppm
        |  FROM f)
