@@ -169,18 +169,22 @@ object Vectors {
     * step of IVF (FAISS does the same on a training sample). Centroids
     * come out L2-normalized: argmax-dot ≡ argmax-cosine at assign time.
     */
-  def ivfCentroids(
+  /** The shared trainer input: a deterministic hash-stride sample of
+    * ~`sampleTarget` L2-normalized embeddings, collected once (the
+    * bounded "index construction" collect) and reusable by both the IVF
+    * coarse trainer and the PQ codebook trainer — q127 trains both from
+    * ONE pass instead of re-scanning per trainer.
+    */
+  private[graft] def normalizedSample(
       embeddings: DataFrame,
-      nCells: Int,
-      dims: Int = 64,
+      dims: Int,
       sampleTarget: Int = 2048,
-      iters: Int = 5,
-  ): Array[Double] = {
+  ): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = embeddings.count()
     val step = math.max(1L, n / sampleTarget)
-    val sample = embeddings
+    embeddings
       .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -194,6 +198,24 @@ object Vectors {
         val nrm = math.sqrt(a.map(x => x * x).sum)
         if (nrm > 0) a.map(_ / nrm) else a
       }
+  }
+
+  def ivfCentroids(
+      embeddings: DataFrame,
+      nCells: Int,
+      dims: Int = 64,
+      sampleTarget: Int = 2048,
+      iters: Int = 5,
+  ): Array[Double] =
+    ivfCentroidsFrom(
+      normalizedSample(embeddings, dims, sampleTarget), nCells, dims, iters)
+
+  private[graft] def ivfCentroidsFrom(
+      sample: Array[Array[Double]],
+      nCells: Int,
+      dims: Int,
+      iters: Int = 5,
+  ): Array[Double] = {
     require(sample.length >= nCells,
       s"IVF sample ${sample.length} smaller than nCells $nCells")
 
@@ -309,24 +331,19 @@ object Vectors {
       dims: Int = 64,
       sampleTarget: Int = 2048,
       iters: Int = 8,
+  ): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(
+      normalizedSample(embeddings, dims, sampleTarget), m, k, dims, iters)
+
+  private[graft] def pqCodebooksFrom(
+      sample: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      dims: Int,
+      iters: Int = 8,
   ): Array[Array[Array[Double]]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val sub = dims / m
-    val n = embeddings.count()
-    val step = math.max(1L, n / sampleTarget)
-    val sample = embeddings
-      .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .collect()
-      .sortBy(_._1) // deterministic iteration order
-      .map { case (_, v) =>
-        val a = java.util.Arrays.copyOf(v.map(_.toDouble).toArray, dims)
-        val nrm = math.sqrt(a.map(x => x * x).sum)
-        if (nrm > 0) a.map(_ / nrm) else a
-      }
     require(sample.length >= k,
       s"PQ sample ${sample.length} smaller than k $k")
     Array.tabulate(m) { mi =>
@@ -437,8 +454,10 @@ object Vectors {
     val spark = embeddings.sparkSession
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val sub = dims / m
-    val cents = ivfCentroids(embeddings, nCells, dims)
-    val cbs = pqCodebooks(embeddings, m, nCodes, dims)
+    // one sample pass trains BOTH quantizers
+    val sample = normalizedSample(embeddings, dims)
+    val cents = ivfCentroidsFrom(sample, nCells, dims)
+    val cbs = pqCodebooksFrom(sample, m, nCodes, dims)
     val base = embeddings.withColumn("nvec", normalizedF(col("embedding")))
     // index rows carry ONLY (vec_id, label, cell, codes) — the raw
     // embedding never leaves the scan, which is the PQ storage win
