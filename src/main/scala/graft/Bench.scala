@@ -227,10 +227,12 @@ object Bench {
     //   2. qNN short keys, 2-decimals   (fits ~120;
     //      "q104" ↔ "q104_ewma_decay" is a lossless rename, gen_*
     //      names have no number and stay full)
-    //   3. qNN short keys, 1-decimal    (fits ~160 — the r10 path: the
-    //      136-query vector + the 8-entry dual-pass retimed map no
-    //      longer fit at 2dp; 1dp keeps the COMPLETE vector, and the
-    //      heavy tail stays 2dp inside "retimed")
+    //   3. bare-number keys ("105" ↔ "q105_..."; gen_* stay full),
+    //      1-decimal, sf as basename, n_queries dropped from the line
+    //      (it stays in bench_full.json) — the r10 path: the 140-query
+    //      vector + the 8-entry dual-pass retimed map no longer fit at
+    //      2dp; this tier keeps the COMPLETE vector with ~12 queries of
+    //      growth headroom, and the heavy tail stays 2dp in "retimed"
     //   4. the round-8 top-N budget map (never expected; keeps the
     //      contract unbreakable if the registry triples)
     // Cap = 1800 chars for the whole line: the driver's 2000-char tail
@@ -246,6 +248,8 @@ object Bench {
     val sorted = results.sortBy(-_._2)
     def shortKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    def numKey(k: String): String =
+      if (k.matches("q\\d+_.*")) k.drop(1).takeWhile(_ != '_') else k
     // both passes for every re-timed query, so a drifting number is
     // visible in the round artifact itself, not just the min
     val p1 = pass1.toMap
@@ -255,6 +259,15 @@ object Bench {
       .mkString("{", ",", "}")
     def line(qs: String, omit: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit,"errors":$errs,"sf":"$sfDir"}"""
+    // tier-3 frame: every non-load-bearing char dropped so the complete
+    // vector survives registry growth
+    val sfBase = sfDir.split('/').last
+    val retimed1 = pass2.toSeq.sortBy(_._1)
+      .map { case (k, v2) => "\"" + numKey(k) + "\":[" + r1(p1(k)) +
+        "," + r1(v2) + "]" }
+      .mkString("{", ",", "}")
+    def line3(qs: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1,"errors":$errs,"sf":"$sfBase"}"""
     val cap = 1800
     val fullMap = sorted
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -262,13 +275,13 @@ object Bench {
     val shortMap = sorted
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val shortMap1 = sorted
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + r1(v) }
+    val numMap1 = sorted
+      .map { case (k, v) => "\"" + numKey(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val out =
       if (line(fullMap, "").length <= cap) line(fullMap, "")
       else if (line(shortMap, "").length <= cap) line(shortMap, "")
-      else if (line(shortMap1, "").length <= cap) line(shortMap1, "")
+      else if (line3(numMap1).length <= cap) line3(numMap1)
       else {
         val budget = 800
         val kept = scala.collection.mutable.ListBuffer.empty[String]
