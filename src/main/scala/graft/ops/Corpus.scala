@@ -882,9 +882,17 @@ object Corpus {
       .join(testGrams, Seq("gh"), "left_semi")
       .select($"doc_id")
       .distinct()
+    // Materialize the filtered corpus before sharding: packShards's two
+    // passes would otherwise re-run the whole 5-stage chain (scan ×4 +
+    // three joins) twice. A real pipeline has a write boundary here —
+    // the filtered corpus IS a deliverable — and localCheckpoint is the
+    // in-process stand-in (same idiom as q75's per-sweep checkpoint),
+    // which also discharges the two-pass determinism obligation: the
+    // checkpointed partitions are literally the same bytes both passes.
     val corpus = qualityTrain
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     packShards(corpus, budgetTokens = 512L)
       .groupBy($"shard")
       .agg(

@@ -1373,6 +1373,53 @@ object Relational {
       |SELECT l_returnflag, 'orders', orders FROM w
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** q136: RECURSIVE CTE hierarchy rollup — the Spark 4 `WITH
+    * RECURSIVE` surface (the CONNECT-BY class of warehouse workload:
+    * org charts, category trees, BOM walks) on a hierarchy derived
+    * deterministically from the data: customer `key DIV 10` is the
+    * parent, so every key walks a digit-tree to its leading-digit root.
+    * Termination is STRUCTURAL, not fixture luck: depth = digit count,
+    * log₁₀ of the key space — 7 levels at a hundred million customers,
+    * far under the engine's recursion limit at any corpus size (the
+    * property a recursive query must prove before it is allowed near
+    * 100 TB; Spark supports UNION ALL recursion only, so an unbounded
+    * fixpoint like connected components stays with q63's explicit
+    * loop). Balance carried through the walk in integer cents; per-root
+    * rollup: members, max depth, balance mass. DuckDB executes the
+    * IDENTICAL recursion — both engines' recursive executors must agree
+    * exactly.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE walk(key, anc, depth, cents) AS (
+         |  SELECT c_custkey, c_custkey, 0,
+         |         CAST(ROUND(c_acctbal * 100) AS BIGINT)
+         |  FROM parquet.`$d/customer.parquet`
+         |  UNION ALL
+         |  SELECT key, anc DIV 10, depth + 1, cents
+         |  FROM walk WHERE anc >= 10)
+         |SELECT anc AS root,
+         |  COUNT(*) AS n_members,
+         |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+         |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+         |FROM walk WHERE anc < 10
+         |GROUP BY anc ORDER BY root""".stripMargin)
+
+  private val q136Sql =
+    """WITH RECURSIVE walk(key, anc, depth, cents) AS (
+      |  SELECT c_custkey, c_custkey, 0,
+      |         CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT key, anc // 10, depth + 1, cents
+      |  FROM walk WHERE anc >= 10)
+      |SELECT anc AS root,
+      |  COUNT(*) AS n_members,
+      |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+      |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+      |FROM walk WHERE anc < 10
+      |GROUP BY anc ORDER BY root""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1414,6 +1461,7 @@ object Relational {
     QueryDef("q81_collect_structs", q81, Some(q81Sql)),
     QueryDef("q84_union_by_name", q84, Some(q84Sql)),
     QueryDef("q93_unpivot", q93, Some(q93Sql)),
+    QueryDef("q136_recursive_cte", q136, Some(q136Sql)),
     QueryDef("q103_nullsafe_join", q103, Some(q103Sql)),
   )
 }
