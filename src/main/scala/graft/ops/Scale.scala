@@ -334,11 +334,57 @@ object Scale {
       |  CAST(SUM(n) AS BIGINT) AS rows_covered
       |FROM g GROUP BY 1 ORDER BY magnitude""".stripMargin
 
+  /** Decode a `count_min_sketch` aggregate's binary into the JVM-side
+    * sketch object — the ONE bounded driver-side read (a few KB,
+    * constant in corpus size), same class as q91's sketch handling.
+    */
+  private[graft] def readCms(
+      bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** q137: COUNT-MIN heavy hitters — the frequency member of the
+    * mergeable-sketch family (q91 HLL = distinct cardinality, q72 GK =
+    * quantiles, this = per-key counts): a fixed-seed `count_min_sketch`
+    * aggregate compresses the per-user frequency table into a few-KB
+    * counter grid that merges by addition — the structure a 1000-node
+    * hot-key monitor ships to the driver instead of a 10⁹-row groupBy,
+    * and the sketch-side answer to the exact q110 skew histogram. The
+    * sketch is deterministic (counter sums under a fixed seed —
+    * partitioning-independent), so the row set is stable; estimates
+    * carry the one-sided CMS guarantee est ≥ exact, bounded over-count
+    * w.h.p. Output: the exact top-10 hot keys with exact vs estimated
+    * counts. No DuckDB oracle (no CMS in DuckDB — same class as q91);
+    * Round10Spec gates the bound AND per-shard-sketches-merged ≡
+    * one-global-sketch on every key.
+    */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bytes = Tables
+      .events(s, d)
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = readCms(bytes)
+    val top = Tables
+      .events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"user_id")
+      .limit(10)
+      .as[(Long, Long)]
+      .collect()
+    top.toSeq
+      .map { case (u, ex) => (u, ex, cms.estimateCount(u)) }
+      .toDF("user_id", "exact", "est_cms")
+      .withColumn("overestimate", $"est_cms" - $"exact")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
     QueryDef("q106_observe_qc", q106, Some(q106Sql)),
     QueryDef("q110_skew_histogram", q110, Some(q110Sql)),
+    QueryDef("q137_cms_heavyhitters", q137, None),
   )
 }

@@ -354,6 +354,41 @@ class Round10Spec extends AnyFunSuite {
       s"z-order skipped too little on time: $zTime of $total")
   }
 
+  test("q137 CMS: one-sided bound holds; per-shard sketches merged == global") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // registered row: est >= exact always; over-count <= eps*N + slack
+    val got = SparkEntry.queries("q137_cms_heavyhitters")(spark, sf)
+      .select($"user_id", $"exact", $"est_cms")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == math.min(10, exact.size))
+    got.foreach { case (u, ex, est) =>
+      assert(ex == exact(u), s"exact count drifted for $u")
+      assert(est >= ex, s"CMS under-counted $u: $est < $ex")
+      assert(est <= ex + (n / 1000) + 10,
+        s"CMS over-count for $u beyond eps*N: $est vs $ex (N=$n)")
+    }
+    // merge property: sketches built per event_type (the per-shard
+    // shape) merged by counter addition must estimate IDENTICALLY to
+    // one sketch over everything, for every key — not approximately
+    val cmsSql = "count_min_sketch(user_id, CAST(0.001 AS DOUBLE), " +
+      "CAST(0.99 AS DOUBLE), 42)"
+    val global = ops.Scale.readCms(
+      ev.agg(expr(cmsSql)).head.getAs[Array[Byte]](0))
+    val parts = ev.groupBy($"event_type").agg(expr(cmsSql).as("sk"))
+      .select($"sk").as[Array[Byte]].collect()
+    assert(parts.length > 1, "fixture has one shard — merge untested")
+    val merged = ops.Scale.readCms(parts.head)
+    parts.tail.foreach(b => merged.mergeInPlace(ops.Scale.readCms(b)))
+    exact.keys.foreach { u =>
+      assert(merged.estimateCount(u) == global.estimateCount(u),
+        s"merged != global estimate for $u")
+    }
+  }
+
   test("AQE splits a skewed SMJ partition — the automatic twin of q47's salting") {
     import spark.implicits._
     // SURVEY's skew story has two halves: explicit salting (q47, proven
