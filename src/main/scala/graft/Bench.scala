@@ -184,14 +184,21 @@ object Bench {
     // both passes; a noisy neighbor doesn't survive two.
     val retimeK = 8
     val pass2 = pass1.sortBy(-_._2).take(retimeK).collect {
-      case (name, _) if !errors.contains(name) =>
+      case (name, p1time) if !errors.contains(name) =>
         val t0 = System.nanoTime()
-        try { selected(name)(spark, sfDir).count() }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] retime $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t =
+          try {
+            selected(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              // a failed retime must NOT win min() with its
+              // elapsed-to-failure time — report pass 1's real number
+              System.err.println(
+                s"[bench] retime $name FAILED: ${e.getMessage}")
+              p1time
+          }
+        name -> t
     }.toMap
     val results = pass1.map { case (k, v) =>
       k -> math.min(v, pass2.getOrElse(k, v))

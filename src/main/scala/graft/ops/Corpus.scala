@@ -35,6 +35,17 @@ object Corpus {
     * Pure string compare on the hash prefix — both engines produce the
     * identical lowercase hex, so no integer parsing is needed.
     */
+  /** The library's word-bigram framing over a `toks` array column —
+    * ONE definition consumed by q68/q79/q132 (three call sites
+    * previously pasted the expr text; a framing fix must hit all of
+    * them at once or their oracles desynchronize). Callers with <2-token
+    * rows filtered out may use it directly; q79 wraps it in its own
+    * empty-guard CASE.
+    */
+  private[ops] val bigramsExpr: String =
+    "transform(sequence(0, size(toks) - 2), " +
+      "i -> concat(toks[i], ' ', toks[i + 1]))"
+
   def splitCol(id: Column): Column = {
     val h = substring(md5(id.cast("string").cast("binary")), 1, 1)
     when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
@@ -403,19 +414,48 @@ object Corpus {
     * kept) against an independent engine. Docs shorter than 13 tokens
     * carry no 13-gram and are out of scope on both sides.
     */
-  private def q124(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val n = 13
-    val grams = Tables
+  /** The decontamination gram table — (doc_id, split, 64-bit 13-gram
+    * hash) — shared by q124 (reporting side) and q135 (removal side) so
+    * the gram framing lives in ONE place per engine. Docs under `n`
+    * tokens carry no n-gram and are out of scope on both sides.
+    */
+  private def splitGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables
       .documents(s, d)
-      .withColumn("split", splitCol($"doc_id"))
-      .filter(size(split($"text", " ")) >= n)
+      .withColumn("split", splitCol(col("doc_id")))
+      .filter(size(split(col("text"), " ")) >= n)
       .select(
-        $"doc_id",
-        $"split",
-        explode(graft.functions.TextHashExprs.shingleHashes(s, $"text", n))
+        col("doc_id"),
+        col("split"),
+        explode(graft.functions.TextHashExprs.shingleHashes(s, col("text"), n))
           .as("gh"),
       )
+
+  /** The identical table as DuckDB CTEs (`base`, `grams` with STRING
+    * grams — the exact twin the hashed Spark side is verified against),
+    * composed into both q124's and q135's oracles.
+    */
+  private val gram13CtesSql: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h <= 'b' THEN 'train'
+      |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
+      |    t
+      |  FROM (SELECT doc_id,
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |          string_split(text, ' ') AS t
+      |        FROM documents) raw
+      |  WHERE len(t) >= 13),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM (SELECT doc_id, split, t,
+      |          unnest(generate_series(1, len(t) - 12)) AS i
+      |        FROM base) g)""".stripMargin
+
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = splitGrams(s, d, n = 13)
     val trainGrams = grams
       .filter($"split" === "train")
       .select($"gh")
@@ -432,22 +472,7 @@ object Corpus {
   }
 
   private val q124Sql =
-    """WITH base AS (
-      |  SELECT doc_id,
-      |    CASE WHEN h <= 'b' THEN 'train'
-      |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
-      |    t
-      |  FROM (SELECT doc_id,
-      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
-      |          string_split(text, ' ') AS t
-      |        FROM documents) raw
-      |  WHERE len(t) >= 13),
-      |grams AS (
-      |  SELECT DISTINCT doc_id, split,
-      |    array_to_string(t[i:i+12], ' ') AS gram
-      |  FROM (SELECT doc_id, split, t,
-      |          unnest(generate_series(1, len(t) - 12)) AS i
-      |        FROM base) g),
+    s"""WITH $gram13CtesSql,
       |train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train')
       |SELECT doc_id, COUNT(*) AS n_grams, COUNT(tr.gram) AS n_contam,
       |  (100 * COUNT(tr.gram)) // COUNT(*) AS contam_pct
@@ -468,9 +493,7 @@ object Corpus {
       .documents(s, d)
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 2)
-      .withColumn("bigrams",
-        expr("transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .withColumn("bigrams", expr(bigramsExpr))
       .select(
         $"doc_id",
         size($"bigrams").cast("long").as("n_bigrams"),
@@ -522,8 +545,7 @@ object Corpus {
       .filter(size($"toks") >= 2)
       .select(
         $"doc_id", $"lang", length($"text").cast("long").as("n_chars"),
-        explode(expr("transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+        explode(expr(bigramsExpr)).as("bg"))
       .groupBy($"doc_id", $"bg")
       .agg(
         count(lit(1)).as("cnt"),
@@ -597,9 +619,7 @@ object Corpus {
         // = [0,-1] (Spark steps -1 when start > stop), and toks[-1] throws
         // INVALID_ARRAY_INDEX under ANSI. q68 filters such docs out; the
         // manifest must keep every row, so guard the construction itself.
-        expr("CASE WHEN size(toks) < 2 THEN array() " +
-          "ELSE transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1])) END"))
+        expr(s"CASE WHEN size(toks) < 2 THEN array() ELSE $bigramsExpr END"))
       .withColumn("dup_pct",
         // zero-bigram docs (guard above) — ANSI DIV would throw
         expr("CASE WHEN size(bigrams) = 0 THEN 0 ELSE " +
@@ -751,14 +771,21 @@ object Corpus {
     * partition once with its exclusive prefix as the starting offset.
     * O(1) task memory, no global window, no single-reducer sort.
     *
-    * The two passes evaluate the ranged plan twice, which is only
-    * correct because every step is deterministic: the scan split is
-    * file-order stable, RangePartitioner's boundary sampling is
-    * seeded by partition index, and the in-partition sort key
-    * `(h, doc_id)` is unique (doc_id breaks duplicate-text ties) — the
-    * same replay-determinism contract StreamGen's two-pass block mode
-    * rests on, here additionally locked by Round10Spec's
-    * partition-count-independence gate.
+    * The ranged dataset is MATERIALIZED (persist + eager pass-2
+    * checkpoint) so the range exchange executes exactly once and both
+    * passes read the same partitions. This is not optional caching:
+    * RangePartitioner's boundary sampling is seeded by `rdd.id`, so two
+    * separate executions of the same `repartitionByRange` plan may draw
+    * DIFFERENT boundaries once a scan partition exceeds the sampling
+    * reservoir (~300 rows) — pass-1 offsets applied to a
+    * differently-bounded pass 2 would misplace every row in a moved
+    * range. (StreamGen's two-pass discipline survives without
+    * materializing only because `spark.range` partitions by closed-form
+    * arithmetic, no sampling.) At corpus scale the materialization IS
+    * the pipeline's natural write boundary: a production run writes the
+    * range-sorted corpus durably and manifests from that copy.
+    * Partition-count independence of the RESULT is locked by
+    * Round10Spec.
     */
   def packShards(
       docs: DataFrame,
@@ -775,29 +802,36 @@ object Corpus {
       .repartitionByRange(nParts, col("h"), col("doc_id"))
       .sortWithinPartitions(col("h"), col("doc_id"))
       .as[(Long, String, Long)]
-    val partSums = keyed
-      .mapPartitions { it =>
-        var s = 0L
-        it.foreach(s += _._3)
-        Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-      }
-      .collect()
-      .toMap
-    val offsets = (0 until nParts)
-      .scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
-      .toArray
-    val bOff = spark.sparkContext.broadcast(offsets)
-    keyed
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = bOff.value(pid)
-        it.map { case (id, _, t) =>
-          val shard = run / budgetTokens // shard of the doc's FIRST token
-          run += t
-          (id, t, shard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSums = keyed
+        .mapPartitions { it =>
+          var s = 0L
+          it.foreach(s += _._3)
+          Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
         }
-      }
-      .toDF("doc_id", "n_toks", "shard")
+        .collect()
+        .toMap
+      val offsets = (0 until nParts)
+        .scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
+        .toArray
+      val bOff = spark.sparkContext.broadcast(offsets)
+      keyed
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var run = bOff.value(pid)
+          it.map { case (id, _, t) =>
+            val shard = run / budgetTokens // shard of the doc's FIRST token
+            run += t
+            (id, t, shard)
+          }
+        }
+        .toDF("doc_id", "n_toks", "shard")
+        // eager: the slim (3-long) result materializes while the cached
+        // ranged partitions are still pinned, so the caller's lazy reads
+        // can never trigger a re-exchange after unpersist
+        .localCheckpoint()
+    } finally keyed.unpersist()
   }
 
   /** q131: the registered shard-packing rollup — per shard: docs,
@@ -869,30 +903,18 @@ object Corpus {
       .withQualityLogit(docs)
       .filter(splitCol($"doc_id") === "train" && $"logit_ppm" >= 0L)
       .select($"doc_id", $"text")
-    val n = 13
-    val grams = docs
-      .withColumn("split", splitCol($"doc_id"))
-      .filter(size(split($"text", " ")) >= n)
-      .select($"doc_id", $"split",
-        explode(graft.functions.TextHashExprs.shingleHashes(s, $"text", n))
-          .as("gh"))
+    val grams = splitGrams(s, d, n = 13)
     val testGrams = grams.filter($"split" === "test").select($"gh").distinct()
     val contaminated = grams
       .filter($"split" === "train")
       .join(testGrams, Seq("gh"), "left_semi")
       .select($"doc_id")
       .distinct()
-    // Materialize the filtered corpus before sharding: packShards's two
-    // passes would otherwise re-run the whole 5-stage chain (scan ×4 +
-    // three joins) twice. A real pipeline has a write boundary here —
-    // the filtered corpus IS a deliverable — and localCheckpoint is the
-    // in-process stand-in (same idiom as q75's per-sweep checkpoint),
-    // which also discharges the two-pass determinism obligation: the
-    // checkpointed partitions are literally the same bytes both passes.
+    // packShards materializes its ranged input (its own correctness
+    // obligation), so the 5-stage chain above executes exactly once.
     val corpus = qualityTrain
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
     packShards(corpus, budgetTokens = 512L)
       .groupBy($"shard")
       .agg(
@@ -910,22 +932,7 @@ object Corpus {
        |  SELECT doc_id, text FROM documents
        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
        |    AND ${graft.ops.Text.logitPpmSql} >= 0),
-       |base AS (
-       |  SELECT doc_id,
-       |    CASE WHEN h <= 'b' THEN 'train'
-       |         WHEN h <= 'd' THEN 'val' ELSE 'test' END AS split,
-       |    t
-       |  FROM (SELECT doc_id,
-       |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
-       |          string_split(text, ' ') AS t
-       |        FROM documents) raw
-       |  WHERE len(t) >= 13),
-       |grams AS (
-       |  SELECT DISTINCT doc_id, split,
-       |    array_to_string(t[i:i+12], ' ') AS gram
-       |  FROM (SELECT doc_id, split, t,
-       |          unnest(generate_series(1, len(t) - 12)) AS i
-       |        FROM base) g),
+       |$gram13CtesSql,
        |contam AS (
        |  SELECT DISTINCT tr.doc_id
        |  FROM (SELECT doc_id, gram FROM grams WHERE split = 'train') tr

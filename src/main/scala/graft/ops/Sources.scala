@@ -468,10 +468,21 @@ object Sources {
         $"event_type")
     val b = ev.agg(min($"us"), max($"us"), max($"user_id")).head
     val (lo, hi, maxU) = (b.getLong(0), b.getLong(1), b.getLong(2))
-    val span = math.max(1L, hi - lo)
-    val uDiv = math.max(1L, maxU)
-    val tb = expr(s"((us - $lo) * 65535) DIV $span")
-    val ub = expr(s"(user_id * 65535) DIV $uDiv")
+    // 16-bit bucket of `(v - lo)` over `range`, overflow-safe at any
+    // scale: the scale-up form `(v-lo)*65535 DIV range` (needed so a
+    // SMALL domain — e.g. 150 user ids — still fills all 16 bits and
+    // its interleave bits carry weight) would overflow Long once the
+    // range tops ~4.5 years of microseconds; past 2^32 the values are
+    // dense enough that divide-first loses nothing, so branch on range.
+    def bucket(colSql: String, lo: Long, range: Long): String =
+      if (range <= 0L) "CAST(0 AS BIGINT)"
+      else if (range < (1L << 32)) s"(($colSql - $lo) * 65535) DIV $range"
+      else {
+        val step = range / 65536L + 1L
+        s"($colSql - $lo) DIV $step"
+      }
+    val tb = expr(bucket("us", lo, hi - lo))
+    val ub = expr(bucket("user_id", 0L, maxU))
     ev.withColumn("zkey", zInterleave(tb, ub))
       .repartitionByRange(8, $"zkey")
       .sortWithinPartitions($"zkey")
@@ -481,7 +492,7 @@ object Sources {
       .parquet(path)
     // the production access pattern the layout exists for: a time slice
     // AND a user band in one scan — both cuts literal, both pushed
-    val tCut = lo + span / 10
+    val tCut = lo + (hi - lo) / 10
     val uLo = maxU / 2
     s.read
       .parquet(path)

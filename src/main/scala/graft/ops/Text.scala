@@ -387,6 +387,11 @@ object Text {
         round(sum($"n_chars").cast("double") / sum($"n_bpe"), 4)
           .as("char_compression"),
       )
+      // a lang whose docs produce ZERO pre-tokens would divide 0/0 here
+      // while the oracle's d⋈a inner join drops it — align on "langs
+      // with at least one token" explicitly (vacuous on this corpus,
+      // load-bearing on a degenerate one)
+      .filter($"n_pre_tokens" > 0L)
       .orderBy($"lang")
   }
 

@@ -384,14 +384,21 @@ object Vectors {
     }
   }
 
-  /** L2-normalized copy of a float-array embedding column (zero vectors
-    * pass through unscaled rather than dividing by zero), cast back to
-    * ARRAY<FLOAT> so the codegen kernels accept it.
+  /** Adds `nvec` = L2-normalized copy of `src` (zero vectors pass
+    * through unscaled rather than dividing by zero), cast back to
+    * ARRAY<FLOAT> so the codegen kernels accept it. The norm is
+    * materialized as its own projected column FIRST and the transform
+    * lambda divides by that column: putting `l2norm` inside the lambda
+    * would re-run the O(dims) aggregate once per ELEMENT (O(dims²) per
+    * row — a ~30× overhead on the index-build scan).
     */
-  private def normalizedF(a: Column): Column =
-    when(l2norm(a) === 0.0, a)
-      .otherwise(transform(a, x => x.cast("double") / l2norm(a)))
-      .cast("array<float>")
+  private def withNormalizedF(df: DataFrame, src: String): DataFrame = df
+    .withColumn("_nrm", l2norm(col(src)))
+    .withColumn("nvec",
+      when(col("_nrm") === 0.0, col(src))
+        .otherwise(transform(col(src), x => x.cast("double") / col("_nrm")))
+        .cast("array<float>"))
+    .drop("_nrm")
 
   /** PQ code assignment for sub-space `mi` as a codegen expression:
     * nearest codebook entry by L2 over the sub-slice. Reuses the IVF
@@ -458,7 +465,7 @@ object Vectors {
     val sample = normalizedSample(embeddings, dims)
     val cents = ivfCentroidsFrom(sample, nCells, dims)
     val cbs = pqCodebooksFrom(sample, m, nCodes, dims)
-    val base = embeddings.withColumn("nvec", normalizedF(col("embedding")))
+    val base = withNormalizedF(embeddings, "embedding")
     // index rows carry ONLY (vec_id, label, cell, codes) — the raw
     // embedding never leaves the scan, which is the PQ storage win
     val index = ivfIndex(
