@@ -172,6 +172,18 @@ object Events {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The q138 oracle: one copy of the events table (the streamed source
+    * is two copies — exact dedup must collapse them), epoch-aligned
+    * hourly windows matching `window(wts, '1 hour').start`.
+    */
+  private val q138Sql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
+
   /** q133: semi-structured processing on the Spark 4 VARIANT type — the
     * modern replacement for q23's per-access string re-parse: a nested
     * JSON payload (built in-plan from typed columns, so the oracle can
@@ -945,6 +957,12 @@ object Events {
     QueryDef("q94_stream_append",
       (s, d) => graft.streaming.Streams.appendHourlyTypeCounts(s, d),
       Some(q22Sql)),
+    // TWO chained stateful operators (watermarked dedup -> append-mode
+    // windowed agg) in ONE streaming query, over a doubled source: any
+    // duplicate leaking past stage 1 breaks the single-copy oracle hash.
+    QueryDef("q138_stream_dedup_agg",
+      (s, d) => graft.streaming.Streams.dedupThenHourly(s, d),
+      Some(q138Sql)),
     // Stream-stream interval join under the oracle gate: buffered-state
     // matching must emit exactly the batch self-join's pair set.
     QueryDef("q96_stream_attrib",

@@ -282,6 +282,80 @@ object Streams {
       .orderBy(col("hour_us"), col("event_type"))
   }
 
+  /** MULTIPLE STATEFUL OPERATORS chained in one streaming query under
+    * the driver's oracle gate (q138) — the Spark 3.5+ capability none of
+    * the single-operator queries exercise: watermarked exact dedup
+    * (`dropDuplicatesWithinWatermark`, stateful op 1) feeding an
+    * append-mode windowed aggregation (stateful op 2) in the SAME query,
+    * each with its own state store, sharing one watermark lineage.
+    *
+    * The composition is self-proving: the source is staged as TWO full
+    * copies of the events table (every event_id duplicated), so if the
+    * dedup stage leaked even one duplicate into the aggregation, a
+    * window count would be off by one and the cross-engine hash — the
+    * oracle aggregates a SINGLE copy — would break. Sentinel flush
+    * discipline is q94's, except the two sentinels carry DISTINCT
+    * event_ids: the dedup stage would swallow a repeated sentinel id,
+    * and while the watermark (computed at the source, upstream of
+    * dedup) would still advance, the gate should not depend on that
+    * subtlety. Money in integer cents — association-order-safe across
+    * microbatch accumulation.
+    */
+  def dedupThenHourly(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    val schema = eventsSchema
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = java.nio.file.Paths.get("target", "graft_stream", s"dup_$uuid")
+    java.nio.file.Files.createDirectories(src)
+    // two byte-identical copies: every event arrives exactly twice
+    Seq("events_a.parquet", "events_b.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"), src.resolve(name))
+    }
+    val far = 4000000000000000000L
+    def writeSentinel(id: Long, ts: Long): Unit =
+      Seq((id, ts, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    writeSentinel(-1L, far)
+    val agg = spark.readStream
+      .schema(schema)
+      .parquet(src.toString)
+      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("wts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("wts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("value_cents"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"),
+        col("n"),
+        col("value_cents"),
+      )
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream", s"dupout_$uuid").toString
+    withFewStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        writeSentinel(-2L, far + 1000000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    deleteStaged(src)
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "__sentinel__")
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
   /** Stream-static enrichment join under the driver's oracle gate: the
     * event stream (file source over the driver `events` table) joins a
     * STATIC broadcast dimension (nation, via the deterministic
