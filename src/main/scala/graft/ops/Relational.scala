@@ -1420,6 +1420,51 @@ object Relational {
       |FROM walk WHERE anc < 10
       |GROUP BY anc ORDER BY root""".stripMargin
 
+  /** q139: correlated LATERAL table subquery — the declarative
+    * per-outer-row top-k (the CROSS APPLY class of workload), the
+    * formulation q09's rank-window is the operational twin of: for each
+    * region, the two nations with the largest customer balance mass,
+    * expressed as a correlated subquery with its own ORDER BY + LIMIT.
+    * Catalyst decorrelates the lateral into a joint plan rather than
+    * re-executing the inner query per outer row — which is what makes
+    * the shape admissible at scale (the outer side here is the 5-row
+    * region dim, but the plan does not depend on that). Balance in
+    * integer cents on the 2-decimal grid; ties broken by name so both
+    * engines' LIMIT picks identical rows. DuckDB runs the IDENTICAL
+    * LATERAL SQL — two independent decorrelation/execution strategies
+    * must agree exactly.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT r.r_name, t.n_name, t.bal_cents
+         |FROM parquet.`$d/region.parquet` r,
+         |LATERAL (
+         |  SELECT n.n_name,
+         |    CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         |      AS bal_cents
+         |  FROM parquet.`$d/nation.parquet` n
+         |  JOIN parquet.`$d/customer.parquet` c
+         |    ON c.c_nationkey = n.n_nationkey
+         |  WHERE n.n_regionkey = r.r_regionkey
+         |  GROUP BY n.n_name
+         |  ORDER BY bal_cents DESC, n.n_name
+         |  LIMIT 2) t
+         |ORDER BY r.r_name, t.bal_cents DESC, t.n_name""".stripMargin)
+
+  private val q139Sql =
+    """SELECT r.r_name, t.n_name, t.bal_cents
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name,
+      |    CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |      AS bal_cents
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY bal_cents DESC, n.n_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.bal_cents DESC, t.n_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
@@ -1462,6 +1507,7 @@ object Relational {
     QueryDef("q84_union_by_name", q84, Some(q84Sql)),
     QueryDef("q93_unpivot", q93, Some(q93Sql)),
     QueryDef("q136_recursive_cte", q136, Some(q136Sql)),
+    QueryDef("q139_lateral_topk", q139, Some(q139Sql)),
     QueryDef("q103_nullsafe_join", q103, Some(q103Sql)),
   )
 }
