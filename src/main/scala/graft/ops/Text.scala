@@ -699,6 +699,112 @@ object Text {
       |FROM (SELECT DISTINCT md5(text) AS fp FROM documents) t
       |ORDER BY fp""".stripMargin
 
+  /** q140: PASSAGE-level exact dedup with document reconstruction — the
+    * C4/RefinedWeb sub-document discipline the whole-doc gates (q30/q62)
+    * cannot express: boilerplate repeats across documents that are not
+    * themselves duplicates, so production pipelines dedup at the
+    * line/span level and keep only the FIRST occurrence of each span
+    * corpus-wide, rewriting every document to its surviving spans.
+    *
+    * Here a passage is a fixed 4-token span (the corpus is space-joined
+    * with no sentence marks); each document is chunked into consecutive
+    * passages (final partial passage kept), the keep-first winner per
+    * passage is the minimum (doc_id, chunk_idx) occurrence, and each doc
+    * is reconstructed from its surviving passages in original order.
+    *
+    * Plan shape at 100 TB: the winner election is a map-side-combinable
+    * hash-agg over SLIM rows — (64-bit passage hash, 16-byte position
+    * struct), the passage STRING stays in the scan task — and the
+    * survivor resolution is a hash-partitioned equi-join back on the
+    * passage hash (the join's partitioning IS the blocking; never
+    * corpus-wide pairs). Reconstruction groups by doc_id with per-doc
+    * bounded arrays (one document's own passages). Hashed-vs-string
+    * collision risk vs the oracle is the q124 birthday trade (~1e-11
+    * at sf0.01; a collision perturbs one doc's reconstruction).
+    *
+    * The oracle is the exact STRING twin in DuckDB (row_number window
+    * over passage → keep rn=1 → ordered string_agg), so keep-first
+    * choice, chunk framing, and reconstruction order must all agree
+    * across engines — `text_fp` is the md5 of the rebuilt document.
+    */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 4
+    val chunks = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id",
+        $"lang",
+        posexplode(
+          expr(
+            s"transform(sequence(0, (size(toks)-1) div $P), " +
+              s"i -> array_join(slice(toks, i*$P+1, $P), ' '))")
+        ).as(Seq("chunk_idx", "passage")),
+      )
+      .withColumn("ph", xxhash64($"passage"))
+    val winners = chunks
+      .groupBy($"ph")
+      .agg(min(struct($"doc_id", $"chunk_idx")).as("w"))
+    val kept = chunks
+      .join(winners, "ph")
+      .where($"doc_id" === $"w.doc_id" && $"chunk_idx" === $"w.chunk_idx")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(size(tokens($"passage"))).cast("long").as("kept_tokens"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"chunk_idx", $"passage"))),
+              x => x.getField("passage")),
+            " ").cast("binary")).as("text_fp"),
+      )
+    chunks
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_passages"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_passages",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"text_fp", md5(lit("").cast("binary"))).as("text_fp"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  private val q140Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, lang, i AS chunk_idx,
+      |         array_to_string(t[(i*4+1):(i*4+4)], ' ') AS passage
+      |  FROM (SELECT doc_id, lang, t,
+      |          unnest(generate_series(0, (len(t)-1)//4)) AS i FROM toks) g),
+      |surv AS (
+      |  SELECT doc_id, chunk_idx, passage FROM (
+      |    SELECT doc_id, chunk_idx, passage,
+      |           row_number() OVER (PARTITION BY passage
+      |                              ORDER BY doc_id, chunk_idx) AS rn
+      |    FROM chunks) r WHERE rn = 1),
+      |kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         CAST(SUM(len(string_split(passage, ' '))) AS BIGINT)
+      |           AS kept_tokens,
+      |         md5(string_agg(passage, ' ' ORDER BY chunk_idx)) AS text_fp
+      |  FROM surv GROUP BY doc_id),
+      |alln AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_passages
+      |  FROM chunks GROUP BY doc_id, lang)
+      |SELECT a.doc_id, a.lang, a.n_passages,
+      |       COALESCE(k.n_kept, 0) AS n_kept,
+      |       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+      |       COALESCE(k.text_fp, md5('')) AS text_fp
+      |FROM alln a LEFT JOIN kept k USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
@@ -711,6 +817,7 @@ object Text {
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
+    QueryDef("q140_passage_dedup", q140, Some(q140Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),
     // Streaming dedup under the oracle gate: watermark-bounded
     // dropDuplicates (streaming twin of q30/q62) must keep exactly one
