@@ -480,6 +480,92 @@ object Corpus {
       |LEFT JOIN train_grams tr USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q141: bigram language-model quality scoring — the CCNet/KenLM-style
+    * perplexity filter: train a bigram model on the TRAIN split, score
+    * every TEST document by its mean transition probability under that
+    * model. Pipelines use this to rank crawl text by "looks like the
+    * reference corpus" — the model-based quality gate next to the
+    * heuristic ones (q32 ratios, q61 TTR, q130 logit).
+    *
+    * Exact-arithmetic variant: the per-bigram score is the integer
+    * conditional probability in ppm, `count(w1,w2) * 1e6 div count(w1)`
+    * (prefix mass derived from the SAME bigram table, so probabilities
+    * sum to ~1e6 per prefix), unseen bigrams score 0, and the document
+    * score is the integer mean — no logs, no floats, so the cross-engine
+    * hash compare is exact, while ranking is monotone with the
+    * perplexity filter it stands in for.
+    *
+    * Plan shape at 100 TB: ONE bigram explode per side; the model is a
+    * map-side-combinable hash-agg over (w1, w2) plus a w1 rollup derived
+    * from the aggregated table (vocab²-bounded, far smaller than the
+    * corpus); scoring is a hash-partitioned left join on the bigram key —
+    * the join's partitioning is the blocking, never corpus-wide.
+    */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables
+      .documents(s, d)
+      .withColumn("split", splitCol($"doc_id"))
+      .withColumn("toks", split($"text", " "))
+      .select(
+        $"doc_id",
+        $"lang",
+        $"split",
+        explode(
+          expr("transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"),
+      )
+      .select($"doc_id", $"lang", $"split", $"bg.w1", $"bg.w2")
+    val cnt = big
+      .filter($"split" === "train")
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("cnt2"))
+    val model = cnt
+      .join(cnt.groupBy($"w1").agg(sum($"cnt2").as("cnt1")), "w1")
+      .select($"w1", $"w2", expr("(cnt2 * 1000000) DIV cnt1").as("p_ppm"))
+    big
+      .filter($"split" === "test")
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"p_ppm", lit(0L))).as("sum_ppm"),
+      )
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_bigrams",
+        expr("sum_ppm DIV n_bigrams").as("score_ppm"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  private val q141Sql =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN h <= 'b' THEN 'train' WHEN h <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split, t
+      |  FROM (SELECT doc_id, lang,
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |          string_split(text, ' ') AS t FROM documents) raw),
+      |big AS (
+      |  SELECT doc_id, lang, split, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, lang, split, t,
+      |          unnest(generate_series(1, len(t)-1)) AS i FROM base) g),
+      |cnt AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2
+      |  FROM big WHERE split = 'train' GROUP BY w1, w2),
+      |model AS (
+      |  SELECT w1, w2,
+      |    (cnt2 * 1000000)
+      |      // CAST(SUM(cnt2) OVER (PARTITION BY w1) AS BIGINT) AS p_ppm
+      |  FROM cnt)
+      |SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(COALESCE(m.p_ppm, 0)) AS BIGINT) // COUNT(*) AS score_ppm
+      |FROM big b LEFT JOIN model m USING (w1, w2)
+      |WHERE b.split = 'test'
+      |GROUP BY b.doc_id, b.lang ORDER BY b.doc_id""".stripMargin
+
   /** q68: duplicate-bigram repetition ratio per document — the
     * Gopher-style "fraction of repeated n-grams" quality filter. All
     * counts integer; the percent is integer division, so the compare is
@@ -968,6 +1054,7 @@ object Corpus {
     QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
+    QueryDef("q141_bigram_lm", q141, Some(q141Sql)),
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),
     QueryDef("q132_top_ngram", q132, Some(q132Sql)),
     QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
