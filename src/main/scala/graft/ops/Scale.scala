@@ -379,6 +379,87 @@ object Scale {
       .withColumn("overestimate", $"est_cms" - $"exact")
   }
 
+  /** q142: declarative data-quality CONSTRAINT AUDIT — the Deequ-style
+    * contract check a 100 TB ingest runs before publishing a partition:
+    * a fixed suite of constraints (row volume, key uniqueness, column
+    * completeness, value-domain membership, numeric bounds, freshness)
+    * evaluated in ONE scan and shipped as one row per constraint with
+    * the observed metric, the threshold, and the verdict.
+    *
+    * Where q106 attaches audit counters to another action via
+    * `observe()`, this is the standalone gate whose RESULT is the audit:
+    * every constraint is an aggregate over the same single pass (one
+    * map-side-combinable agg, no shuffle beyond the 1-row exchange), and
+    * `stack` unpivots the audit row into the per-constraint report —
+    * adding a constraint is one more aggregate column, not another scan.
+    * All metrics are exact integers (ppm rates, counts, epoch micros),
+    * so the verdict column is reproducible cross-engine. The suite
+    * includes a deliberately failing domain constraint ('error' is not a
+    * whitelisted event type) — an audit harness that cannot show a
+    * failure verifies nothing.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"event_id").as("n_ids"),
+        sum(when($"user_id".isNotNull, 1L).otherwise(0L)).as("n_uid"),
+        sum(
+          when($"event_type".isin("click", "view", "purchase", "signup"),
+            1L).otherwise(0L)).as("n_dom"),
+        sum(when($"value" >= 0 && $"value" <= 400.0, 1L).otherwise(0L))
+          .as("n_bound"),
+        max(unix_micros($"ts")).as("max_us"),
+      )
+      .select(
+        expr(
+          """stack(6,
+            |  'bounds_value_0_400', (n_bound * 1000000) DIV n_rows, 950000L,
+            |  'completeness_user_id', (n_uid * 1000000) DIV n_rows, 999000L,
+            |  'domain_event_type', (n_dom * 1000000) DIV n_rows, 990000L,
+            |  'freshness_max_ts', max_us, 1706227200000000L,
+            |  'min_rows', n_rows, 1000L,
+            |  'uniqueness_event_id', (n_ids * 1000000) DIV n_rows, 1000000L
+            |) AS (check_name, observed, threshold)""".stripMargin),
+      )
+      .withColumn("pass",
+        when($"observed" >= $"threshold", 1L).otherwise(0L))
+      .orderBy($"check_name")
+  }
+
+  private val q142Sql =
+    """WITH agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+      |    CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_uid,
+      |    CAST(SUM(CASE WHEN event_type IN
+      |        ('click', 'view', 'purchase', 'signup') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dom,
+      |    CAST(SUM(CASE WHEN value >= 0 AND value <= 400.0 THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_bound,
+      |    CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_us
+      |  FROM events),
+      |audit AS (
+      |  SELECT 'bounds_value_0_400' AS check_name,
+      |         (n_bound * 1000000) // n_rows AS observed,
+      |         CAST(950000 AS BIGINT) AS threshold FROM agg
+      |  UNION ALL SELECT 'completeness_user_id',
+      |         (n_uid * 1000000) // n_rows, 999000 FROM agg
+      |  UNION ALL SELECT 'domain_event_type',
+      |         (n_dom * 1000000) // n_rows, 990000 FROM agg
+      |  UNION ALL SELECT 'freshness_max_ts', max_us,
+      |         1706227200000000 FROM agg
+      |  UNION ALL SELECT 'min_rows', n_rows, 1000 FROM agg
+      |  UNION ALL SELECT 'uniqueness_event_id',
+      |         (n_ids * 1000000) // n_rows, 1000000 FROM agg)
+      |SELECT check_name, observed, threshold,
+      |  CAST(CASE WHEN observed >= threshold THEN 1 ELSE 0 END AS BIGINT)
+      |    AS pass
+      |FROM audit ORDER BY check_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
@@ -386,5 +467,6 @@ object Scale {
     QueryDef("q106_observe_qc", q106, Some(q106Sql)),
     QueryDef("q110_skew_histogram", q110, Some(q110Sql)),
     QueryDef("q137_cms_heavyhitters", q137, None),
+    QueryDef("q142_constraint_audit", q142, Some(q142Sql)),
   )
 }
