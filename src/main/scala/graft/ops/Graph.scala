@@ -184,7 +184,112 @@ object Graph {
        |ORDER BY rank_ppm DESC, id LIMIT 25""".stripMargin
   }
 
+  /** q143: TRIANGLE COUNTING over the co-purchase graph (parts that
+    * share an order are adjacent) — the third classic distributed graph
+    * kernel next to PageRank (q75) and connected components (q63), and
+    * the basis of clustering-coefficient / community metrics.
+    *
+    * The naive plan is a three-way self-join of the edge list, whose
+    * intermediate wedge set explodes on hubs: a degree-10⁶ node yields
+    * 10¹² wedges. The scale-safe shape is DEGREE ORIENTATION (the
+    * standard MapReduce/GraphX trick): direct every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one — a total order,
+    * so each edge appears exactly once — and enumerate wedges only at
+    * the LOW end (pairs of out-neighbors). Out-degree in the oriented
+    * graph is bounded by O(√m) for any graph, so the wedge set is
+    * O(m^1.5) worst-case instead of Σdeg² — the difference between
+    * feasible and not on a power-law co-purchase graph. Each triangle
+    * has exactly one lowest-rank corner, so the wedge→edge hash join
+    * counts it exactly once.
+    *
+    * Edge building blocks on the order id (bounded group: an order has
+    * ≤ O(10) items), never corpus-wide; `localCheckpoint` materializes
+    * the edge/oriented tables once so the multi-use lineage does not
+    * recompute the distinct per consumer. The oracle is the naive
+    * a<b<c three-way join in DuckDB — two independent enumeration
+    * strategies must agree on the exact count.
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val edges = li
+      .as("x")
+      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("a"), $"y.pk".as("b"))
+      .distinct()
+    triangleCount(edges)
+  }
+
+  /** Degree-oriented triangle count over a canonical undirected edge
+    * list `(a, b)` with `a < b`, one row per edge (see q143 doc for the
+    * orientation argument). Exposed so tests can drive adversarial
+    * graphs (hubs, cliques) through the exact production plan.
+    */
+  def triangleCount(edgesRaw: DataFrame): DataFrame = {
+    val s = edgesRaw.sparkSession
+    import s.implicits._
+    val edges = edgesRaw.localCheckpoint()
+    val deg = edges
+      .select($"a".as("v"))
+      .unionAll(edges.select($"b".as("v")))
+      .groupBy($"v")
+      .agg(count(lit(1)).as("dg"))
+    val oriented = edges
+      .join(deg.select($"v".as("a"), $"dg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
+      .select(
+        when(struct($"da", $"a") < struct($"db", $"b"),
+          struct($"a".as("u"),
+            struct($"db".as("d"), $"b".as("n")).as("kw"),
+            $"b".as("w")))
+          .otherwise(
+            struct($"b".as("u"),
+              struct($"da".as("d"), $"a".as("n")).as("kw"),
+              $"a".as("w")))
+          .as("e"))
+      .select($"e.u".as("u"), $"e.w".as("w"), $"e.kw".as("kw"))
+      .localCheckpoint()
+    val wedges = oriented
+      .select($"u", $"w".as("w1"), $"kw".as("k1"))
+      .join(oriented.select($"u", $"w".as("w2"), $"kw".as("k2")), "u")
+      .where($"k1" < $"k2")
+      .select($"w1", $"w2")
+    // One surviving wedge row = one triangle: wedge rows are per-low-
+    // corner (duplicated (w1, w2) under different u must all count), and
+    // a semi-join neither collapses them nor multiplies them (each can
+    // match at most the ONE unique oriented (w1, w2) edge row).
+    val tri = wedges
+      .join(
+        oriented.select($"u".as("w1"), $"w".as("w2")),
+        Seq("w1", "w2"),
+        "left_semi",
+      )
+    val nTri = tri.agg(count(lit(1)).cast("long").as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  private val q143Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |nodes AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes FROM
+      |  (SELECT a AS x FROM pairs UNION SELECT b FROM pairs) nx),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+      |       JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+      |  n_triangles
+      |FROM nodes, tri""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q75_pagerank", q75, Some(q75Sql)),
+    QueryDef("q143_triangle_count", q143, Some(q143Sql)),
   )
 }

@@ -558,4 +558,29 @@ class Round10Spec extends AnyFunSuite {
         s"straggler handling changed: $got")
     }
   }
+
+  test("q143 triangles: hub graph exact; count == brute-force enumeration") {
+    import spark.implicits._
+    // K5 on {1..5} (10 triangles) + a degree-heavy hub 100 attached to
+    // 20 leaves (no triangles) + one triangle {100, 200, 201} through
+    // the hub. Degree orientation must enumerate wedges at LOW-degree
+    // corners, so the hub contributes no wedge blow-up, yet its one
+    // genuine triangle still counts exactly once.
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val star = (300L until 320L).map(l => (100L, l))
+    val extra = Seq((100L, 200L), (100L, 201L), (200L, 201L))
+    val edges = (k5 ++ star ++ extra).toDF("a", "b")
+    val got = graft.ops.Graph.triangleCount(edges)
+      .select($"n_nodes", $"n_edges", $"n_triangles")
+      .as[(Long, Long, Long)].head()
+    // brute force over the same edge set
+    val es = (k5 ++ star ++ extra).toSet
+    val ns = es.flatMap(e => Seq(e._1, e._2))
+    val brute = (for {
+      x <- ns; y <- ns if x < y; z <- ns if y < z
+      if es((x, y)) && es((x, z)) && es((y, z))
+    } yield (x, y, z)).size
+    assert(brute == 11)
+    assert(got == ((ns.size.toLong, es.size.toLong, brute.toLong)))
+  }
 }
