@@ -583,4 +583,57 @@ class Round10Spec extends AnyFunSuite {
     assert(brute == 11)
     assert(got == ((ns.size.toLong, es.size.toLong, brute.toLong)))
   }
+
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footers") {
+    // The 100 TB scan-avoidance endgame: with DSv2 parquet +
+    // aggregatePushDown, a filterless COUNT/MIN/MAX aggregate is
+    // answered from row-group STATISTICS (footer metadata) — the scan
+    // ships one pre-aggregated row per file, never the rows themselves.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.sources.useV1SourceList",
+      "spark.sql.parquet.aggregatePushDown").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.sources.useV1SourceList", "") // parquet via DSv2
+    conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    val pushed =
+      try {
+        val df = spark.read.parquet(s"$sf/lineitem.parquet")
+          .selectExpr("count(*) AS n", "min(l_quantity) AS mn",
+            "max(l_quantity) AS mx")
+        val rows = df.collect().toSeq.map(_.toSeq)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("PushedAggregation: [COUNT(*)"),
+          s"aggregate not pushed to the scan:\n$p")
+        rows
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    // control: the row-scanning (v1, no-pushdown) answer must be equal —
+    // footer statistics are an OPTIMIZATION, never a semantics change
+    val ctrl = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("count(*) AS n", "min(l_quantity) AS mn",
+        "max(l_quantity) AS mx")
+    val ctrlP = ctrl.queryExecution.executedPlan.toString
+    assert(!ctrlP.contains("PushedAggregation: [COUNT"),
+      "control run unexpectedly pushed the aggregate")
+    val want = ctrl.collect().toSeq.map(_.toSeq)
+    assert(want.nonEmpty && want.head.head.asInstanceOf[Long] > 0L)
+    assert(want == pushed, "footer answer != row-scan answer")
+  }
+
+  test("bucket pruning: a point filter on the bucket key reads 1 of 16 buckets") {
+    import spark.implicits._
+    // q88's tables pay the shuffle at write time for exchange-free
+    // joins; the SAME layout also prunes POINT LOOKUPS — hashing the
+    // literal selects one bucket's files, so a key probe on a 100 TB
+    // bucketed fact touches 1/16th of the data before any row filter.
+    val (ot, _) = graft.ops.Scale.ensureBucketedTables(spark, sf)
+    val probe = spark.table(ot).filter($"o_custkey" === 7L)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+      s"bucket pruning not applied:\n$p")
+    // and the pruned read returns exactly the full-scan answer
+    val want = Tables.orders(spark, sf).filter($"o_custkey" === 7L).count()
+    assert(probe.count() == want)
+  }
 }
