@@ -591,9 +591,9 @@ class Round10Spec extends AnyFunSuite {
     // ships one pre-aggregated row per file, never the rows themselves.
     val conf = spark.conf
     val saved = Seq("spark.sql.sources.useV1SourceList",
-      "spark.sql.parquet.aggregatePushDown").map(k => k -> conf.getOption(k))
+      "spark.sql.parquet.aggregatePushdown").map(k => k -> conf.getOption(k))
     conf.set("spark.sql.sources.useV1SourceList", "") // parquet via DSv2
-    conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
     val pushed =
       try {
         val df = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -628,12 +628,23 @@ class Round10Spec extends AnyFunSuite {
     // literal selects one bucket's files, so a key probe on a 100 TB
     // bucketed fact touches 1/16th of the data before any row filter.
     val (ot, _) = graft.ops.Scale.ensureBucketedTables(spark, sf)
-    val probe = spark.table(ot).filter($"o_custkey" === 7L)
-    val p = probe.queryExecution.executedPlan.toString
-    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
-      s"bucket pruning not applied:\n$p")
-    // and the pruned read returns exactly the full-scan answer
-    val want = Tables.orders(spark, sf).filter($"o_custkey" === 7L).count()
-    assert(probe.count() == want)
+    // the planner auto-disables bucketed scans that feed no
+    // distribution-requiring operator (DisableUnnecessaryBucketedScan);
+    // a bare point lookup must opt back in to claim the pruning
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table(ot).filter($"o_custkey" === 7L)
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+        s"bucket pruning not applied:\n$p")
+      // and the pruned read returns exactly the full-scan answer
+      val want = Tables.orders(spark, sf).filter($"o_custkey" === 7L).count()
+      assert(probe.count() == want)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }
