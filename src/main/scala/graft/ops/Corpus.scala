@@ -480,6 +480,64 @@ object Corpus {
       |LEFT JOIN train_grams tr USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q144: overlapping sliding-window CHUNKING — the RAG/long-context
+    * ingestion shape: each document becomes ceil((n−W)/S)+1 windows of
+    * W=32 tokens at stride S=24 (8-token overlap), so every token
+    * appears in ≥1 chunk and context is preserved across cut points.
+    * Distinct from q54 (packing many docs into fixed shards, no
+    * overlap) and q52 (strided frames over binary payloads): here the
+    * unit is the retrieval chunk with doc provenance and deterministic
+    * chunk ids.
+    *
+    * Pure per-row codegen (sequence → transform → slice → posexplode) —
+    * zero shuffle until the final sort, so at 100 TB this is a scan-
+    * shaped map with output ≈ (1 + overlap share) × input. The chunk
+    * md5 doubles as the downstream dedup/embedding key.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, st) = (32, 24)
+    Tables
+      .documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      .withColumn("nch",
+        when($"n" <= w, 1)
+          .otherwise(expr(s"((n - $w + ${st - 1}) div $st) + 1")))
+      .select(
+        $"doc_id",
+        posexplode(
+          expr(s"transform(sequence(0, nch - 1), " +
+            s"i -> array_join(slice(toks, i*$st+1, $w), ' '))")
+        ).as(Seq("chunk_idx", "chunk")),
+      )
+      .select(
+        $"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        size(split($"chunk", " ")).cast("long").as("chunk_tokens"),
+        md5($"chunk".cast("binary")).as("chunk_md5"),
+      )
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q144Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, t, i AS chunk_idx,
+      |         array_to_string(t[(i*24+1):(i*24+32)], ' ') AS chunk
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(0,
+      |            CASE WHEN n <= 32 THEN 0
+      |                 ELSE (n - 32 + 23) // 24 END)) AS i
+      |        FROM toks) g)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+      |  md5(chunk) AS chunk_md5
+      |FROM spans ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** q141: bigram language-model quality scoring — the CCNet/KenLM-style
     * perplexity filter: train a bigram model on the TRAIN split, score
     * every TEST document by its mean transition probability under that
@@ -1055,6 +1113,7 @@ object Corpus {
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
     QueryDef("q141_bigram_lm", q141, Some(q141Sql)),
+    QueryDef("q144_rag_chunks", q144, Some(q144Sql)),
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),
     QueryDef("q132_top_ngram", q132, Some(q132Sql)),
     QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
