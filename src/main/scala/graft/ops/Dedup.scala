@@ -405,10 +405,101 @@ object Dedup {
       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** q145: fuzzy-dedup SURVIVOR CORPUS — the missing output stage of
+    * the near-dup chain (q35/q37 find pairs, q63 labels clusters, THIS
+    * decides who ships): per near-dup cluster keep exactly the
+    * minimum-doc_id member (deterministic, placement-independent — the
+    * same keep-first rule as the exact-dedup output q62), drop the
+    * rest, and report the per-language survivorship ledger (docs kept /
+    * dropped, token mass kept). Docs touching no near-dup edge are
+    * their own cluster and always survive — the left join + coalesce
+    * keeps them without materializing singleton labels.
+    *
+    * Scale shape: everything rides q63's machinery (blocked candidate
+    * pairs, min-label-propagation components with per-iteration lineage
+    * truncation); the survivor decision adds one hash-partitioned left
+    * join of docs against the (bounded, near-dup-members-only) label
+    * table and one map-side-combinable lang rollup.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 5)).as("prefix"),
+        array_distinct(split($"text", " ")).as("words"),
+      )
+    val l = docs.select($"prefix", $"doc_id".as("a"), $"words".as("wa"))
+    val r = docs.select($"prefix", $"doc_id".as("b"), $"words".as("wb"))
+    val edges = l
+      .join(r, "prefix")
+      .filter($"a" < $"b")
+      .filter(
+        size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb")) >= 0.5)
+      .select($"a", $"b")
+    val labels = connectedComponents(edges)
+      .withColumnRenamed("cluster_root", "root")
+    Tables
+      .documents(s, d)
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("keep",
+        when(coalesce($"root", $"doc_id") === $"doc_id", 1L).otherwise(0L))
+      .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep").as("n_kept"),
+        (count(lit(1)) - sum($"keep")).as("n_dropped"),
+        sum($"keep" * $"n_toks").as("kept_tokens"),
+      )
+      .orderBy($"lang")
+  }
+
+  /** Same recursive-closure oracle as q63, composed with the survivor
+    * decision and the lang ledger.
+    */
+  private val q145Sql =
+    """WITH RECURSIVE
+      |  e AS (
+      |    SELECT a, b FROM (
+      |      SELECT d1.doc_id AS a, d2.doc_id AS b,
+      |        CAST(len(list_intersect(
+      |               list_distinct(string_split(d1.text, ' ')),
+      |               list_distinct(string_split(d2.text, ' ')))) AS DOUBLE) /
+      |        len(list_distinct(list_concat(
+      |               list_distinct(string_split(d1.text, ' ')),
+      |               list_distinct(string_split(d2.text, ' '))))) AS j
+      |      FROM documents d1 JOIN documents d2
+      |        ON array_to_string(list_slice(string_split(d1.text, ' '), 1, 5), ' ') =
+      |           array_to_string(list_slice(string_split(d2.text, ' '), 1, 5), ' ')
+      |       AND d1.doc_id < d2.doc_id) t
+      |    WHERE j >= 0.5),
+      |  sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      |  reach(u, v) AS (
+      |    SELECT u, v FROM sym
+      |    UNION
+      |    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |  labels AS (
+      |    SELECT u AS doc_id, LEAST(u, MIN(v)) AS root
+      |    FROM reach GROUP BY u)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN COALESCE(l.root, d.doc_id) = d.doc_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) - SUM(CASE WHEN COALESCE(l.root, d.doc_id) = d.doc_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN COALESCE(l.root, d.doc_id) = d.doc_id
+      |    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM documents d LEFT JOIN labels l USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q35_minhash_pairs", q35, None),
     QueryDef("q36_simhash_pairs", q36, None),
     QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
     QueryDef("q63_jaccard_clusters", q63, Some(q63Sql)),
+    QueryDef("q145_fuzzy_keep", q145, Some(q145Sql)),
   )
 }
