@@ -121,7 +121,8 @@ class PlanSpec extends AnyFunSuite {
     val oneRowBroadcast = Set(
       "q16_scalar_subquery", "q64_tfidf_terms", "q78_brand_share",
       "q40_cosine_topk", "q49_ivf_topk", "q127_ivfpq_topk",
-      "q91_hll_merge") // 1-row merged × 1-row direct cross
+      "q91_hll_merge", // 1-row merged × 1-row direct cross
+      "q143_triangle_count") // 1-row nodes × edges × triangles counts
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")
