@@ -182,7 +182,11 @@ object Bench {
     // heavy tail and report min(pass1, pass2) per query (both passes go
     // to the JSON for drift visibility): a genuine regression survives
     // both passes; a noisy neighbor doesn't survive two.
-    val retimeK = 8
+    // 16 covers the whole heavy tail (a contended host inflates many
+    // queries at once — the 333 s vs 191 s double-run this round was
+    // pass-1 noise across the board, not regressions); the LINE still
+    // shows only the 8 slowest pairs (char budget), bench_full.json all.
+    val retimeK = 16
     val pass2 = pass1.sortBy(-_._2).take(retimeK).collect {
       case (name, p1time) if !errors.contains(name) =>
         val t0 = System.nanoTime()
@@ -251,16 +255,26 @@ object Bench {
     // could emit a comma decimal separator, breaking the JSON)
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
-    def r1(v: Double): String = (math.round(v * 10) / 10.0).toString
+    // tier-3 space saver: "3.0" → "3", "0.0" → "0" (valid JSON numbers;
+    // ~2 chars × every sub-50 ms query buys ~15 queries of registry
+    // headroom before tier-4 truncation)
+    def r1(v: Double): String = {
+      val x = math.round(v * 10) / 10.0
+      if (x == math.rint(x)) x.toLong.toString else x.toString
+    }
     val sorted = results.sortBy(-_._2)
     def shortKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     def numKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.drop(1).takeWhile(_ != '_') else k
-    // both passes for every re-timed query, so a drifting number is
-    // visible in the round artifact itself, not just the min
+    // both passes for the re-timed heavy tail, so a drifting number is
+    // visible in the round artifact itself, not just the min. The LINE
+    // carries the 8 slowest pairs (char budget — 16 would overflow the
+    // tier-3 cap); min() still uses all retimeK, and bench_full.json
+    // records every pair.
     val p1 = pass1.toMap
-    val retimed = pass2.toSeq.sortBy(_._1)
+    val lineRetimes = pass1.sortBy(-_._2).take(8).map(_._1).toSet
+    val retimed = pass2.toSeq.filter(kv => lineRetimes(kv._1)).sortBy(_._1)
       .map { case (k, v2) => "\"" + shortKey(k) + "\":[" + r2(p1(k)) +
         "," + r2(v2) + "]" }
       .mkString("{", ",", "}")
@@ -269,7 +283,7 @@ object Bench {
     // tier-3 frame: every non-load-bearing char dropped so the complete
     // vector survives registry growth
     val sfBase = sfDir.split('/').last
-    val retimed1 = pass2.toSeq.sortBy(_._1)
+    val retimed1 = pass2.toSeq.filter(kv => lineRetimes(kv._1)).sortBy(_._1)
       .map { case (k, v2) => "\"" + numKey(k) + "\":[" + r1(p1(k)) +
         "," + r1(v2) + "]" }
       .mkString("{", ",", "}")
