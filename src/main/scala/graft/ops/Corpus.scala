@@ -1099,6 +1099,138 @@ object Corpus {
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q146: weight-proportional sampling without replacement
+    * (Efraimidis–Spirakis A-ES) — "sample 200 documents with probability
+    * proportional to token mass", the data-selection primitive behind
+    * token-budgeted subcorpus draws that q90 (fixed per-lang RATE) and
+    * q109 (fixed per-group COUNT) cannot express: here a 4000-token doc
+    * is 100× likelier than a 40-token one, globally, with no
+    * per-group quota. Each doc gets the A-ES priority `u^(1/w)` — u a
+    * deterministic md5-derived uniform in (0,1], w its token count —
+    * ranked as `ln(u)/w` (monotone equivalent, one log instead of a
+    * pow); the global top-k by priority IS the weighted sample.
+    *
+    * Scale: the priority is a pure codegen projection and the top-200 is
+    * `TakeOrderedAndProject` — every scan task keeps a bounded k-heap
+    * and ships k rows, so the exchange carries k·tasks rows, never the
+    * corpus; no global sort, no window. The draw is placement- and
+    * retry-independent (hash, not rand()), so a 1000-executor rerun
+    * reproduces the sample bit-for-bit. Output drops the float priority
+    * (doubles don't hash-compare across engines) — membership itself is
+    * the contract.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u =
+      (conv(
+        substring(
+          md5(concat(lit("ws:"), $"doc_id".cast("string")).cast("binary")),
+          1, 8),
+        16, 10).cast("double") + 1.0) / 4294967296.0
+    Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("es_key", log(u) / $"n_tokens")
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(200)
+      .select($"doc_id", $"lang", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  private val q146Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+      |                             1, 8)) AS BIGINT) + 1)
+      |       / 4294967296.0)
+      |      / len(string_split(text, ' ')) AS es_key
+      |  FROM documents),
+      |sel AS (SELECT * FROM t ORDER BY es_key DESC, doc_id LIMIT 200)
+      |SELECT doc_id, lang, n_tokens FROM sel ORDER BY doc_id""".stripMargin
+
+  /** q148: temperature-flattened language mixture (the mT5/XLM-R
+    * `p^α` resampling rule, α = 0.3) — unlike q60's hand-fixed
+    * per-language rates, the rates here are DERIVED from the corpus
+    * itself: sampling mass q_l ∝ p_l^α flattens the head (en) and
+    * boosts the tail (zh), and each language keeps
+    * `min(1, B·q_l / n_l)` of its docs against a total budget B. The
+    * operational shape is the two-phase pattern q60 has no need for:
+    * aggregate the language histogram (tiny), compute rates on it,
+    * broadcast the rate table back onto the scan, and gate each doc by
+    * a salted md5 uniform against its language's rate — so the corpus
+    * is still read exactly once and the mixture decision is a codegen'd
+    * scan-stage filter at 100 TB, with only a langs-sized broadcast in
+    * between.
+    *
+    * Everything before the final compare is arithmetic on exact
+    * integers (counts) through identical double expressions, so both
+    * engines derive bit-identical rates; the uniform has 2^32
+    * granularity so the gate is reproducible and placement-independent.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val budget = 2000.0
+    val alpha = 0.3
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val hist = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val rates = hist
+      .withColumn("q_raw", pow($"n_l".cast("double") /
+        sum($"n_l").over(Window.partitionBy()), alpha))
+      .withColumn("q_l", $"q_raw" / sum($"q_raw").over(Window.partitionBy()))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget) * $"q_l" / $"n_l".cast("double")))
+      .select($"lang", $"rate")
+    val u32 = conv(
+      substring(
+        md5(concat(lit("tm:"), $"doc_id".cast("string")).cast("binary")),
+        1, 8),
+      16, 10).cast("double")
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", u32 < $"rate" * 4294967296.0)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(max($"rate"), 6).as("rate"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).cast("long")
+          .as("kept_tokens"),
+        min(when($"keep", md5($"text".cast("binary")))).as("min_kept_fp"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q148Sql =
+    """WITH hist AS (
+      |  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      |p AS (
+      |  SELECT lang, n_l,
+      |    pow(CAST(n_l AS DOUBLE) / SUM(n_l) OVER (), 0.3) AS q_raw
+      |  FROM hist),
+      |rates AS (
+      |  SELECT lang,
+      |    LEAST(1.0, 2000.0 * (q_raw / SUM(q_raw) OVER ())
+      |                      / CAST(n_l AS DOUBLE)) AS rate
+      |  FROM p),
+      |t AS (
+      |  SELECT d.lang, d.text,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    r.rate,
+      |    CAST(CAST(('0x' || substr(md5('tm:' || CAST(d.doc_id AS VARCHAR)),
+      |                              1, 8)) AS BIGINT) AS DOUBLE)
+      |      < r.rate * 4294967296.0 AS keep
+      |  FROM documents d JOIN rates r USING (lang))
+      |SELECT lang, COUNT(*) AS n_docs, ROUND(MAX(rate), 6) AS rate,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  MIN(CASE WHEN keep THEN md5(text) END) AS min_kept_fp
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -1117,5 +1249,7 @@ object Corpus {
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),
     QueryDef("q132_top_ngram", q132, Some(q132Sql)),
     QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
+    QueryDef("q146_weighted_sample", q146, Some(q146Sql)),
+    QueryDef("q148_temp_mixture", q148, Some(q148Sql)),
   )
 }

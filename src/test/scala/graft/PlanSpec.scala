@@ -113,6 +113,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"q69 reshuffles between window and agg:\n$p69")
   }
 
+  test("r10c sampling queries keep their scale-critical plan shapes") {
+    // q146: the weighted sample's global top-k is TakeOrderedAndProject
+    // (bounded per-task heap), never a full global sort of the corpus
+    val p146 = plan("q146_weighted_sample")
+    assert(p146.contains("TakeOrderedAndProject"), s"q146 full sort:\n$p146")
+    // q148: the derived rate table joins back as a broadcast — the
+    // corpus side must not shuffle for a langs-sized dimension
+    val p148 = plan("q148_temp_mixture")
+    assert(p148.contains("BroadcastHashJoin"), s"q148 rates not broadcast:\n$p148")
+    assert(!p148.contains("SortMergeJoin"), s"q148 fell back to SMJ:\n$p148")
+  }
+
   test("no registered batch query degenerates to an unbounded cartesian") {
     // 1-row-broadcast denominators (scalar subquery shape) legitimately
     // plan as BroadcastNestedLoopJoin over exactly one row — allow those
