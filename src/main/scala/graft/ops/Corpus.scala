@@ -1231,6 +1231,78 @@ object Corpus {
       |  MIN(CASE WHEN keep THEN md5(text) END) AS min_kept_fp
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q150: corpus snapshot diff — the "what changed between dataset
+    * v1 and v2" audit every periodic corpus refresh needs before
+    * retraining: classify every doc_id across two snapshots as
+    * added / removed / changed / unchanged by FULL OUTER joining the
+    * versions on doc_id and comparing content fingerprints. Two
+    * deterministic snapshot views stand in for the versions (old =
+    * hash-filtered subset with a hash-selected slice of texts
+    * edited via reverse(); new = a different hash-filtered subset,
+    * clean), so every class is non-empty and both engines derive
+    * identical versions from one physical table.
+    *
+    * The full-outer equi-join is the one join shape the batch
+    * inventory had not yet gated (q126 covers it for streams); at
+    * 100 TB it is a shuffle join on the id with map-side-combined
+    * per-class aggregation after — the diff report is class-sized,
+    * nothing wide survives the agg. Fingerprints (md5) stand in for
+    * full-text compare so the join carries 16-byte hashes, not
+    * documents.
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def h(salt: String): Column = substring(
+      md5(concat(lit(salt), $"doc_id".cast("string")).cast("binary")), 1, 2)
+    val old = docs
+      .filter(h("snap:") < "f0")
+      .select($"doc_id",
+        when(h("edit:") < "10", md5(reverse($"text").cast("binary")))
+          .otherwise(md5($"text".cast("binary"))).as("fp_old"))
+    val neu = docs
+      .filter(h("snap:") >= "10")
+      .select($"doc_id", md5($"text".cast("binary")).as("fp_new"))
+    old
+      .join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("change_kind",
+        when($"fp_old".isNull, "added")
+          .when($"fp_new".isNull, "removed")
+          .when($"fp_old" =!= $"fp_new", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"change_kind")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"doc_id").cast("long").as("id_sum"),
+        min(coalesce($"fp_new", $"fp_old")).as("min_fp"),
+      )
+      .orderBy($"change_kind")
+  }
+
+  private val q150Sql =
+    """WITH old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5('edit:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |              < '10'
+      |         THEN md5(reverse(text)) ELSE md5(text) END AS fp_old
+      |  FROM documents
+      |  WHERE substr(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'),
+      |neu AS (
+      |  SELECT doc_id, md5(text) AS fp_new
+      |  FROM documents
+      |  WHERE substr(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10'),
+      |j AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new,
+      |    CASE WHEN fp_old IS NULL THEN 'added'
+      |         WHEN fp_new IS NULL THEN 'removed'
+      |         WHEN fp_old <> fp_new THEN 'changed'
+      |         ELSE 'unchanged' END AS change_kind
+      |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      |SELECT change_kind, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  MIN(COALESCE(fp_new, fp_old)) AS min_fp
+      |FROM j GROUP BY change_kind ORDER BY change_kind""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
@@ -1251,5 +1323,6 @@ object Corpus {
     QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
     QueryDef("q146_weighted_sample", q146, Some(q146Sql)),
     QueryDef("q148_temp_mixture", q148, Some(q148Sql)),
+    QueryDef("q150_snapshot_diff", q150, Some(q150Sql)),
   )
 }

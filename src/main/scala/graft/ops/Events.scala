@@ -518,6 +518,105 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
       |FROM j ORDER BY event_type, hour_id""".stripMargin
 
+  /** q149: gap-filled resampling with LINEAR interpolation — the
+    * companion to q129's LOCF for metrics that are RATES rather than
+    * states: an empty hour between two observations of a smoothly
+    * varying quantity is best estimated on the line between them, not
+    * held at the stale value. Per event_type, each unobserved spine
+    * hour gets `prev + (next − prev) · (h − h_prev)/(h_next − h_prev)`
+    * where prev/next are the nearest observed hours — found with ONE
+    * window pass each way: `last(_, ignoreNulls)` over the preceding
+    * frame and `first(_, ignoreNulls)` over the following frame (the
+    * bidirectional IGNORE NULLS idiom; q129 only needs the backward
+    * half). Spine bounds are each type's min/max observed hour, so
+    * every interior gap has both endpoints and the interpolant is
+    * total.
+    *
+    * Scale: identical discipline to q129 — the event stream collapses
+    * to (type, hour) via a map-side-combined hash-agg BEFORE any
+    * window; both window passes and the join run on the bounded spine
+    * (types × hours), partitioned by type. The interpolation itself is
+    * integer cents through one exactly-representable double ratio,
+    * rounded to 4dp, so both engines agree bit-for-bit.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables
+      .events(s, d)
+      .groupBy(
+        $"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("cents"))
+    val spine = obs
+      .groupBy($"event_type")
+      .agg(min($"hour_id").as("lo"), max($"hour_id").as("hi"))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("hour_id"))
+    val base = Window.partitionBy("event_type").orderBy("hour_id")
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .join(obs, Seq("event_type", "hour_id"), "left")
+      .select(
+        $"event_type", $"hour_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"cents",
+        last($"cents", ignoreNulls = true).over(back).as("pv"),
+        last(when($"cents".isNotNull, $"hour_id"), ignoreNulls = true)
+          .over(back).as("ph"),
+        first($"cents", ignoreNulls = true).over(fwd).as("nv"),
+        first(when($"cents".isNotNull, $"hour_id"), ignoreNulls = true)
+          .over(fwd).as("nh"))
+      .select(
+        $"event_type", $"hour_id", $"n_events",
+        round(
+          when($"cents".isNotNull, $"cents".cast("double"))
+            .otherwise(
+              $"pv" + ($"nv" - $"pv").cast("double")
+                * ($"hour_id" - $"ph") / ($"nh" - $"ph")),
+          4).as("cents_interp"))
+      .orderBy($"event_type", $"hour_id")
+  }
+
+  private val q149Sql =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(hour_id) AS lo, MAX(hour_id) AS hi
+      |      FROM obs GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour_id
+      |          FROM b),
+      |j AS (SELECT s.event_type, s.hour_id, o.n_events, o.cents
+      |      FROM spine s LEFT JOIN obs o USING (event_type, hour_id)),
+      |w AS (
+      |  SELECT event_type, hour_id, COALESCE(n_events, 0) AS n_events,
+      |    cents,
+      |    last_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hour_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN hour_id END
+      |               IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hour_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    first_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hour_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN hour_id END
+      |                IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hour_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM j)
+      |SELECT event_type, hour_id, n_events,
+      |  ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+      |             ELSE pv + CAST(nv - pv AS DOUBLE)
+      |                         * (hour_id - ph) / (nh - ph) END,
+      |        4) AS cents_interp
+      |FROM w ORDER BY event_type, hour_id""".stripMargin
+
   /** q69: burstiness via a RANGE window frame — for each event, how many
     * events the same user produced in the trailing hour (inclusive),
     * reduced to the per-user maximum. The frame bound is integer
@@ -1005,6 +1104,7 @@ object Events {
       (s, d) => graft.streaming.Streams.cdcTombstoneCompact(s, d),
       Some(q125Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
+    QueryDef("q149_linear_interp", q149, Some(q149Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )
 }
