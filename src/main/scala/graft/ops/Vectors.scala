@@ -624,6 +624,73 @@ object Vectors {
     ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
       nCells = 16, nProbe = 4, rerank = 50)
 
+  /** Semantic deduplication (the SemDeDup shape: cluster the embedding
+    * space, then prune near-duplicate SEMANTICS inside each cluster —
+    * near-dup pairs across clusters are, by construction of the
+    * clustering, rare): assign every vector to its IVF cell, self-join
+    * WITHIN cells only, and drop any vector that has a cos ≥ `tau`
+    * neighbor with a smaller vec_id (keep-first — deterministic and
+    * placement-independent, the q62/q145 survivor rule applied to
+    * embedding space). Complements the text-side sketches: MinHash
+    * (q35) catches lexical overlap, SemDeDup catches paraphrases with
+    * near-identical embeddings that share no 5-gram.
+    *
+    * Scale: the pair space is bounded per cell (the skew guard every
+    * banded self-join here uses — cells are capped by construction of
+    * k-means on normalized vectors; a pathological cell would surface
+    * in the q49 index stats), the join is an equi-join on cell id, and
+    * the verdict is an anti-join — no global pairs, no iteration, no
+    * driver data. At 100 TB this runs per `partitionBy(cell)` shard of
+    * the q49 index, so the candidate generation never crosses cell
+    * files.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nCells: Int,
+      tau: Double,
+      dims: Int = 64,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = ivfCentroids(embeddings, nCells, dims)
+    val idx = ivfIndex(embeddings, cents, nCells, dims)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val lhs = idx.select(col("cell"), col("vec_id").as("kid"),
+      col("embedding").as("ke"))
+    val rhs = idx.select(col("cell"), col("vec_id").as("did"),
+      col("embedding").as("de"))
+    val dropped = lhs
+      .join(rhs, Seq("cell"))
+      .filter(col("kid") < col("did"))
+      .filter(graft.functions.VectorExprs
+        .vecCosine(spark, col("ke"), col("de")) >= tau)
+      .select(col("did")).distinct()
+    idx
+      .join(dropped, idx("vec_id") === dropped("did"), "left_anti")
+      .select(col("cell"), col("vec_id"))
+  }
+
+  /** q147: per-cell survivorship ledger of [[semanticDedup]] — n
+    * vectors in the cell, n surviving, n pruned. τ = 0.38 sits inside
+    * the synthetic fixture's observed cosine range (random Gaussian
+    * embeddings top out near 0.48, so a production-style 0.95+ would
+    * prune nothing here); real corpora pass their own τ to
+    * [[semanticDedup]]. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCentroids(emb, nCells = 16)
+    val sizes = ivfIndex(emb, cents, nCells = 16)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val kept = semanticDedup(emb, nCells = 16, tau = 0.38)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    sizes
+      .join(kept, Seq("cell"), "left")
+      .select(col("cell"),
+        col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_pruned"))
+      .orderBy(col("cell"))
+  }
+
   /** q108: int8 embedding quantization — the compression step every
     * embedding store/ANN index runs before serving (float32 → int8 is
     * 4× less memory and bandwidth, and integer dot products). Per
@@ -688,6 +755,9 @@ object Vectors {
     // sketch class (ADC-approximate scores) — gated by Round10Spec's
     // recall/ADC-error bounds instead of a SQL oracle, like q49/q41
     QueryDef("q127_ivfpq_topk", q127, None),
+    // sketch class (cluster-bounded candidate generation) — gated by
+    // Round10Spec's brute-force-equivalence + consistency tests
+    QueryDef("q147_semantic_dedup", q147, None),
     QueryDef("q99_hof_arrays", q99, Some(q99Sql)),
     QueryDef("q108_int8_quant", q108, Some(q108Sql)),
   )

@@ -647,4 +647,58 @@ class Round10Spec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("semanticDedup: one cell ≡ global brute force; cells are consistent") {
+    import ops.Vectors
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val tau = 0.38
+    // in-memory reference: normalized vectors keyed by vec_id
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues { v =>
+        val a = v.map(_.toDouble).toArray
+        val n = math.sqrt(a.map(x => x * x).sum)
+        if (n > 0) a.map(_ / n) else a
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def bruteKeep(ids: Seq[Long]): Set[Long] = {
+      val sorted = ids.sorted
+      sorted.filter { id =>
+        !sorted.exists(o => o < id && cos(vecs(o), vecs(id)) >= tau)
+      }.toSet
+    }
+    // nCells = 1: every pair is in the one cell, so the survivor set
+    // must equal the global SemDeDup keep-first rule exactly
+    val oneCell = Vectors.semanticDedup(emb, nCells = 1, tau = tau)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(oneCell == bruteKeep(vecs.keys.toSeq),
+      s"single-cell SemDeDup diverges from brute force")
+    // nCells = 16: per-cell survivors must equal brute force restricted
+    // to that cell's members (internal consistency of the banded plan)
+    val cents = Vectors.ivfCentroids(emb, nCells = 16)
+    val cellOf = Vectors.ivfIndex(emb, cents, nCells = 16)
+      .select($"vec_id", $"cell")
+      .as[(Long, Int)]
+      .collect().toMap
+    val got = Vectors.semanticDedup(emb, nCells = 16, tau = tau)
+      .select($"vec_id").as[Long].collect().toSet
+    val want = cellOf.groupBy(_._2).values
+      .flatMap(m => bruteKeep(m.keys.toSeq)).toSet
+    assert(got == want, "per-cell SemDeDup diverges from in-cell brute force")
+    // and the pruning is non-trivial on the fixture: something dropped,
+    // most kept
+    assert(got.size < vecs.size && got.size > vecs.size / 2)
+    // planted exact duplicates: a copy has cosine 1 with its source and
+    // an identical cell assignment, so it must be pruned at ANY τ —
+    // the "true dup never survives banding" guarantee
+    val planted = emb.limit(5)
+      .withColumn("vec_id", col("vec_id") + 10000L)
+    val withDups = emb.unionByName(planted)
+    val survivors = Vectors.semanticDedup(withDups, nCells = 16, tau = 0.97)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((0 until 5).forall(i => !survivors.exists(_ >= 10000L)),
+      "a planted exact duplicate survived semantic dedup")
+  }
 }
