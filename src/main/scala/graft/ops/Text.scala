@@ -591,6 +591,73 @@ object Text {
        |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS keep_pct
        |FROM l GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q151: Pareto frontier (2-D skyline) of the corpus on
+    * (length, lexical diversity) — the docs no other doc beats on BOTH
+    * axes, the shape data-selection uses when two quality signals trade
+    * off (longer docs repeat more; a short doc only earns its place by
+    * diversity). Dominance is the standard skyline rule: doc j
+    * dominates i iff x_j ≥ x_i ∧ y_j ≥ y_i with one strict. Both axes
+    * are integers (token count; TTR in ppm by integer division) so the
+    * cross-engine compare is exact.
+    *
+    * Scale: the textbook formulation is a quadratic NOT EXISTS self-join
+    * (the oracle runs exactly that, as the independent second strategy —
+    * q143's dual-enumeration discipline). The engine plan instead
+    * reduces the corpus by hash-agg to distinct (x, y) points with
+    * counts, reduces again to per-x max-y (cardinality ≤ the token-count
+    * DOMAIN, not the corpus), and runs one running-max window over that
+    * value-domain-sized table: a frontier x survives iff its max-y beats
+    * every strictly-larger x's max-y (RANGE frame ending at -1 ⇒ the
+    * strict-dominance tie rule falls out of the frame bound). The only
+    * unpartitioned window runs on the bounded per-x table — never the
+    * corpus — then one broadcast join back recovers the surviving
+    * points' counts.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val pts = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        expr("""1000000L * CAST(size(array_distinct(split(text, ' ')))
+                AS BIGINT) DIV size(split(text, ' '))""").as("ttr_ppm"))
+    val byXY = pts
+      .groupBy($"n_tokens", $"ttr_ppm")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+    val byX = byXY
+      .groupBy($"n_tokens")
+      .agg(max($"ttr_ppm").as("max_y"))
+    val w = Window.orderBy($"n_tokens".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontierX = byX
+      .withColumn("m1", max($"max_y").over(w))
+      .filter($"m1".isNull || $"max_y" > $"m1")
+      .select($"n_tokens", $"max_y".as("ttr_ppm"))
+    frontierX
+      .join(byXY, Seq("n_tokens", "ttr_ppm"))
+      .select($"n_tokens", $"ttr_ppm", $"n_docs", $"min_doc")
+      .orderBy($"n_tokens")
+  }
+
+  private val q151Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    (1000000 * CAST(len(list_distinct(string_split(text, ' ')))
+      |       AS BIGINT)) // len(string_split(text, ' ')) AS ttr_ppm
+      |  FROM documents),
+      |f AS (
+      |  SELECT * FROM p a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p b
+      |    WHERE b.n_tokens >= a.n_tokens AND b.ttr_ppm >= a.ttr_ppm
+      |      AND (b.n_tokens > a.n_tokens OR b.ttr_ppm > a.ttr_ppm)))
+      |SELECT n_tokens, ttr_ppm, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc
+      |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** q61: type-token ratio (lexical diversity) — the repetition-quality
     * signal: boilerplate/spam repeats tokens, so low TTR flags docs a
     * pretraining filter drops. Pure projection + hash-agg per source.
@@ -816,6 +883,7 @@ object Text {
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
+    QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
     QueryDef("q140_passage_dedup", q140, Some(q140Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),
