@@ -617,6 +617,17 @@ object Events {
       |        4) AS cents_interp
       |FROM w ORDER BY event_type, hour_id""".stripMargin
 
+  private val q152Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean,
+      |  CAST(SUM(CASE WHEN user_id % 13 <> 0
+      |             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |    AS BIGINT) AS clean_cents,
+      |  CAST(SUM(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_quar
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q69: burstiness via a RANGE window frame — for each event, how many
     * events the same user produced in the trailing hour (inclusive),
     * reduced to the per-user maximum. The frame bound is integer
@@ -1104,6 +1115,12 @@ object Events {
       (s, d) => graft.streaming.Streams.cdcTombstoneCompact(s, d),
       Some(q125Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
+    // Dual-sink foreachBatch fanout under the oracle gate: the union of
+    // the clean and quarantine sinks must hash-match one batch scan —
+    // a lost/duplicated batch install or double-routed row breaks it.
+    QueryDef("q152_stream_fanout",
+      (s, d) => graft.streaming.Streams.streamFanout(s, d),
+      Some(q152Sql)),
     QueryDef("q149_linear_interp", q149, Some(q149Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )

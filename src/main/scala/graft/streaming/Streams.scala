@@ -772,6 +772,109 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Install one sink's slice of a microbatch as an immutable
+    * `b<batchId>` directory — temp-dir + atomic rename, so a batch
+    * replayed under foreachBatch's at-least-once contract REPLACES its
+    * own previous attempt (same id ⇒ same target) instead of appending
+    * a duplicate. This is the idempotence discipline that makes a
+    * MULTI-sink foreachBatch exactly-once per sink: each sink's commit
+    * unit is keyed by batch id, so a crash between the two installs
+    * replays into overwrites, never double-counts. (Round10Spec drives
+    * the writer twice with one id and asserts both sinks unchanged.)
+    */
+  private[graft] def fanoutInstall(
+      batch: DataFrame,
+      sinkDir: java.nio.file.Path,
+      id: Long,
+  ): Unit = {
+    java.nio.file.Files.createDirectories(sinkDir)
+    val tmp = sinkDir.resolve(s"tmp_b$id")
+    deleteStaged(tmp)
+    batch.coalesce(1).write.parquet(tmp.toString)
+    val dst = sinkDir.resolve(s"b$id")
+    deleteStaged(dst)
+    java.nio.file.Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Dual-sink streaming fanout under the driver's oracle gate (q152) —
+    * the multi-sink delivery pattern every ingest job needs and no
+    * single-sink harness exercises: ONE stream split by a routing
+    * predicate into a CLEAN feed and a QUARANTINE feed (here a
+    * blocklist: `user_id % 13 = 0` rows are impounded), both written
+    * from the SAME foreachBatch invocation via [[fanoutInstall]]'s
+    * batchId-keyed atomic installs. foreachBatch is the only place a
+    * streaming query may address two sinks; the contract that makes it
+    * correct is per-sink idempotent commit units, not a cross-sink
+    * transaction — a replay rewrites both slices byte-identically.
+    *
+    * The query itself is a stateless projection (the interesting state
+    * is the SINK protocol), staged as 4 part files read with
+    * `maxFilesPerTrigger=1` so four genuine microbatches traverse the
+    * dual-install path. The summary read back unions both sinks and
+    * must hash-match a one-scan batch oracle over the source table —
+    * a lost batch, duplicated install, or row routed to both sinks
+    * breaks per-type counts.
+    */
+  def streamFanout(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"fan_$uuid")
+    val srcDir = root.resolve("src").toString
+    val slimSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+    spark.read.schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(4)
+      .write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema(slimSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("cents", expr("CAST(ROUND(value * 100) AS LONG)"))
+      .withColumn("blocked", $"user_id" % 13 === 0)
+    val clean = root.resolve("clean")
+    val quar = root.resolve("quar")
+    withFewStatePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          // both slices derive from one cached pass over the batch —
+          // a file-source batch is re-readable, but don't scan it twice
+          val b = batch.persist()
+          try {
+            fanoutInstall(b.filter(!col("blocked")).drop("blocked"),
+              clean, id)
+            fanoutInstall(b.filter(col("blocked")).drop("blocked"),
+              quar, id)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    deleteStaged(root.resolve("src"))
+    def readSink(p: java.nio.file.Path): DataFrame =
+      spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
+    val cleanAgg = readSink(clean)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_clean"), sum($"cents").as("clean_cents"))
+    val quarAgg = readSink(quar)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_quar"))
+    cleanAgg
+      .join(quarAgg, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        coalesce($"n_clean", lit(0L)).as("n_clean"),
+        coalesce($"clean_cents", lit(0L)).as("clean_cents"),
+        coalesce($"n_quar", lit(0L)).as("n_quar"))
+      .orderBy($"event_type")
+  }
+
   /** LEFT OUTER stream-stream interval join under the driver's oracle
     * gate (q117) — the semantic q96's inner join cannot exercise: an
     * unmatched click is emitted WITH NULLS exactly once, when the

@@ -648,6 +648,31 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("fanoutInstall: replaying a batch id replaces, never duplicates") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("fanout")
+      .resolve("clean")
+    val b = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.streaming.Streams.fanoutInstall(b, sink, 3L)
+    def readAll(): Seq[Seq[Any]] = spark.read
+      .option("recursiveFileLookup", "true").parquet(sink.toString)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val first = readAll()
+    assert(first.size == 2)
+    // at-least-once replay: the same batch id installs into the same
+    // commit unit — the sink's TOTAL content must not change
+    graft.streaming.Streams.fanoutInstall(b, sink, 3L)
+    assert(readAll() == first, "replay duplicated the batch")
+    // and exactly one commit unit exists (no tmp residue, no b3 copy)
+    val entries = scala.util.Using.resource(
+      java.nio.file.Files.list(sink))(s =>
+      s.map[String](_.getFileName.toString).toArray.toSeq)
+    assert(entries == Seq("b3"), s"unexpected sink entries: $entries")
+    // a DIFFERENT batch id is a new commit unit, not an overwrite
+    graft.streaming.Streams.fanoutInstall(b, sink, 4L)
+    assert(readAll().size == 4)
+  }
+
   test("semanticDedup: one cell ≡ global brute force; cells are consistent") {
     import ops.Vectors
     import spark.implicits._
