@@ -617,6 +617,61 @@ object Events {
       |        4) AS cents_interp
       |FROM w ORDER BY event_type, hour_id""".stripMargin
 
+  /** q153: SCD Type-2 history derivation — turn a per-key changelog
+    * into the versioned dimension table every warehouse keeps: one row
+    * per VALUE CHANGE (consecutive duplicates collapse — an event that
+    * repeats the current state is a heartbeat, not a version), each
+    * stamped `valid_from`/`valid_to` by the next change's timestamp,
+    * open-ended (`NULL` + is_current) on the latest. Two window passes
+    * over ONE shuffle on user_id: lag() finds the change points,
+    * lead() AFTER the change filter chains each version to its
+    * successor (lead before the filter would close a version at a
+    * heartbeat that changed nothing). Ties broken by event_id, so the
+    * version chain is a total order and both engines agree exactly.
+    *
+    * Scale: partition-local windows after one hash exchange; output is
+    * bounded by the CHANGE count, not the event count — the compaction
+    * that makes dimension history storable at 100 TB of changelog.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val changes = Tables
+      .events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    val w2 = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    changes
+      .select(
+        $"user_id",
+        row_number().over(w2).cast("long").as("ver"),
+        $"event_type",
+        $"us".as("valid_from_us"),
+        lead($"us", 1).over(w2).as("valid_to_us"))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .orderBy($"user_id", $"ver")
+  }
+
+  private val q153Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM e
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS ver,
+      |  event_type,
+      |  us AS valid_from_us,
+      |  LEAD(us) OVER w AS valid_to_us,
+      |  (LEAD(us) OVER w IS NULL) AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, ver""".stripMargin
+
   private val q152Sql =
     """SELECT event_type,
       |  CAST(SUM(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END)
@@ -1122,6 +1177,7 @@ object Events {
       (s, d) => graft.streaming.Streams.streamFanout(s, d),
       Some(q152Sql)),
     QueryDef("q149_linear_interp", q149, Some(q149Sql)),
+    QueryDef("q153_scd2_history", q153, Some(q153Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )
 }

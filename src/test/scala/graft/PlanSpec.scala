@@ -123,6 +123,11 @@ class PlanSpec extends AnyFunSuite {
     val p148 = plan("q148_temp_mixture")
     assert(p148.contains("BroadcastHashJoin"), s"q148 rates not broadcast:\n$p148")
     assert(!p148.contains("SortMergeJoin"), s"q148 fell back to SMJ:\n$p148")
+    // q153: the change-filter window and the versioning windows reuse
+    // ONE hash exchange on user_id (plus the final presentation sort)
+    val p153 = plan("q153_scd2_history")
+    val hashEx153 = "hashpartitioning".r.findAllIn(p153).size
+    assert(hashEx153 <= 1, s"q153 reshuffles between windows:\n$p153")
   }
 
   test("no registered batch query degenerates to an unbounded cartesian") {
