@@ -45,9 +45,18 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy driver layout: TIMESTAMP(NANOS) surfaced as LONG nanos
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        // current driver layout: plain µs timestamp (NTZ in the file);
+        // cast to TIMESTAMP under the UTC session = identical µs values
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")

@@ -13,16 +13,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** File-stream schema for the driver `events` table: streaming file
-    * sources need an explicit schema, and declaring `ts` LONG is the
-    * same TIMESTAMP(NANOS)-as-long contract as `Tables.events` (the
-    * session-wide `nanosAsLong` flag must be set — every harness below
-    * calls `Tables.ensureNanosAsLong` first).
+  /** The driver's `events.parquet` has shipped with TWO physical `ts`
+    * types across testdata generations: parquet TIMESTAMP(NANOS)
+    * (readable only as LONG under the `nanosAsLong` flag) and plain µs
+    * TIMESTAMP_NTZ (the current layout). Streaming file sources need an
+    * explicit schema, so every harness detects the layout from the file
+    * footer ONCE (one cheap metadata read) and goes through the helpers
+    * below — the engine absorbs this source-schema drift without a code
+    * change, the way a long-lived 100 TB pipeline must.
     */
-  private val eventsSchema =
+  private def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    graft.Tables.ensureNanosAsLong(spark)
+    graft.Tables.load(spark, dir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+  }
+
+  private def eventsSchema(tsLong: Boolean) =
     org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      (if (tsLong) "event_id LONG, ts LONG, "
+       else "event_id LONG, ts TIMESTAMP_NTZ, ") +
+        "user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  /** Event-time column (µs TIMESTAMP) from the raw `ts`, either layout;
+    * NTZ→TIMESTAMP cast is value-identical under the UTC session. */
+  private def wtsExpr(tsLong: Boolean): org.apache.spark.sql.Column =
+    if (tsLong) timestamp_micros(expr("ts DIV 1000"))
+    else col("ts").cast("timestamp")
+
+  /** Raw `ts` as epoch MICROSECONDS (long), either layout. */
+  private def usExpr(tsLong: Boolean): org.apache.spark.sql.Column =
+    if (tsLong) expr("ts DIV 1000")
+    else unix_micros(col("ts").cast("timestamp"))
+
+  /** Rewrite a sentinel row frame's LONG-nanos `ts` into the staged
+    * source's physical type so ONE declared schema reads real files and
+    * sentinel files alike. */
+  private def sentinelTs(df: DataFrame, tsLong: Boolean): DataFrame =
+    if (tsLong) df
+    else df.withColumn("ts",
+      expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
 
   /** Replay a generated stream (parquet of gen.Event) as a streaming
     * DataFrame with a wall-clock event-time column: tick → epoch + tick
@@ -181,17 +210,17 @@ object Streams {
     * at 2dp is association-order-safe (same rule as the batch twin).
     */
   def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    // same TIMESTAMP(NANOS) handling as Tables.events — file streams
-    // need an explicit schema, so nanos arrive as LONG by declaration
-    graft.Tables.ensureNanosAsLong(spark)
-    val schema = eventsSchema
+    // same ts-layout handling as Tables.events — file streams need an
+    // explicit schema, so detect the physical type from the footer
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsSchema(tsLong)
     // the file source lists a DIRECTORY; select just the events table
     // out of the shared sf dir by filename glob
     val stream = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", wtsExpr(tsLong))
     val agg = stream
       .groupBy(
         unix_micros(date_trunc("hour", col("wts"))).as("hour_us"),
@@ -226,8 +255,8 @@ object Streams {
     * per-window accumulation across microbatches is association-safe.
     */
   def appendHourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
-    val schema = eventsSchema
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsSchema(tsLong)
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val src = java.nio.file.Paths.get("target", "graft_stream", s"src_$uuid")
@@ -235,18 +264,19 @@ object Streams {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       src.resolve("events.parquet"))
-    // nanos like the source, epoch + ~126 yr; both sentinels land in ONE
-    // far-future hour window
+    // nanos (converted to the staged layout at write), epoch + ~126 yr;
+    // both sentinels land in ONE far-future hour window
     val far = 4000000000000000000L
     def writeSentinel(ts: Long): Unit =
-      Seq((-1L, ts, -1L, "__sentinel__", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinelTs(Seq((-1L, ts, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        tsLong)
         .coalesce(1).write.mode("append").parquet(src.toString)
     writeSentinel(far) // rides with the real data in batch 0
     val agg = spark.readStream
       .schema(schema)
       .parquet(src.toString)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", wtsExpr(tsLong))
       .withWatermark("wts", "1 hour")
       .groupBy(window(col("wts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -302,8 +332,8 @@ object Streams {
     * microbatch accumulation.
     */
   def dedupThenHourly(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
-    val schema = eventsSchema
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsSchema(tsLong)
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val src = java.nio.file.Paths.get("target", "graft_stream", s"dup_$uuid")
@@ -315,14 +345,15 @@ object Streams {
     }
     val far = 4000000000000000000L
     def writeSentinel(id: Long, ts: Long): Unit =
-      Seq((id, ts, -1L, "__sentinel__", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      sentinelTs(Seq((id, ts, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        tsLong)
         .coalesce(1).write.mode("append").parquet(src.toString)
     writeSentinel(-1L, far)
     val agg = spark.readStream
       .schema(schema)
       .parquet(src.toString)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", wtsExpr(tsLong))
       .withWatermark("wts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("wts"), "1 hour"), col("event_type"))
@@ -367,8 +398,8 @@ object Streams {
     * integer cent grid so the streamed sum is association-order-safe.
     */
   def enrichedNationCounts(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
-    val schema = eventsSchema
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsSchema(tsLong)
     val dim = graft.Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
         col("n_name"))
@@ -500,7 +531,7 @@ object Streams {
     * on both sides.
     */
   def attributionCounts(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     // Stage the one table this query reads into a private single-file
     // dir (q94's pattern) and derive BOTH join branches from ONE
     // readStream: the original harness built two independent sources
@@ -514,17 +545,20 @@ object Streams {
     // ~1/10 the table, and each microbatch's two branch scans read that.
     val src0 = java.nio.file.Paths.get("target", "graft_stream",
       "attr_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    spark.read.schema(eventsSchema)
+    // staging also NORMALIZES ts to LONG epoch-µs, so the streamed
+    // schema below is layout-independent
+    spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
+        col("event_type"))
       .coalesce(1)
       .write.parquet(src0.toString)
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
       .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", timestamp_micros(col("ts_us")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("luser"), col("wts").as("lts"),
         col("event_id").as("levent"))
@@ -696,7 +730,7 @@ object Streams {
       agg: DataFrame => DataFrame,
       merge: (Option[DataFrame], DataFrame) => DataFrame,
   ): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val root = java.nio.file.Paths.get("target", "graft_stream", s"${tag}_$uuid")
@@ -705,20 +739,22 @@ object Streams {
     // microbatches, projecting away the wide props JSON the aggregate
     // never touches (the staging shuffle would otherwise move and
     // rewrite it 1:1 — column pruning belongs at the WRITE when the
-    // writer owns the layout).
+    // writer owns the layout). Staging normalizes ts to LONG epoch-µs
+    // so the streamed schema is layout-independent.
     val upsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE")
-    spark.read.schema(eventsSchema)
+    spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .select($"event_id", usExpr(tsLong).as("ts_us"), $"user_id",
+        $"event_type", $"value")
       .repartition(4)
       .write.parquet(srcDir)
     val aggDf = agg(spark.readStream
       .schema(upsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000"))))
+      .withColumn("wts", timestamp_micros(col("ts_us"))))
     val sinkRoot = root.resolve("sink")
     // Sink recovery reads the sink itself, never driver memory: the
     // v<batchId> snapshot dirs ARE the commit log. A batch replayed
@@ -817,18 +853,19 @@ object Streams {
     * breaks per-type counts.
     */
   def streamFanout(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val root = java.nio.file.Paths.get("target", "graft_stream",
       s"fan_$uuid")
     val srcDir = root.resolve("src").toString
     val slimSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE")
-    spark.read.schema(eventsSchema)
+    spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .select($"event_id", usExpr(tsLong).as("ts_us"), $"user_id",
+        $"event_type", $"value")
       .repartition(4)
       .write.parquet(srcDir)
     val stream = spark.readStream
@@ -895,23 +932,25 @@ object Streams {
     * filtered at readback.
     */
   def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     import spark.implicits._
     val src0 = java.nio.file.Paths.get("target", "graft_stream",
       "outer_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    val ev = spark.read.schema(eventsSchema)
+    // staging normalizes ts to LONG epoch-µs (layout-independent stream)
+    val ev = spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
+        col("event_type"))
     ev.coalesce(1).write.parquet(src0.toString)
     // bounded 1-row collect: the sentinel must clear every click's
     // outer-eviction bound, max(ts) + horizon, plus the watermark delay
-    val hiNs = ev.agg(max(col("ts"))).head.getLong(0)
+    val hiUs = ev.agg(max(col("ts_us"))).head.getLong(0)
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
       .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", timestamp_micros(col("ts_us")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("luser"), col("wts").as("lts"),
         col("event_id").as("levent"))
@@ -945,9 +984,9 @@ object Streams {
       try {
         q.processAllAvailable() // data batch: pairs emit, orphans buffer
         // sentinel pair: watermark → max + 1h + 10min + 2s on both sides
-        val sentNs = hiNs + (3600L + 600L + 2L) * 1000000000L
-        Seq((-1L, sentNs, -1L, "click"), (-2L, sentNs, -1L, "purchase"))
-          .toDF("event_id", "ts", "user_id", "event_type")
+        val sentUs = hiUs + (3600L + 600L + 2L) * 1000000L
+        Seq((-1L, sentUs, -1L, "click"), (-2L, sentUs, -1L, "purchase"))
+          .toDF("event_id", "ts_us", "user_id", "event_type")
           .coalesce(1).write.mode("append").parquet(src0.toString)
         q.processAllAvailable() // eviction batch: orphans release
       } finally q.stop()
@@ -983,21 +1022,23 @@ object Streams {
     * they surface as one filtered pair, never as orphans.
     */
   def attributionFullOuter(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     import spark.implicits._
     val src0 = java.nio.file.Paths.get("target", "graft_stream",
       "fouter_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    val ev = spark.read.schema(eventsSchema)
+    // staging normalizes ts to LONG epoch-µs (layout-independent stream)
+    val ev = spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
+        col("event_type"))
     ev.coalesce(1).write.parquet(src0.toString)
-    val hiNs = ev.agg(max(col("ts"))).head.getLong(0)
+    val hiUs = ev.agg(max(col("ts_us"))).head.getLong(0)
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING"))
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
       .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", timestamp_micros(col("ts_us")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("luser"), col("wts").as("lts"),
         col("event_id").as("levent"))
@@ -1026,9 +1067,9 @@ object Streams {
         .start()
       try {
         q.processAllAvailable() // data batch: pairs emit, orphans buffer
-        val sentNs = hiNs + (3600L + 600L + 2L) * 1000000000L
-        Seq((-1L, sentNs, -1L, "click"), (-2L, sentNs, -1L, "purchase"))
-          .toDF("event_id", "ts", "user_id", "event_type")
+        val sentUs = hiUs + (3600L + 600L + 2L) * 1000000L
+        Seq((-1L, sentUs, -1L, "click"), (-2L, sentUs, -1L, "purchase"))
+          .toDF("event_id", "ts_us", "user_id", "event_type")
           .coalesce(1).write.mode("append").parquet(src0.toString)
         q.processAllAvailable() // eviction batch: both sides' orphans
       } finally q.stop()
@@ -1105,11 +1146,11 @@ object Streams {
     */
   def typeCountsTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       implicit val outEnc = Encoders.product[TypeCount]
       val updates = spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(tsLong))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .select($"user_id", $"event_type")
@@ -1139,12 +1180,12 @@ object Streams {
     * window). Session bounds are exact integer microseconds.
     */
   def sessionWindowRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     val src = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(tsLong))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("wts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("wts", wtsExpr(tsLong))
       .select(col("user_id"), col("wts"))
     val sessions = sessionWindows(src, gap = "30 minutes")
       .select(
@@ -1240,15 +1281,15 @@ object Streams {
       gapUs: Long = 1800L * 1000000L,
   ): DataFrame = {
     import spark.implicits._
-    graft.Tables.ensureNanosAsLong(spark)
-    val schema = eventsSchema
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = eventsSchema(tsLong)
     implicit val stEnc  = Encoders.product[SessStatState]
     implicit val outEnc = Encoders.product[SessStatRow]
     val updates = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select($"user_id", expr("ts DIV 1000").as("us"))
+      .select($"user_id", usExpr(tsLong).as("us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
@@ -1511,14 +1552,14 @@ object Streams {
       gapUs: Long = 1800L * 1000000L,
   ): DataFrame = {
     import spark.implicits._
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       implicit val outEnc = Encoders.product[SessStatRow]
       val updates = spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(tsLong))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .select($"user_id", expr("ts DIV 1000").as("us"))
+        .select($"user_id", usExpr(tsLong).as("us"))
         .as[(Long, Long)]
         .groupByKey(_._1)
         .transformWithState(new SessStatProcessor(gapUs),
@@ -1564,7 +1605,7 @@ object Streams {
       gapUs: Long = 1800L * 1000000L,
   ): DataFrame = {
     import spark.implicits._
-    graft.Tables.ensureNanosAsLong(spark)
+    val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
       val root = java.nio.file.Paths.get("target", "graft_stream",
@@ -1577,9 +1618,9 @@ object Streams {
       // oldest-modification-time first, so the files' modtimes are
       // pinned to their time ranges — part-00000 IS the low range by
       // the range partitioner's ordering.
-      spark.read.schema(eventsSchema)
+      spark.read.schema(eventsSchema(tsLong))
         .parquet(s"$dir/events.parquet")
-        .select($"user_id", expr("ts DIV 1000").as("us"))
+        .select($"user_id", usExpr(tsLong).as("us"))
         .repartitionByRange(2, $"us")
         .write.parquet(srcDir)
       val parts = scala.util.Using.resource(
