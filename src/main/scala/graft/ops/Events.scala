@@ -1075,7 +1075,141 @@ object Events {
       |  list_reduce(cs, (x, y) -> (y + 3 * x) // 4) AS ewma_cents
       |FROM g ORDER BY user_id""".stripMargin
 
+  /** q154: first-order Markov transition matrix over per-user event
+    * sequences — the "what happens next" kernel behind path analysis,
+    * next-event prediction, and funnel discovery (the learned companion
+    * to q24's fixed funnel). Per-user `lag` pairs each event with its
+    * predecessor; the (prev_type, next_type) counts aggregate to a
+    * |types|² matrix with per-source-state probabilities in integer ppm
+    * (floor division — exact in both engines, no float hashing risk).
+    *
+    * Scale: ONE shuffle on user_id for the lag window (shared with every
+    * other per-user query via the same partitioning), then a hash-agg
+    * whose output cardinality is |event_types|² — map-side combine
+    * collapses ~100 TB of pairs to a handful of rows per task before the
+    * exchange, and the per-prev_type denominator is a window over that
+    * tiny matrix, not over the events.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables
+      .events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(userWindow))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"prev_type")))
+      .withColumn("p_ppm", expr("(n * 1000000) div row_total"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  private val q154Sql =
+    """WITH pairs AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_type,
+      |         event_type AS next_type
+      |  FROM events
+      |), c AS (
+      |  SELECT prev_type, next_type, COUNT(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type
+      |)
+      |SELECT prev_type, next_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+      |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY prev_type)
+      |    AS BIGINT) AS p_ppm
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** q156: robust anomaly detection per event type — exact MEDIAN and
+    * MAD (median absolute deviation) over integer cents, flagging values
+    * beyond 3×MAD. Mean/stddev (q25/q48) break under the heavy tails
+    * they are supposed to detect; median/MAD is the standard robust
+    * alternative, and both are computed EXACTLY here via value-domain
+    * HISTOGRAMS, not per-row sorts: groupBy (type, cents) collapses the
+    * stream to its value distribution with map-side combine, a running
+    * sum over that (domain-sized, not row-sized) table finds the lower
+    * median as the smallest value whose cumulative count reaches
+    * ⌊(n+1)/2⌋, and the deviation pass repeats the trick on |x−med|.
+    * At 100 TB this plan shuffles only (type, value)-distinct rows —
+    * the per-group-sort formulation (the textbook one, and the oracle's)
+    * would sort every event inside ~5 type partitions.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val byType = Window.partitionBy($"event_type")
+      val hist = df
+        .groupBy($"event_type", col(valueCol))
+        .agg(count(lit(1)).as("k"))
+      hist
+        .withColumn("cum", sum($"k").over(
+          byType.orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("m", expr("(sum(k) OVER (PARTITION BY event_type) + 1) div 2"))
+        .where($"cum" >= $"m" && $"cum" - $"k" < $"m")
+        .select($"event_type", col(valueCol).as("med"))
+    }
+    val med = lowerMedian(e, "cents")
+      .withColumnRenamed("med", "med_cents")
+    val dev = e
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"cents" - $"med_cents"))
+    val mad = lowerMedian(dev.select($"event_type", $"dev"), "dev")
+      .withColumnRenamed("med", "mad_cents")
+    dev
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"med_cents").as("med_cents"),
+        min($"mad_cents").as("mad_cents"),
+        sum(when($"dev" > lit(3L) * $"mad_cents", 1L).otherwise(0L))
+          .as("n_anomalies"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q156Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM e
+      |), med AS (
+      |  SELECT event_type, cents AS med_cents FROM r
+      |  WHERE rn = (cnt + 1) // 2
+      |), dv AS (
+      |  SELECT e.event_type, ABS(e.cents - m.med_cents) AS dev, m.med_cents
+      |  FROM e JOIN med m USING (event_type)
+      |), r2 AS (
+      |  SELECT event_type, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM dv
+      |), mad AS (
+      |  SELECT event_type, dev AS mad_cents FROM r2
+      |  WHERE rn = (cnt + 1) // 2
+      |)
+      |SELECT d.event_type, COUNT(*) AS n, MIN(d.med_cents) AS med_cents,
+      |  MIN(a.mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anomalies
+      |FROM dv d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
+    QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over `documents` — the LLM-training-pipeline
   * surface (language stats, token counting, quality scoring, content
@@ -872,7 +873,62 @@ object Text {
       |FROM alln a LEFT JOIN kept k USING (doc_id)
       |ORDER BY a.doc_id""".stripMargin
 
+  /** q155: INVERTED INDEX build — the search-engine/RAG-retrieval
+    * primitive none of the per-doc stats queries produce: term →
+    * document frequency, collection frequency, and the head of the
+    * sorted posting list. Postings are the one per-term payload that is
+    * UNBOUNDED at corpus scale (a stopword's list is the corpus), so the
+    * materialized head is capped at 32 doc_ids via a per-term
+    * `row_number` filter BEFORE any list is collected — per-group state
+    * is bounded by the cap, never by a term's true df (the same
+    * truncation discipline real index builders apply to stop terms;
+    * df/cf stay exact over the full corpus). Plan shape: one explode,
+    * one (term, doc) hash-agg with map-side combine, one slim window on
+    * the already-aggregated posting rows hash-partitioned by term.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val posting = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = posting
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+    val heads = posting
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"term").orderBy($"doc_id")))
+      .where($"rn" <= 32)
+      .groupBy($"term")
+      .agg(array_join(
+        transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+        ",").as("postings_head"))
+    stats.join(heads, Seq("term")).orderBy($"term")
+  }
+
+  private val q155Sql =
+    """WITH posting AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY term, doc_id
+      |), stats AS (
+      |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM posting GROUP BY term
+      |), hd AS (
+      |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+      |           ORDER BY doc_id) AS postings_head
+      |  FROM (SELECT term, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |        FROM posting) r
+      |  WHERE rn <= 32 GROUP BY term
+      |)
+      |SELECT s.term, s.df, s.cf, h.postings_head
+      |FROM stats s JOIN hd h USING (term) ORDER BY s.term""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q155_inverted_index", q155, Some(q155Sql)),
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
     QueryDef("q32_quality_score", q32, Some(q32Sql)),
