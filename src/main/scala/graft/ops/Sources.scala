@@ -711,7 +711,90 @@ object Sources {
       |FROM events
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q157: DYNAMIC partition pruning — the runtime companion to q105's
+    * planning-time prune, and the scale mechanism behind every
+    * partitioned star join: the fact side is laid out
+    * `partitionBy(event_type)`, the dimension is an above-average-volume
+    * type list that only EXISTS at runtime (types whose total cents
+    * exceed the per-type mean — an aggregate of the same table, so no
+    * literal IN-list can be folded at planning), and Catalyst must turn
+    * the broadcast dim into a `dynamicpruning` subquery ON THE FACT
+    * SCAN's PartitionFilters so non-qualifying directories are never
+    * read. A hard `require` on the executed plan enforces exactly that —
+    * at 100 TB this is the difference between scanning 2 of 5 type
+    * directories and scanning the corpus then throwing 60% away. The
+    * above-average cut compares `total*k > grand` in exact integers, so
+    * the dim membership (and with it the oracle) is engine-independent.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "dpp") + "/events_by_type"
+    val e = Tables
+      .events(s, d)
+      .select($"event_id", $"user_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        $"event_type")
+    e.write.mode(SaveMode.Overwrite)
+      .partitionBy("event_type")
+      .parquet(path)
+    // the above-average cut stays a real Filter node (global window over
+    // the |types|-row totals, then WHERE) rather than a cross-join
+    // condition: the DPP rule only spends a subquery on a pruning side
+    // that carries a selective Filter, and a BNLJ join condition is not
+    // one
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val totals = e
+      .groupBy($"event_type")
+      .agg(sum($"cents").as("total_cents"))
+    val dim = totals
+      .withColumn("grand", sum($"total_cents").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .where($"total_cents" * $"k" > $"grand")
+      .select($"event_type")
+    val fact = s.read.parquet(path)
+    val agg = fact
+      // dim must be the BROADCAST side for DPP to attach its subquery
+      // to the fact scan (the planner would otherwise pick the smaller
+      // side by size estimate, which at test SF can be the fact)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"),
+        countDistinct($"user_id").as("n_users"),
+      )
+      .orderBy($"event_type")
+    val plan = agg.queryExecution.executedPlan.toString
+    require(
+      "PartitionFilters: \\[[^\\]]*dynamicpruning".r
+        .findFirstIn(plan).isDefined,
+      s"q157: fact scan lost its dynamicpruning PartitionFilter:\n$plan")
+    agg
+  }
+
+  private val q157Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents, event_type
+      |  FROM events
+      |), totals AS (
+      |  SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM e GROUP BY event_type
+      |), grand AS (
+      |  SELECT CAST(SUM(total_cents) AS BIGINT) AS grand,
+      |    COUNT(*) AS k FROM totals
+      |), dim AS (
+      |  SELECT event_type FROM totals, grand
+      |  WHERE total_cents * k > grand
+      |)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(e.cents) AS BIGINT) AS value_cents,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN dim USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q157_dynamic_prune", q157, Some(q157Sql)),
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
     QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),
