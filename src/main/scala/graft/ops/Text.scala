@@ -423,6 +423,61 @@ object Text {
        |FROM d JOIN a ON d.lang = a.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
+    * derives from q128's BPE before shipping a tokenizer or pricing a
+    * corpus in tokens: per language, the fraction of pre-tokens the
+    * merge table resolves to a SINGLE piece (whole-word coverage — a
+    * word "in vocab") and the mean pieces-per-word (fertility). High
+    * fertility / low coverage on a language flags a tokenizer that will
+    * inflate that language's sequence lengths (the mT5/XLM-R fairness
+    * diagnostic). Ratios in integer ppm (floor) so the cross-engine
+    * compare is exact; same codegen replace-chain as q128 — one scan,
+    * one explode, one hash-agg.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(
+      regexp_extract_all($"text", lit(bpePattern), lit(0)),
+      t => length(trim(t)) > 0)
+    Tables
+      .documents(s, d)
+      .select($"lang", explode(toks).as("tok"))
+      .withColumn("nb",
+        size(split(bpeApply(bpeSpaced($"tok")), "  ")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_pre_tokens"),
+        sum(when($"nb" === 1L, 1L).otherwise(0L)).as("n_whole"),
+        sum($"nb").as("n_pieces"),
+      )
+      .withColumn("coverage_ppm", expr("(n_whole * 1000000) div n_pre_tokens"))
+      .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_pre_tokens"))
+      .orderBy($"lang")
+  }
+
+  private val q158Sql: String = {
+    val chain = bpeMerges.foldLeft(
+      "regexp_replace(trim(tok), '([\\s\\S])', ' \\1 ', 'g')") {
+      case (s0, (a, b)) => s"replace($s0, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (
+       |  SELECT lang, unnest(regexp_extract_all(text, '$bpePattern')) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang, len(string_split($chain, '  ')) AS nb
+       |  FROM t WHERE length(trim(tok)) > 0),
+       |a AS (
+       |  SELECT lang, COUNT(*) AS n_pre_tokens,
+       |    CAST(SUM(CASE WHEN nb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_whole,
+       |    CAST(SUM(nb) AS BIGINT) AS n_pieces
+       |  FROM m GROUP BY lang)
+       |SELECT lang, n_pre_tokens, n_whole, n_pieces,
+       |  (n_whole * 1000000) // n_pre_tokens AS coverage_ppm,
+       |  (n_pieces * 1000000) // n_pre_tokens AS fertility_ppm
+       |FROM a ORDER BY lang""".stripMargin
+  }
+
   /** Learn a BPE merge table from the corpus itself — the training side
     * of q128, same bounded-driver discipline as IVF centroid training
     * (`ops/Vectors.scala`): ONE distributed pre-token frequency
@@ -937,6 +992,7 @@ object Text {
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
+    QueryDef("q158_vocab_coverage", q158, Some(q158Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),
