@@ -726,4 +726,63 @@ class Round10Spec extends AnyFunSuite {
     assert((0 until 5).forall(i => !survivors.exists(_ >= 10000L)),
       "a planted exact duplicate survived semantic dedup")
   }
+
+  test("events readers absorb BOTH ts layouts: INT64 nanos and µs timestamp") {
+    import spark.implicits._
+    // The driver's testdata has shipped events.ts as parquet
+    // TIMESTAMP(NANOS) in some generations and plain µs TIMESTAMP_NTZ in
+    // others; round 10 hit the flip live (32 suites red until the
+    // readers became layout-adaptive). Stage the SAME four events in
+    // both layouts and require batch + streaming readers to agree.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout").toString
+    val rows = Seq(
+      (1L, 1700000000000000L, 10L, "click", 1.0, "{}"),
+      (2L, 1700000001000000L, 10L, "purchase", 2.0, "{}"),
+      (3L, 1700000002000000L, 11L, "click", 3.0, "{}"),
+      (4L, 1700003602000000L, 11L, "view", 4.0, "{}"))
+    val base = rows.toDF(
+      "event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val nanosDir = s"$root/nanos"
+    val microsDir = s"$root/micros"
+    // legacy layout: LONG nanos column named ts (what nanosAsLong
+    // surfaces for TIMESTAMP(NANOS) files)
+    base.withColumn("ts", $"ts_us" * 1000L).drop("ts_us")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .coalesce(1).write.parquet(s"$nanosDir/stage")
+    // current layout: µs TIMESTAMP_NTZ
+    base.withColumn("ts",
+        expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)"))
+      .drop("ts_us")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .coalesce(1).write.parquet(s"$microsDir/stage")
+    // rename the single part file to the driver's literal layout
+    for (d <- Seq(nanosDir, microsDir)) {
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/stage"))) {
+        l => l.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+      }
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(d, "events.parquet"))
+    }
+    def batchRows(d: String): Seq[(Long, Long)] =
+      Tables.events(spark, d)
+        .select($"event_id", unix_micros($"ts").as("us"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = rows.map(r => (r._1, r._2))
+    assert(batchRows(nanosDir) == want, "batch read of nanos layout")
+    assert(batchRows(microsDir) == want, "batch read of µs layout")
+    // one streaming harness per layout: the hourly rollup runs the
+    // detect→schema→wts conversion end to end
+    def hourly(d: String): Seq[(Long, String, Long)] =
+      graft.streaming.Streams.hourlyTypeCounts(spark, d)
+        .select($"hour_us", $"event_type", $"n")
+        .as[(Long, String, Long)].collect().toSeq
+    assert(hourly(nanosDir) == hourly(microsDir),
+      "streaming rollup diverges between ts layouts")
+    graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(root))
+  }
 }
