@@ -1207,9 +1207,47 @@ object Events {
       |FROM dv d JOIN mad a USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** q160: frequent path mining — global top-20 event-type TRIGRAMS over
+    * per-user sequences, the order-3 extension of q154's transition
+    * matrix and the workhorse behind "most common 3-step journeys".
+    * Two lags in ONE user_id window (shared exchange), a
+    * \|types\|³-bounded hash-agg with map-side combine, and the top-20
+    * as TakeOrderedAndProject (per-task heaps, k·tasks rows exchanged —
+    * never a global sort). Tie-break on the path string keeps the cut
+    * deterministic cross-engine.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = userWindow
+    Tables
+      .events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t1", lag($"event_type", 2).over(w))
+      .withColumn("t2", lag($"event_type", 1).over(w))
+      .where($"t1".isNotNull)
+      .select(concat_ws(">", $"t1", $"t2", $"event_type").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  private val q160Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 2) OVER w AS t1,
+      |    LAG(event_type, 1) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT t1 || '>' || t2 || '>' || event_type AS path, COUNT(*) AS n
+      |FROM seq WHERE t1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
+    QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),

@@ -460,7 +460,68 @@ object Scale {
       |    AS pass
       |FROM audit ORDER BY check_name""".stripMargin
 
+  /** q159: Benford first-digit audit — the statistical fraud/synthetic-
+    * data screen q142's declarative constraints cannot express: natural
+    * multi-scale amounts follow log-uniform leading digits (30.1% 1s …
+    * 4.6% 9s), and a per-type digit histogram that deviates flags
+    * fabricated or clamped data. All exact integers: leading digit of
+    * positive cents via string head, counts + share in ppm (floor), the
+    * expected Benford ppm staged as a 9-row literal joined in so the
+    * deviation column is part of the audited row. One scan, one
+    * (type × 9)-cardinality hash-agg with map-side combine, window only
+    * over that tiny result.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = Seq(
+      (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+      (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L),
+    ).toDF("digit", "benford_ppm")
+    val digits = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+      .where($"cents" > 0L)
+      .withColumn("digit",
+        substring($"cents".cast("string"), 1, 1).cast("int"))
+      .groupBy($"event_type", $"digit")
+      .agg(count(lit(1)).as("n"))
+    digits
+      .withColumn("total", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .withColumn("share_ppm", expr("(n * 1000000) div total"))
+      .join(broadcast(expected), Seq("digit"))
+      .withColumn("dev_ppm", abs($"share_ppm" - $"benford_ppm"))
+      .select($"event_type", $"digit", $"n", $"share_ppm", $"benford_ppm",
+        $"dev_ppm")
+      .orderBy($"event_type", $"digit")
+  }
+
+  private val q159Sql =
+    """WITH expected(digit, benford_ppm) AS (VALUES
+      |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+      |), d AS (
+      |  SELECT event_type,
+      |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    COUNT(*) AS n
+      |  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |        FROM events) t
+      |  WHERE cents > 0 GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT event_type, digit, n,
+      |    (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY event_type)
+      |      AS BIGINT) AS share_ppm
+      |  FROM d
+      |)
+      |SELECT s.event_type, s.digit, s.n, s.share_ppm,
+      |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+      |  ABS(s.share_ppm - e.benford_ppm) AS dev_ppm
+      |FROM sh s JOIN expected e USING (digit)
+      |ORDER BY s.event_type, s.digit""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q159_benford_audit", q159, Some(q159Sql)),
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),

@@ -55,6 +55,41 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("shuffle-hash hint replaces sort-merge and preserves the result") {
+    // The middle of the join-strategy ladder: broadcast < SHUFFLE_HASH <
+    // sort-merge. When one side fits a per-task hash map but exceeds the
+    // broadcast threshold, hinting SHJ drops BOTH sides' sorts — at
+    // 100 TB that is the difference between two full sorts of shuffled
+    // data and none. Verify the hint takes effect AND the join result is
+    // bit-identical to the default plan.
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders   = Tables.orders(spark, sf)
+      val lineitem = Tables.lineitem(spark, sf)
+      def agg(li: org.apache.spark.sql.DataFrame) = orders
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(l_extendedprice * 100) AS LONG)"))
+            .as("cents"))
+        .orderBy(col("o_orderpriority"))
+      val smj = agg(lineitem)
+      val shj = agg(lineitem.hint("shuffle_hash"))
+      val pSmj = smj.queryExecution.executedPlan.toString
+      val pShj = shj.queryExecution.executedPlan.toString
+      assert(pSmj.contains("SortMergeJoin"),
+        s"control should default to SMJ:\n$pSmj")
+      assert(pShj.contains("ShuffledHashJoin") &&
+        !pShj.contains("SortMergeJoin"),
+        s"hint did not switch to shuffled hash join:\n$pShj")
+      assert(smj.collect().toSeq == shj.collect().toSeq,
+        "SHJ result diverges from SMJ")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q01: aggregation is two-phase (partial + final)") {
     val p = plan("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
