@@ -881,6 +881,24 @@ object Events {
       |    AS n_right_orphans
       |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Oracle for the streaming LEFT SEMI join (q161): correlated EXISTS —
+    * one row per click with at least one qualifying purchase, so
+    * n_matched must equal n_distinct (a duplicate streaming emission
+    * would break both the counts and the hash).
+    */
+  private val q161Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_matched,
+      |  COUNT(DISTINCT c.event_id) AS n_distinct
+      |FROM c
+      |WHERE EXISTS (SELECT 1 FROM p
+      |  WHERE p.user_id = c.user_id
+      |    AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   /** Oracle for the MapState type counter (q118): the plain batch
     * rollup the dynamic per-user map must reproduce.
     */
@@ -1322,6 +1340,13 @@ object Events {
     QueryDef("q126_stream_fullouter",
       (s, d) => graft.streaming.Streams.attributionFullOuter(s, d),
       Some(q126Sql)),
+    // LEFT SEMI stream-stream interval join under the oracle gate:
+    // each click must emit exactly once on its first qualifying match —
+    // the count vs count-distinct pair makes any duplicate emission
+    // break the hash against the batch EXISTS oracle.
+    QueryDef("q161_stream_semi",
+      (s, d) => graft.streaming.Streams.attributionSemi(s, d),
+      Some(q161Sql)),
     // MapState (dynamic per-key sub-keys) under the oracle gate: the
     // per-(user, type) map counts must equal the batch rollup.
     QueryDef("q118_tws_mapstate",

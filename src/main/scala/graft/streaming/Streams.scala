@@ -1089,6 +1089,57 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** LEFT SEMI stream-stream interval join under the driver's oracle
+    * gate (q161) — completes the join matrix (q96 inner, q117 left
+    * outer, q126 full outer): a click emits AT MOST ONCE, when its
+    * first qualifying purchase arrives, with no right-side columns and
+    * no duplicate emissions however many purchases match. Existence
+    * semantics on an unbounded feed: right state still buffers and
+    * evicts by watermark, but nothing is released at eviction — which
+    * is why this harness needs NO sentinel flush: every row the batch
+    * EXISTS oracle selects has emitted by the time the data batch
+    * drains. The oracle is the equivalent correlated EXISTS in DuckDB,
+    * so a duplicate (inner-join-like) emission or a dropped match both
+    * break the per-user click counts.
+    */
+  def attributionSemi(spark: SparkSession, dir: String): DataFrame = {
+    val tsLong = eventsTsIsLong(spark, dir)
+    val src0 = java.nio.file.Paths.get("target", "graft_stream",
+      "semi_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    spark.read.schema(eventsSchema(tsLong))
+      .parquet(s"$dir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
+        col("event_type"))
+      .coalesce(1)
+      .write.parquet(src0.toString)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
+      .parquet(src0.toString)
+      .withColumn("wts", timestamp_micros(col("ts_us")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("luser"), col("wts").as("lts"),
+        col("event_id").as("levent"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruser"), col("wts").as("rts"))
+    val matched = clicks
+      .withWatermark("lts", "10 minutes")
+      .join(
+        buys.withWatermark("rts", "10 minutes"),
+        expr(
+          """luser = ruser AND
+            |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
+        "leftSemi")
+    val out = runToParquet(matched, OutputMode.Append)
+    deleteStaged(src0)
+    spark.read.parquet(out)
+      .groupBy(col("luser").as("user_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        countDistinct(col("levent")).as("n_distinct"))
+      .orderBy(col("user_id"))
+  }
+
   final case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** Per-(user, event-type) running counts on a transformWithState
