@@ -1157,38 +1157,42 @@ object Events {
     */
   private def q156(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables
+    // lower median over a (group, value, k) histogram: smallest value
+    // whose cumulative count reaches ⌊(n+1)/2⌋
+    def lowerMedian(hist: DataFrame, valueCol: String): DataFrame =
+      hist
+        .withColumn("cum", sum($"k").over(
+          Window.partitionBy($"event_type").orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("m",
+          expr("(sum(k) OVER (PARTITION BY event_type) + 1) div 2"))
+        .where($"cum" >= $"m" && $"cum" - $"k" < $"m")
+        .select($"event_type", col(valueCol).as("med"))
+    // events are scanned ONCE: every later step — median, deviation
+    // histogram, MAD, anomaly counts — derives from the value-domain
+    // histogram, so nothing rescans or reshuffles row-sized data
+    val hist = Tables
       .events(s, d)
       .select($"event_type",
         expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
-    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
-      val byType = Window.partitionBy($"event_type")
-      val hist = df
-        .groupBy($"event_type", col(valueCol))
-        .agg(count(lit(1)).as("k"))
-      hist
-        .withColumn("cum", sum($"k").over(
-          byType.orderBy(col(valueCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("m", expr("(sum(k) OVER (PARTITION BY event_type) + 1) div 2"))
-        .where($"cum" >= $"m" && $"cum" - $"k" < $"m")
-        .select($"event_type", col(valueCol).as("med"))
-    }
-    val med = lowerMedian(e, "cents")
-      .withColumnRenamed("med", "med_cents")
-    val dev = e
+      .groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // tiny (domain-sized); reused by three consumers
+    val med = lowerMedian(hist, "cents").withColumnRenamed("med", "med_cents")
+    val devHist = hist
       .join(broadcast(med), Seq("event_type"))
-      .withColumn("dev", abs($"cents" - $"med_cents"))
-    val mad = lowerMedian(dev.select($"event_type", $"dev"), "dev")
-      .withColumnRenamed("med", "mad_cents")
-    dev
+      .groupBy($"event_type", abs($"cents" - $"med_cents").as("dev"))
+      .agg(sum($"k").as("k"))
+    val mad = lowerMedian(devHist, "dev").withColumnRenamed("med", "mad_cents")
+    devHist
       .join(broadcast(mad), Seq("event_type"))
+      .join(broadcast(med), Seq("event_type"))
       .groupBy($"event_type")
       .agg(
-        count(lit(1)).as("n"),
+        sum($"k").as("n"),
         min($"med_cents").as("med_cents"),
         min($"mad_cents").as("mad_cents"),
-        sum(when($"dev" > lit(3L) * $"mad_cents", 1L).otherwise(0L))
+        sum(when($"dev" > lit(3L) * $"mad_cents", $"k").otherwise(0L))
           .as("n_anomalies"),
       )
       .orderBy($"event_type")
