@@ -12,6 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the NTZ ts layout is interpreted in the SESSION time zone — pin
+      // UTC like Verify/SqlRunner/tests, or a non-UTC host JVM would
+      // shift every hour bucket and session bound off the verified
+      // results (the legacy LONG-nanos path was TZ-independent)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -281,11 +286,11 @@ object Bench {
     def line(qs: String, omit: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit,"errors":$errs,"sf":"$sfDir"}"""
     // tier-3 frame: every non-load-bearing char dropped so the complete
-    // vector survives registry growth — r10 additions at 163 queries:
-    // empty errors array omitted (present whenever non-empty), gen_*
-    // keys lose their "gen_" prefix (lossless — no registered name
-    // collides with a bare suffix), and the in-line dual-pass map keeps
-    // the 4 slowest pairs (all retimeK pairs stay in bench_full.json)
+    // vector survives registry growth — r10 additions at 166 queries:
+    // gen_* keys lose their "gen_" prefix (lossless — no registered
+    // name collides with a bare suffix), and the in-line dual-pass map
+    // keeps the 4 slowest pairs (all retimeK pairs stay in
+    // bench_full.json)
     val sfBase = sfDir.split('/').last
     def numKey3(k: String): String =
       if (k.startsWith("gen_")) k.drop(4) else numKey(k)
@@ -294,19 +299,17 @@ object Bench {
       .map { case (k, v2) => "\"" + numKey3(k) + "\":[" + r1(p1(k)) +
         "," + r1(v2) + "]" }
       .mkString("{", ",", "}")
-    def line3(qs: String): String = {
-      val errPart = if (errors.isEmpty) "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1$errPart,"sf":"$sfBase"}"""
-    }
+    // "errors" stays in EVERY tier, empty or not — prior rounds always
+    // emitted it and the external driver's parser may require the key
+    def line3(qs: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1,"errors":$errs,"sf":"$sfBase"}"""
     // tier 3b: the COMPLETE vector beats in-line dual timings — when the
     // registry outgrows tier 3 (166 queries measured 1815 chars), drop
     // the retimed map from the LINE (every pair stays in
     // target/bench_full.json) before even thinking about truncating the
     // vector itself
-    def line3b(qs: String): String = {
-      val errPart = if (errors.isEmpty) "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfBase"}"""
-    }
+    def line3b(qs: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfBase"}"""
     val cap = 1800
     val fullMap = sorted
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }

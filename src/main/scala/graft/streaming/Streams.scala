@@ -530,23 +530,43 @@ object Streams {
     * dropped matches. Timestamps compare at exact integer microseconds
     * on both sides.
     */
-  def attributionCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared staging + branch scaffolding for the stream-stream join
+    * matrix (q96 inner, q117 left-outer, q126 full-outer, q161
+    * left-semi). Stage the click/purchase feed ONCE into a private
+    * single-file dir (q94's pattern): only the two event types the
+    * joins consume, only the three columns they key on (the wide props
+    * JSON never enters the stream), ts NORMALIZED to LONG epoch-µs so
+    * the streamed schema is layout-independent. Both join branches
+    * derive from ONE readStream — one listing, one scan, two filters
+    * per microbatch (two independent sources over the shared sf dir
+    * would list and scan it twice). `hiUs` is the bounded 1-row collect
+    * the outer variants use to size their watermark-clearing sentinel;
+    * thunked so harnesses that need no sentinel never pay the scan, and
+    * it must run BEFORE sentinels are appended to the staged dir.
+    */
+  private final case class AttributionFeed(
+      src0: java.nio.file.Path,
+      clicks: DataFrame,
+      buys: DataFrame,
+      hiUs: () => Long) {
+    /** One far-future click+purchase pair on a reserved key: advances
+      * both sides' watermarks past every real row's eviction bound so
+      * still-buffered orphans release. The pair matches only itself and
+      * readbacks filter the reserved negative ids.
+      */
+    def writeSentinelPair(spark: SparkSession, sentUs: Long): Unit = {
+      import spark.implicits._
+      Seq((-1L, sentUs, -1L, "click"), (-2L, sentUs, -1L, "purchase"))
+        .toDF("event_id", "ts_us", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src0.toString)
+    }
+  }
+
+  private def attributionFeed(
+      spark: SparkSession, dir: String, tag: String): AttributionFeed = {
     val tsLong = eventsTsIsLong(spark, dir)
-    // Stage the one table this query reads into a private single-file
-    // dir (q94's pattern) and derive BOTH join branches from ONE
-    // readStream: the original harness built two independent sources
-    // over the shared sf directory, so every microbatch listed and
-    // scanned that directory twice (through a pathGlobFilter over all
-    // ten tables). One source → one listing, one scan, two filters.
-    // Projection/selection pushed to the staging write, the way a
-    // production ingest would land an attribution feed: only the two
-    // event types the join consumes, only the three columns it keys on
-    // (the wide props JSON never enters the stream). The staged file is
-    // ~1/10 the table, and each microbatch's two branch scans read that.
     val src0 = java.nio.file.Paths.get("target", "graft_stream",
-      "attr_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    // staging also NORMALIZES ts to LONG epoch-µs, so the streamed
-    // schema below is layout-independent
+      tag + "_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     spark.read.schema(eventsSchema(tsLong))
       .parquet(s"$dir/events.parquet")
       .filter(col("event_type").isin("click", "purchase"))
@@ -565,7 +585,14 @@ object Streams {
     val buys = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("ruser"), col("wts").as("rts"),
         col("event_id").as("revent"))
-    val pairs = intervalJoin(clicks, buys, horizon = "1 hour")
+    val hiUs = () => spark.read.parquet(src0.toString)
+      .agg(max(col("ts_us"))).head.getLong(0)
+    AttributionFeed(src0, clicks, buys, hiUs)
+  }
+
+  def attributionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val feed = attributionFeed(spark, dir, "attr")
+    val pairs = intervalJoin(feed.clicks, feed.buys, horizon = "1 hour")
       .select(col("luser"), col("levent"), col("revent"))
     // ~3 s clean is this harness's floor and the plan is the honest
     // shape: ONE staged pre-filtered single-file source, two branch
@@ -578,7 +605,7 @@ object Streams {
     // remove without replacing the built-in stream-stream join this
     // query exists to exercise.
     val out = runToParquet(pairs, OutputMode.Append)
-    deleteStaged(src0) // stream stopped; the result reads `out` only
+    deleteStaged(feed.src0) // stream stopped; the result reads `out` only
     spark.read.parquet(out)
       .groupBy(col("luser").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -932,35 +959,14 @@ object Streams {
     * filtered at readback.
     */
   def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
-    val tsLong = eventsTsIsLong(spark, dir)
-    import spark.implicits._
-    val src0 = java.nio.file.Paths.get("target", "graft_stream",
-      "outer_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    // staging normalizes ts to LONG epoch-µs (layout-independent stream)
-    val ev = spark.read.schema(eventsSchema(tsLong))
-      .parquet(s"$dir/events.parquet")
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
-        col("event_type"))
-    ev.coalesce(1).write.parquet(src0.toString)
+    val feed = attributionFeed(spark, dir, "outer")
     // bounded 1-row collect: the sentinel must clear every click's
     // outer-eviction bound, max(ts) + horizon, plus the watermark delay
-    val hiUs = ev.agg(max(col("ts_us"))).head.getLong(0)
-    val src = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
-      .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(col("ts_us")))
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("luser"), col("wts").as("lts"),
-        col("event_id").as("levent"))
-    val buys = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("ruser"), col("wts").as("rts"),
-        col("event_id").as("revent"))
-    val joined = clicks
+    val hiUs = feed.hiUs()
+    val joined = feed.clicks
       .withWatermark("lts", "10 minutes")
       .join(
-        buys.withWatermark("rts", "10 minutes"),
+        feed.buys.withWatermark("rts", "10 minutes"),
         expr(
           """luser = ruser AND
             |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
@@ -984,14 +990,11 @@ object Streams {
       try {
         q.processAllAvailable() // data batch: pairs emit, orphans buffer
         // sentinel pair: watermark → max + 1h + 10min + 2s on both sides
-        val sentUs = hiUs + (3600L + 600L + 2L) * 1000000L
-        Seq((-1L, sentUs, -1L, "click"), (-2L, sentUs, -1L, "purchase"))
-          .toDF("event_id", "ts_us", "user_id", "event_type")
-          .coalesce(1).write.mode("append").parquet(src0.toString)
+        feed.writeSentinelPair(spark, hiUs + (3600L + 600L + 2L) * 1000000L)
         q.processAllAvailable() // eviction batch: orphans release
       } finally q.stop()
     }
-    deleteStaged(src0) // stream stopped; the result reads `out` only
+    deleteStaged(feed.src0) // stream stopped; the result reads `out` only
     spark.read.parquet(out)
       .filter(col("luser") >= 0L)
       .groupBy(col("luser").as("user_id"))
@@ -1022,33 +1025,12 @@ object Streams {
     * they surface as one filtered pair, never as orphans.
     */
   def attributionFullOuter(spark: SparkSession, dir: String): DataFrame = {
-    val tsLong = eventsTsIsLong(spark, dir)
-    import spark.implicits._
-    val src0 = java.nio.file.Paths.get("target", "graft_stream",
-      "fouter_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    // staging normalizes ts to LONG epoch-µs (layout-independent stream)
-    val ev = spark.read.schema(eventsSchema(tsLong))
-      .parquet(s"$dir/events.parquet")
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
-        col("event_type"))
-    ev.coalesce(1).write.parquet(src0.toString)
-    val hiUs = ev.agg(max(col("ts_us"))).head.getLong(0)
-    val src = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
-      .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(col("ts_us")))
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("luser"), col("wts").as("lts"),
-        col("event_id").as("levent"))
-    val buys = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("ruser"), col("wts").as("rts"),
-        col("event_id").as("revent"))
-    val joined = clicks
+    val feed = attributionFeed(spark, dir, "fouter")
+    val hiUs = feed.hiUs()
+    val joined = feed.clicks
       .withWatermark("lts", "10 minutes")
       .join(
-        buys.withWatermark("rts", "10 minutes"),
+        feed.buys.withWatermark("rts", "10 minutes"),
         expr(
           """luser = ruser AND
             |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
@@ -1067,14 +1049,11 @@ object Streams {
         .start()
       try {
         q.processAllAvailable() // data batch: pairs emit, orphans buffer
-        val sentUs = hiUs + (3600L + 600L + 2L) * 1000000L
-        Seq((-1L, sentUs, -1L, "click"), (-2L, sentUs, -1L, "purchase"))
-          .toDF("event_id", "ts_us", "user_id", "event_type")
-          .coalesce(1).write.mode("append").parquet(src0.toString)
+        feed.writeSentinelPair(spark, hiUs + (3600L + 600L + 2L) * 1000000L)
         q.processAllAvailable() // eviction batch: both sides' orphans
       } finally q.stop()
     }
-    deleteStaged(src0)
+    deleteStaged(feed.src0)
     spark.read.parquet(out)
       .filter(coalesce(col("luser"), col("ruser")) >= 0L)
       .groupBy(coalesce(col("luser"), col("ruser")).as("user_id"))
@@ -1103,36 +1082,17 @@ object Streams {
     * break the per-user click counts.
     */
   def attributionSemi(spark: SparkSession, dir: String): DataFrame = {
-    val tsLong = eventsTsIsLong(spark, dir)
-    val src0 = java.nio.file.Paths.get("target", "graft_stream",
-      "semi_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    spark.read.schema(eventsSchema(tsLong))
-      .parquet(s"$dir/events.parquet")
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), usExpr(tsLong).as("ts_us"), col("user_id"),
-        col("event_type"))
-      .coalesce(1)
-      .write.parquet(src0.toString)
-    val src = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"))
-      .parquet(src0.toString)
-      .withColumn("wts", timestamp_micros(col("ts_us")))
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("luser"), col("wts").as("lts"),
-        col("event_id").as("levent"))
-    val buys = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("ruser"), col("wts").as("rts"))
-    val matched = clicks
+    val feed = attributionFeed(spark, dir, "semi")
+    val matched = feed.clicks
       .withWatermark("lts", "10 minutes")
       .join(
-        buys.withWatermark("rts", "10 minutes"),
+        feed.buys.withWatermark("rts", "10 minutes"),
         expr(
           """luser = ruser AND
             |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
         "leftSemi")
     val out = runToParquet(matched, OutputMode.Append)
-    deleteStaged(src0)
+    deleteStaged(feed.src0)
     spark.read.parquet(out)
       .groupBy(col("luser").as("user_id"))
       .agg(count(lit(1)).as("n_matched"),

@@ -727,7 +727,7 @@ class Round10Spec extends AnyFunSuite {
       "a planted exact duplicate survived semantic dedup")
   }
 
-  test("events readers absorb BOTH ts layouts: INT64 nanos and µs timestamp") {
+  test("events readers absorb BOTH ts layouts: TIMESTAMP(NANOS) and µs") {
     import spark.implicits._
     // The driver's testdata has shipped events.ts as parquet
     // TIMESTAMP(NANOS) in some generations and plain µs TIMESTAMP_NTZ in
@@ -745,12 +745,48 @@ class Round10Spec extends AnyFunSuite {
       "event_id", "ts_us", "user_id", "event_type", "value", "props")
     val nanosDir = s"$root/nanos"
     val microsDir = s"$root/micros"
-    // legacy layout: LONG nanos column named ts (what nanosAsLong
-    // surfaces for TIMESTAMP(NANOS) files)
-    base.withColumn("ts", $"ts_us" * 1000L).drop("ts_us")
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
-        $"props")
-      .coalesce(1).write.parquet(s"$nanosDir/stage")
+    // legacy layout: a REAL parquet TIMESTAMP(NANOS) column, written
+    // through parquet-mr directly (Spark cannot author one — its writer
+    // tops out at µs), so the test drives the actual decode path:
+    // without the nanosAsLong flag this file is unreadable
+    // ([PARQUET_TYPE_ILLEGAL]), with it the column surfaces as LONG
+    // nanos, which is exactly what the legacy driver testdata did.
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val schema = Types.buildMessage()
+        .required(INT64).named("event_id")
+        .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+        .required(INT64).named("user_id")
+        .required(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type")
+        .required(DOUBLE).named("value")
+        .required(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props")
+        .named("events")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(nanosDir))
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet"))
+        .withType(schema)
+        .build()
+      val gf = new SimpleGroupFactory(schema)
+      try rows.foreach { r =>
+        val g = gf.newGroup()
+        g.add("event_id", r._1)
+        g.add("ts", r._2 * 1000L) // nanos
+        g.add("user_id", r._3)
+        g.add("event_type", r._4)
+        g.add("value", r._5)
+        g.add("props", r._6)
+        w.write(g)
+      } finally w.close()
+    }
     // current layout: µs TIMESTAMP_NTZ
     base.withColumn("ts",
         expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)"))
@@ -759,14 +795,15 @@ class Round10Spec extends AnyFunSuite {
         $"props")
       .coalesce(1).write.parquet(s"$microsDir/stage")
     // rename the single part file to the driver's literal layout
-    for (d <- Seq(nanosDir, microsDir)) {
+    locally {
       val part = scala.util.Using.resource(
-        java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/stage"))) {
+        java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$microsDir/stage"))) {
         l => l.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst.get
       }
       java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(d, "events.parquet"))
+        java.nio.file.Paths.get(microsDir, "events.parquet"))
     }
     def batchRows(d: String): Seq[(Long, Long)] =
       Tables.events(spark, d)
