@@ -793,8 +793,62 @@ object Sources {
       |FROM e JOIN dim USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** q162: parquet column BLOOM FILTER layout — the third row-group
+    * skipping mechanism after min/max clustering (q111) and Z-order
+    * (q134), and the only one that works for POINT LOOKUPS on a
+    * high-cardinality key UNCORRELATED with the sort order: here `h` is
+    * an md5-derived surrogate scattered uniformly through the
+    * time-sorted layout, so every row group's min/max spans the whole
+    * domain and stats skip NOTHING — the per-group bloom filter is what
+    * lets the reader prove absence. Round10Spec measures the skip
+    * (scan metrics: bloom layout reads ~1 row group, the no-bloom
+    * control reads all); this query gates the VALUE correctness of a
+    * lookup through the bloom-enabled layout against DuckDB computing
+    * the same surrogate (q146's shared hex→BIGINT primitive). The
+    * two 1-row collects are bounded literal cuts (q111's class): point
+    * lookups are literal-driven by nature.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = stage(d, "bloom") + "/events_bloom"
+    val ev = Tables
+      .events(s, d)
+      .select($"event_id", unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"),
+        expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15)" +
+          ", 16, 10) AS BIGINT)").as("h"))
+    ev.coalesce(1).sortWithinPartitions($"us")
+      .write.mode(SaveMode.Overwrite)
+      // small blocks → several row groups even at test SF (q111's knob);
+      // at 100 TB the default 128 MB groups play the same role
+      .option("parquet.block.size", "16384")
+      .option("parquet.bloom.filter.enabled#h", "true")
+      .parquet(path)
+    val tid = ev.agg(min($"event_id")).head.getLong(0)
+    val target = ev.where($"event_id" === tid).select($"h").head.getLong(0)
+    s.read.parquet(path)
+      .filter($"h" === target)
+      .select($"event_id", $"us", $"cents")
+      .orderBy($"event_id")
+  }
+
+  private val q162Sql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM events
+      |), t AS (
+      |  SELECT h AS th FROM e
+      |  WHERE event_id = (SELECT MIN(event_id) FROM e)
+      |)
+      |SELECT event_id, us, cents FROM e, t WHERE h = th
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q157_dynamic_prune", q157, Some(q157Sql)),
+    QueryDef("q162_bloom_lookup", q162, Some(q162Sql)),
     QueryDef("q82_csv_roundtrip", q82, Some(q82Sql)),
     QueryDef("q83_json_roundtrip", q83, Some(q83Sql)),
     QueryDef("q102_orc_roundtrip", q102, Some(q102Sql)),

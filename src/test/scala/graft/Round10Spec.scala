@@ -727,6 +727,43 @@ class Round10Spec extends AnyFunSuite {
       "a planted exact duplicate survived semantic dedup")
   }
 
+  test("q162 bloom layout: point lookup skips row groups stats cannot") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    // materialize the bloom-enabled layout (and prove value correctness
+    // en passant — the oracle gates it too)
+    assert(SparkEntry.queries("q162_bloom_lookup")(spark, sf01).count() == 1)
+    val tag = sf01.replaceAll("[^A-Za-z0-9]", "_")
+    val bloomDir = s"target/stage_sources/bloom_$tag/events_bloom"
+    // control: byte-identical layout, bloom filter off
+    val plainDir = s"target/stage_sources/bloom_$tag/events_plain"
+    spark.read.parquet(bloomDir)
+      .coalesce(1).sortWithinPartitions($"us")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "16384")
+      .parquet(plainDir)
+    val total = spark.read.parquet(bloomDir).count()
+    val target = spark.read.parquet(bloomDir)
+      .orderBy($"event_id").select($"h").head.getLong(0)
+    def scanRows(dir: String): Long = {
+      val q = spark.read.parquet(dir).filter($"h" === target)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(fail(s"no FileSourceScanExec leaf for $dir"))
+      scan.metrics("numOutputRows").value
+    }
+    val plain = scanRows(plainDir)
+    val bloom = scanRows(bloomDir)
+    // h is uniform through the time-sorted groups: min/max stats skip
+    // nothing on the control...
+    assert(plain == total,
+      s"control unexpectedly skipped ($plain of $total) — fixture broken")
+    // ...while the bloom filter proves absence for all but ~1 row group
+    assert(bloom < total / 5,
+      s"bloom filter skipped too little: $bloom of $total")
+  }
+
   test("events readers absorb BOTH ts layouts: TIMESTAMP(NANOS) and µs") {
     import spark.implicits._
     // The driver's testdata has shipped events.ts as parquet
