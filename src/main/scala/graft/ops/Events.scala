@@ -672,6 +672,51 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, ver""".stripMargin
 
+  /** q164: dimension AS OF a point in time — the consumption half of
+    * q153's SCD Type-2 derivation, and the batch time-travel idiom: one
+    * interval predicate (`valid_from <= t < valid_to`, open-ended
+    * current rows) reconstructs the whole dimension as it stood at t.
+    * The cut point is derived from the history itself (midpoint of the
+    * observed valid_from range, exact integer µs) so the row set is
+    * engine-independent; the global min/max window runs over the
+    * change-count-sized history table, not over events. Users whose
+    * first change postdates t correctly have no row.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q153(s, d)
+      .withColumn("t", expr(
+        "(min(valid_from_us) OVER () + max(valid_from_us) OVER ()) div 2"))
+      .where($"valid_from_us" <= $"t" &&
+        ($"valid_to_us".isNull || $"valid_to_us" > $"t"))
+      .select($"user_id", $"ver", $"event_type", $"valid_from_us")
+      .orderBy($"user_id")
+  }
+
+  private val q164Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM e
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |h AS (
+      |  SELECT user_id,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS ver,
+      |    event_type,
+      |    us AS valid_from_us,
+      |    LEAD(us) OVER w AS valid_to_us
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |t AS (
+      |  SELECT (MIN(valid_from_us) + MAX(valid_from_us)) // 2 AS t FROM h)
+      |SELECT user_id, ver, event_type, valid_from_us
+      |FROM h, t
+      |WHERE valid_from_us <= t AND (valid_to_us IS NULL OR valid_to_us > t)
+      |ORDER BY user_id""".stripMargin
+
   private val q152Sql =
     """SELECT event_type,
       |  CAST(SUM(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END)
@@ -1379,6 +1424,7 @@ object Events {
       Some(q152Sql)),
     QueryDef("q149_linear_interp", q149, Some(q149Sql)),
     QueryDef("q153_scd2_history", q153, Some(q153Sql)),
+    QueryDef("q164_asof_dimension", q164, Some(q164Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
   )
 }

@@ -520,8 +520,80 @@ object Scale {
       |FROM sh s JOIN expected e USING (digit)
       |ORDER BY s.event_type, s.digit""".stripMargin
 
+  /** q163: cross-table REFERENTIAL-INTEGRITY audit — the relationship
+    * half of data-quality (q142 checks one table's contracts, q159 its
+    * value distribution; this checks the star schema's edges): for each
+    * FK relationship, child rows joined against the parent's distinct
+    * key set, orphans counted in the same single pass (left join +
+    * null-check — one shuffle per relationship, dims broadcast, and the
+    * per-relationship output is ONE row regardless of corpus size).
+    * Joining the parent's DISTINCT keys is part of the semantics, not
+    * paranoia: a duplicated parent key would otherwise multiply child
+    * rows and corrupt both counts.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rel(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child
+        .join(parent.select(col(pkey)).dropDuplicates(pkey),
+          col(key) === col(pkey), "left_outer")
+        .agg(
+          lit(name).as("relationship"),
+          count(lit(1)).as("n_child"),
+          sum(when(col(pkey).isNull, 1L).otherwise(0L)).as("n_orphans"),
+        )
+        .select($"relationship", $"n_child", $"n_orphans")
+    rel("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionByName(rel("lineitem->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+      .unionByName(rel("lineitem->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(rel("lineitem->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(rel("orders->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy($"relationship")
+  }
+
+  private val q163Sql =
+    """SELECT * FROM (
+      |  SELECT 'customer->nation' AS relationship, COUNT(*) AS n_child,
+      |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_orphans
+      |  FROM customer c LEFT JOIN
+      |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+      |    ON c.c_nationkey = p.k
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', COUNT(*),
+      |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+      |    ON l.l_orderkey = p.k
+      |  UNION ALL
+      |  SELECT 'lineitem->part', COUNT(*),
+      |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT p_partkey AS k FROM part) p
+      |    ON l.l_partkey = p.k
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', COUNT(*),
+      |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+      |    ON l.l_suppkey = p.k
+      |  UNION ALL
+      |  SELECT 'orders->customer', COUNT(*),
+      |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders o LEFT JOIN
+      |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |    ON o.o_custkey = p.k
+      |) t ORDER BY relationship""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q159_benford_audit", q159, Some(q159Sql)),
+    QueryDef("q163_fk_audit", q163, Some(q163Sql)),
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
