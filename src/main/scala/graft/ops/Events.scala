@@ -944,6 +944,20 @@ object Events {
       |    AND p.us >= c.us AND p.us <= c.us + 3600000000)
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** Oracle for the stream-static anti join (q165): batch NOT EXISTS
+    * against the same derived blocklist.
+    */
+  private val q165Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT user_id FROM events
+      |                 WHERE user_id % 13 = 0) b
+      |  WHERE b.user_id = e.user_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Oracle for the MapState type counter (q118): the plain batch
     * rollup the dynamic per-user map must reproduce.
     */
@@ -1389,6 +1403,12 @@ object Events {
     QueryDef("q126_stream_fullouter",
       (s, d) => graft.streaming.Streams.attributionFullOuter(s, d),
       Some(q126Sql)),
+    // Stream-static LEFT ANTI join under the oracle gate: blocklist
+    // subtraction by broadcast anti join against a batch-derived static
+    // table, the one anti shape streaming supports.
+    QueryDef("q165_stream_anti",
+      (s, d) => graft.streaming.Streams.cleanFeedCounts(s, d),
+      Some(q165Sql)),
     // LEFT SEMI stream-stream interval join under the oracle gate:
     // each click must emit exactly once on its first qualifying match —
     // the count vs count-distinct pair makes any duplicate emission

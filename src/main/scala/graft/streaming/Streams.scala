@@ -422,6 +422,37 @@ object Streams {
     spark.read.parquet(out).orderBy(col("n_name"))
   }
 
+  /** Stream-static LEFT ANTI join under the driver's oracle gate (q165)
+    * — the blocklist-subtraction shape, and the one anti join Structured
+    * Streaming supports (stream-stream anti has no watermark semantics;
+    * stream-static plans the static side per microbatch like q92's
+    * enrichment join, here as a broadcast ANTI). The blocklist is a
+    * batch-derived static table (distinct offending user_ids), so this
+    * exercises a genuinely different mechanism from q152's in-row
+    * predicate split: membership is decided by a join against state the
+    * stream cannot see in its own columns. Complete-mode rollup of the
+    * surviving rows; oracle = batch NOT EXISTS on the same rule.
+    */
+  def cleanFeedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tsLong = eventsTsIsLong(spark, dir)
+    val block = graft.Tables.events(spark, dir)
+      .select(col("user_id")).where(col("user_id") % 13 === 0)
+      .distinct()
+    val stream = spark.readStream
+      .schema(eventsSchema(tsLong))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val clean = stream
+      .join(broadcast(block), Seq("user_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS LONG)")).as("value_cents"),
+      )
+    val out = runToParquet(clean, OutputMode.Complete)
+    spark.read.parquet(out).orderBy(col("event_type"))
+  }
+
   /** Built-in session windows (dynamic-gap session_window aggregation):
     * one row per (user, session) with its event count — the declarative
     * counterpart of `sessionize` below. Append mode: sessions emit once
