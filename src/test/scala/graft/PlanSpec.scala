@@ -90,6 +90,20 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("r10d queries keep their scale-critical plan shapes") {
+    // q160: the global top-20 cut must be a per-task heap, not a sort
+    val p160 = plan("q160_trigram_paths")
+    assert(p160.contains("TakeOrderedAndProject"),
+      s"q160 top-k lost its heap cut:\n$p160")
+    // q154/q156: the matrix/histogram aggregates must partial-combine
+    // map-side (that collapse is the whole 100 TB argument)
+    for (q <- Seq("q154_markov_transitions", "q156_mad_anomaly")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation not two-phase:\n$p")
+    }
+  }
+
   test("q01: aggregation is two-phase (partial + final)") {
     val p = plan("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
