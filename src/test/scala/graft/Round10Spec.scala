@@ -727,6 +727,50 @@ class Round10Spec extends AnyFunSuite {
       "a planted exact duplicate survived semantic dedup")
   }
 
+  test("CDC merge laws hold on randomized snapshots and deltas") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the two laws foreachBatch recovery leans on, checked over random
+    // frames instead of the single fixture above: (1) idempotence —
+    // replaying a delta over its own result is a no-op; (2) deltas on
+    // DISJOINT key sets commute — microbatch key-partitioning can't
+    // change the final snapshot
+    def df(rows: List[(Long, String, Long)]) =
+      rows.toDF("user_id", "last_op", "n")
+    def canon(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select($"user_id", $"n").as[(Long, Long)].collect().toSet
+    val row = for {
+      k  <- Gen.choose(0L, 6L)
+      op <- Gen.oneOf("upsert", "delete")
+      n  <- Gen.choose(0L, 99L)
+    } yield (k, op, n)
+    // one row per key: a delta is the post-aggregation latest-wins form
+    val delta = Gen.listOf(row).map(_.groupBy(_._1).map(_._2.head).toList)
+    val snap = Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 99L)))
+      .map(_.groupBy(_._1).map(_._2.head).toList
+        .map { case (k, n) => (k, "live", n) })
+    def merge(s: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streams.tombstoneMerge(s, d, "user_id", "last_op")
+    val idem = Prop.forAll(snap, delta) { (s, d) =>
+      val once = merge(df(s).drop("last_op"), df(d))
+      canon(merge(once, df(d))) == canon(once)
+    }
+    val commute = Prop.forAll(snap, delta, delta) { (s, d1, d2) =>
+      // force disjoint key ranges: d1 keeps keys 0-2, d2 keys 3-6
+      val a = d1.filter(_._1 <= 2L)
+      val b = d2.filter(_._1 >= 3L)
+      val s0 = df(s).drop("last_op")
+      canon(merge(merge(s0, df(a)), df(b))) ==
+        canon(merge(merge(s0, df(b)), df(a)))
+    }
+    for (p <- Seq(idem, commute)) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("q162 bloom layout: point lookup skips row groups stats cannot") {
     import spark.implicits._
     val sf01 = "/root/testdata/sf0.01"
