@@ -1303,7 +1303,52 @@ object Corpus {
       |  MIN(COALESCE(fp_new, fp_old)) AS min_fp
       |FROM j GROUP BY change_kind ORDER BY change_kind""".stripMargin
 
+  /** q166: per-SOURCE document caps — the RefinedWeb/Gopher
+    * anti-domination policy none of the samplers express: a source may
+    * contribute at most K documents, chosen by PRIORITY (longest first,
+    * doc_id tie-break — deterministic and placement-independent), not
+    * at random (q109's fixed-k) nor at a rate (q90). The survivorship
+    * ledger reports, per source, what was offered vs what shipped and
+    * the retained character mass — the number a curator actually reads.
+    * One shuffle on `source`; the rank is a WindowGroupLimit-eligible
+    * top-K per group, so map-side partial limits bound what reaches the
+    * exchange at corpus scale.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables
+      .documents(s, d)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= K, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= K, $"n_chars").otherwise(0L)).as("kept_chars"),
+        sum($"n_chars").as("total_chars"),
+      )
+      .orderBy($"source")
+  }
+
+  private val q166Sql =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS kept_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q166_source_caps", q166, Some(q166Sql)),
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
     QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
