@@ -1347,8 +1347,92 @@ object Corpus {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** q167: BM25 ranked retrieval — the scoring layer on top of the
+    * q155/q64 index family, i.e. the actual search engine: the query is
+    * the corpus' top-3-df terms (derived, so no literal can go stale),
+    * each matching (doc, term) scores
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))` with k1=1.2,
+    * b=0.75, and docs rank by summed score, top-10. EVERYTHING is
+    * integer arithmetic — idf in ppm (q64's rational variant), length
+    * normalization in milli-units, floor division at the same points in
+    * both engines — so the ranking is hash-exact, not approximately
+    * equal. Plan: one explode → (doc, term) tf agg; doc lengths and the
+    * 3-term query table broadcast (3 rows); per-doc sum; top-10 as
+    * TakeOrderedAndProject. Long headroom: idf_ppm·tf·2200 stays under
+    * 2⁶³ for corpora into the billions of docs at these tf ranges; a
+    * 100 TB deployment with heavier tails scales idf to per-mille.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val posting = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val stats = posting.groupBy($"term")
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+        .as("tot_toks"))
+    val qterms = stats
+      .orderBy($"df".desc, $"term")
+      .limit(3)
+      .crossJoin(broadcast(n))
+      .withColumn("idf_ppm", expr("(1000000 * n_docs) DIV df"))
+      .select($"term", $"idf_ppm", $"n_docs", $"tot_toks")
+    posting
+      .join(broadcast(qterms), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("avglen_milli", expr("(tot_toks * 1000) DIV n_docs"))
+      .withColumn("norm_milli",
+        expr("250 + (750 * len * 1000) DIV avglen_milli"))
+      .withColumn("denom_milli",
+        expr("tf * 1000 + (1200 * norm_milli) DIV 1000"))
+      .withColumn("score",
+        expr("(idf_ppm * tf * 2200) DIV denom_milli"))
+      .groupBy($"doc_id")
+      .agg(sum($"score").as("bm25"), count(lit(1)).as("n_qterms"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(10)
+  }
+
+  private val q167Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |posting AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |lens AS (
+      |  SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+      |n AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS BIGINT) AS tot_toks
+      |  FROM documents),
+      |qterms AS (
+      |  SELECT term, (1000000 * n_docs) // df AS idf_ppm,
+      |    n_docs, tot_toks
+      |  FROM (SELECT term, COUNT(*) AS df FROM posting GROUP BY term) s, n
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    (q.idf_ppm * p.tf * 2200) //
+      |      (p.tf * 1000 +
+      |       (1200 * (250 + (750 * l.len * 1000) //
+      |         ((q.tot_toks * 1000) // q.n_docs))) // 1000) AS score
+      |  FROM posting p
+      |  JOIN qterms q USING (term)
+      |  JOIN lens l USING (doc_id))
+      |SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25,
+      |  COUNT(*) AS n_qterms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q166_source_caps", q166, Some(q166Sql)),
+    QueryDef("q167_bm25_search", q167, Some(q167Sql)),
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
     QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
