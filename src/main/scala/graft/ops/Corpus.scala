@@ -1430,9 +1430,67 @@ object Corpus {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q168: positional PHRASE search — the adjacency semantics a
+    * bag-of-words index (q155/q167) cannot answer: "t1 t2" matches only
+    * where the terms are CONSECUTIVE. Token positions come from one
+    * `posexplode`, adjacency from one `lead` over the per-doc position
+    * window (one shuffle on doc_id — the positional-index build), the
+    * query phrase is the corpus' most frequent bigram (derived, ties by
+    * phrase string), and docs rank by hit count, top-10 with doc_id
+    * tie-break. At 100 TB the bigram table is the map-side-combined
+    * (t1,t2) domain, and phrase matching never rescans text — it joins
+    * the 1-row phrase against the same adjacency rows the build
+    * produced.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val adj = Tables
+      .documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .withColumnRenamed("col", "term")
+      .withColumn("next", lead($"term", 1).over(w))
+      .where($"next".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"term", $"next").as("phrase"))
+    val top = adj
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"phrase")
+      .limit(1)
+      .select($"phrase")
+    adj
+      .join(broadcast(top), Seq("phrase"))
+      .groupBy($"doc_id")
+      .agg(min($"phrase").as("phrase"), count(lit(1)).as("n_hits"))
+      .orderBy($"n_hits".desc, $"doc_id")
+      .limit(10)
+  }
+
+  private val q168Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |adj AS (
+      |  SELECT doc_id,
+      |    term || ' ' || LEAD(term) OVER (PARTITION BY doc_id
+      |      ORDER BY pos) AS phrase
+      |  FROM toks
+      |  QUALIFY LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos)
+      |    IS NOT NULL),
+      |top AS (
+      |  SELECT phrase FROM adj GROUP BY phrase
+      |  ORDER BY COUNT(*) DESC, phrase LIMIT 1)
+      |SELECT doc_id, MIN(a.phrase) AS phrase, COUNT(*) AS n_hits
+      |FROM adj a JOIN top t ON a.phrase = t.phrase
+      |GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q166_source_caps", q166, Some(q166Sql)),
     QueryDef("q167_bm25_search", q167, Some(q167Sql)),
+    QueryDef("q168_phrase_search", q168, Some(q168Sql)),
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),
     QueryDef("q55_embed_neardup", q55, Some(q55Sql)),
