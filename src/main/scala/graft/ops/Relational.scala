@@ -1465,8 +1465,71 @@ object Relational {
       |  LIMIT 2) t
       |ORDER BY r.r_name, t.bal_cents DESC, t.n_name""".stripMargin
 
+  /** q169: market-basket ASSOCIATION RULES — support / confidence /
+    * lift over order baskets, the Apriori output everyone means by
+    * "customers who bought X also bought Y", and a capability class
+    * (affinity mining) the join/agg inventory did not yet cover. Pairs
+    * come from a self-join INSIDE the order (baskets are bounded — the
+    * q143 discipline, |basket|² per order, never corpus-wide), support
+    * prunes before anything expensive, and confidence/lift are integer
+    * ppm (`n_ab·10⁶ DIV n_a`, `n_ab·N·10⁶ DIV (n_a·n_b)`) so the
+    * ranking is hash-exact. Top-20 by lift as TakeOrderedAndProject.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("part"))
+      .distinct()
+    val nOrders = Tables.orders(s, d)
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = items.groupBy($"part").agg(count(lit(1)).as("n_item"))
+    val pairs = items
+      .join(items.select($"okey", $"part".as("part_b")), Seq("okey"))
+      .where($"part" < $"part_b")
+      .groupBy($"part", $"part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= 3L) // support prune
+    pairs
+      .join(itemN.withColumnRenamed("n_item", "n_a"), Seq("part"))
+      .join(itemN.select($"part".as("part_b"), $"n_item".as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders)) // 1-row aggregate broadcast
+      .withColumn("conf_ppm", expr("(n_ab * 1000000) DIV n_a"))
+      .withColumn("lift_ppm",
+        expr("(n_ab * n_orders * 1000000) DIV (n_a * n_b)"))
+      .select($"part", $"part_b", $"n_ab", $"n_a", $"n_b",
+        $"conf_ppm", $"lift_ppm")
+      .orderBy($"lift_ppm".desc, $"part", $"part_b")
+      .limit(20)
+  }
+
+  private val q169Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      |  FROM lineitem),
+      |n AS (SELECT COUNT(*) AS n_orders FROM orders),
+      |itemn AS (SELECT part, COUNT(*) AS n_item FROM items GROUP BY part),
+      |pairs AS (
+      |  SELECT a.part, b.part AS part_b, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY a.part, b.part
+      |  HAVING COUNT(*) >= 3)
+      |SELECT p.part, p.part_b, p.n_ab,
+      |  ia.n_item AS n_a, ib.n_item AS n_b,
+      |  (p.n_ab * 1000000) // ia.n_item AS conf_ppm,
+      |  (p.n_ab * n.n_orders * 1000000) // (ia.n_item * ib.n_item)
+      |    AS lift_ppm
+      |FROM pairs p
+      |JOIN itemn ia ON p.part = ia.part
+      |JOIN itemn ib ON p.part_b = ib.part
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, p.part, p.part_b LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q169_basket_rules", q169, Some(q169Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
     QueryDef("q03_topk_orders", q03, Some(q03Sql)),
     QueryDef("q04_brand_volume", q04, Some(q04Sql)),
