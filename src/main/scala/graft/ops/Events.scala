@@ -1200,6 +1200,62 @@ object Events {
       |    AS BIGINT) AS p_ppm
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** q170: TIME-WEIGHTED average (TWAP) per event type — the financial
+    * time-series primitive a row-weighted mean gets wrong: a value that
+    * HELD for an hour must weigh 3600× one that held a second. Each
+    * observation carries its value until the type's next event (lead
+    * over the per-type time order, last observation weightless — the
+    * standard open-interval convention), and the result is
+    * Σ(cents·dt_us) / Σ(dt_us) reported as exact integer numerator,
+    * denominator, and floor-ppm ratio — no float ever forms, so the
+    * cross-engine hash is exact. One shuffle on event_type; weights in
+    * integer µs. Overflow headroom: cents·dt_us ≤ 10⁴·10¹² per row and
+    * the Σ accumulates in a 128-bit DECIMAL on both engines.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"us", $"event_id")
+    Tables
+      .events(s, d)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+      .withColumn("dt_us", lead($"us", 1).over(w) - $"us")
+      .where($"dt_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum($"cents".cast("decimal(38,0)") * $"dt_us").as("num"),
+        sum($"dt_us".cast("decimal(38,0)")).as("den"),
+      )
+      .withColumn("twap_cents_ppm",
+        expr("CAST((num * 1000000) DIV den AS BIGINT)"))
+      .select($"event_type", $"n_intervals",
+        $"num".cast("decimal(38,0)").cast("string").as("num"),
+        $"den".cast("decimal(38,0)").cast("string").as("den"),
+        $"twap_cents_ppm")
+      .orderBy($"event_type")
+  }
+
+  private val q170Sql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us, event_id,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |iv AS (
+      |  SELECT event_type, cents,
+      |    LEAD(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id) - us AS dt_us
+      |  FROM e
+      |  QUALIFY dt_us IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |  CAST(CAST(SUM(CAST(cents AS HUGEINT) * dt_us) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS num,
+      |  CAST(CAST(SUM(CAST(dt_us AS HUGEINT)) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS den,
+      |  CAST(SUM(CAST(cents AS HUGEINT) * dt_us) * 1000000 //
+      |    SUM(CAST(dt_us AS HUGEINT)) AS BIGINT) AS twap_cents_ppm
+      |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q156: robust anomaly detection per event type — exact MEDIAN and
     * MAD (median absolute deviation) over integer cents, flagging values
     * beyond 3×MAD. Mean/stddev (q25/q48) break under the heavy tails
@@ -1329,6 +1385,7 @@ object Events {
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
+    QueryDef("q170_twap", q170, Some(q170Sql)),
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),
