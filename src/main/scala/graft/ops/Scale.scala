@@ -591,9 +591,143 @@ object Scale {
       |    ON o.o_custkey = p.k
       |) t ORDER BY relationship""".stripMargin
 
+  /** q171: schema-driven COLUMN PROFILER — the `describe`/Deequ-profile
+    * deliverable: one row per column of the `orders` table with row
+    * count, null count, distinct count, and min/max rendered to
+    * strings. The profiling expressions are GENERATED from the
+    * DataFrame's own schema (the operator works on any table unseen at
+    * compile time — column-generic metaprogramming, not a hand-written
+    * query per table), and the whole profile is ONE pass: a single
+    * wide aggregate, then a `stack` unpivot of the per-column structs.
+    * Numeric min/max format through exact integer cents; timestamps
+    * through unix micros — so every rendered token is
+    * engine-independent.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.orders(s, d)
+    def render(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        expr(s"CAST(ROUND($c * 100) AS LONG)").cast("string")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("string")
+      case _ => col(c).cast("string")
+    }
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(render(c)).as(s"${c}__min"),
+        max(render(c)).as(s"${c}__max"),
+      )
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (column_name, n_notnull, n_distinct, min_str, max_str)")
+    wide
+      .select($"n_rows", expr(stackExpr))
+      .select($"column_name", $"n_rows", $"n_notnull",
+        ($"n_rows" - $"n_notnull").as("n_null"), $"n_distinct",
+        $"min_str", $"max_str")
+      .orderBy($"column_name")
+  }
+
+  /** q172: GINI concentration of customer spend per market segment —
+    * the inequality metric a corpus curator runs to measure source /
+    * customer domination (0 = everyone equal, →1 = one key owns
+    * everything), here on exact integers end to end: with spend ranked
+    * ascending (cents, then custkey — total order), Gini =
+    * (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), whose NUMERATOR and DENOMINATOR
+    * are exact 128-bit integers — report both plus the floor-ppm ratio,
+    * so the statistic hash-matches, never "approximately". One
+    * custkey-join + one rank window per segment; everything after the
+    * rank is a segment-cardinality aggregate.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables
+      .orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS LONG)"))
+        .as("cents"))
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment").orderBy($"cents", $"c_custkey")
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum($"cents".cast("decimal(38,0)")).as("total"),
+        sum(($"i" * $"cents").cast("decimal(38,0)")).as("ix"),
+      )
+      .withColumn("gini_num",
+        (lit(2).cast("decimal(38,0)") * $"ix" -
+          ($"n_customers" + 1).cast("decimal(38,0)") * $"total")
+          .cast("decimal(38,0)"))
+      .withColumn("gini_den",
+        ($"n_customers".cast("decimal(38,0)") * $"total")
+          .cast("decimal(38,0)"))
+      .withColumn("gini_ppm",
+        expr("CAST((gini_num * 1000000) DIV gini_den AS BIGINT)"))
+      .select($"segment", $"n_customers",
+        $"total".cast("string").as("total_cents"),
+        $"gini_ppm")
+      .orderBy($"segment")
+  }
+
+  private val q172Sql =
+    """WITH spend AS (
+      |  SELECT o.o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o GROUP BY o.o_custkey),
+      |ranked AS (
+      |  SELECT c.c_mktsegment AS segment, s.cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY s.cents, c.c_custkey) AS i
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+      |agg AS (
+      |  SELECT segment, COUNT(*) AS n_customers,
+      |    SUM(CAST(cents AS HUGEINT)) AS total,
+      |    SUM(CAST(i AS HUGEINT) * cents) AS ix
+      |  FROM ranked GROUP BY segment)
+      |SELECT segment, n_customers,
+      |  CAST(CAST(total AS DECIMAL(38,0)) AS VARCHAR) AS total_cents,
+      |  CAST((2 * ix - (n_customers + 1) * total) * 1000000 //
+      |    (n_customers * total) AS BIGINT) AS gini_ppm
+      |FROM agg ORDER BY segment""".stripMargin
+
+  private val q171Sql = {
+    val specs = Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_totalprice", "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"),
+      ("o_orderdate", "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+      ("o_orderpriority", "o_orderpriority"),
+    )
+    specs.map { case (c, r) =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT($c) AS n_notnull,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN($r) AS min_str, MAX($r) AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) t ORDER BY column_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q159_benford_audit", q159, Some(q159Sql)),
     QueryDef("q163_fk_audit", q163, Some(q163Sql)),
+    QueryDef("q171_column_profile", q171, Some(q171Sql)),
+    QueryDef("q172_gini_spend", q172, Some(q172Sql)),
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
