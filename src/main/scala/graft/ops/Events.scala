@@ -1256,6 +1256,69 @@ object Events {
       |    SUM(CAST(dt_us AS HUGEINT)) AS BIGINT) AS twap_cents_ppm
       |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q173: POINT-IN-TIME-correct join — the feature-store leakage guard:
+    * every event is enriched with the dimension version (q153's SCD2
+    * states) that was valid AT THE EVENT'S OWN TIMESTAMP, never a later
+    * one. Mechanically this is [[AsOf.join]]'s union + last-value
+    * window (ONE user_id shuffle — Spark's native plan for the interval
+    * condition would be a BroadcastNestedLoop), with version starts
+    * deduplicated to the latest change per (user, instant) so
+    * simultaneous changes leave exactly one zero-length-free version
+    * and the tie order is deterministic. STRICT as-of (right.ts <
+    * event.ts): each event sees the state it ARRIVED INTO, excluding
+    * its own effect — so change events surface as off-diagonal
+    * (prev_state → new type) cells and the readback is a true
+    * state×event behavior matrix; each user's first instant has no
+    * prior state and drops on both sides identically.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables
+      .events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val versions = e
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      // simultaneous changes: keep the last by event_id — the only one
+      // whose validity interval is non-empty
+      .groupBy($"user_id", $"us")
+      .agg(max_by($"event_type", $"event_id").as("state"))
+    AsOf
+      .join(e, versions, "user_id", "us", strict = true)
+      .where($"right_state".isNotNull)
+      .groupBy($"right_state".as("state_type"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"state_type", $"event_type")
+  }
+
+  private val q173Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, us, event_id, event_type,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev_type
+      |    FROM e) t
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (
+      |  SELECT user_id, us AS valid_from_us,
+      |    MAX_BY(event_type, event_id) AS state
+      |  FROM chg GROUP BY user_id, us),
+      |h AS (
+      |  SELECT user_id, state, valid_from_us,
+      |    LEAD(valid_from_us) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from_us) AS valid_to_us
+      |  FROM v)
+      |SELECT h.state AS state_type, e.event_type, COUNT(*) AS n
+      |FROM e JOIN h ON e.user_id = h.user_id
+      |  AND h.valid_from_us < e.us
+      |  AND (h.valid_to_us IS NULL OR e.us <= h.valid_to_us)
+      |GROUP BY 1, 2 ORDER BY state_type, event_type""".stripMargin
+
   /** q156: robust anomaly detection per event type — exact MEDIAN and
     * MAD (median absolute deviation) over integer cents, flagging values
     * beyond 3×MAD. Mean/stddev (q25/q48) break under the heavy tails
@@ -1386,6 +1449,7 @@ object Events {
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
     QueryDef("q170_twap", q170, Some(q170Sql)),
+    QueryDef("q173_pit_join", q173, Some(q173Sql)),
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),
