@@ -1319,6 +1319,90 @@ object Events {
       |  AND (h.valid_to_us IS NULL OR e.us <= h.valid_to_us)
       |GROUP BY 1, 2 ORDER BY state_type, event_type""".stripMargin
 
+  /** q175: GROWTH ACCOUNTING — the active-user ledger every consumer
+    * product reports, at DAILY grain (weekly is saturated on this data —
+    * every user active every week — and a classifier that never fires
+    * verifies nothing, q142's lesson; daily yields all four classes):
+    * each (user, day) active cell classifies
+    * as NEW (first week ever), RETAINED (also active the prior week) or
+    * RESURRECTED (active before, but not the prior period), and CHURNED
+    * counts the prior period's actives who went silent — so
+    * active(t) = new + retained + resurrected and
+    * active(t−1) = retained(t) + churned(t), an internal consistency
+    * the oracle hash enforces. Periods are integer epoch-day buckets
+    * (µs DIV day — no calendar/session-TZ dependence); the plan is one
+    * (user, day) distinct, one user-windowed lag/lead, and a
+    * day-cardinality aggregate. The `week` column name is the driver-
+    * stable key; the grain constant is the one knob.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val uw = Tables
+      .events(s, d)
+      .select($"user_id",
+        expr(s"unix_micros(ts) div $dayUs").as("week"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"week")
+    val classed = uw
+      .withColumn("prev_week", lag($"week", 1).over(w))
+      .withColumn("next_week", lead($"week", 1).over(w))
+      .withColumn("cls",
+        when($"prev_week".isNull, "new")
+          .when($"prev_week" === $"week" - 1, "retained")
+          .otherwise("resurrected"))
+    val active = classed
+      .groupBy($"week")
+      .agg(
+        count(lit(1)).as("active"),
+        sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"cls" === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"cls" === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+      )
+    // churned INTO week w+1: actives of w with no activity in w+1
+    val churn = classed
+      .where($"next_week".isNull || $"next_week" =!= $"week" + 1)
+      .select(($"week" + 1).as("week"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_churned"))
+    active
+      .join(churn, Seq("week"), "left_outer")
+      .select($"week", $"active", $"n_new", $"n_retained",
+        $"n_resurrected", coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"week")
+  }
+
+  private val q175Sql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS week
+      |  FROM events),
+      |cl AS (
+      |  SELECT user_id, week,
+      |    LAG(week) OVER w AS prev_week,
+      |    LEAD(week) OVER w AS next_week
+      |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+      |act AS (
+      |  SELECT week, COUNT(*) AS active,
+      |    CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN prev_week IS NOT NULL
+      |      AND prev_week <> week - 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM cl GROUP BY week),
+      |ch AS (
+      |  SELECT week + 1 AS week, COUNT(*) AS n_churned
+      |  FROM cl
+      |  WHERE next_week IS NULL OR next_week <> week + 1
+      |  GROUP BY week + 1)
+      |SELECT a.week, a.active, a.n_new, a.n_retained, a.n_resurrected,
+      |  COALESCE(c.n_churned, 0) AS n_churned
+      |FROM act a LEFT JOIN ch c ON a.week = c.week
+      |ORDER BY a.week""".stripMargin
+
   /** q156: robust anomaly detection per event type — exact MEDIAN and
     * MAD (median absolute deviation) over integer cents, flagging values
     * beyond 3×MAD. Mean/stddev (q25/q48) break under the heavy tails
@@ -1450,6 +1534,7 @@ object Events {
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
     QueryDef("q170_twap", q170, Some(q170Sql)),
     QueryDef("q173_pit_join", q173, Some(q173Sql)),
+    QueryDef("q175_growth_accounting", q175, Some(q175Sql)),
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),

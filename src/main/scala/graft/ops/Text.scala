@@ -982,8 +982,57 @@ object Text {
       |SELECT s.term, s.df, s.cf, h.postings_head
       |FROM stats s JOIN hd h USING (term) ORDER BY s.term""".stripMargin
 
+  /** q174: cross-source DUPLICATION OVERLAP matrix — which sources copy
+    * from each other: for every source pair, the number of distinct
+    * 4-token PASSAGE spans present in BOTH (q140's sub-document unit —
+    * whole-document fingerprints find nothing here because mirrors
+    * reshuffle boilerplate, but spans cross sources ~1.6k times even at
+    * sf0.01). This is the view a curator uses to drop a mirror site
+    * rather than fight its copies one by one. Docs reduce to DISTINCT
+    * (source, span) before the matrix join — per-source span sets, not
+    * row-counts, so a span repeated 1000× inside one source counts
+    * once — and the self-join is span-keyed with output bounded by
+    * sources².
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Tables
+      .documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .where(size($"toks") >= 4)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(toks) - 3)," +
+          " i -> concat_ws(' ', slice(toks, i, 4)))")).as("span"))
+      .distinct()
+    spans
+      .join(spans.select($"source".as("source_b"), $"span"), Seq("span"))
+      .where($"source" < $"source_b")
+      .groupBy($"source".as("source_a"), $"source_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q174Sql =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |spans AS (
+      |  SELECT DISTINCT source,
+      |    term || ' ' || LEAD(term, 1) OVER w || ' ' ||
+      |    LEAD(term, 2) OVER w || ' ' || LEAD(term, 3) OVER w AS span
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(term, 3) OVER w IS NOT NULL)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_shared_spans
+      |FROM spans a JOIN spans b
+      |  ON a.span = b.span AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q155_inverted_index", q155, Some(q155Sql)),
+    QueryDef("q174_source_overlap", q174, Some(q174Sql)),
     QueryDef("q30_exact_dedup", q30, Some(q30Sql)),
     QueryDef("q31_token_stats", q31, Some(q31Sql)),
     QueryDef("q32_quality_score", q32, Some(q32Sql)),
