@@ -188,7 +188,9 @@ class PlanSpec extends AnyFunSuite {
       "q16_scalar_subquery", "q64_tfidf_terms", "q78_brand_share",
       "q40_cosine_topk", "q49_ivf_topk", "q127_ivfpq_topk",
       "q91_hll_merge", // 1-row merged × 1-row direct cross
-      "q143_triangle_count") // 1-row nodes × edges × triangles counts
+      "q143_triangle_count", // 1-row nodes × edges × triangles counts
+      "q167_bm25_search", // 1-row (n_docs, tot_toks) corpus constants
+      "q169_basket_rules") // 1-row n_orders basket denominator
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")
