@@ -310,6 +310,20 @@ object Bench {
     // vector itself
     def line3b(qs: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfBase"}"""
+    // tier 3c (180 queries measured 1848 chars at 3b): keep every query
+    // at or above 0.25 s individually and collapse the sub-threshold
+    // tail to {"n","sec"} — a VALUE threshold, not a budget cutoff: a
+    // fast query that regresses crosses the threshold and surfaces by
+    // itself next run, while a 0.2 s row carries no adjudicable signal
+    // at 1-decimal resolution anyway. bench_full.json keeps all pairs.
+    def line3c: String = {
+      val (slow, fast) = sorted.partition(_._2 >= 0.25)
+      val qs = slow.map { case (k, v) => "\"" + numKey3(k) + "\":" + r1(v) }
+        .mkString("{", ",", "}")
+      val fastPart =
+        s""","fast":{"n":${fast.size},"sec":${r3(fast.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastPart,"errors":$errs,"sf":"$sfBase"}"""
+    }
     val cap = 1800
     val fullMap = sorted
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -325,6 +339,7 @@ object Bench {
       else if (line(shortMap, "").length <= cap) line(shortMap, "")
       else if (line3(numMap1).length <= cap) line3(numMap1)
       else if (line3b(numMap1).length <= cap) line3b(numMap1)
+      else if (line3c.length <= cap) line3c
       else {
         val budget = 800
         val kept = scala.collection.mutable.ListBuffer.empty[String]
