@@ -1504,6 +1504,71 @@ object Relational {
       .limit(20)
   }
 
+  /** q176: RFM segmentation — the marketing-analytics quintile cube:
+    * per customer, Recency (latest order date), Frequency (order
+    * count), Monetary (total cents), each scored 1-5 and the base
+    * rolled up per (r, f, m) cell (≤125 rows out of any corpus size).
+    * Scores come from BROADCAST percentile thresholds
+    * (`score = 1 + Σ(v > P20/40/60/80)`, q148's aggregate→broadcast→
+    * codegen-comparison shape — ties land in one bucket together),
+    * NOT from a global `ntile` window: ntile would drag every customer
+    * row through a single partition, and the cross-engine exactness of
+    * `percentile` ≡ `quantile_cont` is already certified by q29.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables
+      .orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS LONG)")).as("cents"),
+      )
+    val cutCols =
+      for (m <- Seq("last_us", "freq", "cents"); q <- Seq(2, 4, 6, 8))
+        yield expr(s"percentile($m, 0.$q)").as(s"${m}_p$q")
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    def score(m: String): org.apache.spark.sql.Column =
+      lit(1) + Seq(2, 4, 6, 8)
+        .map(q => when(col(m) > col(s"${m}_p$q"), 1).otherwise(0))
+        .reduce(_ + _)
+    per
+      .crossJoin(broadcast(cuts)) // 1-row thresholds
+      .withColumn("r", score("last_us"))
+      .withColumn("f", score("freq"))
+      .withColumn("m", score("cents"))
+      .groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cell_cents"))
+      .orderBy($"r", $"f", $"m")
+  }
+
+  private val q176Sql = {
+    val cuts = (for (m <- Seq("last_us", "freq", "cents"); q <- Seq(2, 4, 6, 8))
+      yield s"quantile_cont($m, 0.$q) AS ${m}_p$q").mkString(", ")
+    def score(m: String) =
+      Seq(2, 4, 6, 8)
+        .map(q => s"CASE WHEN $m > ${m}_p$q THEN 1 ELSE 0 END")
+        .mkString("1 + ", " + ", "")
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    MAX(epoch_us(o_orderdate)) AS last_us,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |cuts AS (SELECT $cuts FROM per),
+       |scored AS (
+       |  SELECT cents,
+       |    ${score("last_us")} AS r,
+       |    ${score("freq")} AS f,
+       |    ${score("cents")} AS m
+       |  FROM per, cuts)
+       |SELECT r, f, m, COUNT(*) AS n_customers,
+       |  CAST(SUM(cents) AS BIGINT) AS cell_cents
+       |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+  }
+
   private val q169Sql =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
@@ -1530,6 +1595,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q169_basket_rules", q169, Some(q169Sql)),
+    QueryDef("q176_rfm_segments", q176, Some(q176Sql)),
     QueryDef("q02_selective_scan", q02, Some(q02Sql)),
     QueryDef("q03_topk_orders", q03, Some(q03Sql)),
     QueryDef("q04_brand_volume", q04, Some(q04Sql)),
