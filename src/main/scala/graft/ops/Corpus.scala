@@ -1310,26 +1310,38 @@ object Corpus {
     * at random (q109's fixed-k) nor at a rate (q90). The survivorship
     * ledger reports, per source, what was offered vs what shipped and
     * the retained character mass — the number a curator actually reads.
-    * One shuffle on `source`; the rank is a WindowGroupLimit-eligible
-    * top-K per group, so map-side partial limits bound what reaches the
-    * exchange at corpus scale.
+    * The offered-vs-shipped sides are SPLIT so each gets its cheapest
+    * plan: totals are a plain hash aggregate (map-side partial combine —
+    * no window, no row ever crosses the exchange un-reduced), while the
+    * kept side filters `rk <= K` DIRECTLY after `row_number`, which is
+    * the shape Catalyst's InferWindowGroupLimit rewrites into a
+    * WindowGroupLimit — map-side partial top-K per source, so at corpus
+    * scale only ~K rows per (task, source) reach the window exchange
+    * instead of every document. The two K+1-row-per-source aggregates
+    * then join on `source`.
     */
   private def q166(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val K = 10
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
-    Tables
+    val base = Tables
       .documents(s, d)
       .select($"source", $"doc_id", $"n_chars")
-      .withColumn("rk", row_number().over(w))
+    val totals = base
       .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when($"rk" <= K, 1L).otherwise(0L)).as("n_kept"),
-        sum(when($"rk" <= K, $"n_chars").otherwise(0L)).as("kept_chars"),
-        sum($"n_chars").as("total_chars"),
-      )
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val kept = base
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= K)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+    totals
+      .join(kept, Seq("source"), "left_outer")
+      .select($"source", $"n_docs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_chars", lit(0L)).as("kept_chars"),
+        $"total_chars")
       .orderBy($"source")
   }
 

@@ -1324,16 +1324,18 @@ object Events {
     * every user active every week — and a classifier that never fires
     * verifies nothing, q142's lesson; daily yields all four classes):
     * each (user, day) active cell classifies
-    * as NEW (first week ever), RETAINED (also active the prior week) or
+    * as NEW (first day ever), RETAINED (also active the prior day) or
     * RESURRECTED (active before, but not the prior period), and CHURNED
     * counts the prior period's actives who went silent — so
     * active(t) = new + retained + resurrected and
     * active(t−1) = retained(t) + churned(t), an internal consistency
-    * the oracle hash enforces. Periods are integer epoch-day buckets
-    * (µs DIV day — no calendar/session-TZ dependence); the plan is one
-    * (user, day) distinct, one user-windowed lag/lead, and a
-    * day-cardinality aggregate. The `week` column name is the driver-
-    * stable key; the grain constant is the one knob.
+    * the oracle hash enforces INCLUDING at the ledger's end: the
+    * active↔churn join is FULL OUTER, so the period after the last
+    * active day still gets its churn row (active = 0, churned =
+    * last-day actives) instead of being silently truncated. Periods are
+    * integer epoch-day buckets (µs DIV day — no calendar/session-TZ
+    * dependence); the plan is one (user, day) distinct, one
+    * user-windowed lag/lead, and a day-cardinality aggregate.
     */
   private def q175(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1341,18 +1343,18 @@ object Events {
     val uw = Tables
       .events(s, d)
       .select($"user_id",
-        expr(s"unix_micros(ts) div $dayUs").as("week"))
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
       .distinct()
-    val w = Window.partitionBy($"user_id").orderBy($"week")
+    val w = Window.partitionBy($"user_id").orderBy($"day")
     val classed = uw
-      .withColumn("prev_week", lag($"week", 1).over(w))
-      .withColumn("next_week", lead($"week", 1).over(w))
+      .withColumn("prev_day", lag($"day", 1).over(w))
+      .withColumn("next_day", lead($"day", 1).over(w))
       .withColumn("cls",
-        when($"prev_week".isNull, "new")
-          .when($"prev_week" === $"week" - 1, "retained")
+        when($"prev_day".isNull, "new")
+          .when($"prev_day" === $"day" - 1, "retained")
           .otherwise("resurrected"))
     val active = classed
-      .groupBy($"week")
+      .groupBy($"day")
       .agg(
         count(lit(1)).as("active"),
         sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
@@ -1360,48 +1362,57 @@ object Events {
         sum(when($"cls" === "resurrected", 1L).otherwise(0L))
           .as("n_resurrected"),
       )
-    // churned INTO week w+1: actives of w with no activity in w+1
+    // churned INTO day d+1: actives of d with no activity in d+1; the
+    // full-outer keeps the terminal churn period (no actives that day)
     val churn = classed
-      .where($"next_week".isNull || $"next_week" =!= $"week" + 1)
-      .select(($"week" + 1).as("week"))
-      .groupBy($"week")
+      .where($"next_day".isNull || $"next_day" =!= $"day" + 1)
+      .select(($"day" + 1).as("day"))
+      .groupBy($"day")
       .agg(count(lit(1)).as("n_churned"))
     active
-      .join(churn, Seq("week"), "left_outer")
-      .select($"week", $"active", $"n_new", $"n_retained",
-        $"n_resurrected", coalesce($"n_churned", lit(0L)).as("n_churned"))
-      .orderBy($"week")
+      .join(churn, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"active", lit(0L)).as("active"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"day")
   }
 
   private val q175Sql =
     """WITH uw AS (
       |  SELECT DISTINCT user_id,
-      |    epoch_us(ts) // 86400000000 AS week
+      |    epoch_us(ts) // 86400000000 AS day
       |  FROM events),
       |cl AS (
-      |  SELECT user_id, week,
-      |    LAG(week) OVER w AS prev_week,
-      |    LEAD(week) OVER w AS next_week
-      |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+      |  SELECT user_id, day,
+      |    LAG(day) OVER w AS prev_day,
+      |    LEAD(day) OVER w AS next_day
+      |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY day)),
       |act AS (
-      |  SELECT week, COUNT(*) AS active,
-      |    CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+      |  SELECT day, COUNT(*) AS active,
+      |    CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_new,
-      |    CAST(SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+      |    CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_retained,
-      |    CAST(SUM(CASE WHEN prev_week IS NOT NULL
-      |      AND prev_week <> week - 1 THEN 1 ELSE 0 END)
+      |    CAST(SUM(CASE WHEN prev_day IS NOT NULL
+      |      AND prev_day <> day - 1 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_resurrected
-      |  FROM cl GROUP BY week),
+      |  FROM cl GROUP BY day),
       |ch AS (
-      |  SELECT week + 1 AS week, COUNT(*) AS n_churned
+      |  SELECT day + 1 AS day, COUNT(*) AS n_churned
       |  FROM cl
-      |  WHERE next_week IS NULL OR next_week <> week + 1
-      |  GROUP BY week + 1)
-      |SELECT a.week, a.active, a.n_new, a.n_retained, a.n_resurrected,
+      |  WHERE next_day IS NULL OR next_day <> day + 1
+      |  GROUP BY day + 1)
+      |SELECT COALESCE(a.day, c.day) AS day,
+      |  COALESCE(a.active, 0) AS active,
+      |  COALESCE(a.n_new, 0) AS n_new,
+      |  COALESCE(a.n_retained, 0) AS n_retained,
+      |  COALESCE(a.n_resurrected, 0) AS n_resurrected,
       |  COALESCE(c.n_churned, 0) AS n_churned
-      |FROM act a LEFT JOIN ch c ON a.week = c.week
-      |ORDER BY a.week""".stripMargin
+      |FROM act a FULL OUTER JOIN ch c ON a.day = c.day
+      |ORDER BY day""".stripMargin
 
   /** q156: robust anomaly detection per event type — exact MEDIAN and
     * MAD (median absolute deviation) over integer cents, flagging values

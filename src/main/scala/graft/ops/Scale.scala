@@ -599,28 +599,32 @@ object Scale {
     * compile time — column-generic metaprogramming, not a hand-written
     * query per table), and the whole profile is ONE pass: a single
     * wide aggregate, then a `stack` unpivot of the per-column structs.
-    * Numeric min/max format through exact integer cents; timestamps
-    * through unix micros — so every rendered token is
-    * engine-independent.
+    * min/max aggregate in the column's NATIVE ORDER (doubles through
+    * exact integer cents, timestamps through unix micros, integers as
+    * themselves) and only the aggregated extreme is rendered to string —
+    * a string-typed min over rendered values would report lexicographic
+    * extremes ('9999…' as the max over keys 1..60000), which is not
+    * what a describe/Deequ profile means by min/max.
     */
   private def q171(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val df = Tables.orders(s, d)
-    def render(c: String): Column = df.schema(c).dataType match {
+    // engine-independent total-order key, in the column's native order
+    def orderKey(c: String): Column = df.schema(c).dataType match {
       case org.apache.spark.sql.types.DoubleType =>
-        expr(s"CAST(ROUND($c * 100) AS LONG)").cast("string")
+        expr(s"CAST(ROUND($c * 100) AS LONG)")
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast("timestamp")).cast("string")
-      case _ => col(c).cast("string")
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c)
     }
     val cols = df.schema.fieldNames.toSeq
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
         count_distinct(col(c)).as(s"${c}__nd"),
-        min(render(c)).as(s"${c}__min"),
-        max(render(c)).as(s"${c}__max"),
+        min(orderKey(c)).cast("string").as(s"${c}__min"),
+        max(orderKey(c)).cast("string").as(s"${c}__max"),
       )
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -704,20 +708,23 @@ object Scale {
       |FROM agg ORDER BY segment""".stripMargin
 
   private val q171Sql = {
+    // native-order key per column; min/max aggregate the KEY and only
+    // the extreme is rendered to VARCHAR (mirrors q171's orderKey)
     val specs = Seq(
-      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
-      ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+      ("o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey"),
       ("o_orderstatus", "o_orderstatus"),
-      ("o_totalprice", "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"),
-      ("o_orderdate", "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+      ("o_totalprice", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+      ("o_orderdate", "epoch_us(o_orderdate)"),
       ("o_orderpriority", "o_orderpriority"),
     )
-    specs.map { case (c, r) =>
+    specs.map { case (c, k) =>
       s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
          |  COUNT($c) AS n_notnull,
          |  COUNT(*) - COUNT($c) AS n_null,
          |  COUNT(DISTINCT $c) AS n_distinct,
-         |  MIN($r) AS min_str, MAX($r) AS max_str
+         |  CAST(MIN($k) AS VARCHAR) AS min_str,
+         |  CAST(MAX($k) AS VARCHAR) AS max_str
          |FROM orders""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) t ORDER BY column_name")
