@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 additions, locked: the incremental dedup step (q177) must
+  * be replay-idempotent — the crash-recovery contract a cross-run
+  * pipeline stage needs. Full-recompute parity (incremental ≡ whole
+  * corpus dedup) is the driver's oracle gate; what ONLY a spec can
+  * prove is what happens when the same delta is delivered twice.
+  */
+class Round11Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q177 replay: same delta on the updated store — identical ledger, unchanged store") {
+    import spark.implicits._
+    // first delivery: builds store v1 from the base batch, dedups the
+    // delta against it, writes store v2
+    val first = SparkEntry.queries("q177_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    // the delta genuinely both kept and lost passages — otherwise the
+    // cross-batch suppression this operator exists for never fired
+    val nPassages = first.map(_(1).asInstanceOf[Long]).sum
+    val nKept = first.map(_(2).asInstanceOf[Long]).sum
+    assert(nKept > 0 && nKept < nPassages)
+
+    val root = ops.Text.q177StoreRoot(sf)
+    val delta = Tables.documents(spark, sf).where($"doc_id" % 10 >= 8)
+    // redelivery: the SAME delta against the store it already updated.
+    // Winners for its passages now resolve to the delta's own positions,
+    // so the ledger reproduces exactly (not empty, not doubled) and the
+    // store gains nothing.
+    val replay = ops.Text
+      .incrementalDedupStep(spark, delta, s"$root/v2", s"$root/v3")
+      .collect().map(_.toSeq).toSeq
+    assert(replay == first)
+    val v1 = spark.read.parquet(s"$root/v1").collect().map(_.toSeq).toSet
+    val v2 = spark.read.parquet(s"$root/v2").collect().map(_.toSeq).toSet
+    val v3 = spark.read.parquet(s"$root/v3").collect().map(_.toSeq).toSet
+    assert(v3 == v2)
+    // and the first delivery genuinely extended the base-batch store
+    assert(v1.subsetOf(v2) && v1.size < v2.size)
+  }
+}
