@@ -1157,20 +1157,27 @@ object Text {
     * (source, span) before the matrix join — per-source span sets, not
     * row-counts, so a span repeated 1000× inside one source counts
     * once — and the self-join is span-keyed with output bounded by
-    * sources².
+    * sources². Spans shuffle as the fused `WordShingleHashes` kernel's
+    * 64-BIT GRAM HASHES (the q124/q140 discipline): the ~30-byte span
+    * string dies inside its scan task and the distinct + self-join
+    * exchanges carry 8-byte keys — ~4× less shuffle volume at corpus
+    * scale. The DuckDB oracle stays on the exact strings (the output
+    * has no span column, only pair counts), so a green row also prices
+    * the hashed-vs-string birthday trade (~5e-8 at sf0.01's ~1e6
+    * distinct spans); Round11Spec locks the no-string-in-shuffle claim
+    * against the executed plan.
     */
   private def q174(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val spans = Tables
       .documents(s, d)
-      .withColumn("toks", tokens($"text"))
-      .where(size($"toks") >= 4)
-      .select($"source", explode(expr(
-        "transform(sequence(1, size(toks) - 3)," +
-          " i -> concat_ws(' ', slice(toks, i, 4)))")).as("span"))
+      .where(size(tokens($"text")) >= 4)
+      .select($"source",
+        explode(graft.functions.TextHashExprs
+          .shingleHashes(s, $"text", 4)).as("h"))
       .distinct()
     spans
-      .join(spans.select($"source".as("source_b"), $"span"), Seq("span"))
+      .join(spans.select($"source".as("source_b"), $"h"), Seq("h"))
       .where($"source" < $"source_b")
       .groupBy($"source".as("source_a"), $"source_b")
       .agg(count(lit(1)).as("n_shared_spans"))

@@ -42,4 +42,30 @@ class Round11Spec extends AnyFunSuite {
     // and the first delivery genuinely extended the base-batch store
     assert(v1.subsetOf(v2) && v1.size < v2.size)
   }
+
+  test("q174 shuffles 8-byte gram hashes — no span string crosses an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    // AQE wraps stages and hides Exchange nodes from a tree collect;
+    // the property under test is the static plan's shuffle payload
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries("q174_source_overlap")(spark, sf)
+          .queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert(exchanges.nonEmpty)
+    // the only string allowed across ANY exchange is the tiny `source`
+    // label; the 4-token span must have died inside its scan task
+    val leakedStrings = exchanges
+      .flatMap(_.output)
+      .filter(_.dataType == StringType)
+      .map(_.name)
+      .filterNot(n => n.startsWith("source"))
+    assert(leakedStrings.isEmpty,
+      s"span-sized strings crossed an exchange: $leakedStrings")
+  }
 }
