@@ -591,51 +591,97 @@ object Scale {
       |    ON o.o_custkey = p.k
       |) t ORDER BY relationship""".stripMargin
 
-  /** q171: schema-driven COLUMN PROFILER — the `describe`/Deequ-profile
-    * deliverable: one row per column of the `orders` table with row
-    * count, null count, distinct count, and min/max rendered to
-    * strings. The profiling expressions are GENERATED from the
-    * DataFrame's own schema (the operator works on any table unseen at
-    * compile time — column-generic metaprogramming, not a hand-written
-    * query per table), and the whole profile is ONE pass: a single
-    * wide aggregate, then a `stack` unpivot of the per-column structs.
-    * min/max aggregate in the column's NATIVE ORDER (doubles through
-    * exact integer cents, timestamps through unix micros, integers as
-    * themselves) and only the aggregated extreme is rendered to string —
-    * a string-typed min over rendered values would report lexicographic
+  /** Engine-independent total-order key for profiler min/max, in the
+    * column's NATIVE order (doubles through exact integer cents,
+    * timestamps through unix micros, everything else as itself) — a
+    * string-typed min over rendered values would report lexicographic
     * extremes ('9999…' as the max over keys 1..60000), which is not
-    * what a describe/Deequ profile means by min/max.
+    * what a describe/Deequ profile means by min/max. Shared by the
+    * exact (q171) and approx (q180) profile paths.
+    */
+  private def profileOrderKey(
+      df: DataFrame)(c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.DoubleType =>
+      expr(s"CAST(ROUND($c * 100) AS LONG)")
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(col(c).cast("timestamp"))
+    case _ => col(c)
+  }
+
+  /** q171: schema-driven COLUMN PROFILER, EXACT distincts — the
+    * `describe`/Deequ-profile deliverable: one row per column of the
+    * `orders` table with row count, null count, distinct count, and
+    * min/max rendered to strings. The profiling expressions are
+    * GENERATED from the DataFrame's own schema (the operator works on
+    * any table unseen at compile time — column-generic metaprogramming,
+    * not a hand-written query per table). Exact multi-column distincts
+    * in ONE wide aggregate would go through Catalyst's `Expand` — the
+    * input replicated ×(columns+1) into the first shuffle, which for a
+    * near-unique column barely reduces map-side (the round-10 plan this
+    * replaces, and the one profile plan NOT to ship at 100 TB). Instead
+    * each column profiles in its OWN single-distinct aggregate — the
+    * no-Expand `planAggregateWithOneDistinct` shape, each branch's scan
+    * pruned to that one column, shuffling only that column's distinct
+    * values — and the 6 one-row results union. PlanSpec locks the
+    * no-Expand claim; q180 is the one-scan approximate twin.
     */
   private def q171(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val df = Tables.orders(s, d)
-    // engine-independent total-order key, in the column's native order
-    def orderKey(c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.DoubleType =>
-        expr(s"CAST(ROUND($c * 100) AS LONG)")
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast("timestamp"))
-      case _ => col(c)
+    val key = profileOrderKey(df) _
+    val perCol = df.schema.fieldNames.toSeq.map { c =>
+      df.groupBy()
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_notnull"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(key(c)).cast("string").as("min_str"),
+          max(key(c)).cast("string").as("max_str"),
+        )
+        .select(lit(c).as("column_name"), $"n_rows", $"n_notnull",
+          ($"n_rows" - $"n_notnull").as("n_null"), $"n_distinct",
+          $"min_str", $"max_str")
     }
+    perCol.reduce(_.unionByName(_)).orderBy($"column_name")
+  }
+
+  /** q180: the APPROXIMATE profile path — same deliverable as q171 but
+    * every distinct count is an `approx_count_distinct` HLL++ sketch
+    * (rsd 0.05), so the WHOLE profile is genuinely ONE pass over ONE
+    * scan: all sketches and min/max accumulate in a single wide
+    * no-Expand aggregate (sketches are ordinary partial-mergeable
+    * aggregates; nothing replicates), then a `stack` unpivot. This is
+    * what a production profiler (Deequ) ships for wide tables at
+    * 100 TB: the exact path's one-scan-per-column trade stops paying
+    * when the table has 300 columns. Approximate output can't be
+    * DuckDB-hashed (different sketch internals), so the driver records
+    * rows>0 and Round11Spec gates every column's estimate within ±15%
+    * (3×rsd) of q171's exact counts, with the count/null/min/max
+    * columns required EQUAL to the exact profile.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.orders(s, d)
+    val key = profileOrderKey(df) _
     val cols = df.schema.fieldNames.toSeq
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        min(orderKey(c)).cast("string").as(s"${c}__min"),
-        max(orderKey(c)).cast("string").as(s"${c}__max"),
+        approx_count_distinct(col(c), 0.05).as(s"${c}__nd"),
+        min(key(c)).cast("string").as(s"${c}__min"),
+        max(key(c)).cast("string").as(s"${c}__max"),
       )
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackExpr = cols
       .map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max")
       .mkString(s"stack(${cols.size}, ", ", ",
-        ") AS (column_name, n_notnull, n_distinct, min_str, max_str)")
+        ") AS (column_name, n_notnull, n_approx_distinct, min_str, max_str)")
     wide
       .select($"n_rows", expr(stackExpr))
       .select($"column_name", $"n_rows", $"n_notnull",
-        ($"n_rows" - $"n_notnull").as("n_null"), $"n_distinct",
+        ($"n_rows" - $"n_notnull").as("n_null"), $"n_approx_distinct",
         $"min_str", $"max_str")
       .orderBy($"column_name")
   }
@@ -734,6 +780,10 @@ object Scale {
     QueryDef("q159_benford_audit", q159, Some(q159Sql)),
     QueryDef("q163_fk_audit", q163, Some(q163Sql)),
     QueryDef("q171_column_profile", q171, Some(q171Sql)),
+    // approximate profile: HLL++ estimates can't hash-match DuckDB's
+    // sketch — rows-only for the driver; Round11Spec gates the error
+    // bound and the exact-column equality against q171
+    QueryDef("q180_approx_profile", q180, None),
     QueryDef("q172_gini_spend", q172, Some(q172Sql)),
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),

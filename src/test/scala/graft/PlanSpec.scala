@@ -205,6 +205,20 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q171/q180 profilers plan with NO Expand") {
+    // multi-distinct in one aggregate goes through Expand — input rows
+    // replicated ×(columns+1) into the first shuffle, the one profile
+    // plan not to ship at 100 TB. q171 must stay on per-column
+    // single-distinct aggregates; q180 on one sketch-only pass.
+    val exact = plan("q171_column_profile")
+    assert(!exact.contains("Expand"), s"q171 regressed to Expand:\n$exact")
+    val approx = plan("q180_approx_profile")
+    assert(!approx.contains("Expand"), s"q180 plans an Expand:\n$approx")
+    // and the approx path is genuinely ONE aggregate over ONE scan
+    assert("Scan parquet".r.findAllIn(approx).size == 1,
+      s"q180 should read the table once:\n$approx")
+  }
+
   test("whole-stage codegen covers the scan→agg pipeline") {
     // AQE finalizes the plan lazily — execute first, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)

@@ -43,6 +43,32 @@ class Round11Spec extends AnyFunSuite {
     assert(v1.subsetOf(v2) && v1.size < v2.size)
   }
 
+  test("q180 approx profile: exact columns equal q171, estimates within 3×rsd") {
+    def byCol(rows: Array[org.apache.spark.sql.Row], ndField: String) =
+      rows.map { r =>
+        r.getAs[String]("column_name") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_notnull"),
+            r.getAs[Long]("n_null"), r.getAs[String]("min_str"),
+            r.getAs[String]("max_str")), r.getAs[Long](ndField))
+      }.toMap
+    val exact = byCol(
+      SparkEntry.queries("q171_column_profile")(spark, sf).collect(),
+      "n_distinct")
+    val approx = byCol(
+      SparkEntry.queries("q180_approx_profile")(spark, sf).collect(),
+      "n_approx_distinct")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, ((nr, nn, nl, mn, mx), nd)) =>
+      val ((anr, ann, anl, amn, amx), and) = approx(c)
+      // everything except the sketch is exact arithmetic — must be EQUAL
+      assert((anr, ann, anl, amn, amx) == ((nr, nn, nl, mn, mx)),
+        s"$c: exact columns diverged")
+      // HLL++ at rsd=0.05: |est - exact| within 3σ = 15%
+      assert(math.abs(and - nd) <= math.max(1L, (0.15 * nd).toLong),
+        s"$c: approx distinct $and vs exact $nd out of bound")
+    }
+  }
+
   test("q174 shuffles 8-byte gram hashes — no span string crosses an exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
