@@ -117,6 +117,9 @@ object Bench {
       // only query on it)
       graft.streaming.Streams
         .attributionFullOuter(spark, srcDir.toString).count(): Unit
+      // right-outer's own operator wiring (q178 is its only query)
+      graft.streaming.Streams
+        .attributionRightOuter(spark, srcDir.toString).count(): Unit
     }
     // 2-row transformWithState run: q112 is the only query on the new
     // stateful API, and its first use loads the RocksDB native library

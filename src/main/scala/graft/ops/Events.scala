@@ -885,6 +885,25 @@ object Events {
       |  COUNT(DISTINCT revent) AS n_purchases
       |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Oracle for the right-outer streaming attribution join (q178): the
+    * equivalent batch RIGHT JOIN — matched pairs plus purchases with no
+    * qualifying click in the preceding hour.
+    */
+  private val q178Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.user_id AS user_id, c.event_id AS levent,
+      |        p.event_id AS revent
+      |      FROM c RIGHT JOIN p ON c.user_id = p.user_id
+      |        AND p.us >= c.us AND p.us <= c.us + 3600000000)
+      |SELECT user_id, COUNT(levent) AS n_pairs,
+      |  CAST(SUM(CASE WHEN levent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans,
+      |  COUNT(DISTINCT levent) AS n_clicks
+      |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Oracle for the CDC tombstone compaction (q125): q100's
     * latest-compaction minus the keys whose final changelog action is a
     * delete — and `error` being the synthetic tombstone op, a user's
@@ -1614,6 +1633,12 @@ object Events {
     QueryDef("q117_stream_outer",
       (s, d) => graft.streaming.Streams.attributionOuter(s, d),
       Some(q117Sql)),
+    // RIGHT OUTER stream-stream interval join under the oracle gate:
+    // eviction-driven purchase-orphan release must equal the batch
+    // RIGHT JOIN — matched pairs AND null rows both exact.
+    QueryDef("q178_stream_rightouter",
+      (s, d) => graft.streaming.Streams.attributionRightOuter(s, d),
+      Some(q178Sql)),
     // FULL OUTER stream-stream interval join under the oracle gate:
     // both sides' eviction-driven orphan release must equal the batch
     // FULL OUTER JOIN — pairs, left orphans, right orphans all exact.

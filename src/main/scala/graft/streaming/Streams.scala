@@ -1037,6 +1037,66 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** RIGHT OUTER stream-stream interval join under the driver's oracle
+    * gate (q178) — the symmetric twin of q117 that completes the join
+    * matrix (q96 inner, q117 left, q126 full, q161 left-semi): an
+    * unmatched PURCHASE emits with null click columns exactly once,
+    * when the watermark proves no qualifying click can still arrive.
+    * Right-outer is not left-outer with renamed inputs: the interval
+    * condition is asymmetric (`rts ∈ [lts, lts + 1h]` — the purchase
+    * trails the click), so the evicting side, the state bound, and the
+    * orphan population all differ, and the engine's right-side
+    * null-release path is its own code. The oracle is the equivalent
+    * batch RIGHT JOIN in DuckDB; the fixture genuinely carries
+    * right-side orphans (purchases with no qualifying click —
+    * Round11Spec pins that, q126's discipline), so a dropped or
+    * duplicated null row breaks the per-user hash.
+    *
+    * Harness: identical to q117 — staged single-file source, one data
+    * batch, then the far-future sentinel pair advances both watermarks
+    * past every real row's eviction bound to flush buffered orphans.
+    */
+  def attributionRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val feed = attributionFeed(spark, dir, "router")
+    val hiUs = feed.hiUs()
+    val joined = feed.clicks
+      .withWatermark("lts", "10 minutes")
+      .join(
+        feed.buys.withWatermark("rts", "10 minutes"),
+        expr(
+          """luser = ruser AND
+            |rts >= lts AND rts <= lts + interval 1 hour""".stripMargin),
+        "rightOuter")
+      .select(col("ruser"), col("levent"), col("revent"))
+    val out = java.nio.file.Paths
+      .get("target", "graft_stream",
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      .toString
+    withFewStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // data batch: pairs emit, orphans buffer
+        feed.writeSentinelPair(spark, hiUs + (3600L + 600L + 2L) * 1000000L)
+        q.processAllAvailable() // eviction batch: right orphans release
+      } finally q.stop()
+    }
+    deleteStaged(feed.src0)
+    spark.read.parquet(out)
+      .filter(col("ruser") >= 0L)
+      .groupBy(col("ruser").as("user_id"))
+      .agg(
+        count(col("levent")).as("n_pairs"),
+        sum(when(col("levent").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        countDistinct(col("levent")).as("n_clicks"),
+      )
+      .orderBy(col("user_id"))
+  }
+
   /** FULL OUTER stream-stream interval join under the driver's oracle
     * gate (q126) — completes the outer matrix (q96 inner, q117 left):
     * BOTH sides' state lifecycles must now emit on eviction. A click

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-11 additions, locked: the incremental dedup step (q177) must
@@ -67,6 +68,28 @@ class Round11Spec extends AnyFunSuite {
       assert(math.abs(and - nd) <= math.max(1L, (0.15 * nd).toLong),
         s"$c: approx distinct $and vs exact $nd out of bound")
     }
+  }
+
+  test("q178 fixture carries genuine right-side orphans (and pairs)") {
+    import spark.implicits._
+    // batch pin on the SAME feed q178 streams: purchases with no click
+    // in the preceding hour must exist, or the right-outer null-release
+    // path under test never fires (q126's fixture discipline)
+    val ev = Tables.events(spark, sf)
+    val c = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id")
+    val orphans = p.join(c,
+      $"cu" === $"pu" && $"pts" >= $"cts" &&
+        $"pts" <= $"cts" + expr("interval 1 hour"),
+      "left_anti").count()
+    val pairs = p.join(c,
+      $"cu" === $"pu" && $"pts" >= $"cts" &&
+        $"pts" <= $"cts" + expr("interval 1 hour"),
+      "left_semi").count()
+    assert(orphans > 0, "no right orphans in fixture — q178 proves nothing")
+    assert(pairs > 0, "no matched pairs in fixture")
   }
 
   test("q174 shuffles 8-byte gram hashes — no span string crosses an exchange") {
