@@ -423,6 +423,253 @@ object Text {
        |FROM d JOIN a ON d.lang = a.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** Unknown-character fallback cost (milli-nats) for the unigram
+    * tokenizer — the char-fallback guarantee SentencePiece ships:
+    * segmentation is total even on chars the vocab never saw. A plan
+    * constant shared by the Spark DP, the DuckDB oracle, and the
+    * driver reference.
+    */
+  private[graft] val unigramUnkCostMilli = 20000L
+
+  /** The pretrained UNIGRAM piece table q179 applies — (piece,
+    * cost-in-milli-nats), cost = −ln(p)·1000 from the EM-trained piece
+    * probabilities. Generated by [[learnUnigramPieces]] over the
+    * sf0.001 corpus (`tools/TrainUnigram.scala` regenerates it) and
+    * staged as a plan constant the way a production tokenizer ships
+    * `unigram.model` — the APPLY step is what runs over the 100 TB,
+    * so it uses this fixed table and the DuckDB oracle replays the
+    * identical Viterbi DP from the same constant.
+    */
+  private[graft] val unigramPieces: Seq[(String, Long)] = Seq(
+    "a" -> 2136L, "b" -> 4124L, "batch" -> 4102L, "c" -> 4024L,
+    "column" -> 4030L, "customer" -> 4125L, "d" -> 4086L, "e" -> 2978L,
+    "f" -> 4099L, "filter" -> 4094L, "g" -> 2979L, "group" -> 4076L,
+    "h" -> 2994L, "i" -> 4124L, "in" -> 3375L, "j" -> 4074L,
+    "k" -> 4064L, "l" -> 3383L, "m" -> 10915L, "merge" -> 4075L,
+    "n" -> 4024L, "o" -> 4074L, "or" -> 4034L, "order" -> 4033L,
+    "ow" -> 3427L, "p" -> 7548L, "par" -> 4045L, "q" -> 10915L,
+    "query" -> 4076L, "r" -> 4151L, "s" -> 2672L, "small" -> 4115L,
+    "spark" -> 4102L, "st" -> 4099L, "stream" -> 4092L, "t" -> 2688L,
+    "table" -> 4110L, "u" -> 7548L, "v" -> 10915L, "value" -> 4059L,
+    "vector" -> 4079L, "w" -> 10915L, "window" -> 4032L, "y" -> 4064L,
+  )
+
+  /** Driver-side reference Viterbi for the unigram tokenizer: minimal
+    * combined metric M = totalCost·256 + nPieces over all segmentations
+    * (strictly-less improvement, pieces tried longest-first then
+    * lexicographic, UNK single-char fallback as the baseline — the
+    * M-encoding makes the OPTIMUM value unambiguous even when paths
+    * tie). Returns (M, pieces) with UNK chars marked by a space prefix
+    * (pieces are space-free; tokens split on space). Used by the EM trainer's E-step and by Round11Spec as the
+    * equivalence reference for the distributed DP.
+    */
+  private[graft] def unigramSegmentRef(
+      w: String, costs: Map[String, Long]): (Long, List[String]) = {
+    val n = w.length
+    val ps = costs.toSeq.sortBy { case (p, _) => (-p.length, p) }
+    val dp = Array.fill(n + 1)(Long.MaxValue)
+    val back = Array.fill(n + 1)("")
+    dp(0) = 0L
+    for (i <- 1 to n) {
+      var best = dp(i - 1) + unigramUnkCostMilli * 256L + 1L
+      var bp = ""
+      ps.foreach { case (p, c) =>
+        val l = p.length
+        if (l <= i && w.regionMatches(i - l, p, 0, l)) {
+          val v = dp(i - l) + c * 256L + 1L
+          if (v < best) { best = v; bp = p }
+        }
+      }
+      dp(i) = best
+      back(i) = bp
+    }
+    var i = n
+    var path = List.empty[String]
+    while (i > 0) {
+      val p = back(i)
+      if (p.isEmpty) { path = (" " + w.substring(i - 1, i)) :: path; i -= 1 }
+      else { path = p :: path; i -= p.length }
+    }
+    (dp(n), path)
+  }
+
+  /** Learn a unigram (SentencePiece-class) piece table from the corpus —
+    * the OTHER tokenizer family next to q128's BPE, under the same
+    * bounded-driver discipline: ONE distributed word-frequency
+    * aggregate, a top-`vocabTarget` cut to the driver (≤ vocabTarget
+    * (word, weight) rows whatever the corpus size), then Viterbi-EM on
+    * that weighted sample: seed = all substrings up to `maxPieceLen`
+    * scored by chars-covered, E-step = Viterbi piece counts under
+    * current costs, M-step = costs from re-normalized counts, unused
+    * multi-char pieces pruned, single chars kept alive (fallback
+    * guarantee). Deterministic throughout (sorted ties), so the learned
+    * table is stable across partitionings and re-runs.
+    */
+  def learnUnigramPieces(
+      docs: DataFrame,
+      vocabTarget: Int = 2048,
+      maxPieces: Int = 64,
+      maxPieceLen: Int = 8,
+      nIters: Int = 4,
+  ): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(vocabTarget)
+      .as[(String, Long)]
+      .collect()
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, n) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - i)
+      } {
+        val p = w.substring(i, i + l)
+        seed(p) = seed.getOrElse(p, 0L) + n
+      }
+    }
+    val chars = seed.keys.filter(_.length == 1).toSeq.sorted
+    val multi = seed.toSeq
+      .filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c * p.length, p) } // weight = chars covered
+      .take(math.max(0, maxPieces - chars.length))
+      .map(_._1)
+    def costsFrom(counts: Map[String, Long]): Map[String, Long] = {
+      val total = math.max(1L, counts.values.sum).toDouble
+      counts.map { case (p, c) =>
+        p -> math.max(1L, math.round(-math.log(c / total) * 1000.0))
+      }
+    }
+    var costs = costsFrom(
+      (chars ++ multi).map(p => p -> seed(p)).toMap)
+    for (_ <- 1 to nIters) {
+      val use = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (w, n) =>
+        val (_, path) = unigramSegmentRef(w, costs)
+        path.foreach { p =>
+          if (!p.startsWith(" ")) use(p) = use.getOrElse(p, 0L) + n
+        }
+      }
+      chars.foreach(c => if (!use.contains(c)) use(c) = 1L)
+      costs = costsFrom(use.toMap)
+    }
+    costs.toSeq.sortBy(_._1)
+  }
+
+  /** Distributed Viterbi segmentation metric for one word column under
+    * an arbitrary piece table: M = totalCost·256 + nPieces of the
+    * optimal segmentation (cost in milli-nats; nPieces < 256 holds for
+    * any word under 256 chars — pre-tokens here are ≤ tens of chars).
+    * Pure higher-order functions over a per-word DP array — zero
+    * shuffle, zero UDFs: `aggregate` grows the dp vector one char at a
+    * time; at each position the piece table (a plan-constant struct
+    * array) is filtered to the pieces matching the suffix ending there
+    * and `array_min` picks the best predecessor, with the UNK
+    * char-fallback as baseline. The M-encoding makes the minimum
+    * unambiguous across engines even when distinct paths tie on cost.
+    */
+  private[graft] def unigramM(
+      tok: Column, pieces: Seq[(String, Long)]): Column = {
+    val piecesArr = array(pieces.map { case (p, c) =>
+      struct(lit(p).as("p"), lit(p.length).as("l"), lit(c).as("c"))
+    }: _*)
+    aggregate(
+      sequence(lit(1), length(tok)),
+      array(lit(0L)),
+      (dp, i) =>
+        array_append(
+          dp,
+          array_min(concat(
+            transform(
+              filter(piecesArr, pc =>
+                pc.getField("l") <= i &&
+                  tok.substr(i - pc.getField("l") + lit(1), pc.getField("l"))
+                    === pc.getField("p")),
+              pc =>
+                element_at(dp, i - pc.getField("l") + 1) +
+                  pc.getField("c") * lit(256L) + lit(1L)),
+            array(element_at(dp, i) +
+              lit(unigramUnkCostMilli * 256L + 1L))))),
+      dp => element_at(dp, size(dp)))
+  }
+
+  /** q179: UNIGRAM-LM (SentencePiece-class) tokenization — the other
+    * tokenizer family a data pipeline meets beside q128's BPE: pieces
+    * carry PROBABILITIES and a word's tokenization is the Viterbi
+    * argmin of total cost, not a greedy merge chain. The corpus rolls
+    * up per lang: words, optimal piece count, total cost (milli-nats),
+    * and fertility (pieces per word, ppm) — the number that prices a
+    * tokenizer before training on the corpus. Plan: one (lang, word)
+    * hash-agg with map-side combine (the DP runs once per DISTINCT
+    * word, not per occurrence — at 100 TB the distinct-word table is
+    * vocabulary-sized), then the HOF DP, then a lang-cardinality
+    * aggregate; the piece table is a plan constant, no broadcast, no
+    * UDF. The DuckDB oracle replays the IDENTICAL DP as a recursive
+    * CTE generated from the same constant, so every count and cost is
+    * hash-exact; Round11Spec additionally proves the distributed DP ≡
+    * driver reference Viterbi on every vocab word and gates the EM
+    * trainer that produced the shipped table.
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables
+      .documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("n"))
+    words
+      .withColumn("m", unigramM($"tok", unigramPieces))
+      .groupBy($"lang")
+      .agg(
+        sum($"n").as("n_words"),
+        sum($"n" * ($"m" % 256)).as("n_pieces"),
+        sum($"n" * expr("m div 256")).as("cost_milli"),
+      )
+      .withColumn("fertility_ppm", expr("n_pieces * 1000000 div n_words"))
+      .orderBy($"lang")
+  }
+
+  /** The identical Viterbi DP in DuckDB SQL — a recursive CTE growing
+    * the same dp vector, generated from the same [[unigramPieces]]
+    * constant, so the two engines cannot drift apart.
+    */
+  private val q179Sql: String = {
+    val vals = unigramPieces
+      .map { case (p, c) => s"('$p',${p.length},$c)" }
+      .mkString(",")
+    s"""WITH RECURSIVE pieces(p, l, c) AS (SELECT * FROM (VALUES $vals) v),
+       |words AS (
+       |  SELECT lang, tok, COUNT(*) AS n FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) t
+       |  WHERE len(tok) > 0 GROUP BY lang, tok),
+       |dp AS (
+       |  SELECT lang, tok, n, 0 AS i, [CAST(0 AS BIGINT)] AS d FROM words
+       |  UNION ALL
+       |  SELECT lang, tok, n, i + 1,
+       |    list_append(d, (
+       |      SELECT MIN(v) FROM (
+       |        SELECT d[i + 2 - p.l] + p.c * 256 + 1 AS v FROM pieces p
+       |        WHERE p.l <= i + 1 AND substr(tok, i + 2 - p.l, p.l) = p.p
+       |        UNION ALL
+       |        SELECT d[i + 1] + $unigramUnkCostMilli * 256 + 1) cand))
+       |  FROM dp WHERE i < len(tok)),
+       |seg AS (
+       |  SELECT lang, n, d[len(tok) + 1] AS m FROM dp WHERE i = len(tok))
+       |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+       |  CAST(SUM(n * (m % 256)) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(n * (m // 256)) AS BIGINT) AS cost_milli,
+       |  CAST((SUM(n * (m % 256)) * 1000000) // SUM(n) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM seg GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
     * corpus in tokens: per language, the fraction of pre-tokens the
@@ -1214,6 +1461,7 @@ object Text {
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
     QueryDef("q158_vocab_coverage", q158, Some(q158Sql)),
+    QueryDef("q179_unigram_tokens", q179, Some(q179Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

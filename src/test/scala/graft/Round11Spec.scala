@@ -70,6 +70,61 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q179 distributed Viterbi ≡ driver reference on every corpus word") {
+    import spark.implicits._
+    val costs = ops.Text.unigramPieces.toMap
+    val words = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .where(org.apache.spark.sql.functions.length($"tok") > 0)
+      .distinct()
+    val got = words
+      .withColumn("m", ops.Text.unigramM($"tok", ops.Text.unigramPieces))
+      .as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, m) =>
+      val (refM, _) = ops.Text.unigramSegmentRef(w, costs)
+      assert(m == refM, s"word '$w': HOF DP $m vs reference $refM")
+    }
+    // the table genuinely compresses: some word segments as ONE piece
+    // and fertility stays below chars-per-word
+    val refs = got.keys.map(w =>
+      w -> ops.Text.unigramSegmentRef(w, costs)._2).toMap
+    assert(refs.values.exists(_.length == 1), "no whole-word piece fired")
+    assert(refs.forall { case (w, p) => p.length <= w.length })
+  }
+
+  test("unigram EM trainer: deterministic, char-fallback-complete, and self-consistent") {
+    val docs = Tables.documents(spark, sf)
+    val t1 = ops.Text.learnUnigramPieces(docs)
+    val t2 = ops.Text.learnUnigramPieces(docs)
+    assert(t1 == t2, "trainer not deterministic")
+    assert(t1.nonEmpty && t1.forall(_._2 > 0L))
+    // every char of the training vocab survives as a piece — the
+    // fallback guarantee that keeps segmentation total
+    import spark.implicits._
+    val vocabChars = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .distinct().as[String].collect()
+      .flatMap(_.toSeq).toSet
+    val pieceSet = t1.map(_._1).toSet
+    assert(vocabChars.forall(c => pieceSet.contains(c.toString)))
+    // applying the LEARNED table distributed ≡ driver reference — the
+    // learn→apply loop closes without the shipped constant in between
+    val costs = t1.toMap
+    val sample = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .where(org.apache.spark.sql.functions.length($"tok") > 0)
+      .distinct()
+      .withColumn("m", ops.Text.unigramM($"tok", t1))
+      .as[(String, Long)].collect()
+    sample.foreach { case (w, m) =>
+      assert(m == ops.Text.unigramSegmentRef(w, costs)._1, s"word '$w'")
+    }
+  }
+
   test("q178 fixture carries genuine right-side orphans (and pairs)") {
     import spark.implicits._
     // batch pin on the SAME feed q178 streams: purchases with no click
