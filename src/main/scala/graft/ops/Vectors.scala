@@ -519,6 +519,132 @@ object Vectors {
     }
   }
 
+  /** Distributed k-NN-GRAPH ANN (NSW-class) — the graph-index
+    * alternative to the IVF family, closing the serving-layout
+    * comparison q127 opened: instead of partition-pruned cells, a
+    * NEIGHBORHOOD GRAPH is materialized once and a query walks it with
+    * a greedy beam search, touching a bounded handful of vectors
+    * however large the corpus.
+    *
+    * BUILD (the distributed, expensive half): every vector
+    * multi-assigns to its `assign` nearest IVF cells (the overlap is
+    * what gives the graph cross-cell edges — the role HNSW's long
+    * links play), candidate pairs are generated WITHIN cells only
+    * (q147's blocking discipline — never corpus-wide), deduped across
+    * the overlapping assignments, and each vector keeps its `degree`
+    * best neighbors by exact cosine via a rank-filter that Catalyst
+    * rewrites to WindowGroupLimit (map-side partial top-K, so the
+    * window exchange carries ~degree rows per source, not the full
+    * pair set). At corpus scale the adjacency list is a (src, dst)
+    * table bucketed by src — a beam expansion is a point-lookup join.
+    *
+    * SEARCH (bounded by construction): entry = the smallest vec_id in
+    * the query's nearest cell (the coarse quantizer plays HNSW's upper
+    * layer); then ≤ `hops` rounds of: expand the best `beam` unexpanded
+    * ids, fetch their neighbors (≤ beam·degree rows), score the new ids
+    * by exact cosine against the broadcast query. Driver state and
+    * every collect are ≤ beam·degree·hops rows (~300) — the q49-family
+    * bounded-collect discipline, independent of corpus size. Returns
+    * the top-k visited with `n_scored` as the probe-cost observable;
+    * Round11Spec gates recall@k against the exact scan and the
+    * visited-set bound (sketch class — no SQL oracle by contract).
+    */
+  def knnGraphTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nCells: Int = 32,
+      assign: Int = 2,
+      degree: Int = 6,
+      beam: Int = 8,
+      hops: Int = 6,
+      dims: Int = 64,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = ivfCentroids(embeddings, nCells, dims)
+    val base = embeddings.filter(col("vec_id") =!= queryVecId)
+    val assigned = base.select(
+      col("vec_id"), col("embedding"),
+      explode(graft.functions.VectorExprs
+        .vecTopCells(spark, col("embedding"), cents, nCells, dims, assign))
+        .as("cell"))
+    val lhs = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("se"))
+    val rhs = assigned.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("de"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val graph = lhs
+      .join(rhs, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.VectorExprs
+          .vecCosine(spark, col("se"), col("de")), 4).as("cos"))
+      // a non-positive edge never helps greedy ascent on normalized
+      // vectors — dropping them thins the pre-window pair set
+      .filter(col("cos") > 0.0)
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= degree)
+      .select(col("src"), col("dst"))
+      .cache()
+    try {
+      val qdf = embeddings.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qe"),
+          graft.functions.VectorExprs
+            .vecTopCells(spark, col("embedding"), cents, nCells, dims, 1)
+            .as("qcells"))
+      // coarse-level entry: smallest id in the query's nearest cell
+      // (1-row bounded collect)
+      val entry = assigned
+        .join(broadcast(qdf))
+        .filter(col("cell") === element_at(col("qcells"), 1))
+        .agg(min(col("vec_id"))).head.getLong(0)
+      // (label, cos) for a bounded id set — ≤ beam·degree rows per call
+      def score(ids: Seq[Long]): Array[(Long, Int, Double)] =
+        embeddings
+          .filter(col("vec_id").isin(ids: _*))
+          .join(broadcast(qdf.select(col("qe"))))
+          .select(col("vec_id"), col("label"),
+            round(graft.functions.VectorExprs
+              .vecCosine(spark, col("embedding"), col("qe")), 4).as("cos"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val scores = scala.collection.mutable.Map.empty[Long, (Int, Double)]
+      score(Seq(entry)).foreach { case (id, lb, c) => scores(id) = (lb, c) }
+      val expanded = scala.collection.mutable.Set.empty[Long]
+      var h = 0
+      var frontierNonEmpty = true
+      while (h < hops && frontierNonEmpty) {
+        val toExpand = scores.toSeq
+          .filterNot { case (id, _) => expanded(id) }
+          .sortBy { case (id, (_, c)) => (-c, id) }
+          .take(beam)
+          .map(_._1)
+        if (toExpand.isEmpty) frontierNonEmpty = false
+        else {
+          expanded ++= toExpand
+          val neigh = graph
+            .filter(col("src").isin(toExpand: _*))
+            .select(col("dst")).distinct()
+            .collect().map(_.getLong(0)) // ≤ beam·degree rows
+            .filterNot(scores.contains)
+          if (neigh.nonEmpty)
+            score(neigh.toSeq).foreach { case (id, lb, c) =>
+              scores(id) = (lb, c)
+            }
+          h += 1
+        }
+      }
+      val top = scores.toSeq
+        .sortBy { case (id, (_, c)) => (-c, id) }
+        .take(k)
+        .map { case (id, (lb, c)) => (id, lb, c, scores.size.toLong) }
+      import spark.implicits._
+      top.toDF("vec_id", "label", "cos", "n_scored")
+    } finally graph.unpersist()
+  }
+
   // ---- registered queries ----
 
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -623,6 +749,9 @@ object Vectors {
   private def q127(s: SparkSession, d: String): DataFrame =
     ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
       nCells = 16, nProbe = 4, rerank = 50)
+
+  private def q181(s: SparkSession, d: String): DataFrame =
+    knnGraphTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 
   /** Semantic deduplication (the SemDeDup shape: cluster the embedding
     * space, then prune near-duplicate SEMANTICS inside each cluster —
@@ -755,6 +884,9 @@ object Vectors {
     // sketch class (ADC-approximate scores) — gated by Round10Spec's
     // recall/ADC-error bounds instead of a SQL oracle, like q49/q41
     QueryDef("q127_ivfpq_topk", q127, None),
+    // graph-index ANN: approximate by construction — recall vs the
+    // exact scan and the bounded-probe claim are Round11Spec gates
+    QueryDef("q181_knn_graph_ann", q181, None),
     // sketch class (cluster-bounded candidate generation) — gated by
     // Round10Spec's brute-force-equivalence + consistency tests
     QueryDef("q147_semantic_dedup", q147, None),

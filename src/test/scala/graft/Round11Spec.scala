@@ -125,6 +125,25 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q181 graph ANN: recall vs exact scan, probe set bounded") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ops.Vectors
+      .topKCosine(emb, queryVecId = 0L, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val got = SparkEntry.queries("q181_knn_graph_ann")(spark, sf).collect()
+    assert(got.length == 10)
+    val gotIds = got.map(_.getAs[Long]("vec_id")).toSet
+    val nScored = got.head.getAs[Long]("n_scored")
+    val recall = gotIds.intersect(exact).size / 10.0
+    info(s"recall@10 = $recall, n_scored = $nScored")
+    assert(recall >= 0.7, s"graph-ANN recall@10 $recall below 0.7")
+    // the probe-cost claim: the walk touched a bounded neighborhood,
+    // not the corpus (beam·degree·hops + seeds ≪ 500 vectors)
+    assert(nScored <= 300, s"visited $nScored — walk not bounded")
+    assert(nScored < emb.count(), "walk degenerated to a full scan")
+  }
+
   test("q178 fixture carries genuine right-side orphans (and pairs)") {
     import spark.implicits._
     // batch pin on the SAME feed q178 streams: purchases with no click
