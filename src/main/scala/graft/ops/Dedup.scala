@@ -495,11 +495,203 @@ object Dedup {
       |FROM documents d LEFT JOIN labels l USING (doc_id)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Per-SF staging root for q182's persisted signature store. */
+  private[graft] def q182StoreRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_dedup/q182_store_$tag"
+  }
+
+  /** (doc, sig) MinHash sketches of an id+text frame — the 256-byte
+    * row a signature store persists per retained document.
+    */
+  private def sketchSigs(
+      df: DataFrame, numHashes: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.select(
+      col("doc_id").as("doc"),
+      graft.functions.TextHashExprs.minhashSig(
+        spark,
+        graft.functions.TextHashExprs.shingleHashes(spark, col("text"), 3),
+        numHashes).as("sig"))
+  }
+
+  /** Explode (doc, sig) to slim (doc, sig, band, bkey) rows — bands are
+    * DERIVED from the stored signature (hash of each signature slice),
+    * so the store persists only signatures and any reader rebuilds the
+    * band index; q35's banding discipline.
+    */
+  private def bandRows(
+      sk: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sk.select(
+        col("doc"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
+              .as("bkey"))): _*)).as("bk"))
+      .select(col("doc"), col("sig"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Estimated Jaccard agreement count between two equal-width MinHash
+    * signatures: matching components (an integer, so thresholds are
+    * exact — `matches ≥ ⌈τ·numHashes⌉`).
+    */
+  private def sigMatches(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** One INCREMENTAL near-dup step: probe a delta batch against the
+    * persisted MinHash signature store at `storeIn`, drop delta docs
+    * whose estimated Jaccard to a retained doc (or to a smaller-id doc
+    * of the same batch) clears `minMatches`/`numHashes`, append the
+    * kept docs' signatures as `storeOut`, and return the per-doc
+    * ledger. Collision = shared LSH band AND signature agreement ≥
+    * threshold — band blocking bounds the candidate space, the
+    * signature verify kills band false-positives; both recomputable
+    * from the stored 256-byte signatures alone, so yesterday's TEXT is
+    * never rescanned (q177's contract, lifted to the fuzzy family).
+    *
+    * Within-batch suppression is ONE-HOP by smaller doc_id (collides
+    * with any earlier same-batch doc, kept or not) — non-recursive,
+    * deterministic, placement-independent; transitive chains resolve
+    * across successive batches, the q147 class of survivor rule, not
+    * the greedy-sequential one a single-threaded dedup would apply.
+    * That exact rule is what makes REPLAY idempotent in the sense that
+    * matters: redelivering the same batch against the updated store
+    * reproduces every KEPT/DROPPED decision and adds nothing to the
+    * store — kept docs never collide with other kept docs of their own
+    * batch (a colliding pair's larger member was dropped) and
+    * self-matches are excluded, so no kept doc flips to dropped. The
+    * observability COUNTS are not replay-invariants (a dropped doc's
+    * kept batch partner is now legitimately visible in the store too —
+    * its hit moves columns); the decision set is. Round11Spec gates
+    * the full ledger against an independent driver-side brute-force
+    * reference (no LSH, no banding — the strongest cross-check) plus
+    * disk-path determinism and the replay decisions (sketch class — no
+    * SQL oracle; the kernels have no DuckDB twin).
+    */
+  private[graft] def incrementalNearDupStep(
+      spark: SparkSession,
+      delta: DataFrame,
+      storeIn: String,
+      storeOut: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minMatches: Int = 16,
+      maxBucket: Int = 64,
+  ): DataFrame = {
+    val (ledger, updated) = incrementalNearDupCore(
+      spark, delta, spark.read.parquet(storeIn),
+      numHashes, bands, minMatches, maxBucket)
+    updated
+      .repartition(col("doc"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeOut)
+    ledger
+  }
+
+  /** The persistence-free core of [[incrementalNearDupStep]]: (ledger,
+    * updated store) as DataFrames. Exposed package-private so
+    * Round11Spec can chain it in memory and prove the disk path adds
+    * nothing — store-path ≡ recompute-path.
+    */
+  private[graft] def incrementalNearDupCore(
+      spark: SparkSession,
+      delta: DataFrame,
+      store: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minMatches: Int = 16,
+      maxBucket: Int = 64,
+  ): (DataFrame, DataFrame) = {
+    val dsk = sketchSigs(delta, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dbands = bandRows(dsk, numHashes, bands)
+    def guard(b: DataFrame): DataFrame = b.withColumn(
+        "bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bkey")))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val sbands = guard(bandRows(store, numHashes, bands))
+      .select(col("doc").as("sdoc"), col("sig").as("ssig"),
+        col("band"), col("bkey"))
+    // (a) store collisions — self-matches excluded so a redelivered
+    // doc's own stored signature never suppresses it
+    val storeHits = dbands
+      .join(sbands, Seq("band", "bkey"))
+      .filter(col("doc") =!= col("sdoc"))
+      .filter(sigMatches(col("sig"), col("ssig")) >= minMatches)
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("sdoc")).as("n_store_hits"))
+    // (b) within-batch one-hop suppression by smaller doc_id
+    val g = guard(dbands)
+    val batchHits = g
+      .join(g.select(col("doc").as("bdoc"), col("sig").as("bsig"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("bdoc") < col("doc"))
+      .filter(sigMatches(col("sig"), col("bsig")) >= minMatches)
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("bdoc")).as("n_batch_hits"))
+    val ledger = dsk
+      .select(col("doc"))
+      .join(storeHits, Seq("doc"), "left")
+      .join(batchHits, Seq("doc"), "left")
+      .select(
+        col("doc").as("doc_id"),
+        coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits"),
+        coalesce(col("n_batch_hits"), lit(0L)).as("n_batch_hits"))
+      .withColumn("kept",
+        col("n_store_hits") === 0L && col("n_batch_hits") === 0L)
+      .orderBy(col("doc_id"))
+    val out = ledger.localCheckpoint(eager = true)
+    // updated-store lineage must not depend on the released cache —
+    // checkpoint the kept signatures eagerly too
+    val keptSigs = dsk
+      .join(out.filter(col("kept")).select(col("doc_id").as("doc")),
+        Seq("doc"))
+      .select(col("doc"), col("sig"))
+      .localCheckpoint(eager = true)
+    dsk.unpersist()
+    (out, store.unionByName(keptSigs))
+  }
+
+  /** q182: INCREMENTAL near-dup against a persisted SIGNATURE store —
+    * q177's cross-run contract lifted to the fuzzy family: today's
+    * crawl is screened against yesterday's retained corpus using only
+    * the stored MinHash signatures (256 bytes/doc — the text never
+    * leaves yesterday). Phase 1 screens the base batch against an
+    * empty store (within-batch rule only) and persists the survivors'
+    * signatures; phase 2 runs the delta against that disk store.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = q182StoreRoot(d)
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    // empty store seed with the right schema
+    s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc LONG, sig ARRAY<LONG>"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/v0")
+    incrementalNearDupStep(
+      s, docs.where($"doc_id" % 10 < 8), s"$root/v0", s"$root/v1")
+    incrementalNearDupStep(
+      s, docs.where($"doc_id" % 10 >= 8), s"$root/v1", s"$root/v2")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q35_minhash_pairs", q35, None),
     QueryDef("q36_simhash_pairs", q36, None),
     QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
     QueryDef("q63_jaccard_clusters", q63, Some(q63Sql)),
     QueryDef("q145_fuzzy_keep", q145, Some(q145Sql)),
+    // sketch-kernel family: no DuckDB twin — Round11Spec gates replay
+    // idempotence and store-path ≡ recompute-path equivalence
+    QueryDef("q182_incremental_neardup", q182, None),
   )
 }

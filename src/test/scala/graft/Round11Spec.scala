@@ -144,6 +144,90 @@ class Round11Spec extends AnyFunSuite {
     assert(nScored < emb.count(), "walk degenerated to a full scan")
   }
 
+  test("q182 incremental near-dup: brute-force reference, determinism, replay decisions") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // run the registered (parquet-backed) operator twice — deterministic
+    val ledger = rows(SparkEntry.queries("q182_incremental_neardup")(spark, sf))
+    val ledger2 = rows(SparkEntry.queries("q182_incremental_neardup")(spark, sf))
+    assert(ledger == ledger2, "q182 not deterministic across runs")
+    assert(ledger.nonEmpty)
+
+    // independent driver-side brute-force reference: collect every sig
+    // (bounded — 500 docs at sf0.001), rebuild bands/buckets/guard and
+    // the store rule in plain Scala with NO Spark joins — the strongest
+    // cross-check of the whole banding machinery
+    val sigs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.functions.TextHashExprs.minhashSig(spark,
+          graft.functions.TextHashExprs.shingleHashes(spark, $"text", 3),
+          32).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def bkeys(s: Array[Long]): Seq[(Int, Seq[Long])] =
+      (0 until 8).map(b => b -> s.slice(b * 4, b * 4 + 4).toSeq)
+    def matches(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).count { case (x, y) => x == y }
+    val base = sigs.keys.filter(_ % 10 < 8).toSeq.sorted
+    val delta = sigs.keys.filter(_ % 10 >= 8).toSeq.sorted
+    // bucket map with the same maxBucket=64 guard, per population
+    def buckets(ids: Seq[Long]): Map[(Int, Seq[Long]), Seq[Long]] =
+      ids.flatMap(d => bkeys(sigs(d)).map(k => k -> d))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .filter(_._2.size <= 64)
+    def collides(d: Long, others: Seq[Long]): Seq[Long] =
+      others.filter(o => o != d && matches(sigs(d), sigs(o)) >= 16 &&
+        bkeys(sigs(d)).toSet.intersect(bkeys(sigs(o)).toSet).nonEmpty)
+    // phase 1 (empty store): base kept = no smaller-id base collision
+    def batchPartners(ids: Seq[Long]): Map[Long, Seq[Long]] = {
+      val bk = buckets(ids)
+      ids.map { d =>
+        val cands = bkeys(sigs(d)).flatMap(k => bk.getOrElse(k, Nil))
+          .distinct.filter(_ < d)
+        d -> collides(d, cands)
+      }.toMap
+    }
+    val baseKept = {
+      val p = batchPartners(base)
+      base.filter(d => p(d).isEmpty)
+    }
+    // phase 2: store = base kept; store probe + within-delta rule, with
+    // the store-side guard over the store's own buckets
+    val storeBk = buckets(baseKept)
+    val deltaPartners = batchPartners(delta)
+    val expected = delta.map { d =>
+      val storeCands = bkeys(sigs(d))
+        .flatMap(k => storeBk.getOrElse(k, Nil)).distinct
+      val sHits = collides(d, storeCands).size.toLong
+      val bHits = deltaPartners(d).size.toLong
+      Seq(d, sHits, bHits, sHits == 0L && bHits == 0L)
+    }
+    assert(ledger == expected,
+      s"brute-force mismatch: ${ledger.diff(expected).take(3)} vs ${expected.diff(ledger).take(3)}")
+    // both outcomes genuinely exercised, including via the store
+    val kept = ledger.count(_(3).asInstanceOf[Boolean])
+    val storeDropped = ledger
+      .count(r => r(1).asInstanceOf[Long] > 0 && !r(3).asInstanceOf[Boolean])
+    assert(kept > 0 && storeDropped > 0)
+
+    // replay on the DISK path: same delta against the updated store —
+    // every kept/dropped DECISION reproduces and the store is unchanged
+    // (hit counts legitimately move between columns: a dropped doc's
+    // kept batch partner is now visible in the store as well)
+    val root = ops.Dedup.q182StoreRoot(sf)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val replay = rows(ops.Dedup.incrementalNearDupStep(
+      spark, docs.where($"doc_id" % 10 >= 8), s"$root/v2", s"$root/v3"))
+    val dec  = ledger.map(r => (r(0), r(3))).toMap
+    val dec3 = replay.map(r => (r(0), r(3))).toMap
+    assert(dec3 == dec, "replay flipped a kept/dropped decision")
+    def storeSet(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getSeq[Long](1).toList)).toSet
+    assert(storeSet(s"$root/v3") == storeSet(s"$root/v2"),
+      "replay changed the store")
+  }
+
   test("q178 fixture carries genuine right-side orphans (and pairs)") {
     import spark.implicits._
     // batch pin on the SAME feed q178 streams: purchases with no click
