@@ -670,6 +670,163 @@ object Text {
        |FROM seg GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q183: the INCREMENTAL-INGEST MANIFEST — round 11's pipeline
+    * composed in ONE oracled plan (q135's discipline, this round's
+    * operators): the delta batch flows through (1) incremental passage
+    * dedup under arrival priority — q177's exact semantics, here as
+    * the logical full-recompute so the whole manifest is a single
+    * DataFrame (q177 itself proves the store path is equivalent) —
+    * survivors keep ≥ 1 passage; (2) a tokenizer-economics gate — the
+    * q179 Viterbi DP prices each doc's words and docs costing more
+    * than 2 pieces/word (fertility > 2,000,000 ppm — text the
+    * tokenizer models poorly) are dropped, the q130-style quality
+    * decision made with a REAL model artifact instead of handwritten
+    * features; (3) the per-lang ingest ledger — offered, deduped,
+    * shipped, with the retained passage-token and piece masses.
+    * Every number is exact integers, and the DuckDB oracle replays the
+    * IDENTICAL composition — q177's winner CTEs, q179's recursive DP,
+    * the same gate — so the row certifies the COMPOSITION is
+    * engine-exact, not just each stage. Plan shape: the dedup side is
+    * the q140/q177 slim-hash winner join; the DP side runs once per
+    * DISTINCT word; both reduce to doc-cardinality ledgers before the
+    * final lang rollup — nothing row-sized crosses a shuffle twice.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val delta = docs.where($"doc_id" % 10 >= 8)
+    // stage 1 — arrival-priority passage dedup, delta survivors
+    val chunks = passageChunks(docs)
+    val winners = chunks
+      .withColumn("batch",
+        when($"doc_id" % 10 < 8, 0).otherwise(1))
+      .groupBy($"ph")
+      .agg(min(struct($"batch", $"doc_id", $"chunk_idx")).as("w"))
+    val deltaKept = chunks
+      .join(winners, "ph")
+      .where($"w.batch" === 1 &&
+        $"doc_id" === $"w.doc_id" && $"chunk_idx" === $"w.chunk_idx")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(size(tokens($"passage"))).cast("long").as("kept_tokens"))
+    // stage 2 — unigram token economics per doc (DP per DISTINCT word)
+    val words = delta
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("n"))
+    val wordM = words.select($"tok").distinct()
+      .withColumn("m", unigramM($"tok", unigramPieces))
+    val docCost = words
+      .join(wordM, "tok")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n").as("n_words"),
+        sum($"n" * ($"m" % 256)).as("n_pieces"),
+        sum($"n" * expr("m div 256")).as("cost_milli"))
+      .withColumn("fert_ppm", expr("n_pieces * 1000000 div n_words"))
+    // stage 3 — gate + per-lang ingest ledger
+    val fertCapPpm = 2000000L
+    delta
+      .select($"doc_id", $"lang")
+      .join(deltaKept, Seq("doc_id"), "left")
+      .join(docCost, Seq("doc_id"), "left")
+      .withColumn("survives", coalesce($"n_kept", lit(0L)) > 0L)
+      .withColumn("shipped",
+        $"survives" && $"fert_ppm" <= fertCapPpm)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_delta_docs"),
+        sum(when($"survives", 1L).otherwise(0L)).as("n_dedup_kept"),
+        sum(when($"shipped", 1L).otherwise(0L)).as("n_shipped"),
+        sum(when($"shipped", $"kept_tokens").otherwise(0L))
+          .as("shipped_kept_tokens"),
+        sum(when($"shipped", $"n_pieces").otherwise(0L))
+          .as("shipped_pieces"),
+        sum(when($"shipped", $"cost_milli").otherwise(0L))
+          .as("shipped_cost_milli"))
+      .orderBy($"lang")
+  }
+
+  /** The identical three-stage composition in DuckDB — q177's winner
+    * CTEs + q179's recursive DP generated from the same piece-table
+    * constant + the same fertility gate.
+    */
+  private val q183Sql: String = {
+    val vals = unigramPieces
+      .map { case (p, c) => s"('$p',${p.length},$c)" }
+      .mkString(",")
+    s"""WITH RECURSIVE pieces(p, l, c) AS (SELECT * FROM (VALUES $vals) v),
+       |toks AS (
+       |  SELECT doc_id, (doc_id % 10 >= 8) AS is_delta,
+       |         string_split(text, ' ') AS t
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, is_delta, i AS chunk_idx,
+       |         array_to_string(t[(i*4+1):(i*4+4)], ' ') AS passage
+       |  FROM (SELECT doc_id, is_delta, t,
+       |          unnest(generate_series(0, (len(t)-1)//4)) AS i FROM toks) g),
+       |surv AS (
+       |  SELECT doc_id, passage FROM (
+       |    SELECT doc_id, is_delta, passage,
+       |           row_number() OVER (PARTITION BY passage
+       |             ORDER BY is_delta, doc_id, chunk_idx) AS rn
+       |    FROM chunks) r
+       |  WHERE rn = 1 AND is_delta),
+       |kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         CAST(SUM(len(string_split(passage, ' '))) AS BIGINT)
+       |           AS kept_tokens
+       |  FROM surv GROUP BY doc_id),
+       |words AS (
+       |  SELECT doc_id, tok, COUNT(*) AS n FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents WHERE doc_id % 10 >= 8) t
+       |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
+       |dw AS (SELECT DISTINCT tok FROM words),
+       |dp AS (
+       |  SELECT tok, 0 AS i, [CAST(0 AS BIGINT)] AS d FROM dw
+       |  UNION ALL
+       |  SELECT tok, i + 1,
+       |    list_append(d, (
+       |      SELECT MIN(v) FROM (
+       |        SELECT d[i + 2 - p.l] + p.c * 256 + 1 AS v FROM pieces p
+       |        WHERE p.l <= i + 1 AND substr(tok, i + 2 - p.l, p.l) = p.p
+       |        UNION ALL
+       |        SELECT d[i + 1] + $unigramUnkCostMilli * 256 + 1) cand))
+       |  FROM dp WHERE i < len(tok)),
+       |seg AS (SELECT tok, d[len(tok) + 1] AS m FROM dp WHERE i = len(tok)),
+       |doccost AS (
+       |  SELECT w.doc_id, SUM(w.n) AS n_words,
+       |         SUM(w.n * (s.m % 256)) AS n_pieces,
+       |         SUM(w.n * (s.m // 256)) AS cost_milli
+       |  FROM words w JOIN seg s USING (tok) GROUP BY w.doc_id),
+       |ledger AS (
+       |  SELECT d.lang,
+       |    COALESCE(k.n_kept, 0) > 0 AS survives,
+       |    COALESCE(k.n_kept, 0) > 0 AND
+       |      (c.n_pieces * 1000000) // c.n_words <= 2000000 AS shipped,
+       |    COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       |    c.n_pieces, c.cost_milli
+       |  FROM documents d
+       |  LEFT JOIN kept k USING (doc_id)
+       |  LEFT JOIN doccost c USING (doc_id)
+       |  WHERE d.doc_id % 10 >= 8)
+       |SELECT lang, COUNT(*) AS n_delta_docs,
+       |  CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dedup_kept,
+       |  CAST(SUM(CASE WHEN shipped THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shipped,
+       |  CAST(SUM(CASE WHEN shipped THEN kept_tokens ELSE 0 END) AS BIGINT)
+       |    AS shipped_kept_tokens,
+       |  CAST(SUM(CASE WHEN shipped THEN n_pieces ELSE 0 END) AS BIGINT)
+       |    AS shipped_pieces,
+       |  CAST(SUM(CASE WHEN shipped THEN cost_milli ELSE 0 END) AS BIGINT)
+       |    AS shipped_cost_milli
+       |FROM ledger GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
     * corpus in tokens: per language, the fraction of pre-tokens the
@@ -1462,6 +1619,7 @@ object Text {
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),
     QueryDef("q158_vocab_coverage", q158, Some(q158Sql)),
     QueryDef("q179_unigram_tokens", q179, Some(q179Sql)),
+    QueryDef("q183_manifest_v3", q183, Some(q183Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

@@ -228,6 +228,20 @@ class Round11Spec extends AnyFunSuite {
       "replay changed the store")
   }
 
+  test("q183 manifest: every stage genuinely fires") {
+    val rows = SparkEntry.queries("q183_manifest_v3")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val offered = rows.map(_.getAs[Long]("n_delta_docs")).sum
+    val deduped = rows.map(_.getAs[Long]("n_dedup_kept")).sum
+    val shipped = rows.map(_.getAs[Long]("n_shipped")).sum
+    // a manifest whose gates never drop anything verifies nothing
+    // (q142's lesson): dedup must drop some docs, the fertility gate
+    // must drop some MORE, and something must still ship
+    assert(deduped < offered, "passage dedup dropped nothing")
+    assert(shipped < deduped, "fertility gate dropped nothing")
+    assert(shipped > 0, "nothing shipped")
+  }
+
   test("q178 fixture carries genuine right-side orphans (and pairs)") {
     import spark.implicits._
     // batch pin on the SAME feed q178 streams: purchases with no click
