@@ -753,6 +753,93 @@ object Vectors {
   private def q181(s: SparkSession, d: String): DataFrame =
     knnGraphTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 
+  /** Per-SF staging root for q184's persisted IVF index. */
+  private[graft] def q184IndexRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_vectors/q184_index_$tag"
+  }
+
+  /** Probe a DISK IVF index (rows (vec_id, label, cell, embedding),
+    * written `partitionBy("cell")`): the query's `nProbe` nearest cell
+    * ids are collected first (ONE bounded 1-row collect) so the index
+    * filter is a LITERAL `isin` — that is what makes the probe a
+    * static PARTITION-PRUNED scan (PartitionFilters at the file index;
+    * the un-probed bulk is never read — a joined `array_contains`
+    * filter would evaluate per row AFTER listing/reading everything).
+    * Candidates score by exact cosine against the broadcast query,
+    * top-k. Shared by the incremental (q184) and rebuilt index paths
+    * so their equivalence compares the same search.
+    */
+  private[graft] def probeDiskIndex(
+      s: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      queryVecId: Long,
+      cents: Array[Double],
+      nCells: Int,
+      nProbe: Int,
+      k: Int,
+  ): DataFrame = {
+    val cells = emb.filter(col("vec_id") === queryVecId)
+      .select(graft.functions.VectorExprs
+        .vecTopCells(s, col("embedding"), cents, nCells, 64, nProbe))
+      .head.getSeq[Int](0)
+    val qdf = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    s.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qdf))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorExprs
+          .vecCosine(s, col("embedding"), col("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** q184: INCREMENTAL IVF index maintenance — the serving-side
+    * completion of the incremental family (q177 exact text, q182 fuzzy
+    * text, q184 vectors): new vectors join a LIVE ANN index without
+    * re-clustering or rewriting the existing shards. The coarse
+    * quantizer (k-means centroids) is trained on the BASE corpus and
+    * FROZEN — the production practice: retrain offline, assign online —
+    * so cell assignment is a pure function of the centroid constant,
+    * and appending the delta's rows to the `partitionBy(cell)` layout
+    * (dynamic-partition append: only the delta's cells gain files;
+    * base files are untouched) yields an index IDENTICAL in content to
+    * a full rebuild under the same centroids. That equivalence is
+    * EXACT, not approximate — Round11Spec asserts the merged-index
+    * probe returns row-for-row the rebuilt-index probe, and that the
+    * probe's scan actually prunes to the probed cells' partitions.
+    * The registered run probes the incrementally-maintained disk index
+    * (sketch class — search itself is approximate vs q40's exact scan,
+    * so no SQL oracle; the recall story is q49's, unchanged by
+    * maintenance).
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val root = q184IndexRoot(d)
+    val emb = Tables.embeddings(s, d)
+    val queryVecId = 0L
+    val nCells = 16
+    val base = emb.filter(col("vec_id") % 10 < 8 &&
+      col("vec_id") =!= queryVecId)
+    val delta = emb.filter(col("vec_id") % 10 >= 8 &&
+      col("vec_id") =!= queryVecId)
+    // frozen coarse quantizer: trained on the BASE batch only
+    val cents = ivfCentroids(base, nCells)
+    val idx = s"$root/index"
+    ivfIndex(base, cents, nCells)
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(idx)
+    // incremental maintenance: assign ONLY the delta against the same
+    // frozen centroids and append — base shards are never rewritten
+    ivfIndex(delta, cents, nCells)
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(idx)
+    probeDiskIndex(s, idx, emb, queryVecId, cents, nCells,
+      nProbe = 4, k = 10)
+  }
+
   /** Semantic deduplication (the SemDeDup shape: cluster the embedding
     * space, then prune near-duplicate SEMANTICS inside each cluster —
     * near-dup pairs across clusters are, by construction of the
@@ -887,6 +974,10 @@ object Vectors {
     // graph-index ANN: approximate by construction — recall vs the
     // exact scan and the bounded-probe claim are Round11Spec gates
     QueryDef("q181_knn_graph_ann", q181, None),
+    // incremental IVF maintenance: merged-index probe ≡ rebuilt-index
+    // probe is the Round11Spec gate (exact equivalence, frozen coarse
+    // quantizer); search recall is q49's story
+    QueryDef("q184_ivf_incremental", q184, None),
     // sketch class (cluster-bounded candidate generation) — gated by
     // Round10Spec's brute-force-equivalence + consistency tests
     QueryDef("q147_semantic_dedup", q147, None),

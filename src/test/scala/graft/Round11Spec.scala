@@ -228,6 +228,38 @@ class Round11Spec extends AnyFunSuite {
       "replay changed the store")
   }
 
+  test("q184 incremental IVF ≡ full rebuild; probe scan is partition-pruned") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q184_ivf_incremental")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == 10)
+    // rebuild the WHOLE index under the same frozen centroids — the
+    // incremental append must be content-identical, so the probes match
+    // row for row
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 10 < 8 && $"vec_id" =!= 0L)
+    val cents = ops.Vectors.ivfCentroids(base, 16)
+    val root = ops.Vectors.q184IndexRoot(sf)
+    ops.Vectors.ivfIndex(emb.filter($"vec_id" =!= 0L), cents, 16)
+      .select($"vec_id", $"label", $"cell", $"embedding")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$root/rebuilt")
+    val exp = ops.Vectors.probeDiskIndex(spark, s"$root/rebuilt",
+      emb, 0L, cents, 16, 4, 10).collect().map(_.toSeq).toSeq
+    assert(got == exp, "incremental index diverged from full rebuild")
+    // the probe is a statically partition-pruned scan: the literal
+    // isin must reach the file index as PartitionFilters, and the
+    // incremental index must actually have per-cell directories
+    val probe = ops.Vectors.probeDiskIndex(spark, s"$root/index",
+      emb, 0L, cents, 16, 4, 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe not partition-pruned:\n$plan")
+    val dirs = new java.io.File(s"$root/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cell="))
+    assert(dirs > 1, "index not laid out by cell")
+  }
+
   test("q183 manifest: every stage genuinely fires") {
     val rows = SparkEntry.queries("q183_manifest_v3")(spark, sf).collect()
     assert(rows.nonEmpty)
