@@ -1558,6 +1558,287 @@ object Events {
       |FROM seq WHERE t1 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** q185: WELCH'S TWO-SAMPLE T-TEST per event type — the A/B experiment
+    * readout every product pipeline ends in. Variant assignment is the
+    * standard deterministic hash split (`user_id % 2` here; a salted
+    * hash in production — the algebra is identical). ABSENT-IN-REF: the
+    * reference generates streams for learners but has no statistics
+    * layer (`README.md:3-6`).
+    *
+    * One pass, one hash aggregate: per type, the six sufficient
+    * statistics (n, Σx, Σx²) × 2 variants as conditional sums over
+    * integer cents — map-side combinable, 5 output rows, no second scan.
+    * Mean/variance/t/df derive from the sufficient statistics in the
+    * SAME expression order in both engines, so the IEEE doubles agree
+    * bit-for-bit before the final 4-decimal round (every op — add, mul,
+    * div, sqrt — is correctly rounded, and both sides consume the exact
+    * same integer sums). At 100 TB this is the textbook one-shuffle
+    * aggregate: the Σ/Σ² partials reduce each map task to 5 rows.
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    val isA = $"user_id" % 2 === 0
+    val suff = Tables
+      .events(s, d)
+      .select($"event_type", cents.as("c"), isA.as("a"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"a", 1L).otherwise(0L)).as("na"),
+        sum(when($"a", $"c").otherwise(0L)).as("sa"),
+        sum(when($"a", $"c" * $"c").otherwise(0L)).as("qa"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("nb"),
+        sum(when(!$"a", $"c").otherwise(0L)).as("sb"),
+        sum(when(!$"a", $"c" * $"c").otherwise(0L)).as("qb"),
+      )
+    // Sample variance in value units from the cent sums; identical
+    // operand order in the DuckDB oracle keeps the doubles bit-equal.
+    val va = ($"qa" - $"sa".cast("double") * $"sa" / $"na") /
+      ($"na" - 1) / 10000.0
+    val vb = ($"qb" - $"sb".cast("double") * $"sb" / $"nb") /
+      ($"nb" - 1) / 10000.0
+    suff
+      .withColumn("mean_a", $"sa" / 100.0 / $"na")
+      .withColumn("mean_b", $"sb" / 100.0 / $"nb")
+      .withColumn("va_n", va / $"na")
+      .withColumn("vb_n", vb / $"nb")
+      .withColumn("se2", $"va_n" + $"vb_n")
+      .select(
+        $"event_type", $"na", $"nb",
+        round($"mean_a", 4).as("mean_a"),
+        round($"mean_b", 4).as("mean_b"),
+        round(($"mean_a" - $"mean_b") / sqrt($"se2"), 4).as("t_stat"),
+        round(
+          $"se2" * $"se2" /
+            ($"va_n" * $"va_n" / ($"na" - 1) +
+              $"vb_n" * $"vb_n" / ($"nb" - 1)),
+          4).as("welch_df"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q185Sql =
+    """WITH suff AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(ROUND(value * 100) AS BIGINT)
+      |         * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS qa,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS sb,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      |      THEN CAST(ROUND(value * 100) AS BIGINT)
+      |         * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS qb
+      |  FROM events GROUP BY event_type),
+      |derived AS (
+      |  SELECT event_type, na, nb,
+      |    sa / 100.0 / na AS mean_a,
+      |    sb / 100.0 / nb AS mean_b,
+      |    (qa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / 10000.0 / na
+      |      AS va_n,
+      |    (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / 10000.0 / nb
+      |      AS vb_n
+      |  FROM suff)
+      |SELECT event_type, na, nb,
+      |  ROUND(mean_a, 4) AS mean_a,
+      |  ROUND(mean_b, 4) AS mean_b,
+      |  ROUND((mean_a - mean_b) / SQRT(va_n + vb_n), 4) AS t_stat,
+      |  ROUND((va_n + vb_n) * (va_n + vb_n) /
+      |    (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 4)
+      |    AS welch_df
+      |FROM derived ORDER BY event_type""".stripMargin
+
+  /** q188: ORDERED MULTI-STEP FUNNEL (signup → click → purchase) with
+    * per-variant conversion — unlike q24's single-step "after first
+    * signup" cut, each step must strictly FOLLOW the previous step's
+    * first completion, the sequence-constrained funnel every growth
+    * team reports. ABSENT-IN-REF.
+    *
+    * Plan: one shuffle on `user_id`, then three unordered-frame window
+    * passes (no sort — the frame is the whole partition) that chain the
+    * step timestamps, a user-grain aggregate on the SAME partitioning
+    * (no second exchange), and a 2-row variant rollup. Conversion is
+    * integer permille (floor), so the output is hash-exact without any
+    * float division. At 100 TB: window state per user is three longs;
+    * nothing re-shuffles after the first exchange.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val base = Tables
+      .events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = base.withColumn(
+      "s1", min(when($"event_type" === "signup", $"us")).over(w))
+    val s2 = s1.withColumn(
+      "s2",
+      min(when($"event_type" === "click" && $"us" > $"s1", $"us")).over(w))
+    val s3 = s2.withColumn(
+      "s3",
+      min(when($"event_type" === "purchase" && $"us" > $"s2", $"us"))
+        .over(w))
+    s3.groupBy($"user_id")
+      .agg(max($"s1").as("s1"), max($"s2").as("s2"), max($"s3").as("s3"))
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"s1".isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when($"s2".isNotNull, 1L).otherwise(0L)).as("n_click_after"),
+        sum(when($"s3".isNotNull, 1L).otherwise(0L))
+          .as("n_purchase_after"),
+      )
+      .withColumn("conv_click_permille",
+        expr("1000 * n_click_after DIV n_signup"))
+      .withColumn("conv_purchase_permille",
+        expr("1000 * n_purchase_after DIV n_signup"))
+      .orderBy($"variant")
+  }
+
+  private val q188Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+      |    OVER (PARTITION BY user_id) AS s1 FROM base),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > s1
+      |    THEN us END) OVER (PARTITION BY user_id) AS s2 FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > s2
+      |    THEN us END) OVER (PARTITION BY user_id) AS s3 FROM w2),
+      |u AS (
+      |  SELECT user_id, MAX(s1) AS s1, MAX(s2) AS s2, MAX(s3) AS s3
+      |  FROM w3 GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+      |    CAST(SUM(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_signup,
+      |    CAST(SUM(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_click_after,
+      |    CAST(SUM(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchase_after
+      |  FROM u GROUP BY user_id % 2)
+      |SELECT variant, n_users, n_signup, n_click_after,
+      |  n_purchase_after,
+      |  1000 * n_click_after // n_signup AS conv_click_permille,
+      |  1000 * n_purchase_after // n_signup AS conv_purchase_permille
+      |FROM v ORDER BY variant""".stripMargin
+
+  /** q189: RUNNING DISTINCT — cumulative unique users per (type, day),
+    * the "users to date" growth curve. A naive running COUNT(DISTINCT)
+    * re-deduplicates the whole history at every step; the scale shape is
+    * FIRST-SEEN REDUCTION: one (type, user) min-day aggregate (map-side
+    * combinable — the shuffle carries one row per distinct pair, not per
+    * event), a (type, day) count of first-sightings, and a cumulative
+    * sum over the day-cardinality frame. ABSENT-IN-REF. At 100 TB the
+    * only event-cardinality work is the first hash aggregate; the window
+    * runs over #types × #days rows.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val firstSeen = Tables
+      .events(s, d)
+      .select($"event_type", $"user_id",
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy($"event_type", $"user_id")
+      .agg(min($"day").as("first_day"))
+    val daily = firstSeen
+      .groupBy($"event_type", $"first_day".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users",
+        sum($"new_users").over(
+          Window.partitionBy($"event_type").orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q189Sql =
+    """WITH fs AS (
+      |  SELECT event_type, user_id,
+      |    MIN(epoch_us(ts) // 86400000000) AS first_day
+      |  FROM events GROUP BY event_type, user_id),
+      |daily AS (
+      |  SELECT event_type, first_day AS day, COUNT(*) AS new_users
+      |  FROM fs GROUP BY event_type, first_day)
+      |SELECT event_type, day, new_users,
+      |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_users
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
+  /** q193: LAST-TOUCH ATTRIBUTION — each purchase's revenue credits the
+    * user's most recent preceding touch (click/view) within a 7-day
+    * lookback, else the 'direct' channel: the marketing-attribution
+    * primitive. ABSENT-IN-REF.
+    *
+    * Plan: one shuffle on `user_id`, one ordered window carrying the
+    * last-non-null touch type and timestamp (`last(..., ignoreNulls)`
+    * over ROWS UNBOUNDED..1 PRECEDING — O(1) state per row, order is
+    * tie-broken on event_id so both engines see the same "last"), then
+    * a channel-cardinality rollup in integer cents. No self-join, no
+    * as-of pass — the window IS the as-of.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val touch = Seq("click", "view")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackUs = 7L * 86400L * 1000000L
+    Tables
+      .events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("touch_type",
+        last(when($"event_type".isin(touch: _*), $"event_type"),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when($"event_type".isin(touch: _*), $"us"),
+          ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"touch_us".isNotNull && $"us" - $"touch_us" <= lookbackUs,
+          $"touch_type").otherwise("direct"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"cents").as("revenue_cents"))
+      .orderBy($"channel")
+  }
+
+  private val q193Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |tagged AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |      THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+      |      THEN us END IGNORE NULLS) OVER w AS touch_us
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT
+      |  CASE WHEN touch_us IS NOT NULL
+      |    AND us - touch_us <= 604800000000 THEN touch_type
+      |    ELSE 'direct' END AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |FROM tagged WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
@@ -1688,5 +1969,9 @@ object Events {
     QueryDef("q153_scd2_history", q153, Some(q153Sql)),
     QueryDef("q164_asof_dimension", q164, Some(q164Sql)),
     QueryDef("q104_ewma_decay", q104, Some(q104Sql)),
+    QueryDef("q185_welch_ttest", q185, Some(q185Sql)),
+    QueryDef("q188_ordered_funnel", q188, Some(q188Sql)),
+    QueryDef("q189_running_distinct", q189, Some(q189Sql)),
+    QueryDef("q193_last_touch", q193, Some(q193Sql)),
   )
 }
