@@ -1,0 +1,301 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical inference over the `events` table — the experiment-readout
+  * layer a product pipeline ends in (the reference generates streams FOR
+  * learning systems, `README.md:3-6`, but ships no statistics: all three
+  * operators here are ABSENT-IN-REF).
+  *
+  * The module's shared discipline: every stochastic or order-sensitive
+  * quantity is derived from integer sums, md5 hex prefixes, or
+  * identically-ordered IEEE double expressions, so the DuckDB oracle
+  * hash-matches bit-for-bit — randomness is NEVER `rand()` (retry/
+  * partition-layout unstable) but a hash of stable row identity, the
+  * same device as q90's stratified sample.
+  */
+object Stats {
+
+  private val centsExpr = "CAST(ROUND(value * 100) AS BIGINT)"
+
+  /** q186: TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic for every pair of
+    * event types — "did these two segments draw `value` from the same
+    * distribution?", the nonparametric companion to q185's t-test.
+    *
+    * The naive shape sorts both full samples per pair; the scale shape
+    * is HISTOGRAM-FIRST (q156's value-domain trick): one hash aggregate
+    * to (type, cent) counts — the only event-cardinality pass, map-side
+    * combinable — then every downstream row count is bounded by the
+    * value domain, not the row count. Each histogram row fans out to
+    * its pairs via two broadcast equi-joins against the tiny pair dim
+    * (never a non-equi join), cumulative counts run per pair over the
+    * cent grid, and D = max|F_a − F_b| is carried as the INTEGER
+    * cross-product |cumA·n_b − cumB·n_a| so the max is exact; the one
+    * float division happens once per pair at the end. The type
+    * dictionary is a bounded driver collect (5 values here; a dictionary
+    * by construction), same discipline as the repo's other ≤2048-row
+    * constants.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type".as("t"), expr(centsExpr).as("c"))
+      .groupBy($"t", $"c")
+      .agg(count(lit(1)).as("cnt"))
+    val types = hist.select($"t").distinct().as[String].collect().sorted
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val pairsDf = s.createDataFrame(pairs).toDF("ta", "tb")
+    val sideA = hist
+      .join(broadcast(pairsDf), $"t" === $"ta")
+      .select($"ta", $"tb", $"c", $"cnt".as("ca"), lit(0L).as("cb"))
+    val sideB = hist
+      .join(broadcast(pairsDf), $"t" === $"tb")
+      .select($"ta", $"tb", $"c", lit(0L).as("ca"), $"cnt".as("cb"))
+    val merged = sideA
+      .unionAll(sideB)
+      .groupBy($"ta", $"tb", $"c")
+      .agg(sum($"ca").as("ca"), sum($"cb").as("cb"))
+    val part = Window.partitionBy($"ta", $"tb")
+    val runW = part.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("cuma", sum($"ca").over(runW))
+      .withColumn("cumb", sum($"cb").over(runW))
+      .withColumn("na", sum($"ca").over(part))
+      .withColumn("nb", sum($"cb").over(part))
+      .groupBy($"ta", $"tb")
+      .agg(
+        max($"na").as("n_a"),
+        max($"nb").as("n_b"),
+        max(abs($"cuma" * $"nb" - $"cumb" * $"na")).as("ks_scaled"),
+      )
+      .withColumn("ks_stat",
+        round($"ks_scaled".cast("double") /
+          ($"n_a" * $"n_b").cast("double"), 6))
+      .orderBy($"ta", $"tb")
+  }
+
+  private val q186Sql =
+    s"""WITH hist AS (
+      |  SELECT event_type AS t, $centsExpr AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT t FROM hist),
+      |pairs AS (
+      |  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b
+      |  ON a.t < b.t),
+      |merged AS (
+      |  SELECT ta, tb, c,
+      |    CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      |  FROM (
+      |    SELECT p.ta, p.tb, h.c, h.cnt AS ca, 0 AS cb
+      |    FROM hist h JOIN pairs p ON h.t = p.ta
+      |    UNION ALL
+      |    SELECT p.ta, p.tb, h.c, 0 AS ca, h.cnt AS cb
+      |    FROM hist h JOIN pairs p ON h.t = p.tb) u
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT ta, tb,
+      |    SUM(ca) OVER (PARTITION BY ta, tb ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY ta, tb ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY ta, tb) AS na,
+      |    SUM(cb) OVER (PARTITION BY ta, tb) AS nb
+      |  FROM merged)
+      |SELECT ta, tb,
+      |  CAST(MAX(na) AS BIGINT) AS n_a,
+      |  CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS ks_scaled,
+      |  ROUND(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE) /
+      |    CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS ks_stat
+      |FROM cum GROUP BY ta, tb ORDER BY ta, tb""".stripMargin
+
+  /** q191: KMV (θ) SKETCH DISTINCT-INTERSECTION — estimated audience
+    * overlap |users(a) ∩ users(b)| for every type pair from k-minimum-
+    * value sketches. HLL (q19/q91) unions but cannot intersect; the KMV
+    * sketch is the classic mergeable structure that can, and because
+    * the sketch is a DETERMINISTIC function of the data (k smallest
+    * md5(user_id) values — no seed, no layout dependence) the whole
+    * estimator replays exactly in DuckDB: a rare fully ORACLE-GATED
+    * sketch query (the other sketches are spec-gated, VERDICT r10).
+    *
+    * Shape: one (type, user) distinct — the only event-cardinality
+    * shuffle — then `row_number() ≤ k` per type (WindowGroupLimit:
+    * map-side bounded heaps, each task ships ≤ k rows per type), a
+    * 5-row θ table broadcast both ways onto the sketch–sketch hash
+    * equi-join, and the standard estimator |{h ∈ A∩B : h < θ_min}| /
+    * θ_min with θ_min decoded from its first 8 hex nibbles into an
+    * exact 32-bit integer (identical `instr` arithmetic in both
+    * engines; one float division per pair). Pairs sharing no hash below
+    * θ_min drop out — an empty estimate, stated.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val sk = Tables
+      .events(s, d)
+      .select($"event_type".as("t"), $"user_id")
+      .distinct()
+      .withColumn("h", md5($"user_id".cast("string").cast("binary")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"t").orderBy($"h")))
+      .filter($"rk" <= k)
+    val theta = sk.groupBy($"t").agg(max($"h").as("theta"))
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(thmin, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}L")
+      .mkString(" + ")
+    sk.as("a")
+      .join(sk.as("b"), $"a.h" === $"b.h" && $"a.t" < $"b.t")
+      .select($"a.t".as("ta"), $"b.t".as("tb"), $"a.h".as("h"))
+      .join(broadcast(theta.select($"t".as("ta"), $"theta".as("tha"))),
+        "ta")
+      .join(broadcast(theta.select($"t".as("tb"), $"theta".as("thb"))),
+        "tb")
+      .withColumn("thmin", least($"tha", $"thb"))
+      .filter($"h" < $"thmin")
+      .groupBy($"ta", $"tb", $"thmin")
+      .agg(count(lit(1)).as("n_common_below"))
+      .withColumn("est_intersection",
+        round($"n_common_below" * 4294967296.0 / expr(uInt), 2))
+      .select($"ta", $"tb", $"n_common_below", $"est_intersection")
+      .orderBy($"ta", $"tb")
+  }
+
+  private val q191Sql = {
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(thmin, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH du AS (
+      |  SELECT DISTINCT event_type AS t, user_id FROM events),
+      |hashed AS (
+      |  SELECT t, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+      |sk AS (
+      |  SELECT t, h FROM (
+      |    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h)
+      |      AS rk FROM hashed) r
+      |  WHERE rk <= 64),
+      |theta AS (SELECT t, MAX(h) AS theta FROM sk GROUP BY t),
+      |common AS (
+      |  SELECT a.t AS ta, b.t AS tb,
+      |    LEAST(tha.theta, thb.theta) AS thmin, a.h
+      |  FROM sk a JOIN sk b ON a.h = b.h AND a.t < b.t
+      |  JOIN theta tha ON tha.t = a.t
+      |  JOIN theta thb ON thb.t = b.t
+      |  WHERE a.h < LEAST(tha.theta, thb.theta)),
+      |agg AS (
+      |  SELECT ta, tb, thmin, COUNT(*) AS n_common_below
+      |  FROM common GROUP BY ta, tb, thmin)
+      |SELECT ta, tb, n_common_below,
+      |  ROUND(n_common_below * 4294967296.0 / ($uInt), 2)
+      |    AS est_intersection
+      |FROM agg ORDER BY ta, tb""".stripMargin
+  }
+
+  /** q192: POISSON-BOOTSTRAP CONFIDENCE INTERVALS for the per-type mean
+    * — the uncertainty readout (Efron bootstrap, streaming/Poissonized
+    * variant: each row enters replicate r with weight ~ Poisson(1), so
+    * no resampling pass ever materializes a resample). 32 replicates;
+    * the interval is the order-statistic [2nd, 31st] of the replicate
+    * means (a ~94% interval — stated, not a percentile interpolation).
+    *
+    * The replicate weight is DETERMINISTIC: u = first 8 hex nibbles of
+    * md5(event_id ':' rep) compared against the precomputed hex
+    * thresholds of the Poisson(1) CDF — pure string compares, zero
+    * float ops, so both engines draw identical weights. The plan is one
+    * scan with a 32× `explode(sequence(...))` fan-out that collapses
+    * immediately into the (type, rep) partial aggregate — the shuffle
+    * carries #types × 32 rows of integer sums, the textbook map-side-
+    * combine bootstrap. Replicate means are one double division each,
+    * ranked with a rep tie-break so order is engine-independent.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // cumulative Poisson(1) CDF × 16^8, as lowercase hex (see SCALE.md)
+    val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
+    val uhex = substring(
+      md5(concat($"event_id".cast("string"), lit(":"),
+        $"rep".cast("string")).cast("binary")), 1, 8)
+    val weight = th.zipWithIndex
+      .foldRight(lit(8L)) { case ((t, j), e) =>
+        when(uhex < t, j.toLong).otherwise(e)
+      }
+    val repAgg = Tables
+      .events(s, d)
+      .select($"event_type", $"event_id", expr(centsExpr).as("c"))
+      .withColumn("rep", explode(sequence(lit(0), lit(31))))
+      .withColumn("w", weight)
+      .groupBy($"event_type", $"rep")
+      .agg(
+        sum($"w").as("nw"),
+        sum($"w" * $"c").as("sw"),
+        count(lit(1)).as("n0"),
+        sum($"c").as("s0"),
+      )
+      .withColumn("mean_r", $"sw".cast("double") / $"nw")
+    val rw = Window.partitionBy($"event_type").orderBy($"mean_r", $"rep")
+    repAgg
+      .withColumn("rk", row_number().over(rw))
+      .groupBy($"event_type")
+      .agg(
+        max($"n0").as("n_events"),
+        round(max($"s0").cast("double") / max($"n0"), 4)
+          .as("mean_cents"),
+        round(max(when($"rk" === 2, $"mean_r")), 4).as("boot_lo"),
+        round(max(when($"rk" === 31, $"mean_r")), 4).as("boot_hi"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q192Sql =
+    s"""WITH fan AS (
+      |  SELECT event_type, event_id, $centsExpr AS c, r.rep,
+      |    substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |      CAST(r.rep AS VARCHAR)), 1, 8) AS uhex
+      |  FROM events, range(0, 32) r(rep)),
+      |weighted AS (
+      |  SELECT event_type, rep, c,
+      |    CASE WHEN uhex < '5e2d58d8' THEN 0
+      |         WHEN uhex < 'bc5ab1b1' THEN 1
+      |         WHEN uhex < 'eb715e1d' THEN 2
+      |         WHEN uhex < 'fb239797' THEN 3
+      |         WHEN uhex < 'ff1025f5' THEN 4
+      |         WHEN uhex < 'ffd90f3b' THEN 5
+      |         WHEN uhex < 'fffa8b71' THEN 6
+      |         WHEN uhex < 'ffff540c' THEN 7
+      |         ELSE 8 END AS w
+      |  FROM fan),
+      |rep_agg AS (
+      |  SELECT event_type, rep,
+      |    CAST(SUM(w) AS BIGINT) AS nw,
+      |    CAST(SUM(w * c) AS BIGINT) AS sw,
+      |    COUNT(*) AS n0,
+      |    CAST(SUM(c) AS BIGINT) AS s0
+      |  FROM weighted GROUP BY event_type, rep),
+      |ranked AS (
+      |  SELECT event_type, nw, sw, n0, s0,
+      |    CAST(sw AS DOUBLE) / nw AS mean_r,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(sw AS DOUBLE) / nw, rep) AS rk
+      |  FROM rep_agg)
+      |SELECT event_type,
+      |  MAX(n0) AS n_events,
+      |  ROUND(CAST(MAX(s0) AS DOUBLE) / MAX(n0), 4) AS mean_cents,
+      |  ROUND(MAX(CASE WHEN rk = 2 THEN mean_r END), 4) AS boot_lo,
+      |  ROUND(MAX(CASE WHEN rk = 31 THEN mean_r END), 4) AS boot_hi
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q186_ks_test", q186, Some(q186Sql)),
+    QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
+    QueryDef("q192_bootstrap_ci", q192, Some(q192Sql)),
+  )
+}

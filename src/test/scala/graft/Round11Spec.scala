@@ -321,4 +321,67 @@ class Round11Spec extends AnyFunSuite {
     assert(leakedStrings.isEmpty,
       s"span-sized strings crossed an exchange: $leakedStrings")
   }
+
+  test("q191 KMV estimate tracks the exact audience intersection") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q191_kmv_intersect")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no pair produced an estimate")
+    val du = graft.Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val exact =
+        (du(r.getString(0)) intersect du(r.getString(1))).size.toDouble
+      val est = r.getDouble(3)
+      // k=64 KMV: relative error concentrates around 1/sqrt(k) ≈ 12.5%;
+      // gate at 3σ plus slack for the small exact counts at sf0.001
+      assert(math.abs(est - exact) <= math.max(0.45 * exact, 15.0),
+        s"${r.getString(0)}∩${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q192 bootstrap interval brackets the point estimate, lo <= hi") {
+    val rows = SparkEntry.queries("q192_bootstrap_ci")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"${r.getString(0)}: lo $lo > hi $hi")
+      // the order-statistic interval must straddle the full-sample mean
+      // (32 replicates over thousands of rows — a miss means the weight
+      // draw or the rank selection broke, not bad luck)
+      assert(lo <= mean && mean <= hi,
+        s"${r.getString(0)}: mean $mean outside [$lo, $hi]")
+      // and it should be a genuinely tight interval, not [0, 2·mean]
+      assert(hi - lo < 0.5 * mean,
+        s"${r.getString(0)}: interval [$lo, $hi] implausibly wide")
+    }
+  }
+
+  test("q186 KS statistic equals a brute-force two-sample computation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q186_ks_test")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    val samples = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(ROUND(value * 100) AS BIGINT) c")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    for {
+      (ta, xs) <- samples; (tb, ys) <- samples if ta < tb
+    } {
+      val grid = (xs ++ ys).distinct.sorted
+      val d = grid.map { v =>
+        val fa = xs.count(_ <= v).toDouble / xs.length
+        val fb = ys.count(_ <= v).toDouble / ys.length
+        math.abs(fa - fb)
+      }.max
+      assert(math.abs(got(ta -> tb) - d) < 1e-4,
+        s"$ta/$tb: engine ${got(ta -> tb)} vs brute $d")
+    }
+  }
 }
