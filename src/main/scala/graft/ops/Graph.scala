@@ -289,8 +289,88 @@ object Graph {
       |  n_triangles
       |FROM nodes, tri""".stripMargin
 
+  /** q187: K-HOP BFS — exact hop distance from a seed over the
+    * supplier↔customer bipartite graph (node ids disambiguated:
+    * `2·suppkey` vs `2·custkey+1`, so the two key spaces cannot
+    * collide), the fourth classic distributed graph kernel next to
+    * PageRank (q75), connected components (q63) and triangles (q143),
+    * and the shape of blast-radius / affected-entity queries.
+    * ABSENT-IN-REF.
+    *
+    * Frontier-synchronous BSP: each sweep joins only the FRONTIER
+    * (nodes first reached last sweep) against the edge list, dedups,
+    * and anti-joins the reached set — so a node's distance is fixed the
+    * first time it is seen (= minimal, by level order) and the per-sweep
+    * shuffle is frontier-sized, not reach-sized. `localCheckpoint` per
+    * sweep truncates lineage (q63's discipline); the edge list is
+    * checkpointed once and reused by all sweeps. The DuckDB oracle
+    * unrolls the same 4 level-sets as chained CTEs — LEVEL-wise, never
+    * path-wise (a recursive UNION ALL enumerates paths and explodes
+    * combinatorially on dense bipartite graphs; level sets stay
+    * node-bounded). At 100 TB: edges hash-partition on src once;
+    * each sweep is one co-partitioned join + one anti join.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+      .distinct()
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    val seed = Tables
+      .supplier(s, d)
+      .agg((min($"s_suppkey") * 2).as("node"))
+      .withColumn("dist", lit(0))
+    var reach = seed.localCheckpoint()
+    var frontier = reach
+    for (k <- 1 to 4) {
+      val next = frontier
+        .select($"node".as("src"))
+        .join(edges, "src")
+        .select($"dst".as("node"))
+        .distinct()
+        .join(reach.select($"node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint()
+      reach = reach.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    reach.orderBy($"dist", $"node")
+  }
+
+  private val q187Sql = {
+    def level(prev: String, out: String, k: Int) =
+      s"""$out AS (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT node, $k AS dist FROM (
+         |    SELECT DISTINCT e.dst AS node
+         |    FROM $prev f JOIN edges e ON e.src = f.node
+         |    WHERE f.dist = ${k - 1}) n
+         |  WHERE node NOT IN (SELECT node FROM $prev))""".stripMargin
+    s"""WITH und AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |r0 AS (
+       |  SELECT (SELECT MIN(s_suppkey) * 2 FROM supplier) AS node,
+       |    0 AS dist),
+       |${level("r0", "r1", 1)},
+       |${level("r1", "r2", 2)},
+       |${level("r2", "r3", 3)},
+       |${level("r3", "r4", 4)}
+       |SELECT node, dist FROM r4 ORDER BY dist, node""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q75_pagerank", q75, Some(q75Sql)),
     QueryDef("q143_triangle_count", q143, Some(q143Sql)),
+    QueryDef("q187_khop_bfs", q187, Some(q187Sql)),
   )
 }

@@ -963,8 +963,86 @@ object Vectors {
       |    AS n_saturated
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** q190: MMR (MAXIMAL MARGINAL RELEVANCE) RE-RANKING — the
+    * diversity-aware serving stage a RAG retriever runs AFTER ANN
+    * recall: from the top-C cosine candidates, greedily pick k items
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    * (Carbonell & Goldstein's formulation), so near-duplicate passages
+    * don't crowd the context window. ABSENT-IN-REF.
+    *
+    * Scale split mirrors q181/q127: the DISTRIBUTED half is candidate
+    * generation (brute-force scan → `TakeOrderedAndProject`, or q49's
+    * IVF at corpus scale — either way each task ships ≤ C rows); the
+    * greedy selection is inherently sequential in k and runs on the
+    * driver over the BOUNDED candidate set (C=40 rows of 64 floats —
+    * re-rankers are single-node by design; cost O(k·C·dim), independent
+    * of corpus size). No oracle — greedy argmax chains are not SQL —
+    * so Round11Spec re-derives every pick's objective from the raw
+    * embeddings and asserts the diversity win over plain top-k.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lambda = 0.7
+    val (bigC, k) = (40, 10)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val cands = emb
+      .filter(col("vec_id") =!= 0L)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorExprs
+          .vecCosine(s, col("embedding"), col("qe")).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(bigC)
+      .collect() // bounded: C rows — the serving-stage working set
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Int, Double, Double)] // rank, id, label, rel, redundancy
+    val picked = scala.collection.mutable.Set.empty[Long]
+    var rank = 1
+    while (rank <= k && picked.size < cands.length) {
+      val best = cands.iterator
+        .filterNot { case (id, _, _, _) => picked(id) }
+        .map { case (id, lb, rel, v) =>
+          val red =
+            if (selected.isEmpty) 0.0
+            else selected.map { case (_, sid, _, _, _) =>
+              cos(v, cands.find(_._1 == sid).get._4)
+            }.max
+          (id, lb, rel, red, lambda * rel - (1 - lambda) * red)
+        }
+        .reduce { (a, b) =>
+          if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a
+        }
+      selected += ((rank, best._1, best._2, best._3, best._4))
+      picked += best._1
+      rank += 1
+    }
+    import s.implicits._
+    selected.toSeq
+      .toDF("rank", "vec_id", "label", "rel_raw", "red_raw")
+      .select($"rank", $"vec_id", $"label",
+        round($"rel_raw", 4).as("relevance"),
+        round($"red_raw", 4).as("redundancy"))
+      .orderBy($"rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_cosine_topk", q40, Some(q40Sql)),
+    // greedy serving-stage re-rank: not SQL-expressible — Round11Spec
+    // re-derives each pick's MMR objective from the raw embeddings
+    QueryDef("q190_mmr_rerank", q190, None),
     QueryDef("q41_ann_pairs", q41, None),
     QueryDef("q42_embedding_norms", q42, Some(q42Sql)),
     QueryDef("q49_ivf_topk", q49, None),

@@ -361,6 +361,54 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q190 MMR picks match an independent greedy replay and diversify") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q190_mmr_rerank")(spark, sf).collect()
+    assert(got.length == 10, s"expected 10 picks, got ${got.length}")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val qv = all.find(_._1 == 0L).get._2
+    val cands = all.filterNot(_._1 == 0L)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }
+      .take(40)
+    // independent greedy replay of λ·rel − (1−λ)·maxSim
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    (1 to 10).foreach { _ =>
+      val best = cands.iterator
+        .filterNot { case (id, _, _) => picked.exists(_._1 == id) }
+        .map { case (id, v, rel) =>
+          val red = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(v, p._2)).max
+          (id, v, 0.7 * rel - 0.3 * red)
+        }
+        .reduce((a, b) =>
+          if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a)
+      picked += ((best._1, best._2))
+    }
+    assert(got.map(_.getLong(1)).toSeq == picked.map(_._1).toSeq,
+      "engine MMR sequence diverges from independent greedy replay")
+    // diversity: the MMR set's mean pairwise similarity must not exceed
+    // plain top-10's (that is the whole point of the re-rank)
+    def meanPairSim(vs: Seq[Array[Float]]): Double = {
+      val ps = for { i <- vs.indices; j <- vs.indices if i < j }
+        yield cos(vs(i), vs(j))
+      ps.sum / ps.size
+    }
+    val mmrSim = meanPairSim(picked.map(_._2).toSeq)
+    val topSim = meanPairSim(cands.take(10).map(_._2).toSeq)
+    assert(mmrSim <= topSim + 1e-9,
+      s"MMR did not diversify: mmr $mmrSim vs top-k $topSim")
+  }
+
   test("q186 KS statistic equals a brute-force two-sample computation") {
     import spark.implicits._
     val got = SparkEntry.queries("q186_ks_test")(spark, sf)
