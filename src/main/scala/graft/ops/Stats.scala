@@ -293,9 +293,283 @@ object Stats {
       |  ROUND(MAX(CASE WHEN rk = 31 THEN mean_r END), 4) AS boot_hi
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q194: CUPED variance reduction (Controlled-experiment Using
+    * Pre-Experiment Data, Deng et al.) — the adjustment every mature
+    * experimentation platform applies before q185's t-test: the
+    * experiment-period metric Y is debiased by the pre-period covariate
+    * X via Y − θ(X − X̄), θ = cov(X,Y)/var(X), shrinking variance by
+    * the factor (1 − ρ²) without touching the treatment effect.
+    * Pre/experiment split at a fixed calendar cut (2024-01-16, the data
+    * span's midpoint — a constant, so the split is partition-stable).
+    *
+    * Because the adjustment is linear, variant-level means suffice —
+    * no per-user re-join: ȳ_adj(v) = ȳ(v) − θ(x̄(v) − x̄). One
+    * user-grain hash aggregate (the only event-cardinality pass), one
+    * 2-row variant aggregate of BIGINT sums (Σx, Σy, Σxy, Σx², Σy²),
+    * and the pooled θ/ρ² from full-frame window sums over those 2 rows
+    * — every double derives from integer sums in identical operand
+    * order, q185's cross-engine discipline. (Per-user cent products
+    * stay < 2⁶³ through sf0.1 ×10⁴; a 100 TB deployment lifts Σxy/Σx²
+    * to DECIMAL(38,0), q170's device.)
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val users = Tables
+      .events(s, d)
+      .select($"user_id",
+        expr(centsExpr).as("c"),
+        (unix_micros($"ts") < cutUs).as("pre"),
+        ($"event_type" === "purchase").as("purch"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"pre", $"c").otherwise(0L)).as("x"),
+        sum(when(!$"pre" && $"purch", $"c").otherwise(0L)).as("y"),
+      )
+    val byVariant = users
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"),
+      )
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byVariant
+      .withColumn("tn", sum($"n").over(full))
+      .withColumn("tsx", sum($"sx").over(full))
+      .withColumn("tsy", sum($"sy").over(full))
+      .withColumn("tsxy", sum($"sxy").over(full))
+      .withColumn("tsxx", sum($"sxx").over(full))
+      .withColumn("tsyy", sum($"syy").over(full))
+      .withColumn("cxy",
+        $"tsxy" - $"tsx".cast("double") * $"tsy" / $"tn")
+      .withColumn("cxx",
+        $"tsxx" - $"tsx".cast("double") * $"tsx" / $"tn")
+      .withColumn("cyy",
+        $"tsyy" - $"tsy".cast("double") * $"tsy" / $"tn")
+      .withColumn("theta", $"cxy" / $"cxx")
+      .withColumn("xbar", $"tsx".cast("double") / $"tn")
+      .select(
+        $"variant",
+        $"n".as("n_users"),
+        round($"sy".cast("double") / $"n", 4).as("mean_y"),
+        round(
+          $"sy".cast("double") / $"n" -
+            $"theta" * ($"sx".cast("double") / $"n" - $"xbar"),
+          4).as("mean_y_adj"),
+        round($"theta", 6).as("theta"),
+        round($"cxy" * $"cxy" / ($"cxx" * $"cyy"), 6).as("rho2"),
+      )
+      .orderBy($"variant")
+  }
+
+  private val q194Sql =
+    s"""WITH users AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+      |      THEN $centsExpr ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+      |      AND event_type = 'purchase'
+      |      THEN $centsExpr ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM users GROUP BY user_id % 2),
+      |g AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS tn,
+      |    CAST(SUM(sx) OVER () AS BIGINT) AS tsx,
+      |    CAST(SUM(sy) OVER () AS BIGINT) AS tsy,
+      |    CAST(SUM(sxy) OVER () AS BIGINT) AS tsxy,
+      |    CAST(SUM(sxx) OVER () AS BIGINT) AS tsxx,
+      |    CAST(SUM(syy) OVER () AS BIGINT) AS tsyy
+      |  FROM v),
+      |der AS (
+      |  SELECT *,
+      |    tsxy - CAST(tsx AS DOUBLE) * tsy / tn AS cxy,
+      |    tsxx - CAST(tsx AS DOUBLE) * tsx / tn AS cxx,
+      |    tsyy - CAST(tsy AS DOUBLE) * tsy / tn AS cyy,
+      |    CAST(tsx AS DOUBLE) / tn AS xbar
+      |  FROM g)
+      |SELECT variant, n AS n_users,
+      |  ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_y,
+      |  ROUND(CAST(sy AS DOUBLE) / n -
+      |    (cxy / cxx) * (CAST(sx AS DOUBLE) / n - xbar), 4)
+      |    AS mean_y_adj,
+      |  ROUND(cxy / cxx, 6) AS theta,
+      |  ROUND(cxy * cxy / (cxx * cyy), 6) AS rho2
+      |FROM der ORDER BY variant""".stripMargin
+
+  /** q195: CHI-SQUARE independence + SAMPLE-RATIO-MISMATCH audit — the
+    * guardrail run BEFORE reading any experiment metric: does event
+    * composition depend on variant (independence over the type×variant
+    * contingency table), and did the 50/50 assignment actually deliver
+    * 50/50 (SRM, the 1-df test on assignment totals that invalidates
+    * an experiment when it fires)?
+    *
+    * One (type, variant-conditional) hash aggregate; expected counts
+    * from full-frame window totals over the type-cardinality table.
+    * Cross-row sums of FLOATS are banned (Spark's partial-aggregate
+    * order differs from DuckDB's sequential fold, and float addition
+    * is not associative) — so each cell contribution is rounded to
+    * INTEGER MICRO-UNITS first and the totals are integer sums:
+    * associative, engine-exact.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ct = Tables
+      .events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("n1"),
+      )
+      .withColumn("t0", sum($"n0").over(full))
+      .withColumn("t1", sum($"n1").over(full))
+      .withColumn("n", $"t0" + $"t1")
+      .withColumn("rowtot", $"n0" + $"n1")
+      .withColumn("e0", $"rowtot".cast("double") * $"t0" / $"n")
+      .withColumn("e1", $"rowtot".cast("double") * $"t1" / $"n")
+      .withColumn("contrib_micro",
+        expr("CAST(ROUND(((n0 - e0) * (n0 - e0) / e0 + " +
+          "(n1 - e1) * (n1 - e1) / e1) * 1000000) AS BIGINT)"))
+    ct.withColumn("chi2_indep_micro", sum($"contrib_micro").over(full))
+      .withColumn("chi2_srm_micro",
+        expr("CAST(ROUND(1000000.0 * (t0 - t1) * (t0 - t1) / n) " +
+          "AS BIGINT)"))
+      .select($"event_type", $"n0", $"n1", $"contrib_micro",
+        $"chi2_indep_micro", $"chi2_srm_micro")
+      .orderBy($"event_type")
+  }
+
+  private val q195Sql =
+    """WITH ct AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1
+      |  FROM events GROUP BY event_type),
+      |tot AS (
+      |  SELECT *,
+      |    CAST(SUM(n0) OVER () AS BIGINT) AS t0,
+      |    CAST(SUM(n1) OVER () AS BIGINT) AS t1,
+      |    CAST(SUM(n0) OVER () + SUM(n1) OVER () AS BIGINT) AS n,
+      |    n0 + n1 AS rowtot
+      |  FROM ct),
+      |cells AS (
+      |  SELECT *,
+      |    CAST(rowtot AS DOUBLE) * t0 / n AS e0,
+      |    CAST(rowtot AS DOUBLE) * t1 / n AS e1
+      |  FROM tot),
+      |micro AS (
+      |  SELECT *,
+      |    CAST(ROUND(((n0 - e0) * (n0 - e0) / e0 +
+      |      (n1 - e1) * (n1 - e1) / e1) * 1000000) AS BIGINT)
+      |      AS contrib_micro
+      |  FROM cells)
+      |SELECT event_type, n0, n1, contrib_micro,
+      |  CAST(SUM(contrib_micro) OVER () AS BIGINT)
+      |    AS chi2_indep_micro,
+      |  CAST(ROUND(1000000.0 * (t0 - t1) * (t0 - t1) / n) AS BIGINT)
+      |    AS chi2_srm_micro
+      |FROM micro ORDER BY event_type""".stripMargin
+
+  /** q196: WINSORIZED MEAN per event type — the robust metric the raw
+    * mean cannot be at heavy-tailed scale (one whale order moves the
+    * average; every experimentation platform clips at P5/P95 before
+    * averaging). ABSENT-IN-REF.
+    *
+    * Exact and integer END TO END via the value-domain histogram
+    * (q156's discipline): after the one (type, cent) hash aggregate,
+    * the cumulative walk, the ceil-rank thresholds
+    * (k = ⌈n·p⌉ in pure integer arithmetic), the clamp, and the
+    * clamped sum Σ cnt·clip(c) are all over domain-sized tables — the
+    * textbook formulation sorts every row per type twice (once for
+    * each percentile) and once more for the clipped pass. The only
+    * float op is the final mean division. At 100 TB nothing but
+    * (type, cent) distinct rows ever shuffles.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type".as("t"), expr(centsExpr).as("c"))
+      .groupBy($"t", $"c")
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy($"t")
+    val runW = part.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(runW))
+      .withColumn("n", sum($"cnt").over(part))
+      .withColumn("klo", expr("(n * 5 + 99) DIV 100"))
+      .withColumn("khi", expr("(n * 95 + 99) DIV 100"))
+    val thresholds = cum
+      .groupBy($"t")
+      .agg(
+        min(when($"cum" >= $"klo", $"c")).as("lo"),
+        min(when($"cum" >= $"khi", $"c")).as("hi"),
+        max($"n").as("n"),
+        sum($"cnt" * $"c").as("sum_c"),
+      )
+    hist
+      .join(broadcast(thresholds), Seq("t"))
+      .groupBy($"t", $"lo", $"hi", $"n", $"sum_c")
+      .agg(sum($"cnt" *
+        greatest($"lo", least($"hi", $"c"))).as("wsum"))
+      .select(
+        $"t".as("event_type"), $"n".as("n_events"),
+        $"lo".as("lo_cents"), $"hi".as("hi_cents"),
+        round($"sum_c".cast("double") / $"n", 4).as("mean_cents"),
+        round($"wsum".cast("double") / $"n", 4).as("winsor_mean_cents"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q196Sql =
+    s"""WITH hist AS (
+      |  SELECT event_type AS t, $centsExpr AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cumn,
+      |    CAST(SUM(cnt) OVER (PARTITION BY t) AS BIGINT) AS n
+      |  FROM hist),
+      |thr AS (
+      |  SELECT t,
+      |    MIN(CASE WHEN cumn >= (n * 5 + 99) // 100 THEN c END) AS lo,
+      |    MIN(CASE WHEN cumn >= (n * 95 + 99) // 100 THEN c END) AS hi,
+      |    MAX(n) AS n,
+      |    CAST(SUM(cnt * c) AS BIGINT) AS sum_c
+      |  FROM cum GROUP BY t)
+      |SELECT h.t AS event_type, thr.n AS n_events,
+      |  thr.lo AS lo_cents, thr.hi AS hi_cents,
+      |  ROUND(CAST(thr.sum_c AS DOUBLE) / thr.n, 4) AS mean_cents,
+      |  ROUND(CAST(SUM(h.cnt * GREATEST(thr.lo, LEAST(thr.hi, h.c)))
+      |    AS DOUBLE) / thr.n, 4) AS winsor_mean_cents
+      |FROM hist h JOIN thr ON h.t = thr.t
+      |GROUP BY h.t, thr.n, thr.lo, thr.hi, thr.sum_c
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
     QueryDef("q192_bootstrap_ci", q192, Some(q192Sql)),
+    QueryDef("q194_cuped", q194, Some(q194Sql)),
+    QueryDef("q195_chi2_srm", q195, Some(q195Sql)),
+    QueryDef("q196_winsorized_mean", q196, Some(q196Sql)),
   )
 }
