@@ -216,18 +216,33 @@ object Stats {
     * combine bootstrap. Replicate means are one double division each,
     * ranked with a rep tie-break so order is engine-independent.
     */
+  /** Cumulative Poisson(1) CDF × 16^8 as lowercase hex — weight j is
+    * drawn by comparing the first 8 md5 nibbles against these (pure
+    * string compares; zero float ops, engine-identical by construction).
+    */
+  private val poissonTh = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d",
+    "fb239797", "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
+
+  private def poissonUhex(idCol: org.apache.spark.sql.Column,
+      repCol: org.apache.spark.sql.Column) =
+    substring(
+      md5(concat(idCol.cast("string"), lit(":"),
+        repCol.cast("string")).cast("binary")), 1, 8)
+
+  private def poissonWeight(uhex: org.apache.spark.sql.Column) =
+    poissonTh.zipWithIndex.foldRight(lit(8L)) { case ((t, j), e) =>
+      when(uhex < t, j.toLong).otherwise(e)
+    }
+
+  /** The identical draw in DuckDB SQL, over a column named `uhex`. */
+  private val poissonCaseSql =
+    poissonTh.zipWithIndex
+      .map { case (t, j) => s"WHEN uhex < '$t' THEN $j" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   private def q192(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // cumulative Poisson(1) CDF × 16^8, as lowercase hex (see SCALE.md)
-    val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
-    val uhex = substring(
-      md5(concat($"event_id".cast("string"), lit(":"),
-        $"rep".cast("string")).cast("binary")), 1, 8)
-    val weight = th.zipWithIndex
-      .foldRight(lit(8L)) { case ((t, j), e) =>
-        when(uhex < t, j.toLong).otherwise(e)
-      }
+    val weight = poissonWeight(poissonUhex($"event_id", $"rep"))
     val repAgg = Tables
       .events(s, d)
       .select($"event_type", $"event_id", expr(centsExpr).as("c"))
@@ -262,16 +277,7 @@ object Stats {
       |      CAST(r.rep AS VARCHAR)), 1, 8) AS uhex
       |  FROM events, range(0, 32) r(rep)),
       |weighted AS (
-      |  SELECT event_type, rep, c,
-      |    CASE WHEN uhex < '5e2d58d8' THEN 0
-      |         WHEN uhex < 'bc5ab1b1' THEN 1
-      |         WHEN uhex < 'eb715e1d' THEN 2
-      |         WHEN uhex < 'fb239797' THEN 3
-      |         WHEN uhex < 'ff1025f5' THEN 4
-      |         WHEN uhex < 'ffd90f3b' THEN 5
-      |         WHEN uhex < 'fffa8b71' THEN 6
-      |         WHEN uhex < 'ffff540c' THEN 7
-      |         ELSE 8 END AS w
+      |  SELECT event_type, rep, c, $poissonCaseSql AS w
       |  FROM fan),
       |rep_agg AS (
       |  SELECT event_type, rep,
@@ -564,6 +570,177 @@ object Stats {
       |GROUP BY h.t, thr.n, thr.lo, thr.hi, thr.sum_c
       |ORDER BY event_type""".stripMargin
 
+  /** q197: BOOTSTRAP CONFIDENCE INTERVAL FOR THE MEDIAN — q192's
+    * uncertainty machinery applied to the statistic that actually NEEDS
+    * a bootstrap (the mean has a closed-form standard error; the
+    * median's depends on the unknown density at the median). FULLY
+    * INTEGER: medians of cent histograms are cents, so unlike q192
+    * there is not a single float anywhere — point estimate and both
+    * interval bounds are exact BIGINTs.
+    *
+    * One pass: the 32× Poisson-weight fan-out collapses into a
+    * (type, rep, cent) weighted histogram whose per-group `count(*)`
+    * doubles as the RAW histogram (each event contributes exactly one
+    * fan row per replicate, so the rep=0 slice's row counts are the
+    * unweighted distribution — the point-estimate median comes from
+    * the same aggregate, no second scan). Everything after is
+    * domain-sized: cumulative walks per (type, rep), lower-median
+    * selection (first c with 2·cum ≥ n), order statistics [2nd, 31st]
+    * over the 32 replicate medians.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weight = poissonWeight(poissonUhex($"event_id", $"rep"))
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type", $"event_id", expr(centsExpr).as("c"))
+      .withColumn("rep", explode(sequence(lit(0), lit(31))))
+      .withColumn("w", weight)
+      .groupBy($"event_type", $"rep", $"c")
+      .agg(sum($"w").as("sw"), count(lit(1)).as("m"))
+    val repPart = Window.partitionBy($"event_type", $"rep")
+    val repRun = repPart.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medians = hist
+      .withColumn("cum", sum($"sw").over(repRun))
+      .withColumn("nw", sum($"sw").over(repPart))
+      .groupBy($"event_type", $"rep")
+      .agg(min(when($"cum" * 2 >= $"nw", $"c")).as("med"))
+    val rw = Window.partitionBy($"event_type").orderBy($"med", $"rep")
+    val boot = medians
+      .withColumn("rk", row_number().over(rw))
+      .groupBy($"event_type")
+      .agg(
+        max(when($"rk" === 2, $"med")).as("boot_lo"),
+        max(when($"rk" === 31, $"med")).as("boot_hi"),
+      )
+    val point = hist
+      .filter($"rep" === 0)
+      .withColumn("cum", sum($"m").over(repRun))
+      .withColumn("n", sum($"m").over(repPart))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n_events"),
+        min(when($"cum" * 2 >= $"n", $"c")).as("median_cents"),
+      )
+    point
+      .join(boot, Seq("event_type"))
+      .select($"event_type", $"n_events", $"median_cents",
+        $"boot_lo", $"boot_hi")
+      .orderBy($"event_type")
+  }
+
+  private val q197Sql =
+    s"""WITH fan AS (
+      |  SELECT event_type, event_id, $centsExpr AS c, r.rep,
+      |    substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |      CAST(r.rep AS VARCHAR)), 1, 8) AS uhex
+      |  FROM events, range(0, 32) r(rep)),
+      |hist AS (
+      |  SELECT event_type, rep, c,
+      |    CAST(SUM($poissonCaseSql) AS BIGINT) AS sw,
+      |    COUNT(*) AS m
+      |  FROM fan GROUP BY event_type, rep, c),
+      |walk AS (
+      |  SELECT *,
+      |    CAST(SUM(sw) OVER (PARTITION BY event_type, rep ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(sw) OVER (PARTITION BY event_type, rep)
+      |      AS BIGINT) AS nw,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type, rep ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_m,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type, rep)
+      |      AS BIGINT) AS n_m
+      |  FROM hist),
+      |medians AS (
+      |  SELECT event_type, rep,
+      |    MIN(CASE WHEN cum * 2 >= nw THEN c END) AS med
+      |  FROM walk GROUP BY event_type, rep),
+      |boot AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rk = 2 THEN med END) AS boot_lo,
+      |    MAX(CASE WHEN rk = 31 THEN med END) AS boot_hi
+      |  FROM (
+      |    SELECT event_type, med,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY med, rep) AS rk
+      |    FROM medians) r
+      |  GROUP BY event_type),
+      |pt AS (
+      |  SELECT event_type,
+      |    MAX(n_m) AS n_events,
+      |    MIN(CASE WHEN cum_m * 2 >= n_m THEN c END) AS median_cents
+      |  FROM walk WHERE rep = 0 GROUP BY event_type)
+      |SELECT pt.event_type, pt.n_events, pt.median_cents,
+      |  boot.boot_lo, boot.boot_hi
+      |FROM pt JOIN boot ON pt.event_type = boot.event_type
+      |ORDER BY pt.event_type""".stripMargin
+
+  /** q198: THEIL–SEN ROBUST TREND — the median of pairwise slopes of
+    * the daily mean metric, the outlier-immune answer to "is this
+    * metric drifting?" (one corrupted day breaks an OLS fit; Theil–Sen
+    * tolerates ~29% contamination). ABSENT-IN-REF.
+    *
+    * Scale shape: events pre-aggregate to DAY grain first (integer
+    * sums; the only event-cardinality pass), so the O(days²) pairwise
+    * slope enumeration runs over a calendar-bounded grid (≤435 pairs
+    * per type here; a year is ~66k — trivial either way). The pair
+    * join is a hash equi-join on type with the day inequality as a
+    * post-filter, never a nested loop over events. Slopes are doubles
+    * but are never SUMMED — the median is pure ORDER STATISTICS
+    * (row_number with a (da, db) tie-break), so engine-identical
+    * slope values give an engine-identical pick.
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val daily = Tables
+      .events(s, d)
+      .select($"event_type".as("t"),
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+        expr(centsExpr).as("c"))
+      .groupBy($"t", $"day")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"), $"a.t" === $"b.t" && $"a.day" < $"b.day")
+      .select($"a.t".as("t"), $"a.day".as("da"), $"b.day".as("db"),
+        (($"b.sc".cast("double") / $"b.n" -
+          $"a.sc".cast("double") / $"a.n") /
+          ($"b.day" - $"a.day")).as("slope"))
+    val part = Window.partitionBy($"t")
+    val rw = part.orderBy($"slope", $"da", $"db")
+    pairs
+      .withColumn("rk", row_number().over(rw))
+      .withColumn("np", count(lit(1)).over(part))
+      .filter($"rk" === expr("(np + 1) DIV 2"))
+      .select($"t".as("event_type"), $"np".as("n_pairs"),
+        round($"slope", 6).as("theil_sen_slope_cents_per_day"))
+      .orderBy($"event_type")
+  }
+
+  private val q198Sql =
+    s"""WITH daily AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n, CAST(SUM($centsExpr) AS BIGINT) AS sc
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.t, a.day AS da, b.day AS db,
+      |    (CAST(b.sc AS DOUBLE) / b.n - CAST(a.sc AS DOUBLE) / a.n) /
+      |      (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day),
+      |ranked AS (
+      |  SELECT t, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY slope, da, db)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY t) AS np
+      |  FROM pairs)
+      |SELECT t AS event_type, CAST(np AS BIGINT) AS n_pairs,
+      |  ROUND(slope, 6) AS theil_sen_slope_cents_per_day
+      |FROM ranked WHERE rk = (np + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -571,5 +748,7 @@ object Stats {
     QueryDef("q194_cuped", q194, Some(q194Sql)),
     QueryDef("q195_chi2_srm", q195, Some(q195Sql)),
     QueryDef("q196_winsorized_mean", q196, Some(q196Sql)),
+    QueryDef("q197_bootstrap_median", q197, Some(q197Sql)),
+    QueryDef("q198_theil_sen", q198, Some(q198Sql)),
   )
 }
