@@ -776,7 +776,107 @@ object Scale {
       "\n) t ORDER BY column_name")
   }
 
+  /** q199: CASCADING ERASURE LEDGER (right-to-be-forgotten) — given a
+    * deletion list of customers, account for every row that must go
+    * across the star schema: the customer rows themselves, their
+    * orders, and — the hop naive erasure misses — the LINEITEMS of
+    * those orders, which carry no customer key at all and are
+    * reachable only through the order cascade. The output is the audit
+    * artifact a privacy review wants: per table, rows before / purged /
+    * after plus an integer checksum over the purged keys (sum — order-
+    * independent, so no engine-specific string aggregation). The
+    * deletion list here derives from a stable hash (md5 first nibble =
+    * '0', ~1/16 of customers) so the fixture is deterministic; the
+    * PLAN treats it as a real list (joins, not predicate pushdown —
+    * a production list arrives as a table, not a formula).
+    *
+    * Scale: the customer pass is a broadcast left join against the
+    * deletion list; the orders pass likewise; the lineitem pass joins
+    * on l_orderkey against the purged-order keys — a plain hash
+    * equi-join that co-partitions at 100 TB (purged orders are not
+    * broadcastable at scale; the join key is lineitem's natural
+    * distribution key, so this is the cheapest possible cascade).
+    * Three scans, three aggregates, a 3-row union.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val del = Tables
+      .customer(s, d)
+      .filter(
+        substring(md5($"c_custkey".cast("string").cast("binary")), 1, 1)
+          === "0")
+      .select($"c_custkey".as("del_key"))
+    val cust = Tables
+      .customer(s, d)
+      .join(broadcast(del), $"c_custkey" === $"del_key", "left")
+      .agg(
+        lit("customer").as("table_name"),
+        count(lit(1)).as("n_before"),
+        count($"del_key").as("n_purged"),
+        (count(lit(1)) - count($"del_key")).as("n_after"),
+        coalesce(sum($"del_key"), lit(0L)).as("purged_key_sum"),
+      )
+    val ordersFlagged = Tables
+      .orders(s, d)
+      .join(broadcast(del), $"o_custkey" === $"del_key", "left")
+    val ord = ordersFlagged.agg(
+      lit("orders").as("table_name"),
+      count(lit(1)).as("n_before"),
+      count($"del_key").as("n_purged"),
+      (count(lit(1)) - count($"del_key")).as("n_after"),
+      coalesce(sum(when($"del_key".isNotNull, $"o_orderkey")), lit(0L))
+        .as("purged_key_sum"),
+    )
+    val purgedOrders = ordersFlagged
+      .filter($"del_key".isNotNull)
+      .select($"o_orderkey".as("purged_ok"))
+    val li = Tables
+      .lineitem(s, d)
+      .join(purgedOrders, $"l_orderkey" === $"purged_ok", "left")
+      .agg(
+        lit("lineitem").as("table_name"),
+        count(lit(1)).as("n_before"),
+        count($"purged_ok").as("n_purged"),
+        (count(lit(1)) - count($"purged_ok")).as("n_after"),
+        coalesce(sum(when($"purged_ok".isNotNull, $"l_orderkey")),
+          lit(0L)).as("purged_key_sum"),
+      )
+    cust.unionAll(ord).unionAll(li).orderBy($"table_name")
+  }
+
+  private val q199Sql =
+    """WITH del AS (
+      |  SELECT c_custkey AS del_key FROM customer
+      |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+      |po AS (
+      |  SELECT o_orderkey FROM orders
+      |  JOIN del ON o_custkey = del_key),
+      |cust AS (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_before,
+      |    COUNT(del_key) AS n_purged,
+      |    COUNT(*) - COUNT(del_key) AS n_after,
+      |    CAST(COALESCE(SUM(del_key), 0) AS BIGINT) AS purged_key_sum
+      |  FROM customer LEFT JOIN del ON c_custkey = del_key),
+      |ord AS (
+      |  SELECT 'orders' AS table_name, COUNT(*) AS n_before,
+      |    COUNT(del_key) AS n_purged,
+      |    COUNT(*) - COUNT(del_key) AS n_after,
+      |    CAST(COALESCE(SUM(CASE WHEN del_key IS NOT NULL
+      |      THEN o_orderkey END), 0) AS BIGINT) AS purged_key_sum
+      |  FROM orders LEFT JOIN del ON o_custkey = del_key),
+      |li AS (
+      |  SELECT 'lineitem' AS table_name, COUNT(*) AS n_before,
+      |    COUNT(po.o_orderkey) AS n_purged,
+      |    COUNT(*) - COUNT(po.o_orderkey) AS n_after,
+      |    CAST(COALESCE(SUM(CASE WHEN po.o_orderkey IS NOT NULL
+      |      THEN l_orderkey END), 0) AS BIGINT) AS purged_key_sum
+      |  FROM lineitem LEFT JOIN po ON l_orderkey = po.o_orderkey)
+      |SELECT * FROM cust UNION ALL SELECT * FROM ord
+      |UNION ALL SELECT * FROM li
+      |ORDER BY table_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q199_erasure_cascade", q199, Some(q199Sql)),
     QueryDef("q159_benford_audit", q159, Some(q159Sql)),
     QueryDef("q163_fk_audit", q163, Some(q163Sql)),
     QueryDef("q171_column_profile", q171, Some(q171Sql)),

@@ -753,6 +753,54 @@ object Vectors {
   private def q181(s: SparkSession, d: String): DataFrame =
     knnGraphTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 
+  /** q200: ANN STRATEGY COMPARISON — the recall-vs-probe-cost matrix
+    * for the serving decision the index family (q40 exact, q49 IVF,
+    * q127 IVF-PQ, q181 k-NN graph) leaves to the reader: same corpus,
+    * same query, same k, one row per strategy with hits against the
+    * exact top-10, recall in permille, and the number of candidate
+    * vectors each strategy actually SCORED (the cost axis — exact
+    * scores the corpus, IVF/PQ score their probed cells, the graph
+    * walk scores its bounded frontier). Re-derives the IVF probed-cell
+    * count from the same centroids/index builders the queries use, so
+    * the cost column is measured, not estimated. Driver state: four
+    * bounded top-k collects + one count. No oracle (DuckDB cannot
+    * replay the index internals); Round11Spec gates the recall floors
+    * and the cost ordering.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val exact = topKCosine(emb, 0L, 10).collect().map(_.getLong(0))
+    val exactIds = exact.toSet
+    val corpusN = emb.filter(col("vec_id") =!= 0L).count()
+    def hits(ids: Seq[Long]): Long = ids.count(exactIds).toLong
+    // IVF / IVF-PQ probed-cell cost: same centroids, same assignment
+    val cents = ivfCentroids(emb, nCells = 16, dims = 64)
+    val q = emb
+      .filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorExprs
+        .vecTopCells(s, col("embedding"), cents, 16, 64, 4).as("qcells"))
+    val probed = ivfIndex(emb.filter(col("vec_id") =!= 0L), cents, 16, 64)
+      .join(broadcast(q))
+      .filter(array_contains(col("qcells"), col("cell")))
+      .count()
+    val ivfIds = q49(s, d).collect().map(_.getLong(0)).toSeq
+    val pqIds = q127(s, d).collect().map(_.getLong(0)).toSeq
+    val graphRows = q181(s, d).collect()
+    val graphIds = graphRows.map(_.getLong(0)).toSeq
+    val graphScored = graphRows.headOption
+      .map(_.getLong(3)).getOrElse(0L)
+    Seq(
+      ("exact_scan", hits(exact.toSeq), corpusN),
+      ("ivf", hits(ivfIds), probed),
+      ("ivf_pq", hits(pqIds), probed), // + the 50-row exact refine
+      ("knn_graph", hits(graphIds), graphScored),
+    ).toDF("strategy", "n_hits", "n_scored")
+      .select($"strategy", lit(10).as("k"), $"n_hits",
+        ($"n_hits" * 100).as("recall_permille"), $"n_scored")
+      .orderBy($"strategy")
+  }
+
   /** Per-SF staging root for q184's persisted IVF index. */
   private[graft] def q184IndexRoot(d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1059,6 +1107,9 @@ object Vectors {
     // sketch class (cluster-bounded candidate generation) — gated by
     // Round10Spec's brute-force-equivalence + consistency tests
     QueryDef("q147_semantic_dedup", q147, None),
+    // recall-vs-cost comparison across the index family: internals are
+    // not SQL-replayable — Round11Spec gates recall floors + cost order
+    QueryDef("q200_ann_comparison", q200, None),
     QueryDef("q99_hof_arrays", q99, Some(q99Sql)),
     QueryDef("q108_int8_quant", q108, Some(q108Sql)),
   )

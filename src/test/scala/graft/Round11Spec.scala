@@ -409,6 +409,24 @@ class Round11Spec extends AnyFunSuite {
       s"MMR did not diversify: mmr $mmrSim vs top-k $topSim")
   }
 
+  test("q200 ANN comparison: recall floors hold and costs order sanely") {
+    val rows = SparkEntry.queries("q200_ann_comparison")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet ==
+      Set("exact_scan", "ivf", "ivf_pq", "knn_graph"))
+    assert(rows("exact_scan")._1 == 1000L, "exact scan must be perfect")
+    // approximate strategies carry their own gates elsewhere (q49 ≥ .8,
+    // q181 ≥ .7); here the floor just keeps the comparison honest
+    Seq("ivf", "ivf_pq", "knn_graph").foreach { k =>
+      assert(rows(k)._1 >= 700L, s"$k recall ${rows(k)._1} < 700")
+      assert(rows(k)._2 > 0L, s"$k scored nothing")
+      assert(rows(k)._2 < rows("exact_scan")._2,
+        s"$k scored the whole corpus — no probe saving")
+    }
+  }
+
   test("q186 KS statistic equals a brute-force two-sample computation") {
     import spark.implicits._
     val got = SparkEntry.queries("q186_ks_test")(spark, sf)
