@@ -1499,7 +1499,158 @@ object Corpus {
       |FROM adj a JOIN top t ON a.phrase = t.phrase
       |GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q201: CURRICULUM SHARD MIX — every training shard gets the same
+    * easy/medium/hard difficulty composition (curriculum-learning's
+    * data-side contract: if shard 7 is all hard docs, step 7k of every
+    * epoch trains on a different distribution). Difficulty bins come
+    * from BROADCAST percentile thresholds on length (q176's aggregate→
+    * broadcast→codegen-comparison shape — easy ≤ P25 < medium ≤ P75 <
+    * hard), and the shard assignment is a DETERMINISTIC HASH
+    * round-robin (md5-derived, engine-replayable) rather than a global
+    * row_number — an exact interleave would need a per-bin total order
+    * (one sort partition per bin at corpus scale); the hash spreads
+    * each bin across shards within binomial noise, which the ledger
+    * itself exposes per cell. One scan, one 1-row threshold broadcast,
+    * one (shard × bin)-cardinality aggregate.
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cuts = Tables
+      .documents(s, d)
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+      )
+    Tables
+      .documents(s, d)
+      .crossJoin(broadcast(cuts)) // 1-row thresholds
+      .withColumn("bin",
+        when($"n_chars" <= $"p25", "easy")
+          .when($"n_chars" <= $"p75", "medium")
+          .otherwise("hard"))
+      .withColumn("shard",
+        conv(substring(
+          md5(concat(lit("cs:"), $"doc_id".cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 8)
+      .groupBy($"shard", $"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_sum"),
+        sum($"doc_id").as("id_sum"),
+      )
+      .orderBy($"shard", $"bin")
+  }
+
+  private val q201Sql =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(n_chars, 0.25) AS p25,
+      |    quantile_cont(n_chars, 0.75) AS p75
+      |  FROM documents),
+      |binned AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN n_chars <= p25 THEN 'easy'
+      |         WHEN n_chars <= p75 THEN 'medium'
+      |         ELSE 'hard' END AS bin,
+      |    CAST(('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 8 AS shard
+      |  FROM documents, cuts)
+      |SELECT shard, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM binned GROUP BY shard, bin
+      |ORDER BY shard, bin""".stripMargin
+
+  /** q202: CONTRASTIVE PAIR MINING — the (anchor, positive, negatives)
+    * triples an embedding-model trainer consumes: positive = the
+    * ADJACENT CHUNK of the same document (the standard unsupervised
+    * positive — contiguous text shares topic), negatives drawn from
+    * OTHER documents by a deterministic hash ring. The scale trap is
+    * negative sampling: joining every anchor against a shared pool
+    * fans out O(n²/buckets); here the pool pre-reduces to its TWO
+    * smallest doc_ids per bucket (`row_number ≤ 2` — WindowGroupLimit,
+    * map-side bounded heaps), so the anchor join is against a
+    * 64-bucket × 2 BROADCAST constant whatever the corpus size, and
+    * the self-collision case falls back to the bucket's second
+    * representative. Output is the per-language LEDGER (counts +
+    * order-independent negative-id checksum); the triples themselves
+    * stay distributed.
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def hexu(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(
+        md5(concat(lit(prefix), c.cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long")
+    val eligible = Tables
+      .documents(s, d)
+      .withColumn("n_toks", size(split($"text", " ")))
+      .filter($"n_toks" >= 64)
+      .select($"doc_id", $"lang",
+        hexu("np:", $"doc_id").as("pool_u"))
+      .withColumn("bucket", $"pool_u" % 64)
+    val pool = eligible
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"bucket").orderBy($"doc_id")))
+      .filter($"rk" <= 2)
+      .groupBy($"bucket".as("pbucket"))
+      .agg(
+        min(when($"rk" === 1, $"doc_id")).as("m1"),
+        min(when($"rk" === 2, $"doc_id")).as("m2"),
+      )
+    val drawn = eligible
+      .withColumn("j", explode(sequence(lit(0), lit(1))))
+      .withColumn("qbucket",
+        hexu("nq:", concat($"doc_id".cast("string"), lit(":"),
+          $"j".cast("string"))) % 64)
+      .join(broadcast(pool), $"qbucket" === $"pbucket")
+      .withColumn("neg_id",
+        when($"m1" =!= $"doc_id", $"m1").otherwise($"m2"))
+    drawn
+      .groupBy($"lang")
+      .agg(
+        countDistinct($"doc_id").as("n_anchors"),
+        sum(when($"neg_id".isNotNull, 1L).otherwise(0L))
+          .as("n_negatives"),
+        coalesce(sum($"neg_id"), lit(0L)).as("neg_id_checksum"),
+      )
+      .orderBy($"lang")
+  }
+
+  private val q202Sql =
+    """WITH eligible AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('np:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 64 AS bucket
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 64),
+      |pool AS (
+      |  SELECT bucket,
+      |    MIN(CASE WHEN rk = 1 THEN doc_id END) AS m1,
+      |    MIN(CASE WHEN rk = 2 THEN doc_id END) AS m2
+      |  FROM (
+      |    SELECT bucket, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+      |        AS rk
+      |    FROM eligible) r
+      |  WHERE rk <= 2 GROUP BY bucket),
+      |drawn AS (
+      |  SELECT e.doc_id, e.lang,
+      |    CASE WHEN p.m1 <> e.doc_id THEN p.m1 ELSE p.m2 END AS neg_id
+      |  FROM eligible e, range(0, 2) r(j)
+      |  JOIN pool p
+      |    ON CAST(('0x' || substr(md5('nq:' ||
+      |         CAST(e.doc_id AS VARCHAR) || ':' ||
+      |         CAST(r.j AS VARCHAR)), 1, 8)) AS BIGINT) % 64 = p.bucket)
+      |SELECT lang, COUNT(DISTINCT doc_id) AS n_anchors,
+      |  CAST(SUM(CASE WHEN neg_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_negatives,
+      |  CAST(COALESCE(SUM(neg_id), 0) AS BIGINT) AS neg_id_checksum
+      |FROM drawn GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q201_curriculum_shards", q201, Some(q201Sql)),
+    QueryDef("q202_contrastive_pairs", q202, Some(q202Sql)),
     QueryDef("q166_source_caps", q166, Some(q166Sql)),
     QueryDef("q167_bm25_search", q167, Some(q167Sql)),
     QueryDef("q168_phrase_search", q168, Some(q168Sql)),

@@ -1839,7 +1839,112 @@ object Events {
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** q204: BUCKETIZED INTERVAL-OVERLAP JOIN — which user sessions
+    * overlap which error-burst incidents in time: the interval×interval
+    * join (both sides are ranges, unlike the as-of family q46/q173
+    * where one side is a point). Spark's native plan for `s.start ≤
+    * i.end AND i.start ≤ s.end` is a nested loop; the scale shape is
+    * the classic COARSE-BUCKET decomposition: explode each session
+    * into the hour buckets it spans (`sequence` — map-side, no
+    * shuffle), equi-join on the bucket, and re-check the exact overlap
+    * predicate as a post-filter. Incidents are built within one hour
+    * ([first_error, last_error] of above-average error hours), so each
+    * pair meets in exactly one bucket — no dedup pass needed; a
+    * multi-bucket right side would add one distinct on the pair key.
+    * At 100 TB the bucket join is a plain hash join whose fan-out is
+    * sessions × their spanned hours, and nothing is quadratic.
+    *
+    * Sessions are the 30-minute-gap islands (q26's rule) reduced to
+    * [start, end] µs; overlap duration is exact integer µs.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val uw = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sessions = Tables
+      .events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(uw))
+      .withColumn("new_s",
+        when($"prev_us".isNull ||
+          $"us" - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum($"new_s").over(uw.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s_start"), max($"us").as("s_end"))
+    val hourly = Tables
+      .events(s, d)
+      .filter($"event_type" === "error")
+      .select(unix_micros($"ts").as("us"))
+      .withColumn("hour", expr(s"us DIV $hourUs"))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n_err"),
+        min($"us").as("i_start"), max($"us").as("i_end"))
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val incidents = hourly
+      .withColumn("tot", sum($"n_err").over(full))
+      .withColumn("nh", count(lit(1)).over(full))
+      // integer above-average cut: n_err · #hours > Σ n_err
+      .filter($"n_err" * $"nh" > $"tot")
+      .select($"hour", $"n_err", $"i_start", $"i_end")
+    val exploded = sessions
+      .withColumn("hour",
+        explode(expr(s"sequence(s_start DIV $hourUs, s_end DIV $hourUs)")))
+    exploded
+      .join(incidents, Seq("hour"))
+      .filter($"s_start" <= $"i_end" && $"i_start" <= $"s_end")
+      .groupBy($"hour", $"n_err")
+      .agg(
+        count(lit(1)).as("n_sessions_hit"),
+        sum(least($"s_end", $"i_end") -
+          greatest($"s_start", $"i_start")).as("overlap_us_sum"),
+      )
+      .select($"hour".as("incident_hour"), $"n_err", $"n_sessions_hit",
+        $"overlap_us_sum")
+      .orderBy($"incident_hour")
+  }
+
+  private val q204Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end
+      |  FROM (
+      |    SELECT user_id, us,
+      |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |    FROM marked) t
+      |  GROUP BY user_id, sid),
+      |hourly AS (
+      |  SELECT us // 3600000000 AS hour, COUNT(*) AS n_err,
+      |    MIN(us) AS i_start, MAX(us) AS i_end
+      |  FROM ev WHERE event_type = 'error' GROUP BY 1),
+      |inc AS (
+      |  SELECT hour, n_err, i_start, i_end FROM (
+      |    SELECT *, SUM(n_err) OVER () AS tot, COUNT(*) OVER () AS nh
+      |    FROM hourly) t
+      |  WHERE n_err * nh > tot)
+      |SELECT inc.hour AS incident_hour, inc.n_err,
+      |  COUNT(*) AS n_sessions_hit,
+      |  CAST(SUM(LEAST(s_end, i_end) - GREATEST(s_start, i_start))
+      |    AS BIGINT) AS overlap_us_sum
+      |FROM sess JOIN inc
+      |  ON s_start <= i_end AND i_start <= s_end
+      |GROUP BY inc.hour, inc.n_err
+      |ORDER BY incident_hour""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),

@@ -741,6 +741,85 @@ object Stats {
       |FROM ranked WHERE rk = (np + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q203: ROLLING 7-DAY MEDIAN per event type — the windowed robust
+    * center a monitoring dashboard plots (a daily mean spikes on one
+    * whale; the trailing median does not). The naive shape re-sorts
+    * every trailing window's raw rows per day; the scale shape extends
+    * q156/q196's value-domain discipline to MOVING windows: one
+    * (type, day, cent) aggregate (the only event-cardinality pass),
+    * then the trailing histogram for every day is a RANGE-frame window
+    * sum over days partitioned by (type, cent) — each output day's
+    * distribution materializes as domain-sized rows, and the median
+    * walk is one more cumulative over cents. Everything integer; rows
+    * after the first aggregate are bounded by types × days × cents.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type".as("t"),
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+        expr(centsExpr).as("c"))
+      .groupBy($"t", $"day", $"c")
+      .agg(count(lit(1)).as("cnt"))
+    // trailing-7-day count of value c as of each day the type has data:
+    // densify to the (type, day) grid first so days where c is absent
+    // still carry the window sum
+    val grid = hist.select($"t", $"day").distinct()
+    val trail = grid
+      .join(hist.select($"t", $"c").distinct(), Seq("t"))
+      .join(hist, Seq("t", "day", "c"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("wcnt",
+        sum($"cnt").over(Window.partitionBy($"t", $"c")
+          .orderBy($"day").rangeBetween(-6, 0)))
+      .filter($"wcnt" > 0)
+    val part = Window.partitionBy($"t", $"day")
+    val runW = part.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail
+      .withColumn("cum", sum($"wcnt").over(runW))
+      .withColumn("n", sum($"wcnt").over(part))
+      .groupBy($"t", $"day")
+      .agg(
+        max($"n").as("n_window"),
+        min(when($"cum" * 2 >= $"n", $"c")).as("rolling_median_cents"),
+      )
+      .select($"t".as("event_type"), $"day", $"n_window",
+        $"rolling_median_cents")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q203Sql =
+    s"""WITH hist AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+      |    $centsExpr AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (SELECT DISTINCT t, day FROM hist),
+      |vals AS (SELECT DISTINCT t, c FROM hist),
+      |dense AS (
+      |  SELECT g.t, g.day, v.c, COALESCE(h.cnt, 0) AS cnt
+      |  FROM grid g JOIN vals v ON g.t = v.t
+      |  LEFT JOIN hist h ON h.t = g.t AND h.day = g.day AND h.c = v.c),
+      |trail AS (
+      |  SELECT t, day, c,
+      |    CAST(SUM(cnt) OVER (PARTITION BY t, c ORDER BY day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS wcnt
+      |  FROM dense),
+      |nz AS (SELECT * FROM trail WHERE wcnt > 0),
+      |walk AS (
+      |  SELECT t, day, c,
+      |    CAST(SUM(wcnt) OVER (PARTITION BY t, day ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(wcnt) OVER (PARTITION BY t, day) AS BIGINT) AS n
+      |  FROM nz)
+      |SELECT t AS event_type, day, MAX(n) AS n_window,
+      |  MIN(CASE WHEN cum * 2 >= n THEN c END) AS rolling_median_cents
+      |FROM walk GROUP BY t, day ORDER BY event_type, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -750,5 +829,6 @@ object Stats {
     QueryDef("q196_winsorized_mean", q196, Some(q196Sql)),
     QueryDef("q197_bootstrap_median", q197, Some(q197Sql)),
     QueryDef("q198_theil_sen", q198, Some(q198Sql)),
+    QueryDef("q203_rolling_median", q203, Some(q203Sql)),
   )
 }

@@ -192,7 +192,8 @@ class PlanSpec extends AnyFunSuite {
       "q167_bm25_search", // 1-row (n_docs, tot_toks) corpus constants
       "q169_basket_rules", // 1-row n_orders basket denominator
       "q176_rfm_segments", // 1-row percentile-threshold broadcast
-      "q184_ivf_incremental") // 1-row query embedding over pruned cells
+      "q184_ivf_incremental", // 1-row query embedding over pruned cells
+      "q201_curriculum_shards") // 1-row difficulty-threshold broadcast
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")
