@@ -1648,8 +1648,106 @@ object Corpus {
       |  CAST(COALESCE(SUM(neg_id), 0) AS BIGINT) AS neg_id_checksum
       |FROM drawn GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q205: KL DIVERGENCE BETWEEN SOURCE UNIGRAM DISTRIBUTIONS — the
+    * information-theoretic "how different is source A's language from
+    * source B's" matrix a curator reads before mixing corpora (KL is
+    * asymmetric: KL(crawl‖books) ≠ KL(books‖crawl), so all ordered
+    * pairs ship). Laplace-smoothed over the UNION vocabulary
+    * (P'(w) = (cnt+1)/(n+V)), so absent words contribute finitely.
+    *
+    * Scale: one explode → (source, word) hash aggregate is the only
+    * token-cardinality pass; everything after is vocabulary-bounded.
+    * Pair fan-out is q186's two-broadcast-equi-join union (never a
+    * non-equi join). Per-word terms are doubles but NEVER float-summed
+    * across rows — each term rounds to integer micro-nats first
+    * (q195's rule), so the reported divergence is a defined,
+    * engine-exact statistic. The source dictionary and V are bounded
+    * driver constants (a dictionary and a count).
+    */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables
+      .documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val hist = words.groupBy($"source", $"w")
+      .agg(count(lit(1)).as("cnt"))
+    val vocabV = hist.select($"w").distinct().count()
+    val totals = hist.groupBy($"source").agg(sum($"cnt").as("n_toks"))
+    val sources = totals.select($"source").as[String].collect().sorted
+    val pairs = for { a <- sources; b <- sources if a != b } yield (a, b)
+    val pairsDf = s.createDataFrame(pairs).toDF("sa", "sb")
+    val sideA = hist
+      .join(broadcast(pairsDf), $"source" === $"sa")
+      .select($"sa", $"sb", $"w", $"cnt".as("ca"), lit(0L).as("cb"))
+    val sideB = hist
+      .join(broadcast(pairsDf), $"source" === $"sb")
+      .select($"sa", $"sb", $"w", lit(0L).as("ca"), $"cnt".as("cb"))
+    val merged = sideA
+      .unionAll(sideB)
+      .groupBy($"sa", $"sb", $"w")
+      .agg(sum($"ca").as("ca"), sum($"cb").as("cb"))
+      .join(broadcast(totals.select($"source".as("sa"),
+        $"n_toks".as("na"))), "sa")
+      .join(broadcast(totals.select($"source".as("sb"),
+        $"n_toks".as("nb"))), "sb")
+    merged
+      .withColumn("pa",
+        ($"ca" + 1).cast("double") / ($"na" + vocabV))
+      .withColumn("pb",
+        ($"cb" + 1).cast("double") / ($"nb" + vocabV))
+      .withColumn("term_micro",
+        expr("CAST(ROUND(1000000 * pa * ln(pa / pb)) AS BIGINT)"))
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("n_words_union"),
+        sum($"term_micro").as("kl_micro_nats"))
+      .orderBy($"sa", $"sb")
+  }
+
+  private val q205Sql =
+    """WITH words AS (
+      |  SELECT source, w FROM (
+      |    SELECT source, UNNEST(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE len(w) > 0),
+      |hist AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM words GROUP BY source, w),
+      |vv AS (SELECT COUNT(DISTINCT w) AS v FROM hist),
+      |totals AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_toks
+      |  FROM hist GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM totals a JOIN totals b ON a.source <> b.source),
+      |merged AS (
+      |  SELECT sa, sb, w,
+      |    CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      |  FROM (
+      |    SELECT p.sa, p.sb, h.w, h.cnt AS ca, 0 AS cb
+      |    FROM hist h JOIN pairs p ON h.source = p.sa
+      |    UNION ALL
+      |    SELECT p.sa, p.sb, h.w, 0 AS ca, h.cnt AS cb
+      |    FROM hist h JOIN pairs p ON h.source = p.sb) u
+      |  GROUP BY 1, 2, 3),
+      |terms AS (
+      |  SELECT m.sa, m.sb,
+      |    CAST(ROUND(1000000 *
+      |      ((m.ca + 1) / CAST(ta.n_toks + vv.v AS DOUBLE)) *
+      |      ln(((m.ca + 1) / CAST(ta.n_toks + vv.v AS DOUBLE)) /
+      |         ((m.cb + 1) / CAST(tb.n_toks + vv.v AS DOUBLE))))
+      |      AS BIGINT) AS term_micro
+      |  FROM merged m
+      |  JOIN totals ta ON ta.source = m.sa
+      |  JOIN totals tb ON tb.source = m.sb
+      |  CROSS JOIN vv)
+      |SELECT sa, sb, COUNT(*) AS n_words_union,
+      |  CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
+      |FROM terms GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q201_curriculum_shards", q201, Some(q201Sql)),
+    QueryDef("q205_kl_divergence", q205, Some(q205Sql)),
     QueryDef("q202_contrastive_pairs", q202, Some(q202Sql)),
     QueryDef("q166_source_caps", q166, Some(q166Sql)),
     QueryDef("q167_bm25_search", q167, Some(q167Sql)),

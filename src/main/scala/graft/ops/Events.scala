@@ -1943,8 +1943,37 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  private val q207Sql = {
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH du AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |ranked AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY md5(CAST(user_id AS VARCHAR))) AS rk
+      |  FROM du),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_sketch, MAX(h) AS theta
+      |  FROM ranked WHERE rk <= 64 GROUP BY event_type)
+      |SELECT event_type, CAST(n_sketch AS BIGINT) AS n_sketch, theta,
+      |  ROUND(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+      |    ELSE 63.0 * 4294967296.0 / ($uInt) END, 2) AS est_distinct
+      |FROM sk ORDER BY event_type""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
+    // Streaming KMV sketch under the oracle gate: keyed state holds
+    // the k smallest distinct hashes; the sketch is a deterministic
+    // function of the data (not the batching), so DuckDB replays the
+    // exact final theta and estimate from the batch table.
+    QueryDef("q207_stream_kmv",
+      (s, d) => graft.streaming.Streams.kmvStreamSketch(s, d),
+      Some(q207Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),

@@ -820,6 +820,106 @@ object Stats {
       |  MIN(CASE WHEN cum * 2 >= n THEN c END) AS rolling_median_cents
       |FROM walk GROUP BY t, day ORDER BY event_type, day""".stripMargin
 
+  /** q206: KMV SKETCH MERGE — the property that makes sketches a data
+    * structure rather than a trick: per-DAY sketches built independently
+    * (the pre-aggregated daily cube every metrics store keeps) merge
+    * into the month's distinct-user estimate WITHOUT touching the raw
+    * data again — union the sketch rows, keep the k smallest distinct
+    * hashes, re-read θ. q191 showed intersection; this is the
+    * time-partitioned union that powers "distinct users, any date
+    * range" dashboards. Deterministic md5 hashing makes the whole
+    * merge oracle-replayable, and the output carries the exact distinct
+    * count next to the estimate so the error is part of the artifact.
+    *
+    * Scale: each day's sketch is `row_number ≤ k` (WindowGroupLimit —
+    * map-side bounded heaps per day); the merge operates on days × k
+    * rows ≈ KBs regardless of corpus size; the exact control is one
+    * distinct-agg (the thing the sketch exists to avoid — kept here
+    * as the error gauge).
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val dayUs = 86400L * 1000000L
+    val daily = Tables
+      .events(s, d)
+      .select(expr(s"unix_micros(ts) DIV $dayUs").as("day"), $"user_id")
+      .distinct()
+      .withColumn("h", md5($"user_id".cast("string").cast("binary")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"day").orderBy($"h")))
+      .filter($"rk" <= k)
+    val merged = daily
+      .select($"h").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy($"h")))
+      .filter($"rk" <= k)
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}L")
+      .mkString(" + ")
+    val sketch = merged.agg(
+      count(lit(1)).as("n_sketch"),
+      max($"h").as("theta"),
+    )
+    val nDays = daily.select($"day").distinct()
+      .agg(count(lit(1)).as("n_days"))
+    val exact = Tables
+      .events(s, d)
+      .agg(countDistinct($"user_id").as("exact_distinct"))
+    sketch
+      .crossJoin(broadcast(nDays)) // 1-row
+      .crossJoin(broadcast(exact)) // 1-row
+      .withColumn("est",
+        when($"n_sketch" < k, $"n_sketch".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * 4294967296.0 / expr(uInt)))
+      .select($"n_days", lit(k).as("k"), $"n_sketch",
+        round($"est", 2).as("est_distinct"), $"exact_distinct",
+        expr("CAST(ROUND(1000 * ABS(est - exact_distinct) / " +
+          "exact_distinct) AS BIGINT)").as("err_permille"))
+  }
+
+  private val q206Sql = {
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH du AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, md5(CAST(user_id AS VARCHAR)) AS h,
+      |      ROW_NUMBER() OVER (PARTITION BY day
+      |        ORDER BY md5(CAST(user_id AS VARCHAR))) AS rk
+      |    FROM du) r
+      |  WHERE rk <= 64),
+      |merged AS (
+      |  SELECT h FROM (
+      |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+      |    FROM (SELECT DISTINCT h FROM daily) u) r
+      |  WHERE rk <= 64),
+      |sk AS (
+      |  SELECT COUNT(*) AS n_sketch, MAX(h) AS theta FROM merged),
+      |nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM du),
+      |ex AS (
+      |  SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+      |est AS (
+      |  SELECT n_days, 64 AS k, n_sketch,
+      |    CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+      |         ELSE 63.0 * 4294967296.0 / ($uInt) END AS est,
+      |    exact_distinct
+      |  FROM sk, nd, ex)
+      |SELECT CAST(n_days AS BIGINT) AS n_days, k,
+      |  CAST(n_sketch AS BIGINT) AS n_sketch,
+      |  ROUND(est, 2) AS est_distinct,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  CAST(ROUND(1000 * ABS(est - exact_distinct) / exact_distinct)
+      |    AS BIGINT) AS err_permille
+      |FROM est""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -830,5 +930,6 @@ object Stats {
     QueryDef("q197_bootstrap_median", q197, Some(q197Sql)),
     QueryDef("q198_theil_sen", q198, Some(q198Sql)),
     QueryDef("q203_rolling_median", q203, Some(q203Sql)),
+    QueryDef("q206_kmv_merge", q206, Some(q206Sql)),
   )
 }

@@ -163,7 +163,7 @@ object Streams {
     * (measured here: ~0.2 s/batch off the timer harness). Session
     * defaults restored after.
     */
-  private def withRocksDbStore[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbStore[T](spark: SparkSession)(body: => T): T = {
     val pins = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         ("org.apache.spark.sql.execution.streaming." +
@@ -1819,5 +1819,101 @@ object Streams {
           state.update(st)
           Iterator.single(SessionCount(user, st.sessions, st.events))
       }
+  }
+
+  // ---- q207: streaming KMV distinct sketch -------------------------
+
+  final case class KmvRow(
+      event_type: String, ver: Long, n_sketch: Long, theta: String)
+
+  /** Per-type KMV sketch maintained as streaming state: the k smallest
+    * DISTINCT md5(user_id) hashes seen so far, kept as one
+    * ValueState[String] (k sorted 32-char hashes ≈ 2 KB — rewritten
+    * whole on update, which is correct for a state that IS one sorted
+    * set; contrast MapState q118 where sub-keys update independently).
+    * KMV union is associative, commutative and idempotent (same user →
+    * same hash → set-dedup), so the final state is independent of
+    * microbatch boundaries AND of replay — the exactly-once story
+    * needs no dedup bookkeeping at all. Emissions carry a per-key
+    * version: θ is NOT monotone (it grows while the sketch fills,
+    * shrinks afterwards), so the reduction picks the LAST emission
+    * via max_by(ver), not a min/max.
+    */
+  final class KmvSketchProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), KmvRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[String]("kmv", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        tpe: String,
+        rows: Iterator[(String, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[KmvRow] = {
+      val incoming = rows.map(_._2).toSet
+      val prior =
+        if (st.exists()) st.get().split('|') else Array.empty[String]
+      // ver rides in front of the hash list so one state cell carries
+      // both; hashes are fixed-width hex so '|' never collides
+      val (ver, prev) =
+        if (prior.isEmpty) (0L, Array.empty[String])
+        else (prior.head.toLong, prior.tail)
+      val merged = (prev.toSet ++ incoming).toSeq.sorted.take(k)
+      st.update((ver + 1) +: merged mkString "|")
+      Iterator.single(
+        KmvRow(tpe, ver + 1, merged.size.toLong, merged.last))
+    }
+  }
+
+  /** q207: [[KmvSketchProcessor]] run to completion under the driver's
+    * oracle gate — the streaming counterpart of the batch KMV family
+    * (q191 intersection, q206 time-partition merge): the sketch lives
+    * in keyed state, each microbatch folds its distinct hashes in, and
+    * because the sketch is a deterministic function of the DATA (not
+    * of batching), DuckDB replays the exact final θ and estimate from
+    * the batch table. The distinct-user estimate uses q191's nibble
+    * decode; sketches smaller than k report their exact size.
+    */
+  def kmvStreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      implicit val outEnc = Encoders.product[KmvRow]
+      val updates = spark.readStream
+        .schema(eventsSchema(tsLong))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select($"event_type",
+          md5($"user_id".cast("string").cast("binary")).as("h"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .transformWithState(new KmvSketchProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      val uInt = (1 to 8)
+        .map(i =>
+          s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+            s"${math.pow(16, 8 - i).toLong}L")
+        .mkString(" + ")
+      spark.read.parquet(out)
+        .groupBy($"event_type")
+        .agg(
+          expr("max_by(n_sketch, ver)").as("n_sketch"),
+          expr("max_by(theta, ver)").as("theta"),
+        )
+        .withColumn("est",
+          when($"n_sketch" < k, $"n_sketch".cast("double"))
+            .otherwise(lit((k - 1).toDouble) * 4294967296.0 /
+              expr(uInt)))
+        .select($"event_type", $"n_sketch", $"theta",
+          round($"est", 2).as("est_distinct"))
+        .orderBy($"event_type")
+    }
   }
 }

@@ -193,7 +193,8 @@ class PlanSpec extends AnyFunSuite {
       "q169_basket_rules", // 1-row n_orders basket denominator
       "q176_rfm_segments", // 1-row percentile-threshold broadcast
       "q184_ivf_incremental", // 1-row query embedding over pruned cells
-      "q201_curriculum_shards") // 1-row difficulty-threshold broadcast
+      "q201_curriculum_shards", // 1-row difficulty-threshold broadcast
+      "q206_kmv_merge") // 1-row n_days × 1-row exact-control cross
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")

@@ -409,6 +409,57 @@ class Round11Spec extends AnyFunSuite {
       s"MMR did not diversify: mmr $mmrSim vs top-k $topSim")
   }
 
+  test("q207 KMV sketch state is microbatch-boundary independent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // single-batch truth: the registered query over the whole table
+    val whole = SparkEntry.queries("q207_stream_kmv")(spark, sf)
+      .select($"event_type", $"n_sketch", $"theta")
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // two-chunk replay: split by user parity (an adversarial split —
+    // every type sees both chunks), state must merge across batches
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_kmv").toString
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type",
+        md5($"user_id".cast("string").cast("binary")).as("h"),
+        $"user_id")
+    ev.filter($"user_id" % 2 === 0).drop("user_id")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val got = graft.streaming.Streams.withRocksDbStore(spark) {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[
+          graft.streaming.Streams.KmvRow]
+      val src = spark.readStream
+        .schema("event_type STRING, h STRING")
+        .parquet(s"$tmp/in")
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.KmvSketchProcessor(64),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = src.toDF().writeStream
+        .outputMode("update").format("memory").queryName("kmv2")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      q.processAllAvailable()
+      ev.filter($"user_id" % 2 =!= 0).drop("user_id")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      q.stop()
+      spark.table("kmv2")
+        .groupBy($"event_type")
+        .agg(expr("max_by(n_sketch, ver)").as("n_sketch"),
+          expr("max_by(theta, ver)").as("theta"))
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    }
+    assert(got == whole,
+      s"two-batch sketch diverged from single-batch: $got vs $whole")
+  }
+
   test("q200 ANN comparison: recall floors hold and costs order sanely") {
     val rows = SparkEntry.queries("q200_ann_comparison")(spark, sf)
       .collect()
