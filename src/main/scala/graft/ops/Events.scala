@@ -1943,6 +1943,80 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  /** q208: SEASONAL-BASELINE ANOMALY DETECTION — each event is judged
+    * against the mean±3σ of ITS OWN (type, weekday, hour) cell, not a
+    * global per-type center (q156's MAD): traffic at Monday 9am is only
+    * anomalous relative to Monday-9am history — the baseline shape
+    * every ops dashboard uses. Weekday is pure integer arithmetic
+    * ((epoch_day + 4) mod 7; epoch day 0 was a Thursday=4), no
+    * calendar/session-TZ dependence.
+    *
+    * ONE pass, one shuffle: the per-cell sufficient statistics
+    * (n, Σc, Σc²) are unordered-frame window sums over the
+    * (type, dow, hour) partition, so every row sees its cell's mean/σ
+    * without a join-back; the anomaly test is a per-row double
+    * comparison from integer sums (identical operand order both
+    * engines) and the output is the 840-cell rollup. At 100 TB this is
+    * one exchange and a cell-cardinality aggregate.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val cw = Window.partitionBy($"event_type", $"dow", $"hour")
+    Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"),
+        expr(s"((unix_micros(ts) DIV $dayUs) + 4) % 7").as("dow"),
+        expr(s"(unix_micros(ts) DIV $hourUs) % 24").as("hour"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("sc", sum($"c").over(cw))
+      .withColumn("qc", sum($"c" * $"c").over(cw))
+      .withColumn("mean", $"sc".cast("double") / $"n")
+      .withColumn("sd",
+        sqrt(($"qc" - $"sc".cast("double") * $"sc" / $"n") /
+          ($"n" - 1)))
+      .withColumn("anom",
+        when(abs($"c" - $"mean") > lit(3.0) * $"sd", 1L).otherwise(0L))
+      .groupBy($"event_type", $"dow", $"hour")
+      .agg(
+        max($"n").as("n_events"),
+        sum($"anom").as("n_anomalies"),
+        round(max($"mean"), 4).as("mean_cents"),
+        round(max($"sd"), 4).as("sd_cents"),
+      )
+      .orderBy($"event_type", $"dow", $"hour")
+  }
+
+  private val q208Sql =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS c,
+      |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour
+      |  FROM events),
+      |cells AS (
+      |  SELECT *,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS sc,
+      |    CAST(SUM(c * c) OVER w AS BIGINT) AS qc
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY event_type, dow, hour)),
+      |scored AS (
+      |  SELECT *,
+      |    CAST(sc AS DOUBLE) / n AS mean,
+      |    SQRT((qc - CAST(sc AS DOUBLE) * sc / n) / (n - 1)) AS sd
+      |  FROM cells)
+      |SELECT event_type, dow, hour,
+      |  MAX(n) AS n_events,
+      |  CAST(SUM(CASE WHEN ABS(c - mean) > 3.0 * sd THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anomalies,
+      |  ROUND(MAX(mean), 4) AS mean_cents,
+      |  ROUND(MAX(sd), 4) AS sd_cents
+      |FROM scored GROUP BY event_type, dow, hour
+      |ORDER BY event_type, dow, hour""".stripMargin
+
   private val q207Sql = {
     val uInt = (1 to 8)
       .map(i =>
@@ -1974,6 +2048,7 @@ object Events {
     QueryDef("q207_stream_kmv",
       (s, d) => graft.streaming.Streams.kmvStreamSketch(s, d),
       Some(q207Sql)),
+    QueryDef("q208_seasonal_anomaly", q208, Some(q208Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),

@@ -302,10 +302,129 @@ object Multimodal {
       |      greatest((length(text) + 255) // 256 - 1, 0), 4)) AS t(i)
       |) x GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q209: perceptual (dHash) near-duplicate images --------------
+
+  /** Planted-variant id offset: variant of doc `d` is asset
+    * `d + VariantOff`, re-encoded from a BRIGHTENED raster — the
+    * re-encoded/re-touched copy exact byte-dedup cannot catch.
+    */
+  private[graft] val VariantOff = 10000000L
+
+  /** Hash-noisy pixel for the q209 asset set — the q51 closed form is
+    * deliberately REGULAR (linear in i, so its horizontal gradients are
+    * almost all ascending and every image dHashes alike — a weak linear
+    * mix here measurably pairs unrelated docs); perceptual hashing
+    * needs genuinely per-image structure, so pixels come from the
+    * full-avalanche splitmix64 finalizer (`gen/Rng.mix64`) over the
+    * (doc, pixel) counter. 8×6 raster → 7×6 = 42 gradient bits.
+    */
+  private[graft] def pixel209(id: Long, i: Long): Int =
+    ((graft.gen.Rng.mix64(id * 48L + i) >>> 40) % 256).toInt
+
+  private[graft] def png209(pix: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 48) {
+      raster.setSample(i % 8, i / 8, 0, pix(i)); i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q209 asset table: one 8×6 PNG per document, plus — for every 10th
+    * document — a planted near-duplicate: the SAME image brightened by
+    * +10 (clamped) and re-encoded. Brightening preserves horizontal
+    * gradient ORDER except where pixels saturate at 255, so the
+    * variant's dHash sits a few bits from the original's: exactly the
+    * case perceptual near-dup exists for and byte/md5 dedup misses.
+    */
+  def dhashAssets(s: SparkSession, d: String): DataFrame = {
+    implicit val enc = Encoders.product[ImageAsset]
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, src) =>
+          val base = ImageAsset(id, src,
+            png209(i => pixel209(id, i.toLong)))
+          if (id % 10 == 0)
+            Iterator(base, ImageAsset(id + VariantOff, src,
+              png209(i => math.min(255, pixel209(id, i.toLong) + 10))))
+          else Iterator.single(base)
+        }
+      }
+      .toDF()
+  }
+
+  /** q209: PERCEPTUAL NEAR-DUPLICATE IMAGES via dHash + LSH banding —
+    * the image half of the dedup family (q35 text MinHash, q147
+    * embedding SemDeDup): decode the PNG (real codec, per-partition
+    * batch), compute the 42-bit horizontal-GRADIENT hash (each bit =
+    * p[x] < p[x+1], invariant to brightness shifts until saturation),
+    * band the hash into 6×7-bit LSH keys so candidate pairs meet in a
+    * bucket (never an all-pairs join — q35's blocking), and verify
+    * candidates by exact Hamming distance ≤ 4 (`bit_count(xor)`,
+    * codegen; 6 bands × 7 bits are pigeonhole-complete through 5
+    * flips, so no qualifying pair can dodge every bucket — and at
+    * threshold 8 the 42-bit space measurably admitted chance pairs). Pairs and the decode are not SQL-replayable (the codec
+    * is the point), so the gate is Round11Spec: every planted
+    * brightened variant must pair with its original, and nothing else
+    * pairs. At 100 TB the decode is scan-shaped, the banding shuffles
+    * 8-byte keys, and buckets bound the pair fan-out.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val henc = Encoders.product[(Long, Long)]
+    val hashes = dhashAssets(s, d)
+      .as(Encoders.product[ImageAsset])
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { a =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.png))
+          val raster = img.getRaster
+          var h = 0L
+          var bit = 0
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 7) {
+              if (raster.getSample(x, y, 0) <
+                raster.getSample(x + 1, y, 0)) h |= (1L << bit)
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          (a.doc_id, h)
+        }
+      }
+      .toDF("id", "h")
+    val banded = hashes
+      .withColumn("band", explode(sequence(lit(0), lit(5))))
+      .withColumn("key", expr("(h >> (band * 7)) & 127"))
+    banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        expr("bit_count(a.h ^ b.h)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 4)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
     QueryDef("q51_mm_features", q51, Some(q51Sql)),
     QueryDef("q52_mm_frames", q52, Some(q52Sql)),
     QueryDef("q86_mm_resize", q86, Some(q86Sql)),
+    // codec-in-the-loop perceptual dedup: decode + gradient hash are
+    // not SQL-replayable — Round11Spec gates planted-variant recovery
+    QueryDef("q209_image_dhash", q209, None),
   )
 }

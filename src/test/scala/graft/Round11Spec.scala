@@ -460,6 +460,22 @@ class Round11Spec extends AnyFunSuite {
       s"two-batch sketch diverged from single-batch: $got vs $whole")
   }
 
+  test("q209 perceptual dedup recovers every planted variant, only those") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("q209_image_dhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = graft.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect()
+      .filter(_ % 10 == 0)
+      .map(id => (id, id + graft.ops.Multimodal.VariantOff))
+      .toSet
+    val missed = planted -- pairs
+    assert(missed.isEmpty, s"planted variants not recovered: $missed")
+    val extra = pairs -- planted
+    assert(extra.isEmpty,
+      s"non-planted pairs at hamming <= 4 (hash too weak?): $extra")
+  }
+
   test("q200 ANN comparison: recall floors hold and costs order sanely") {
     val rows = SparkEntry.queries("q200_ann_comparison")(spark, sf)
       .collect()
