@@ -231,4 +231,93 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)") && p.contains("*(2)"),
       s"codegen stages absent:\n$p")
   }
+
+  test("CBO: ANALYZE column stats flip a post-filter join to broadcast") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // catalog table so ANALYZE has somewhere to hang statistics;
+    // sf0.01 so the FILE-size estimate is comfortably over threshold
+    graft.Tables.customer(spark, "/root/testdata/sf0.01")
+      .write.mode("overwrite").saveAsTable("cbo_dim")
+    val orders = graft.Tables.orders(spark, sf)
+    def joinPlan(): String = {
+      val dim = spark.table("cbo_dim").filter($"c_custkey" < 10)
+      orders.join(dim, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_name").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+    }
+    val saved = Seq(
+      "spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      // threshold between the CBO post-filter estimate (~10 rows) and
+      // the stats-free estimate (filter inherits the scan's file-size
+      // based estimate — tens of KB at sf0.01)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val before = joinPlan()
+      assert(before.contains("SortMergeJoin") ||
+        before.contains("ShuffledHashJoin"),
+        s"without stats the filtered dim must not broadcast:\n$before")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql(
+        "ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS c_custkey")
+      val after = joinPlan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats + CBO must estimate the filter selective " +
+          s"and broadcast:\n$after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    }
+  }
+
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 90% of the left rows share one key — the classic skew shape the
+    // salting op (q47) handles manually; this proves the AQE runtime
+    // path handles it without a rewrite when thresholds are met
+    val left = spark.range(0, 200000)
+      .select(when($"id" % 10 =!= 0, 0L).otherwise($"id").as("k"),
+        $"id".as("v"))
+    val right = spark.range(0, 1000).select($"id".as("k"),
+      ($"id" * 2).as("w"))
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (a .count() would build its own):
+      // AQE finalizes a plan only after its own adaptive run
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark/split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
