@@ -1943,6 +1943,101 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  /** q210: BITEMPORAL AS-OF — "what did we BELIEVE the user's state
+    * was at valid time V, as of transaction (knowledge) time T?" —
+    * the two-axis time travel a regulated lakehouse needs (q153/q164
+    * are mono-temporal: they answer V with today's knowledge and
+    * silently absorb late corrections). Each state change carries a
+    * deterministic ingestion lag (md5-derived, 0–2 days), giving every
+    * change both a `valid_from` and a `recorded_at`; the query
+    * reconstructs the dimension at valid-cut V under knowledge-cut T
+    * and diffs it against the full-knowledge reconstruction — the
+    * `revised` rows are exactly the late-arriving corrections an
+    * audit must be able to surface.
+    *
+    * Scale: everything after q153's change extraction runs on the
+    * CHANGE-count-sized table (one user_id exchange reused by both
+    * rank windows); V and T derive from full-frame window extremes
+    * over that same small table (q164's device), exact integer µs.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val changes = Tables
+      .events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .select($"user_id", $"event_id", $"event_type", $"us")
+      .withColumn("rec_us",
+        $"us" +
+          (conv(substring(
+            md5(concat(lit("rec:"), $"event_id".cast("string"))
+              .cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 172800L) * 1000000L)
+      .withColumn("v_cut",
+        expr("(min(us) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "UNBOUNDED FOLLOWING) + max(us) OVER (ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) DIV 2"))
+      .withColumn("t_cut",
+        expr("(min(rec_us) OVER (ROWS BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING) + max(rec_us) OVER (ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) DIV 2"))
+    val wv = Window.partitionBy($"user_id")
+      .orderBy($"us".desc, $"event_id".desc)
+    val now = changes
+      .filter($"us" <= $"v_cut")
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type".as("state_now"))
+    val known = changes
+      .filter($"us" <= $"v_cut" && $"rec_us" <= $"t_cut")
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type".as("state_as_known"))
+    now
+      .join(known, Seq("user_id"), "left")
+      .withColumn("revised",
+        $"state_as_known".isNull ||
+          $"state_as_known" =!= $"state_now")
+      .orderBy($"user_id")
+  }
+
+  private val q210Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    us + (CAST(('0x' || substr(md5('rec:' ||
+      |      CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 172800)
+      |      * 1000000 AS rec_us
+      |  FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      |cuts AS (
+      |  SELECT *,
+      |    (MIN(us) OVER () + MAX(us) OVER ()) // 2 AS v_cut,
+      |    (MIN(rec_us) OVER () + MAX(rec_us) OVER ()) // 2 AS t_cut
+      |  FROM c),
+      |now_state AS (
+      |  SELECT user_id, event_type AS state_now FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rk
+      |    FROM cuts WHERE us <= v_cut) r
+      |  WHERE rk = 1),
+      |known AS (
+      |  SELECT user_id, event_type AS state_as_known FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rk
+      |    FROM cuts WHERE us <= v_cut AND rec_us <= t_cut) r
+      |  WHERE rk = 1)
+      |SELECT n.user_id, n.state_now, k.state_as_known,
+      |  (k.state_as_known IS NULL
+      |    OR k.state_as_known <> n.state_now) AS revised
+      |FROM now_state n LEFT JOIN known k ON n.user_id = k.user_id
+      |ORDER BY n.user_id""".stripMargin
+
   /** q208: SEASONAL-BASELINE ANOMALY DETECTION — each event is judged
     * against the mean±3σ of ITS OWN (type, weekday, hour) cell, not a
     * global per-type center (q156's MAD): traffic at Monday 9am is only
@@ -2049,6 +2144,7 @@ object Events {
       (s, d) => graft.streaming.Streams.kmvStreamSketch(s, d),
       Some(q207Sql)),
     QueryDef("q208_seasonal_anomaly", q208, Some(q208Sql)),
+    QueryDef("q210_bitemporal_asof", q210, Some(q210Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
