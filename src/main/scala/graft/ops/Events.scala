@@ -1943,6 +1943,109 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  /** q211: NEXT-EVENT PREDICTION EVALUATION — the reference generates
+    * streams "for benchmarking sequence-learning systems"
+    * (`README.md:3-6`); this op closes that loop INSIDE the engine:
+    * train q154's first-order Markov model on the first half of time
+    * (the q194 calendar cut), evaluate on the held-out second half —
+    * top-1 accuracy per source state and Laplace-smoothed negative
+    * log-likelihood, the two numbers a sequence-model benchmark
+    * reports.
+    *
+    * Scale: train and eval each make one lag pass and one hash
+    * aggregate at |types|²-bounded output; the learned model joins
+    * back as a BROADCAST constant (≤ |types|² rows), so evaluation is
+    * map-side. NLL follows the no-float-cross-row-sums rule: per-pair
+    * terms round to integer micro-nats, weighted by integer counts,
+    * then integer-sum.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z, q194's cut
+    def pairs(half: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Tables
+        .events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .filter(half($"us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    val train = pairs(_ < cutUs)
+    val nTypes = train.select($"next_type").distinct().count()
+    val model = train
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"prev_type")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"prev_type")
+          .orderBy($"n".desc, $"next_type")))
+    val pred = model.filter($"rk" === 1)
+      .select($"prev_type", $"next_type".as("pred_type"))
+    val probs = model.select($"prev_type", $"next_type",
+      $"n".as("n_train"), $"row_total")
+    pairs(_ >= cutUs)
+      .join(broadcast(pred), Seq("prev_type"), "left")
+      .join(broadcast(probs), Seq("prev_type", "next_type"), "left")
+      .withColumn("p",
+        (coalesce($"n_train", lit(0L)) + 1).cast("double") /
+          (coalesce($"row_total", lit(0L)) + nTypes))
+      .withColumn("nll_micro",
+        expr("CAST(ROUND(-1000000 * ln(p)) AS BIGINT)"))
+      .groupBy($"prev_type")
+      .agg(
+        sum($"n").as("n_eval"),
+        expr("1000 * sum(CASE WHEN next_type = pred_type THEN n " +
+          "ELSE 0 END) DIV sum(n)").as("top1_permille"),
+        sum($"nll_micro" * $"n").as("nll_micro_sum"),
+      )
+      .orderBy($"prev_type")
+  }
+
+  private val q211Sql = {
+    def pairs(cond: String) =
+      s"""SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+         |  FROM (
+         |    SELECT event_type, epoch_us(ts) AS us,
+         |      LAG(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts), event_id) AS prev_type
+         |    FROM events WHERE epoch_us(ts) $cond 1705363200000000) t
+         |  WHERE prev_type IS NOT NULL
+         |  GROUP BY prev_type, event_type""".stripMargin
+    s"""WITH train AS (
+      |${pairs("<")}),
+      |nt AS (SELECT COUNT(DISTINCT next_type) AS n_types FROM train),
+      |model AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+      |      AS row_total,
+      |    ROW_NUMBER() OVER (PARTITION BY prev_type
+      |      ORDER BY n DESC, next_type) AS rk
+      |  FROM train),
+      |pred AS (
+      |  SELECT prev_type, next_type AS pred_type FROM model
+      |  WHERE rk = 1),
+      |ev AS (
+      |${pairs(">=")}),
+      |scored AS (
+      |  SELECT ev.prev_type, ev.next_type, ev.n, pred.pred_type,
+      |    CAST(ROUND(-1000000 * ln(
+      |      (COALESCE(m.n, 0) + 1) /
+      |      CAST(COALESCE(m.row_total, 0) + nt.n_types AS DOUBLE)))
+      |      AS BIGINT) AS nll_micro
+      |  FROM ev
+      |  LEFT JOIN pred ON pred.prev_type = ev.prev_type
+      |  LEFT JOIN model m ON m.prev_type = ev.prev_type
+      |    AND m.next_type = ev.next_type
+      |  CROSS JOIN nt)
+      |SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_eval,
+      |  1000 * CAST(SUM(CASE WHEN next_type = pred_type THEN n
+      |    ELSE 0 END) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+      |    AS top1_permille,
+      |  CAST(SUM(nll_micro * n) AS BIGINT) AS nll_micro_sum
+      |FROM scored GROUP BY prev_type ORDER BY prev_type""".stripMargin
+  }
+
   /** q210: BITEMPORAL AS-OF — "what did we BELIEVE the user's state
     * was at valid time V, as of transaction (knowledge) time T?" —
     * the two-axis time travel a regulated lakehouse needs (q153/q164
@@ -2145,6 +2248,7 @@ object Events {
       Some(q207Sql)),
     QueryDef("q208_seasonal_anomaly", q208, Some(q208Sql)),
     QueryDef("q210_bitemporal_asof", q210, Some(q210Sql)),
+    QueryDef("q211_markov_eval", q211, Some(q211Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
