@@ -77,4 +77,28 @@ class PropertySpec extends AnyFunSuite {
       n = 120,
     )
   }
+
+  test("KMV merge law: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+    // the algebra q206 (daily merge) and q207 (streaming state fold)
+    // rely on: for any partition of the id space, merging the parts'
+    // k-minimum sets and re-truncating equals sketching the union —
+    // associative, commutative, idempotent
+    val k = 16
+    def md5hex(x: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def sketch(ids: Set[Long]): Vector[String] =
+      ids.map(md5hex).toVector.sorted.take(k)
+    def merge(a: Vector[String], b: Vector[String]): Vector[String] =
+      (a ++ b).distinct.sorted.take(k)
+    val idSets = Gen.containerOf[Set, Long](Gen.choose(0L, 100000L))
+    check(Prop.forAll(idSets, idSets) { (a, b) =>
+      val direct = sketch(a ++ b)
+      merge(sketch(a), sketch(b)) == direct &&
+      merge(sketch(b), sketch(a)) == direct && // commutative
+      merge(direct, sketch(a)) == direct       // idempotent absorb
+    })
+  }
 }
