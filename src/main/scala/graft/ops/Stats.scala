@@ -920,6 +920,145 @@ object Stats {
       |FROM est""".stripMargin
   }
 
+  /** q212: QUANTILE TREATMENT EFFECTS — the experiment readout the
+    * mean difference (q185) hides: a treatment that helps the P25 user
+    * and hurts the P90 user can show a zero mean effect; the QTE curve
+    * (per-quantile variant difference) is how heterogeneous effects
+    * surface. Exact and integer end to end via per-variant value-domain
+    * histograms (q196's ceil-rank discipline at the deciles P10..P90),
+    * so every quantile and every difference is an exact BIGINT cents
+    * value. One (type, variant, cent) aggregate — the only
+    * event-cardinality pass; everything after is domain-sized.
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type".as("t"), ($"user_id" % 2).as("variant"),
+        expr(centsExpr).as("c"))
+      .groupBy($"t", $"variant", $"c")
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy($"t", $"variant")
+    val runW = part.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = hist
+      .withColumn("cum", sum($"cnt").over(runW))
+      .withColumn("n", sum($"cnt").over(part))
+      .withColumn("q", explode(expr(
+        "sequence(10L, 90L, 10L)")))
+      .filter($"cum" >= expr("(n * q + 99) DIV 100"))
+      .groupBy($"t", $"variant", $"q")
+      .agg(min($"c").as("qv"))
+    walked
+      .groupBy($"t", $"q")
+      .agg(
+        max(when($"variant" === 0, $"qv")).as("q_control"),
+        max(when($"variant" === 1, $"qv")).as("q_treatment"),
+      )
+      .withColumn("qte_cents", $"q_treatment" - $"q_control")
+      .orderBy($"t", $"q")
+  }
+
+  private val q212Sql =
+    s"""WITH hist AS (
+      |  SELECT event_type AS t, user_id % 2 AS variant,
+      |    $centsExpr AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |walk AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY t, variant ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY t, variant)
+      |      AS BIGINT) AS n
+      |  FROM hist),
+      |quant AS (
+      |  SELECT t, variant, q.q, MIN(c) AS qv
+      |  FROM walk, (SELECT UNNEST(generate_series(10, 90, 10)) AS q) q
+      |  WHERE cum >= (n * q.q + 99) // 100
+      |  GROUP BY t, variant, q.q)
+      |SELECT t, q,
+      |  MAX(CASE WHEN variant = 0 THEN qv END) AS q_control,
+      |  MAX(CASE WHEN variant = 1 THEN qv END) AS q_treatment,
+      |  MAX(CASE WHEN variant = 1 THEN qv END) -
+      |    MAX(CASE WHEN variant = 0 THEN qv END) AS qte_cents
+      |FROM quant GROUP BY t, q ORDER BY t, q""".stripMargin
+
+  /** q213: TIME-TO-CONVERT DISTRIBUTION — how long after first signup
+    * the first strictly-later purchase lands, per variant: the lag
+    * histogram (hour-bucketed) plus the exact median lag, the metric
+    * growth teams track next to q188's conversion RATE. One user_id
+    * exchange (q188's window chain), then everything runs on
+    * user-cardinality rows; the median comes from the same value-domain
+    * walk as q197, over hour-bucket cardinality. Integer hours end to
+    * end.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val lags = Tables
+      .events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("s1",
+        min(when($"event_type" === "signup", $"us")).over(w))
+      .withColumn("p1",
+        min(when($"event_type" === "purchase" && $"us" > $"s1", $"us"))
+          .over(w))
+      .groupBy($"user_id")
+      .agg(max($"s1").as("s1"), max($"p1").as("p1"))
+      .filter($"s1".isNotNull && $"p1".isNotNull)
+      .select(($"user_id" % 2).as("variant"),
+        expr("(p1 - s1) DIV 3600000000").as("lag_hours"))
+    val hist = lags.groupBy($"variant", $"lag_hours")
+      .agg(count(lit(1)).as("cnt"))
+    val part = Window.partitionBy($"variant")
+    val runW = part.orderBy($"lag_hours")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum($"cnt").over(runW))
+      .withColumn("n", sum($"cnt").over(part))
+      .groupBy($"variant")
+      .agg(
+        max($"n").as("n_converted"),
+        min(when($"cum" * 2 >= $"n", $"lag_hours"))
+          .as("median_lag_hours"),
+        max($"lag_hours").as("max_lag_hours"),
+      )
+      .orderBy($"variant")
+  }
+
+  private val q213Sql =
+    """WITH marked AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN us END)
+      |      OVER (PARTITION BY user_id) AS s1, us, event_type
+      |  FROM (SELECT user_id, event_type, epoch_us(ts) AS us
+      |        FROM events) e),
+      |u AS (
+      |  SELECT user_id, MAX(s1) AS s1,
+      |    MIN(CASE WHEN event_type = 'purchase' AND us > s1
+      |      THEN us END) AS p1
+      |  FROM marked GROUP BY user_id),
+      |lags AS (
+      |  SELECT user_id % 2 AS variant,
+      |    (p1 - s1) // 3600000000 AS lag_hours
+      |  FROM u WHERE s1 IS NOT NULL AND p1 IS NOT NULL),
+      |hist AS (
+      |  SELECT variant, lag_hours, COUNT(*) AS cnt
+      |  FROM lags GROUP BY variant, lag_hours),
+      |walk AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY variant ORDER BY lag_hours
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY variant) AS BIGINT) AS n
+      |  FROM hist)
+      |SELECT variant, MAX(n) AS n_converted,
+      |  MIN(CASE WHEN cum * 2 >= n THEN lag_hours END)
+      |    AS median_lag_hours,
+      |  MAX(lag_hours) AS max_lag_hours
+      |FROM walk GROUP BY variant ORDER BY variant""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -931,5 +1070,7 @@ object Stats {
     QueryDef("q198_theil_sen", q198, Some(q198Sql)),
     QueryDef("q203_rolling_median", q203, Some(q203Sql)),
     QueryDef("q206_kmv_merge", q206, Some(q206Sql)),
+    QueryDef("q212_quantile_effects", q212, Some(q212Sql)),
+    QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }
