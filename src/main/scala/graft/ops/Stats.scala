@@ -849,10 +849,13 @@ object Stats {
       .withColumn("rk",
         row_number().over(Window.partitionBy($"day").orderBy($"h")))
       .filter($"rk" <= k)
+    // k smallest distinct hashes via orderBy+limit →
+    // TakeOrderedAndProject (bounded per-task heaps), not a
+    // single-partition global row_number window
     val merged = daily
       .select($"h").distinct()
-      .withColumn("rk", row_number().over(Window.orderBy($"h")))
-      .filter($"rk" <= k)
+      .orderBy($"h")
+      .limit(k)
     val uInt = (1 to 8)
       .map(i =>
         s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
