@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1943,6 +1943,96 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  final case class HoltState(event_type: String, n_hours: Long,
+      level_micro: Long, trend_micro: Long)
+
+  /** q214: HOLT LINEAR-TREND FORECAST — double exponential smoothing of
+    * the hourly value series per type, the first FORECASTING operator
+    * (everything else describes or evaluates; this one predicts):
+    * level lₜ = (yₜ + lₜ₋₁ + bₜ₋₁) / 2 and trend
+    * bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) / 2 (α = β = ½), ŷ(T+h) = l_T + h·b_T.
+    *
+    * The recurrence is inherently sequential per type, so it runs as
+    * q104's SECONDARY-SORT fold: one hash exchange on type, a
+    * partition-local sort, and a constant-memory forward pass over the
+    * hour-cardinality series. Fixed-point micro-cents; trend deltas go
+    * NEGATIVE, where truncating vs flooring division WOULD diverge —
+    * measured: a floorDiv fold drifted ~25 micro-units from DuckDB's
+    * truncating `//` over 720 steps — so the fold uses Scala's
+    * truncating `/`, proven equal by the oracle replaying the
+    * identical integer recursion as a recursive CTE. At 100 TB the
+    * only event-cardinality work is the hourly aggregate; hourly sums
+    * outgrowing BIGINT micro-cents lift to DECIMAL(38,0), q170's
+    * device.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"hour_id")
+      .agg(sum($"cents").as("y"))
+      .repartition($"event_type")
+      .sortWithinPartitions($"event_type", $"hour_id")
+      .as[(String, Long, Long)]
+    implicit val enc = Encoders.product[HoltState]
+    hourly
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[HoltState] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): HoltState = {
+            val t = buf.head._1
+            var l = buf.next()._3 * 1000000L // seed: l₁ = y₁, b₁ = 0
+            var b = 0L
+            var n = 1L
+            while (buf.hasNext && buf.head._1 == t) {
+              val y = buf.next()._3 * 1000000L
+              val lNew = (y + l + b) / 2L
+              b = ((lNew - l) + b) / 2L
+              l = lNew
+              n += 1L
+            }
+            HoltState(t, n, l, b)
+          }
+        }
+      }
+      .toDF()
+      .select($"event_type", $"n_hours", $"level_micro", $"trend_micro",
+        ($"level_micro" + $"trend_micro").as("fc_1h_micro"),
+        ($"level_micro" + lit(6L) * $"trend_micro").as("fc_6h_micro"),
+        ($"level_micro" + lit(24L) * $"trend_micro").as("fc_24h_micro"))
+      .orderBy($"event_type")
+  }
+
+  private val q214Sql =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hour_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT t, y,
+      |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY hour_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY t) AS n
+      |  FROM hourly),
+      |rec AS (
+      |  SELECT t, i, n, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT nx.t, nx.i, nx.n,
+      |    (nx.y * 1000000 + r.l + r.b) // 2 AS l,
+      |    (((nx.y * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
+      |  FROM rec r JOIN idx nx ON nx.t = r.t AND nx.i = r.i + 1)
+      |SELECT t AS event_type, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(l AS BIGINT) AS level_micro,
+      |  CAST(b AS BIGINT) AS trend_micro,
+      |  CAST(l + b AS BIGINT) AS fc_1h_micro,
+      |  CAST(l + 6 * b AS BIGINT) AS fc_6h_micro,
+      |  CAST(l + 24 * b AS BIGINT) AS fc_24h_micro
+      |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
+
   /** q211: NEXT-EVENT PREDICTION EVALUATION — the reference generates
     * streams "for benchmarking sequence-learning systems"
     * (`README.md:3-6`); this op closes that loop INSIDE the engine:
@@ -2249,6 +2339,7 @@ object Events {
     QueryDef("q208_seasonal_anomaly", q208, Some(q208Sql)),
     QueryDef("q210_bitemporal_asof", q210, Some(q210Sql)),
     QueryDef("q211_markov_eval", q211, Some(q211Sql)),
+    QueryDef("q214_holt_forecast", q214, Some(q214Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
