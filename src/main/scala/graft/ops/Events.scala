@@ -1943,6 +1943,178 @@ object Events {
       |GROUP BY inc.hour, inc.n_err
       |ORDER BY incident_hour""".stripMargin
 
+  /** q215: MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven
+    * attribution model next to q193's heuristic last-touch: build the
+    * journey transition matrix (start → touches → conv/null, one
+    * journey per user absorbed at the first purchase), compute the
+    * absorption probability P(conv | start), then re-compute it with
+    * each channel REMOVED (its state pinned to 0 — paths through it
+    * stop converting); the drop is that channel's removal effect, the
+    * Shapley-adjacent credit marketers actually buy.
+    *
+    * Scale split: the DISTRIBUTED work is the matrix build — one
+    * user_id exchange, a |states|²-bounded hash aggregate in integer
+    * ppm. The fixed-point absorption solve runs on the DRIVER over the
+    * collected ≤(|types|+1)² matrix (a bounded dictionary, constant in
+    * corpus size) — 32 truncating integer-ppm sweeps, all five
+    * scenarios at once. The DuckDB oracle replays the IDENTICAL 32
+    * sweeps as generated chained CTEs (q75's device), so the whole
+    * model — matrix, iteration, truncation — is engine-exact, not
+    * approximately equal.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val channels = Seq("click", "error", "signup", "view")
+    val uw = Window.partitionBy($"user_id")
+    val ow = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val kept = Tables
+      .events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"))
+      .withColumn("first_p",
+        min(when($"event_type" === "purchase", $"us")).over(uw))
+      .filter($"first_p".isNull || $"us" <= $"first_p")
+    val steps = kept
+      .withColumn("prev", lag($"event_type", 1).over(ow))
+      .withColumn("src",
+        when($"prev".isNull, "start").otherwise($"prev"))
+      .withColumn("dst",
+        when($"event_type" === "purchase", "conv")
+          .otherwise($"event_type"))
+      .filter($"src" =!= "purchase")
+      .select($"src", $"dst")
+    val terminals = kept
+      .filter($"first_p".isNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"us".desc,
+          $"event_id".desc)))
+      .filter($"rk" === 1)
+      .select($"event_type".as("src"), lit("null").as("dst"))
+    val matrix = steps
+      .unionAll(terminals)
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"src")))
+      .withColumn("ppm", expr("n * 1000000 DIV row_total"))
+      .select($"src", $"dst", $"ppm")
+    val m = matrix.collect() // bounded: ≤ (|types|+1)² cells
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def cell(src: String, dst: String): Long = m.getOrElse((src, dst), 0L)
+    val sweeps = 32
+    def solve(removed: Option[String]): Long = {
+      var v = channels.map(_ -> 0L).toMap
+      (1 to sweeps).foreach { _ =>
+        v = channels.map { st =>
+          val x =
+            if (removed.contains(st)) 0L
+            else
+              (channels.map(t => cell(st, t) * v(t)).sum +
+                cell(st, "conv") * 1000000L) / 1000000L
+          st -> x
+        }.toMap
+      }
+      (channels.map(t => cell("start", t) * v(t)).sum +
+        cell("start", "conv") * 1000000L) / 1000000L
+    }
+    val base = solve(None)
+    channels
+      .map { c =>
+        val removed = solve(Some(c))
+        (c, base, removed, base - removed)
+      }
+      .toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+        "removal_effect_ppm")
+      .orderBy($"channel")
+  }
+
+  private val q215Sql = {
+    val channels = Seq("click", "error", "signup", "view")
+    // one sweep: per source state and per scenario column, the
+    // truncating ppm contraction; the removed channel's own value pins
+    // to 0 so the NEXT sweep reads 0 through the join, mirroring the
+    // driver loop exactly
+    def sweep(prev: String, out: String): String = {
+      val cols = ("none" +: channels).map { r =>
+        val read = s"CASE m.dst WHEN 'conv' THEN 1000000 " +
+          s"WHEN 'null' THEN 0 ELSE COALESCE(v.v_$r, 0) END"
+        val agg = s"CAST(SUM(m.ppm * ($read)) // 1000000 AS BIGINT)"
+        if (r == "none") s"$agg AS v_none"
+        else s"CASE WHEN m.src = '$r' THEN 0 ELSE $agg END AS v_$r"
+      }.mkString(",\n      |    ")
+      // MATERIALIZED: DuckDB inlines single-reference CTEs, and a
+      // 32-deep inlined join chain blows up optimization; forcing
+      // per-sweep materialization keeps planning linear
+      s"""$out AS MATERIALIZED (
+         |  SELECT m.src AS state,
+         |    $cols
+         |  FROM matrix m LEFT JOIN $prev v ON v.state = m.dst
+         |  WHERE m.src <> 'start'
+         |  GROUP BY m.src)""".stripMargin
+    }
+    val chain = (1 to 32)
+      .map(k => sweep(s"v${k - 1}", s"v$k")).mkString(",\n")
+    val startRow = ("none" +: channels).map { r =>
+      s"""CAST(SUM(m.ppm * (CASE m.dst WHEN 'conv' THEN 1000000
+         |      WHEN 'null' THEN 0 ELSE COALESCE(v.v_$r, 0) END))
+         |      // 1000000 AS BIGINT) AS p_$r""".stripMargin
+    }.mkString(",\n    ")
+    val rows = channels.map { c =>
+      s"""SELECT '$c' AS channel, p_none AS base_conv_ppm,
+         |  p_$c AS removed_conv_ppm,
+         |  p_none - p_$c AS removal_effect_ppm FROM fin""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH kept AS (
+      |  SELECT user_id, event_id, event_type, us, first_p FROM (
+      |    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |      MIN(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) END)
+      |        OVER (PARTITION BY user_id) AS first_p
+      |    FROM events) e
+      |  WHERE first_p IS NULL OR us <= first_p),
+      |steps AS (
+      |  SELECT
+      |    CASE WHEN prev IS NULL THEN 'start' ELSE prev END AS src,
+      |    CASE WHEN event_type = 'purchase' THEN 'conv'
+      |         ELSE event_type END AS dst
+      |  FROM (
+      |    SELECT event_type,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev
+      |    FROM kept) t
+      |  WHERE prev IS NULL OR prev <> 'purchase'),
+      |terminals AS (
+      |  SELECT event_type AS src, 'null' AS dst FROM (
+      |    SELECT event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY us DESC, event_id DESC) AS rk
+      |    FROM kept WHERE first_p IS NULL) t
+      |  WHERE rk = 1),
+      |matrix AS (
+      |  SELECT src, dst,
+      |    CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src)
+      |      AS BIGINT) AS ppm
+      |  FROM (
+      |    SELECT src, dst, COUNT(*) AS n FROM (
+      |      SELECT * FROM steps UNION ALL SELECT * FROM terminals) u
+      |    GROUP BY src, dst) c),
+      |v0 AS (
+      |  SELECT m.src AS state,
+      |    CAST(0 AS BIGINT) AS v_none,
+      |    ${channels.map(c => s"CAST(0 AS BIGINT) AS v_$c")
+           .mkString(", ")}
+      |  FROM matrix m WHERE m.src <> 'start' GROUP BY m.src),
+      |$chain,
+      |fin AS (
+      |  SELECT
+      |    $startRow
+      |  FROM matrix m LEFT JOIN v32 v ON v.state = m.dst
+      |  WHERE m.src = 'start')
+      |SELECT * FROM (
+      |  $rows
+      |) r ORDER BY channel""".stripMargin
+  }
+
   final case class HoltState(event_type: String, n_hours: Long,
       level_micro: Long, trend_micro: Long)
 
@@ -2340,6 +2512,7 @@ object Events {
     QueryDef("q210_bitemporal_asof", q210, Some(q210Sql)),
     QueryDef("q211_markov_eval", q211, Some(q211Sql)),
     QueryDef("q214_holt_forecast", q214, Some(q214Sql)),
+    QueryDef("q215_markov_attribution", q215, Some(q215Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
