@@ -12,7 +12,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.Events.all ++ ops.Text.all ++
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
       ops.Corpus.all ++ ops.Graph.all ++ ops.Sources.all ++
-      ops.Scale.all ++ ops.Stats.all ++ gen.GenQueries.all
+      ops.Scale.all ++ ops.Stats.all ++ ops.Sequence.all ++
+      gen.GenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.3: generator → window agg → pattern-dim join → sort.

@@ -1,0 +1,286 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative sequence-pattern matching — the MATCH_RECOGNIZE-class
+  * operator for event streams. The reference's entire purpose is
+  * generating event SEQUENCES for sequence-learning systems
+  * (`/root/reference/README.md:3-6`), and its `PatternSet`
+  * (`eventstream.py:116-137`) makes ordered type patterns the data
+  * model itself — yet every detector in this engine so far is
+  * fixed-shape (q24/q188 hard-code a 3-step funnel, `gen_pattern_detect`
+  * matches exact type vectors). This module is the general operator: a
+  * user DECLARES a pattern (`view click+ purchase WITHIN 24h`) and the
+  * engine compiles it to a per-key NFA. ABSENT-IN-REF (the reference
+  * only generates patterns; it never matches them).
+  *
+  * Semantics (= SQL MATCH_RECOGNIZE defaults, Flink CEP "strict
+  * contiguity"):
+  *   - STRICT CONTIGUITY: a match consumes consecutive rows of the
+  *     key's time-ordered sequence; any row that cannot extend the
+  *     current attempt kills it.
+  *   - GREEDY `+`: a one-or-more step takes every consecutive matching
+  *     row before the next step may begin.
+  *   - AFTER MATCH SKIP PAST LAST ROW: matches never overlap; the scan
+  *     resumes at the row after a completed match.
+  *   - WITHIN T: every row of a match must lie within `withinUs` of the
+  *     match's first row (Flink CEP's `.within()`), checked as each row
+  *     is consumed.
+  *
+  * Step predicates must be PAIRWISE-DISTINCT event types, and a
+  * multi-step pattern must start with a `once` step (both enforced).
+  * Those two restrictions are what make the single-pass, single-thread
+  * NFA EXACTLY equal to the backtracking attempt-at-every-row
+  * definition: a row consumed mid-attempt then matches some step ≠
+  * step 0, so it can never have started a competing attempt, and a row
+  * that kills an attempt is immediately re-considered as a fresh start
+  * — no backtracking, no concurrent attempt threads, O(pattern length)
+  * state per key regardless of data volume or window length
+  * (Round12Spec pins the fold against an independent
+  * attempt-at-every-row reference matcher on randomized sequences).
+  * Greedy `+` needs no backtracking either: a shorter take re-offers
+  * the same next row at the same-or-later time, so it can never
+  * rescue a failed longer take.
+  *
+  * Scale: ONE hash exchange on the key (q104's secondary-sort device —
+  * shared with every other per-user query), a partition-LOCAL sort, and
+  * a constant-memory forward pass that emits matches as a streaming
+  * iterator (never buffers a user's history or match list). At 100 TB
+  * this is strictly cheaper than the window-cascade equivalent (which
+  * needs a window function pass per step) and infinitely cheaper than
+  * the self-join formulation.
+  */
+object Sequence {
+
+  /** One pattern step: an event-type predicate plus its quantifier
+    * (`oneOrMore = false` → exactly once, `true` → one-or-more, greedy).
+    */
+  final case class Step(eventType: String, oneOrMore: Boolean)
+
+  /** A declarative sequence pattern: ordered steps + a time bound. */
+  final case class Pattern(steps: Seq[Step], withinUs: Long) {
+    require(steps.nonEmpty, "pattern needs at least one step")
+    require(steps.map(_.eventType).distinct.size == steps.size,
+      "step event types must be pairwise distinct — that is what makes " +
+        "the single-pass NFA exact (see module doc); overlapping " +
+        "predicates would need concurrent attempt threads")
+    require(steps.length == 1 || !steps.head.oneOrMore,
+      "a multi-step pattern must be anchored by a `once` first step: " +
+        "with a leading one-or-more, a WITHIN-timeout can fail an " +
+        "attempt whose consumed run contains valid later attempt " +
+        "starts, which exact semantics can only honor with " +
+        "concurrent attempt threads (state bounded by the time " +
+        "window, not the pattern). A single-step `+` pattern is exact " +
+        "— every attempt at a matching row succeeds, so skip-past-" +
+        "last-row realigns the scan.")
+    require(withinUs > 0, "withinUs must be positive")
+  }
+
+  /** One completed match. `n_plus` counts rows consumed by one-or-more
+    * steps (e.g. the click count in `view click+ purchase`).
+    */
+  final case class SeqMatch(user_id: Long, start_us: Long, end_us: Long,
+      n_rows: Long, n_plus: Long)
+
+  /** Compile `pattern` and run it over `events` (schema: user_id, ts,
+    * event_id, event_type), returning one row per match ordered by
+    * (user_id, start_us). Rows are matched in (us, event_id) order per
+    * user — the engine-wide deterministic sequence order.
+    */
+  def matchPattern(events: DataFrame, pattern: Pattern): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val stepOf = pattern.steps.map(_.eventType).zipWithIndex.toMap
+    val plus   = pattern.steps.map(_.oneOrMore).toArray
+    val nSteps = plus.length
+    val within = pattern.withinUs
+    val rows = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .as[(Long, Long, Long, String)]
+    implicit val enc = Encoders.product[SeqMatch]
+    rows
+      .mapPartitions { it =>
+        new Iterator[SeqMatch] {
+          // ≤ 1 match can complete per consumed row, +1 at stream end —
+          // a 2-slot queue, never a per-partition buffer
+          private val pend = scala.collection.mutable.Queue.empty[SeqMatch]
+          private var flushed = false
+          // thread state: O(1) per key, independent of history length
+          private var curUser = Long.MinValue
+          private var active  = false
+          private var stepIdx = 0
+          private var consumed = 0 // rows taken by the CURRENT step
+          private var startUs, endUs, nRows, nPlus = 0L
+
+          private def emit(): Unit =
+            pend += SeqMatch(curUser, startUs, endUs, nRows, nPlus)
+
+          /** Kill the attempt; a satisfied trailing `+` step is a
+            * completed greedy match, emitted before the state clears.
+            */
+          private def kill(): Unit = {
+            if (active && stepIdx == nSteps - 1 && plus(stepIdx) &&
+              consumed >= 1) emit()
+            active = false
+          }
+
+          private def consumeInto(k: Int, us: Long): Unit = {
+            stepIdx = k; consumed += 1; nRows += 1; endUs = us
+            if (plus(k)) nPlus += 1
+            else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
+            if (stepIdx == nSteps) { emit(); active = false }
+          }
+
+          private def tryStart(us: Long, tpe: String): Unit =
+            if (stepOf.get(tpe).contains(0)) {
+              active = true; stepIdx = 0; consumed = 0
+              startUs = us; endUs = us; nRows = 0L; nPlus = 0L
+              consumeInto(0, us)
+            }
+
+          private def handle(us: Long, tpe: String): Unit =
+            if (!active) tryStart(us, tpe)
+            else {
+              val timeOk = us - startUs <= within
+              val k = stepIdx
+              if (timeOk && stepOf.get(tpe).contains(k) &&
+                (consumed == 0 || plus(k)))
+                consumeInto(k, us)
+              else if (timeOk && consumed >= 1 && k + 1 < nSteps &&
+                stepOf.get(tpe).contains(k + 1)) {
+                consumed = 0
+                consumeInto(k + 1, us)
+              } else { // cannot extend: close out, re-consider this row
+                kill()
+                tryStart(us, tpe)
+              }
+            }
+
+          private def consume(r: (Long, Long, Long, String)): Unit = {
+            if (r._1 != curUser) { kill(); curUser = r._1 }
+            handle(r._2, r._4)
+          }
+
+          def hasNext: Boolean = {
+            while (pend.isEmpty && it.hasNext) consume(it.next())
+            if (pend.isEmpty && !flushed) { flushed = true; kill() }
+            pend.nonEmpty
+          }
+          def next(): SeqMatch = pend.dequeue()
+        }
+      }
+      .toDF()
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** q216: the funnel pattern `view click+ purchase WITHIN 24h` — at
+    * least one click strictly between a view and a purchase, no other
+    * event interleaved, purchase within 24h of the view. On the sf0.01
+    * fixture both the repetition and the time bound genuinely bind
+    * (93 structural matches, 17 with ≥2 clicks, 60 inside 24h).
+    *
+    * Oracle: strict contiguity + disjoint predicates collapse the NFA
+    * to a closed form the oracle replays with plain windows — a match
+    * is exactly a purchase row whose immediately-preceding contiguous
+    * click run is non-empty and is itself immediately preceded by a
+    * view within the bound (skip-past-last-row is automatic: matches
+    * of disjoint-type steps cannot share rows). Round12Spec separately
+    * pins `matchPattern` ≡ a backtracking reference matcher on random
+    * sequences, so the general engine — not just this pattern — is
+    * gated.
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step("click", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_clicks"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q216Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i,
+      |    MAX(CASE WHEN event_type <> 'click' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM e)
+      |SELECT b.user_id, a.us AS start_us, b.us AS end_us,
+      |  CAST(b.i - b.pb - 1 AS BIGINT) AS n_clicks
+      |FROM m b JOIN e a ON a.user_id = b.user_id AND a.i = b.pb
+      |WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |  AND b.i - b.pb - 1 >= 1
+      |  AND b.us - a.us <= 86400000000
+      |ORDER BY b.user_id, a.us""".stripMargin
+
+  /** q221: trailing-`+` pattern `purchase error+ WITHIN 12h` — the
+    * post-purchase error burst (checkout succeeded, then the session
+    * degraded), exercising the GREEDY-tail path of the NFA: the match
+    * has no terminating `once` step, so it completes only when a row
+    * arrives that cannot extend it (wrong type, or beyond the bound) or
+    * the key's stream ends — the deferred-emission branch q216 never
+    * takes.
+    *
+    * Oracle closed form: each purchase row, joined to the contiguous
+    * error run that starts immediately after it (rows strictly before
+    * the next non-error row), truncated to the 12h bound; ≥1 error
+    * required. Time-ordering makes the bound truncation a plain filter
+    * (an in-run error beyond the bound ends the match; no later in-run
+    * error can be back inside it).
+    */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("purchase", oneOrMore = false),
+          Step("error", oneOrMore = true)),
+        withinUs = 12L * 3600L * 1000000L))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_errors"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q221Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, us, event_type, i,
+      |    COALESCE(MIN(CASE WHEN event_type <> 'error' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+      |      MAX(i) OVER (PARTITION BY user_id) + 1) AS ne
+      |  FROM e)
+      |SELECT p.user_id, p.us AS start_us,
+      |  MAX(er.us) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_errors
+      |FROM r p JOIN e er
+      |  ON er.user_id = p.user_id AND er.i > p.i AND er.i < p.ne
+      |  AND er.us - p.us <= 43200000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id, p.i, p.us
+      |ORDER BY p.user_id, p.us""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q216_match_recognize", q216, Some(q216Sql)),
+    QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
+  )
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 gates. The headline is the MATCH_RECOGNIZE-class sequence
+  * matcher (`ops.Sequence`): its single-pass NFA is pinned against an
+  * INDEPENDENT reference matcher that implements the defining semantics
+  * directly — a backtracking attempt at every row position, greedy
+  * quantifiers, skip past last row, within-T — on both handcrafted
+  * fixtures (where repetition, the time bound, and user boundaries each
+  * genuinely bind) and randomized sequences. The driver's DuckDB oracle
+  * gates q216/q221's closed forms; only this spec gates the GENERAL
+  * engine.
+  */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import ops.Sequence.{Pattern, SeqMatch, Step}
+
+  /** Reference matcher: the textbook definition, no NFA. Attempts start
+    * at each row; an attempt consumes rows strictly in order (strict
+    * contiguity), each step taking 1 (once) or greedily as many as
+    * possible (oneOrMore), every consumed row within `withinUs` of the
+    * attempt's first row. First successful attempt wins; the scan
+    * resumes after its last row (skip past last row). Trailing
+    * one-or-more steps complete greedily at the first non-extending row
+    * or sequence end.
+    */
+  private def referenceMatch(
+      rows: Seq[(Long, Long, Long, String)], // user_id, us, event_id, type
+      p: Pattern): Seq[SeqMatch] = {
+    val out = Seq.newBuilder[SeqMatch]
+    for ((user, seq0) <- rows.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val seq = seq0.sortBy(r => (r._2, r._3))
+      var i = 0
+      while (i < seq.length) {
+        // attempt starting at row i
+        var j = i
+        var step = 0
+        var ok = true
+        var nPlus = 0L
+        val startUs = seq(i)._2
+        var endJ = -1
+        while (ok && step < p.steps.length) {
+          val st = p.steps(step)
+          def fits(k: Int): Boolean =
+            k < seq.length && seq(k)._4 == st.eventType &&
+              seq(k)._2 - startUs <= p.withinUs
+          if (!fits(j)) ok = false
+          else {
+            j += 1
+            if (st.oneOrMore) {
+              nPlus += 1
+              while (fits(j)) { j += 1; nPlus += 1 }
+            }
+            step += 1
+          }
+        }
+        if (ok) {
+          endJ = j - 1
+          out += SeqMatch(user, startUs, seq(endJ)._2,
+            (endJ - i + 1).toLong, nPlus)
+          i = endJ + 1 // skip past last row
+        } else i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def nfaMatch(
+      rows: Seq[(Long, Long, Long, String)], p: Pattern): Seq[SeqMatch] = {
+    import spark.implicits._
+    val df = spark
+      .createDataset(rows)
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("us")))
+      .repartition(5) // matches must be placement-independent
+    ops.Sequence
+      .matchPattern(df, p)
+      .as[SeqMatch]
+      .collect()
+      .toSeq
+      .sortBy(m => (m.user_id, m.start_us, m.end_us))
+  }
+
+  private val funnel = Pattern(
+    Seq(Step("view", oneOrMore = false), Step("click", oneOrMore = true),
+      Step("purchase", oneOrMore = false)),
+    withinUs = 100L)
+
+  test("q216 NFA: repetition, time bound, and user boundary each bind") {
+    // user 1: view c c purchase inside the bound → one match, n_plus=2
+    // user 2: view at t0, clicks, purchase at t0+150 → killed by WITHIN
+    // user 3: view c (user ends) → incomplete, no match
+    // user 4: view c view c purchase → restart on the second view
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "click"), (1L, 40L, 4L, "purchase"),
+      (2L, 10L, 1L, "view"), (2L, 60L, 2L, "click"),
+      (2L, 160L, 3L, "purchase"),
+      (3L, 10L, 1L, "view"), (3L, 20L, 2L, "click"),
+      (4L, 10L, 1L, "view"), (4L, 20L, 2L, "click"),
+      (4L, 30L, 3L, "view"), (4L, 40L, 4L, "click"),
+      (4L, 50L, 5L, "purchase"),
+    )
+    val got = nfaMatch(rows, funnel)
+    assert(got == Seq(
+      SeqMatch(1L, 10L, 40L, 4L, 2L),
+      SeqMatch(4L, 30L, 50L, 3L, 1L)))
+    assert(got == referenceMatch(rows, funnel))
+  }
+
+  test("q221 NFA: trailing one-or-more completes greedily, incl. at stream end") {
+    val p = Pattern(
+      Seq(Step("purchase", oneOrMore = false),
+        Step("error", oneOrMore = true)),
+      withinUs = 50L)
+    // user 1: purchase e e e, run cut by WITHIN (third error at +60)
+    // user 2: purchase e e then a view → emits on the non-extending row
+    // user 3: purchase e e, stream ends → emitted by the end-flush
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, 10L, 1L, "purchase"), (1L, 20L, 2L, "error"),
+      (1L, 40L, 3L, "error"), (1L, 70L, 4L, "error"),
+      (2L, 10L, 1L, "purchase"), (2L, 20L, 2L, "error"),
+      (2L, 30L, 3L, "error"), (2L, 40L, 4L, "view"),
+      (3L, 10L, 1L, "purchase"), (3L, 20L, 2L, "error"),
+      (3L, 30L, 3L, "error"),
+    )
+    val got = nfaMatch(rows, p)
+    assert(got == Seq(
+      SeqMatch(1L, 10L, 40L, 3L, 2L),
+      SeqMatch(2L, 10L, 30L, 3L, 2L),
+      SeqMatch(3L, 10L, 30L, 3L, 2L)))
+    assert(got == referenceMatch(rows, p))
+  }
+
+  test("NFA ≡ backtracking reference matcher on randomized sequences") {
+    // deterministic pseudo-random event soup: enough users × rows that
+    // restarts, kills, timeouts, and back-to-back matches all occur
+    val types = Array("view", "click", "purchase", "error", "signup")
+    def gen(seed: Long, n: Int): Seq[(Long, Long, Long, String)] =
+      (0 until n).map { i =>
+        val h = graft.gen.Rng.mix64(seed + i)
+        val user = (h & 0x7L) + 1
+        val us = ((h >>> 8) & 0xffL) * 7 + i // loosely increasing, ties possible
+        (user, us, i.toLong, types(((h >>> 20) & 0xffffL).toInt % 5))
+      }
+    val patterns = Seq(
+      funnel,
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step("view", oneOrMore = true),
+        Step("click", oneOrMore = true),
+        Step("purchase", oneOrMore = false)), withinUs = 400L),
+      Pattern(Seq(Step("error", oneOrMore = true)), withinUs = 30L),
+      Pattern(Seq(Step("click", oneOrMore = false),
+        Step("error", oneOrMore = true)), withinUs = 60L),
+    )
+    for (seed <- Seq(1L, 2L, 3L); p <- patterns) {
+      val rows = gen(seed * 7919L, 400)
+      val want = referenceMatch(rows, p)
+        .sortBy(m => (m.user_id, m.start_us, m.end_us))
+      val got = nfaMatch(rows, p)
+      assert(got == want, s"seed=$seed pattern=$p")
+      // the fixture is only probative if matches actually happen
+      assert(want.nonEmpty, s"degenerate fixture seed=$seed pattern=$p")
+    }
+  }
+
+  test("Pattern rejects the shapes the O(1)-state fold cannot honor exactly") {
+    // leading `+` in a multi-step pattern: a timeout-failed attempt can
+    // hide valid later starts inside its consumed run
+    assertThrows[IllegalArgumentException] {
+      Pattern(Seq(Step("click", oneOrMore = true),
+        Step("error", oneOrMore = false)), withinUs = 60L)
+    }
+    // overlapping step predicates need concurrent threads
+    assertThrows[IllegalArgumentException] {
+      Pattern(Seq(Step("click", oneOrMore = false),
+        Step("click", oneOrMore = true)), withinUs = 60L)
+    }
+  }
+
+  test("q216 on real data: repetition and time bound both bind") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val noBound = ops.Sequence
+      .matchPattern(Tables.events(spark, sf),
+        funnel.copy(withinUs = Long.MaxValue / 4))
+      .count()
+    val got = SparkEntry.queries("q216_match_recognize")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.length < noBound, "24h bound never binds at sf0.001")
+    assert(got.exists(_._4 >= 2), "click+ repetition never binds")
+    assert(got.forall(m => m._3 - m._2 <= 24L * 3600L * 1000000L))
+  }
+}
