@@ -2205,6 +2205,266 @@ object Events {
       |  CAST(l + 24 * b AS BIGINT) AS fc_24h_micro
       |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
 
+  /** One q220 fold row: Holt state over the deseasonalized series. */
+  final case class HoltSeasonState(event_type: String, n_hours: Long,
+      last_hour: Long, level_micro: Long, trend_micro: Long)
+
+  /** One q218 output row: the post-burn-in CUSUM summary per type. */
+  final case class CusumState(event_type: String, n_hours: Long,
+      burnin_mean_cents: Long, max_cusum_up: Long, max_cusum_dn: Long,
+      alarm_up_hour: Option[Long], alarm_dn_hour: Option[Long])
+
+  /** q218: CUSUM CHANGEPOINT DETECTION — "did the hourly mean SHIFT,
+    * and when?" — the ops-monitoring companion q208 (point anomalies
+    * vs a seasonal baseline) and q214 (forecasting) bracket but never
+    * answer: a point detector misses a sustained 10% lift, a forecast
+    * doesn't localize it. Two-sided Page CUSUM over each type's hourly
+    * cents series: the first 48 observed hours are the burn-in
+    * baseline (sum s₀, so mean is s₀/48), then
+    *   Sp_t = max(0, Sp_{t−1} + d_t − κ),  d_t = 48·x_t − s₀,
+    *   Sn_t = max(0, Sn_{t−1} − d_t − κ),  κ = s₀/20 (5% slack),
+    * with an alarm at the first hour where a side exceeds h = 4·s₀
+    * (≈ 20 hours of sustained 25% shift, or one 5× hour). Everything
+    * is BIGINT in cents·48 units — multiplying through by the burn-in
+    * count avoids the mean division entirely, so the recurrence is
+    * bit-exact on both engines; the only division is the positive
+    * truncating s₀/20 and the reported s₀/48.
+    *
+    * Sequentially dependent per type ⇒ q104's secondary-sort fold over
+    * the HOURLY aggregate (the only event-cardinality work is that one
+    * map-side-combinable hash agg; the fold touches |types|×|hours|
+    * rows). Missing hours are skipped (CUSUM over observed hours) —
+    * the series the monitor actually has. Hourly cent sums outgrowing
+    * BIGINT at 100 TB lift to DECIMAL(38,0), q170's device. Oracle:
+    * the identical integer recursion as a recursive CTE (q214's
+    * device). Round12Spec plants a +30% level shift at a known hour
+    * and asserts the alarm localizes within the CUSUM's detection
+    * delay, and that the pre-shift series never alarms.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame =
+    cusum(Tables.events(s, d))
+
+  /** The q218 detector over any events-shaped frame (event_type, ts,
+    * value) — exposed so Round12Spec can plant a level shift at a known
+    * hour and assert the alarm localizes.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val burnIn = 48
+    val hourly = events
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"hour_id")
+      .agg(sum($"cents").as("x"))
+      .repartition($"event_type")
+      .sortWithinPartitions($"event_type", $"hour_id")
+      .as[(String, Long, Long)]
+    implicit val enc = Encoders.product[CusumState]
+    hourly
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[CusumState] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): CusumState = {
+            val t = buf.head._1
+            var cnt, s0, sp, sn, maxsp, maxsn = 0L
+            var au, ad: Option[Long] = None
+            while (buf.hasNext && buf.head._1 == t) {
+              val (_, hour, x) = buf.next()
+              if (cnt < burnIn) { s0 += x; cnt += 1 }
+              else {
+                cnt += 1
+                val d = burnIn * x - s0
+                val slack = s0 / 20L
+                sp = math.max(0L, sp + d - slack)
+                sn = math.max(0L, sn - d - slack)
+                maxsp = math.max(maxsp, sp)
+                maxsn = math.max(maxsn, sn)
+                if (au.isEmpty && sp > 4L * s0) au = Some(hour)
+                if (ad.isEmpty && sn > 4L * s0) ad = Some(hour)
+              }
+            }
+            CusumState(t, cnt, s0 / burnIn, maxsp, maxsn, au, ad)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"event_type")
+  }
+
+  private val q218Sql =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hour_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT t, hour_id, x,
+      |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY hour_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY t) AS n
+      |  FROM hourly),
+      |rec AS (
+      |  SELECT t, i, n, x AS s0, CAST(0 AS BIGINT) AS sp,
+      |    CAST(0 AS BIGINT) AS sn, CAST(0 AS BIGINT) AS maxsp,
+      |    CAST(0 AS BIGINT) AS maxsn, CAST(NULL AS BIGINT) AS au,
+      |    CAST(NULL AS BIGINT) AS ad
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT t, i, n, s0, sp, sn,
+      |    GREATEST(maxsp0, sp) AS maxsp, GREATEST(maxsn0, sn) AS maxsn,
+      |    COALESCE(au0, CASE WHEN sp > 4 * s0fix THEN hour_id END) AS au,
+      |    COALESCE(ad0, CASE WHEN sn > 4 * s0fix THEN hour_id END) AS ad
+      |  FROM (
+      |    SELECT nx.t, nx.i, nx.n, nx.hour_id,
+      |      CASE WHEN r.i < 48 THEN r.s0 + nx.x ELSE r.s0 END AS s0,
+      |      CASE WHEN nx.i > 48 THEN GREATEST(0,
+      |        r.sp + (48 * nx.x - r.s0) - r.s0 // 20) ELSE 0 END AS sp,
+      |      CASE WHEN nx.i > 48 THEN GREATEST(0,
+      |        r.sn - (48 * nx.x - r.s0) - r.s0 // 20) ELSE 0 END AS sn,
+      |      r.maxsp AS maxsp0, r.maxsn AS maxsn0,
+      |      r.au AS au0, r.ad AS ad0, r.s0 AS s0fix
+      |    FROM rec r JOIN idx nx ON nx.t = r.t AND nx.i = r.i + 1) q)
+      |SELECT t AS event_type, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(s0 // 48 AS BIGINT) AS burnin_mean_cents,
+      |  CAST(maxsp AS BIGINT) AS max_cusum_up,
+      |  CAST(maxsn AS BIGINT) AS max_cusum_dn,
+      |  CAST(au AS BIGINT) AS alarm_up_hour,
+      |  CAST(ad AS BIGINT) AS alarm_dn_hour
+      |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
+
+  /** q220: HOLT-WINTERS-STYLE SEASONAL FORECAST — q214's linear-trend
+    * Holt fold composed with an hour-of-day seasonal index (q208's
+    * seasonality axis): the series is DESEASONALIZED first
+    * (dₜ = 10⁶·yₜ − m[hod(t)], where m is the per-(type, hour-of-day)
+    * mean in micro-cents), the Holt recurrence runs on dₜ exactly as
+    * q214, and forecasts re-add the TARGET hour's seasonal index:
+    * ŷ(T+h) = l_T + h·b_T + m[hod(T+h)]. The fixed-index decomposition
+    * (rather than an in-fold smoothed seasonal state) is what keeps the
+    * oracle exact: the 24-slot seasonal vector would otherwise have to
+    * thread through the recursive CTE; as a separate aggregate it is a
+    * plain GROUP BY joined at the end — and the Holt fold itself stays
+    * the proven q214 recursion, truncating division and all.
+    *
+    * Scale = q214's: one event-cardinality hourly aggregate, a
+    * |types|×24 seasonal aggregate off the SAME hourly table, the
+    * sequential fold over hour-cardinality rows, and a broadcast-sized
+    * final join. The forecast hours step over the hour GRID (T+1, T+6,
+    * T+24), so hod arithmetic is plain modulo.
+    */
+  private def q220(s: SparkSession, d: String): DataFrame =
+    holtWinters(Tables.events(s, d))
+
+  /** The q220 forecaster over any events-shaped frame — exposed so
+    * Round12Spec can plant a pure-seasonal series and assert the
+    * forecast recovers the target hour's level exactly.
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val hourly = events
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"hour_id")
+      .agg(sum($"cents").as("y"))
+    // the index is (10⁶·Σy) DIV n — truncating INTEGER division (both
+    // operands positive), never a float divide of a cross-row sum
+    val seasonal = hourly
+      .groupBy($"event_type".as("st"), ($"hour_id" % 24).as("hod"))
+      .agg(sum($"y").as("sy"), count(lit(1)).as("cnt"))
+      .select($"st", $"hod", expr("(1000000 * sy) DIV cnt").as("m"))
+    val deseason = hourly
+      .join(seasonal,
+        $"event_type" === $"st" && $"hour_id" % 24 === $"hod")
+      .select($"event_type", $"hour_id",
+        (lit(1000000L) * $"y" - $"m").as("dval"))
+      .repartition($"event_type")
+      .sortWithinPartitions($"event_type", $"hour_id")
+      .as[(String, Long, Long)]
+    implicit val enc = Encoders.product[HoltSeasonState]
+    val fold = deseason
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[HoltSeasonState] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): HoltSeasonState = {
+            val t = buf.head._1
+            var row = buf.next()
+            var l = row._3 // seed: l₁ = d₁, b₁ = 0 (q214's seed)
+            var b = 0L
+            var n = 1L
+            var lastHour = row._2
+            while (buf.hasNext && buf.head._1 == t) {
+              row = buf.next()
+              val lNew = (row._3 + l + b) / 2L
+              b = ((lNew - l) + b) / 2L
+              l = lNew
+              n += 1L
+              lastHour = row._2
+            }
+            HoltSeasonState(t, n, lastHour, l, b)
+          }
+        }
+      }
+      .toDF()
+    fold
+      .join(seasonal, $"event_type" === $"st")
+      .groupBy($"event_type", $"n_hours", $"last_hour", $"level_micro",
+        $"trend_micro")
+      .agg(
+        max(when(($"last_hour" + 1) % 24 === $"hod", $"m")).as("m1"),
+        max(when(($"last_hour" + 6) % 24 === $"hod", $"m")).as("m6"),
+        max(when(($"last_hour" + 24) % 24 === $"hod", $"m")).as("m24"),
+      )
+      .select($"event_type", $"n_hours", $"level_micro", $"trend_micro",
+        ($"level_micro" + $"trend_micro" + $"m1").as("fc_1h_micro"),
+        ($"level_micro" + lit(6L) * $"trend_micro" + $"m6")
+          .as("fc_6h_micro"),
+        ($"level_micro" + lit(24L) * $"trend_micro" + $"m24")
+          .as("fc_24h_micro"))
+      .orderBy($"event_type")
+  }
+
+  private val q220Sql =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hour_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |seasonal AS (
+      |  SELECT t, hour_id % 24 AS hod,
+      |    (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS m
+      |  FROM hourly GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT h.t, h.hour_id, 1000000 * h.y - s.m AS dval,
+      |    ROW_NUMBER() OVER (PARTITION BY h.t ORDER BY h.hour_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY h.t) AS n,
+      |    MAX(h.hour_id) OVER (PARTITION BY h.t) AS last_hour
+      |  FROM hourly h JOIN seasonal s
+      |    ON s.t = h.t AND s.hod = h.hour_id % 24),
+      |rec AS (
+      |  SELECT t, i, n, last_hour, dval AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT nx.t, nx.i, nx.n, nx.last_hour,
+      |    (nx.dval + r.l + r.b) // 2 AS l,
+      |    (((nx.dval + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
+      |  FROM rec r JOIN idx nx ON nx.t = r.t AND nx.i = r.i + 1)
+      |SELECT r.t AS event_type, CAST(r.n AS BIGINT) AS n_hours,
+      |  CAST(r.l AS BIGINT) AS level_micro,
+      |  CAST(r.b AS BIGINT) AS trend_micro,
+      |  CAST(r.l + r.b + s1.m AS BIGINT) AS fc_1h_micro,
+      |  CAST(r.l + 6 * r.b + s6.m AS BIGINT) AS fc_6h_micro,
+      |  CAST(r.l + 24 * r.b + s24.m AS BIGINT) AS fc_24h_micro
+      |FROM rec r
+      |JOIN seasonal s1 ON s1.t = r.t
+      |  AND s1.hod = (r.last_hour + 1) % 24
+      |JOIN seasonal s6 ON s6.t = r.t
+      |  AND s6.hod = (r.last_hour + 6) % 24
+      |JOIN seasonal s24 ON s24.t = r.t
+      |  AND s24.hod = (r.last_hour + 24) % 24
+      |WHERE r.i = r.n ORDER BY r.t""".stripMargin
+
   /** q211: NEXT-EVENT PREDICTION EVALUATION — the reference generates
     * streams "for benchmarking sequence-learning systems"
     * (`README.md:3-6`); this op closes that loop INSIDE the engine:
@@ -2513,6 +2773,8 @@ object Events {
     QueryDef("q211_markov_eval", q211, Some(q211Sql)),
     QueryDef("q214_holt_forecast", q214, Some(q214Sql)),
     QueryDef("q215_markov_attribution", q215, Some(q215Sql)),
+    QueryDef("q218_cusum_changepoint", q218, Some(q218Sql)),
+    QueryDef("q220_holt_winters", q220, Some(q220Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),

@@ -299,6 +299,95 @@ object Stats {
       |  ROUND(MAX(CASE WHEN rk = 31 THEN mean_r END), 4) AS boot_hi
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q219's noise table: the two-sided geometric (discrete Laplace)
+    * distribution with α = e^(−ε), ε = 1 — P(k) ∝ α^|k| — as cumulative
+    * hex thresholds over k = −20..19 (±20 absorb the <2⁻³⁰ tails).
+    * Computed once here and embedded as identical STRING constants in
+    * both the Spark plan and the oracle SQL, so the draw is the q192
+    * device: one md5 per cell, pure string compares, zero float ops at
+    * query time.
+    */
+  private val dpK = 20
+  private val dpTh: Seq[(Int, String)] = {
+    val alpha = math.exp(-1.0)
+    val p0 = (1 - alpha) / (1 + alpha)
+    var cum = 0.0
+    (-dpK until dpK).map { k =>
+      cum += p0 * math.pow(alpha, math.abs(k))
+      k -> f"${math.min(math.floor(cum * 4294967296.0).toLong, 0xffffffffL)}%08x"
+    }
+  }
+
+  private def dpNoise(uhex: org.apache.spark.sql.Column) =
+    dpTh.foldRight(lit(dpK)) { case ((k, t), e) =>
+      when(uhex < t, k).otherwise(e)
+    }
+
+  private val dpCaseSql =
+    dpTh.map { case (k, t) => s"WHEN uhex < '$t' THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $dpK END")
+
+  /** q219: DIFFERENTIALLY-PRIVATE RELEASE AGGREGATE — the missing
+    * release-side member of the privacy family (q89 masks identifiers,
+    * q199 erases on request; neither makes an AGGREGATE safe to
+    * publish): the per-(type, day) event-count histogram under the
+    * discrete Laplace mechanism, ε = 1 — integer noise k drawn with
+    * P(k) ∝ e^(−|k|), the geometric mechanism that gives exact
+    * event-level ε-DP for counting queries (add/remove one event
+    * changes any cell by ≤ 1; user-level DP would additionally bound
+    * per-user contributions first — q196's capping composes). Noisy
+    * counts are released un-clamped (a negative cell is a valid DP
+    * release; post-processing is the consumer's choice).
+    *
+    * The twist that makes a NOISE mechanism oracle-gateable at all:
+    * the draw is DETERMINISTIC — u = first 8 md5 nibbles of the cell
+    * key, mapped through the precomputed CDF hex thresholds above
+    * (q192's bootstrap device). Both engines draw bit-identical noise,
+    * so the release hash-matches exactly while Round12Spec gates the
+    * DISTRIBUTION (mean ≈ 0, Var ≈ 2α/(1−α)² over a wide synthetic
+    * domain) — deterministic per release, statistically Laplace across
+    * cells. One event-cardinality hash aggregate (map-side
+    * combinable), one md5 per output cell; scales as q01 does.
+    */
+  private def q219(s: SparkSession, d: String): DataFrame =
+    dpHistogram(Tables.events(s, d))
+
+  /** The q219 mechanism over any events-shaped frame (event_type, ts) —
+    * exposed so Round12Spec can gate the noise DISTRIBUTION over a wide
+    * synthetic cell domain.
+    */
+  def dpHistogram(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val uhex = substring(
+      md5(concat($"event_type", lit(":"), $"day_id".cast("string"),
+        lit(":dp1")).cast("binary")), 1, 8)
+    events
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"))
+      .groupBy($"event_type", $"day_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"day_id",
+        ($"n" + dpNoise(uhex)).as("noisy_count"),
+        lit(1.0).as("epsilon"))
+      .orderBy($"event_type", $"day_id")
+  }
+
+  private val q219Sql =
+    s"""WITH cells AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT event_type, day_id, n,
+      |    substr(md5(event_type || ':' ||
+      |      CAST(day_id AS VARCHAR) || ':dp1'), 1, 8) AS uhex
+      |  FROM cells)
+      |SELECT event_type, day_id,
+      |  CAST(n + ($dpCaseSql) AS BIGINT) AS noisy_count,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM keyed ORDER BY event_type, day_id""".stripMargin
+
   /** q194: CUPED variance reduction (Controlled-experiment Using
     * Pre-Experiment Data, Deng et al.) — the adjustment every mature
     * experimentation platform applies before q185's t-test: the
@@ -1062,6 +1151,115 @@ object Stats {
       |  MAX(lag_hours) AS max_lag_hours
       |FROM walk GROUP BY variant ORDER BY variant""".stripMargin
 
+  /** q217: DELTA-METHOD CLUSTERED VARIANCE for a ratio metric — the #1
+    * correctness trap in real experiment readouts, and the one q185's
+    * per-event t-test walks into: "revenue per event" is a RATIO of two
+    * user-level sums (Σ cents / Σ events), and events cluster within
+    * users, so treating them as independent draws understates the
+    * standard error whenever users differ systematically. The fix every
+    * mature platform applies (Deng et al.'s companion to q194's CUPED)
+    * is the delta method on per-user sufficient statistics:
+    * Var(R̂) ≈ (N/(N−1)) · Σᵢ(sᵢ − R·nᵢ)² / (Σn)², expanded to the
+    * cluster moments Σs², Σn², Σns so no residual pass is needed.
+    *
+    * Output per variant: the naive per-event SE next to the clustered
+    * SE and their design effect deff = (se_cluster/se_naive)² — on this
+    * fixture's iid-ish values deff ≈ 1 (the honest readout); Round12Spec
+    * plants a user-clustered fixture where the naive SE understates by
+    * >3× and the delta SE tracks a direct jackknife.
+    *
+    * Scale: one event-cardinality hash aggregate to user grain (the
+    * same user_id exchange every per-user query shares), then a 2-row
+    * variant aggregate of BIGINT sums; every double derives from
+    * integer sums in identical operand order (q185's cross-engine
+    * discipline). Per-user cent sums and their squares stay < 2⁶³
+    * through sf0.1×10⁴; a 100 TB deployment lifts Σs²/Σns to
+    * DECIMAL(38,0) — q170's device.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame =
+    deltaMethod(Tables.events(s, d))
+
+  /** The q217 computation over any events-shaped frame (user_id, value)
+    * — exposed so Round12Spec can plant a genuinely clustered fixture.
+    */
+  def deltaMethod(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val users = events
+      .select($"user_id", expr(centsExpr).as("c"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"c").as("cs"),
+        sum($"c" * $"c").as("q2"),
+      )
+    val byVariant = users
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(
+        count(lit(1)).as("nu"),
+        sum($"n").as("m"),
+        sum($"cs").as("sc"),
+        sum($"q2").as("sc2"),
+        sum($"cs" * $"cs").as("ss2"),
+        sum($"n" * $"n").as("sn2"),
+        sum($"n" * $"cs").as("sns"),
+      )
+    byVariant
+      .withColumn("r", $"sc".cast("double") / $"m")
+      .withColumn("var_e",
+        ($"sc2" - $"sc".cast("double") * $"sc" / $"m") / ($"m" - 1))
+      .withColumn("se_naive", sqrt($"var_e" / $"m"))
+      .withColumn("resid",
+        $"ss2" - lit(2.0) * $"r" * $"sns" + $"r" * $"r" * $"sn2")
+      .withColumn("se_cluster",
+        sqrt($"resid" * $"nu" / ($"nu" - 1)) / $"m")
+      .select(
+        $"variant",
+        $"nu".as("n_users"),
+        $"m".as("n_events"),
+        round($"r" / 100.0, 4).as("mean_per_event"),
+        round($"se_naive" / 100.0, 6).as("se_naive"),
+        round($"se_cluster" / 100.0, 6).as("se_cluster"),
+        round($"se_cluster" * $"se_cluster" /
+          ($"se_naive" * $"se_naive"), 4).as("deff"),
+      )
+      .orderBy($"variant")
+  }
+
+  private val q217Sql =
+    s"""WITH u AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM($centsExpr) AS BIGINT) AS cs,
+      |    CAST(SUM($centsExpr * $centsExpr) AS BIGINT) AS q2
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, COUNT(*) AS nu,
+      |    CAST(SUM(n) AS BIGINT) AS m,
+      |    CAST(SUM(cs) AS BIGINT) AS sc,
+      |    CAST(SUM(q2) AS BIGINT) AS sc2,
+      |    CAST(SUM(cs * cs) AS BIGINT) AS ss2,
+      |    CAST(SUM(n * n) AS BIGINT) AS sn2,
+      |    CAST(SUM(n * cs) AS BIGINT) AS sns
+      |  FROM u GROUP BY user_id % 2),
+      |der AS (
+      |  SELECT *,
+      |    CAST(sc AS DOUBLE) / m AS r,
+      |    (sc2 - CAST(sc AS DOUBLE) * sc / m) / (m - 1) AS var_e
+      |  FROM v),
+      |der2 AS (
+      |  SELECT *,
+      |    SQRT(var_e / m) AS se_naive,
+      |    SQRT((ss2 - 2.0 * r * sns + r * r * sn2) * nu / (nu - 1)) / m
+      |      AS se_cluster
+      |  FROM der)
+      |SELECT variant, nu AS n_users, m AS n_events,
+      |  ROUND(r / 100.0, 4) AS mean_per_event,
+      |  ROUND(se_naive / 100.0, 6) AS se_naive,
+      |  ROUND(se_cluster / 100.0, 6) AS se_cluster,
+      |  ROUND(se_cluster * se_cluster / (se_naive * se_naive), 4)
+      |    AS deff
+      |FROM der2 ORDER BY variant""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -1074,6 +1272,8 @@ object Stats {
     QueryDef("q203_rolling_median", q203, Some(q203Sql)),
     QueryDef("q206_kmv_merge", q206, Some(q206Sql)),
     QueryDef("q212_quantile_effects", q212, Some(q212Sql)),
+    QueryDef("q217_delta_method", q217, Some(q217Sql)),
+    QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
     QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }

@@ -182,6 +182,125 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q217: naive per-event SE understates the clustered SE; delta ≈ jackknife") {
+    import spark.implicits._
+    // maximal clustering: every user's events share the user's value, so
+    // between-user variance is all there is and per-event iid is a lie
+    val rows = (1L to 40L).flatMap { u =>
+      val v = if (u <= 20) 10.0 else 1.0
+      (1 to 25).map(i => (u, v, i.toLong))
+    }
+    val df = rows
+      .toDF("user_id", "value", "k")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros($"k" * 1000000L))
+    val got = ops.Stats.deltaMethod(df)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))
+    for ((variant, nu, m, mean, seN, seC, deff) <- got) {
+      assert(nu == 20L && m == 500L)
+      // the honest SE is the cluster one; the naive per-event SE divides
+      // the between-user spread by √500 instead of √20
+      assert(seC > 3.0 * seN, s"variant=$variant seC=$seC seN=$seN")
+      assert(deff > 9.0)
+      // delta-method SE tracks a direct leave-one-user-out jackknife
+      val users = rows.filter(r => r._1 % 2 == variant)
+        .groupBy(_._1).toSeq.map { case (_, rs) =>
+          (rs.size.toLong, rs.map(r => math.round(r._2 * 100)).sum)
+        }
+      val tot = (users.map(_._1).sum, users.map(_._2).sum)
+      val loo = users.map(u =>
+        (tot._2 - u._2).toDouble / (tot._1 - u._1) / 100.0)
+      val lbar = loo.sum / loo.size
+      val jack = math.sqrt(
+        loo.map(x => (x - lbar) * (x - lbar)).sum *
+          (loo.size - 1).toDouble / loo.size)
+      assert(math.abs(seC - jack) / jack < 0.2,
+        s"variant=$variant delta=$seC jackknife=$jack")
+    }
+  }
+
+  test("q218: planted +30% level shift alarms at the predicted hour; stable series never alarms") {
+    import spark.implicits._
+    // one event per hour: 80 hours at 100.00 (48 burn-in + 32 stable),
+    // then 20 hours at 130.00. d = 48·13000 − 480000 = 144000 per shifted
+    // hour, slack = 24000 ⇒ Sp grows 120000/h and crosses h = 4·s₀ =
+    // 1,920,000 strictly after 16 shifted hours ⇒ alarm at hour 96.
+    def series(n: Int, shiftAt: Int): Seq[(String, Long, Double)] =
+      (0 until n).map(h =>
+        ("t", h.toLong, if (h >= shiftAt) 130.0 else 100.0))
+    def run(rows: Seq[(String, Long, Double)]) =
+      ops.Events.cusum(
+        rows.toDF("event_type", "hour", "value")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros($"hour" * 3600000000L)))
+        .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().head
+    val shifted = run(series(100, 80))
+    assert(shifted._3 == 10000L) // burn-in mean cents
+    assert(shifted._6.contains(96L),
+      s"alarm_up=${shifted._6}, want hour 96")
+    assert(shifted._7.isEmpty)
+    val stable = run(series(100, 1000))
+    assert(stable._6.isEmpty && stable._7.isEmpty)
+    assert(stable._4 == 0L && stable._5 == 0L)
+    // downward shift trips the negative side symmetrically
+    val down = run((0 until 100).map(h =>
+      ("t", h.toLong, if (h >= 80) 70.0 else 100.0)))
+    assert(down._7.contains(96L) && down._6.isEmpty)
+  }
+
+  test("q219: deterministic noise is distribution-faithful across a wide domain") {
+    import spark.implicits._
+    // 20k one-event cells: noise = noisy_count − 1, drawn per cell key
+    val df = (0L until 20000L)
+      .toDF("day")
+      .select(
+        org.apache.spark.sql.functions.lit("x").as("event_type"),
+        org.apache.spark.sql.functions
+          .timestamp_micros($"day" * 86400000000L).as("ts"))
+    val noise = ops.Stats.dpHistogram(df)
+      .select($"noisy_count" - 1L).as[Long].collect()
+    assert(noise.length == 20000)
+    val mean = noise.sum.toDouble / noise.length
+    val varN = noise.map(k => (k - mean) * (k - mean)).sum / noise.length
+    // discrete Laplace, α = e⁻¹: Var = 2α/(1−α)² ≈ 1.8420
+    val alpha = math.exp(-1.0)
+    val want = 2 * alpha / ((1 - alpha) * (1 - alpha))
+    assert(math.abs(mean) < 0.05, s"noise mean $mean")
+    assert(math.abs(varN - want) / want < 0.1,
+      s"noise var $varN, want ≈ $want")
+    // and the release is deterministic: a re-run is bit-identical
+    val again = ops.Stats.dpHistogram(df)
+      .select($"noisy_count" - 1L).as[Long].collect()
+    assert(noise.toSeq == again.toSeq)
+  }
+
+  test("q220: a pure-seasonal series forecasts the target hour's level exactly") {
+    import spark.implicits._
+    // 3 full days, zero trend, hod-dependent level: 800.00 before noon,
+    // 500.00 from noon — deseasonalizing leaves an all-zero series, so
+    // level = trend = 0 and each forecast is exactly the seasonal index
+    // of its TARGET hour (phase-correct, which q214 cannot be)
+    val rows = (0 until 72).map { h =>
+      ("s", h.toLong, if (h % 24 < 12) 800.0 else 500.0)
+    }
+    val got = ops.Events.holtWinters(
+      rows.toDF("event_type", "hour", "value")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros($"hour" * 3600000000L)))
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got._2 == 72L)
+    assert(got._3 == 0L && got._4 == 0L) // level, trend
+    // last hour is 71 (hod 23): +1h → hod 0 (80000¢), +6h → hod 5
+    // (80000¢), +24h → hod 23 (50000¢), all in micro-cents
+    assert(got._5 == 80000L * 1000000L, s"fc_1h=${got._5}")
+    assert(got._6 == 80000L * 1000000L)
+    assert(got._7 == 50000L * 1000000L)
+  }
+
   test("q216 on real data: repetition and time bound both bind") {
     val sf = "/root/testdata/sf0.001"
     import spark.implicits._
