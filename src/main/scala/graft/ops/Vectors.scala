@@ -447,6 +447,30 @@ object Vectors {
     * Recall vs the exact q40 scan and the ADC error bound are gated in
     * Round10Spec (sketch class — no SQL oracle by contract).
     */
+  /** The ADC score `Σₘ q⁽ᵐ⁾ · C⁽ᵐ⁾[codeₘ]` over a row's `codes` array:
+    * the codebook lookup is an `element_at` into a `typedlit` constant
+    * and the sub-space dot is the zip_with/aggregate HOF pair — all
+    * codegen. `qn` may be a column (inline probe) or a literal array
+    * (disk probe with the query collected once).
+    */
+  private def adcExpr(
+      qn: Column,
+      cbs: Array[Array[Array[Double]]],
+      m: Int,
+      sub: Int,
+  ): Column =
+    (0 until m).map { mi =>
+      val chosen = element_at(
+        typedLit(cbs(mi).map(_.toSeq).toSeq),
+        element_at(col("codes"), mi + 1) + 1)
+      aggregate(
+        zip_with(slice(qn, mi * sub + 1, sub), chosen,
+          (a, b) => a.cast("double") * b),
+        lit(0.0),
+        (acc, x) => acc + x,
+      )
+    }.reduce(_ + _)
+
   def ivfPqTopK(
       embeddings: DataFrame,
       queryVecId: Long,
@@ -482,17 +506,7 @@ object Vectors {
           .vecTopCells(spark, col("embedding"), cents, nCells, dims, nProbe)
           .as("qcells"),
       )
-    val adc = (0 until m).map { mi =>
-      val chosen = element_at(
-        typedLit(cbs(mi).map(_.toSeq).toSeq),
-        element_at(col("codes"), mi + 1) + 1)
-      aggregate(
-        zip_with(slice(col("qn"), mi * sub + 1, sub), chosen,
-          (a, b) => a.cast("double") * b),
-        lit(0.0),
-        (acc, x) => acc + x,
-      )
-    }.reduce(_ + _)
+    val adc = adcExpr(col("qn"), cbs, m, sub)
     val ranked = index
       .join(broadcast(q))
       .filter(array_contains(col("qcells"), col("cell")))
@@ -538,29 +552,37 @@ object Vectors {
     * pair set). At corpus scale the adjacency list is a (src, dst)
     * table bucketed by src — a beam expansion is a point-lookup join.
     *
-    * SEARCH (bounded by construction): entry = the smallest vec_id in
-    * the query's nearest cell (the coarse quantizer plays HNSW's upper
-    * layer); then ≤ `hops` rounds of: expand the best `beam` unexpanded
-    * ids, fetch their neighbors (≤ beam·degree rows), score the new ids
-    * by exact cosine against the broadcast query. Driver state and
-    * every collect are ≤ beam·degree·hops rows (~300) — the q49-family
-    * bounded-collect discipline, independent of corpus size. Returns
-    * the top-k visited with `n_scored` as the probe-cost observable;
-    * Round11Spec gates recall@k against the exact scan and the
-    * visited-set bound (sketch class — no SQL oracle by contract).
+    * SEARCH (bounded by construction — rows AND bytes): entry = the
+    * smallest vec_id in the query's nearest cell (the coarse quantizer
+    * plays HNSW's upper layer); then ≤ `hops` rounds of: expand the
+    * best `beam` unexpanded ids, fetch their neighbors (≤ beam·degree
+    * rows), score the new ids by exact cosine against the query vector
+    * (collected ONCE, re-injected as a literal). Driver state and every
+    * collect are ≤ beam·degree·hops rows (~300) — the q49-family
+    * bounded-collect discipline, independent of corpus size. Crucially
+    * the per-hop fetches are POINT LOOKUPS into the persisted store's
+    * id-bucketed layout ([[pointLookup]]): each hop READS ≤ |ids|
+    * partitions of the adjacency/embedding stores, never the corpus —
+    * at 100 TB every hop of every probe scans a bounded byte budget,
+    * not the embedding table (Round12Spec asserts files-read ≪ total
+    * per lookup; r11 flagged the pre-store `isin`-on-a-heap-scan
+    * version for exactly this). Returns the top-k visited with
+    * `n_scored` as the probe-cost observable; Round11Spec gates
+    * recall@k against the exact scan and the visited-set bound (sketch
+    * class — no SQL oracle by contract).
     */
-  def knnGraphTopK(
+  def buildKnnGraphStore(
       embeddings: DataFrame,
+      root: String,
       queryVecId: Long,
-      k: Int,
       nCells: Int = 32,
       assign: Int = 2,
       degree: Int = 6,
-      beam: Int = 8,
-      hops: Int = 6,
       dims: Int = 64,
-  ): DataFrame = {
+  ): Unit = {
+    import org.apache.spark.sql.SaveMode
     val spark = embeddings.sparkSession
+    import spark.implicits._
     val cents = ivfCentroids(embeddings, nCells, dims)
     val base = embeddings.filter(col("vec_id") =!= queryVecId)
     val assigned = base.select(
@@ -587,62 +609,103 @@ object Vectors {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= degree)
       .select(col("src"), col("dst"))
-      .cache()
-    try {
-      val qdf = embeddings.filter(col("vec_id") === queryVecId)
-        .select(col("embedding").as("qe"),
-          graft.functions.VectorExprs
-            .vecTopCells(spark, col("embedding"), cents, nCells, dims, 1)
-            .as("qcells"))
-      // coarse-level entry: smallest id in the query's nearest cell
-      // (1-row bounded collect)
-      val entry = assigned
-        .join(broadcast(qdf))
-        .filter(col("cell") === element_at(col("qcells"), 1))
-        .agg(min(col("vec_id"))).head.getLong(0)
-      // (label, cos) for a bounded id set — ≤ beam·degree rows per call
-      def score(ids: Seq[Long]): Array[(Long, Int, Double)] =
-        embeddings
-          .filter(col("vec_id").isin(ids: _*))
-          .join(broadcast(qdf.select(col("qe"))))
-          .select(col("vec_id"), col("label"),
-            round(graft.functions.VectorExprs
-              .vecCosine(spark, col("embedding"), col("qe")), 4).as("cos"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      val scores = scala.collection.mutable.Map.empty[Long, (Int, Double)]
-      score(Seq(entry)).foreach { case (id, lb, c) => scores(id) = (lb, c) }
-      val expanded = scala.collection.mutable.Set.empty[Long]
-      var h = 0
-      var frontierNonEmpty = true
-      while (h < hops && frontierNonEmpty) {
-        val toExpand = scores.toSeq
-          .filterNot { case (id, _) => expanded(id) }
-          .sortBy { case (id, (_, c)) => (-c, id) }
-          .take(beam)
-          .map(_._1)
-        if (toExpand.isEmpty) frontierNonEmpty = false
-        else {
-          expanded ++= toExpand
-          val neigh = graph
-            .filter(col("src").isin(toExpand: _*))
-            .select(col("dst")).distinct()
-            .collect().map(_.getLong(0)) // ≤ beam·degree rows
-            .filterNot(scores.contains)
-          if (neigh.nonEmpty)
-            score(neigh.toSeq).foreach { case (id, lb, c) =>
-              scores(id) = (lb, c)
-            }
-          h += 1
-        }
-      }
-      val top = scores.toSeq
+    // repartition ON the bucket key before the dynamic-partition write:
+    // every bucket is then written by exactly one task → one file per
+    // bucket, so a point lookup reads |buckets(ids)| FILES, not
+    // |buckets(ids)| × |write tasks|
+    graph
+      .withColumn("b", pmod(col("src"), lit(lookupBuckets.toLong)))
+      .repartition(col("b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$root/adj")
+    base
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("b", pmod(col("vec_id"), lit(lookupBuckets.toLong)))
+      .repartition(col("b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$root/emb")
+    // per-cell entry points (|cells| rows) + the trained centroids
+    assigned.groupBy(col("cell")).agg(min(col("vec_id")).as("entry_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/cells")
+    Seq(Tuple1(cents.toSeq)).toDF("cents")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/cents")
+  }
+
+  /** Greedy beam search over a [[buildKnnGraphStore]] store. Every data
+    * access is either a 1-row query fetch or a bucket-pruned point
+    * lookup; nothing scans the corpus.
+    */
+  def searchKnnGraphStore(
+      s: SparkSession,
+      root: String,
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nCells: Int = 32,
+      beam: Int = 8,
+      hops: Int = 6,
+      dims: Int = 64,
+  ): DataFrame = {
+    val cents = s.read.parquet(s"$root/cents")
+      .head.getSeq[Double](0).toArray
+    // ONE reader per store: the file-index listing happens here once;
+    // every hop's pruned lookup reuses it
+    val embStore = s.read.parquet(s"$root/emb")
+    val adjStore = s.read.parquet(s"$root/adj")
+    // the query vector: ONE bounded fetch by id (a production caller
+    // passes the vector itself), then a literal in every scoring plan
+    val qRow = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"),
+        element_at(graft.functions.VectorExprs
+          .vecTopCells(s, col("embedding"), cents, nCells, dims, 1), 1)
+          .as("qcell"))
+      .head
+    val qe = qRow.getSeq[Float](0)
+    val qcell = qRow.getInt(1)
+    val entry = s.read.parquet(s"$root/cells")
+      .filter(col("cell") === qcell)
+      .collect().headOption.map(_.getLong(1))
+      .getOrElse(s.read.parquet(s"$root/cells")
+        .agg(min(col("entry_id"))).head.getLong(0))
+    // (label, cos) for a bounded id set — a bucket-pruned point lookup
+    def score(ids: Seq[Long]): Array[(Long, Int, Double)] =
+      pointLookup(embStore, "vec_id", ids)
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorExprs
+            .vecCosine(s, col("embedding"), typedLit(qe)), 4).as("cos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val scores = scala.collection.mutable.Map.empty[Long, (Int, Double)]
+    score(Seq(entry)).foreach { case (id, lb, c) => scores(id) = (lb, c) }
+    val expanded = scala.collection.mutable.Set.empty[Long]
+    var h = 0
+    var frontierNonEmpty = true
+    while (h < hops && frontierNonEmpty) {
+      val toExpand = scores.toSeq
+        .filterNot { case (id, _) => expanded(id) }
         .sortBy { case (id, (_, c)) => (-c, id) }
-        .take(k)
-        .map { case (id, (lb, c)) => (id, lb, c, scores.size.toLong) }
-      import spark.implicits._
-      top.toDF("vec_id", "label", "cos", "n_scored")
-    } finally graph.unpersist()
+        .take(beam)
+        .map(_._1)
+      if (toExpand.isEmpty) frontierNonEmpty = false
+      else {
+        expanded ++= toExpand
+        val neigh = pointLookup(adjStore, "src", toExpand)
+          .select(col("dst")).distinct()
+          .collect().map(_.getLong(0)) // ≤ beam·degree rows
+          .filterNot(scores.contains)
+        if (neigh.nonEmpty)
+          score(neigh.toSeq).foreach { case (id, lb, c) =>
+            scores(id) = (lb, c)
+          }
+        h += 1
+      }
+    }
+    val top = scores.toSeq
+      .sortBy { case (id, (_, c)) => (-c, id) }
+      .take(k)
+      .map { case (id, (lb, c)) => (id, lb, c, scores.size.toLong) }
+    import s.implicits._
+    top.toDF("vec_id", "label", "cos", "n_scored")
   }
 
   // ---- registered queries ----
@@ -750,8 +813,20 @@ object Vectors {
     ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
       nCells = 16, nProbe = 4, rerank = 50)
 
-  private def q181(s: SparkSession, d: String): DataFrame =
-    knnGraphTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+  /** q181's registered run: the graph index is built ONCE per corpus
+    * (build-if-absent — the builder is deterministic, so a present
+    * store ≡ a rebuild; production builds the graph offline exactly
+    * like this) and every run measures what serving actually pays: the
+    * bounded, bucket-pruned walk.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val root = q181StoreRoot(d)
+    val emb = Tables.embeddings(s, d)
+    ensureBuilt(s, s"$root/emb") {
+      buildKnnGraphStore(emb, root, queryVecId = 0L)
+    }
+    searchKnnGraphStore(s, root, emb, queryVecId = 0L, k = 10)
+  }
 
   /** q200: ANN STRATEGY COMPARISON — the recall-vs-probe-cost matrix
     * for the serving decision the index family (q40 exact, q49 IVF,
@@ -759,41 +834,77 @@ object Vectors {
     * same query, same k, one row per strategy with hits against the
     * exact top-10, recall in permille, and the number of candidate
     * vectors each strategy actually SCORED (the cost axis — exact
-    * scores the corpus, IVF/PQ score their probed cells, the graph
-    * walk scores its bounded frontier). Re-derives the IVF probed-cell
-    * count from the same centroids/index builders the queries use, so
-    * the cost column is measured, not estimated. Driver state: four
-    * bounded top-k collects + one count. No oracle (DuckDB cannot
-    * replay the index internals); Round11Spec gates the recall floors
-    * and the cost ordering.
+    * scores the corpus; IVF scores its probed cells; IVF-PQ
+    * ADC-scores those cells PLUS exact-rescores its `rerank`-row
+    * refine set, both counted; the graph walk scores its bounded
+    * frontier). Each approximate index is PERSISTED build-if-absent
+    * (deterministic builders, so a present store ≡ a rebuild) and the
+    * comparison PROBES the stored layouts — partition-pruned cell
+    * scans for IVF/PQ (q184's device), bucket point-lookups for the
+    * graph — so a q200 run costs four probes, not three index builds
+    * (the r11 plan audit flagged the inline-rebuild version as the
+    * most expensive batch query; the graph store is shared with q181,
+    * which rebuilds it on every run of its own). Search semantics and
+    * results are IDENTICAL to q49/q127/q181 — same training sample,
+    * same centroid/codebook derivations, same probe expressions.
+    * Driver state: four bounded top-k collects + meta/count fetches.
+    * No oracle (DuckDB cannot replay the index internals);
+    * Round11Spec gates the recall floors and the cost ordering.
     */
   private def q200(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val root = q200IndexRoot(d)
     val emb = Tables.embeddings(s, d)
     val exact = topKCosine(emb, 0L, 10).collect().map(_.getLong(0))
     val exactIds = exact.toSet
     val corpusN = emb.filter(col("vec_id") =!= 0L).count()
     def hits(ids: Seq[Long]): Long = ids.count(exactIds).toLong
-    // IVF / IVF-PQ probed-cell cost: same centroids, same assignment
-    val cents = ivfCentroids(emb, nCells = 16, dims = 64)
-    val q = emb
-      .filter(col("vec_id") === 0L)
+    // IVF: q49's pipeline persisted once, then a pruned probe
+    val ivfRoot = s"$root/ivf"
+    ensureBuilt(s, s"$ivfRoot/index") {
+      val cents = ivfCentroids(emb, nCells = 16, dims = 64)
+      ivfIndex(emb.filter(col("vec_id") =!= 0L), cents, 16, 64)
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("embedding"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$ivfRoot/index")
+      Seq(Tuple1(cents.toSeq)).toDF("cents")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ivfRoot/cents")
+    }
+    val cents = s.read.parquet(s"$ivfRoot/cents")
+      .head.getSeq[Double](0).toArray
+    val qcells = emb.filter(col("vec_id") === 0L)
       .select(graft.functions.VectorExprs
-        .vecTopCells(s, col("embedding"), cents, 16, 64, 4).as("qcells"))
-    val probed = ivfIndex(emb.filter(col("vec_id") =!= 0L), cents, 16, 64)
-      .join(broadcast(q))
-      .filter(array_contains(col("qcells"), col("cell")))
-      .count()
-    val ivfIds = q49(s, d).collect().map(_.getLong(0)).toSeq
-    val pqIds = q127(s, d).collect().map(_.getLong(0)).toSeq
-    val graphRows = q181(s, d).collect()
+        .vecTopCells(s, col("embedding"), cents, 16, 64, 4))
+      .head.getSeq[Int](0)
+    // probed-cell row count off the stored index — a PRUNED count, and
+    // (same training sample ⇒ same centroids) also the PQ probe's cost
+    val probed = s.read.parquet(s"$ivfRoot/index")
+      .filter(col("cell").isin(qcells: _*)).count()
+    val ivfIds = probeDiskIndex(s, s"$ivfRoot/index", emb, 0L, cents,
+      16, nProbe = 4, k = 10).collect().map(_.getLong(0)).toSeq
+    // IVF-PQ: persisted code table, pruned ADC probe + 50-row refine
+    val pqRoot = s"$root/pq"
+    ensureBuilt(s, s"$pqRoot/index") {
+      buildIvfPqStore(emb, pqRoot, queryVecId = 0L)
+    }
+    val pqIds = probeIvfPqStore(s, pqRoot, emb, 0L, k = 10,
+      nProbe = 4, rerank = 50).collect().map(_.getLong(0)).toSeq
+    // graph: q181's store, probed with the same bounded walk
+    val gRoot = q181StoreRoot(d)
+    ensureBuilt(s, s"$gRoot/emb") {
+      buildKnnGraphStore(emb, gRoot, queryVecId = 0L)
+    }
+    val graphRows =
+      searchKnnGraphStore(s, gRoot, emb, 0L, k = 10).collect()
     val graphIds = graphRows.map(_.getLong(0)).toSeq
     val graphScored = graphRows.headOption
       .map(_.getLong(3)).getOrElse(0L)
     Seq(
       ("exact_scan", hits(exact.toSeq), corpusN),
       ("ivf", hits(ivfIds), probed),
-      ("ivf_pq", hits(pqIds), probed), // + the 50-row exact refine
+      ("ivf_pq", hits(pqIds), probed + 50L),
       ("knn_graph", hits(graphIds), graphScored),
     ).toDF("strategy", "n_hits", "n_scored")
       .select($"strategy", lit(10).as("k"), $"n_hits",
@@ -805,6 +916,156 @@ object Vectors {
   private[graft] def q184IndexRoot(d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     s"target/stage_vectors/q184_index_$tag"
+  }
+
+  /** Per-SF staging root for q181's persisted graph store. */
+  private[graft] def q181StoreRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_vectors/q181_store_v1_$tag"
+  }
+
+  /** Per-SF staging root for q200's persisted comparison indexes. */
+  private[graft] def q200IndexRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_vectors/q200_index_v1_$tag"
+  }
+
+  /** Id-bucket count for the point-lookup layouts. 64 suffices at test
+    * SF; at corpus scale buckets grow with the store (≈ bytes / target
+    * file size) while a probe's cost stays ≤ |ids| buckets — the bucket
+    * count divides the store, not the lookup.
+    */
+  private[graft] val lookupBuckets = 64
+
+  /** Random-access read of a store laid out `partitionBy("b")` with
+    * b = id mod [[lookupBuckets]]: the bucket list derived from the
+    * LITERAL id list reaches the file index as PartitionFilters, so the
+    * scan touches ≤ |distinct id buckets| partitions however large the
+    * store — the point-lookup pattern a graph walk (or any id-keyed
+    * serving read) needs. A bare `isin` on a heap layout would list and
+    * read every file and filter per row (the r11 `weak` finding this
+    * layout retires). `store` is the caller's ONE `read.parquet` of the
+    * layout — its cached file index is reused across lookups, so a
+    * multi-hop walk pays the directory listing once, not per hop.
+    * Round12Spec asserts files-read ≪ total and the PartitionFilters
+    * plan shape.
+    */
+  private[graft] def pointLookup(
+      store: DataFrame,
+      idCol: String,
+      ids: Seq[Long],
+  ): DataFrame = {
+    val buckets = ids.map(_ % lookupBuckets).distinct
+    store.filter(col("b").isin(buckets: _*) && col(idCol).isin(ids: _*))
+  }
+
+  /** Build-if-absent guard for the deterministic staged stores: the
+    * builders are pure functions of the source table, so a present
+    * `_SUCCESS` marker means the store's content is exactly what a
+    * rebuild would write.
+    */
+  private def ensureBuilt(s: SparkSession, dir: String)(
+      build: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) build
+  }
+
+  /** Persist [[ivfPqTopK]]'s index half: the `partitionBy(cell)` code
+    * table (vec_id, label, cell, codes — raw embeddings dropped, the PQ
+    * storage win) plus centroid/codebook meta, so a probe replays the
+    * identical ADC search against a PRUNED scan of the stored layout
+    * instead of re-training and re-encoding the corpus per query.
+    */
+  private[graft] def buildIvfPqStore(
+      embeddings: DataFrame,
+      root: String,
+      queryVecId: Long,
+      nCells: Int = 16,
+      m: Int = 8,
+      nCodes: Int = 256,
+      dims: Int = 64,
+  ): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dims / m
+    val sample = normalizedSample(embeddings, dims)
+    val cents = ivfCentroidsFrom(sample, nCells, dims)
+    val cbs = pqCodebooksFrom(sample, m, nCodes, dims)
+    val base = withNormalizedF(embeddings, "embedding")
+    ivfIndex(base.filter(col("vec_id") =!= queryVecId), cents, nCells,
+      dims)
+      .withColumn("codes",
+        array((0 until m).map(mi =>
+          pqCode(spark, col("nvec"), cbs(mi), mi, sub)): _*))
+      .select(col("vec_id"), col("label"), col("cell"), col("codes"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$root/index")
+    Seq(Tuple1(cents.toSeq)).toDF("cents")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/cents")
+    cbs.zipWithIndex
+      .flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+      }
+      .toSeq.toDF("mi", "code", "vec")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/cb")
+  }
+
+  /** ADC + exact-refine probe of a [[buildIvfPqStore]] store — the
+    * same search as [[ivfPqTopK]]'s probe half (identical expressions,
+    * identical results), but the probed cells are collected FIRST (one
+    * bounded 1-row fetch) so the literal `isin` partition-prunes the
+    * stored index scan, q184's device.
+    */
+  private[graft] def probeIvfPqStore(
+      s: SparkSession,
+      root: String,
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nProbe: Int = 4,
+      m: Int = 8,
+      nCodes: Int = 256,
+      dims: Int = 64,
+      rerank: Int = 0,
+  ): DataFrame = {
+    val sub = dims / m
+    val cents = s.read.parquet(s"$root/cents")
+      .head.getSeq[Double](0).toArray
+    val nCells = cents.length / dims
+    val cbs = Array.fill(m)(Array.ofDim[Array[Double]](nCodes))
+    s.read.parquet(s"$root/cb").collect().foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val qRow = withNormalizedF(
+        embeddings.filter(col("vec_id") === queryVecId), "embedding")
+      .select(col("nvec"),
+        graft.functions.VectorExprs
+          .vecTopCells(s, col("embedding"), cents, nCells, dims, nProbe))
+      .head
+    val qn = qRow.getSeq[Float](0)
+    val cells = qRow.getSeq[Int](1)
+    val ranked = s.read.parquet(s"$root/index")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        round(adcExpr(typedLit(qn), cbs, m, sub), 4).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+    if (rerank <= 0) ranked.limit(k)
+    else {
+      val shortlist = ranked.limit(rerank)
+      embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(embeddings
+          .filter(col("vec_id") === queryVecId)
+          .select(col("embedding").as("qe"))))
+        .select(col("vec_id"), col("label"), col("adc_cos"),
+          round(graft.functions.VectorExprs
+            .vecCosine(s, col("embedding"), col("qe")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
   }
 
   /** Probe a DISK IVF index (rows (vec_id, label, cell, embedding),
