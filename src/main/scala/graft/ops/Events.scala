@@ -1573,7 +1573,10 @@ object Events {
     * bit-for-bit before the final 4-decimal round (every op — add, mul,
     * div, sqrt — is correctly rounded, and both sides consume the exact
     * same integer sums). At 100 TB this is the textbook one-shuffle
-    * aggregate: the Σ/Σ² partials reduce each map task to 5 rows.
+    * aggregate: the Σ/Σ² partials reduce each map task to 5 rows — with
+    * the Σx² cent-squared sums lifted to DECIMAL(38,0) (q170's device)
+    * once event counts push them past 2⁶³, exactly as q194 documents
+    * for the same sums.
     */
   private def q185(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2000,6 +2003,11 @@ object Events {
       .select($"src", $"dst", $"ppm")
     val m = matrix.collect() // bounded: ≤ (|types|+1)² cells
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // `event_type` is a dictionary by schema contract; this guards the
+    // bounded-collect claim against a table where it isn't
+    require(m.size <= 2048 * 2048,
+      s"q215 transition matrix ${m.size} cells — event_type is not " +
+        "dictionary-sized; the driver-side solve assumes it is")
     def cell(src: String, dst: String): Long = m.getOrElse((src, dst), 0L)
     val sweeps = 32
     def solve(removed: Option[String]): Long = {
@@ -2677,7 +2685,10 @@ object Events {
     * without a join-back; the anomaly test is a per-row double
     * comparison from integer sums (identical operand order both
     * engines) and the output is the 840-cell rollup. At 100 TB this is
-    * one exchange and a cell-cardinality aggregate.
+    * one exchange and a cell-cardinality aggregate, with the Σc²
+    * cent-squared sums lifted to DECIMAL(38,0) (q170's device) once
+    * per-cell event counts push them past 2⁶³, as q194 documents for
+    * the same sums.
     */
   private def q208(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

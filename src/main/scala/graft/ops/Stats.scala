@@ -47,6 +47,12 @@ object Stats {
       .groupBy($"t", $"c")
       .agg(count(lit(1)).as("cnt"))
     val types = hist.select($"t").distinct().as[String].collect().sorted
+    // `event_type` is a dictionary by schema contract; guard the
+    // bounded-collect (and the |types|² pair fan-out) against a table
+    // where it isn't
+    require(types.length <= 2048,
+      s"q186 pairs over ${types.length} types — event_type is not " +
+        "dictionary-sized; the pair fan-out assumes it is")
     val pairs = for { a <- types; b <- types if a < b } yield (a, b)
     val pairsDf = s.createDataFrame(pairs).toDF("ta", "tb")
     val sideA = hist

@@ -331,6 +331,19 @@ class Round11Spec extends AnyFunSuite {
       .select($"event_type", $"user_id").distinct()
       .as[(String, Long)].collect()
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    // COVERAGE first (r11 ADVICE): every type pair whose exact
+    // intersection is non-trivial must appear in the output at all — a
+    // regression that silently drops a high-overlap pair would
+    // otherwise pass the per-row accuracy loop below by vacuity
+    val emitted = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = for {
+      (ta, ua) <- du.toSeq; (tb, ub) <- du.toSeq
+      if ta < tb && (ua intersect ub).size >= 10
+    } yield (ta, tb)
+    assert(expected.nonEmpty, "fixture degenerate: no overlapping pairs")
+    expected.foreach { p =>
+      assert(emitted.contains(p), s"pair $p missing from q191 output")
+    }
     rows.foreach { r =>
       val exact =
         (du(r.getString(0)) intersect du(r.getString(1))).size.toDouble
