@@ -84,6 +84,105 @@ object Sequence {
   final case class SeqMatch(user_id: Long, start_us: Long, end_us: Long,
       n_rows: Long, n_plus: Long)
 
+  /** A match without its key (the [[Nfa]] is key-agnostic). */
+  final case class MatchCore(startUs: Long, endUs: Long, nRows: Long,
+      nPlus: Long)
+
+  /** The [[Nfa]]'s O(1) state, snapshot-able so the STREAMING runner
+    * (q222) can persist it in a per-key state store between microbatches
+    * — the batch fold and the stream share one stepper, so their
+    * semantics cannot drift.
+    */
+  final case class NfaState(active: Boolean, stepIdx: Int, consumed: Int,
+      startUs: Long, endUs: Long, nRows: Long, nPlus: Long)
+
+  /** The compiled single-thread NFA for ONE key's time-ordered rows.
+    * `advance` feeds one row and returns the match it completed, if
+    * any (≤ 1 per row by construction); `flushEnd` closes a satisfied
+    * trailing one-or-more match at end-of-key. State is O(pattern
+    * length); see the module doc for why this single pass is exact.
+    */
+  final class Nfa(
+      stepOf: Map[String, Int],
+      plus: Array[Boolean],
+      within: Long,
+  ) extends Serializable {
+    private val nSteps = plus.length
+    private var active = false
+    private var stepIdx, consumed = 0
+    private var startUs, endUs, nRows, nPlus = 0L
+    private var emitted: MatchCore = _
+
+    private def emit(): Unit =
+      emitted = MatchCore(startUs, endUs, nRows, nPlus)
+
+    /** Kill the attempt; a satisfied trailing `+` step is a completed
+      * greedy match, emitted before the state clears.
+      */
+    private def kill(): Unit = {
+      if (active && stepIdx == nSteps - 1 && plus(stepIdx) &&
+        consumed >= 1) emit()
+      active = false
+    }
+
+    private def consumeInto(k: Int, us: Long): Unit = {
+      stepIdx = k; consumed += 1; nRows += 1; endUs = us
+      if (plus(k)) nPlus += 1
+      else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
+      if (stepIdx == nSteps) { emit(); active = false }
+    }
+
+    private def tryStart(us: Long, tpe: String): Unit =
+      if (stepOf.get(tpe).contains(0)) {
+        active = true; stepIdx = 0; consumed = 0
+        startUs = us; endUs = us; nRows = 0L; nPlus = 0L
+        consumeInto(0, us)
+      }
+
+    def advance(us: Long, tpe: String): Option[MatchCore] = {
+      emitted = null
+      if (!active) tryStart(us, tpe)
+      else {
+        val timeOk = us - startUs <= within
+        val k = stepIdx
+        if (timeOk && stepOf.get(tpe).contains(k) &&
+          (consumed == 0 || plus(k)))
+          consumeInto(k, us)
+        else if (timeOk && consumed >= 1 && k + 1 < nSteps &&
+          stepOf.get(tpe).contains(k + 1)) {
+          consumed = 0
+          consumeInto(k + 1, us)
+        } else { // cannot extend: close out, re-consider this row
+          kill()
+          tryStart(us, tpe)
+        }
+      }
+      Option(emitted)
+    }
+
+    def flushEnd(): Option[MatchCore] = {
+      emitted = null
+      kill()
+      Option(emitted)
+    }
+
+    def reset(): Unit = active = false
+
+    def snapshot: NfaState =
+      NfaState(active, stepIdx, consumed, startUs, endUs, nRows, nPlus)
+
+    def restore(st: NfaState): Unit = {
+      active = st.active; stepIdx = st.stepIdx; consumed = st.consumed
+      startUs = st.startUs; endUs = st.endUs
+      nRows = st.nRows; nPlus = st.nPlus
+    }
+  }
+
+  /** Compile a [[Pattern]] to its per-key stepper. */
+  def compile(p: Pattern): Nfa =
+    new Nfa(p.steps.map(_.eventType).zipWithIndex.toMap,
+      p.steps.map(_.oneOrMore).toArray, p.withinUs)
+
   /** Compile `pattern` and run it over `events` (schema: user_id, ts,
     * event_id, event_type), returning one row per match ordered by
     * (user_id, start_us). Rows are matched in (us, event_id) order per
@@ -92,10 +191,6 @@ object Sequence {
   def matchPattern(events: DataFrame, pattern: Pattern): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val stepOf = pattern.steps.map(_.eventType).zipWithIndex.toMap
-    val plus   = pattern.steps.map(_.oneOrMore).toArray
-    val nSteps = plus.length
-    val within = pattern.withinUs
     val rows = events
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
@@ -105,70 +200,29 @@ object Sequence {
     implicit val enc = Encoders.product[SeqMatch]
     rows
       .mapPartitions { it =>
+        val nfa = compile(pattern)
         new Iterator[SeqMatch] {
-          // ≤ 1 match can complete per consumed row, +1 at stream end —
+          // ≤ 1 match can complete per consumed row, +1 at key end —
           // a 2-slot queue, never a per-partition buffer
           private val pend = scala.collection.mutable.Queue.empty[SeqMatch]
           private var flushed = false
-          // thread state: O(1) per key, independent of history length
           private var curUser = Long.MinValue
-          private var active  = false
-          private var stepIdx = 0
-          private var consumed = 0 // rows taken by the CURRENT step
-          private var startUs, endUs, nRows, nPlus = 0L
 
-          private def emit(): Unit =
-            pend += SeqMatch(curUser, startUs, endUs, nRows, nPlus)
-
-          /** Kill the attempt; a satisfied trailing `+` step is a
-            * completed greedy match, emitted before the state clears.
-            */
-          private def kill(): Unit = {
-            if (active && stepIdx == nSteps - 1 && plus(stepIdx) &&
-              consumed >= 1) emit()
-            active = false
-          }
-
-          private def consumeInto(k: Int, us: Long): Unit = {
-            stepIdx = k; consumed += 1; nRows += 1; endUs = us
-            if (plus(k)) nPlus += 1
-            else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
-            if (stepIdx == nSteps) { emit(); active = false }
-          }
-
-          private def tryStart(us: Long, tpe: String): Unit =
-            if (stepOf.get(tpe).contains(0)) {
-              active = true; stepIdx = 0; consumed = 0
-              startUs = us; endUs = us; nRows = 0L; nPlus = 0L
-              consumeInto(0, us)
-            }
-
-          private def handle(us: Long, tpe: String): Unit =
-            if (!active) tryStart(us, tpe)
-            else {
-              val timeOk = us - startUs <= within
-              val k = stepIdx
-              if (timeOk && stepOf.get(tpe).contains(k) &&
-                (consumed == 0 || plus(k)))
-                consumeInto(k, us)
-              else if (timeOk && consumed >= 1 && k + 1 < nSteps &&
-                stepOf.get(tpe).contains(k + 1)) {
-                consumed = 0
-                consumeInto(k + 1, us)
-              } else { // cannot extend: close out, re-consider this row
-                kill()
-                tryStart(us, tpe)
-              }
-            }
+          private def closeKey(): Unit =
+            nfa.flushEnd().foreach(m =>
+              pend += SeqMatch(curUser, m.startUs, m.endUs, m.nRows,
+                m.nPlus))
 
           private def consume(r: (Long, Long, Long, String)): Unit = {
-            if (r._1 != curUser) { kill(); curUser = r._1 }
-            handle(r._2, r._4)
+            if (r._1 != curUser) { closeKey(); curUser = r._1; nfa.reset() }
+            nfa.advance(r._2, r._4).foreach(m =>
+              pend += SeqMatch(curUser, m.startUs, m.endUs, m.nRows,
+                m.nPlus))
           }
 
           def hasNext: Boolean = {
             while (pend.isEmpty && it.hasNext) consume(it.next())
-            if (pend.isEmpty && !flushed) { flushed = true; kill() }
+            if (pend.isEmpty && !flushed) { flushed = true; closeKey() }
             pend.nonEmpty
           }
           def next(): SeqMatch = pend.dequeue()
@@ -282,5 +336,12 @@ object Sequence {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
+    // STREAMING MATCH_RECOGNIZE under the oracle gate: the incremental
+    // NFA (per-key watermark-matured fold in transformWithState) must
+    // hash-match the SAME DuckDB closed form as batch q216 — streaming
+    // sequence matching ≡ batch sequence matching.
+    QueryDef("q222_stream_match",
+      (s, d) => graft.streaming.Streams.streamPatternMatch(s, d),
+      Some(q216Sql)),
   )
 }

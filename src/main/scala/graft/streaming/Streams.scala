@@ -1780,6 +1780,210 @@ object Streams {
     }
   }
 
+  /** One buffered not-yet-matured event for [[PatternProcessor]]. */
+  final case class PendRow(us: Long, eid: Long, tpe: String)
+
+  /** STREAMING MATCH_RECOGNIZE — `ops.Sequence`'s declarative pattern
+    * NFA run INCREMENTALLY over an event stream. The batch operator
+    * needs each key's rows in total (us, event_id) order; a stream
+    * delivers them watermark-bounded, so the processor separates
+    * ADMISSION from MATURITY: arriving rows (late ones below the
+    * eviction watermark dropped, SessionCloser's rule) buffer in a
+    * per-key ListState, and only rows with `us < watermark` — which no
+    * future admissible row can precede — are released, sorted, and fed
+    * through the SAME [[graft.ops.Sequence.Nfa]] stepper the batch fold
+    * uses (one implementation, zero semantic drift; its O(1) state
+    * rides in a ValueState between microbatches). One event-time timer
+    * per key, armed at the earliest buffered row's maturity, releases
+    * buffered rows when the watermark passes them even if the key goes
+    * quiet.
+    *
+    * State per key = NFA state (O(pattern)) + the buffer, bounded by
+    * the watermark horizon — the same bound every stream-stream join
+    * here carries; matches emit exactly once, as soon as the watermark
+    * proves them. Anchored patterns (last step `once`) complete purely
+    * row-driven, so the streaming output equals the batch operator on
+    * the same data — which is how q222 is gated: the driver's DuckDB
+    * oracle for q222 IS q216's closed form, and Round12Spec
+    * additionally pins stream ≡ batch row-for-row.
+    */
+  final class PatternProcessor(
+      stepTypes: Array[String],
+      stepPlus: Array[Boolean],
+      withinUs: Long,
+  ) extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), graft.ops.Sequence.SeqMatch] {
+    import graft.ops.Sequence
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[PendRow] = _
+    @transient private var nfaSt:
+        org.apache.spark.sql.streaming.ValueState[Sequence.NfaState] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var nfa: Sequence.Nfa = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[PendRow]("buf",
+        Encoders.product[PendRow],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nfaSt = getHandle.getValueState[Sequence.NfaState]("nfa",
+        Encoders.product[Sequence.NfaState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nfa = Sequence.compile(Sequence.Pattern(
+        stepTypes.zip(stepPlus).toSeq.map { case (t, p) =>
+          Sequence.Step(t, p)
+        }, withinUs))
+    }
+    /** Re-point the key's single timer at the earliest buffered row's
+      * maturity (idempotent, SessionCloser's arming discipline). */
+    private def rearm(pending: Seq[PendRow]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (pending.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = pending.iterator.map(_.us).min / 1000L + 1L
+        if (next != prev) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
+    private def release(
+        user: Long,
+        wmUs: Long,
+        incoming: Seq[PendRow],
+    ): Iterator[Sequence.SeqMatch] = {
+      val all =
+        (if (buf.exists()) buf.get().toSeq else Nil) ++ incoming
+      val (mature, pending) = all.partition(_.us < wmUs)
+      if (nfaSt.exists()) nfa.restore(nfaSt.get()) else nfa.reset()
+      val out = mature
+        .sortBy(r => (r.us, r.eid))
+        .flatMap(r => nfa.advance(r.us, r.tpe))
+        .map(m =>
+          Sequence.SeqMatch(user, m.startUs, m.endUs, m.nRows, m.nPlus))
+      nfaSt.update(nfa.snapshot)
+      buf.clear()
+      if (pending.nonEmpty) buf.put(pending.toArray)
+      rearm(pending)
+      out.iterator
+    }
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[Sequence.SeqMatch] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      // drop below the EVICTION watermark (the q113-pinned rule): a row
+      // the maturity sweep has already sealed past must not fold
+      val incoming = rows
+        .map(r => PendRow(r._2, r._3, r._4))
+        .filter(_.us >= wmUs)
+        .toSeq
+      release(user, wmUs, incoming)
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
+    ): Iterator[Sequence.SeqMatch] = {
+      armed.clear() // the fired registration is consumed
+      release(user, tv.getCurrentWatermarkInMs() * 1000L, Nil)
+    }
+  }
+
+  /** q222: [[PatternProcessor]] under the driver's oracle gate, running
+    * q216's pattern (`view click+ purchase WITHIN 24h`) — the oracle is
+    * LITERALLY q216's SQL, so streaming sequence matching is
+    * hash-verified against the batch closed form. Harness = q113's:
+    * two time-ranged slices so batch order is time order, then a
+    * far-future sentinel advances the watermark past every real row's
+    * maturity; the final timers release the tail of each key's buffer.
+    */
+  def streamPatternMatch(
+      spark: SparkSession,
+      dir: String,
+  ): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Sequence
+    val pattern = Sequence.Pattern(
+      Seq(Sequence.Step("view", oneOrMore = false),
+        Sequence.Step("click", oneOrMore = true),
+        Sequence.Step("purchase", oneOrMore = false)),
+      withinUs = 24L * 3600L * 1000000L)
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"match_$uuid")
+      val srcDir = root.resolve("src").toString
+      spark.read.schema(eventsSchema(tsLong))
+        .parquet(s"$dir/events.parquet")
+        .select($"user_id", usExpr(tsLong).as("us"), $"event_id",
+          $"event_type")
+        .repartitionByRange(2, $"us")
+        .write.parquet(srcDir)
+      val parts = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toAbsolutePath)
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+      }
+      val now = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            now - 60000L + i * 10000L))
+      }
+      val hi = spark.read.parquet(srcDir).agg(max($"us")).head.getLong(0)
+      implicit val outEnc = Encoders.product[Sequence.SeqMatch]
+      val matches = spark.readStream
+        .schema("user_id LONG, us LONG, event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"user_id", $"us", $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new PatternProcessor(
+            pattern.steps.map(_.eventType).toArray,
+            pattern.steps.map(_.oneOrMore).toArray,
+            pattern.withinUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val out = root.resolve("out").toString
+      withFewStatePartitions(spark) {
+        val q = matches.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // sentinel: watermark → past every real row's maturity
+          Seq((-1L, hi + 1200L * 1000000L + 2000000L, -1L, "none"))
+            .toDF("user_id", "us", "event_id", "event_type")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      deleteStaged(root.resolve("src"))
+      spark.read.parquet(out)
+        .filter($"user_id" >= 0L)
+        .select($"user_id", $"start_us", $"end_us",
+          $"n_plus".as("n_clicks"))
+        .orderBy($"user_id", $"start_us")
+    }
+  }
+
   /** Stateful streaming sessionization: per-user inactivity-gap session
     * counting with explicit state (`flatMapGroupsWithState`) — emits the
     * running per-user totals each microbatch (Update mode).

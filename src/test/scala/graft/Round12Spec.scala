@@ -301,6 +301,97 @@ class Round12Spec extends AnyFunSuite {
     assert(got._7 == 50000L * 1000000L)
   }
 
+  test("q222 streaming match ≡ batch matchPattern, row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q222_stream_match")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q216_match_recognize")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("PatternProcessor: a cross-batch in-watermark straggler still folds in event-time order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax, timestamp_micros}
+    // batch 1 delivers view(100s) and purchase(300s); batch 2 delivers
+    // the BRIDGING click(200s) — older than batch 1's max but inside
+    // the 10-minute watermark. Maturity gating must hold all three in
+    // the buffer until the sentinel, then fold them in EVENT order and
+    // find the match; an arrival-order fold would see view,purchase,
+    // click and find nothing.
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"match_spec_${java.util.UUID.randomUUID().toString.take(8)}")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    def stage(name: String, ageMs: Long,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      rows.toDF("user_id", "us", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+      }
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    val s = 1000000L
+    stage("b1", 50000L,
+      Seq((1L, 100L * s, 1L, "view"), (1L, 300L * s, 3L, "purchase")))
+    stage("b2", 40000L, Seq((1L, 200L * s, 2L, "click")))
+    graft.streaming.Streams.withRocksDbStore(spark) {
+      implicit val outEnc =
+        org.apache.spark.sql.Encoders.product[ops.Sequence.SeqMatch]
+      val matches = spark.readStream
+        .schema("user_id LONG, us LONG, event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"user_id", $"us", $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.PatternProcessor(
+            Array("view", "click", "purchase"),
+            Array(false, true, false),
+            24L * 3600L * 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val out = root.resolve("out").toString
+      val q = matches.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // nothing may emit before maturity: the straggler could still
+        // arrive (and in batch 2, did)
+        val early = try spark.read.parquet(out).count()
+        catch { case _: Throwable => 0L }
+        assert(early == 0L, s"emitted $early matches before maturity")
+        stage("sentinel", 0L, Seq((-1L, 7200L * s, 9L, "none")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .filter(col("user_id") >= 0L)
+        .collect().map(_.toSeq).toSeq
+      assert(got == Seq(Seq(1L, 100L * s, 300L * s, 3L, 1L)),
+        s"got $got")
+    }
+    graft.streaming.Streams.deleteStaged(root)
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
