@@ -84,9 +84,14 @@ object Sequence {
   final case class SeqMatch(user_id: Long, start_us: Long, end_us: Long,
       n_rows: Long, n_plus: Long)
 
-  /** A match without its key (the [[Nfa]] is key-agnostic). */
+  /** A match without its key (the [[Nfa]] is key-agnostic).
+    * `measAll`/`measPlus` are the MEASURES accumulators: the sum of the
+    * caller-supplied per-row measure over every consumed row and over
+    * the one-or-more steps' rows respectively (0 when no measure is
+    * fed) — integer sums, so the oracle replays them exactly.
+    */
   final case class MatchCore(startUs: Long, endUs: Long, nRows: Long,
-      nPlus: Long)
+      nPlus: Long, measAll: Long, measPlus: Long)
 
   /** The [[Nfa]]'s O(1) state, snapshot-able so the STREAMING runner
     * (q222) can persist it in a per-key state store between microbatches
@@ -94,7 +99,8 @@ object Sequence {
     * semantics cannot drift.
     */
   final case class NfaState(active: Boolean, stepIdx: Int, consumed: Int,
-      startUs: Long, endUs: Long, nRows: Long, nPlus: Long)
+      startUs: Long, endUs: Long, nRows: Long, nPlus: Long,
+      measAll: Long, measPlus: Long)
 
   /** The compiled single-thread NFA for ONE key's time-ordered rows.
     * `advance` feeds one row and returns the match it completed, if
@@ -111,10 +117,12 @@ object Sequence {
     private var active = false
     private var stepIdx, consumed = 0
     private var startUs, endUs, nRows, nPlus = 0L
+    private var measAll, measPlus, rowMeas = 0L
     private var emitted: MatchCore = _
 
     private def emit(): Unit =
-      emitted = MatchCore(startUs, endUs, nRows, nPlus)
+      emitted = MatchCore(startUs, endUs, nRows, nPlus, measAll,
+        measPlus)
 
     /** Kill the attempt; a satisfied trailing `+` step is a completed
       * greedy match, emitted before the state clears.
@@ -127,7 +135,8 @@ object Sequence {
 
     private def consumeInto(k: Int, us: Long): Unit = {
       stepIdx = k; consumed += 1; nRows += 1; endUs = us
-      if (plus(k)) nPlus += 1
+      measAll += rowMeas
+      if (plus(k)) { nPlus += 1; measPlus += rowMeas }
       else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
       if (stepIdx == nSteps) { emit(); active = false }
     }
@@ -136,10 +145,13 @@ object Sequence {
       if (stepOf.get(tpe).contains(0)) {
         active = true; stepIdx = 0; consumed = 0
         startUs = us; endUs = us; nRows = 0L; nPlus = 0L
+        measAll = 0L; measPlus = 0L
         consumeInto(0, us)
       }
 
-    def advance(us: Long, tpe: String): Option[MatchCore] = {
+    def advance(us: Long, tpe: String, meas: Long = 0L)
+        : Option[MatchCore] = {
+      rowMeas = meas
       emitted = null
       if (!active) tryStart(us, tpe)
       else {
@@ -169,12 +181,14 @@ object Sequence {
     def reset(): Unit = active = false
 
     def snapshot: NfaState =
-      NfaState(active, stepIdx, consumed, startUs, endUs, nRows, nPlus)
+      NfaState(active, stepIdx, consumed, startUs, endUs, nRows, nPlus,
+        measAll, measPlus)
 
     def restore(st: NfaState): Unit = {
       active = st.active; stepIdx = st.stepIdx; consumed = st.consumed
       startUs = st.startUs; endUs = st.endUs
       nRows = st.nRows; nPlus = st.nPlus
+      measAll = st.measAll; measPlus = st.measPlus
     }
   }
 
@@ -226,6 +240,69 @@ object Sequence {
             pend.nonEmpty
           }
           def next(): SeqMatch = pend.dequeue()
+        }
+      }
+      .toDF()
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** One measured match (the MEASURES output shape). */
+  final case class SeqMatchM(user_id: Long, start_us: Long,
+      end_us: Long, n_rows: Long, n_plus: Long, meas_all: Long,
+      meas_plus: Long)
+
+  /** [[matchPattern]] with MEASURES: `measure` (any integer-valued
+    * Column, e.g. cents) is summed over every row the match consumes
+    * (`meas_all`) and over the one-or-more steps' rows (`meas_plus`) —
+    * the aggregate-over-the-match half of MATCH_RECOGNIZE
+    * (`MEASURES SUM(x)`), computed inside the same single fold at zero
+    * extra passes. Integer sums, so the closed-form oracle replays
+    * them exactly as prefix-sum differences.
+    */
+  def matchPatternMeasured(
+      events: DataFrame,
+      pattern: Pattern,
+      measure: org.apache.spark.sql.Column,
+  ): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val rows = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"),
+        measure.cast("long").as("meas"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .as[(Long, Long, Long, String, Long)]
+    implicit val enc = Encoders.product[SeqMatchM]
+    rows
+      .mapPartitions { it =>
+        val nfa = compile(pattern)
+        new Iterator[SeqMatchM] {
+          private val pend =
+            scala.collection.mutable.Queue.empty[SeqMatchM]
+          private var flushed = false
+          private var curUser = Long.MinValue
+
+          private def push(m: MatchCore): Unit =
+            pend += SeqMatchM(curUser, m.startUs, m.endUs, m.nRows,
+              m.nPlus, m.measAll, m.measPlus)
+
+          private def consume(r: (Long, Long, Long, String, Long))
+              : Unit = {
+            if (r._1 != curUser) {
+              nfa.flushEnd().foreach(push); curUser = r._1; nfa.reset()
+            }
+            nfa.advance(r._2, r._4, r._5).foreach(push)
+          }
+
+          def hasNext: Boolean = {
+            while (pend.isEmpty && it.hasNext) consume(it.next())
+            if (pend.isEmpty && !flushed) {
+              flushed = true; nfa.flushEnd().foreach(push)
+            }
+            pend.nonEmpty
+          }
+          def next(): SeqMatchM = pend.dequeue()
         }
       }
       .toDF()
@@ -333,6 +410,60 @@ object Sequence {
       |GROUP BY p.user_id, p.i, p.us
       |ORDER BY p.user_id, p.us""".stripMargin
 
+  /** q223: q216's pattern with MEASURES — each funnel match carries the
+    * cents spent on its clicks and across the whole match, accumulated
+    * inside the NFA fold (no join-back to the matched rows). The
+    * oracle extends q216's closed form with per-user click-cents
+    * PREFIX SUMS: the clicks strictly between the anchoring view and
+    * the purchase are exactly the prefix-sum difference cc(purchase) −
+    * cc(view) (neither endpoint is a click, so both endpoints' own
+    * contributions are zero) — integer arithmetic end to end.
+    */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPatternMeasured(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step("click", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L),
+      expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_clicks"),
+        $"meas_plus".as("click_cents"),
+        $"meas_all".as("total_cents"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q223Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i, cents,
+      |    MAX(CASE WHEN event_type <> 'click' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN cents
+      |      ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cc
+      |  FROM e)
+      |SELECT b.user_id, a.us AS start_us, b.us AS end_us,
+      |  CAST(b.i - b.pb - 1 AS BIGINT) AS n_clicks,
+      |  CAST(b.cc - a.cc AS BIGINT) AS click_cents,
+      |  CAST(b.cc - a.cc + a.cents + b.cents AS BIGINT) AS total_cents
+      |FROM m b JOIN m a ON a.user_id = b.user_id AND a.i = b.pb
+      |WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |  AND b.i - b.pb - 1 >= 1
+      |  AND b.us - a.us <= 86400000000
+      |ORDER BY b.user_id, a.us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -343,5 +474,6 @@ object Sequence {
     QueryDef("q222_stream_match",
       (s, d) => graft.streaming.Streams.streamPatternMatch(s, d),
       Some(q216Sql)),
+    QueryDef("q223_match_measures", q223, Some(q223Sql)),
   )
 }
