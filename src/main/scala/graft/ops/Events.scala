@@ -2222,6 +2222,52 @@ object Events {
       burnin_mean_cents: Long, max_cusum_up: Long, max_cusum_dn: Long,
       alarm_up_hour: Option[Long], alarm_dn_hour: Option[Long])
 
+  /** The q218 recurrence for ONE key's hour-ordered series, extracted
+    * so the batch fold and the STREAMING monitor (q224) share a single
+    * stepper (the q222/Nfa discipline: one implementation, zero
+    * semantic drift). All state is eight longs — snapshot-able into a
+    * keyed state store as [[CusumSnap]].
+    */
+  final case class CusumSnap(cnt: Long, s0: Long, sp: Long, sn: Long,
+      maxsp: Long, maxsn: Long, au: Long, ad: Long)
+
+  final class CusumStepper(burnIn: Int) extends Serializable {
+    private var cnt, s0, sp, sn, maxsp, maxsn = 0L
+    private var au, ad = -1L
+
+    def advance(hour: Long, x: Long): Unit =
+      if (cnt < burnIn) { s0 += x; cnt += 1 }
+      else {
+        cnt += 1
+        val d = burnIn * x - s0
+        val slack = s0 / 20L
+        sp = math.max(0L, sp + d - slack)
+        sn = math.max(0L, sn - d - slack)
+        maxsp = math.max(maxsp, sp)
+        maxsn = math.max(maxsn, sn)
+        if (au < 0L && sp > 4L * s0) au = hour
+        if (ad < 0L && sn > 4L * s0) ad = hour
+      }
+
+    def result(t: String): CusumState =
+      CusumState(t, cnt, s0 / burnIn, maxsp, maxsn,
+        if (au >= 0L) Some(au) else None,
+        if (ad >= 0L) Some(ad) else None)
+
+    def reset(): Unit = {
+      cnt = 0L; s0 = 0L; sp = 0L; sn = 0L; maxsp = 0L; maxsn = 0L
+      au = -1L; ad = -1L
+    }
+
+    def snapshot: CusumSnap =
+      CusumSnap(cnt, s0, sp, sn, maxsp, maxsn, au, ad)
+
+    def restore(s: CusumSnap): Unit = {
+      cnt = s.cnt; s0 = s.s0; sp = s.sp; sn = s.sn
+      maxsp = s.maxsp; maxsn = s.maxsn; au = s.au; ad = s.ad
+    }
+  }
+
   /** q218: CUSUM CHANGEPOINT DETECTION — "did the hourly mean SHIFT,
     * and when?" — the ops-monitoring companion q208 (point anomalies
     * vs a seasonal baseline) and q214 (forecasting) bracket but never
@@ -2273,28 +2319,17 @@ object Events {
     hourly
       .mapPartitions { it =>
         val buf = it.buffered
+        val step = new CusumStepper(burnIn)
         new Iterator[CusumState] {
           def hasNext: Boolean = buf.hasNext
           def next(): CusumState = {
             val t = buf.head._1
-            var cnt, s0, sp, sn, maxsp, maxsn = 0L
-            var au, ad: Option[Long] = None
+            step.reset()
             while (buf.hasNext && buf.head._1 == t) {
               val (_, hour, x) = buf.next()
-              if (cnt < burnIn) { s0 += x; cnt += 1 }
-              else {
-                cnt += 1
-                val d = burnIn * x - s0
-                val slack = s0 / 20L
-                sp = math.max(0L, sp + d - slack)
-                sn = math.max(0L, sn - d - slack)
-                maxsp = math.max(maxsp, sp)
-                maxsn = math.max(maxsn, sn)
-                if (au.isEmpty && sp > 4L * s0) au = Some(hour)
-                if (ad.isEmpty && sn > 4L * s0) ad = Some(hour)
-              }
+              step.advance(hour, x)
             }
-            CusumState(t, cnt, s0 / burnIn, maxsp, maxsn, au, ad)
+            step.result(t)
           }
         }
       }
@@ -2786,6 +2821,13 @@ object Events {
     QueryDef("q215_markov_attribution", q215, Some(q215Sql)),
     QueryDef("q218_cusum_changepoint", q218, Some(q218Sql)),
     QueryDef("q220_holt_winters", q220, Some(q220Sql)),
+    // STREAMING CUSUM under the oracle gate: the live changepoint
+    // monitor (hour buckets matured by watermark, folded through the
+    // shared CusumStepper in transformWithState) must hash-match the
+    // SAME recursive-CTE oracle as batch q218.
+    QueryDef("q224_stream_cusum",
+      (s, d) => graft.streaming.Streams.streamCusum(s, d),
+      Some(q218Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),

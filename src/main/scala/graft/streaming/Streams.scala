@@ -1984,6 +1984,187 @@ object Streams {
     }
   }
 
+  /** STREAMING CUSUM (q224) — q218's changepoint detector as a LIVE
+    * monitor: per-type hourly cents buckets accumulate in a MapState
+    * and, once the event-time watermark proves an hour complete
+    * (watermark ≥ hour end — no admissible future row can land in it),
+    * the matured hours release IN HOUR ORDER into the SAME
+    * [[graft.ops.Events.CusumStepper]] the batch fold uses (the
+    * q222/Nfa shared-stepper discipline; its eight-long state rides a
+    * ValueState). The hourly aggregation thus lives INSIDE the keyed
+    * processor — one stateful operator, not a window-agg →
+    * stateful-fold chain — with PatternProcessor's maturity gating
+    * applied to hour buckets instead of rows. One event-time timer per
+    * key releases the tail when a type goes quiet; state per key =
+    * 8 longs + the immature buckets (bounded by watermark horizon /
+    * 1 h). The emitted running summaries are per-column monotone, so
+    * the final state is a read-side MAX rollup (q112's device) and the
+    * DuckDB oracle is LITERALLY q218's recursive CTE — a streaming
+    * changepoint monitor hash-verified against batch changepoint
+    * detection.
+    */
+  final class CusumProcessor(burnIn: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), graft.ops.Events.CusumState] {
+    import graft.ops.Events.{CusumSnap, CusumState, CusumStepper}
+    @transient private var buckets:
+        org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var snap:
+        org.apache.spark.sql.streaming.ValueState[CusumSnap] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var stepper: CusumStepper = _
+    private val hourUs = 3600L * 1000000L
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, Long]("buckets",
+        Encoders.scalaLong, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      snap = getHandle.getValueState[CusumSnap]("snap",
+        Encoders.product[CusumSnap],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      stepper = new CusumStepper(burnIn)
+    }
+    private def rearm(immatureHours: Seq[Long]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (immatureHours.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = (immatureHours.min + 1L) * hourUs / 1000L + 1L
+        if (next != prev) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
+    private def release(tpe: String, wmUs: Long)
+        : Iterator[CusumState] = {
+      val all: Seq[(Long, Long)] = buckets.iterator().toSeq
+      val (mature, immature) =
+        all.partition { case (h, _) => (h + 1L) * hourUs <= wmUs }
+      if (snap.exists()) stepper.restore(snap.get()) else stepper.reset()
+      mature.sortBy(_._1).foreach { case (h, x) =>
+        stepper.advance(h, x)
+        buckets.removeKey(h)
+      }
+      snap.update(stepper.snapshot)
+      rearm(immature.map(_._1))
+      Iterator.single(stepper.result(tpe))
+    }
+    override def handleInputRows(
+        tpe: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[CusumState] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      // batch-local pre-aggregation, then one store merge per bucket;
+      // rows below the eviction watermark drop (the q113-pinned rule)
+      rows.filter(_._2 >= wmUs)
+        .foldLeft(Map.empty[Long, Long]) { (m, r) =>
+          val h = r._2 / hourUs
+          m.updated(h, m.getOrElse(h, 0L) + r._3)
+        }
+        .foreach { case (h, x) =>
+          val cur = if (buckets.containsKey(h)) buckets.getValue(h) else 0L
+          buckets.updateValue(h, cur + x)
+        }
+      release(tpe, wmUs)
+    }
+    override def handleExpiredTimer(
+        tpe: String,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
+    ): Iterator[CusumState] = {
+      armed.clear()
+      release(tpe, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** q224: [[CusumProcessor]] under the driver's oracle gate — the
+    * oracle is LITERALLY q218's recursive-CTE SQL. Harness = q113's
+    * time-ranged staging + a far-future sentinel; the running
+    * summaries' per-column monotonicity makes the final state a MAX
+    * rollup per type (q112's device).
+    */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"cusum_$uuid")
+      val srcDir = root.resolve("src").toString
+      spark.read.schema(eventsSchema(tsLong))
+        .parquet(s"$dir/events.parquet")
+        .select($"event_type", usExpr(tsLong).as("us"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(2, $"us")
+        .write.parquet(srcDir)
+      val parts = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toAbsolutePath)
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+      }
+      val now = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            now - 60000L + i * 10000L))
+      }
+      val hi = spark.read.parquet(srcDir).agg(max($"us")).head.getLong(0)
+      implicit val outEnc =
+        Encoders.product[graft.ops.Events.CusumState]
+      val states = spark.readStream
+        .schema("event_type STRING, us LONG, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"event_type", $"us", $"cents")
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CusumProcessor(48),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val out = root.resolve("out").toString
+      withFewStatePartitions(spark) {
+        val q = states.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // sentinel: watermark → past every real hour's end
+          Seq(("__sentinel__", hi + 4800L * 1000000L, 0L))
+            .toDF("event_type", "us", "cents")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      deleteStaged(root.resolve("src"))
+      spark.read.parquet(out)
+        .filter($"event_type" =!= "__sentinel__")
+        .groupBy($"event_type")
+        .agg(
+          max($"n_hours").as("n_hours"),
+          max($"burnin_mean_cents").as("burnin_mean_cents"),
+          max($"max_cusum_up").as("max_cusum_up"),
+          max($"max_cusum_dn").as("max_cusum_dn"),
+          max($"alarm_up_hour").as("alarm_up_hour"),
+          max($"alarm_dn_hour").as("alarm_dn_hour"),
+        )
+        .orderBy($"event_type")
+    }
+  }
+
   /** Stateful streaming sessionization: per-user inactivity-gap session
     * counting with explicit state (`flatMapGroupsWithState`) — emits the
     * running per-user totals each microbatch (Update mode).

@@ -392,6 +392,16 @@ class Round12Spec extends AnyFunSuite {
     graft.streaming.Streams.deleteStaged(root)
   }
 
+  test("q224 streaming CUSUM ≡ batch q218, row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q224_stream_cusum")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q218_cusum_changepoint")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
