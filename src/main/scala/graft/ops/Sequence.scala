@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   *     match's first row (Flink CEP's `.within()`), checked as each row
   *     is consumed.
   *
-  * Step predicates must be PAIRWISE-DISTINCT event types, and a
-  * multi-step pattern must start with a `once` step (both enforced).
+  * Step predicates are type SETS (alternation) and must be PAIRWISE
+  * DISJOINT across steps, and a multi-step pattern must start with a
+  * `once` step (both enforced).
   * Those two restrictions are what make the single-pass, single-thread
   * NFA EXACTLY equal to the backtracking attempt-at-every-row
   * definition: a row consumed mid-attempt then matches some step ≠
@@ -54,16 +55,28 @@ import org.apache.spark.sql.functions._
   */
 object Sequence {
 
-  /** One pattern step: an event-type predicate plus its quantifier
-    * (`oneOrMore = false` → exactly once, `true` → one-or-more, greedy).
+  /** One pattern step: an event-type predicate — a SET of accepted
+    * types (ALTERNATION, `(click|error)`) — plus its quantifier
+    * (`oneOrMore = false` → exactly once, `true` → one-or-more,
+    * greedy). `Step("click", ...)` is the single-type shorthand.
     */
-  final case class Step(eventType: String, oneOrMore: Boolean)
+  final case class Step(eventTypes: Seq[String], oneOrMore: Boolean) {
+    require(eventTypes.nonEmpty, "a step needs at least one event type")
+    require(eventTypes.distinct.size == eventTypes.size,
+      s"duplicate types within a step: $eventTypes")
+  }
+
+  object Step {
+    def apply(eventType: String, oneOrMore: Boolean): Step =
+      Step(Seq(eventType), oneOrMore)
+  }
 
   /** A declarative sequence pattern: ordered steps + a time bound. */
   final case class Pattern(steps: Seq[Step], withinUs: Long) {
     require(steps.nonEmpty, "pattern needs at least one step")
-    require(steps.map(_.eventType).distinct.size == steps.size,
-      "step event types must be pairwise distinct — that is what makes " +
+    require(steps.flatMap(_.eventTypes).distinct.size ==
+      steps.map(_.eventTypes.size).sum,
+      "step type sets must be pairwise disjoint — that is what makes " +
         "the single-pass NFA exact (see module doc); overlapping " +
         "predicates would need concurrent attempt threads")
     require(steps.length == 1 || !steps.head.oneOrMore,
@@ -192,9 +205,14 @@ object Sequence {
     }
   }
 
-  /** Compile a [[Pattern]] to its per-key stepper. */
+  /** Compile a [[Pattern]] to its per-key stepper. Disjoint step sets
+    * flatten to one type → step map.
+    */
   def compile(p: Pattern): Nfa =
-    new Nfa(p.steps.map(_.eventType).zipWithIndex.toMap,
+    new Nfa(
+      p.steps.zipWithIndex
+        .flatMap { case (st, i) => st.eventTypes.map(_ -> i) }
+        .toMap,
       p.steps.map(_.oneOrMore).toArray, p.withinUs)
 
   /** Compile `pattern` and run it over `events` (schema: user_id, ts,
@@ -464,6 +482,58 @@ object Sequence {
       |  AND b.us - a.us <= 86400000000
       |ORDER BY b.user_id, a.us""".stripMargin
 
+  /** q225: ALTERNATION — the step predicate as a type SET:
+    * `view (click|error)+ purchase WITHIN 24h`, the "any engagement or
+    * failure between view and purchase" funnel. On sf0.01 the
+    * alternation genuinely binds: 145 matches vs q216's 60, 85 of them
+    * containing at least one error in the run. The error count per
+    * match comes from the MEASURES mechanism with an indicator measure
+    * (1 for error rows) — alternation and measures COMPOSE in the one
+    * fold. Oracle: the same closed form with `NOT IN`/`IN` run
+    * boundaries plus an error-indicator prefix sum.
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPatternMeasured(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step(Seq("click", "error"), oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L),
+      when($"event_type" === "error", 1L).otherwise(0L))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_mid"),
+        $"meas_plus".as("n_errors"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q225Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i,
+      |    MAX(CASE WHEN event_type NOT IN ('click', 'error') THEN i
+      |      END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS ec
+      |  FROM e)
+      |SELECT b.user_id, a.us AS start_us, b.us AS end_us,
+      |  CAST(b.i - b.pb - 1 AS BIGINT) AS n_mid,
+      |  CAST(b.ec - a.ec AS BIGINT) AS n_errors
+      |FROM m b JOIN m a ON a.user_id = b.user_id AND a.i = b.pb
+      |WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |  AND b.i - b.pb - 1 >= 1
+      |  AND b.us - a.us <= 86400000000
+      |ORDER BY b.user_id, a.us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -475,5 +545,6 @@ object Sequence {
       (s, d) => graft.streaming.Streams.streamPatternMatch(s, d),
       Some(q216Sql)),
     QueryDef("q223_match_measures", q223, Some(q223Sql)),
+    QueryDef("q225_match_alternation", q225, Some(q225Sql)),
   )
 }

@@ -1807,11 +1807,8 @@ object Streams {
     * oracle for q222 IS q216's closed form, and Round12Spec
     * additionally pins stream ≡ batch row-for-row.
     */
-  final class PatternProcessor(
-      stepTypes: Array[String],
-      stepPlus: Array[Boolean],
-      withinUs: Long,
-  ) extends org.apache.spark.sql.streaming.StatefulProcessor[
+  final class PatternProcessor(pattern: graft.ops.Sequence.Pattern)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String), graft.ops.Sequence.SeqMatch] {
     import graft.ops.Sequence
     @transient private var buf:
@@ -1832,10 +1829,7 @@ object Streams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      nfa = Sequence.compile(Sequence.Pattern(
-        stepTypes.zip(stepPlus).toSeq.map { case (t, p) =>
-          Sequence.Step(t, p)
-        }, withinUs))
+      nfa = Sequence.compile(pattern)
     }
     /** Re-point the key's single timer at the earliest buffered row's
       * maturity (idempotent, SessionCloser's arming discipline). */
@@ -1951,11 +1945,7 @@ object Streams {
         .select($"user_id", $"us", $"event_id", $"event_type")
         .as[(Long, Long, Long, String)]
         .groupByKey(_._1)
-        .transformWithState(
-          new PatternProcessor(
-            pattern.steps.map(_.eventType).toArray,
-            pattern.steps.map(_.oneOrMore).toArray,
-            pattern.withinUs),
+        .transformWithState(new PatternProcessor(pattern),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Update())
       val out = root.resolve("out").toString

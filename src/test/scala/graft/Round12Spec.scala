@@ -44,7 +44,7 @@ class Round12Spec extends AnyFunSuite {
         while (ok && step < p.steps.length) {
           val st = p.steps(step)
           def fits(k: Int): Boolean =
-            k < seq.length && seq(k)._4 == st.eventType &&
+            k < seq.length && st.eventTypes.contains(seq(k)._4) &&
               seq(k)._2 - startUs <= p.withinUs
           if (!fits(j)) ok = false
           else {
@@ -156,6 +156,13 @@ class Round12Spec extends AnyFunSuite {
       Pattern(Seq(Step("error", oneOrMore = true)), withinUs = 30L),
       Pattern(Seq(Step("click", oneOrMore = false),
         Step("error", oneOrMore = true)), withinUs = 60L),
+      // alternation: set-valued step predicates
+      Pattern(Seq(Step("view", oneOrMore = false),
+        Step(Seq("click", "error"), oneOrMore = true),
+        Step("purchase", oneOrMore = false)), withinUs = 120L),
+      Pattern(Seq(Step(Seq("signup", "view"), oneOrMore = false),
+        Step(Seq("click", "error", "purchase"), oneOrMore = true)),
+        withinUs = 90L),
     )
     for (seed <- Seq(1L, 2L, 3L); p <- patterns) {
       val rows = gen(seed * 7919L, 400)
@@ -359,9 +366,11 @@ class Round12Spec extends AnyFunSuite {
         .groupByKey(_._1)
         .transformWithState(
           new graft.streaming.Streams.PatternProcessor(
-            Array("view", "click", "purchase"),
-            Array(false, true, false),
-            24L * 3600L * 1000000L),
+            ops.Sequence.Pattern(
+              Seq(ops.Sequence.Step("view", oneOrMore = false),
+                ops.Sequence.Step("click", oneOrMore = true),
+                ops.Sequence.Step("purchase", oneOrMore = false)),
+              24L * 3600L * 1000000L)),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Update())
       val out = root.resolve("out").toString
