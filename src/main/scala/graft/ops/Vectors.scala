@@ -884,18 +884,22 @@ object Vectors {
       .filter(col("cell").isin(qcells: _*)).count()
     val ivfIds = probeDiskIndex(s, s"$ivfRoot/index", emb, 0L, cents,
       16, nProbe = 4, k = 10).collect().map(_.getLong(0)).toSeq
+    // graph store first: its bucketed embedding layout doubles as the
+    // PQ refine's point-lookup vector store
+    val gRoot = q181StoreRoot(d)
+    ensureBuilt(s, s"$gRoot/emb") {
+      buildKnnGraphStore(emb, gRoot, queryVecId = 0L)
+    }
     // IVF-PQ: persisted code table, pruned ADC probe + 50-row refine
+    // fetched by bucket point-lookup (not a corpus scan)
     val pqRoot = s"$root/pq"
     ensureBuilt(s, s"$pqRoot/index") {
       buildIvfPqStore(emb, pqRoot, queryVecId = 0L)
     }
     val pqIds = probeIvfPqStore(s, pqRoot, emb, 0L, k = 10,
-      nProbe = 4, rerank = 50).collect().map(_.getLong(0)).toSeq
-    // graph: q181's store, probed with the same bounded walk
-    val gRoot = q181StoreRoot(d)
-    ensureBuilt(s, s"$gRoot/emb") {
-      buildKnnGraphStore(emb, gRoot, queryVecId = 0L)
-    }
+      nProbe = 4, rerank = 50,
+      vecStore = Some(s.read.parquet(s"$gRoot/emb")))
+      .collect().map(_.getLong(0)).toSeq
     val graphRows =
       searchKnnGraphStore(s, gRoot, emb, 0L, k = 10).collect()
     val graphIds = graphRows.map(_.getLong(0)).toSeq
@@ -1029,6 +1033,7 @@ object Vectors {
       nCodes: Int = 256,
       dims: Int = 64,
       rerank: Int = 0,
+      vecStore: Option[DataFrame] = None,
   ): DataFrame = {
     val sub = dims / m
     val cents = s.read.parquet(s"$root/cents")
@@ -1054,9 +1059,24 @@ object Vectors {
     if (rerank <= 0) ranked.limit(k)
     else {
       val shortlist = ranked.limit(rerank)
-      embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(broadcast(shortlist), Seq("vec_id"))
+      // refine fetch: with a bucketed vector store (the q181 layout),
+      // the ≤rerank ids collect (bounded by design) and the raw floats
+      // come from a PARTITION-PRUNED point lookup — at 100 TB the
+      // refine reads |ids| files, not the embedding table. Without a
+      // store, the fetch is the broadcast-filtered corpus scan.
+      val refined = vecStore match {
+        case Some(store) =>
+          val ids = shortlist.select(col("vec_id"))
+            .collect().map(_.getLong(0)).toSeq
+          pointLookup(store, "vec_id", ids)
+            .select(col("vec_id"), col("embedding"))
+            .join(broadcast(shortlist), Seq("vec_id"))
+        case None =>
+          embeddings
+            .select(col("vec_id"), col("embedding"))
+            .join(broadcast(shortlist), Seq("vec_id"))
+      }
+      refined
         .join(broadcast(embeddings
           .filter(col("vec_id") === queryVecId)
           .select(col("embedding").as("qe"))))
