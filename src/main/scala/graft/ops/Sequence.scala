@@ -71,23 +71,41 @@ object Sequence {
       Step(Seq(eventType), oneOrMore)
   }
 
-  /** A declarative sequence pattern: ordered steps + a time bound. */
-  final case class Pattern(steps: Seq[Step], withinUs: Long) {
+  /** No time bound — the only `withinUs` relaxed contiguity admits. */
+  val Unbounded: Long = Long.MaxValue / 4
+
+  /** A declarative sequence pattern: ordered steps + a time bound,
+    * under STRICT contiguity (`relaxed = false`, the SQL
+    * MATCH_RECOGNIZE default: a non-matching row kills the attempt) or
+    * RELAXED contiguity (`relaxed = true`, Flink CEP's `followedBy`:
+    * a non-matching row is SKIPPED — "signup, then EVENTUALLY views,
+    * then a purchase").
+    */
+  final case class Pattern(steps: Seq[Step], withinUs: Long,
+      relaxed: Boolean = false) {
     require(steps.nonEmpty, "pattern needs at least one step")
     require(steps.flatMap(_.eventTypes).distinct.size ==
       steps.map(_.eventTypes.size).sum,
       "step type sets must be pairwise disjoint — that is what makes " +
         "the single-pass NFA exact (see module doc); overlapping " +
         "predicates would need concurrent attempt threads")
-    require(steps.length == 1 || !steps.head.oneOrMore,
-      "a multi-step pattern must be anchored by a `once` first step: " +
-        "with a leading one-or-more, a WITHIN-timeout can fail an " +
-        "attempt whose consumed run contains valid later attempt " +
+    require(relaxed || steps.length == 1 || !steps.head.oneOrMore,
+      "a strict multi-step pattern must be anchored by a `once` first " +
+        "step: with a leading one-or-more, a WITHIN-timeout can fail " +
+        "an attempt whose consumed run contains valid later attempt " +
         "starts, which exact semantics can only honor with " +
         "concurrent attempt threads (state bounded by the time " +
         "window, not the pattern). A single-step `+` pattern is exact " +
         "— every attempt at a matching row succeeds, so skip-past-" +
         "last-row realigns the scan.")
+    require(!relaxed || withinUs == Unbounded,
+      "relaxed contiguity requires withinUs = Pattern.Unbounded: an " +
+        "attempt under relaxed matching can only die by TIMEOUT, and " +
+        "a timed-out attempt may hide viable later anchors — exact " +
+        "time-bounded relaxed semantics needs concurrent attempt " +
+        "threads (state bounded by the time window). Unbounded, " +
+        "attempts never die, so the earliest anchor provably " +
+        "dominates and the single thread is exact.")
     require(withinUs > 0, "withinUs must be positive")
   }
 
@@ -125,6 +143,7 @@ object Sequence {
       stepOf: Map[String, Int],
       plus: Array[Boolean],
       within: Long,
+      relaxed: Boolean = false,
   ) extends Serializable {
     private val nSteps = plus.length
     private var active = false
@@ -177,7 +196,11 @@ object Sequence {
           stepOf.get(tpe).contains(k + 1)) {
           consumed = 0
           consumeInto(k + 1, us)
-        } else { // cannot extend: close out, re-consider this row
+        } else if (relaxed) {
+          // relaxed contiguity: an irrelevant row is SKIPPED, the
+          // attempt survives (it can only end by completing — withinUs
+          // is Unbounded by Pattern's require)
+        } else { // strict: cannot extend — close out, re-consider row
           kill()
           tryStart(us, tpe)
         }
@@ -213,7 +236,7 @@ object Sequence {
       p.steps.zipWithIndex
         .flatMap { case (st, i) => st.eventTypes.map(_ -> i) }
         .toMap,
-      p.steps.map(_.oneOrMore).toArray, p.withinUs)
+      p.steps.map(_.oneOrMore).toArray, p.withinUs, p.relaxed)
 
   /** Compile `pattern` and run it over `events` (schema: user_id, ts,
     * event_id, event_type), returning one row per match ordered by
@@ -534,6 +557,81 @@ object Sequence {
       |  AND b.us - a.us <= 86400000000
       |ORDER BY b.user_id, a.us""".stripMargin
 
+  /** q226: RELAXED CONTIGUITY (Flink CEP's `followedBy`) —
+    * `signup view+ purchase`, EVENTUALLY-semantics: any number of
+    * irrelevant rows may interleave; an attempt is anchored at the
+    * key's earliest un-consumed signup and can only end by completing
+    * (time-unbounded by the Pattern require — a timeout could orphan
+    * viable later anchors, which only concurrent threads could honor
+    * exactly; unbounded, the earliest anchor provably dominates).
+    * Skip-past-last-row then realigns the scan, so the single-thread
+    * pass remains exact for ANY pattern shape, leading-`+` included.
+    *
+    * The oracle is the strongest device in the family: DuckDB replays
+    * the AUTOMATON ITSELF — the per-row transition function as a
+    * recursive CTE over row numbers (q218's recursion shape), firing
+    * match columns on completing rows. No closed form needed, so this
+    * oracle pattern extends to every machine this module can compile.
+    */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("signup", oneOrMore = false),
+          Step("view", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = Unbounded, relaxed = true))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_views"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q226Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, i,
+      |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS s,
+      |    CASE WHEN event_type = 'signup' THEN us END AS start_us,
+      |    CAST(0 AS BIGINT) AS nv,
+      |    FALSE AS fired,
+      |    CAST(NULL AS BIGINT) AS m_start,
+      |    CAST(NULL AS BIGINT) AS m_end,
+      |    CAST(NULL AS BIGINT) AS m_nv
+      |  FROM e WHERE i = 1
+      |  UNION ALL
+      |  SELECT nx.user_id, nx.i,
+      |    CASE
+      |      WHEN r.s = 0 AND nx.event_type = 'signup' THEN 1
+      |      WHEN r.s = 1 AND nx.event_type = 'view' THEN 2
+      |      WHEN r.s = 2 AND nx.event_type = 'purchase' THEN 0
+      |      ELSE r.s END AS s,
+      |    CASE
+      |      WHEN r.s = 0 AND nx.event_type = 'signup' THEN nx.us
+      |      WHEN r.s = 2 AND nx.event_type = 'purchase' THEN NULL
+      |      ELSE r.start_us END AS start_us,
+      |    CASE
+      |      WHEN r.s = 1 AND nx.event_type = 'view' THEN 1
+      |      WHEN r.s = 2 AND nx.event_type = 'view' THEN r.nv + 1
+      |      WHEN r.s = 2 AND nx.event_type = 'purchase' THEN 0
+      |      ELSE r.nv END AS nv,
+      |    (r.s = 2 AND nx.event_type = 'purchase') AS fired,
+      |    CASE WHEN r.s = 2 AND nx.event_type = 'purchase'
+      |      THEN r.start_us END AS m_start,
+      |    CASE WHEN r.s = 2 AND nx.event_type = 'purchase'
+      |      THEN nx.us END AS m_end,
+      |    CASE WHEN r.s = 2 AND nx.event_type = 'purchase'
+      |      THEN r.nv END AS m_nv
+      |  FROM rec r JOIN e nx
+      |    ON nx.user_id = r.user_id AND nx.i = r.i + 1)
+      |SELECT user_id, m_start AS start_us, m_end AS end_us,
+      |  m_nv AS n_views
+      |FROM rec WHERE fired ORDER BY user_id, m_start""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -546,5 +644,6 @@ object Sequence {
       Some(q216Sql)),
     QueryDef("q223_match_measures", q223, Some(q223Sql)),
     QueryDef("q225_match_alternation", q225, Some(q225Sql)),
+    QueryDef("q226_match_relaxed", q226, Some(q226Sql)),
   )
 }

@@ -18,13 +18,14 @@ class Round12Spec extends AnyFunSuite {
   import ops.Sequence.{Pattern, SeqMatch, Step}
 
   /** Reference matcher: the textbook definition, no NFA. Attempts start
-    * at each row; an attempt consumes rows strictly in order (strict
-    * contiguity), each step taking 1 (once) or greedily as many as
-    * possible (oneOrMore), every consumed row within `withinUs` of the
-    * attempt's first row. First successful attempt wins; the scan
-    * resumes after its last row (skip past last row). Trailing
-    * one-or-more steps complete greedily at the first non-extending row
-    * or sequence end.
+    * at each row; an attempt consumes rows in order — under STRICT
+    * contiguity consecutively (a non-matching row fails the attempt),
+    * under RELAXED contiguity skipping non-matching rows — each step
+    * taking 1 (once) or greedily as many as possible (oneOrMore),
+    * every consumed row within `withinUs` of the attempt's first row.
+    * First successful attempt wins; the scan resumes after its last
+    * consumed row (skip past last row). Trailing one-or-more steps
+    * complete greedily at the first non-extending row or sequence end.
     */
   private def referenceMatch(
       rows: Seq[(Long, Long, Long, String)], // user_id, us, event_id, type
@@ -38,29 +39,55 @@ class Round12Spec extends AnyFunSuite {
         var j = i
         var step = 0
         var ok = true
+        var nRows = 0L
         var nPlus = 0L
-        val startUs = seq(i)._2
-        var endJ = -1
+        // the match start is the first CONSUMED row (under relaxed
+        // contiguity the attempt may hop before anchoring); the WITHIN
+        // clock also runs from there (strict never hops, so there they
+        // coincide)
+        var startUs = seq(i)._2
+        var anchored = false
+        var lastJ = -1
+        var nPlusInStep = 0L
+        def timeOk(k: Int): Boolean =
+          seq(k)._2 - startUs <= p.withinUs
+        def fits(k: Int, st: Step): Boolean =
+          k < seq.length && st.eventTypes.contains(seq(k)._4) &&
+            timeOk(k)
+        // relaxed: hop over rows the attempt can neither consume into
+        // the current step nor (mid-plus) advance on — valid only
+        // un-timed, which Pattern enforces
+        def hop(st: Step): Unit =
+          if (p.relaxed)
+            while (j < seq.length && !st.eventTypes.contains(seq(j)._4) &&
+              !(step + 1 < p.steps.length && nPlusInStep >= 1 &&
+                p.steps(step + 1).eventTypes.contains(seq(j)._4)))
+              j += 1
         while (ok && step < p.steps.length) {
           val st = p.steps(step)
-          def fits(k: Int): Boolean =
-            k < seq.length && st.eventTypes.contains(seq(k)._4) &&
-              seq(k)._2 - startUs <= p.withinUs
-          if (!fits(j)) ok = false
+          nPlusInStep = 0L
+          hop(st)
+          if (!fits(j, st)) ok = false
           else {
-            j += 1
+            if (!anchored) { anchored = true; startUs = seq(j)._2 }
+            lastJ = j; j += 1; nRows += 1
             if (st.oneOrMore) {
-              nPlus += 1
-              while (fits(j)) { j += 1; nPlus += 1 }
+              nPlus += 1; nPlusInStep += 1
+              var more = true
+              while (more) {
+                hop(st)
+                if (fits(j, st)) {
+                  lastJ = j; j += 1; nRows += 1; nPlus += 1
+                  nPlusInStep += 1
+                } else more = false
+              }
             }
             step += 1
           }
         }
         if (ok) {
-          endJ = j - 1
-          out += SeqMatch(user, startUs, seq(endJ)._2,
-            (endJ - i + 1).toLong, nPlus)
-          i = endJ + 1 // skip past last row
+          out += SeqMatch(user, startUs, seq(lastJ)._2, nRows, nPlus)
+          i = lastJ + 1 // skip past last consumed row
         } else i += 1
       }
     }
@@ -163,6 +190,17 @@ class Round12Spec extends AnyFunSuite {
       Pattern(Seq(Step(Seq("signup", "view"), oneOrMore = false),
         Step(Seq("click", "error", "purchase"), oneOrMore = true)),
         withinUs = 90L),
+      // relaxed contiguity (followedBy): skipping, leading-plus,
+      // alternation — all composed
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step("view", oneOrMore = true),
+        Step("purchase", oneOrMore = false)),
+        withinUs = ops.Sequence.Unbounded, relaxed = true),
+      Pattern(Seq(Step("click", oneOrMore = true),
+        Step("error", oneOrMore = false)),
+        withinUs = ops.Sequence.Unbounded, relaxed = true),
+      Pattern(Seq(Step(Seq("view", "click"), oneOrMore = true)),
+        withinUs = ops.Sequence.Unbounded, relaxed = true),
     )
     for (seed <- Seq(1L, 2L, 3L); p <- patterns) {
       val rows = gen(seed * 7919L, 400)
@@ -172,6 +210,29 @@ class Round12Spec extends AnyFunSuite {
       assert(got == want, s"seed=$seed pattern=$p")
       // the fixture is only probative if matches actually happen
       assert(want.nonEmpty, s"degenerate fixture seed=$seed pattern=$p")
+    }
+  }
+
+  test("q226 relaxed contiguity: skipping binds where strict kills") {
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "error"),
+      (1L, 30L, 3L, "view"), (1L, 40L, 4L, "click"),
+      (1L, 50L, 5L, "purchase"))
+    val steps = Seq(Step("signup", oneOrMore = false),
+      Step("view", oneOrMore = true),
+      Step("purchase", oneOrMore = false))
+    val strict = nfaMatch(rows,
+      Pattern(steps, withinUs = 1000L))
+    assert(strict.isEmpty, "the interleaved error must kill strict")
+    val relaxed = nfaMatch(rows,
+      Pattern(steps, ops.Sequence.Unbounded, relaxed = true))
+    // consumed rows only: signup, view, purchase (error/click skipped)
+    assert(relaxed == Seq(SeqMatch(1L, 10L, 50L, 3L, 1L)))
+    assert(relaxed == referenceMatch(rows,
+      Pattern(steps, ops.Sequence.Unbounded, relaxed = true)))
+    // relaxed with a finite WITHIN is refused (single-thread exactness)
+    assertThrows[IllegalArgumentException] {
+      Pattern(steps, withinUs = 1000L, relaxed = true)
     }
   }
 
