@@ -98,15 +98,18 @@ object Sequence {
         "window, not the pattern). A single-step `+` pattern is exact " +
         "— every attempt at a matching row succeeds, so skip-past-" +
         "last-row realigns the scan.")
-    require(!relaxed || withinUs == Unbounded,
-      "relaxed contiguity requires withinUs = Pattern.Unbounded: an " +
-        "attempt under relaxed matching can only die by TIMEOUT, and " +
-        "a timed-out attempt may hide viable later anchors — exact " +
-        "time-bounded relaxed semantics needs concurrent attempt " +
-        "threads (state bounded by the time window). Unbounded, " +
-        "attempts never die, so the earliest anchor provably " +
-        "dominates and the single thread is exact.")
     require(withinUs > 0, "withinUs must be positive")
+
+    /** Time-bounded relaxed matching cannot run on the O(1)-state
+      * single-thread NFA: a timed-out attempt may hide viable later
+      * anchors inside the rows it skipped, which exact semantics can
+      * only honor with CONCURRENT attempt threads (state bounded by
+      * anchors inside the time window — the Flink-CEP state shape).
+      * [[matchPattern]] routes such patterns to [[timedRelaxedFold]];
+      * un-timed relaxed attempts never die, so there the earliest
+      * anchor provably dominates and the single thread stays exact.
+      */
+    def needsThreads: Boolean = relaxed && withinUs != Unbounded
   }
 
   /** One completed match. `n_plus` counts rows consumed by one-or-more
@@ -133,6 +136,18 @@ object Sequence {
       startUs: Long, endUs: Long, nRows: Long, nPlus: Long,
       measAll: Long, measPlus: Long)
 
+  /** What the per-key fold drives: one matcher instance per partition,
+    * reset per key, fed ordered rows, flushed at key end. Implemented
+    * by the O(1)-state [[Nfa]] (strict / un-timed-relaxed) and the
+    * concurrent-thread [[ThreadMatcher]] (time-bounded relaxed).
+    */
+  sealed trait KeyMatcher extends Serializable {
+    def step(us: Long, eid: Long, tpe: String, meas: Long)
+        : Seq[MatchCore]
+    def finish(): Seq[MatchCore]
+    def reset(): Unit
+  }
+
   /** The compiled single-thread NFA for ONE key's time-ordered rows.
     * `advance` feeds one row and returns the match it completed, if
     * any (≤ 1 per row by construction); `flushEnd` closes a satisfied
@@ -144,7 +159,7 @@ object Sequence {
       plus: Array[Boolean],
       within: Long,
       relaxed: Boolean = false,
-  ) extends Serializable {
+  ) extends KeyMatcher {
     private val nSteps = plus.length
     private var active = false
     private var stepIdx, consumed = 0
@@ -214,6 +229,10 @@ object Sequence {
       Option(emitted)
     }
 
+    override def step(us: Long, eid: Long, tpe: String, meas: Long)
+        : Seq[MatchCore] = advance(us, tpe, meas).toSeq
+    override def finish(): Seq[MatchCore] = flushEnd().toSeq
+
     def reset(): Unit = active = false
 
     def snapshot: NfaState =
@@ -228,15 +247,158 @@ object Sequence {
     }
   }
 
-  /** Compile a [[Pattern]] to its per-key stepper. Disjoint step sets
-    * flatten to one type → step map.
+  private def flatStepOf(p: Pattern): Map[String, Int] =
+    p.steps.zipWithIndex
+      .flatMap { case (st, i) => st.eventTypes.map(_ -> i) }
+      .toMap
+
+  /** Compile a [[Pattern]] to its O(1)-state single-thread stepper.
+    * Disjoint step sets flatten to one type → step map. Time-bounded
+    * relaxed patterns cannot be honored by a single thread — they go
+    * through [[matcherFor]] / [[ThreadMatcher]] instead.
     */
-  def compile(p: Pattern): Nfa =
-    new Nfa(
-      p.steps.zipWithIndex
-        .flatMap { case (st, i) => st.eventTypes.map(_ -> i) }
-        .toMap,
-      p.steps.map(_.oneOrMore).toArray, p.withinUs, p.relaxed)
+  def compile(p: Pattern): Nfa = {
+    require(!p.needsThreads,
+      "time-bounded relaxed patterns need the concurrent-thread " +
+        "matcher (use matchPattern, which dispatches); the single-" +
+        "thread NFA cannot honor them exactly")
+    new Nfa(flatStepOf(p), p.steps.map(_.oneOrMore).toArray,
+      p.withinUs, p.relaxed)
+  }
+
+  /** CONCURRENT-THREAD matcher for time-bounded RELAXED patterns — the
+    * Flink-CEP state shape. Every step-0 row spawns an independent
+    * attempt thread (attempts are definitionally independent until a
+    * match COMMITS); a thread advances by the same consume/advance/
+    * skip transition as the NFA, dies on timeout (no row beyond
+    * anchor+T can ever extend it) — completing first if its trailing
+    * `+` is satisfied — and COMPLETED attempts are HELD until no live
+    * attempt with an earlier anchor could still preempt them
+    * (MATCH_RECOGNIZE decides attempts in anchor order, not
+    * completion order). Committing a match drops every thread and
+    * held match anchored at or before its last row (AFTER MATCH SKIP
+    * PAST LAST ROW); attempts anchored later survive, because their
+    * walks never depended on the committed one. State per key =
+    * live threads + held matches, both bounded by the number of
+    * anchor rows inside the `within` window — exactly the bound any
+    * time-windowed CEP engine carries. Round12Spec pins this fold
+    * against the attempt-at-every-row reference matcher on randomized
+    * sequences and preemption fixtures.
+    */
+  final class ThreadMatcher(
+      stepOf: Map[String, Int],
+      plus: Array[Boolean],
+      within: Long,
+  ) extends KeyMatcher {
+    private val nSteps = plus.length
+
+    private final class Th(val aUs: Long, val aEid: Long) {
+      var stepIdx, consumed = 0
+      var endUs, endEid = 0L
+      var nRows, nPlus, measAll, measPlus = 0L
+      def core: MatchCore =
+        MatchCore(aUs, endUs, nRows, nPlus, measAll, measPlus)
+      def trailingSatisfied: Boolean =
+        stepIdx == nSteps - 1 && plus(stepIdx) && consumed >= 1
+      /** row-order compare of this thread's ANCHOR vs a position */
+      def anchorLeq(us: Long, eid: Long): Boolean =
+        aUs < us || (aUs == us && aEid <= eid)
+      def anchorLt(o: Th): Boolean =
+        aUs < o.aUs || (aUs == o.aUs && aEid < o.aEid)
+    }
+
+    // both kept in anchor (= spawn) order
+    private var threads = List.empty[Th]
+    private var held = List.empty[Th]
+
+    private def commitSweep(out: scala.collection.mutable.Buffer[MatchCore])
+        : Unit = {
+      var go = true
+      while (go && held.nonEmpty) {
+        val m = held.head // earliest-anchored completed attempt
+        if (threads.exists(_.anchorLt(m))) go = false // may preempt
+        else {
+          out += m.core
+          // skip past last row: drop everything anchored ≤ the end
+          held = held.tail.filterNot(_.anchorLeq(m.endUs, m.endEid))
+          threads = threads.filterNot(_.anchorLeq(m.endUs, m.endEid))
+        }
+      }
+    }
+
+    /** Consume `row` into thread `t` at step `k`; true if completed. */
+    private def consumeInto(t: Th, k: Int, us: Long, eid: Long,
+        meas: Long): Boolean = {
+      t.stepIdx = k; t.consumed += 1
+      t.endUs = us; t.endEid = eid
+      t.nRows += 1; t.measAll += meas
+      if (plus(k)) { t.nPlus += 1; t.measPlus += meas }
+      else { t.stepIdx = k + 1; t.consumed = 0 }
+      t.stepIdx == nSteps
+    }
+
+    override def step(us: Long, eid: Long, tpe: String, meas: Long)
+        : Seq[MatchCore] = {
+      val out = scala.collection.mutable.Buffer.empty[MatchCore]
+      // 1) timeout sweep: threads this row's time kills (a satisfied
+      // trailing + completes with what it holds)
+      val (timedOut, live) = threads.partition(t => us - t.aUs > within)
+      threads = live
+      val completedByTimeout = timedOut.filter(_.trailingSatisfied)
+      if (completedByTimeout.nonEmpty)
+        held = (held ++ completedByTimeout)
+          .sortBy(t => (t.aUs, t.aEid))
+      // 2) advance every live thread (disjoint steps ⇒ deterministic)
+      stepOf.get(tpe).foreach { sIdx =>
+        val stillLive = List.newBuilder[Th]
+        threads.foreach { t =>
+          val k = t.stepIdx
+          val done =
+            if (sIdx == k && (t.consumed == 0 || plus(k)))
+              consumeInto(t, k, us, eid, meas)
+            else if (t.consumed >= 1 && k + 1 < nSteps && sIdx == k + 1) {
+              t.consumed = 0
+              consumeInto(t, k + 1, us, eid, meas)
+            } else false // relaxed: irrelevant row is skipped
+          if (done)
+            held = (held :+ t).sortBy(x => (x.aUs, x.aEid))
+          else stillLive += t
+        }
+        threads = stillLive.result()
+        // 3) spawn a fresh attempt on every step-0 row
+        if (sIdx == 0) {
+          val t = new Th(us, eid)
+          if (consumeInto(t, 0, us, eid, meas))
+            held = (held :+ t).sortBy(x => (x.aUs, x.aEid))
+          else threads = threads :+ t
+        }
+      }
+      commitSweep(out)
+      out.toSeq
+    }
+
+    override def finish(): Seq[MatchCore] = {
+      val out = scala.collection.mutable.Buffer.empty[MatchCore]
+      held = (held ++ threads.filter(_.trailingSatisfied))
+        .sortBy(t => (t.aUs, t.aEid))
+      threads = Nil // incomplete attempts die at key end
+      commitSweep(out)
+      reset()
+      out.toSeq
+    }
+
+    override def reset(): Unit = { threads = Nil; held = Nil }
+  }
+
+  /** The right matcher for a pattern: the O(1)-state NFA when a single
+    * thread is exact, the bounded concurrent-thread fold when the
+    * pattern is relaxed AND time-bounded.
+    */
+  def matcherFor(p: Pattern): KeyMatcher =
+    if (p.needsThreads)
+      new ThreadMatcher(flatStepOf(p),
+        p.steps.map(_.oneOrMore).toArray, p.withinUs)
+    else compile(p)
 
   /** Compile `pattern` and run it over `events` (schema: user_id, ts,
     * event_id, event_type), returning one row per match ordered by
@@ -255,29 +417,30 @@ object Sequence {
     implicit val enc = Encoders.product[SeqMatch]
     rows
       .mapPartitions { it =>
-        val nfa = compile(pattern)
+        val matcher = matcherFor(pattern)
         new Iterator[SeqMatch] {
-          // ≤ 1 match can complete per consumed row, +1 at key end —
-          // a 2-slot queue, never a per-partition buffer
+          // matches queue as they complete — bounded per row by the
+          // commit sweep, never a per-partition buffer
           private val pend = scala.collection.mutable.Queue.empty[SeqMatch]
           private var flushed = false
           private var curUser = Long.MinValue
 
-          private def closeKey(): Unit =
-            nfa.flushEnd().foreach(m =>
-              pend += SeqMatch(curUser, m.startUs, m.endUs, m.nRows,
-                m.nPlus))
+          private def push(ms: Seq[MatchCore]): Unit =
+            ms.foreach(m => pend += SeqMatch(curUser, m.startUs,
+              m.endUs, m.nRows, m.nPlus))
 
           private def consume(r: (Long, Long, Long, String)): Unit = {
-            if (r._1 != curUser) { closeKey(); curUser = r._1; nfa.reset() }
-            nfa.advance(r._2, r._4).foreach(m =>
-              pend += SeqMatch(curUser, m.startUs, m.endUs, m.nRows,
-                m.nPlus))
+            if (r._1 != curUser) {
+              push(matcher.finish()); curUser = r._1; matcher.reset()
+            }
+            push(matcher.step(r._2, r._3, r._4, 0L))
           }
 
           def hasNext: Boolean = {
             while (pend.isEmpty && it.hasNext) consume(it.next())
-            if (pend.isEmpty && !flushed) { flushed = true; closeKey() }
+            if (pend.isEmpty && !flushed) {
+              flushed = true; push(matcher.finish())
+            }
             pend.nonEmpty
           }
           def next(): SeqMatch = pend.dequeue()
@@ -317,29 +480,29 @@ object Sequence {
     implicit val enc = Encoders.product[SeqMatchM]
     rows
       .mapPartitions { it =>
-        val nfa = compile(pattern)
+        val matcher = matcherFor(pattern)
         new Iterator[SeqMatchM] {
           private val pend =
             scala.collection.mutable.Queue.empty[SeqMatchM]
           private var flushed = false
           private var curUser = Long.MinValue
 
-          private def push(m: MatchCore): Unit =
-            pend += SeqMatchM(curUser, m.startUs, m.endUs, m.nRows,
-              m.nPlus, m.measAll, m.measPlus)
+          private def push(ms: Seq[MatchCore]): Unit =
+            ms.foreach(m => pend += SeqMatchM(curUser, m.startUs,
+              m.endUs, m.nRows, m.nPlus, m.measAll, m.measPlus))
 
           private def consume(r: (Long, Long, Long, String, Long))
               : Unit = {
             if (r._1 != curUser) {
-              nfa.flushEnd().foreach(push); curUser = r._1; nfa.reset()
+              push(matcher.finish()); curUser = r._1; matcher.reset()
             }
-            nfa.advance(r._2, r._4, r._5).foreach(push)
+            push(matcher.step(r._2, r._3, r._4, r._5))
           }
 
           def hasNext: Boolean = {
             while (pend.isEmpty && it.hasNext) consume(it.next())
             if (pend.isEmpty && !flushed) {
-              flushed = true; nfa.flushEnd().foreach(push)
+              flushed = true; push(matcher.finish())
             }
             pend.nonEmpty
           }
@@ -632,6 +795,95 @@ object Sequence {
       |  m_nv AS n_views
       |FROM rec WHERE fired ORDER BY user_id, m_start""".stripMargin
 
+  /** q227: TIME-BOUNDED RELAXED matching — `signup view+ purchase
+    * WITHIN 48h`, eventually-semantics under a deadline: the full CEP
+    * shape q226 documented as needing concurrent attempt threads, now
+    * run on [[ThreadMatcher]] (state bounded by anchors-in-window). On
+    * sf0.01 every dimension binds: 306 matches vs q226's 606
+    * unbounded (the deadline kills ~half), 54 with ≥2 views.
+    *
+    * Oracle: per-anchor attempt outcomes are CLOSED-FORM under this
+    * pattern (v1 = first view after the anchor, p = first purchase
+    * after v1 — both plain window MINs over following rows — complete
+    * iff p lands within the deadline; greedy view count is a prefix-sum
+    * difference), and AFTER MATCH SKIP PAST LAST ROW is a per-row
+    * recursion carrying ONE integer (the scan pointer): a row fires
+    * iff it is a complete anchor at or past the pointer, which then
+    * jumps past the match end — q218's recursion shape with the
+    * attempt table precomputed.
+    */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("signup", oneOrMore = false),
+          Step("view", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 48L * 3600L * 1000000L, relaxed = true))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_views"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q227Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN event_type = 'view' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS vc
+      |  FROM e),
+      |info AS (
+      |  -- per-row attempt outcome: for signup anchors, the walk's end
+      |  -- row and view count; complete iff the purchase beats the
+      |  -- 48h deadline from the anchor
+      |  SELECT a.user_id, a.i, a.us,
+      |    (a.event_type = 'signup' AND p.i IS NOT NULL
+      |      AND p.us - a.us <= 172800000000) AS complete,
+      |    p.i AS end_i, p.us AS end_us,
+      |    p.vc - v.vc + 1 AS n_views
+      |  FROM w a
+      |  LEFT JOIN w v ON v.user_id = a.user_id AND v.i = a.nv
+      |  LEFT JOIN w p ON p.user_id = a.user_id AND p.i = v.np),
+      |rec AS (
+      |  -- scan pointer s: a row fires iff it is a complete anchor at
+      |  -- or past s; firing jumps s past the match end
+      |  SELECT user_id, i,
+      |    CASE WHEN complete THEN end_i + 1 ELSE 1 END AS s,
+      |    complete AS fired,
+      |    CASE WHEN complete THEN us END AS m_start,
+      |    CASE WHEN complete THEN end_us END AS m_end,
+      |    CASE WHEN complete THEN n_views END AS m_nv
+      |  FROM info WHERE i = 1
+      |  UNION ALL
+      |  SELECT nx.user_id, nx.i,
+      |    CASE WHEN nx.complete AND nx.i >= r.s THEN nx.end_i + 1
+      |      ELSE r.s END AS s,
+      |    (nx.complete AND nx.i >= r.s) AS fired,
+      |    CASE WHEN nx.complete AND nx.i >= r.s THEN nx.us END
+      |      AS m_start,
+      |    CASE WHEN nx.complete AND nx.i >= r.s THEN nx.end_us END
+      |      AS m_end,
+      |    CASE WHEN nx.complete AND nx.i >= r.s THEN nx.n_views END
+      |      AS m_nv
+      |  FROM rec r JOIN info nx
+      |    ON nx.user_id = r.user_id AND nx.i = r.i + 1)
+      |SELECT user_id, m_start AS start_us, m_end AS end_us,
+      |  CAST(m_nv AS BIGINT) AS n_views
+      |FROM rec WHERE fired ORDER BY user_id, m_start""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -645,5 +897,6 @@ object Sequence {
     QueryDef("q223_match_measures", q223, Some(q223Sql)),
     QueryDef("q225_match_alternation", q225, Some(q225Sql)),
     QueryDef("q226_match_relaxed", q226, Some(q226Sql)),
+    QueryDef("q227_match_relaxed_timed", q227, Some(q227Sql)),
   )
 }

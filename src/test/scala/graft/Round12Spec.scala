@@ -201,6 +201,17 @@ class Round12Spec extends AnyFunSuite {
         withinUs = ops.Sequence.Unbounded, relaxed = true),
       Pattern(Seq(Step(Seq("view", "click"), oneOrMore = true)),
         withinUs = ops.Sequence.Unbounded, relaxed = true),
+      // TIME-BOUNDED relaxed: the concurrent-thread matcher, incl.
+      // leading-plus and trailing-plus-timeout completions
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step("view", oneOrMore = true),
+        Step("purchase", oneOrMore = false)),
+        withinUs = 150L, relaxed = true),
+      Pattern(Seq(Step("click", oneOrMore = true),
+        Step("error", oneOrMore = false)),
+        withinUs = 80L, relaxed = true),
+      Pattern(Seq(Step("error", oneOrMore = true)),
+        withinUs = 40L, relaxed = true),
     )
     for (seed <- Seq(1L, 2L, 3L); p <- patterns) {
       val rows = gen(seed * 7919L, 400)
@@ -230,10 +241,33 @@ class Round12Spec extends AnyFunSuite {
     assert(relaxed == Seq(SeqMatch(1L, 10L, 50L, 3L, 1L)))
     assert(relaxed == referenceMatch(rows,
       Pattern(steps, ops.Sequence.Unbounded, relaxed = true)))
-    // relaxed with a finite WITHIN is refused (single-thread exactness)
+    // relaxed with a finite WITHIN routes to the concurrent-thread
+    // matcher — compile (the single-thread path, what streaming uses)
+    // refuses it
     assertThrows[IllegalArgumentException] {
-      Pattern(steps, withinUs = 1000L, relaxed = true)
+      ops.Sequence.compile(Pattern(steps, withinUs = 1000L,
+        relaxed = true))
     }
+  }
+
+  test("q227 concurrent threads: a timed-out attempt reveals the viable later anchor") {
+    // a1 = signup@0 anchors; a2 = signup@50 spawns a CONCURRENT attempt
+    // (a single-thread relaxed pass would ignore it — the q226-doc'd
+    // divergence); a1 times out before any view arrives, a2 completes.
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, 0L, 1L, "signup"), (1L, 50L, 2L, "signup"),
+      (1L, 120L, 3L, "view"), (1L, 140L, 4L, "purchase"))
+    val p = Pattern(
+      Seq(Step("signup", oneOrMore = false),
+        Step("view", oneOrMore = true),
+        Step("purchase", oneOrMore = false)),
+      withinUs = 100L, relaxed = true)
+    val got = nfaMatch(rows, p)
+    assert(got == Seq(SeqMatch(1L, 50L, 140L, 3L, 1L)))
+    assert(got == referenceMatch(rows, p))
+    // and with a generous bound the EARLIER anchor wins instead
+    val wide = nfaMatch(rows, p.copy(withinUs = 1000L))
+    assert(wide == Seq(SeqMatch(1L, 0L, 140L, 3L, 1L)))
   }
 
   test("Pattern rejects the shapes the O(1)-state fold cannot honor exactly") {
