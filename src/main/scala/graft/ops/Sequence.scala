@@ -136,16 +136,39 @@ object Sequence {
       startUs: Long, endUs: Long, nRows: Long, nPlus: Long,
       measAll: Long, measPlus: Long)
 
+  /** Uniform persistable state row for any [[KeyMatcher]] — what the
+    * STREAMING runner stores per key between microbatches. The Nfa
+    * snapshots as one row; the ThreadMatcher as one row per live
+    * (`kind = 1`) or held (`kind = 2`) attempt.
+    */
+  final case class MatcherSnap(kind: Int, stepIdx: Int, consumed: Int,
+      aUs: Long, aEid: Long, endUs: Long, endEid: Long, nRows: Long,
+      nPlus: Long, measAll: Long, measPlus: Long)
+
   /** What the per-key fold drives: one matcher instance per partition,
     * reset per key, fed ordered rows, flushed at key end. Implemented
     * by the O(1)-state [[Nfa]] (strict / un-timed-relaxed) and the
     * concurrent-thread [[ThreadMatcher]] (time-bounded relaxed).
+    *
+    * `onTime(now)` advances the TIME axis without a row: with `now`
+    * a proven lower bound on every future row's timestamp (a
+    * watermark), attempts whose deadline has passed resolve — they
+    * die, or complete their satisfied trailing `+` — and held matches
+    * they were blocking commit. Batch folds never need it (the next
+    * row or the key end carries time forward); the streaming runner
+    * calls it each release so a quiet key cannot wedge a held match
+    * behind a long-dead attempt. `nextDeadlineUs` tells the runner
+    * when to wake.
     */
   sealed trait KeyMatcher extends Serializable {
     def step(us: Long, eid: Long, tpe: String, meas: Long)
         : Seq[MatchCore]
     def finish(): Seq[MatchCore]
     def reset(): Unit
+    def onTime(nowUs: Long): Seq[MatchCore]
+    def nextDeadlineUs: Option[Long]
+    def snapshotRows: Seq[MatcherSnap]
+    def restoreRows(rows: Seq[MatcherSnap]): Unit
   }
 
   /** The compiled single-thread NFA for ONE key's time-ordered rows.
@@ -232,6 +255,33 @@ object Sequence {
     override def step(us: Long, eid: Long, tpe: String, meas: Long)
         : Seq[MatchCore] = advance(us, tpe, meas).toSeq
     override def finish(): Seq[MatchCore] = flushEnd().toSeq
+
+    override def onTime(nowUs: Long): Seq[MatchCore] =
+      if (active && within != Unbounded && nowUs - startUs > within) {
+        // every future row is ≥ nowUs, so the attempt is decided: a
+        // satisfied trailing + completes, anything else is dead
+        emitted = null
+        kill()
+        active = false
+        Option(emitted).toSeq
+      } else Nil
+
+    override def nextDeadlineUs: Option[Long] =
+      if (active && within != Unbounded) Some(startUs + within) else None
+
+    override def snapshotRows: Seq[MatcherSnap] =
+      if (!active) Nil
+      else Seq(MatcherSnap(0, stepIdx, consumed, startUs, 0L, endUs,
+        0L, nRows, nPlus, measAll, measPlus))
+
+    override def restoreRows(rows: Seq[MatcherSnap]): Unit =
+      rows.headOption match {
+        case None => active = false
+        case Some(r) =>
+          active = true; stepIdx = r.stepIdx; consumed = r.consumed
+          startUs = r.aUs; endUs = r.endUs; nRows = r.nRows
+          nPlus = r.nPlus; measAll = r.measAll; measPlus = r.measPlus
+      }
 
     def reset(): Unit = active = false
 
@@ -337,17 +387,57 @@ object Sequence {
       t.stepIdx == nSteps
     }
 
-    override def step(us: Long, eid: Long, tpe: String, meas: Long)
-        : Seq[MatchCore] = {
-      val out = scala.collection.mutable.Buffer.empty[MatchCore]
-      // 1) timeout sweep: threads this row's time kills (a satisfied
-      // trailing + completes with what it holds)
-      val (timedOut, live) = threads.partition(t => us - t.aUs > within)
+    /** Threads `nowUs` proves dead resolve: a satisfied trailing `+`
+      * completes with what it holds, the rest drop.
+      */
+    private def timeoutSweep(nowUs: Long): Unit = {
+      val (timedOut, live) = threads.partition(t => nowUs - t.aUs > within)
       threads = live
       val completedByTimeout = timedOut.filter(_.trailingSatisfied)
       if (completedByTimeout.nonEmpty)
         held = (held ++ completedByTimeout)
           .sortBy(t => (t.aUs, t.aEid))
+    }
+
+    override def onTime(nowUs: Long): Seq[MatchCore] = {
+      val out = scala.collection.mutable.Buffer.empty[MatchCore]
+      timeoutSweep(nowUs)
+      commitSweep(out)
+      out.toSeq
+    }
+
+    override def nextDeadlineUs: Option[Long] =
+      if (threads.isEmpty) None
+      else Some(threads.iterator.map(_.aUs).min + within)
+
+    override def snapshotRows: Seq[MatcherSnap] =
+      threads.map(t => MatcherSnap(1, t.stepIdx, t.consumed, t.aUs,
+        t.aEid, t.endUs, t.endEid, t.nRows, t.nPlus, t.measAll,
+        t.measPlus)) ++
+        held.map(t => MatcherSnap(2, t.stepIdx, t.consumed, t.aUs,
+          t.aEid, t.endUs, t.endEid, t.nRows, t.nPlus, t.measAll,
+          t.measPlus))
+
+    override def restoreRows(rows: Seq[MatcherSnap]): Unit = {
+      def thaw(r: MatcherSnap): Th = {
+        val t = new Th(r.aUs, r.aEid)
+        t.stepIdx = r.stepIdx; t.consumed = r.consumed
+        t.endUs = r.endUs; t.endEid = r.endEid
+        t.nRows = r.nRows; t.nPlus = r.nPlus
+        t.measAll = r.measAll; t.measPlus = r.measPlus
+        t
+      }
+      threads = rows.filter(_.kind == 1).map(thaw)
+        .sortBy(t => (t.aUs, t.aEid)).toList
+      held = rows.filter(_.kind == 2).map(thaw)
+        .sortBy(t => (t.aUs, t.aEid)).toList
+    }
+
+    override def step(us: Long, eid: Long, tpe: String, meas: Long)
+        : Seq[MatchCore] = {
+      val out = scala.collection.mutable.Buffer.empty[MatchCore]
+      // 1) timeout sweep at this row's time
+      timeoutSweep(us)
       // 2) advance every live thread (disjoint steps ⇒ deterministic)
       stepOf.get(tpe).foreach { sIdx =>
         val stillLive = List.newBuilder[Th]
@@ -898,5 +988,20 @@ object Sequence {
     QueryDef("q225_match_alternation", q225, Some(q225Sql)),
     QueryDef("q226_match_relaxed", q226, Some(q226Sql)),
     QueryDef("q227_match_relaxed_timed", q227, Some(q227Sql)),
+    // STREAMING time-bounded relaxed matching: the ThreadMatcher's
+    // live/held attempts persist per key as MatcherSnap rows, the
+    // watermark both MATURES buffered rows and ADVANCES TIME
+    // (onTime resolves decided attempts so held matches commit on
+    // quiet keys, with the wake timer at the next attempt deadline);
+    // the oracle is LITERALLY q227's recursion.
+    QueryDef("q228_stream_match_timed",
+      (s, d) => graft.streaming.Streams.streamPatternMatch(s, d,
+        Some(Pattern(
+          Seq(Step("signup", oneOrMore = false),
+            Step("view", oneOrMore = true),
+            Step("purchase", oneOrMore = false)),
+          withinUs = 48L * 3600L * 1000000L, relaxed = true)),
+        plusAlias = "n_views"),
+      Some(q227Sql)),
   )
 }

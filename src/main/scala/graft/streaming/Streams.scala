@@ -1813,37 +1813,46 @@ object Streams {
     import graft.ops.Sequence
     @transient private var buf:
         org.apache.spark.sql.streaming.ListState[PendRow] = _
-    @transient private var nfaSt:
-        org.apache.spark.sql.streaming.ValueState[Sequence.NfaState] = _
+    @transient private var mSt:
+        org.apache.spark.sql.streaming.ListState[Sequence.MatcherSnap] = _
     @transient private var armed:
         org.apache.spark.sql.streaming.ValueState[Long] = _
-    @transient private var nfa: Sequence.Nfa = _
+    @transient private var matcher: Sequence.KeyMatcher = _
     override def init(
         outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       buf = getHandle.getListState[PendRow]("buf",
         Encoders.product[PendRow],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      nfaSt = getHandle.getValueState[Sequence.NfaState]("nfa",
-        Encoders.product[Sequence.NfaState],
+      mSt = getHandle.getListState[Sequence.MatcherSnap]("matcher",
+        Encoders.product[Sequence.MatcherSnap],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      nfa = Sequence.compile(pattern)
+      matcher = Sequence.matcherFor(pattern)
     }
-    /** Re-point the key's single timer at the earliest buffered row's
-      * maturity (idempotent, SessionCloser's arming discipline). */
+    /** Re-point the key's single timer at the earlier of the next
+      * buffered row's maturity and the matcher's next attempt deadline
+      * (idempotent, SessionCloser's arming discipline) — the deadline
+      * half is what lets a quiet key's timed-out attempt release the
+      * held match behind it.
+      */
     private def rearm(pending: Seq[PendRow]): Unit = {
       val prev = if (armed.exists()) armed.get() else -1L
-      if (pending.isEmpty) {
-        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
-      } else {
-        val next = pending.iterator.map(_.us).min / 1000L + 1L
-        if (next != prev) {
-          if (prev >= 0L) getHandle.deleteTimer(prev)
-          getHandle.registerTimer(next)
-          armed.update(next)
-        }
+      val cands: Seq[Long] =
+        pending.map(_.us) ++ matcher.nextDeadlineUs.toSeq
+      val wake: Option[Long] =
+        if (cands.isEmpty) None else Some(cands.min)
+      wake match {
+        case None =>
+          if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+        case Some(us) =>
+          val next = us / 1000L + 1L
+          if (next != prev) {
+            if (prev >= 0L) getHandle.deleteTimer(prev)
+            getHandle.registerTimer(next)
+            armed.update(next)
+          }
       }
     }
     private def release(
@@ -1854,13 +1863,19 @@ object Streams {
       val all =
         (if (buf.exists()) buf.get().toSeq else Nil) ++ incoming
       val (mature, pending) = all.partition(_.us < wmUs)
-      if (nfaSt.exists()) nfa.restore(nfaSt.get()) else nfa.reset()
-      val out = mature
+      matcher.restoreRows(
+        if (mSt.exists()) mSt.get().toSeq else Nil)
+      val out = (mature
         .sortBy(r => (r.us, r.eid))
-        .flatMap(r => nfa.advance(r.us, r.tpe))
+        .flatMap(r => matcher.step(r.us, r.eid, r.tpe, 0L)) ++
+        // time then advances to the watermark even if no row said so:
+        // decided attempts resolve, blocked held matches commit
+        matcher.onTime(wmUs))
         .map(m =>
           Sequence.SeqMatch(user, m.startUs, m.endUs, m.nRows, m.nPlus))
-      nfaSt.update(nfa.snapshot)
+      val snaps = matcher.snapshotRows
+      mSt.clear()
+      if (snaps.nonEmpty) mSt.put(snaps.toArray)
       buf.clear()
       if (pending.nonEmpty) buf.put(pending.toArray)
       rearm(pending)
@@ -1901,14 +1916,16 @@ object Streams {
   def streamPatternMatch(
       spark: SparkSession,
       dir: String,
+      patternOpt: Option[graft.ops.Sequence.Pattern] = None,
+      plusAlias: String = "n_clicks",
   ): DataFrame = {
     import spark.implicits._
     import graft.ops.Sequence
-    val pattern = Sequence.Pattern(
+    val pattern = patternOpt.getOrElse(Sequence.Pattern(
       Seq(Sequence.Step("view", oneOrMore = false),
         Sequence.Step("click", oneOrMore = true),
         Sequence.Step("purchase", oneOrMore = false)),
-      withinUs = 24L * 3600L * 1000000L)
+      withinUs = 24L * 3600L * 1000000L))
     val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1959,7 +1976,14 @@ object Streams {
         try {
           q.processAllAvailable()
           // sentinel: watermark → past every real row's maturity
-          Seq((-1L, hi + 1200L * 1000000L + 2000000L, -1L, "none"))
+          // past every row's maturity AND, for a timed pattern, past
+          // the last possible attempt deadline (anchor + within), so
+          // the final timers resolve every held match
+          Seq((-1L,
+            hi + (if (pattern.withinUs != Sequence.Unbounded)
+              pattern.withinUs
+            else 0L) + 1200L * 1000000L + 2000000L,
+            -1L, "none"))
             .toDF("user_id", "us", "event_id", "event_type")
             .coalesce(1).write.mode("append").parquet(srcDir)
           q.processAllAvailable()
@@ -1969,7 +1993,7 @@ object Streams {
       spark.read.parquet(out)
         .filter($"user_id" >= 0L)
         .select($"user_id", $"start_us", $"end_us",
-          $"n_plus".as("n_clicks"))
+          $"n_plus".as(plusAlias))
         .orderBy($"user_id", $"start_us")
     }
   }

@@ -496,6 +496,91 @@ class Round12Spec extends AnyFunSuite {
     graft.streaming.Streams.deleteStaged(root)
   }
 
+  test("q228 streaming timed-relaxed match ≡ batch q227, row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q228_stream_match_timed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q227_match_relaxed_timed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("PatternProcessor deadline timer: a quiet key's trailing-+ match commits by time alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // user 1's last row is error@20s; the match (purchase error+
+    // WITHIN 60s) completes only when time proves no more errors can
+    // join — here via the DEADLINE timer once the sentinel (a
+    // different key!) advances the watermark past anchor+60s. Without
+    // onTime/deadline arming, the key would stay wedged forever.
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"match_ddl_${java.util.UUID.randomUUID().toString.take(8)}")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    def stage(name: String, ageMs: Long,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      rows.toDF("user_id", "us", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+      }
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    val s = 1000000L
+    stage("b1", 50000L, Seq((1L, 0L, 1L, "purchase"),
+      (1L, 10L * s, 2L, "error"), (1L, 20L * s, 3L, "error")))
+    graft.streaming.Streams.withRocksDbStore(spark) {
+      implicit val outEnc =
+        org.apache.spark.sql.Encoders.product[ops.Sequence.SeqMatch]
+      val matches = spark.readStream
+        .schema("user_id LONG, us LONG, event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"user_id", $"us", $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.PatternProcessor(
+            ops.Sequence.Pattern(
+              Seq(ops.Sequence.Step("purchase", oneOrMore = false),
+                ops.Sequence.Step("error", oneOrMore = true)),
+              withinUs = 60L * s, relaxed = true)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val out = root.resolve("out").toString
+      val q = matches.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // sentinel on ANOTHER key, far past anchor+within+delay
+        stage("sentinel", 0L, Seq((-1L, 7200L * s, 9L, "none")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .filter(col("user_id") >= 0L)
+        .collect().map(_.toSeq).toSeq
+      assert(got == Seq(Seq(1L, 0L, 20L * s, 3L, 2L)), s"got $got")
+    }
+    graft.streaming.Streams.deleteStaged(root)
+  }
+
   test("q224 streaming CUSUM ≡ batch q218, row for row") {
     val sf = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("q224_stream_cusum")(spark, sf)
