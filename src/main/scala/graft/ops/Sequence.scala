@@ -123,18 +123,13 @@ object Sequence {
     * caller-supplied per-row measure over every consumed row and over
     * the one-or-more steps' rows respectively (0 when no measure is
     * fed) — integer sums, so the oracle replays them exactly.
+    * `startEid`/`endEid` carry the boundary rows' event ids so ALL
+    * ROWS PER MATCH ([[matchPatternRows]]) can address the match's
+    * exact row range even under timestamp ties.
     */
   final case class MatchCore(startUs: Long, endUs: Long, nRows: Long,
-      nPlus: Long, measAll: Long, measPlus: Long)
-
-  /** The [[Nfa]]'s O(1) state, snapshot-able so the STREAMING runner
-    * (q222) can persist it in a per-key state store between microbatches
-    * — the batch fold and the stream share one stepper, so their
-    * semantics cannot drift.
-    */
-  final case class NfaState(active: Boolean, stepIdx: Int, consumed: Int,
-      startUs: Long, endUs: Long, nRows: Long, nPlus: Long,
-      measAll: Long, measPlus: Long)
+      nPlus: Long, measAll: Long, measPlus: Long, startEid: Long,
+      endEid: Long)
 
   /** Uniform persistable state row for any [[KeyMatcher]] — what the
     * STREAMING runner stores per key between microbatches. The Nfa
@@ -187,12 +182,13 @@ object Sequence {
     private var active = false
     private var stepIdx, consumed = 0
     private var startUs, endUs, nRows, nPlus = 0L
-    private var measAll, measPlus, rowMeas = 0L
+    private var measAll, measPlus, rowMeas, rowEid = 0L
+    private var startEid, endEid = 0L
     private var emitted: MatchCore = _
 
     private def emit(): Unit =
       emitted = MatchCore(startUs, endUs, nRows, nPlus, measAll,
-        measPlus)
+        measPlus, startEid, endEid)
 
     /** Kill the attempt; a satisfied trailing `+` step is a completed
       * greedy match, emitted before the state clears.
@@ -205,6 +201,7 @@ object Sequence {
 
     private def consumeInto(k: Int, us: Long): Unit = {
       stepIdx = k; consumed += 1; nRows += 1; endUs = us
+      endEid = rowEid
       measAll += rowMeas
       if (plus(k)) { nPlus += 1; measPlus += rowMeas }
       else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
@@ -216,12 +213,14 @@ object Sequence {
         active = true; stepIdx = 0; consumed = 0
         startUs = us; endUs = us; nRows = 0L; nPlus = 0L
         measAll = 0L; measPlus = 0L
+        startEid = rowEid; endEid = rowEid
         consumeInto(0, us)
       }
 
-    def advance(us: Long, tpe: String, meas: Long = 0L)
-        : Option[MatchCore] = {
+    def advance(us: Long, tpe: String, meas: Long = 0L,
+        eid: Long = 0L): Option[MatchCore] = {
       rowMeas = meas
+      rowEid = eid
       emitted = null
       if (!active) tryStart(us, tpe)
       else {
@@ -253,7 +252,7 @@ object Sequence {
     }
 
     override def step(us: Long, eid: Long, tpe: String, meas: Long)
-        : Seq[MatchCore] = advance(us, tpe, meas).toSeq
+        : Seq[MatchCore] = advance(us, tpe, meas, eid).toSeq
     override def finish(): Seq[MatchCore] = flushEnd().toSeq
 
     override def onTime(nowUs: Long): Seq[MatchCore] =
@@ -271,30 +270,20 @@ object Sequence {
 
     override def snapshotRows: Seq[MatcherSnap] =
       if (!active) Nil
-      else Seq(MatcherSnap(0, stepIdx, consumed, startUs, 0L, endUs,
-        0L, nRows, nPlus, measAll, measPlus))
+      else Seq(MatcherSnap(0, stepIdx, consumed, startUs, startEid,
+        endUs, endEid, nRows, nPlus, measAll, measPlus))
 
     override def restoreRows(rows: Seq[MatcherSnap]): Unit =
       rows.headOption match {
         case None => active = false
         case Some(r) =>
           active = true; stepIdx = r.stepIdx; consumed = r.consumed
-          startUs = r.aUs; endUs = r.endUs; nRows = r.nRows
+          startUs = r.aUs; startEid = r.aEid
+          endUs = r.endUs; endEid = r.endEid; nRows = r.nRows
           nPlus = r.nPlus; measAll = r.measAll; measPlus = r.measPlus
       }
 
     def reset(): Unit = active = false
-
-    def snapshot: NfaState =
-      NfaState(active, stepIdx, consumed, startUs, endUs, nRows, nPlus,
-        measAll, measPlus)
-
-    def restore(st: NfaState): Unit = {
-      active = st.active; stepIdx = st.stepIdx; consumed = st.consumed
-      startUs = st.startUs; endUs = st.endUs
-      nRows = st.nRows; nPlus = st.nPlus
-      measAll = st.measAll; measPlus = st.measPlus
-    }
   }
 
   private def flatStepOf(p: Pattern): Map[String, Int] =
@@ -347,7 +336,8 @@ object Sequence {
       var endUs, endEid = 0L
       var nRows, nPlus, measAll, measPlus = 0L
       def core: MatchCore =
-        MatchCore(aUs, endUs, nRows, nPlus, measAll, measPlus)
+        MatchCore(aUs, endUs, nRows, nPlus, measAll, measPlus, aEid,
+          endEid)
       def trailingSatisfied: Boolean =
         stepIdx == nSteps - 1 && plus(stepIdx) && consumed >= 1
       /** row-order compare of this thread's ANCHOR vs a position */
@@ -601,6 +591,96 @@ object Sequence {
       }
       .toDF()
       .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** One ALL ROWS PER MATCH output row: a consumed row tagged with its
+    * match (the anchor timestamp identifies it within the key) and the
+    * step that consumed it (MATCH_RECOGNIZE's CLASSIFIER()).
+    */
+  final case class SeqMatchRowOut(user_id: Long, start_us: Long,
+      us: Long, event_id: Long, event_type: String, step: Int)
+
+  private final case class MatchBounds(b_user: Long, start_us: Long,
+      start_eid: Long, end_us: Long, end_eid: Long)
+
+  /** ALL ROWS PER MATCH — MATCH_RECOGNIZE's other output mode: instead
+    * of one aggregated row per match ([[matchPattern]]), every row a
+    * match CONSUMED comes back tagged with its match and its step
+    * (CLASSIFIER). STRICT contiguity only (enforced): a strict match
+    * consumes exactly the rows between its boundary rows, so the
+    * per-row output is the bounded match table joined back to the
+    * events by row RANGE — the fold stays O(1)-state and emits only
+    * (start, end) boundary ids, never buffering a match's rows. (A
+    * relaxed match interleaves skipped rows inside its span; its
+    * per-row mode would need the fold to carry consumed-row lists —
+    * state O(match length) — which this engine declines the same way
+    * it declines time-bounded single-thread relaxed matching.)
+    * The step classifier is a type→step decode, exact because step
+    * predicates are disjoint.
+    *
+    * Scale: the fold is [[matchPattern]]'s; the join back is a
+    * per-user equi-join whose pair fan-out is (rows/user) ×
+    * (matches/user) before the range filter — both per-key bounded,
+    * the q55/q204 blocked-join budget.
+    */
+  def matchPatternRows(events: DataFrame, pattern: Pattern)
+      : DataFrame = {
+    require(!pattern.relaxed,
+      "ALL ROWS PER MATCH requires strict contiguity — a relaxed " +
+        "match's consumed rows are not a contiguous range (see doc)")
+    val s = events.sparkSession
+    import s.implicits._
+    val rows = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .as[(Long, Long, Long, String)]
+    implicit val enc = Encoders.product[MatchBounds]
+    val bounds = rows
+      .mapPartitions { it =>
+        val matcher = matcherFor(pattern)
+        new Iterator[MatchBounds] {
+          private val pend =
+            scala.collection.mutable.Queue.empty[MatchBounds]
+          private var flushed = false
+          private var curUser = Long.MinValue
+          private def push(ms: Seq[MatchCore]): Unit =
+            ms.foreach(m => pend += MatchBounds(curUser, m.startUs,
+              m.startEid, m.endUs, m.endEid))
+          private def consume(r: (Long, Long, Long, String)): Unit = {
+            if (r._1 != curUser) {
+              push(matcher.finish()); curUser = r._1; matcher.reset()
+            }
+            push(matcher.step(r._2, r._3, r._4, 0L))
+          }
+          def hasNext: Boolean = {
+            while (pend.isEmpty && it.hasNext) consume(it.next())
+            if (pend.isEmpty && !flushed) {
+              flushed = true; push(matcher.finish())
+            }
+            pend.nonEmpty
+          }
+          def next(): MatchBounds = pend.dequeue()
+        }
+      }
+      .toDF()
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("event_type"))
+    val stepExpr = pattern.steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (st, i)) =>
+        when(col("event_type").isin(st.eventTypes: _*), i).otherwise(acc)
+      }
+    e.join(bounds,
+        col("user_id") === col("b_user") &&
+          struct(col("us"), col("event_id")) >=
+          struct(col("start_us"), col("start_eid")) &&
+          struct(col("us"), col("event_id")) <=
+          struct(col("end_us"), col("end_eid")))
+      .select(col("user_id"), col("start_us"), col("us"),
+        col("event_id"), col("event_type"), stepExpr.as("step"))
+      .orderBy(col("user_id"), col("start_us"), col("us"),
+        col("event_id"))
   }
 
   /** q216: the funnel pattern `view click+ purchase WITHIN 24h` — at
@@ -974,6 +1054,48 @@ object Sequence {
       |  CAST(m_nv AS BIGINT) AS n_views
       |FROM rec WHERE fired ORDER BY user_id, m_start""".stripMargin
 
+  /** q229: ALL ROWS PER MATCH + CLASSIFIER over q216's pattern — each
+    * funnel match exploded to its consumed rows with the step that
+    * consumed them (0 = view anchor, 1 = click run, 2 = purchase).
+    * Oracle: q216's closed-form match table joined back to the rows by
+    * index range, classifier = the type decode.
+    */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPatternRows(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step("click", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L))
+  }
+
+  private val q229Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i,
+      |    MAX(CASE WHEN event_type <> 'click' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM e),
+      |mt AS (
+      |  SELECT b.user_id AS mu, a.us AS start_us, a.i AS ai, b.i AS bi
+      |  FROM m b JOIN e a ON a.user_id = b.user_id AND a.i = b.pb
+      |  WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |    AND b.i - b.pb - 1 >= 1
+      |    AND b.us - a.us <= 86400000000)
+      |SELECT r.user_id, t.start_us, r.us, r.event_id, r.event_type,
+      |  CASE r.event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |    ELSE 2 END AS step
+      |FROM mt t JOIN e r
+      |  ON r.user_id = t.mu AND r.i BETWEEN t.ai AND t.bi
+      |ORDER BY r.user_id, t.start_us, r.us, r.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -1003,5 +1125,6 @@ object Sequence {
           withinUs = 48L * 3600L * 1000000L, relaxed = true)),
         plusAlias = "n_views"),
       Some(q227Sql)),
+    QueryDef("q229_match_all_rows", q229, Some(q229Sql)),
   )
 }
