@@ -56,19 +56,33 @@ import org.apache.spark.sql.functions._
 object Sequence {
 
   /** One pattern step: an event-type predicate — a SET of accepted
-    * types (ALTERNATION, `(click|error)`) — plus its quantifier
-    * (`oneOrMore = false` → exactly once, `true` → one-or-more,
-    * greedy). `Step("click", ...)` is the single-type shorthand.
+    * types (ALTERNATION, `(click|error)`) — plus its quantifier as a
+    * GREEDY repetition range `{minRep, maxRep}`: once = {1,1},
+    * one-or-more `+` = {1,∞}, optional `?` = {0,1}, bounded `{n,m}`.
+    * `Step("click", oneOrMore = true)` etc. are shorthands.
     */
-  final case class Step(eventTypes: Seq[String], oneOrMore: Boolean) {
+  final case class Step(eventTypes: Seq[String], minRep: Int,
+      maxRep: Int) {
     require(eventTypes.nonEmpty, "a step needs at least one event type")
     require(eventTypes.distinct.size == eventTypes.size,
       s"duplicate types within a step: $eventTypes")
+    require(minRep >= 0 && maxRep >= 1 && minRep <= maxRep,
+      s"bad repetition range {$minRep,$maxRep}")
+    /** variable-width steps — what `n_plus`/`meas_plus` count */
+    def variable: Boolean = maxRep > 1
   }
 
   object Step {
+    val Inf: Int = Int.MaxValue
     def apply(eventType: String, oneOrMore: Boolean): Step =
-      Step(Seq(eventType), oneOrMore)
+      Step(Seq(eventType), 1, if (oneOrMore) Inf else 1)
+    def apply(eventTypes: Seq[String], oneOrMore: Boolean): Step =
+      Step(eventTypes, 1, if (oneOrMore) Inf else 1)
+    /** bounded greedy repetition `{min,max}` */
+    def rep(eventType: String, min: Int, max: Int): Step =
+      Step(Seq(eventType), min, max)
+    /** optional `?` = {0,1} */
+    def opt(eventType: String): Step = Step(Seq(eventType), 0, 1)
   }
 
   /** No time bound — the only `withinUs` relaxed contiguity admits. */
@@ -89,15 +103,19 @@ object Sequence {
       "step type sets must be pairwise disjoint — that is what makes " +
         "the single-pass NFA exact (see module doc); overlapping " +
         "predicates would need concurrent attempt threads")
-    require(relaxed || steps.length == 1 || !steps.head.oneOrMore,
-      "a strict multi-step pattern must be anchored by a `once` first " +
-        "step: with a leading one-or-more, a WITHIN-timeout can fail " +
-        "an attempt whose consumed run contains valid later attempt " +
-        "starts, which exact semantics can only honor with " +
-        "concurrent attempt threads (state bounded by the time " +
-        "window, not the pattern). A single-step `+` pattern is exact " +
-        "— every attempt at a matching row succeeds, so skip-past-" +
-        "last-row realigns the scan.")
+    require(steps.head.minRep >= 1,
+      "the first step must consume the anchor row (minRep ≥ 1): a " +
+        "skippable head would let matches start at a later step's " +
+        "type, an ambiguity the anchored attempt model doesn't define")
+    require(relaxed || steps.length == 1 || steps.head.maxRep == 1,
+      "a strict multi-step pattern must be anchored by a single-row " +
+        "first step (maxRep = 1): with a repeating head, a WITHIN-" +
+        "timeout can fail an attempt whose consumed run contains " +
+        "valid later attempt starts, which exact semantics can only " +
+        "honor with concurrent attempt threads (state bounded by the " +
+        "time window, not the pattern). A single-step repeating " +
+        "pattern is exact — every attempt at a matching row succeeds, " +
+        "so skip-past-last-row realigns the scan.")
     require(withinUs > 0, "withinUs must be positive")
 
     /** Time-bounded relaxed matching cannot run on the O(1)-state
@@ -174,11 +192,12 @@ object Sequence {
     */
   final class Nfa(
       stepOf: Map[String, Int],
-      plus: Array[Boolean],
+      minR: Array[Int],
+      maxR: Array[Int],
       within: Long,
       relaxed: Boolean = false,
   ) extends KeyMatcher {
-    private val nSteps = plus.length
+    private val nSteps = maxR.length
     private var active = false
     private var stepIdx, consumed = 0
     private var startUs, endUs, nRows, nPlus = 0L
@@ -190,12 +209,18 @@ object Sequence {
       emitted = MatchCore(startUs, endUs, nRows, nPlus, measAll,
         measPlus, startEid, endEid)
 
-    /** Kill the attempt; a satisfied trailing `+` step is a completed
-      * greedy match, emitted before the state clears.
+    /** The attempt is committable as it stands: the current step has
+      * its minimum and every remaining step is skippable ({0,m}).
+      */
+    private def satisfiedNow: Boolean =
+      active && stepIdx < nSteps && consumed >= minR(stepIdx) &&
+        (stepIdx + 1 until nSteps).forall(minR(_) == 0)
+
+    /** Kill the attempt; a satisfied greedy tail is a completed match,
+      * emitted before the state clears.
       */
     private def kill(): Unit = {
-      if (active && stepIdx == nSteps - 1 && plus(stepIdx) &&
-        consumed >= 1) emit()
+      if (satisfiedNow) emit()
       active = false
     }
 
@@ -203,10 +228,19 @@ object Sequence {
       stepIdx = k; consumed += 1; nRows += 1; endUs = us
       endEid = rowEid
       measAll += rowMeas
-      if (plus(k)) { nPlus += 1; measPlus += rowMeas }
-      else { stepIdx = k + 1; consumed = 0 } // `once` satisfied
+      if (maxR(k) > 1) { nPlus += 1; measPlus += rowMeas }
+      if (consumed == maxR(k)) { stepIdx = k + 1; consumed = 0 } // full
       if (stepIdx == nSteps) { emit(); active = false }
     }
+
+    /** The step this row could ADVANCE to from `k`: its own step `j`,
+      * if `j > k`, the current step has its minimum, and every step
+      * strictly between is skippable.
+      */
+    private def advanceTarget(k: Int, sIdx: Int): Int =
+      if (sIdx > k && consumed >= minR(k) &&
+        (k + 1 until sIdx).forall(minR(_) == 0)) sIdx
+      else -1
 
     private def tryStart(us: Long, tpe: String): Unit =
       if (stepOf.get(tpe).contains(0)) {
@@ -226,17 +260,15 @@ object Sequence {
       else {
         val timeOk = us - startUs <= within
         val k = stepIdx
-        if (timeOk && stepOf.get(tpe).contains(k) &&
-          (consumed == 0 || plus(k)))
+        val sIdx = stepOf.getOrElse(tpe, -1)
+        if (timeOk && sIdx == k && consumed < maxR(k))
           consumeInto(k, us)
-        else if (timeOk && consumed >= 1 && k + 1 < nSteps &&
-          stepOf.get(tpe).contains(k + 1)) {
+        else if (timeOk && sIdx >= 0 && advanceTarget(k, sIdx) >= 0) {
           consumed = 0
-          consumeInto(k + 1, us)
+          consumeInto(sIdx, us)
         } else if (relaxed) {
           // relaxed contiguity: an irrelevant row is SKIPPED, the
-          // attempt survives (it can only end by completing — withinUs
-          // is Unbounded by Pattern's require)
+          // attempt survives until it completes or times out
         } else { // strict: cannot extend — close out, re-consider row
           kill()
           tryStart(us, tpe)
@@ -301,8 +333,8 @@ object Sequence {
       "time-bounded relaxed patterns need the concurrent-thread " +
         "matcher (use matchPattern, which dispatches); the single-" +
         "thread NFA cannot honor them exactly")
-    new Nfa(flatStepOf(p), p.steps.map(_.oneOrMore).toArray,
-      p.withinUs, p.relaxed)
+    new Nfa(flatStepOf(p), p.steps.map(_.minRep).toArray,
+      p.steps.map(_.maxRep).toArray, p.withinUs, p.relaxed)
   }
 
   /** CONCURRENT-THREAD matcher for time-bounded RELAXED patterns — the
@@ -326,10 +358,11 @@ object Sequence {
     */
   final class ThreadMatcher(
       stepOf: Map[String, Int],
-      plus: Array[Boolean],
+      minR: Array[Int],
+      maxR: Array[Int],
       within: Long,
   ) extends KeyMatcher {
-    private val nSteps = plus.length
+    private val nSteps = maxR.length
 
     private final class Th(val aUs: Long, val aEid: Long) {
       var stepIdx, consumed = 0
@@ -339,7 +372,8 @@ object Sequence {
         MatchCore(aUs, endUs, nRows, nPlus, measAll, measPlus, aEid,
           endEid)
       def trailingSatisfied: Boolean =
-        stepIdx == nSteps - 1 && plus(stepIdx) && consumed >= 1
+        stepIdx < nSteps && consumed >= minR(stepIdx) &&
+          (stepIdx + 1 until nSteps).forall(minR(_) == 0)
       /** row-order compare of this thread's ANCHOR vs a position */
       def anchorLeq(us: Long, eid: Long): Boolean =
         aUs < us || (aUs == us && aEid <= eid)
@@ -372,8 +406,8 @@ object Sequence {
       t.stepIdx = k; t.consumed += 1
       t.endUs = us; t.endEid = eid
       t.nRows += 1; t.measAll += meas
-      if (plus(k)) { t.nPlus += 1; t.measPlus += meas }
-      else { t.stepIdx = k + 1; t.consumed = 0 }
+      if (maxR(k) > 1) { t.nPlus += 1; t.measPlus += meas }
+      if (t.consumed == maxR(k)) { t.stepIdx = k + 1; t.consumed = 0 }
       t.stepIdx == nSteps
     }
 
@@ -433,12 +467,14 @@ object Sequence {
         val stillLive = List.newBuilder[Th]
         threads.foreach { t =>
           val k = t.stepIdx
+          val canAdvance = sIdx > k && t.consumed >= minR(k) &&
+            (k + 1 until sIdx).forall(minR(_) == 0)
           val done =
-            if (sIdx == k && (t.consumed == 0 || plus(k)))
+            if (sIdx == k && t.consumed < maxR(k))
               consumeInto(t, k, us, eid, meas)
-            else if (t.consumed >= 1 && k + 1 < nSteps && sIdx == k + 1) {
+            else if (canAdvance) {
               t.consumed = 0
-              consumeInto(t, k + 1, us, eid, meas)
+              consumeInto(t, sIdx, us, eid, meas)
             } else false // relaxed: irrelevant row is skipped
           if (done)
             held = (held :+ t).sortBy(x => (x.aUs, x.aEid))
@@ -476,8 +512,8 @@ object Sequence {
     */
   def matcherFor(p: Pattern): KeyMatcher =
     if (p.needsThreads)
-      new ThreadMatcher(flatStepOf(p),
-        p.steps.map(_.oneOrMore).toArray, p.withinUs)
+      new ThreadMatcher(flatStepOf(p), p.steps.map(_.minRep).toArray,
+        p.steps.map(_.maxRep).toArray, p.withinUs)
     else compile(p)
 
   /** Compile `pattern` and run it over `events` (schema: user_id, ts,
@@ -1096,6 +1132,72 @@ object Sequence {
       |  ON r.user_id = t.mu AND r.i BETWEEN t.ai AND t.bi
       |ORDER BY r.user_id, t.start_us, r.us, r.event_id""".stripMargin
 
+  /** q230: the full quantifier algebra in one pattern —
+    * `view click{1,2} error? purchase WITHIN 24h`: BOUNDED greedy
+    * repetition (a third click kills the attempt) and an OPTIONAL step
+    * (the purchase may advance straight over the un-consumed error
+    * slot). On sf0.01 every quantifier binds: 67 matches, 6 hitting
+    * the {1,2} cap, 7 consuming the optional error. `n_errors` rides
+    * the MEASURES channel (error-indicator over all consumed rows).
+    * Oracle: strict contiguity keeps the closed form — a purchase
+    * whose click/error span back to the anchoring view satisfies the
+    * count ranges AND the order (every click before every error),
+    * checked with span aggregates.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPatternMeasured(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step.rep("click", 1, 2),
+          Step.opt("error"),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L),
+      when($"event_type" === "error", 1L).otherwise(0L))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_clicks"),
+        $"meas_all".as("n_errors"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q230Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i,
+      |    MAX(CASE WHEN event_type NOT IN ('click', 'error') THEN i
+      |      END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM e),
+      |cand AS (
+      |  SELECT b.user_id, a.us AS start_us, b.us AS end_us,
+      |    a.i AS ai, b.i AS bi
+      |  FROM m b JOIN m a ON a.user_id = b.user_id AND a.i = b.pb
+      |  WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |    AND b.us - a.us <= 86400000000),
+      |sp AS (
+      |  SELECT c.user_id, c.start_us, c.end_us,
+      |    COALESCE(SUM(CASE WHEN r.event_type = 'click' THEN 1
+      |      ELSE 0 END), 0) AS cc,
+      |    COALESCE(SUM(CASE WHEN r.event_type = 'error' THEN 1
+      |      ELSE 0 END), 0) AS ec,
+      |    MAX(CASE WHEN r.event_type = 'click' THEN r.i END) AS mxc,
+      |    MIN(CASE WHEN r.event_type = 'error' THEN r.i END) AS mne
+      |  FROM cand c LEFT JOIN e r
+      |    ON r.user_id = c.user_id AND r.i > c.ai AND r.i < c.bi
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, start_us, end_us,
+      |  CAST(cc AS BIGINT) AS n_clicks, CAST(ec AS BIGINT) AS n_errors
+      |FROM sp
+      |WHERE cc BETWEEN 1 AND 2 AND ec <= 1
+      |  AND (ec = 0 OR mxc < mne)
+      |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -1126,5 +1228,6 @@ object Sequence {
         plusAlias = "n_views"),
       Some(q227Sql)),
     QueryDef("q229_match_all_rows", q229, Some(q229Sql)),
+    QueryDef("q230_match_quantifiers", q230, Some(q230Sql)),
   )
 }

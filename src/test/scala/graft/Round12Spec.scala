@@ -48,44 +48,41 @@ class Round12Spec extends AnyFunSuite {
         var startUs = seq(i)._2
         var anchored = false
         var lastJ = -1
-        var nPlusInStep = 0L
+        var inStep = 0
         def timeOk(k: Int): Boolean =
           seq(k)._2 - startUs <= p.withinUs
         def fits(k: Int, st: Step): Boolean =
           k < seq.length && st.eventTypes.contains(seq(k)._4) &&
             timeOk(k)
         // relaxed: hop over rows the attempt can neither consume into
-        // the current step nor (mid-plus) advance on — valid only
-        // un-timed, which Pattern enforces
+        // the current step nor advance past it on (a LATER step's type
+        // with the current minimum met and only skippable steps
+        // between)
         def hop(st: Step): Unit =
           if (p.relaxed)
             while (j < seq.length && !st.eventTypes.contains(seq(j)._4) &&
-              !(step + 1 < p.steps.length && nPlusInStep >= 1 &&
-                p.steps(step + 1).eventTypes.contains(seq(j)._4)))
+              !(inStep >= st.minRep && p.steps.indexWhere(
+                _.eventTypes.contains(seq(j)._4)) > step &&
+                (step + 1 until p.steps.indexWhere(
+                  _.eventTypes.contains(seq(j)._4)))
+                  .forall(p.steps(_).minRep == 0)))
               j += 1
         while (ok && step < p.steps.length) {
           val st = p.steps(step)
-          nPlusInStep = 0L
-          hop(st)
-          if (!fits(j, st)) ok = false
-          else {
-            if (!anchored) { anchored = true; startUs = seq(j)._2 }
-            lastJ = j; j += 1; nRows += 1
-            if (st.oneOrMore) {
-              nPlus += 1; nPlusInStep += 1
-              var more = true
-              while (more) {
-                hop(st)
-                if (fits(j, st)) {
-                  lastJ = j; j += 1; nRows += 1; nPlus += 1
-                  nPlusInStep += 1
-                } else more = false
-              }
-            }
-            step += 1
+          inStep = 0
+          // greedy: take rows into this step up to its maximum
+          var more = true
+          while (more && inStep < st.maxRep) {
+            hop(st)
+            if (fits(j, st)) {
+              if (!anchored) { anchored = true; startUs = seq(j)._2 }
+              lastJ = j; j += 1; nRows += 1; inStep += 1
+              if (st.maxRep > 1) nPlus += 1
+            } else more = false
           }
+          if (inStep < st.minRep) ok = false else step += 1
         }
-        if (ok) {
+        if (ok && nRows > 0) {
           out += SeqMatch(user, startUs, seq(lastJ)._2, nRows, nPlus)
           i = lastJ + 1 // skip past last consumed row
         } else i += 1
@@ -212,16 +209,39 @@ class Round12Spec extends AnyFunSuite {
         withinUs = 80L, relaxed = true),
       Pattern(Seq(Step("error", oneOrMore = true)),
         withinUs = 40L, relaxed = true),
+      // bounded {n,m} repetition + optional steps, strict and relaxed
+      Pattern(Seq(Step("view", oneOrMore = false),
+        Step.rep("click", 1, 2), Step.opt("error"),
+        Step("purchase", oneOrMore = false)), withinUs = 200L),
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step.rep("view", 2, 3),
+        Step("purchase", oneOrMore = false)), withinUs = 300L),
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step.opt("view"), Step.opt("click"),
+        Step("purchase", oneOrMore = false)), withinUs = 150L),
+      Pattern(Seq(Step("view", oneOrMore = false),
+        Step.rep("click", 1, 2), Step.opt("error"),
+        Step("purchase", oneOrMore = false)),
+        withinUs = ops.Sequence.Unbounded, relaxed = true),
+      Pattern(Seq(Step("signup", oneOrMore = false),
+        Step.rep("view", 2, 3),
+        Step("purchase", oneOrMore = false)),
+        withinUs = 250L, relaxed = true),
     )
+    val matchCount =
+      scala.collection.mutable.Map.empty[Pattern, Int].withDefaultValue(0)
     for (seed <- Seq(1L, 2L, 3L); p <- patterns) {
       val rows = gen(seed * 7919L, 400)
       val want = referenceMatch(rows, p)
         .sortBy(m => (m.user_id, m.start_us, m.end_us))
       val got = nfaMatch(rows, p)
       assert(got == want, s"seed=$seed pattern=$p")
-      // the fixture is only probative if matches actually happen
-      assert(want.nonEmpty, s"degenerate fixture seed=$seed pattern=$p")
+      matchCount(p) += want.length
     }
+    // every pattern must actually match somewhere across the seeds —
+    // an all-empty pattern would gate nothing
+    patterns.foreach(p =>
+      assert(matchCount(p) > 0, s"degenerate pattern (0 matches): $p"))
   }
 
   test("q226 relaxed contiguity: skipping binds where strict kills") {
