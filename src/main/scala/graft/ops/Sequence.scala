@@ -520,8 +520,16 @@ object Sequence {
     * event_id, event_type), returning one row per match ordered by
     * (user_id, start_us). Rows are matched in (us, event_id) order per
     * user — the engine-wide deterministic sequence order.
+    *
+    * `sessionGapUs` scopes matching to SESSIONS (MATCH_RECOGNIZE's
+    * PARTITION BY user composed with the q20 inactivity-gap rule
+    * without materializing session ids): an inter-row gap > the bound
+    * closes the key exactly like end-of-data — satisfied greedy tails
+    * emit, open attempts die — and matching restarts fresh, so no
+    * match ever spans a session boundary.
     */
-  def matchPattern(events: DataFrame, pattern: Pattern): DataFrame = {
+  def matchPattern(events: DataFrame, pattern: Pattern,
+      sessionGapUs: Option[Long] = None): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val rows = events
@@ -545,10 +553,16 @@ object Sequence {
             ms.foreach(m => pend += SeqMatch(curUser, m.startUs,
               m.endUs, m.nRows, m.nPlus))
 
+          private var prevUs = Long.MinValue
+
           private def consume(r: (Long, Long, Long, String)): Unit = {
             if (r._1 != curUser) {
               push(matcher.finish()); curUser = r._1; matcher.reset()
+            } else if (sessionGapUs.exists(g => r._2 - prevUs > g)) {
+              // inactivity gap: the session ends exactly like the key
+              push(matcher.finish()); matcher.reset()
             }
+            prevUs = r._2
             push(matcher.step(r._2, r._3, r._4, 0L))
           }
 
@@ -1198,6 +1212,62 @@ object Sequence {
       |  AND (ec = 0 OR mxc < mne)
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q231: SESSION-SCOPED matching — q216's funnel required to
+    * complete inside ONE activity session (8h inactivity gap): the
+    * matcher resets at every gap, so the funnel a user completes
+    * across a multi-day return visit no longer counts. On sf0.01 the
+    * scoping genuinely binds: 26 of q216's 60 matches survive. The
+    * oracle composes q216's closed form with the gap condition — a
+    * strict match is session-contained iff NO consecutive-row gap
+    * inside its span exceeds the bound (the reset-at-gap automaton and
+    * the filtered closed form coincide for anchored strict patterns:
+    * a reset can only fire on a gap row, and any structural candidate
+    * spanning that gap is exactly what the filter removes).
+    */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    matchPattern(
+      Tables.events(s, d),
+      Pattern(
+        Seq(Step("view", oneOrMore = false),
+          Step("click", oneOrMore = true),
+          Step("purchase", oneOrMore = false)),
+        withinUs = 24L * 3600L * 1000000L),
+      sessionGapUs = Some(8L * 3600L * 1000000L))
+      .select($"user_id", $"start_us", $"end_us",
+        $"n_plus".as("n_clicks"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q231Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS i,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_type, i,
+      |    MAX(CASE WHEN event_type <> 'click' THEN i END) OVER (
+      |      PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM e),
+      |cand AS (
+      |  SELECT b.user_id, a.us AS start_us, b.us AS end_us,
+      |    a.i AS ai, b.i AS bi, CAST(b.i - b.pb - 1 AS BIGINT) AS nc
+      |  FROM m b JOIN e a ON a.user_id = b.user_id AND a.i = b.pb
+      |  WHERE b.event_type = 'purchase' AND a.event_type = 'view'
+      |    AND b.i - b.pb - 1 >= 1
+      |    AND b.us - a.us <= 86400000000)
+      |SELECT c.user_id, c.start_us, c.end_us, c.nc AS n_clicks
+      |FROM cand c JOIN e r
+      |  ON r.user_id = c.user_id AND r.i > c.ai AND r.i <= c.bi
+      |GROUP BY 1, 2, 3, 4
+      |HAVING MAX(r.gap) <= 28800000000
+      |ORDER BY c.user_id, c.start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -1229,5 +1299,6 @@ object Sequence {
       Some(q227Sql)),
     QueryDef("q229_match_all_rows", q229, Some(q229Sql)),
     QueryDef("q230_match_quantifiers", q230, Some(q230Sql)),
+    QueryDef("q231_match_sessions", q231, Some(q231Sql)),
   )
 }

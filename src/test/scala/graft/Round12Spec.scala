@@ -290,6 +290,40 @@ class Round12Spec extends AnyFunSuite {
     assert(wide == Seq(SeqMatch(1L, 0L, 140L, 3L, 1L)))
   }
 
+  test("q231 session scoping: a gap closes greedy tails and kills open attempts") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long, String)], p: Pattern,
+        gap: Option[Long]) = {
+      val df = spark.createDataset(rows)
+        .toDF("user_id", "us", "event_id", "event_type")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("us")))
+      ops.Sequence.matchPattern(df, p, gap)
+        .as[SeqMatch].collect().toSeq
+    }
+    val funnel3 = Pattern(Seq(Step("view", oneOrMore = false),
+      Step("click", oneOrMore = true),
+      Step("purchase", oneOrMore = false)), withinUs = 10000L)
+    // the purchase arrives after an inactivity gap: without scoping it
+    // completes the funnel; scoped, the attempt died with the session
+    val spanning = Seq[(Long, Long, Long, String)](
+      (1L, 0L, 1L, "view"), (1L, 10L, 2L, "click"),
+      (1L, 120L, 3L, "purchase"))
+    assert(run(spanning, funnel3, None).size == 1)
+    assert(run(spanning, funnel3, Some(50L)).isEmpty)
+    // a gap ENDS the session like end-of-data: the satisfied greedy
+    // tail emits, and the post-gap rows anchor a fresh session's match
+    val tail = Pattern(Seq(Step("purchase", oneOrMore = false),
+      Step("error", oneOrMore = true)), withinUs = 10000L)
+    val rows2 = Seq[(Long, Long, Long, String)](
+      (1L, 0L, 1L, "purchase"), (1L, 10L, 2L, "error"),
+      (1L, 200L, 3L, "purchase"), (1L, 210L, 4L, "error"))
+    assert(run(rows2, tail, Some(50L)) == Seq(
+      SeqMatch(1L, 0L, 10L, 2L, 1L),
+      SeqMatch(1L, 200L, 210L, 2L, 1L)))
+  }
+
   test("Pattern rejects the shapes the O(1)-state fold cannot honor exactly") {
     // leading `+` in a multi-step pattern: a timeout-failed attempt can
     // hide valid later starts inside its consumed run
