@@ -1266,6 +1266,87 @@ object Stats {
       |    AS deff
       |FROM der2 ORDER BY variant""".stripMargin
 
+  /** q232: KENDALL RANK CORRELATION (τ-b) between two day rankings per
+    * event type — are high-VOLUME days also high-REVENUE days? The
+    * nonparametric rank-agreement statistic (robust companion to
+    * q123's parametric regression and q198's Theil-Sen): every pair of
+    * days is concordant, discordant, or tied on either axis, and
+    * τ_b = (C − D) / √((C + D + Tx)(C + D + Ty)).
+    *
+    * Scale = q198's discipline: events pre-aggregate to DAY grain (one
+    * map-side-combinable pass — the only event-cardinality work), so
+    * the O(days²) pair enumeration runs over a calendar-bounded grid
+    * (30 days → 435 pairs per type) via a type-equi-join with a
+    * day-order filter — never an event-level pair join. C/D/T are
+    * exact BIGINT counts; the single √ runs over identical integer
+    * operands on both engines.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        expr(centsExpr).as("c"))
+      .groupBy($"event_type", $"day_id")
+      .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
+    val a = daily.select($"event_type", $"day_id".as("d1"),
+      $"n".as("n1"), $"cents".as("c1"))
+    val b = daily.select($"event_type".as("t2"), $"day_id".as("d2"),
+      $"n".as("n2"), $"cents".as("c2"))
+    a.join(b, $"event_type" === $"t2" && $"d1" < $"d2")
+      .select($"event_type",
+        (signum($"n2" - $"n1") * signum($"c2" - $"c1")).as("s"),
+        ($"n1" === $"n2").as("tx"),
+        ($"c1" === $"c2").as("ty"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(!$"tx" && !$"ty" && $"s" > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(!$"tx" && !$"ty" && $"s" < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when($"tx" && !$"ty", 1L).otherwise(0L)).as("ties_x"),
+        sum(when($"ty" && !$"tx", 1L).otherwise(0L)).as("ties_y"),
+      )
+      .withColumn("tau_b", round(
+        ($"concordant" - $"discordant").cast("double") /
+          sqrt((($"concordant" + $"discordant" + $"ties_x") *
+            ($"concordant" + $"discordant" + $"ties_y"))
+            .cast("double")), 6))
+      .orderBy($"event_type")
+  }
+
+  private val q232Sql =
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+      |    COUNT(*) AS n, CAST(SUM($centsExpr) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    SIGN(b.n - a.n) * SIGN(b.cents - a.cents) AS s,
+      |    a.n = b.n AS tx, a.cents = b.cents AS ty
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day_id < b.day_id),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN NOT tx AND NOT ty AND s > 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(SUM(CASE WHEN NOT tx AND NOT ty AND s < 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(SUM(CASE WHEN tx AND NOT ty THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ties_x,
+      |    CAST(SUM(CASE WHEN ty AND NOT tx THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ties_y
+      |  FROM pairs GROUP BY event_type)
+      |SELECT event_type, n_pairs, concordant, discordant, ties_x,
+      |  ties_y,
+      |  ROUND(CAST(concordant - discordant AS DOUBLE) /
+      |    SQRT(CAST((concordant + discordant + ties_x) *
+      |      (concordant + discordant + ties_y) AS DOUBLE)), 6)
+      |    AS tau_b
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -1280,6 +1361,7 @@ object Stats {
     QueryDef("q212_quantile_effects", q212, Some(q212Sql)),
     QueryDef("q217_delta_method", q217, Some(q217Sql)),
     QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
+    QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
     QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }

@@ -645,6 +645,42 @@ class Round12Spec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q232 tau-b equals a brute-force driver computation") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q232_kendall_tau")(spark, sf)
+      .select($"event_type", $"tau_b").as[(String, Double)]
+      .collect().toMap
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS d",
+        "CAST(ROUND(value * 100) AS BIGINT) AS c")
+      .groupBy($"event_type", $"d")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum($"c").as("cents"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    for ((t, rows) <- daily) {
+      var cc, dd, tx, ty = 0L
+      for {
+        i <- rows.indices; j <- rows.indices
+        if rows(i)._2 < rows(j)._2
+      } {
+        val (dn, dc) = (rows(j)._3 - rows(i)._3, rows(j)._4 - rows(i)._4)
+        if (dn == 0 && dc == 0) ()
+        else if (dn == 0) tx += 1
+        else if (dc == 0) ty += 1
+        else if (dn.sign == dc.sign) cc += 1
+        else dd += 1
+      }
+      val want = (cc - dd).toDouble /
+        math.sqrt(((cc + dd + tx) * (cc + dd + ty)).toDouble)
+      assert(math.abs(got(t) - want) < 1e-5, s"$t: ${got(t)} vs $want")
+      // the statistic is only probative if pairs actually disagree
+      assert(cc > 0 && dd > 0, s"$t degenerate: C=$cc D=$dd")
+    }
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
