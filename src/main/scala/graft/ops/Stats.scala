@@ -1347,6 +1347,131 @@ object Stats {
       |    AS tau_b
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** One q233 output row: a step of the survival curve. */
+  final case class KmRow(variant: Long, t_hours: Long, n_risk: Long,
+      n_events: Long, s_micro: Long)
+
+  /** q233: KAPLAN-MEIER SURVIVAL — time-to-first-purchase per variant
+    * WITH RIGHT-CENSORING, the correctness upgrade q213's lag
+    * distribution silently lacks: a user whose purchase hasn't
+    * happened by the observation cut (2024-01-04 here; 43 of 105
+    * subjects) is CENSORED at the cut, not dropped — dropping them
+    * biases every "time to convert" readout toward the fast
+    * converters. The estimator steps at each event hour t:
+    * Ŝ ← Ŝ·(n_t − d_t)/n_t with n_t = subjects still at risk
+    * (deaths-before-censorings tie convention).
+    *
+    * Exactness device: the survival product is SEQUENTIAL, so it runs
+    * as q104's fold in integer MICRO-UNITS with truncating division
+    * at each step — and the oracle replays the identical integer
+    * recursion as a recursive CTE (q214's device). Everything before
+    * the fold is one user-grain pass (the shared user_id exchange)
+    * plus windows over the hour-bounded risk table; the fold touches
+    * |variants|×|event hours| rows.
+    */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1704326400000000L // 2024-01-04T00:00:00Z
+    val hourUs = 3600000000L
+    val users = Tables
+      .events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("s1", min(when($"event_type" === "signup", $"us"))
+        .over(Window.partitionBy($"user_id")))
+      .groupBy($"user_id")
+      .agg(
+        max($"s1").as("s1"),
+        min(when($"event_type" === "purchase" && $"us" > $"s1", $"us"))
+          .as("p1"),
+      )
+      .where($"s1".isNotNull && $"s1" < cutUs)
+      .select(($"user_id" % 2).as("variant"),
+        // truncating INTEGER division (DIV, positive operands), never
+        // a float divide-and-cast
+        when($"p1".isNotNull && $"p1" < cutUs,
+          expr(s"(p1 - s1) DIV $hourUs"))
+          .otherwise(expr(s"(${cutUs}L - s1) DIV $hourUs"))
+          .as("dur_h"),
+        ($"p1".isNotNull && $"p1" < cutUs).as("ev"))
+    val riskW = Window.partitionBy($"variant").orderBy($"dur_h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evRows = users
+      .groupBy($"variant", $"dur_h")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when($"ev", 1L).otherwise(0L)).as("n_ev"))
+      .withColumn("n_risk", sum($"n_all").over(riskW))
+      .where($"n_ev" >= 1)
+      .select($"variant", $"dur_h", $"n_risk", $"n_ev")
+      .repartition($"variant")
+      .sortWithinPartitions($"variant", $"dur_h")
+      .as[(Long, Long, Long, Long)]
+    implicit val enc = org.apache.spark.sql.Encoders.product[KmRow]
+    evRows
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[KmRow] {
+          private var curV = Long.MinValue
+          private var sMicro = 1000000L
+          def hasNext: Boolean = buf.hasNext
+          def next(): KmRow = {
+            val (v, t, n, dd) = buf.next()
+            if (v != curV) { curV = v; sMicro = 1000000L }
+            sMicro = sMicro * (n - dd) / n
+            KmRow(v, t, n, dd, sMicro)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"variant", $"t_hours")
+  }
+
+  private val q233Sql =
+    """WITH RECURSIVE marked AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id) AS s1
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, MAX(s1) AS s1,
+      |    MIN(CASE WHEN event_type = 'purchase' AND us > s1
+      |      THEN us END) AS p1
+      |  FROM marked GROUP BY user_id),
+      |subj AS (
+      |  SELECT user_id % 2 AS variant,
+      |    CASE WHEN p1 IS NOT NULL AND p1 < 1704326400000000
+      |      THEN (p1 - s1) // 3600000000
+      |      ELSE (1704326400000000 - s1) // 3600000000 END AS dur_h,
+      |    (p1 IS NOT NULL AND p1 < 1704326400000000) AS ev
+      |  FROM u WHERE s1 IS NOT NULL AND s1 < 1704326400000000),
+      |grid AS (
+      |  SELECT variant, dur_h, COUNT(*) AS n_all,
+      |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_ev
+      |  FROM subj GROUP BY 1, 2),
+      |ev_rows AS (
+      |  SELECT variant, dur_h,
+      |    CAST(SUM(n_all) OVER (PARTITION BY variant ORDER BY dur_h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS BIGINT) AS n_risk,
+      |    n_ev,
+      |    ROW_NUMBER() OVER (PARTITION BY variant ORDER BY dur_h) AS i
+      |  FROM grid),
+      |evs AS (
+      |  SELECT variant, dur_h, n_risk, n_ev,
+      |    ROW_NUMBER() OVER (PARTITION BY variant ORDER BY dur_h) AS j
+      |  FROM ev_rows WHERE n_ev >= 1),
+      |rec AS (
+      |  SELECT variant, dur_h, n_risk, n_ev, j,
+      |    (1000000 * (n_risk - n_ev)) // n_risk AS s
+      |  FROM evs WHERE j = 1
+      |  UNION ALL
+      |  SELECT nx.variant, nx.dur_h, nx.n_risk, nx.n_ev, nx.j,
+      |    (r.s * (nx.n_risk - nx.n_ev)) // nx.n_risk AS s
+      |  FROM rec r JOIN evs nx
+      |    ON nx.variant = r.variant AND nx.j = r.j + 1)
+      |SELECT variant, dur_h AS t_hours, n_risk,
+      |  n_ev AS n_events, CAST(s AS BIGINT) AS s_micro
+      |FROM rec ORDER BY variant, t_hours""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -1362,6 +1487,7 @@ object Stats {
     QueryDef("q217_delta_method", q217, Some(q217Sql)),
     QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
     QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
+    QueryDef("q233_kaplan_meier", q233, Some(q233Sql)),
     QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }

@@ -681,6 +681,64 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q233 KM curve: brute-force equal, monotone, and censoring genuinely matters") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q233_kaplan_meier")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per variant: non-increasing survival, within (0, 1e6]
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val curve = rows.sortBy(_._2).map(_._5)
+      assert(curve.forall(v => v >= 0L && v <= 1000000L))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+    }
+    // independent driver-side KM from the same subject table
+    val cut = 1704326400000000L
+    val subj = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val s1 = rs.filter(_._3 == "signup").map(_._2).minOption
+        s1.filter(_ < cut).map { s =>
+          val p1 = rs.filter(r => r._3 == "purchase" && r._2 > s)
+            .map(_._2).minOption
+          val ev = p1.exists(_ < cut)
+          val dur = if (ev) (p1.get - s) / 3600000000L
+            else (cut - s) / 3600000000L
+          (u % 2, dur, ev)
+        }
+      }
+    assert(subj.count(!_._3) >= 3, "fixture lost its censored subjects")
+    for ((v, rows) <- subj.groupBy(_._1)) {
+      val durs = rows.map(r => (r._2, r._3))
+      val evHours = durs.filter(_._2).map(_._1).distinct.sorted
+      var sMicro = 1000000L
+      val want = evHours.map { t =>
+        val n = durs.count(_._1 >= t).toLong
+        val dd = durs.count(r => r._1 == t && r._2).toLong
+        sMicro = sMicro * (n - dd) / n
+        (t, n, dd, sMicro)
+      }
+      val gotV = got.filter(_._1 == v).sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5)).toSeq
+      assert(gotV == want, s"variant $v")
+      // a drop-censored "KM" disagrees — censoring genuinely binds
+      if (rows.exists(!_._3)) {
+        val kept = durs.filter(_._2)
+        var sn = 1000000L
+        val naive = evHours.map { t =>
+          val n = kept.count(_._1 >= t).toLong
+          val dd = kept.count(_._1 == t).toLong
+          sn = sn * (n - dd) / n
+          sn
+        }
+        assert(naive != want.map(_._4),
+          s"variant $v: censoring changed nothing — fixture degenerate")
+      }
+    }
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
