@@ -1472,6 +1472,129 @@ object Stats {
       |  n_ev AS n_events, CAST(s AS BIGINT) AS s_micro
       |FROM rec ORDER BY variant, t_hours""".stripMargin
 
+  /** q234: PERMUTATION TEST for the per-type mean difference — the
+    * assumption-free member completing the inference family (q185
+    * parametric, q186 nonparametric-distributional, q192 resampling):
+    * the null distribution is built by RE-ASSIGNING WHOLE USERS to
+    * variants (cluster-correct — q217's lesson applied to testing) 64
+    * times and asking how often the permuted |mean_A − mean_B| reaches
+    * the observed one. p = (1 + #exceed)/(R + 1), reported in exact
+    * integer milli-units.
+    *
+    * Determinism/exactness: each replicate's assignment is an md5 hex
+    * threshold on (user, rep) — q192's device, identical draws both
+    * engines — and the exceedance compare never divides:
+    * |sA·nB − sB·nA|/(nA·nB) ≥ obs cross-multiplies into DECIMAL(38,0)
+    * products (HUGEINT in DuckDB; ≤ 10²² here, exact in both — q170's
+    * device applied to a comparison). One user-grain pass (the shared
+    * exchange), then (type, user)×64 fan-out rows collapse straight
+    * into the (type, rep) partial aggregate.
+    */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reps = 64
+    val byUser = Tables
+      .events(s, d)
+      .select($"event_type", $"user_id", expr(centsExpr).as("c"))
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"c").as("cs"))
+    val obs = byUser
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"user_id" % 2 === 0, $"n").otherwise(0L)).as("na0"),
+        sum(when($"user_id" % 2 === 0, $"cs").otherwise(0L)).as("sa0"),
+        sum(when($"user_id" % 2 =!= 0, $"n").otherwise(0L)).as("nb0"),
+        sum(when($"user_id" % 2 =!= 0, $"cs").otherwise(0L)).as("sb0"),
+      )
+    val sideA = substring(
+      md5(concat($"user_id".cast("string"), lit(":"),
+        $"rep".cast("string"), lit(":perm")).cast("binary")),
+      1, 8) < "80000000"
+    val repAgg = byUser
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("a", sideA)
+      .groupBy($"event_type", $"rep")
+      .agg(
+        sum(when($"a", $"n").otherwise(0L)).as("na"),
+        sum(when($"a", $"cs").otherwise(0L)).as("sa"),
+        sum(when(!$"a", $"n").otherwise(0L)).as("nb"),
+        sum(when(!$"a", $"cs").otherwise(0L)).as("sb"),
+      )
+    val dec = "decimal(38,0)"
+    repAgg
+      .join(obs, Seq("event_type"))
+      .withColumn("exceed",
+        $"na" === 0L || $"nb" === 0L ||
+          abs($"sa".cast(dec) * $"nb".cast(dec) -
+            $"sb".cast(dec) * $"na".cast(dec)) *
+          ($"na0".cast(dec) * $"nb0".cast(dec)) >=
+          abs($"sa0".cast(dec) * $"nb0".cast(dec) -
+            $"sb0".cast(dec) * $"na0".cast(dec)) *
+          ($"na".cast(dec) * $"nb".cast(dec)))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_reps"),
+        sum(when($"exceed", 1L).otherwise(0L)).as("n_exceed"),
+        max(round(abs($"sa0".cast("double") / $"na0" -
+          $"sb0".cast("double") / $"nb0") / 100.0, 4))
+          .as("obs_diff"),
+      )
+      .withColumn("p_milli",
+        expr("(1 + n_exceed) * 1000 DIV (n_reps + 1)"))
+      .orderBy($"event_type")
+  }
+
+  private val q234Sql =
+    s"""WITH by_user AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n,
+      |    CAST(SUM($centsExpr) AS BIGINT) AS cs
+      |  FROM events GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN n ELSE 0 END)
+      |      AS BIGINT) AS na0,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cs ELSE 0 END)
+      |      AS BIGINT) AS sa0,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN n ELSE 0 END)
+      |      AS BIGINT) AS nb0,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN cs ELSE 0 END)
+      |      AS BIGINT) AS sb0
+      |  FROM by_user GROUP BY event_type),
+      |fan AS (
+      |  SELECT u.event_type, u.user_id, u.n, u.cs, r.rep,
+      |    substr(md5(CAST(u.user_id AS VARCHAR) || ':' ||
+      |      CAST(r.rep AS VARCHAR) || ':perm'), 1, 8) < '80000000'
+      |      AS a
+      |  FROM by_user u, range(0, 64) r(rep)),
+      |rep_agg AS (
+      |  SELECT event_type, rep,
+      |    CAST(SUM(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN a THEN cs ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN NOT a THEN n ELSE 0 END) AS BIGINT)
+      |      AS nb,
+      |    CAST(SUM(CASE WHEN NOT a THEN cs ELSE 0 END) AS BIGINT)
+      |      AS sb
+      |  FROM fan GROUP BY event_type, rep),
+      |cmp AS (
+      |  SELECT r.event_type,
+      |    (r.na = 0 OR r.nb = 0 OR
+      |     ABS(CAST(r.sa AS HUGEINT) * r.nb -
+      |         CAST(r.sb AS HUGEINT) * r.na) *
+      |       (CAST(o.na0 AS HUGEINT) * o.nb0) >=
+      |     ABS(CAST(o.sa0 AS HUGEINT) * o.nb0 -
+      |         CAST(o.sb0 AS HUGEINT) * o.na0) *
+      |       (CAST(r.na AS HUGEINT) * r.nb)) AS exceed,
+      |    o.na0, o.sa0, o.nb0, o.sb0
+      |  FROM rep_agg r JOIN obs o ON o.event_type = r.event_type)
+      |SELECT event_type, COUNT(*) AS n_reps,
+      |  CAST(SUM(CASE WHEN exceed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exceed,
+      |  ROUND(MAX(ABS(CAST(sa0 AS DOUBLE) / na0 -
+      |    CAST(sb0 AS DOUBLE) / nb0) / 100.0), 4) AS obs_diff,
+      |  (1 + CAST(SUM(CASE WHEN exceed THEN 1 ELSE 0 END) AS BIGINT))
+      |    * 1000 // (COUNT(*) + 1) AS p_milli
+      |FROM cmp GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -1488,6 +1611,7 @@ object Stats {
     QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
     QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
     QueryDef("q233_kaplan_meier", q233, Some(q233Sql)),
+    QueryDef("q234_permutation_test", q234, Some(q234Sql)),
     QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }

@@ -739,6 +739,48 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q234 permutation p-values equal a brute-force driver replication") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q234_permutation_test")(spark, sf)
+      .select($"event_type", $"n_exceed", $"p_milli")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    val byUser = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "CAST(ROUND(value * 100) AS BIGINT) AS c")
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((t, u), rs) => (t, u, rs.size.toLong, rs.map(_._3).sum) }
+    def md5hex8(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    for ((t, rows) <- byUser.groupBy(_._1)) {
+      def sums(side: Long => Boolean): (Long, Long) = {
+        val sel = rows.filter(r => side(r._2))
+        (sel.map(_._3).sum, sel.map(_._4).sum)
+      }
+      val (na0, sa0) = sums(_ % 2 == 0)
+      val (nb0, sb0) = sums(_ % 2 != 0)
+      val obsL = (BigInt(sa0) * nb0 - BigInt(sb0) * na0).abs
+      var exceed = 0L
+      for (rep <- 0 until 64) {
+        def inA(u: Long): Boolean = md5hex8(s"$u:$rep:perm") < "80000000"
+        val (na, sa) = sums(inA)
+        val (nb, sb) = sums(u => !inA(u))
+        val hit = na == 0 || nb == 0 ||
+          (BigInt(sa) * nb - BigInt(sb) * na).abs *
+            (BigInt(na0) * nb0) >= obsL * (BigInt(na) * nb)
+        if (hit) exceed += 1
+      }
+      assert(got(t) == ((exceed, (1 + exceed) * 1000 / 65)), s"type $t")
+    }
+    // probative: the null must be non-degenerate — some replicates
+    // exceed somewhere, and not everywhere
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 < 64))
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
