@@ -318,6 +318,82 @@ object Sequence {
     def reset(): Unit = active = false
   }
 
+  /** Parse a textual pattern — the surface a MATCH_RECOGNIZE user
+    * writes:
+    *
+    * {{{
+    *   view click+ purchase within 24h
+    *   relaxed signup view+ purchase within 48h
+    *   view (click|error)+ purchase within 24h
+    *   view click{1,2} error? purchase within 24h
+    * }}}
+    *
+    * Grammar: optional leading `relaxed`; whitespace-separated steps —
+    * a type or a `(a|b|c)` alternation set, with an optional greedy
+    * quantifier suffix `+`, `?`, `{n}`, `{n,}`, `{n,m}` — and an
+    * optional trailing `within <N><s|m|h|d>`. All of [[Pattern]]'s
+    * exactness `require`s apply to the result. Load-bearing under the
+    * oracle gate: q216's registered pattern goes through this parser.
+    */
+  def parse(text: String): Pattern = {
+    val toks = text.trim.split("\\s+").toList.filter(_.nonEmpty)
+    require(toks.nonEmpty, "empty pattern")
+    val (relaxed, rest) =
+      if (toks.head.equalsIgnoreCase("relaxed")) (true, toks.tail)
+      else (false, toks)
+    val (stepToks, within) = rest.reverse match {
+      case dur :: w :: restR if w.equalsIgnoreCase("within") =>
+        (restR.reverse, parseDuration(dur))
+      case _ => (rest, Unbounded)
+    }
+    require(stepToks.nonEmpty, s"no steps in pattern '$text'")
+    Pattern(stepToks.map(parseStep), within, relaxed)
+  }
+
+  private val durRe = "^(\\d+)([smhd])$".r
+
+  private def parseDuration(d: String): Long = d match {
+    case durRe(n, u) =>
+      n.toLong * (u match {
+        case "s" => 1000000L
+        case "m" => 60L * 1000000L
+        case "h" => 3600L * 1000000L
+        case "d" => 86400L * 1000000L
+      })
+    case _ => throw new IllegalArgumentException(
+      s"bad duration '$d' — want <N><s|m|h|d>, e.g. 24h")
+  }
+
+  private val repRange = "^\\{(\\d+)(,(\\d*))?\\}$".r
+
+  private def parseStep(tok: String): Step = {
+    val (body, min, max) =
+      if (tok.endsWith("+")) (tok.dropRight(1), 1, Step.Inf)
+      else if (tok.endsWith("?")) (tok.dropRight(1), 0, 1)
+      else {
+        val brace = tok.indexOf('{')
+        if (brace >= 0) tok.substring(brace) match {
+          case repRange(a, null, _) =>
+            (tok.take(brace), a.toInt, a.toInt) // {n}
+          case repRange(a, _, "") =>
+            (tok.take(brace), a.toInt, Step.Inf) // {n,}
+          case repRange(a, _, b) =>
+            (tok.take(brace), a.toInt, b.toInt) // {n,m}
+          case q => throw new IllegalArgumentException(
+            s"bad quantifier '$q' in step '$tok'")
+        }
+        else (tok, 1, 1)
+      }
+    require(body.nonEmpty, s"empty step in '$tok'")
+    val types =
+      if (body.startsWith("(") && body.endsWith(")"))
+        body.substring(1, body.length - 1).split('|').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      else Seq(body)
+    require(types.nonEmpty, s"no event types in step '$tok'")
+    Step(types, min, max)
+  }
+
   private def flatStepOf(p: Pattern): Map[String, Int] =
     p.steps.zipWithIndex
       .flatMap { case (st, i) => st.eventTypes.map(_ -> i) }
@@ -751,13 +827,9 @@ object Sequence {
     */
   private def q216(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    matchPattern(
-      Tables.events(s, d),
-      Pattern(
-        Seq(Step("view", oneOrMore = false),
-          Step("click", oneOrMore = true),
-          Step("purchase", oneOrMore = false)),
-        withinUs = 24L * 3600L * 1000000L))
+    // the textual surface, load-bearing under the oracle gate
+    matchPattern(Tables.events(s, d),
+      parse("view click+ purchase within 24h"))
       .select($"user_id", $"start_us", $"end_us",
         $"n_plus".as("n_clicks"))
       .orderBy($"user_id", $"start_us")

@@ -1595,6 +1595,117 @@ object Stats {
       |    * 1000 // (COUNT(*) + 1) AS p_milli
       |FROM cmp GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q235: PRICE-VOLUME CHANGE DECOMPOSITION — the "why did revenue
+    * move" root-cause readout: per type, the first-half → second-half
+    * revenue change (q194's calendar cut) splits along the exact
+    * algebraic identity Δs = Δn·p₁ + n₁·Δp + Δn·Δp into a VOLUME
+    * effect (more events at old value), a RATE effect (old volume at
+    * new value), and the interaction — the decomposition every
+    * revenue dashboard drills into before anyone gets paged. Sums are
+    * exact BIGINT cents; the per-event rates and effect terms derive
+    * from them in identical IEEE operand order (q185's discipline),
+    * rounded at the very end.
+    */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z, q194's cut
+    val suff = Tables
+      .events(s, d)
+      .select($"event_type", expr(centsExpr).as("c"),
+        (unix_micros($"ts") < cutUs).as("h1"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"h1", 1L).otherwise(0L)).as("n1"),
+        sum(when($"h1", $"c").otherwise(0L)).as("s1"),
+        sum(when(!$"h1", 1L).otherwise(0L)).as("n2"),
+        sum(when(!$"h1", $"c").otherwise(0L)).as("s2"),
+      )
+    suff
+      .withColumn("p1", $"s1".cast("double") / $"n1")
+      .withColumn("p2", $"s2".cast("double") / $"n2")
+      .select(
+        $"event_type", $"n1", $"n2",
+        ($"s2" - $"s1").as("delta_cents"),
+        round(($"n2" - $"n1") * $"p1" / 100.0, 4).as("volume_effect"),
+        round($"n1" * ($"p2" - $"p1") / 100.0, 4).as("rate_effect"),
+        round(($"n2" - $"n1") * ($"p2" - $"p1") / 100.0, 4)
+          .as("interaction"),
+      )
+      .orderBy($"event_type")
+  }
+
+  private val q235Sql =
+    s"""WITH suff AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+      |      THEN $centsExpr ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+      |      THEN $centsExpr ELSE 0 END) AS BIGINT) AS s2
+      |  FROM events GROUP BY event_type),
+      |der AS (
+      |  SELECT *, CAST(s1 AS DOUBLE) / n1 AS p1,
+      |    CAST(s2 AS DOUBLE) / n2 AS p2
+      |  FROM suff)
+      |SELECT event_type, n1, n2,
+      |  CAST(s2 - s1 AS BIGINT) AS delta_cents,
+      |  ROUND((n2 - n1) * p1 / 100.0, 4) AS volume_effect,
+      |  ROUND(n1 * (p2 - p1) / 100.0, 4) AS rate_effect,
+      |  ROUND((n2 - n1) * (p2 - p1) / 100.0, 4) AS interaction
+      |FROM der ORDER BY event_type""".stripMargin
+
+  /** q236: K-ANONYMITY / L-DIVERSITY AUDIT — the release-side check
+    * that closes the privacy family's loop (q89 masks, q199 erases,
+    * q219 noises; this one tells you whether a quasi-identifier
+    * release is safe to publish at all): a user-grain release keyed by
+    * the quasi-identifiers (nation = the engine-wide `user_id % 25`
+    * assignment, cohort day = first activity day) with a binary
+    * sensitive attribute (ever purchased). Per QI group: k = group
+    * size, l = distinct sensitive values; groups with k < 5 are
+    * re-identifiable, groups with l < 2 leak the sensitive value even
+    * at large k (homogeneity attack). One user-grain pass, then
+    * group-cardinality work — at 100 TB this is q01's shape.
+    */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .groupBy($"user_id")
+      .agg(
+        expr("MIN(us) DIV 86400000000").as("cohort_day"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("purch"),
+      )
+      .select(($"user_id" % 25).as("nation_key"), $"cohort_day",
+        $"purch")
+      .groupBy($"nation_key", $"cohort_day")
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct($"purch").as("l"),
+      )
+      .select($"nation_key", $"cohort_day", $"k", $"l",
+        ($"k" < 5).as("violates_k"), ($"l" < 2).as("violates_l"))
+      .orderBy($"nation_key", $"cohort_day")
+  }
+
+  private val q236Sql =
+    """WITH rel AS (
+      |  SELECT user_id % 25 AS nation_key,
+      |    MIN(epoch_us(ts)) // 86400000000 AS cohort_day,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS purch
+      |  FROM events GROUP BY user_id)
+      |SELECT nation_key, cohort_day, COUNT(*) AS k,
+      |  CAST(COUNT(DISTINCT purch) AS BIGINT) AS l,
+      |  COUNT(*) < 5 AS violates_k,
+      |  COUNT(DISTINCT purch) < 2 AS violates_l
+      |FROM rel GROUP BY nation_key, cohort_day
+      |ORDER BY nation_key, cohort_day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
@@ -1612,6 +1723,8 @@ object Stats {
     QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
     QueryDef("q233_kaplan_meier", q233, Some(q233Sql)),
     QueryDef("q234_permutation_test", q234, Some(q234Sql)),
+    QueryDef("q235_change_decomposition", q235, Some(q235Sql)),
+    QueryDef("q236_kanon_audit", q236, Some(q236Sql)),
     QueryDef("q213_conversion_lag", q213, Some(q213Sql)),
   )
 }

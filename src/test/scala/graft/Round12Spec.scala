@@ -324,6 +324,38 @@ class Round12Spec extends AnyFunSuite {
       SeqMatch(1L, 200L, 210L, 2L, 1L)))
   }
 
+  test("pattern parser: textual surface round-trips every feature; bad input is loud") {
+    import ops.Sequence.parse
+    assert(parse("view click+ purchase within 24h") ==
+      Pattern(Seq(Step(Seq("view"), 1, 1),
+        Step(Seq("click"), 1, Step.Inf), Step(Seq("purchase"), 1, 1)),
+        24L * 3600L * 1000000L))
+    assert(parse("relaxed signup view+ purchase within 48h") ==
+      Pattern(Seq(Step(Seq("signup"), 1, 1),
+        Step(Seq("view"), 1, Step.Inf), Step(Seq("purchase"), 1, 1)),
+        48L * 3600L * 1000000L, relaxed = true))
+    assert(parse("view (click|error)+ purchase within 90m") ==
+      Pattern(Seq(Step(Seq("view"), 1, 1),
+        Step(Seq("click", "error"), 1, Step.Inf),
+        Step(Seq("purchase"), 1, 1)), 90L * 60L * 1000000L))
+    assert(parse("view click{1,2} error? purchase within 30s") ==
+      Pattern(Seq(Step(Seq("view"), 1, 1), Step(Seq("click"), 1, 2),
+        Step(Seq("error"), 0, 1), Step(Seq("purchase"), 1, 1)),
+        30L * 1000000L))
+    assert(parse("a b{3} c{2,} within 1d") ==
+      Pattern(Seq(Step(Seq("a"), 1, 1), Step(Seq("b"), 3, 3),
+        Step(Seq("c"), 2, Step.Inf)), 86400L * 1000000L))
+    // no within → Unbounded
+    assert(parse("relaxed signup purchase").withinUs ==
+      ops.Sequence.Unbounded)
+    assertThrows[IllegalArgumentException](parse(""))
+    assertThrows[IllegalArgumentException](parse("view within 2x"))
+    assertThrows[IllegalArgumentException](parse("view click{,3} p"))
+    // parsed patterns still hit Pattern's exactness requires
+    assertThrows[IllegalArgumentException](
+      parse("click+ error within 1h"))
+  }
+
   test("Pattern rejects the shapes the O(1)-state fold cannot honor exactly") {
     // leading `+` in a multi-step pattern: a timeout-failed attempt can
     // hide valid later starts inside its consumed run
