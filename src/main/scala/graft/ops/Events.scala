@@ -2213,6 +2213,104 @@ object Events {
       |  CAST(l + 24 * b AS BIGINT) AS fc_24h_micro
       |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
 
+  /** One q237 output row: the walk-forward evaluation of q214's Holt
+    * forecaster on one type's series.
+    */
+  final case class HoltEval(event_type: String, n_eval: Long,
+      mae_micro: Long, naive_mae_micro: Long, mase_permille: Long)
+
+  /** q237: FORECAST BACKTESTING — the evaluation half q214/q220 leave
+    * open (a forecaster without a measured error is a guess): the
+    * Holt recurrence replays over each type's hourly series and at
+    * EVERY step the one-step-ahead prediction l+b made BEFORE seeing
+    * yₜ is scored against yₜ — classic walk-forward (rolling-origin)
+    * evaluation at zero extra passes, because the fold already carries
+    * the state the prediction needs. The yardstick is the naive
+    * last-value forecast (ŷₜ = yₜ₋₁): `mase_permille` =
+    * 1000·Σ|holt err| / Σ|naive err|, the scale-free MASE-style ratio
+    * (< 1000 ⟺ Holt beats naive). Absolute errors are integer
+    * micro-cents summed exactly; the two divisions are positive
+    * truncating integer ops, so the oracle — q214's recursive CTE
+    * extended with the two error accumulators — is hash-exact.
+    */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 3600000000").as("hour_id"),
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+      .groupBy($"event_type", $"hour_id")
+      .agg(sum($"cents").as("y"))
+      .repartition($"event_type")
+      .sortWithinPartitions($"event_type", $"hour_id")
+      .as[(String, Long, Long)]
+    implicit val enc = Encoders.product[HoltEval]
+    hourly
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[HoltEval] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): HoltEval = {
+            val t = buf.head._1
+            var l = buf.next()._3 * 1000000L
+            var b = 0L
+            var prevY = l
+            var sae, snae, n = 0L
+            while (buf.hasNext && buf.head._1 == t) {
+              val y = buf.next()._3 * 1000000L
+              sae += math.abs(y - (l + b)) // scored BEFORE updating
+              snae += math.abs(y - prevY)
+              n += 1L
+              val lNew = (y + l + b) / 2L
+              b = ((lNew - l) + b) / 2L
+              l = lNew
+              prevY = y
+            }
+            HoltEval(t, n,
+              if (n > 0) sae / n else 0L,
+              if (n > 0) snae / n else 0L,
+              if (snae > 0) 1000L * sae / snae else 0L)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"event_type")
+  }
+
+  private val q237Sql =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hour_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT t, y,
+      |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY hour_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY t) AS n
+      |  FROM hourly),
+      |rec AS (
+      |  SELECT t, i, n, y * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+      |    y * 1000000 AS prev_y, CAST(0 AS BIGINT) AS sae,
+      |    CAST(0 AS BIGINT) AS snae, CAST(0 AS BIGINT) AS n_eval
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT nx.t, nx.i, nx.n,
+      |    (nx.y * 1000000 + r.l + r.b) // 2 AS l,
+      |    (((nx.y * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2 AS b,
+      |    nx.y * 1000000 AS prev_y,
+      |    r.sae + ABS(nx.y * 1000000 - (r.l + r.b)) AS sae,
+      |    r.snae + ABS(nx.y * 1000000 - r.prev_y) AS snae,
+      |    r.n_eval + 1 AS n_eval
+      |  FROM rec r JOIN idx nx ON nx.t = r.t AND nx.i = r.i + 1)
+      |SELECT t AS event_type, CAST(n_eval AS BIGINT) AS n_eval,
+      |  CAST(CASE WHEN n_eval > 0 THEN sae // n_eval ELSE 0 END
+      |    AS BIGINT) AS mae_micro,
+      |  CAST(CASE WHEN n_eval > 0 THEN snae // n_eval ELSE 0 END
+      |    AS BIGINT) AS naive_mae_micro,
+      |  CAST(CASE WHEN snae > 0 THEN 1000 * sae // snae ELSE 0 END
+      |    AS BIGINT) AS mase_permille
+      |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
+
   /** One q220 fold row: Holt state over the deseasonalized series. */
   final case class HoltSeasonState(event_type: String, n_hours: Long,
       last_hour: Long, level_micro: Long, trend_micro: Long)
@@ -2828,6 +2926,7 @@ object Events {
     QueryDef("q224_stream_cusum",
       (s, d) => graft.streaming.Streams.streamCusum(s, d),
       Some(q218Sql)),
+    QueryDef("q237_forecast_backtest", q237, Some(q237Sql)),
     QueryDef("q154_markov_transitions", q154, Some(q154Sql)),
     QueryDef("q156_mad_anomaly", q156, Some(q156Sql)),
     QueryDef("q160_trigram_paths", q160, Some(q160Sql)),
