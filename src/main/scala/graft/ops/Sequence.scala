@@ -603,13 +603,18 @@ object Sequence {
     * closes the key exactly like end-of-data — satisfied greedy tails
     * emit, open attempts die — and matching restarts fresh, so no
     * match ever spans a session boundary.
+    *
+    * `keyCol` is MATCH_RECOGNIZE's PARTITION BY — any column works as
+    * the sequence key (machines, sessions, documents); the output's
+    * `user_id` column carries it.
     */
   def matchPattern(events: DataFrame, pattern: Pattern,
-      sessionGapUs: Option[Long] = None): DataFrame = {
+      sessionGapUs: Option[Long] = None,
+      keyCol: String = "user_id"): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val rows = events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col(keyCol).as("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "us", "event_id")
@@ -673,11 +678,12 @@ object Sequence {
       events: DataFrame,
       pattern: Pattern,
       measure: org.apache.spark.sql.Column,
+      keyCol: String = "user_id",
   ): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val rows = events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col(keyCol).as("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"),
         measure.cast("long").as("meas"))
       .repartition(col("user_id"))
@@ -749,15 +755,15 @@ object Sequence {
     * (matches/user) before the range filter — both per-key bounded,
     * the q55/q204 blocked-join budget.
     */
-  def matchPatternRows(events: DataFrame, pattern: Pattern)
-      : DataFrame = {
+  def matchPatternRows(events: DataFrame, pattern: Pattern,
+      keyCol: String = "user_id"): DataFrame = {
     require(!pattern.relaxed,
       "ALL ROWS PER MATCH requires strict contiguity — a relaxed " +
         "match's consumed rows are not a contiguous range (see doc)")
     val s = events.sparkSession
     import s.implicits._
     val rows = events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col(keyCol).as("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "us", "event_id")
@@ -791,7 +797,8 @@ object Sequence {
         }
       }
       .toDF()
-    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+    val e = events.select(col(keyCol).as("user_id"),
+      unix_micros(col("ts")).as("us"),
       col("event_id"), col("event_type"))
     val stepExpr = pattern.steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (st, i)) =>

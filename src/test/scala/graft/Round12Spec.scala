@@ -268,6 +268,28 @@ class Round12Spec extends AnyFunSuite {
       ops.Sequence.compile(Pattern(steps, withinUs = 1000L,
         relaxed = true))
     }
+    // PARTITION BY an arbitrary key: the same rows keyed by a machine
+    // column match independently per machine
+    import spark.implicits._
+    val machineRows = Seq[(Long, Long, Long, String, Long)](
+      (1L, 10L, 1L, "signup", 7L), (1L, 20L, 2L, "view", 7L),
+      (1L, 30L, 3L, "purchase", 7L),
+      (1L, 15L, 4L, "signup", 9L), (1L, 25L, 5L, "view", 9L),
+      (1L, 35L, 6L, "purchase", 9L))
+    val mdf = spark.createDataset(machineRows)
+      .toDF("user_id", "us", "event_id", "event_type", "machine")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("us")))
+    val byMachine = ops.Sequence
+      .matchPattern(mdf,
+        Pattern(Seq(Step("signup", oneOrMore = false),
+          Step("view", oneOrMore = true),
+          Step("purchase", oneOrMore = false)), withinUs = 1000L),
+        keyCol = "machine")
+      .as[SeqMatch].collect().sortBy(_.user_id)
+    assert(byMachine.toSeq == Seq(
+      SeqMatch(7L, 10L, 30L, 3L, 1L), SeqMatch(9L, 15L, 35L, 3L, 1L)))
   }
 
   test("q227 concurrent threads: a timed-out attempt reveals the viable later anchor") {
