@@ -5,53 +5,57 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative sequence-pattern matching — the MATCH_RECOGNIZE-class
-  * operator for event streams. The reference's entire purpose is
-  * generating event SEQUENCES for sequence-learning systems
+  * CEP engine. The reference's entire purpose is generating event
+  * SEQUENCES for sequence-learning systems
   * (`/root/reference/README.md:3-6`), and its `PatternSet`
   * (`eventstream.py:116-137`) makes ordered type patterns the data
-  * model itself — yet every detector in this engine so far is
-  * fixed-shape (q24/q188 hard-code a 3-step funnel, `gen_pattern_detect`
-  * matches exact type vectors). This module is the general operator: a
-  * user DECLARES a pattern (`view click+ purchase WITHIN 24h`) and the
-  * engine compiles it to a per-key NFA. ABSENT-IN-REF (the reference
-  * only generates patterns; it never matches them).
+  * model itself — yet every detector in this engine before round 12
+  * was fixed-shape (q24/q188 hard-code a 3-step funnel,
+  * `gen_pattern_detect` matches exact type vectors). Here a user
+  * DECLARES a pattern — programmatically or textually via [[parse]]
+  * (`"view click+ purchase within 24h"`) — and the engine compiles and
+  * runs it. ABSENT-IN-REF (the reference only generates patterns; it
+  * never matches them).
   *
-  * Semantics (= SQL MATCH_RECOGNIZE defaults, Flink CEP "strict
-  * contiguity"):
-  *   - STRICT CONTIGUITY: a match consumes consecutive rows of the
-  *     key's time-ordered sequence; any row that cannot extend the
-  *     current attempt kills it.
-  *   - GREEDY `+`: a one-or-more step takes every consecutive matching
-  *     row before the next step may begin.
-  *   - AFTER MATCH SKIP PAST LAST ROW: matches never overlap; the scan
-  *     resumes at the row after a completed match.
-  *   - WITHIN T: every row of a match must lie within `withinUs` of the
-  *     match's first row (Flink CEP's `.within()`), checked as each row
-  *     is consumed.
+  * The surface:
+  *   - steps with type-SET predicates (alternation, `(click|error)`)
+  *     and the greedy quantifier algebra `{min,max}` — once, `+`, `?`,
+  *     `{n,m}`;
+  *   - STRICT contiguity (the SQL MATCH_RECOGNIZE default: a row that
+  *     cannot extend the attempt kills it) or RELAXED contiguity
+  *     (Flink CEP `followedBy`: it is skipped);
+  *   - WITHIN T (every consumed row inside T of the match's first);
+  *   - AFTER MATCH SKIP PAST LAST ROW (matches never overlap);
+  *   - MEASURES accumulated inside the fold ([[matchPatternMeasured]]);
+  *   - ONE ROW ([[matchPattern]]) or ALL ROWS + CLASSIFIER
+  *     ([[matchPatternRows]]) output; PARTITION BY any key; optional
+  *     session scoping; and the same engine streamed
+  *     (`streaming.Streams.PatternProcessor`, q222/q228).
   *
-  * Step predicates are type SETS (alternation) and must be PAIRWISE
-  * DISJOINT across steps, and a multi-step pattern must start with a
-  * `once` step (both enforced).
-  * Those two restrictions are what make the single-pass, single-thread
-  * NFA EXACTLY equal to the backtracking attempt-at-every-row
-  * definition: a row consumed mid-attempt then matches some step ≠
-  * step 0, so it can never have started a competing attempt, and a row
-  * that kills an attempt is immediately re-considered as a fresh start
-  * — no backtracking, no concurrent attempt threads, O(pattern length)
-  * state per key regardless of data volume or window length
-  * (Round12Spec pins the fold against an independent
-  * attempt-at-every-row reference matcher on randomized sequences).
-  * Greedy `+` needs no backtracking either: a shorter take re-offers
-  * the same next row at the same-or-later time, so it can never
-  * rescue a failed longer take.
+  * Two execution strategies, chosen by [[matcherFor]]:
+  *   - [[Nfa]] — a single attempt thread, O(pattern) state per key —
+  *     whenever that is EXACTLY the backtracking attempt-at-every-row
+  *     definition: all strict patterns (disjoint step sets mean a row
+  *     consumed mid-attempt can never have anchored a competing
+  *     attempt, and a killing row immediately re-anchors; greedy needs
+  *     no backtracking because a shorter take re-offers the same row)
+  *     and un-timed relaxed patterns (attempts can only end by
+  *     completing, so the earliest anchor dominates).
+  *   - [[ThreadMatcher]] — concurrent attempt threads, state bounded
+  *     by anchors inside the time window (the Flink-CEP shape) — for
+  *     time-bounded RELAXED patterns, where a timed-out attempt can
+  *     hide viable later anchors inside rows it skipped.
+  * Both are pinned against an independent backtracking
+  * attempt-at-every-row reference matcher on randomized sequences
+  * (Round12Spec), and eleven registered queries put every feature
+  * under the driver's DuckDB oracle gate.
   *
   * Scale: ONE hash exchange on the key (q104's secondary-sort device —
   * shared with every other per-user query), a partition-LOCAL sort, and
-  * a constant-memory forward pass that emits matches as a streaming
-  * iterator (never buffers a user's history or match list). At 100 TB
-  * this is strictly cheaper than the window-cascade equivalent (which
-  * needs a window function pass per step) and infinitely cheaper than
-  * the self-join formulation.
+  * a forward pass that emits matches as a streaming iterator (never a
+  * per-partition match buffer). At 100 TB this is strictly cheaper
+  * than the window-cascade equivalent (a window pass per step) and
+  * infinitely cheaper than the self-join formulation.
   */
 object Sequence {
 
