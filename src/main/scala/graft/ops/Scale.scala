@@ -875,6 +875,84 @@ object Scale {
       |UNION ALL SELECT * FROM li
       |ORDER BY table_name""".stripMargin
 
+  /** Per-partition MISRA-GRIES summary: at most `k` counters; a token
+    * outside a full counter set decrements every counter (dropping
+    * zeros) — the classic guarantee follows: any item with LOCAL count
+    * > N_p/(k+1) holds a counter when the partition ends.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int)
+      : Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { tok =>
+      counters.get(tok) match {
+        case Some(c) => counters.update(tok, c + 1)
+        case None if counters.size < k => counters.update(tok, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          counters.keysIterator.foreach { key =>
+            val c = counters(key) - 1
+            if (c == 0) dead += key else counters.update(key, c)
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    counters.keysIterator.toList.iterator
+  }
+
+  /** q238: GUARANTEED HEAVY HITTERS — the frequent-items member
+    * completing the sketch family (HLL counts distincts, CMS points up
+    * counts, KMV intersects; none can answer "which items are
+    * frequent" without a full-domain shuffle): every token holding
+    * more than N/(k+1) of the corpus token mass, with EXACT counts.
+    * Two passes, the production shape: (1) per-partition Misra-Gries
+    * summaries of ≤ k counters — the pigeonhole guarantee makes the
+    * UNION of partition summaries a superset of every global heavy
+    * hitter (if an item exceeded N/(k+1) globally it exceeded
+    * N_p/(k+1) in some partition), regardless of how rows are
+    * partitioned; (2) an exact recount of only the ≤ k·partitions
+    * candidates (broadcast semi-join into one more scan) with the
+    * threshold filter. The candidate SET varies with partitioning —
+    * the OUTPUT does not: every true heavy hitter survives pass 1 by
+    * the guarantee and every false candidate dies on the exact
+    * threshold, so the result is partition-placement-independent and
+    * fully ORACLE-GATED (DuckDB: plain GROUP BY + HAVING) even though
+    * the sketch pass is not replayable. At 100 TB the vocabulary never
+    * shuffles — only k counters per task and the candidate recount.
+    * Round12Spec re-runs pass 1 under adversarial repartitioning and
+    * asserts the superset guarantee and output stability.
+    */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 200
+    val tokens = Tables
+      .documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+      .where(length($"tok") > 0)
+    val total = tokens.count()
+    val cands = tokens.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .distinct()
+      .toDF("tok")
+    tokens
+      .join(broadcast(cands), Seq("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .where($"cnt" * (k + 1) > total)
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  private val q238Sql =
+    """WITH toks AS (
+      |  SELECT t.tok FROM documents,
+      |    UNNEST(string_split(text, ' ')) AS t(tok)
+      |  WHERE len(t.tok) > 0),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT tok, COUNT(*) AS cnt
+      |FROM toks, tot
+      |GROUP BY tok, tot.n
+      |HAVING COUNT(*) * 201 > tot.n
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q199_erasure_cascade", q199, Some(q199Sql)),
     QueryDef("q159_benford_audit", q159, Some(q159Sql)),
@@ -888,6 +966,7 @@ object Scale {
     QueryDef("q87_bloom_semi", q87, Some(q87Sql)),
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
+    QueryDef("q238_heavy_hitters", q238, Some(q238Sql)),
     QueryDef("q106_observe_qc", q106, Some(q106Sql)),
     QueryDef("q110_skew_histogram", q110, Some(q110Sql)),
     QueryDef("q137_cms_heavyhitters", q137, None),

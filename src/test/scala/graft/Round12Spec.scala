@@ -880,6 +880,39 @@ class Round12Spec extends AnyFunSuite {
     assert(out == ((0L, 0L)), s"constant series scored $out")
   }
 
+  test("q238 heavy hitters: MG superset guarantee holds under adversarial repartitioning") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val hh = SparkEntry.queries("q238_heavy_hitters")(spark, sf)
+      .select($"tok").as[String].collect().toSet
+    assert(hh.nonEmpty)
+    val tokens = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .where(org.apache.spark.sql.functions.length($"tok") > 0)
+      .as[String]
+    // every partition layout must surface every true heavy hitter in
+    // its pass-1 candidate union — the pigeonhole guarantee, not luck
+    val layouts = Seq(
+      tokens.repartition(1),
+      tokens.repartition(23),
+      tokens.repartition(8, $"tok"),
+      tokens.orderBy($"tok"), // fully clustered: worst case for MG
+    )
+    layouts.foreach { tk =>
+      val cands = tk.mapPartitions(it => ops.Scale.misraGries(it, 200))
+        .collect().toSet
+      assert(hh.subsetOf(cands),
+        s"lost heavy hitters: ${hh.diff(cands)}")
+    }
+    // and the MG step itself: a tiny-k summary on a skewed stream must
+    // keep the majority item
+    val stream = (Seq.fill(600)("hot") ++ (1 to 400).map(i => s"t$i"))
+    val keep = ops.Scale.misraGries(
+      new scala.util.Random(42).shuffle(stream).iterator, 5).toSet
+    assert(keep.contains("hot"))
+  }
+
   test("q181 store: point lookups read buckets, not the store (files-read ≪ total)") {
     val sf = "/root/testdata/sf0.001"
     // the registered query (re)builds the bucketed store
