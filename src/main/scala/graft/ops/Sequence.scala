@@ -1351,6 +1351,60 @@ object Sequence {
       |HAVING MAX(r.gap) <= 28800000000
       |ORDER BY c.user_id, c.start_us""".stripMargin
 
+  /** q239: TOKEN-MOTIF MINING — the matcher pointed at a SECOND
+    * domain: documents' token sequences, keyed by `doc_id`, position
+    * as the sequence axis (`keyCol` + a synthesized µs timestamp —
+    * PARTITION BY is generic, not user-bound). The motif
+    * `(scan|row|table|key) (filter|hash|value|part|a)+
+    * (join|merge|batch)` — an anchor vocabulary, a one-or-more middle
+    * run, a closing vocabulary, all through [[parse]] — is the lexical
+    * n-gram-with-variable-middle extraction text mining reaches for
+    * beyond fixed n-grams (q68/q124/q132 count exact grams only). 71
+    * motifs at sf0.01, 8 with a multi-token middle. Oracle: q216's
+    * closed form on the renumbered token table.
+    */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables
+      .documents(s, d)
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .where(length($"tok") > 0)
+      .select($"doc_id", timestamp_micros($"pos".cast("long")).as("ts"),
+        $"pos".cast("long").as("event_id"), $"tok".as("event_type"))
+    matchPattern(toks,
+      parse("(scan|row|table|key) (filter|hash|value|part|a)+ " +
+        "(join|merge|batch)"),
+      keyCol = "doc_id")
+      .select($"user_id".as("doc_id"), $"start_us".as("start_pos"),
+        $"end_us".as("end_pos"), $"n_plus".as("n_mid"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  private val q239Sql =
+    """WITH e AS (
+      |  SELECT d.doc_id, g.i - 1 AS pos, d.l[g.i] AS tok,
+      |    ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY g.i)
+      |      AS rn
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+      |        FROM documents) d,
+      |    UNNEST(generate_series(1, len(d.l))) AS g(i)
+      |  WHERE len(d.l[g.i]) > 0),
+      |m AS (
+      |  SELECT doc_id, pos, tok, rn,
+      |    MAX(CASE WHEN tok NOT IN
+      |      ('filter', 'hash', 'value', 'part', 'a') THEN rn END)
+      |      OVER (PARTITION BY doc_id ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM e)
+      |SELECT b.doc_id, a.pos AS start_pos, b.pos AS end_pos,
+      |  CAST(b.rn - b.pb - 1 AS BIGINT) AS n_mid
+      |FROM m b JOIN m a ON a.doc_id = b.doc_id AND a.rn = b.pb
+      |WHERE b.tok IN ('join', 'merge', 'batch')
+      |  AND a.tok IN ('scan', 'row', 'table', 'key')
+      |  AND b.rn - b.pb - 1 >= 1
+      |ORDER BY b.doc_id, a.pos""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -1383,5 +1437,6 @@ object Sequence {
     QueryDef("q229_match_all_rows", q229, Some(q229Sql)),
     QueryDef("q230_match_quantifiers", q230, Some(q230Sql)),
     QueryDef("q231_match_sessions", q231, Some(q231Sql)),
+    QueryDef("q239_token_motifs", q239, Some(q239Sql)),
   )
 }
