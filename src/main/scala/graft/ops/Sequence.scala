@@ -295,9 +295,9 @@ object Sequence {
       if (active && within != Unbounded && nowUs - startUs > within) {
         // every future row is ≥ nowUs, so the attempt is decided: a
         // satisfied trailing + completes, anything else is dead
+        // (kill() clears the attempt, including `active`)
         emitted = null
         kill()
-        active = false
         Option(emitted).toSeq
       } else Nil
 

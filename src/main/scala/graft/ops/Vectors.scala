@@ -822,7 +822,7 @@ object Vectors {
   private def q181(s: SparkSession, d: String): DataFrame = {
     val root = q181StoreRoot(d)
     val emb = Tables.embeddings(s, d)
-    ensureBuilt(s, s"$root/emb") {
+    ensureBuilt(s, root) {
       buildKnnGraphStore(emb, root, queryVecId = 0L)
     }
     searchKnnGraphStore(s, root, emb, queryVecId = 0L, k = 10)
@@ -861,7 +861,7 @@ object Vectors {
     def hits(ids: Seq[Long]): Long = ids.count(exactIds).toLong
     // IVF: q49's pipeline persisted once, then a pruned probe
     val ivfRoot = s"$root/ivf"
-    ensureBuilt(s, s"$ivfRoot/index") {
+    ensureBuilt(s, ivfRoot) {
       val cents = ivfCentroids(emb, nCells = 16, dims = 64)
       ivfIndex(emb.filter(col("vec_id") =!= 0L), cents, 16, 64)
         .select(col("vec_id"), col("label"), col("cell"),
@@ -887,13 +887,13 @@ object Vectors {
     // graph store first: its bucketed embedding layout doubles as the
     // PQ refine's point-lookup vector store
     val gRoot = q181StoreRoot(d)
-    ensureBuilt(s, s"$gRoot/emb") {
+    ensureBuilt(s, gRoot) {
       buildKnnGraphStore(emb, gRoot, queryVecId = 0L)
     }
     // IVF-PQ: persisted code table, pruned ADC probe + 50-row refine
     // fetched by bucket point-lookup (not a corpus scan)
     val pqRoot = s"$root/pq"
-    ensureBuilt(s, s"$pqRoot/index") {
+    ensureBuilt(s, pqRoot) {
       buildIvfPqStore(emb, pqRoot, queryVecId = 0L)
     }
     val pqIds = probeIvfPqStore(s, pqRoot, emb, 0L, k = 10,
@@ -959,20 +959,32 @@ object Vectors {
       idCol: String,
       ids: Seq[Long],
   ): DataFrame = {
-    val buckets = ids.map(_ % lookupBuckets).distinct
+    // pmod, matching the store writers — Scala % is sign-preserving and
+    // would map a negative id to a bucket that was never written
+    // (silent empty result, not an error).
+    val buckets =
+      ids.map(id => ((id % lookupBuckets) + lookupBuckets) % lookupBuckets)
+        .distinct
     store.filter(col("b").isin(buckets: _*) && col(idCol).isin(ids: _*))
   }
 
   /** Build-if-absent guard for the deterministic staged stores: the
     * builders are pure functions of the source table, so a present
-    * `_SUCCESS` marker means the store's content is exactly what a
-    * rebuild would write.
+    * marker means the store's content is exactly what a rebuild would
+    * write. The marker is a STORE-LEVEL completion file written by this
+    * guard AFTER the whole builder returns — guarding on any sub-store's
+    * own `_SUCCESS` would pass forever on a store whose build crashed
+    * between sub-writes (the adj/emb halves land before cells/cents) and
+    * never self-heal.
     */
-  private def ensureBuilt(s: SparkSession, dir: String)(
+  private def ensureBuilt(s: SparkSession, root: String)(
       build: => Unit): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val p = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) build
+    if (!fs.exists(p)) {
+      build
+      fs.create(p, true).close()
+    }
   }
 
   /** Persist [[ivfPqTopK]]'s index half: the `partitionBy(cell)` code

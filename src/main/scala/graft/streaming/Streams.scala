@@ -1926,6 +1926,18 @@ object Streams {
         Sequence.Step("click", oneOrMore = true),
         Sequence.Step("purchase", oneOrMore = false)),
       withinUs = 24L * 3600L * 1000000L))
+    // Streaming completion is driven by rows and by watermark time. An
+    // UN-timed pattern ending in a greedy variable step completes only
+    // via finish(), which streaming never calls — a trailing match held
+    // at end-of-data would silently drop relative to batch matchPattern.
+    // Decline that shape explicitly (mirror of matchPatternRows' rule).
+    require(
+      pattern.withinUs != Sequence.Unbounded ||
+        (pattern.steps.last.minRep >= 1 && pattern.steps.last.maxRep == 1),
+      "streamPatternMatch needs a row-driven completion: either a " +
+        "WITHIN time bound (watermark-driven deadlines decide trailing " +
+        "greedy steps) or a mandatory single-row final step; an " +
+        "un-timed trailing variable step would hold matches forever")
     val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
