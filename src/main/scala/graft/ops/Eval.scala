@@ -1,0 +1,344 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Model-evaluation and decision-readout operators — the layer that sits
+  * between the engine's statistics (`ops/Stats.scala`) and a model: did
+  * the score rank well (ROC/AUC, gains), did treatment shift outcomes
+  * (Mann–Whitney, log-rank, diff-in-diff), which of many signals are
+  * real (Benjamini–Hochberg), how should credit split (Shapley), and is
+  * the score calibrated (isotonic fit). The reference generates event
+  * streams FOR learning systems (`/root/reference/README.md:3-6`) but
+  * evaluates nothing — every operator here is ABSENT-IN-REF.
+  *
+  * The module inherits `ops/Stats.scala`'s exactness discipline:
+  * rank/count machinery is INTEGER until one final division (AUC, U, the
+  * gains table), rational comparisons cross-multiply instead of dividing
+  * (BH step-up, the isotonic order key), per-group terms that must
+  * float-sum are rounded to fixed-point units first, and every remaining
+  * double is built from integer sums in IDENTICAL operand order in the
+  * Spark plan and the DuckDB oracle — so the whole module hash-matches
+  * bit-for-bit under the driver's compare.
+  */
+object Eval {
+
+  private val centsExpr = "CAST(ROUND(value * 100) AS BIGINT)"
+  private val hrExpr = "(unix_micros(ts) DIV 3600000000) % 24"
+  private val hrSqlExpr = "(epoch_us(ts) // 3600000000) % 24"
+
+  /** q240: EXACT ROC AUC per hour-of-day — "does `value` rank purchases
+    * above non-purchases, and does that hold around the clock?", the
+    * universal binary-ranking metric. AUC is computed by the
+    * Mann–Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with
+    * AVERAGE ranks for ties, not by sweeping thresholds: sweeping
+    * enumerates cutpoints, the rank identity is one aggregate.
+    *
+    * Shape is histogram-first (q186's device): one event-cardinality
+    * hash aggregate to (hour, cent) → (positives, total); every later
+    * row count is bounded by the value domain. Tie handling stays
+    * INTEGER by carrying 2× the rank sum: a bucket of `tot` rows whose
+    * predecessors total `cb` has average rank (2cb + tot + 1)/2, so the
+    * positives contribute pos·(2cb + tot + 1) to 2R⁺ exactly. The one
+    * float division per hour happens at the end.
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select(expr(hrExpr).as("hr"), expr(centsExpr).as("c"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy($"hr", $"c")
+      .agg(sum($"p").as("pos"), count(lit(1)).as("tot"))
+    val runW = Window.partitionBy($"hr").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cb", sum($"tot").over(runW) - $"tot")
+      .withColumn("contrib", $"pos" * (lit(2L) * $"cb" + $"tot" + 1L))
+      .groupBy($"hr")
+      .agg(sum($"pos").as("n_pos"),
+        (sum($"tot") - sum($"pos")).as("n_neg"),
+        sum($"contrib").as("rs2"))
+      .withColumn("u2", $"rs2" - $"n_pos" * ($"n_pos" + 1L))
+      .withColumn("auc",
+        round($"u2".cast("double") /
+          (lit(2.0) * $"n_pos".cast("double") *
+            $"n_neg".cast("double")), 6))
+      .select($"hr", $"n_pos", $"n_neg", $"u2", $"auc")
+      .orderBy($"hr")
+  }
+
+  private val q240Sql =
+    s"""WITH hist AS (
+      |  SELECT $hrSqlExpr AS hr, $centsExpr AS c,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    COUNT(*) AS tot
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT hr, pos, tot,
+      |    SUM(tot) OVER (PARTITION BY hr ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot
+      |      AS cb
+      |  FROM hist),
+      |agg AS (
+      |  SELECT hr, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(tot) - SUM(pos) AS BIGINT) AS n_neg,
+      |    CAST(SUM(pos * (2 * cb + tot + 1)) AS BIGINT) AS rs2
+      |  FROM ranked GROUP BY hr)
+      |SELECT hr, n_pos, n_neg,
+      |  rs2 - n_pos * (n_pos + 1) AS u2,
+      |  ROUND(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE) /
+      |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |    AS auc
+      |FROM agg ORDER BY hr""".stripMargin
+
+  /** q241: GAINS / LIFT TABLE — "score everything, contact the top k%:
+    * what fraction of purchases do we capture?", the campaign-targeting
+    * readout next to q240's AUC. Depth cutoffs are rank thresholds
+    * R_k = ⌊kN/10⌋; the table reports, at the deepest score cutoff
+    * whose cumulative row count stays ≤ R_k, the rows reached and
+    * positives captured. Tied scores are never split across a decile —
+    * the cutoff recedes to the previous distinct score (deterministic
+    * and histogram-expressible, where NTILE's tie-splitting would need
+    * a total order over raw rows — a global sort of the corpus).
+    *
+    * Scale: one event-cardinality aggregate to the cent histogram;
+    * the cumulative window and the 10-row threshold join run over the
+    * value DOMAIN (thousands of cents), never rows — q203's
+    * domain-sized-window discipline. Both cumulative columns are
+    * monotone along the scan order, so per-decile depth/captured are
+    * plain MAXes after the ≤ R_k filter.
+    */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select(expr(centsExpr).as("c"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy($"c")
+      .agg(sum($"p").as("pos"), count(lit(1)).as("tot"))
+    val runW = Window.orderBy($"c".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum_n", sum($"tot").over(runW))
+      .withColumn("cum_pos", sum($"pos").over(runW))
+      .withColumn("n", sum($"tot").over(allW))
+      .withColumn("np", sum($"pos").over(allW))
+    val deciles = s.range(1, 11).select($"id".as("k"))
+    cum
+      .join(broadcast(deciles),
+        $"cum_n" * 10L <= $"k" * $"n")
+      .groupBy($"k")
+      .agg(max($"cum_n").as("depth_n"), max($"cum_pos").as("captured"),
+        max($"n").as("n"), max($"np").as("n_pos"))
+      .withColumn("capture_rate",
+        round($"captured".cast("double") / $"n_pos".cast("double"), 6))
+      .withColumn("lift",
+        round(($"captured".cast("double") * $"n".cast("double")) /
+          ($"n_pos".cast("double") * $"depth_n".cast("double")), 6))
+      .select($"k", $"depth_n", $"captured", $"capture_rate", $"lift")
+      .orderBy($"k")
+  }
+
+  private val q241Sql =
+    s"""WITH hist AS (
+      |  SELECT $centsExpr AS c,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    COUNT(*) AS tot
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT
+      |    SUM(tot) OVER (ORDER BY c DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    SUM(pos) OVER (ORDER BY c DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_pos,
+      |    SUM(tot) OVER () AS n, SUM(pos) OVER () AS np
+      |  FROM hist)
+      |SELECT k, CAST(MAX(cum_n) AS BIGINT) AS depth_n,
+      |  CAST(MAX(cum_pos) AS BIGINT) AS captured,
+      |  ROUND(CAST(MAX(cum_pos) AS DOUBLE) /
+      |    CAST(MAX(np) AS DOUBLE), 6) AS capture_rate,
+      |  ROUND((CAST(MAX(cum_pos) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)) /
+      |    (CAST(MAX(np) AS DOUBLE) * CAST(MAX(cum_n) AS DOUBLE)), 6)
+      |    AS lift
+      |FROM cum, range(1, 11) r(k)
+      |WHERE cum_n * 10 <= k * n
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  /** q242: MANN–WHITNEY U (Wilcoxon rank-sum) for every type pair —
+    * the rank-based location test completing the pairwise family: q185
+    * compares means (parametric), q186 compares whole distributions
+    * (KS), this asks the practitioner's default question "does one
+    * segment's `value` stochastically dominate the other's?" robust to
+    * outliers and any monotone transform.
+    *
+    * Same histogram-first scaffold as q186 (one (type, cent) aggregate,
+    * broadcast pair fan-out, per-pair cumulative over the cent grid).
+    * Exactness: 2×rank-sum and the tie correction Σ(t³−t) are INTEGER;
+    * the normal-approximation z with tie-corrected variance
+    * σ² = n₁n₂/12·[(n+1) − Σ(t³−t)/(n(n−1))] is assembled from those
+    * integers in identical IEEE operand order in both engines.
+    */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select($"event_type".as("t"), expr(centsExpr).as("c"))
+      .groupBy($"t", $"c")
+      .agg(count(lit(1)).as("cnt"))
+    val types = hist.select($"t").distinct().as[String].collect().sorted
+    require(types.length <= 2048,
+      s"q242 pairs over ${types.length} types — event_type is not " +
+        "dictionary-sized; the pair fan-out assumes it is")
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val pairsDf = s.createDataFrame(pairs).toDF("ta", "tb")
+    val sideA = hist
+      .join(broadcast(pairsDf), $"t" === $"ta")
+      .select($"ta", $"tb", $"c", $"cnt".as("ca"), lit(0L).as("cb"))
+    val sideB = hist
+      .join(broadcast(pairsDf), $"t" === $"tb")
+      .select($"ta", $"tb", $"c", lit(0L).as("ca"), $"cnt".as("cb"))
+    val merged = sideA
+      .unionAll(sideB)
+      .groupBy($"ta", $"tb", $"c")
+      .agg(sum($"ca").as("ca"), sum($"cb").as("cb"))
+    val runW = Window.partitionBy($"ta", $"tb").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("t2", $"ca" + $"cb")
+      .withColumn("cb2", sum($"t2").over(runW) - $"t2")
+      .groupBy($"ta", $"tb")
+      .agg(
+        sum($"ca").as("n_a"),
+        sum($"cb").as("n_b"),
+        sum($"ca" * (lit(2L) * $"cb2" + $"t2" + 1L)).as("rs2"),
+        sum($"t2" * $"t2" * $"t2" - $"t2").as("tie3"),
+      )
+      .withColumn("u2", $"rs2" - $"n_a" * ($"n_a" + 1L))
+      .withColumn("n", $"n_a" + $"n_b")
+      .withColumn("z",
+        round(($"u2".cast("double") -
+          $"n_a".cast("double") * $"n_b".cast("double")) /
+          (lit(2.0) * sqrt(
+            ($"n_a".cast("double") * $"n_b".cast("double") / 12.0) *
+              (($"n" + 1L).cast("double") -
+                $"tie3".cast("double") /
+                ($"n".cast("double") * ($"n" - 1L).cast("double"))))),
+          6))
+      .select($"ta", $"tb", $"n_a", $"n_b", $"u2", $"tie3", $"z")
+      .orderBy($"ta", $"tb")
+  }
+
+  private val q242Sql =
+    s"""WITH hist AS (
+      |  SELECT event_type AS t, $centsExpr AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT t FROM hist),
+      |pairs AS (
+      |  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b
+      |  ON a.t < b.t),
+      |merged AS (
+      |  SELECT ta, tb, c,
+      |    CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      |  FROM (
+      |    SELECT p.ta, p.tb, h.c, h.cnt AS ca, 0 AS cb
+      |    FROM hist h JOIN pairs p ON h.t = p.ta
+      |    UNION ALL
+      |    SELECT p.ta, p.tb, h.c, 0 AS ca, h.cnt AS cb
+      |    FROM hist h JOIN pairs p ON h.t = p.tb) u
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT ta, tb, ca, cb, ca + cb AS t2,
+      |    SUM(ca + cb) OVER (PARTITION BY ta, tb ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - (ca + cb) AS cb2
+      |  FROM merged),
+      |agg AS (
+      |  SELECT ta, tb, CAST(SUM(ca) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca * (2 * cb2 + t2 + 1)) AS BIGINT) AS rs2,
+      |    CAST(SUM(t2 * t2 * t2 - t2) AS BIGINT) AS tie3
+      |  FROM ranked GROUP BY ta, tb)
+      |SELECT ta, tb, n_a, n_b,
+      |  rs2 - n_a * (n_a + 1) AS u2, tie3,
+      |  ROUND((CAST(rs2 - n_a * (n_a + 1) AS DOUBLE) -
+      |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |    (2.0 * SQRT(
+      |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+      |        (CAST(n_a + n_b + 1 AS DOUBLE) -
+      |          CAST(tie3 AS DOUBLE) /
+      |          (CAST(n_a + n_b AS DOUBLE) *
+      |            CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
+      |FROM agg ORDER BY ta, tb""".stripMargin
+
+  /** q248: EXACT WEIGHTED QUANTILES — per return flag, the price
+    * quartiles/p90 where each line item counts `l_quantity` times:
+    * "half the UNITS shipped cost less than what?", the
+    * inventory-weighted answer q29's row-quantiles can't give. The
+    * weighted p-quantile is the smallest price whose cumulative weight
+    * reaches p·W — a pure integer definition (cum·100 ≥ p·W, no
+    * interpolation, no division), so the oracle matches exactly.
+    *
+    * Scale: one aggregate to the (flag, cent) weight histogram, then
+    * cumulative sums over the price DOMAIN per flag; the quantile picks
+    * are conditional MINs in the same domain-sized pass.
+    */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .lineitem(s, d)
+      .select($"l_returnflag".as("flag"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("c"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("w"))
+      .groupBy($"flag", $"c")
+      .agg(sum($"w").as("w"))
+    val runW = Window.partitionBy($"flag").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy($"flag")
+    hist
+      .withColumn("cum", sum($"w").over(runW))
+      .withColumn("tw", sum($"w").over(allW))
+      .groupBy($"flag")
+      .agg(
+        max($"tw").as("total_weight"),
+        min(when($"cum" * 100L >= lit(25L) * $"tw", $"c")).as("wp25"),
+        min(when($"cum" * 100L >= lit(50L) * $"tw", $"c")).as("wp50"),
+        min(when($"cum" * 100L >= lit(75L) * $"tw", $"c")).as("wp75"),
+        min(when($"cum" * 100L >= lit(90L) * $"tw", $"c")).as("wp90"),
+      )
+      .orderBy($"flag")
+  }
+
+  private val q248Sql =
+    """WITH hist AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, c,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY flag) AS tw
+      |  FROM hist)
+      |SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+      |  MIN(CASE WHEN cum * 100 >= 25 * tw THEN c END) AS wp25,
+      |  MIN(CASE WHEN cum * 100 >= 50 * tw THEN c END) AS wp50,
+      |  MIN(CASE WHEN cum * 100 >= 75 * tw THEN c END) AS wp75,
+      |  MIN(CASE WHEN cum * 100 >= 90 * tw THEN c END) AS wp90
+      |FROM cum GROUP BY flag ORDER BY flag""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q240_roc_auc", q240, Some(q240Sql)),
+    QueryDef("q241_gains_table", q241, Some(q241Sql)),
+    QueryDef("q242_mann_whitney", q242, Some(q242Sql)),
+    QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
+  )
+}
