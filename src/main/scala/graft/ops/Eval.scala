@@ -335,10 +335,271 @@ object Eval {
       |  MIN(CASE WHEN cum * 100 >= 90 * tw THEN c END) AS wp90
       |FROM cum GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q244: EXACT SHAPLEY CHANNEL ATTRIBUTION — the game-theoretic
+    * answer to "which touchpoints deserve credit for conversions",
+    * completing the attribution family (q193 last-touch is positional,
+    * q215 Markov removal-effect is model-based; Shapley is the unique
+    * split satisfying efficiency/symmetry/additivity). The game: a
+    * coalition S of channels is worth v(S) = conversions among users
+    * whose pre-purchase touch set ⊆ S (the standard monotone
+    * order-free valuation); φ_i averages i's marginal contribution
+    * v(S∪i) − v(S) over all orderings.
+    *
+    * Everything is INTEGER-EXACT: with k = 4 channels the weights
+    * |S|!·(k−1−|S|)! are the literals 6/2/2/6 and φ_i is reported
+    * scaled by k! = 24 (`phi24`), so both engines agree bit-for-bit;
+    * the float `phi` derives from it once. Scale: ONE user-grain pass
+    * builds each user's channel bitmask; everything after runs on the
+    * ≤ 2^k-row coalition table (broadcast joins over a 16-row dim) —
+    * the exponential lives in the CHANNEL count (a schema constant,
+    * guarded), never in rows. Σφ_i = v(full) − v(∅) (efficiency) is
+    * spec-asserted in Round13Spec.
+    */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val channels = Seq("click", "error", "signup", "view")
+    val ev = Tables.events(s, d)
+    val seen = ev.select($"event_type").distinct().as[String].collect()
+    require(seen.toSet.subsetOf((channels :+ "purchase").toSet),
+      s"q244's channel game is defined over $channels + purchase; " +
+        s"saw ${seen.mkString(",")}")
+    val bitExpr = // canonical alphabetical bit order, a schema constant
+      "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 " +
+        "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END"
+    val fp = ev
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("pus"))
+    val users = ev.select($"user_id").distinct()
+    val masks = ev
+      .join(fp, Seq("user_id"), "left")
+      .filter($"event_type" =!= "purchase" &&
+        ($"pus".isNull || unix_micros($"ts") < $"pus"))
+      .select($"user_id", expr(bitExpr).as("bit"))
+      .distinct()
+      .groupBy($"user_id")
+      .agg(sum($"bit").as("mask"))
+    val conv = users
+      .join(masks, Seq("user_id"), "left")
+      .join(fp.select($"user_id", lit(1L).as("cv")),
+        Seq("user_id"), "left")
+      .select(coalesce($"mask", lit(0L)).as("t"),
+        coalesce($"cv", lit(0L)).as("cv"))
+      .groupBy($"t")
+      .agg(sum($"cv").as("conv"))
+    val coalitions = s.range(0, 16).select($"id".as("s"))
+    val v = coalitions
+      .join(conv, expr("(t & s) = t"))
+      .groupBy($"s")
+      .agg(sum($"conv").as("v"))
+    val chanDim = s
+      .createDataFrame(channels.zipWithIndex.map { case (c, i) =>
+        (c, 1L << i)
+      })
+      .toDF("channel", "bit")
+    // |S|!·(k−1−|S|)! for k = 4: 0→6, 1→2, 2→2, 3→6
+    val wExpr = "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+      "WHEN 2 THEN 2 ELSE 6 END"
+    val without = v.select($"s", $"v")
+    val withI = v.select($"s".as("si"), $"v".as("vi"))
+    broadcast(chanDim)
+      .join(without, expr("(s & bit) = 0"))
+      .join(withI, expr("si = s + bit"))
+      .withColumn("w", expr(wExpr).cast("long"))
+      .groupBy($"channel")
+      .agg(sum($"w" * ($"vi" - $"v")).as("phi24"))
+      .withColumn("phi", round($"phi24".cast("double") / 24.0, 6))
+      .orderBy($"channel")
+  }
+
+  private val q244Sql =
+    """WITH fp AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS pus FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |masks AS (
+      |  SELECT user_id, CAST(SUM(bit) AS BIGINT) AS mask FROM (
+      |    SELECT DISTINCT e.user_id,
+      |      CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+      |    FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      |    WHERE e.event_type <> 'purchase'
+      |      AND (fp.pus IS NULL OR epoch_us(e.ts) < fp.pus)) b
+      |  GROUP BY 1),
+      |conv AS (
+      |  SELECT COALESCE(m.mask, 0) AS t,
+      |    CAST(SUM(CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS conv
+      |  FROM users u LEFT JOIN masks m ON u.user_id = m.user_id
+      |  LEFT JOIN fp ON u.user_id = fp.user_id
+      |  GROUP BY 1),
+      |v AS (
+      |  SELECT r.s, CAST(SUM(c.conv) AS BIGINT) AS v
+      |  FROM range(0, 16) r(s) JOIN conv c ON (c.t & r.s) = c.t
+      |  GROUP BY 1),
+      |chan AS (
+      |  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |    ('signup', 4), ('view', 8)) AS t(channel, bit))
+      |SELECT channel,
+      |  CAST(SUM((CASE bit_count(wo.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |    WHEN 2 THEN 2 ELSE 6 END) * (wi.v - wo.v)) AS BIGINT)
+      |    AS phi24,
+      |  ROUND(CAST(SUM((CASE bit_count(wo.s) WHEN 0 THEN 6
+      |    WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END) * (wi.v - wo.v))
+      |    AS DOUBLE) / 24.0, 6) AS phi
+      |FROM chan JOIN v wo ON (wo.s & chan.bit) = 0
+      |JOIN v wi ON wi.s = wo.s + chan.bit
+      |GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** q245: LOG-RANK TEST — "do the two variants convert at the same
+    * RATE over time?", the survival-curve companion to q233's
+    * Kaplan–Meier estimate and the censoring-aware upgrade of q213's
+    * conversion-lag readout: a late-peeking mean lag ignores users who
+    * haven't converted yet; the log-rank statistic compares the full
+    * hazard over the risk sets. Clock starts at each user's first
+    * event; death = first purchase; users without one are censored at
+    * their last event.
+    *
+    * Shape: one user-grain pass to (group, duration, death) rows, then
+    * everything runs on the duration-histogram × death-time grid (user
+    * cardinality, never events). Per-time terms d₁ − d·n₁/n and the
+    * hypergeometric variance are each rounded to 1e-6 fixed-point and
+    * INTEGER-summed (the q195 device — float sums across rows are
+    * fold-order-sensitive); the final χ² derives from the two micro
+    * totals in identical operand order.
+    */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables
+      .events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        min(unix_micros($"ts")).as("fus"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("pus"),
+        max(unix_micros($"ts")).as("lus"),
+      )
+      .select(($"user_id" % 2).as("g"),
+        expr("(coalesce(pus, lus) - fus) DIV 1000000").as("dur"),
+        $"pus".isNotNull.cast("long").as("death"))
+    val hist = perUser
+      .groupBy($"g", $"dur")
+      .agg(count(lit(1)).as("n_obs"), sum($"death").as("n_death"))
+    val grid = hist
+      .filter($"n_death" > 0L)
+      .select($"dur".as("tau"))
+      .distinct()
+    val risk = grid
+      .join(hist, hist("dur") >= grid("tau"))
+      .groupBy($"tau")
+      .agg(
+        sum(when($"g" === 1L, $"n_obs").otherwise(0L)).as("n1"),
+        sum(when($"g" === 0L, $"n_obs").otherwise(0L)).as("n0"),
+        sum(when($"g" === 1L && $"dur" === $"tau", $"n_death")
+          .otherwise(0L)).as("d1"),
+        sum(when($"g" === 0L && $"dur" === $"tau", $"n_death")
+          .otherwise(0L)).as("d0"),
+      )
+    val terms = risk
+      .withColumn("n", $"n1" + $"n0")
+      .withColumn("dd", $"d1" + $"d0")
+      .withColumn("oe_micro",
+        expr("CAST(ROUND((CAST(d1 AS DOUBLE) - CAST(dd AS DOUBLE) * " +
+          "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) " +
+          "AS BIGINT)"))
+      .withColumn("var_micro",
+        expr("CASE WHEN n > 1 THEN CAST(ROUND((CAST(dd AS DOUBLE) * " +
+          "CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * " +
+          "CAST(n - dd AS DOUBLE)) / (CAST(n AS DOUBLE) * " +
+          "CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) * 1000000) " +
+          "AS BIGINT) ELSE 0 END"))
+    val users = perUser
+      .groupBy()
+      .agg(
+        sum(when($"g" === 1L, 1L).otherwise(0L)).as("n1_users"),
+        sum(when($"g" === 0L, 1L).otherwise(0L)).as("n0_users"),
+        sum(when($"g" === 1L, $"death").otherwise(0L)).as("d1_total"),
+        sum(when($"g" === 0L, $"death").otherwise(0L)).as("d0_total"),
+      )
+    terms
+      .groupBy()
+      .agg(sum($"oe_micro").as("oe_micro"),
+        sum($"var_micro").as("var_micro"))
+      .crossJoin(users)
+      .withColumn("chi2",
+        round((($"oe_micro".cast("double") / 1000000.0) *
+          ($"oe_micro".cast("double") / 1000000.0)) /
+          ($"var_micro".cast("double") / 1000000.0), 6))
+      .select($"n1_users", $"n0_users", $"d1_total", $"d0_total",
+        $"oe_micro", $"var_micro", $"chi2")
+  }
+
+  private val q245Sql =
+    """WITH per_user AS (
+      |  SELECT user_id % 2 AS g,
+      |    (COALESCE(MIN(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) END), MAX(epoch_us(ts)))
+      |      - MIN(epoch_us(ts))) // 1000000 AS dur,
+      |    CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(ts) END) IS NULL THEN 0 ELSE 1 END AS death
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT g, dur, COUNT(*) AS n_obs,
+      |    CAST(SUM(death) AS BIGINT) AS n_death
+      |  FROM per_user GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT dur AS tau FROM hist WHERE n_death > 0),
+      |risk AS (
+      |  SELECT tau,
+      |    CAST(SUM(CASE WHEN g = 1 THEN n_obs ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN n_obs ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN g = 1 AND dur = tau THEN n_death
+      |      ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN g = 0 AND dur = tau THEN n_death
+      |      ELSE 0 END) AS BIGINT) AS d0
+      |  FROM grid JOIN hist ON hist.dur >= grid.tau
+      |  GROUP BY tau),
+      |terms AS (
+      |  SELECT
+      |    CAST(ROUND((CAST(d1 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE) *
+      |      CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)) * 1000000)
+      |      AS BIGINT) AS oe_micro,
+      |    CASE WHEN n1 + n0 > 1 THEN CAST(ROUND(
+      |      (CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+      |       CAST(n0 AS DOUBLE) *
+      |       CAST(n1 + n0 - (d1 + d0) AS DOUBLE)) /
+      |      (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE) *
+      |       CAST(n1 + n0 - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |      ELSE 0 END AS var_micro
+      |  FROM risk),
+      |tot AS (
+      |  SELECT CAST(SUM(oe_micro) AS BIGINT) AS oe_micro,
+      |    CAST(SUM(var_micro) AS BIGINT) AS var_micro FROM terms),
+      |users AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1_users,
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0_users,
+      |    CAST(SUM(CASE WHEN g = 1 THEN death ELSE 0 END) AS BIGINT)
+      |      AS d1_total,
+      |    CAST(SUM(CASE WHEN g = 0 THEN death ELSE 0 END) AS BIGINT)
+      |      AS d0_total
+      |  FROM per_user)
+      |SELECT n1_users, n0_users, d1_total, d0_total, oe_micro,
+      |  var_micro,
+      |  ROUND(((CAST(oe_micro AS DOUBLE) / 1000000.0) *
+      |    (CAST(oe_micro AS DOUBLE) / 1000000.0)) /
+      |    (CAST(var_micro AS DOUBLE) / 1000000.0), 6) AS chi2
+      |FROM tot, users""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
     QueryDef("q242_mann_whitney", q242, Some(q242Sql)),
+    QueryDef("q244_shapley_attribution", q244, Some(q244Sql)),
+    QueryDef("q245_logrank_test", q245, Some(q245Sql)),
     QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
   )
 }
