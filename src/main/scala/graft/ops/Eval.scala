@@ -594,12 +594,186 @@ object Eval {
       |    (CAST(var_micro AS DOUBLE) / 1000000.0), 6) AS chi2
       |FROM tot, users""".stripMargin
 
+  /** q246: POPULATION STABILITY INDEX — the model-monitoring drift
+    * score every deployed scorer is watched with: per event type, how
+    * far has the `value` distribution moved from the launch window
+    * (first half of the calendar, q194's cut) to the current one?
+    * PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur) over fixed 5-unit
+    * bands with add-one smoothing across the bands OBSERVED for that
+    * type (so empty-side bins contribute finitely). Rule-of-thumb
+    * thresholds (0.1 drifting / 0.25 action) ride on the same scale.
+    *
+    * Differs from q205 (KL between type profiles at one time) in both
+    * axes — PSI is symmetric-in-form, time-sliced, and banded the way
+    * score monitoring actually bins. Exactness: counts and totals are
+    * integers from one grouped pass; each bin's term is built in
+    * identical IEEE order (ln of a ratio of integer products — one of
+    * the correctly-rounded primitives), rounded to 1e-9 fixed-point,
+    * and INTEGER-summed (q195's device).
+    */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z, q194's cut
+    val binned = Tables
+      .events(s, d)
+      .select($"event_type", expr(s"$centsExpr DIV 500").as("bin"),
+        (unix_micros($"ts") < cutUs).as("ref"))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        sum(when($"ref", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"ref", 1L).otherwise(0L)).as("b"),
+      )
+    val part = Window.partitionBy($"event_type")
+    val terms = binned
+      .withColumn("nb", count(lit(1)).over(part))
+      .withColumn("na_tot", sum($"a").over(part))
+      .withColumn("nb_tot", sum($"b").over(part))
+      .withColumn("term_nano",
+        expr("CAST(ROUND((CAST(a + 1 AS DOUBLE) / " +
+          "CAST(na_tot + nb AS DOUBLE) - CAST(b + 1 AS DOUBLE) / " +
+          "CAST(nb_tot + nb AS DOUBLE)) * " +
+          "LN(CAST(a + 1 AS DOUBLE) * CAST(nb_tot + nb AS DOUBLE) / " +
+          "(CAST(b + 1 AS DOUBLE) * CAST(na_tot + nb AS DOUBLE))) * " +
+          "1000000000) AS BIGINT)"))
+    terms
+      .groupBy($"event_type")
+      .agg(
+        max($"nb").as("n_bins"),
+        max($"na_tot").as("n_ref"),
+        max($"nb_tot").as("n_cur"),
+        sum($"term_nano").as("psi_nano"),
+      )
+      .withColumn("psi",
+        round($"psi_nano".cast("double") / 1000000000.0, 6))
+      .orderBy($"event_type")
+  }
+
+  private val q246Sql =
+    s"""WITH binned AS (
+      |  SELECT event_type, $centsExpr // 500 AS bin,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM events GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT event_type,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nb,
+      |    SUM(a) OVER (PARTITION BY event_type) AS na_tot,
+      |    SUM(b) OVER (PARTITION BY event_type) AS nb_tot,
+      |    a, b
+      |  FROM binned),
+      |nano AS (
+      |  SELECT event_type, nb, na_tot, nb_tot,
+      |    CAST(ROUND((CAST(a + 1 AS DOUBLE) /
+      |      CAST(na_tot + nb AS DOUBLE) - CAST(b + 1 AS DOUBLE) /
+      |      CAST(nb_tot + nb AS DOUBLE)) *
+      |      LN(CAST(a + 1 AS DOUBLE) * CAST(nb_tot + nb AS DOUBLE) /
+      |      (CAST(b + 1 AS DOUBLE) * CAST(na_tot + nb AS DOUBLE))) *
+      |      1000000000) AS BIGINT) AS term_nano
+      |  FROM terms)
+      |SELECT event_type, CAST(MAX(nb) AS BIGINT) AS n_bins,
+      |  CAST(MAX(na_tot) AS BIGINT) AS n_ref,
+      |  CAST(MAX(nb_tot) AS BIGINT) AS n_cur,
+      |  CAST(SUM(term_nano) AS BIGINT) AS psi_nano,
+      |  ROUND(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6) AS psi
+      |FROM nano GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q247: ISOTONIC CALIBRATION (PAVA fit) — "when the score says 80,
+    * how often is it actually a purchase?": the monotone regression of
+    * purchase rate on score band, the calibration step between q240's
+    * ranking quality and using a score as a probability. Computed by
+    * the minimax characterization g(b) = max_{i≤b} min_{j≥b}
+    * mean(k_i..k_j / n_i..n_j) — equivalent to the sequential
+    * pool-adjacent-violators fit (Round13Spec proves them equal) but
+    * expressible as windows over the band table, hence identically
+    * replayable in the oracle.
+    *
+    * Exactness device: interval means are RATIONALS kk/nn compared via
+    * the integer order key kk·2⁴⁰ DIV nn — exact total order because
+    * distinct rationals with denominators ≤ N differ by ≥ 1/N² > 2⁻⁴⁰,
+    * so min/max over keys ≡ min/max over rationals with no float
+    * compare anywhere. Scale: the event-cardinality work is ONE
+    * aggregate to ≤ few-hundred score bands; the O(B²) interval table
+    * and its two windows live entirely in band-domain (q203's
+    * discipline). The fitted rate is decoded from the key once.
+    */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bins = Tables
+      .events(s, d)
+      .select(expr(s"$centsExpr DIV 100").as("b"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("n"), sum($"p").as("k"))
+    val runW = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cum_n", sum($"n").over(runW))
+      .withColumn("cum_k", sum($"k").over(runW))
+      .withColumn("prev_n", $"cum_n" - $"n")
+      .withColumn("prev_k", $"cum_k" - $"k")
+    val lo = pre.select($"b".as("i"), $"prev_n", $"prev_k")
+    val hi = pre.select($"b".as("j"), $"cum_n", $"cum_k")
+    val pairKey = lo
+      .join(hi, $"i" <= $"j")
+      .select($"i", $"j",
+        expr("(cum_k - prev_k) * 1099511627776 DIV (cum_n - prev_n)")
+          .as("key"))
+    val sufW = Window.partitionBy($"i").orderBy($"j".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairKey
+      .withColumn("m", min($"key").over(sufW))
+      .groupBy($"j")
+      .agg(max($"m").as("g_key"))
+    bins
+      .join(fit, $"b" === $"j")
+      .select($"b", $"n", $"k",
+        round($"k".cast("double") / $"n".cast("double"), 6)
+          .as("raw_rate"),
+        round($"g_key".cast("double") / 1099511627776.0, 6)
+          .as("iso_rate"))
+      .orderBy($"b")
+  }
+
+  private val q247Sql =
+    s"""WITH bins AS (
+      |  SELECT $centsExpr // 100 AS b, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |pre AS (
+      |  SELECT b, n, k,
+      |    SUM(n) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    SUM(k) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k
+      |  FROM bins),
+      |pairs AS (
+      |  SELECT lo.b AS i, hi.b AS j,
+      |    (hi.cum_k - (lo.cum_k - lo.k)) * 1099511627776 //
+      |      (hi.cum_n - (lo.cum_n - lo.n)) AS key
+      |  FROM pre lo JOIN pre hi ON lo.b <= hi.b),
+      |suffix AS (
+      |  SELECT i, j,
+      |    MIN(key) OVER (PARTITION BY i ORDER BY j DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM pairs),
+      |fit AS (SELECT j, MAX(m) AS g_key FROM suffix GROUP BY j)
+      |SELECT b, n, k,
+      |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+      |  ROUND(CAST(g_key AS DOUBLE) / 1099511627776.0, 6) AS iso_rate
+      |FROM bins JOIN fit ON bins.b = fit.j
+      |ORDER BY b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
     QueryDef("q242_mann_whitney", q242, Some(q242Sql)),
     QueryDef("q244_shapley_attribution", q244, Some(q244Sql)),
     QueryDef("q245_logrank_test", q245, Some(q245Sql)),
+    QueryDef("q246_psi_drift", q246, Some(q246Sql)),
+    QueryDef("q247_isotonic_calibration", q247, Some(q247Sql)),
     QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
   )
 }
