@@ -766,14 +766,283 @@ object Eval {
       |FROM bins JOIN fit ON bins.b = fit.j
       |ORDER BY b""".stripMargin
 
+  /** q243: BENJAMINI–HOCHBERG FDR CONTROL — the multiple-testing layer
+    * the inference family was missing: q185/q234 hand back one p-value
+    * per metric, but a readout dashboard tests MANY metrics at once and
+    * naive per-test thresholds multiply false positives. The family
+    * here: for each event type, "does its mean `value` differ from the
+    * complement's?" with the null built by multinomial LABEL
+    * REASSIGNMENT — 64 replicates, each event re-labeled by an md5
+    * inverse-CDF draw over the observed type frequencies (q192's
+    * deterministic-noise device: identical draws in both engines, no
+    * `rand()`), p = (1 + #exceed)/(R + 1). BH step-up then rejects the
+    * k̂ smallest p's where k̂ = max{k : p₍ₖ₎ ≤ kα/m}.
+    *
+    * Nothing divides: the exceedance compare cross-multiplies in
+    * DECIMAL(38,0)/HUGEINT (q234's device) and the BH inequality
+    * p₍ₖ₎ ≤ kα/m clears denominators into 20·p_num ≤ 65·k (α = 1/4,
+    * m = 5, R + 1 = 65) — the whole operator is integer-decided.
+    * Scale: one (event × R) fan-out collapsing straight into the
+    * (rep, pseudo-type) partial aggregate — the only superlinear pass,
+    * map-side combinable; the step-up runs on m rows.
+    */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reps = 64
+    val ev = Tables
+      .events(s, d)
+      .select($"event_id", $"event_type", expr(centsExpr).as("c"))
+    val freqs = ev
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_t"), sum($"c").as("s_t"))
+    val fw = Window.orderBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // half-open u32 intervals [lo, hi) per type from the cumulative
+    // frequency CDF: hi of the last type is exactly 2^32 ≥ any draw
+    val intervals = freqs
+      .withColumn("cum", sum($"n_t").over(fw))
+      .withColumn("n", sum($"n_t").over(tot))
+      .withColumn("s", sum($"s_t").over(tot))
+      .withColumn("hi", expr("cum * 4294967296 DIV n"))
+      .withColumn("lo", expr("(cum - n_t) * 4294967296 DIV n"))
+    val u32 = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}L")
+      .mkString(" + ")
+    val fan = ev
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("h",
+        md5(concat($"event_id".cast("string"), lit(":"),
+          $"rep".cast("string"), lit(":bh")).cast("binary")))
+      .withColumn("u", expr(u32))
+      .join(broadcast(intervals.select($"event_type".as("ptype"),
+        $"lo", $"hi")), $"u" >= $"lo" && $"u" < $"hi")
+      .groupBy($"rep", $"ptype")
+      .agg(count(lit(1)).as("na"), sum($"c").as("sa"))
+    val dec = "decimal(38,0)"
+    val pvals = fan
+      .join(broadcast(intervals.select($"event_type".as("ptype"),
+        $"n_t".as("na0"), $"s_t".as("sa0"), $"n", $"s")), Seq("ptype"))
+      .withColumn("exceed",
+        $"na" === 0L || $"na" === $"n" ||
+          abs($"sa".cast(dec) * ($"n" - $"na").cast(dec) -
+            ($"s" - $"sa").cast(dec) * $"na".cast(dec)) *
+          ($"na0".cast(dec) * ($"n" - $"na0").cast(dec)) >=
+          abs($"sa0".cast(dec) * ($"n" - $"na0").cast(dec) -
+            ($"s" - $"sa0").cast(dec) * $"na0".cast(dec)) *
+          ($"na".cast(dec) * ($"n" - $"na").cast(dec)))
+      .groupBy($"ptype")
+      .agg(sum(when($"exceed", 1L).otherwise(0L)).as("n_exceed"))
+      .withColumn("p_num", $"n_exceed" + 1L)
+    val ranked = pvals
+      .withColumn("k",
+        row_number().over(Window.orderBy($"p_num", $"ptype"))
+          .cast("long"))
+      .withColumn("pass", lit(20L) * $"p_num" <= lit(65L) * $"k")
+    ranked
+      .withColumn("kmax",
+        max(when($"pass", $"k").otherwise(0L)).over(tot))
+      .select($"ptype".as("event_type"), $"n_exceed", $"p_num",
+        expr("p_num * 1000 DIV 65").as("p_milli"), $"k",
+        ($"k" <= $"kmax").as("rejected"))
+      .orderBy($"k")
+  }
+
+  private val q243Sql = {
+    val u32 = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH ev AS (
+      |  SELECT event_id, event_type, $centsExpr AS c FROM events),
+      |freqs AS (
+      |  SELECT event_type, COUNT(*) AS n_t,
+      |    CAST(SUM(c) AS BIGINT) AS s_t
+      |  FROM ev GROUP BY 1),
+      |intervals AS (
+      |  SELECT event_type, n_t, s_t,
+      |    SUM(n_t) OVER () AS n, SUM(s_t) OVER () AS s,
+      |    (SUM(n_t) OVER (ORDER BY event_type
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_t)
+      |      * 4294967296 // SUM(n_t) OVER () AS lo,
+      |    SUM(n_t) OVER (ORDER BY event_type
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      * 4294967296 // SUM(n_t) OVER () AS hi
+      |  FROM freqs),
+      |hashed AS (
+      |  SELECT ev.c, r.rep,
+      |    md5(CAST(ev.event_id AS VARCHAR) || ':' ||
+      |      CAST(r.rep AS VARCHAR) || ':bh') AS h
+      |  FROM ev, range(0, 64) r(rep)),
+      |fan AS (
+      |  SELECT i.event_type AS ptype, hashed.rep,
+      |    COUNT(*) AS na, CAST(SUM(hashed.c) AS BIGINT) AS sa
+      |  FROM (SELECT c, rep, $u32 AS u FROM hashed) hashed
+      |  JOIN intervals i ON hashed.u >= i.lo AND hashed.u < i.hi
+      |  GROUP BY 1, 2),
+      |cmp AS (
+      |  SELECT f.ptype,
+      |    (f.na = 0 OR f.na = i.n OR
+      |     ABS(CAST(f.sa AS HUGEINT) * (i.n - f.na) -
+      |         CAST(i.s - f.sa AS HUGEINT) * f.na) *
+      |       (CAST(i.n_t AS HUGEINT) * (i.n - i.n_t)) >=
+      |     ABS(CAST(i.s_t AS HUGEINT) * (i.n - i.n_t) -
+      |         CAST(i.s - i.s_t AS HUGEINT) * i.n_t) *
+      |       (CAST(f.na AS HUGEINT) * (i.n - f.na))) AS exceed
+      |  FROM fan f JOIN intervals i ON i.event_type = f.ptype),
+      |pvals AS (
+      |  SELECT ptype,
+      |    CAST(SUM(CASE WHEN exceed THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_exceed,
+      |    CAST(SUM(CASE WHEN exceed THEN 1 ELSE 0 END) + 1 AS BIGINT)
+      |      AS p_num
+      |  FROM cmp GROUP BY 1),
+      |ranked AS (
+      |  SELECT ptype, n_exceed, p_num,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY p_num, ptype) AS BIGINT)
+      |      AS k
+      |  FROM pvals),
+      |flagged AS (
+      |  SELECT *, 20 * p_num <= 65 * k AS pass FROM ranked)
+      |SELECT ptype AS event_type, n_exceed, p_num,
+      |  p_num * 1000 // 65 AS p_milli, k,
+      |  k <= MAX(CASE WHEN pass THEN k ELSE 0 END) OVER () AS rejected
+      |FROM flagged ORDER BY k""".stripMargin
+  }
+
+  /** q250: DIFFERENCE-IN-DIFFERENCES with CLUSTER-ROBUST uncertainty —
+    * the workhorse causal estimator when treatment wasn't randomized:
+    * treated users' pre→post change minus the control users' change
+    * cancels both the group's level difference and the common time
+    * trend. Cells are (treatment = user_id parity, period = q194's
+    * calendar cut); the standard error clusters by USER via q217's
+    * expanded-square device — Var(S/N) needs Σ per-user (sᵤ − r·nᵤ)²,
+    * which float-sums across rows, so it is decomposed into the integer
+    * sufficient statistics (Σsᵤ², Σsᵤnᵤ, Σnᵤ²) per cell and assembled
+    * in identical IEEE order at the end. Two passes: user×period grain,
+    * then a 4-cell conditional aggregate — nothing event-sized leaves
+    * the first exchange.
+    */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutUs = 1705363200000000L
+    val byUser = Tables
+      .events(s, d)
+      .select($"user_id", (unix_micros($"ts") >= cutUs).as("post"),
+        expr(centsExpr).as("c"))
+      .groupBy($"user_id", $"post")
+      .agg(count(lit(1)).as("nu"), sum($"c").as("su"))
+      .select(($"user_id" % 2 === 1L).as("treat"), $"post", $"nu",
+        $"su", ($"su" * $"su").as("suu"), ($"su" * $"nu").as("sun"),
+        ($"nu" * $"nu").as("nuu"))
+    def cell(t: Boolean, p: Boolean, col: String, as: String) =
+      sum(when($"treat" === t && $"post" === p, expr(col))
+        .otherwise(0L)).as(as)
+    val cells = byUser
+      .groupBy()
+      .agg(
+        cell(true, true, "nu", "n11"), cell(true, true, "su", "s11"),
+        cell(true, true, "suu", "xx11"), cell(true, true, "sun", "xn11"),
+        cell(true, true, "nuu", "nn11"),
+        cell(true, false, "nu", "n10"), cell(true, false, "su", "s10"),
+        cell(true, false, "suu", "xx10"),
+        cell(true, false, "sun", "xn10"),
+        cell(true, false, "nuu", "nn10"),
+        cell(false, true, "nu", "n01"), cell(false, true, "su", "s01"),
+        cell(false, true, "suu", "xx01"),
+        cell(false, true, "sun", "xn01"),
+        cell(false, true, "nuu", "nn01"),
+        cell(false, false, "nu", "n00"), cell(false, false, "su", "s00"),
+        cell(false, false, "suu", "xx00"),
+        cell(false, false, "sun", "xn00"),
+        cell(false, false, "nuu", "nn00"),
+      )
+    val mv = Seq("11", "10", "01", "00")
+      .map { c =>
+        val r = s"CAST(s$c AS DOUBLE) / CAST(n$c AS DOUBLE)"
+        val vv = s"(CAST(xx$c AS DOUBLE) - 2.0 * ($r) * " +
+          s"CAST(xn$c AS DOUBLE) + ($r) * ($r) * " +
+          s"CAST(nn$c AS DOUBLE)) / " +
+          s"(CAST(n$c AS DOUBLE) * CAST(n$c AS DOUBLE))"
+        (c, r, vv)
+      }
+    val Seq(e11, e10, e01, e00) = mv.map(_._2)
+    val Seq(v11, v10, v01, v00) = mv.map(_._3)
+    val didExpr = s"(($e11) - ($e10)) - (($e01) - ($e00))"
+    val seExpr = s"SQRT(($v11) + ($v10) + ($v01) + ($v00))"
+    cells
+      .select(
+        $"n11", $"n10", $"n01", $"n00",
+        expr(s"ROUND($e11, 6)").as("m_treat_post"),
+        expr(s"ROUND($e10, 6)").as("m_treat_pre"),
+        expr(s"ROUND($e01, 6)").as("m_ctrl_post"),
+        expr(s"ROUND($e00, 6)").as("m_ctrl_pre"),
+        expr(s"ROUND($didExpr, 6)").as("did_cents"),
+        expr(s"ROUND($seExpr, 6)").as("se_cents"),
+        expr(s"ROUND(($didExpr) / ($seExpr), 6)").as("t_stat"),
+      )
+  }
+
+  private val q250Sql = {
+    def r(c: String) = s"CAST(s$c AS DOUBLE) / CAST(n$c AS DOUBLE)"
+    def v(c: String) =
+      s"(CAST(xx$c AS DOUBLE) - 2.0 * (${r(c)}) * " +
+        s"CAST(xn$c AS DOUBLE) + (${r(c)}) * (${r(c)}) * " +
+        s"CAST(nn$c AS DOUBLE)) / " +
+        s"(CAST(n$c AS DOUBLE) * CAST(n$c AS DOUBLE))"
+    val did =
+      s"((${r("11")}) - (${r("10")})) - ((${r("01")}) - (${r("00")}))"
+    val se = s"SQRT((${v("11")}) + (${v("10")}) + (${v("01")}) + " +
+      s"(${v("00")}))"
+    def cellCols(t: Int, p: String, c: String) = // p: 'TRUE'/'FALSE'
+      s"""CAST(SUM(CASE WHEN treat = $t AND post = $p THEN nu
+        | ELSE 0 END) AS BIGINT) AS n$c,
+        |CAST(SUM(CASE WHEN treat = $t AND post = $p THEN su
+        | ELSE 0 END) AS BIGINT) AS s$c,
+        |CAST(SUM(CASE WHEN treat = $t AND post = $p THEN su * su
+        | ELSE 0 END) AS BIGINT) AS xx$c,
+        |CAST(SUM(CASE WHEN treat = $t AND post = $p THEN su * nu
+        | ELSE 0 END) AS BIGINT) AS xn$c,
+        |CAST(SUM(CASE WHEN treat = $t AND post = $p THEN nu * nu
+        | ELSE 0 END) AS BIGINT) AS nn$c""".stripMargin
+    s"""WITH by_user AS (
+      |  SELECT user_id % 2 = 1 AS treat,
+      |    epoch_us(ts) >= 1705363200000000 AS post,
+      |    COUNT(*) AS nu, CAST(SUM($centsExpr) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, user_id, 2),
+      |cells AS (
+      |  SELECT
+      |    ${cellCols(1, "TRUE", "11")},
+      |    ${cellCols(1, "FALSE", "10")},
+      |    ${cellCols(0, "TRUE", "01")},
+      |    ${cellCols(0, "FALSE", "00")}
+      |  FROM (SELECT CASE WHEN treat THEN 1 ELSE 0 END AS treat,
+      |    post, nu, su FROM by_user) u)
+      |SELECT n11, n10, n01, n00,
+      |  ROUND(${r("11")}, 6) AS m_treat_post,
+      |  ROUND(${r("10")}, 6) AS m_treat_pre,
+      |  ROUND(${r("01")}, 6) AS m_ctrl_post,
+      |  ROUND(${r("00")}, 6) AS m_ctrl_pre,
+      |  ROUND($did, 6) AS did_cents,
+      |  ROUND($se, 6) AS se_cents,
+      |  ROUND(($did) / ($se), 6) AS t_stat
+      |FROM cells""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
     QueryDef("q242_mann_whitney", q242, Some(q242Sql)),
+    QueryDef("q243_bh_fdr", q243, Some(q243Sql)),
     QueryDef("q244_shapley_attribution", q244, Some(q244Sql)),
     QueryDef("q245_logrank_test", q245, Some(q245Sql)),
     QueryDef("q246_psi_drift", q246, Some(q246Sql)),
     QueryDef("q247_isotonic_calibration", q247, Some(q247Sql)),
     QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
+    QueryDef("q250_diff_in_diff", q250, Some(q250Sql)),
   )
 }
