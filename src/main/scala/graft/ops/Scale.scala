@@ -883,6 +883,23 @@ object Scale {
   private[graft] def misraGries(it: Iterator[String], k: Int)
       : Iterator[String] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    misraGriesFold(counters, it, k)
+    counters.keysIterator.toList.iterator
+  }
+
+  /** The MG transition itself, factored so streaming state (q249) can
+    * resume from persisted counters: fold `it` into `counters`,
+    * preserving the ≤ k-counters invariant. Order-insensitive
+    * GUARANTEE (not order-insensitive state): whatever the arrival
+    * order, an item whose total count exceeds stream/(k+1) holds a
+    * counter at the end — each decrement retires k+1 occurrences, of
+    * which at most one is the item's own.
+    */
+  private[graft] def misraGriesFold(
+      counters: scala.collection.mutable.HashMap[String, Long],
+      it: Iterator[String],
+      k: Int,
+  ): Unit =
     it.foreach { tok =>
       counters.get(tok) match {
         case Some(c) => counters.update(tok, c + 1)
@@ -896,8 +913,6 @@ object Scale {
           dead.result().foreach(counters.remove)
       }
     }
-    counters.keysIterator.toList.iterator
-  }
 
   /** q238: GUARANTEED HEAVY HITTERS — the frequent-items member
     * completing the sketch family (HLL counts distincts, CMS points up
@@ -967,6 +982,11 @@ object Scale {
     QueryDef("q88_bucketed_join", q88, Some(q88Sql)),
     QueryDef("q91_hll_merge", q91, None),
     QueryDef("q238_heavy_hitters", q238, Some(q238Sql)),
+    // streaming MG maintenance, exact-recount gated: the oracle is
+    // LITERALLY q238's SQL — batching-independent by the recount
+    QueryDef("q249_stream_heavy_hitters",
+      (s, d) => graft.streaming.Streams.streamHeavyHitters(s, d),
+      Some(q238Sql)),
     QueryDef("q106_observe_qc", q106, Some(q106Sql)),
     QueryDef("q110_skew_histogram", q110, Some(q110Sql)),
     QueryDef("q137_cms_heavyhitters", q137, None),

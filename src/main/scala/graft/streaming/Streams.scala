@@ -2327,4 +2327,120 @@ object Streams {
         .orderBy($"event_type")
     }
   }
+
+  // ---- q249: streaming Misra-Gries heavy hitters --------------------
+
+  final case class MgRow(bucket: Long, ver: Long, toks: String)
+
+  /** Per-bucket MISRA-GRIES summary as streaming state: the ≤ k
+    * counters live in one ValueState (rewritten whole per batch — the
+    * state IS one bounded counter table, q207's rationale) and each
+    * microbatch folds its tokens in through the SAME
+    * [[graft.ops.Scale.misraGriesFold]] transition the batch q238 uses,
+    * so the incremental run is literally MG over the concatenated
+    * arrival order — and MG's guarantee is order-independent, so the
+    * candidate SET depends on batching but the guarantee (any token
+    * with bucket count > N_b/(k+1) holds a counter) does not.
+    */
+  final class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), MgRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[String]("mg", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        bucket: Long,
+        rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[MgRow] = {
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      val prior =
+        if (st.exists()) st.get().split('\u0001') else Array.empty[String]
+      val ver = if (prior.isEmpty) 0L else prior.head.toLong
+      prior.drop(1).foreach { kv =>
+        val i = kv.lastIndexOf('\u0002')
+        counters.update(kv.substring(0, i), kv.substring(i + 1).toLong)
+      }
+      graft.ops.Scale.misraGriesFold(counters, rows.map(_._2), k)
+      val body = counters.toSeq.sorted
+        .map { case (t, c) => s"$t\u0002$c" }
+      st.update(((ver + 1).toString +: body).mkString("\u0001"))
+      Iterator.single(
+        MgRow(bucket, ver + 1, counters.keysIterator.toSeq.sorted
+          .mkString("\u0001")))
+    }
+  }
+
+  /** q249: STREAMING GUARANTEED HEAVY HITTERS — q238's two-pass shape
+    * with pass 1 running LIVE: document batches arrive as a stream,
+    * tokens shard by hash into 16 bucket keys, and each bucket's
+    * [[MisraGriesProcessor]] maintains its ≤ k counters across
+    * microbatches (the monitoring deployment: candidates are always
+    * current, no corpus rescan per refresh). A token with global count
+    * > N/(k+1) concentrates its entire count in ONE bucket (hash
+    * sharding never splits a token), so it exceeds N_b/(k+1) there and
+    * survives — the union of final bucket candidates is a superset of
+    * every global heavy hitter regardless of batching. Pass 2 recounts
+    * exactly and applies the defining threshold, making the output
+    * batching-independent: the DuckDB oracle is LITERALLY q238's SQL,
+    * so streaming sketch maintenance is hash-verified against the
+    * batch closed form. The final candidate set is the max_by(ver)
+    * emission per bucket (q207's reduction); state per bucket = ≤ k
+    * (token, count) pairs, emission ≤ k tokens per bucket per batch.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 200
+    val buckets = 16
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"mg_$uuid")
+      val srcDir = root.resolve("src").toString
+      // stage the corpus as 4 arrival batches so the state genuinely
+      // carries counters across microbatches (q222's harness device)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+        .repartitionByRange(4, $"doc_id")
+        .write.parquet(srcDir)
+      implicit val outEnc = Encoders.product[MgRow]
+      val updates = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(explode(split($"text", " ")).as("tok"))
+        .where(length($"tok") > 0)
+        .select(pmod(xxhash64($"tok"), lit(buckets)).as("bucket"),
+          $"tok")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new MisraGriesProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      deleteStaged(root.resolve("src"))
+      val cands = spark.read.parquet(out)
+        .groupBy($"bucket")
+        .agg(expr("max_by(toks, ver)").as("toks"))
+        .select(explode(split($"toks", "\u0001")).as("tok"))
+        .where(length($"tok") > 0)
+        .distinct()
+      // pass 2: exact recount of the bounded candidate set — q238's
+      // closing move, applied to the stream's final state
+      val tokens = graft.Tables.documents(spark, dir)
+        .select(explode(split($"text", " ")).as("tok"))
+        .where(length($"tok") > 0)
+      val total = tokens.count()
+      tokens
+        .join(broadcast(cands), Seq("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("cnt"))
+        .where($"cnt" * (k + 1) > total)
+        .orderBy($"cnt".desc, $"tok")
+    }
+  }
 }
