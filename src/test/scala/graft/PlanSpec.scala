@@ -194,7 +194,17 @@ class PlanSpec extends AnyFunSuite {
       "q176_rfm_segments", // 1-row percentile-threshold broadcast
       "q184_ivf_incremental", // 1-row query embedding over pruned cells
       "q201_curriculum_shards", // 1-row difficulty-threshold broadcast
-      "q206_kmv_merge") // 1-row n_days × 1-row exact-control cross
+      "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
+      // DOMAIN-bounded nested loops: the broadcast side is a bounded
+      // dim (deciles, type CDF intervals, coalition masks, death
+      // times, score bands) so per-stream-row cost is O(dim); the
+      // stream side is itself domain-sized except q243's draw fan,
+      // where the 5-row CDF lookup is the per-draw assignment step
+      "q241_gains_table", // 10-row decile dim ≤-joins the cent cum
+      "q243_bh_fdr", // 5-row type-interval CDF lookup per draw
+      "q244_shapley_attribution", // 16-row coalition ⊆-joins (bitmask)
+      "q245_logrank_test", // death-time grid × duration histogram
+      "q247_isotonic_calibration") // band i ≤ j interval self-join
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")

@@ -1,0 +1,318 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 gates. The headline is the model-evaluation module
+  * (`ops.Eval`): every statistic the driver's DuckDB oracle hash-gates
+  * is ALSO re-derived here by an independent driver-side reference
+  * (brute-force pairwise AUC/U, textbook PAVA for the isotonic minimax,
+  * subset-enumeration Shapley, a direct log-rank risk-set walk), so a
+  * consistent-but-wrong closed form in both engines cannot slip past
+  * the hash gate. Plus the r12-advice regression gates: the store
+  * completion marker self-heals from a partial build, point lookups
+  * pmod negative ids, and streamPatternMatch declines un-timed
+  * trailing-greedy patterns.
+  */
+class Round13Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- independent references for the oracle-gated closed forms ----
+
+  /** Brute-force AUC: P(score⁺ > score⁻) + ½P(tie), all pairs. */
+  private def aucRef(pos: Seq[Long], neg: Seq[Long]): Double = {
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    num / (pos.length.toDouble * neg.length.toDouble)
+  }
+
+  test("q240 AUC equals the brute-force pairwise probability per hour") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"),
+        ($"event_type" === "purchase").as("p"))
+      .as[(Long, Long, Boolean)].collect()
+    val got = SparkEntry.queries("q240_roc_auc")(spark, sf)
+      .select($"hr", $"auc").as[(Long, Double)].collect().toMap
+    assert(got.size == 24)
+    for ((hr, grp) <- rows.groupBy(_._1)) {
+      val pos = grp.filter(_._3).map(_._2).toSeq
+      val neg = grp.filterNot(_._3).map(_._2).toSeq
+      val want = BigDecimal(aucRef(pos, neg))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(hr) - want) < 1e-9, s"hr=$hr")
+    }
+  }
+
+  test("q242 U statistic equals brute-force pairwise counting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select($"event_type",
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+      .as[(String, Long)].collect()
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    val got = SparkEntry.queries("q242_mann_whitney")(spark, sf)
+      .select($"ta", $"tb", $"u2").as[(String, String, Long)]
+      .collect()
+    assert(got.length == 10)
+    got.foreach { case (ta, tb, u2) =>
+      // 2U_a = 2·#{a>b pairs} + #{ties}
+      var twoU = 0L
+      for (a <- byType(ta); b <- byType(tb))
+        twoU += (if (a > b) 2L else if (a == b) 1L else 0L)
+      assert(u2 == twoU, s"($ta,$tb)")
+    }
+  }
+
+  test("q247 isotonic fit == textbook PAVA, monotone, mean-preserving") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q247_isotonic_calibration")(spark, sf)
+      .select($"b", $"n", $"k", $"iso_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // monotone nondecreasing (up to the 1e-6 rounding the output uses)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 >= a._4 - 1e-9, s"fit not monotone at bin ${b._1}")
+      case _ =>
+    }
+    // textbook PAVA on the same (n, k) bins, exact rational pools
+    case class Pool(var k: Long, var n: Long)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Pool, Int)]
+    out.foreach { case (_, n, k, _) =>
+      pools += ((Pool(k, n), 1))
+      while (pools.length >= 2 && {
+          val (b, _) = pools(pools.length - 1)
+          val (a, _) = pools(pools.length - 2)
+          // a.rate >= b.rate ⟺ a.k·b.n >= b.k·a.n (violator)
+          a.k * b.n >= b.k * a.n
+        }) {
+        val (b, cb) = pools.remove(pools.length - 1)
+        val (a, ca) = pools(pools.length - 1)
+        a.k += b.k; a.n += b.n
+        pools(pools.length - 1) = (a, ca + cb)
+      }
+    }
+    val pava = pools.flatMap { case (p, c) =>
+      Seq.fill(c)(p.k.toDouble / p.n.toDouble)
+    }
+    assert(pava.length == out.length)
+    out.zip(pava).foreach { case ((b, _, _, iso), want) =>
+      assert(math.abs(iso - want) < 2e-6,
+        s"bin $b: minimax $iso vs PAVA $want")
+    }
+    // mean preservation: Σ iso·n == Σ k (PAVA preserves block means)
+    val fitMass = out.zip(pava).map { case ((_, n, _, _), r) => r * n }.sum
+    val kMass = out.map(_._3).sum.toDouble
+    assert(math.abs(fitMass - kMass) < 1e-6 * kMass + 1e-6)
+  }
+
+  test("q244 Shapley == subset-enumeration reference; efficiency axiom") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val fp = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("pus"))
+    val masks = ev.join(fp, Seq("user_id"), "left")
+      .filter($"event_type" =!= "purchase" &&
+        ($"pus".isNull || unix_micros($"ts") < $"pus"))
+      .select($"user_id",
+        expr("CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 " +
+          "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END").as("bit"))
+      .distinct().groupBy($"user_id").agg(sum($"bit").as("mask"))
+    val conv = ev.select($"user_id").distinct()
+      .join(masks, Seq("user_id"), "left")
+      .join(fp.select($"user_id", lit(1L).as("cv")), Seq("user_id"),
+        "left")
+      .select(coalesce($"mask", lit(0L)).as("t"),
+        coalesce($"cv", lit(0L)).as("cv"))
+      .groupBy($"t").agg(sum($"cv").as("conv"))
+      .as[(Long, Long)].collect().toMap
+    def v(s: Long): Long =
+      conv.collect { case (t, c) if (t & s) == t => c }.sum
+    val fact = Array(1L, 1L, 2L, 6L) // 0!..3!
+    val want = (0 until 4).map { i =>
+      val bit = 1L << i
+      var phi24 = 0L
+      for (s <- 0L until 16L if (s & bit) == 0L) {
+        val sz = java.lang.Long.bitCount(s)
+        phi24 += fact(sz) * fact(3 - sz) * (v(s | bit) - v(s))
+      }
+      phi24
+    }
+    val got = SparkEntry.queries("q244_shapley_attribution")(spark, sf)
+      .select($"channel", $"phi24").as[(String, Long)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(got.toSeq == want,
+      s"shapley ${got.toSeq} vs reference $want")
+    // efficiency: Σφ = v(grand) − v(∅), scaled by 4! = 24
+    assert(got.sum == 24L * (v(15L) - v(0L)))
+  }
+
+  test("q245 log-rank equals a direct risk-set walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val perUser = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("fus"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("pus"),
+        max(unix_micros($"ts")).as("lus"))
+      .select(($"user_id" % 2).as("g"),
+        expr("(coalesce(pus, lus) - fus) DIV 1000000").as("dur"),
+        $"pus".isNotNull.as("death"))
+      .as[(Long, Long, Boolean)].collect()
+    val deathTimes = perUser.filter(_._3).map(_._2).distinct.sorted
+    var oe = 0L
+    var vv = 0L
+    deathTimes.foreach { tau =>
+      val atRisk = perUser.filter(_._2 >= tau)
+      val n1 = atRisk.count(_._1 == 1L).toDouble
+      val n0 = atRisk.count(_._1 == 0L).toDouble
+      val d1 = perUser.count(r => r._1 == 1L && r._3 && r._2 == tau)
+        .toDouble
+      val d0 = perUser.count(r => r._1 == 0L && r._3 && r._2 == tau)
+        .toDouble
+      val n = n1 + n0
+      val dd = d1 + d0
+      oe += math.round((d1 - dd * n1 / n) * 1e6)
+      if (n > 1)
+        vv += math.round(dd * n1 * n0 * (n - dd) / (n * n * (n - 1))
+          * 1e6)
+    }
+    val row = SparkEntry.queries("q245_logrank_test")(spark, sf)
+      .select($"oe_micro", $"var_micro").as[(Long, Long)].head()
+    assert(row == ((oe, vv)), s"got $row want ($oe, $vv)")
+  }
+
+  test("q243 BH step-up decision is internally consistent") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q243_bh_fdr")(spark, sf)
+      .select($"p_num", $"k", $"rejected").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._2)
+    // p is nondecreasing along k (the step-up order)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._1 <= b._1)
+      case _ =>
+    }
+    val kmax = out.filter(r => 20L * r._1 <= 65L * r._2)
+      .map(_._2).maxOption.getOrElse(0L)
+    out.foreach { case (_, k, rej) =>
+      assert(rej == (k <= kmax),
+        "BH must reject exactly the k̂ smallest p-values")
+    }
+  }
+
+  test("q248 weighted quantiles satisfy the defining inequalities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hist = Tables.lineitem(spark, sf)
+      .select($"l_returnflag".as("flag"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("c"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("w"))
+      .as[(String, Long, Long)].collect()
+    val got = SparkEntry.queries("q248_weighted_quantiles")(spark, sf)
+      .select($"flag", $"wp50", $"wp90").as[(String, Long, Long)]
+      .collect()
+    got.foreach { case (flag, wp50, wp90) =>
+      val grp = hist.filter(_._1 == flag)
+      val tw = grp.map(_._3).sum
+      def cumAt(c: Long) = grp.filter(_._2 <= c).map(_._3).sum
+      for ((p, wq) <- Seq((50L, wp50), (90L, wp90))) {
+        assert(cumAt(wq) * 100 >= p * tw, s"$flag p$p too low")
+        assert(cumAt(wq - 1) * 100 < p * tw, s"$flag p$p not minimal")
+      }
+    }
+  }
+
+  test("q250 DiD point estimate equals the four cell means") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q250_diff_in_diff")(spark, sf)
+      .select($"m_treat_post", $"m_treat_pre", $"m_ctrl_post",
+        $"m_ctrl_pre", $"did_cents")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val did = (r._1 - r._2) - (r._3 - r._4)
+    // rounded cell means recompose to the DiD up to 4 rounding grains
+    assert(math.abs(did - r._5) < 4e-6)
+  }
+
+  test("q246 PSI is nonnegative up to fixed-point slack, zero iff same") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q246_psi_drift")(spark, sf)
+      .select($"n_bins", $"psi_nano").as[(Long, Long)].collect()
+    out.foreach { case (nb, nano) =>
+      // each term is (p−q)·ln(p/q) ≥ 0; rounding can cost ½ nano/bin
+      assert(nano >= -nb, s"psi below rounding floor: $nano for $nb")
+    }
+  }
+
+  // ---- r12-advice regression gates ---------------------------------
+
+  test("streaming heavy hitters == batch heavy hitters, row for row") {
+    val a = SparkEntry.queries("q249_stream_heavy_hitters")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q238_heavy_hitters")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("store guard self-heals: partial build (sub-_SUCCESS only) rebuilds") {
+    val root = ops.Vectors.q181StoreRoot(sf)
+    val marker = new java.io.File(s"$root/_GRAFT_STORE_COMPLETE")
+    // simulate the r12-advice crash window: adj/emb landed (their own
+    // _SUCCESS present) but the build died before cells/cents
+    SparkEntry.queries("q181_knn_graph_ann")(spark, sf).collect()
+    assert(marker.exists())
+    assert(marker.delete())
+    val cents = new java.io.File(s"$root/cents")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(cents)
+    assert(new java.io.File(s"$root/emb/_SUCCESS").exists(),
+      "fixture: the sub-store marker the old guard trusted")
+    // a re-run must rebuild (old guard would serve the broken store)
+    val out = SparkEntry.queries("q181_knn_graph_ann")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(marker.exists(), "rebuild must restore the completion marker")
+    assert(new java.io.File(s"$root/cents").exists())
+  }
+
+  test("pointLookup pmods negative ids into written buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_neg_lookup").toString
+    val b = ops.Vectors.lookupBuckets
+    Seq(-5L, -1L, 3L).toDF("vec_id")
+      .withColumn("b", pmod($"vec_id", lit(b.toLong)))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(dir)
+    val got = ops.Vectors
+      .pointLookup(spark.read.parquet(dir), "vec_id", Seq(-5L, 3L))
+      .select($"vec_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(-5L, 3L),
+      "negative ids must pmod to the buckets the writer used")
+  }
+
+  test("streamPatternMatch declines un-timed trailing-greedy patterns") {
+    import ops.Sequence.{Pattern, Step}
+    val bad = Pattern(
+      Seq(Step("purchase", oneOrMore = false),
+        Step("error", oneOrMore = true)),
+      withinUs = ops.Sequence.Unbounded)
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.streamPatternMatch(spark, sf, Some(bad))
+    }
+    assert(e.getMessage.contains("row-driven completion"))
+    // timed trailing-greedy and un-timed single-row tails stay accepted
+    streaming.Streams.streamPatternMatch(spark, sf,
+      Some(bad.copy(withinUs = 3600L * 1000000L)), plusAlias = "n_err")
+      .collect()
+  }
+}
