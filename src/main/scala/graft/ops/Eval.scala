@@ -812,7 +812,18 @@ object Eval {
         s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
           s"${math.pow(16, 8 - i).toLong}L")
       .mkString(" + ")
+    // the corpus arrives as ONE small file at test SF — without an
+    // explicit spread the ×64 fan, the md5s, and the CDF assignment all
+    // run on its single input split (38 s measured). The partition
+    // count is EXPLICIT because the pre-fan rows are tiny: AQE sizes
+    // coalescing on the shuffled bytes (~MBs) and would collapse an
+    // adjustable exchange back to one partition, putting the ×64
+    // explode downstream of it on one core again. At real scale the
+    // scan has many splits and this exchange is load-balancing
+    // insurance, not a new cost class.
     val fan = ev
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism,
+        col("event_id"))
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("h",
         md5(concat($"event_id".cast("string"), lit(":"),
