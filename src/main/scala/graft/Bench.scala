@@ -202,7 +202,10 @@ object Bench {
     // q95/gen_pattern_detect/q03/q04 scare was exactly this — all four
     // came back clean once double-passed).
     val pinned = Set("q95_stream_dedup", "gen_pattern_detect",
-      "q03_topk_orders", "q04_brand_volume")
+      "q03_topk_orders", "q04_brand_volume",
+      // r13: single-partition fan regression fixed by explicit-count
+      // repartition — watch it stays fixed
+      "q243_bh_fdr")
     val retimeSet = (pass1.sortBy(-_._2).take(retimeK).map(_._1) ++
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {

@@ -1044,6 +1044,218 @@ object Eval {
       |FROM cells""".stripMargin
   }
 
+  /** q251: ANYTIME-VALID SEQUENTIAL TEST (mSPRT) — the fix for the
+    * peeking problem q185's fixed-horizon t-test silently has: a
+    * dashboard that checks daily and stops on significance inflates
+    * false positives, while the mixture sequential probability ratio
+    * test's always-valid p-value may be inspected after EVERY day. Per
+    * type, the A/B contrast (user-parity split) is monitored over the
+    * calendar: day-grain cumulative sufficient statistics (Σn, Σx, Σx²
+    * per arm — INTEGER window cumsums), the plug-in two-sample variance,
+    * and the normal-mixture log likelihood ratio
+    * lnΛ = ½ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)), reported on the LOG scale
+    * because ln/sqrt/×/÷ are correctly-rounded IEEE primitives while
+    * exp is not (the module's parity discipline); the boundary crossing
+    * compares lnΛ's running max against ln(1/α) as a literal. No
+    * recursion anywhere — Λ_n is a closed form of the cumulatives, so
+    * the whole monitor is two windows over (type × day) rows.
+    */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        ($"user_id" % 2 === 0L).as("arm_a"), expr(centsExpr).as("c"))
+      .groupBy($"event_type", $"day_id")
+      .agg(
+        sum(when($"arm_a", 1L).otherwise(0L)).as("dna"),
+        sum(when($"arm_a", $"c").otherwise(0L)).as("dsa"),
+        sum(when($"arm_a", $"c" * $"c").otherwise(0L)).as("dqa"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("dnb"),
+        sum(when(!$"arm_a", $"c").otherwise(0L)).as("dsb"),
+        sum(when(!$"arm_a", $"c" * $"c").otherwise(0L)).as("dqb"),
+      )
+    val cumW = Window.partitionBy($"event_type").orderBy($"day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("na", sum($"dna").over(cumW))
+      .withColumn("sa", sum($"dsa").over(cumW))
+      .withColumn("qa", sum($"dqa").over(cumW))
+      .withColumn("nb", sum($"dnb").over(cumW))
+      .withColumn("sb", sum($"dsb").over(cumW))
+      .withColumn("qb", sum($"dqb").over(cumW))
+    // identical-operand-order doubles from the integer cumulatives;
+    // τ = 50 cents (τ² = 2500), the mixture scale a cents-denominated
+    // metric plausibly moves by
+    val lnl =
+      "0.5 * LN(vv / (vv + 2500.0)) + " +
+        "(th * th) * 2500.0 / (2.0 * vv * (vv + 2500.0))"
+    val scored = cum
+      .withColumn("ma", expr("CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"))
+      .withColumn("mb", expr("CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"))
+      .withColumn("s2", expr(
+        "(CAST(qa AS DOUBLE) - CAST(na AS DOUBLE) * ma * ma + " +
+          "CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE) * mb * mb) / " +
+          "CAST(na + nb - 2 AS DOUBLE)"))
+      .withColumn("vv", expr(
+        "s2 * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))"))
+      .withColumn("th", expr("ma - mb"))
+      .withColumn("ln_lambda", expr(lnl))
+    val runMax = Window.partitionBy($"event_type").orderBy($"day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("ln_lambda_max", max($"ln_lambda").over(runMax))
+      .select($"event_type", $"day_id", $"na", $"nb",
+        round($"ln_lambda", 6).as("ln_lambda"),
+        round($"ln_lambda_max", 6).as("ln_lambda_max"),
+        // α = 0.05: crossed ⟺ max lnΛ ≥ ln 20
+        ($"ln_lambda_max" >= 2.995732273553991).as("crossed"))
+      .orderBy($"event_type", $"day_id")
+  }
+
+  private val q251Sql =
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dna,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN $centsExpr
+      |      ELSE 0 END) AS BIGINT) AS dsa,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN $centsExpr * $centsExpr ELSE 0 END) AS BIGINT) AS dqa,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dnb,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN $centsExpr
+      |      ELSE 0 END) AS BIGINT) AS dsb,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      |      THEN $centsExpr * $centsExpr ELSE 0 END) AS BIGINT) AS dqb
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, day_id,
+      |    CAST(SUM(dna) OVER w AS BIGINT) AS na,
+      |    CAST(SUM(dsa) OVER w AS BIGINT) AS sa,
+      |    CAST(SUM(dqa) OVER w AS BIGINT) AS qa,
+      |    CAST(SUM(dnb) OVER w AS BIGINT) AS nb,
+      |    CAST(SUM(dsb) OVER w AS BIGINT) AS sb,
+      |    CAST(SUM(dqb) OVER w AS BIGINT) AS qb
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT event_type, day_id, na, nb,
+      |    0.5 * LN(vv / (vv + 2500.0)) +
+      |      (th * th) * 2500.0 / (2.0 * vv * (vv + 2500.0))
+      |      AS ln_lambda
+      |  FROM (
+      |    SELECT *, s2 * (1.0 / CAST(na AS DOUBLE) +
+      |        1.0 / CAST(nb AS DOUBLE)) AS vv, ma - mb AS th
+      |    FROM (
+      |      SELECT *,
+      |        (CAST(qa AS DOUBLE) - CAST(na AS DOUBLE) * ma * ma +
+      |         CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE) * mb * mb) /
+      |          CAST(na + nb - 2 AS DOUBLE) AS s2
+      |      FROM (
+      |        SELECT *,
+      |          CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+      |          CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+      |        FROM cum) m) v) s)
+      |SELECT event_type, day_id, na, nb,
+      |  ROUND(ln_lambda, 6) AS ln_lambda,
+      |  ROUND(MAX(ln_lambda) OVER (PARTITION BY event_type
+      |    ORDER BY day_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |    AS ln_lambda_max,
+      |  MAX(ln_lambda) OVER (PARTITION BY event_type ORDER BY day_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    >= 2.995732273553991 AS crossed
+      |FROM scored ORDER BY event_type, day_id""".stripMargin
+
+  /** q252: QINI UPLIFT CURVE — the INCREMENTAL-targeting readout q241's
+    * gains table cannot give: gains asks "did we capture responders",
+    * Qini asks "did we capture responders who would NOT have responded
+    * untargeted", scoring the score by treated-vs-control response gap
+    * at each depth. Same distinct-score decile cutoffs as q241 (tied
+    * scores never split, histogram-expressible); at each depth the
+    * treated responders minus the control responders scaled to the
+    * treated exposure, rt − rc·nt/nc — one float expression per decile
+    * row from four monotone INTEGER cumulatives.
+    */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables
+      .events(s, d)
+      .select(expr(centsExpr).as("c"),
+        ($"user_id" % 2 === 1L).as("treat"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy($"c")
+      .agg(
+        sum(when($"treat", 1L).otherwise(0L)).as("dnt"),
+        sum(when($"treat", $"p").otherwise(0L)).as("drt"),
+        sum(when(!$"treat", 1L).otherwise(0L)).as("dnc"),
+        sum(when(!$"treat", $"p").otherwise(0L)).as("drc"),
+      )
+    val runW = Window.orderBy($"c".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("nt", sum($"dnt").over(runW))
+      .withColumn("rt", sum($"drt").over(runW))
+      .withColumn("nc", sum($"dnc").over(runW))
+      .withColumn("rc", sum($"drc").over(runW))
+      .withColumn("cum_n", $"nt" + $"nc")
+      .withColumn("n", sum($"dnt" + $"dnc").over(allW))
+    val deciles = s.range(1, 11).select($"id".as("k"))
+    cum
+      .join(broadcast(deciles), $"cum_n" * 10L <= $"k" * $"n")
+      .groupBy($"k")
+      .agg(max($"cum_n").as("depth_n"), max($"nt").as("n_treat"),
+        max($"rt").as("r_treat"), max($"nc").as("n_ctrl"),
+        max($"rc").as("r_ctrl"))
+      .withColumn("qini",
+        round($"r_treat".cast("double") -
+          $"r_ctrl".cast("double") * $"n_treat".cast("double") /
+          $"n_ctrl".cast("double"), 6))
+      .select($"k", $"depth_n", $"n_treat", $"r_treat", $"n_ctrl",
+        $"r_ctrl", $"qini")
+      .orderBy($"k")
+  }
+
+  private val q252Sql =
+    s"""WITH hist AS (
+      |  SELECT $centsExpr AS c,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dnt,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND
+      |      event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS drt,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dnc,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND
+      |      event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS drc
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT
+      |    SUM(dnt) OVER w AS nt, SUM(drt) OVER w AS rt,
+      |    SUM(dnc) OVER w AS nc, SUM(drc) OVER w AS rc,
+      |    SUM(dnt + dnc) OVER w AS cum_n,
+      |    SUM(dnt + dnc) OVER () AS n
+      |  FROM hist
+      |  WINDOW w AS (ORDER BY c DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT k, CAST(MAX(cum_n) AS BIGINT) AS depth_n,
+      |  CAST(MAX(nt) AS BIGINT) AS n_treat,
+      |  CAST(MAX(rt) AS BIGINT) AS r_treat,
+      |  CAST(MAX(nc) AS BIGINT) AS n_ctrl,
+      |  CAST(MAX(rc) AS BIGINT) AS r_ctrl,
+      |  ROUND(CAST(MAX(rt) AS DOUBLE) -
+      |    CAST(MAX(rc) AS DOUBLE) * CAST(MAX(nt) AS DOUBLE) /
+      |    CAST(MAX(nc) AS DOUBLE), 6) AS qini
+      |FROM cum, range(1, 11) r(k)
+      |WHERE cum_n * 10 <= k * n
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
@@ -1055,5 +1267,7 @@ object Eval {
     QueryDef("q247_isotonic_calibration", q247, Some(q247Sql)),
     QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
     QueryDef("q250_diff_in_diff", q250, Some(q250Sql)),
+    QueryDef("q251_msprt_monitor", q251, Some(q251Sql)),
+    QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
   )
 }

@@ -201,6 +201,7 @@ class PlanSpec extends AnyFunSuite {
       // stream side is itself domain-sized except q243's draw fan,
       // where the 5-row CDF lookup is the per-draw assignment step
       "q241_gains_table", // 10-row decile dim ≤-joins the cent cum
+      "q252_qini_uplift", // same 10-row decile dim as q241
       "q243_bh_fdr", // 5-row type-interval CDF lookup per draw
       "q244_shapley_attribution", // 16-row coalition ⊆-joins (bitmask)
       "q245_logrank_test", // death-time grid × duration histogram

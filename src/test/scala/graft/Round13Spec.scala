@@ -249,6 +249,73 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q251 mSPRT: crossing is monotone; lnΛ matches a driver recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q251_msprt_monitor")(spark, sf)
+      .select($"event_type", $"day_id", $"ln_lambda",
+        $"ln_lambda_max", $"crossed")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_._2)
+      // always-valid decisions never un-cross, and the running max is
+      // genuinely the running max
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a._5 || b._5, "crossed must be monotone")
+          assert(b._4 >= a._4 - 1e-9)
+        case _ =>
+      }
+      seq.foreach(r => assert(r._4 >= r._3 - 1e-9))
+    }
+    // recompute one cell end-to-end from raw events
+    val ev = Tables.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        ($"user_id" % 2 === 0L).as("a"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+      .as[(String, Long, Boolean, Long)].collect()
+    val (tpe, lastDay) = (out.head._1, out.filter(_._1 == out.head._1)
+      .map(_._2).max)
+    val rows = ev.filter(r => r._1 == tpe && r._2 <= lastDay)
+    def stats(p: Boolean) = {
+      val xs = rows.filter(_._3 == p).map(_._4)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, sa, qa) = stats(true)
+    val (nb, sb, qb) = stats(false)
+    val ma = sa.toDouble / na
+    val mb = sb.toDouble / nb
+    val s2 = (qa - na * ma * ma + qb - nb * mb * mb) / (na + nb - 2.0)
+    val vv = s2 * (1.0 / na + 1.0 / nb)
+    val th = ma - mb
+    val want = 0.5 * math.log(vv / (vv + 2500.0)) +
+      th * th * 2500.0 / (2.0 * vv * (vv + 2500.0))
+    val got = out.filter(r => r._1 == tpe && r._2 == lastDay).head._3
+    assert(math.abs(got - want) < 1e-5, s"$got vs $want")
+  }
+
+  test("q252 Qini closes at the full-population uplift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val full = SparkEntry.queries("q252_qini_uplift")(spark, sf)
+      .filter($"k" === 10L)
+      .select($"depth_n", $"n_treat", $"r_treat", $"n_ctrl", $"r_ctrl",
+        $"qini")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val ev = Tables.events(spark, sf)
+      .select(($"user_id" % 2 === 1L).as("t"),
+        ($"event_type" === "purchase").as("p"))
+      .as[(Boolean, Boolean)].collect()
+    assert(full._1 == ev.length, "k=10 must cover the population")
+    assert(full._2 == ev.count(_._1))
+    assert(full._3 == ev.count(r => r._1 && r._2))
+    assert(full._4 == ev.count(!_._1))
+    assert(full._5 == ev.count(r => !r._1 && r._2))
+    val want = full._3 - full._5.toDouble * full._2 / full._4
+    assert(math.abs(full._6 - want) < 1e-6)
+  }
+
   // ---- r12-advice regression gates ---------------------------------
 
   test("streaming heavy hitters == batch heavy hitters, row for row") {
