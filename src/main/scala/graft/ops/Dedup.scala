@@ -684,12 +684,98 @@ object Dedup {
       s, docs.where($"doc_id" % 10 >= 8), s"$root/v1", s"$root/v2")
   }
 
+  /** q253: ENTITY RESOLUTION — the full record-linkage pipeline as ONE
+    * oracled plan, over the catalog shape it is run on in practice
+    * (`part`): (1) BLOCK by brand — all-pairs only ever forms inside a
+    * bounded block, the q56 contract; (2) SCORE pairs Fellegi–Sunter
+    * style with weighted field agreements (name edit distance ≤ 2 → +4,
+    * type equality → +2, size within ±2 → +1; link iff score ≥ 5, i.e.
+    * a near-identical name plus at least one corroborating field);
+    * (3) transitively CLOSE the link graph into entities
+    * ([[connectedComponents]], the q63 iteration, oracle = the same
+    * fixpoint as a recursive CTE); (4) SURVIVORSHIP: singletons keep
+    * their own key (left join + coalesce — an unmatched record is its
+    * own entity), each entity reports its size, its canonical (root)
+    * record's name, and the price spread the merge reconciles. Every
+    * stage is the production shape: bounded-block pairs, integer
+    * scores, iterative min-label closure with per-sweep checkpoint
+    * truncation, broadcast-free equi-joins.
+    */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables
+      .part(s, d)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type",
+        $"p_size", expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)")
+          .as("price_c"))
+    val l = p.select($"p_brand", $"p_partkey".as("a"),
+      $"p_name".as("na"), $"p_type".as("ta"), $"p_size".as("sa"))
+    val r = p.select($"p_brand", $"p_partkey".as("b"),
+      $"p_name".as("nb"), $"p_type".as("tb"), $"p_size".as("sb"))
+    val edges = l
+      .join(r, Seq("p_brand"))
+      .filter($"a" < $"b")
+      .withColumn("score",
+        when(levenshtein($"na", $"nb") <= 2, 4L).otherwise(0L) +
+          when($"ta" === $"tb", 2L).otherwise(0L) +
+          when(abs($"sa" - $"sb") <= 2, 1L).otherwise(0L))
+      .filter($"score" >= 5L)
+      .select($"a", $"b")
+    val labels = connectedComponents(edges)
+      .select($"doc_id".as("p_partkey"), $"cluster_root")
+    val entities = p
+      .join(labels, Seq("p_partkey"), "left")
+      .withColumn("entity_id",
+        coalesce($"cluster_root", $"p_partkey"))
+    val canon = p.select($"p_partkey".as("entity_id"),
+      $"p_name".as("canonical_name"))
+    entities
+      .groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min($"price_c").as("price_min_c"),
+        max($"price_c").as("price_max_c"))
+      .join(canon, Seq("entity_id"))
+      .select($"entity_id", $"n_members", $"canonical_name",
+        $"price_min_c", $"price_max_c")
+      .orderBy($"entity_id")
+  }
+
+  private val q253Sql =
+    """WITH RECURSIVE
+      |  e AS (
+      |    SELECT a.p_partkey AS a, b.p_partkey AS b
+      |    FROM part a JOIN part b
+      |      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |    WHERE (CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+      |        THEN 4 ELSE 0 END) +
+      |      (CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END) +
+      |      (CASE WHEN ABS(a.p_size - b.p_size) <= 2 THEN 1
+      |        ELSE 0 END) >= 5),
+      |  sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      |  reach(u, v) AS (
+      |    SELECT u, v FROM sym
+      |    UNION
+      |    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |  roots AS (
+      |    SELECT u AS p_partkey, LEAST(u, MIN(v)) AS cluster_root
+      |    FROM reach GROUP BY u),
+      |  ent AS (
+      |    SELECT COALESCE(r.cluster_root, p.p_partkey) AS entity_id,
+      |      CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_c
+      |    FROM part p LEFT JOIN roots r ON p.p_partkey = r.p_partkey)
+      |SELECT e.entity_id, COUNT(*) AS n_members,
+      |  MAX(c.p_name) AS canonical_name,
+      |  MIN(e.price_c) AS price_min_c, MAX(e.price_c) AS price_max_c
+      |FROM ent e JOIN part c ON c.p_partkey = e.entity_id
+      |GROUP BY e.entity_id ORDER BY e.entity_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q35_minhash_pairs", q35, None),
     QueryDef("q36_simhash_pairs", q36, None),
     QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
     QueryDef("q63_jaccard_clusters", q63, Some(q63Sql)),
     QueryDef("q145_fuzzy_keep", q145, Some(q145Sql)),
+    QueryDef("q253_entity_resolution", q253, Some(q253Sql)),
     // sketch-kernel family: no DuckDB twin — Round11Spec gates replay
     // idempotence and store-path ≡ recompute-path equivalence
     QueryDef("q182_incremental_neardup", q182, None),

@@ -1256,6 +1256,120 @@ object Eval {
       |WHERE cum_n * 10 <= k * n
       |GROUP BY k ORDER BY k""".stripMargin
 
+  /** q254: AUTOCORRELATION + LJUNG–BOX — the residual diagnostic the
+    * forecasting family (q214/q220/q237) was missing: a forecaster
+    * whose errors are autocorrelated is leaving signal on the table,
+    * and Ljung–Box is the standard "is this series white noise?"
+    * portmanteau test. Per type, the daily revenue series' ACF at lags
+    * 1..7 and the cumulative Q(k) = n(n+2)·Σ_{j≤k} r_j²/(n−j).
+    *
+    * Exactness: the lag products Σxᵢxᵢ₋ₖ and the head/tail partial
+    * sums are INTEGER (the lag alignment is an equi-join of the series
+    * against itself shifted by a 7-row lag dim — never a non-equi
+    * join); r_k assembles from them in identical IEEE order via the
+    * expanded covariance L − x̄(H+T) + (n−k)x̄²; the Q sum rounds each
+    * r²/(n−k) term to 1e-9 and INTEGER-sums in the k-window (q195's
+    * device — a 7-term float sum is still a fold). Day cardinality
+    * everywhere after one grouped pass.
+    */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxLag = 7
+    val daily = Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        expr(centsExpr).as("c"))
+      .groupBy($"event_type", $"day_id")
+      .agg(sum($"c").as("x"))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy($"event_type").orderBy($"day_id"))
+          .cast("long"))
+    val stats = daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    val lags = s.range(1, maxLag + 1).select($"id".as("k"))
+    val shifted = daily
+      .crossJoin(broadcast(lags))
+      .withColumn("rn_src", $"rn" - $"k")
+      .join(daily.select($"event_type", $"rn".as("rn_src"),
+        $"x".as("xl")), Seq("event_type", "rn_src"))
+    val acf = shifted
+      .groupBy($"event_type", $"k")
+      .agg(sum($"x" * $"xl").as("lk"), sum($"x").as("tk"),
+        sum($"xl").as("hk"))
+      .join(stats, Seq("event_type"))
+      .withColumn("r", expr(
+        "(CAST(lk AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS " +
+          "DOUBLE)) * CAST(hk + tk AS DOUBLE) + CAST(n - k AS DOUBLE)" +
+          " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS " +
+          "DOUBLE) / CAST(n AS DOUBLE))) / (CAST(sxx AS DOUBLE) - " +
+          "CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS " +
+          "DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"))
+      .withColumn("term_nano",
+        expr("CAST(ROUND(r * r / CAST(n - k AS DOUBLE) * 1000000000)" +
+          " AS BIGINT)"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acf
+      .withColumn("nano_cum", sum($"term_nano").over(cumW))
+      .select($"event_type", $"k", $"n", $"lk",
+        round($"r", 6).as("acf"),
+        expr("ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * " +
+          "(CAST(nano_cum AS DOUBLE) / 1000000000.0), 6)")
+          .as("q_stat"))
+      .orderBy($"event_type", $"k")
+  }
+
+  private val q254Sql =
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+      |    CAST(SUM($centsExpr) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS (
+      |  SELECT event_type, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY day_id) AS BIGINT) AS rn
+      |  FROM daily),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM numbered GROUP BY 1),
+      |acf AS (
+      |  SELECT a.event_type, l.k,
+      |    CAST(SUM(a.x * b.x) AS BIGINT) AS lk,
+      |    CAST(SUM(a.x) AS BIGINT) AS tk,
+      |    CAST(SUM(b.x) AS BIGINT) AS hk
+      |  FROM numbered a
+      |  CROSS JOIN range(1, 8) l(k)
+      |  JOIN numbered b ON b.event_type = a.event_type
+      |    AND b.rn = a.rn - l.k
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT f.event_type, f.k, s.n, f.lk,
+      |    (CAST(f.lk AS DOUBLE) - (CAST(s.sx AS DOUBLE) /
+      |      CAST(s.n AS DOUBLE)) * CAST(f.hk + f.tk AS DOUBLE) +
+      |      CAST(s.n - f.k AS DOUBLE) * (CAST(s.sx AS DOUBLE) /
+      |      CAST(s.n AS DOUBLE)) * (CAST(s.sx AS DOUBLE) /
+      |      CAST(s.n AS DOUBLE))) / (CAST(s.sxx AS DOUBLE) -
+      |      CAST(s.n AS DOUBLE) * (CAST(s.sx AS DOUBLE) /
+      |      CAST(s.n AS DOUBLE)) * (CAST(s.sx AS DOUBLE) /
+      |      CAST(s.n AS DOUBLE))) AS r
+      |  FROM acf f JOIN stats s ON s.event_type = f.event_type),
+      |nano AS (
+      |  SELECT *, CAST(ROUND(r * r / CAST(n - k AS DOUBLE) *
+      |    1000000000) AS BIGINT) AS term_nano
+      |  FROM scored)
+      |SELECT event_type, k, n, lk, ROUND(r, 6) AS acf,
+      |  ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) *
+      |    (CAST(SUM(term_nano) OVER (PARTITION BY event_type
+      |      ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS DOUBLE) / 1000000000.0), 6) AS q_stat
+      |FROM nano ORDER BY event_type, k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
@@ -1269,5 +1383,6 @@ object Eval {
     QueryDef("q250_diff_in_diff", q250, Some(q250Sql)),
     QueryDef("q251_msprt_monitor", q251, Some(q251Sql)),
     QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
+    QueryDef("q254_ljung_box", q254, Some(q254Sql)),
   )
 }

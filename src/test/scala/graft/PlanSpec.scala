@@ -202,6 +202,7 @@ class PlanSpec extends AnyFunSuite {
       // where the 5-row CDF lookup is the per-draw assignment step
       "q241_gains_table", // 10-row decile dim ≤-joins the cent cum
       "q252_qini_uplift", // same 10-row decile dim as q241
+      "q254_ljung_box", // 7-row lag dim crossed with the daily series
       "q243_bh_fdr", // 5-row type-interval CDF lookup per draw
       "q244_shapley_attribution", // 16-row coalition ⊆-joins (bitmask)
       "q245_logrank_test", // death-time grid × duration histogram

@@ -316,6 +316,80 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(full._6 - want) < 1e-6)
   }
 
+  test("q253 entities are the transitive closure; members conserve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+      .as[(Long, String, String, String, Int)].collect()
+    // brute-force union-find over the same scored pairs
+    val parent = scala.collection.mutable.HashMap(
+      p.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i =>
+        Array.tabulate(b.length + 1)(j => if (i == 0) j
+        else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for {
+      grp <- p.groupBy(_._3).values
+      Array(x, y) <- grp.sortBy(_._1).combinations(2)
+    } {
+      val score = (if (lev(x._2, y._2) <= 2) 4 else 0) +
+        (if (x._4 == y._4) 2 else 0) +
+        (if (math.abs(x._5 - y._5) <= 2) 1 else 0)
+      if (score >= 5) {
+        val (rx, ry) = (find(x._1), find(y._1))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+    }
+    // canonicalize: every node's root is the min partkey of its entity
+    val want = p.map(r => r._1 -> find(r._1)).toMap
+    val got = SparkEntry.queries("q253_entity_resolution")(spark, sf)
+      .select($"entity_id", $"n_members").as[(Long, Long)].collect()
+    assert(got.map(_._2).sum == p.length,
+      "every record belongs to exactly one entity")
+    val wantEntities = want.values.toSeq.groupBy(identity)
+      .map { case (e, xs) => e -> xs.length.toLong }
+    assert(got.toMap == wantEntities,
+      "entities must equal the union-find closure of the scored pairs")
+  }
+
+  test("q254 ACF matches a driver recompute; Q is nondecreasing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+      .groupBy($"event_type", $"day_id")
+      .agg(sum($"c").as("x"))
+      .as[(String, Long, Long)].collect()
+    val got = SparkEntry.queries("q254_ljung_box")(spark, sf)
+      .select($"event_type", $"k", $"acf", $"q_stat")
+      .as[(String, Long, Double, Double)].collect()
+    got.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = daily.filter(_._1 == tpe).sortBy(_._2).map(_._3.toDouble)
+      val m = xs.sum / xs.length
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      rows.sortBy(_._2).foreach { case (_, k, acf, _) =>
+        val num = (k.toInt until xs.length)
+          .map(i => (xs(i) - m) * (xs(i - k.toInt) - m)).sum
+        assert(math.abs(acf - num / den) < 1e-6, s"$tpe lag $k")
+      }
+      rows.sortBy(_._2).map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9, s"$tpe Q not monotone")
+        case _ =>
+      }
+    }
+  }
+
   // ---- r12-advice regression gates ---------------------------------
 
   test("streaming heavy hitters == batch heavy hitters, row for row") {
