@@ -1370,6 +1370,102 @@ object Eval {
       |      CURRENT ROW) AS DOUBLE) / 1000000000.0), 6) AS q_stat
       |FROM nano ORDER BY event_type, k""".stripMargin
 
+  /** q255: EMPIRICAL-BAYES SHRINKAGE of segment means — the fix for
+    * the dashboard trap where the "best hour" is just the noisiest
+    * cell: per type, the 24 hour-of-day mean `value`s are shrunk
+    * toward the type's grand mean by the one-way random-effects
+    * posterior factor B_c = τ̂²/(τ̂² + σ̂²/n_c), with σ̂² (within) and
+    * τ̂² (between, method of moments: (MSB − σ̂²)/n₀) estimated from
+    * the same pass — the James–Stein/partial-pooling estimate every
+    * ranking-of-segments readout should use instead of raw cell means.
+    *
+    * Exactness: per-cell integer sufficient statistics (n, Σx, Σx²,
+    * and Σx²/n-style rational terms rounded to 1e-6 then INTEGER-
+    * summed — q195's device); every derived double assembles from
+    * those integers in identical IEEE order. One event pass, then
+    * |types|×24 cells.
+    */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables
+      .events(s, d)
+      .select($"event_type", expr(hrExpr).as("hr"),
+        expr(centsExpr).as("c"))
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sx"),
+        sum($"c" * $"c").as("qx"))
+      // the two rational per-cell terms, micro-rounded for exact sums
+      .withColumn("a_micro", expr(
+        "CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / " +
+          "CAST(n AS DOUBLE) * 1000000) AS BIGINT)"))
+    val part = Window.partitionBy($"event_type")
+    val enriched = cells
+      .withColumn("kk", count(lit(1)).over(part))
+      .withColumn("nn", sum($"n").over(part))
+      .withColumn("ss", sum($"sx").over(part))
+      .withColumn("qq", sum($"qx").over(part))
+      .withColumn("aa", sum($"a_micro").over(part))
+      .withColumn("n2", sum($"n" * $"n").over(part))
+    // identical-operand-order doubles from the integer aggregates:
+    // within σ², between MS, n₀, τ² — the one-way ANOVA decomposition
+    val sig2 = "((CAST(qq AS DOUBLE) - CAST(aa AS DOUBLE) / 1000000.0)" +
+      " / CAST(nn - kk AS DOUBLE))"
+    val ssb = "(CAST(aa AS DOUBLE) / 1000000.0 - CAST(ss AS DOUBLE) *" +
+      " CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val n0 = "((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / " +
+      "CAST(nn AS DOUBLE)) / CAST(kk - 1 AS DOUBLE))"
+    val tau2 = s"(GREATEST(0.0, ($ssb / CAST(kk - 1 AS DOUBLE) - " +
+      s"$sig2) / $n0))"
+    val bf = s"($tau2 / ($tau2 + $sig2 / CAST(n AS DOUBLE)))"
+    val gm = "(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val mc = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    enriched
+      .select($"event_type", $"hr", $"n",
+        expr(s"ROUND($mc, 6)").as("raw_mean"),
+        expr(s"ROUND($gm, 6)").as("grand_mean"),
+        expr(s"ROUND($bf, 6)").as("shrink_factor"),
+        expr(s"ROUND($gm + $bf * ($mc - $gm), 6)").as("shrunk_mean"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  private val q255Sql = {
+    val sig2 = "((CAST(qq AS DOUBLE) - CAST(aa AS DOUBLE) / 1000000.0)" +
+      " / CAST(nn - kk AS DOUBLE))"
+    val ssb = "(CAST(aa AS DOUBLE) / 1000000.0 - CAST(ss AS DOUBLE) *" +
+      " CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val n0 = "((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / " +
+      "CAST(nn AS DOUBLE)) / CAST(kk - 1 AS DOUBLE))"
+    val tau2 = s"(GREATEST(0.0, ($ssb / CAST(kk - 1 AS DOUBLE) - " +
+      s"$sig2) / $n0))"
+    val bf = s"($tau2 / ($tau2 + $sig2 / CAST(n AS DOUBLE)))"
+    val gm = "(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val mc = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH cells AS (
+      |  SELECT event_type, $hrSqlExpr AS hr, COUNT(*) AS n,
+      |    CAST(SUM($centsExpr) AS BIGINT) AS sx,
+      |    CAST(SUM($centsExpr * $centsExpr) AS BIGINT) AS qx
+      |  FROM events GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT *, CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |    / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS a_micro
+      |  FROM cells),
+      |enriched AS (
+      |  SELECT event_type, hr, n, sx,
+      |    COUNT(*) OVER w AS kk,
+      |    CAST(SUM(n) OVER w AS BIGINT) AS nn,
+      |    CAST(SUM(sx) OVER w AS BIGINT) AS ss,
+      |    CAST(SUM(qx) OVER w AS BIGINT) AS qq,
+      |    CAST(SUM(a_micro) OVER w AS BIGINT) AS aa,
+      |    CAST(SUM(n * n) OVER w AS BIGINT) AS n2
+      |  FROM terms WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, hr, n,
+      |  ROUND($mc, 6) AS raw_mean,
+      |  ROUND($gm, 6) AS grand_mean,
+      |  ROUND($bf, 6) AS shrink_factor,
+      |  ROUND($gm + $bf * ($mc - $gm), 6) AS shrunk_mean
+      |FROM enriched ORDER BY event_type, hr""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
@@ -1384,5 +1480,6 @@ object Eval {
     QueryDef("q251_msprt_monitor", q251, Some(q251Sql)),
     QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
     QueryDef("q254_ljung_box", q254, Some(q254Sql)),
+    QueryDef("q255_eb_shrinkage", q255, Some(q255Sql)),
   )
 }

@@ -390,6 +390,28 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q255 shrinkage interpolates raw↔grand and trusts big cells more") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q255_eb_shrinkage")(spark, sf)
+      .select($"event_type", $"n", $"raw_mean", $"grand_mean",
+        $"shrink_factor", $"shrunk_mean")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    out.foreach { case (t, _, raw, grand, b, shrunk) =>
+      assert(b >= -1e-9 && b <= 1 + 1e-9, s"$t factor $b")
+      val (lo, hi) = (math.min(raw, grand), math.max(raw, grand))
+      assert(shrunk >= lo - 2e-6 && shrunk <= hi + 2e-6,
+        s"$t shrunk $shrunk outside [$lo, $hi]")
+    }
+    // posterior weight is monotone in cell size within a type
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) if a._2 < b._2 =>
+          assert(b._5 >= a._5 - 1e-9, "bigger cells must shrink less")
+        case _ =>
+      }
+    }
+  }
+
   // ---- r12-advice regression gates ---------------------------------
 
   test("streaming heavy hitters == batch heavy hitters, row for row") {
