@@ -712,14 +712,21 @@ object Dedup {
       $"p_name".as("na"), $"p_type".as("ta"), $"p_size".as("sa"))
     val r = p.select($"p_brand", $"p_partkey".as("b"),
       $"p_name".as("nb"), $"p_type".as("tb"), $"p_size".as("sb"))
+    // score ≥ 5 REQUIRES the +4 name agreement (the corroborating
+    // fields alone max out at 3), so the link rule factors into
+    // dist ≤ 2 AND (type = type OR |Δsize| ≤ 2). Run the cheap field
+    // predicates and the |Δlen| ≤ 2 edit-distance NECESSARY condition
+    // first, then the THRESHOLDED levenshtein (early-exits past 2 —
+    // banded O(len·k), not O(len²)): at sf0.1 this is 8M blocked pairs
+    // and the unbounded-distance version measured 11.6 s.
     val edges = l
       .join(r, Seq("p_brand"))
       .filter($"a" < $"b")
-      .withColumn("score",
-        when(levenshtein($"na", $"nb") <= 2, 4L).otherwise(0L) +
-          when($"ta" === $"tb", 2L).otherwise(0L) +
-          when(abs($"sa" - $"sb") <= 2, 1L).otherwise(0L))
-      .filter($"score" >= 5L)
+      .filter($"ta" === $"tb" || abs($"sa" - $"sb") <= 2)
+      .filter(abs(length($"na") - length($"nb")) <= 2)
+      // thresholded levenshtein returns -1 past the bound, so the
+      // accept test is "computed and ≤ 2", i.e. in [0, 2]
+      .filter(levenshtein($"na", $"nb", 2).between(0, 2))
       .select($"a", $"b")
     val labels = connectedComponents(edges)
       .select($"doc_id".as("p_partkey"), $"cluster_root")
