@@ -1478,6 +1478,11 @@ object Eval {
     QueryDef("q248_weighted_quantiles", q248, Some(q248Sql)),
     QueryDef("q250_diff_in_diff", q250, Some(q250Sql)),
     QueryDef("q251_msprt_monitor", q251, Some(q251Sql)),
+    // the monitor LIVE: streaming day maturation + stateful cumulative
+    // fold, hash-verified against the SAME SQL as the batch closed form
+    QueryDef("q256_stream_msprt",
+      (s, d) => graft.streaming.Streams.streamMsprt(s, d),
+      Some(q251Sql)),
     QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
     QueryDef("q254_ljung_box", q254, Some(q254Sql)),
     QueryDef("q255_eb_shrinkage", q255, Some(q255Sql)),

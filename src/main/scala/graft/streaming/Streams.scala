@@ -2328,6 +2328,219 @@ object Streams {
     }
   }
 
+  // ---- q256: streaming anytime-valid mSPRT monitor ------------------
+
+  final case class MsprtDayOut(
+      event_type: String, day_id: Long, na: Long, nb: Long,
+      ln_lambda: Double, ln_lambda_max: Double)
+  final case class MsprtDayAgg(dna: Long, dsa: Long, dqa: Long,
+      dnb: Long, dsb: Long, dqb: Long)
+  final case class MsprtCum(na: Long, sa: Long, qa: Long, nb: Long,
+      sb: Long, qb: Long, lnMax: Double, started: Boolean)
+
+  /** q251's anytime-valid monitor actually running as a stream — the
+    * deployment the operator exists FOR (its whole point is that the
+    * experimenter checks continuously): per type, immature day buckets
+    * of the six arm sufficient statistics accumulate in a MapState;
+    * when the watermark proves a day complete it folds IN DAY ORDER
+    * into the cumulative ValueState, lnΛ is computed from the
+    * cumulatives in EXACTLY q251's operand order (all
+    * correctly-rounded primitives, so the stream's doubles are
+    * bit-identical to the batch plan's), and the running max rides the
+    * state — the q224 CusumProcessor shape with days for hours. One
+    * event-time timer per key releases quiet types. Emissions carry
+    * RAW doubles; the read-side applies the same `round(…, 6)`
+    * expressions as q251, so the oracle is LITERALLY q251's SQL.
+    */
+  final class MsprtProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Boolean, Long), MsprtDayOut] {
+    @transient private var buckets:
+        org.apache.spark.sql.streaming.MapState[Long, MsprtDayAgg] = _
+    @transient private var cum:
+        org.apache.spark.sql.streaming.ValueState[MsprtCum] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    private val dayUs = 86400000000L
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, MsprtDayAgg]("buckets",
+        Encoders.scalaLong, Encoders.product[MsprtDayAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      cum = getHandle.getValueState[MsprtCum]("cum",
+        Encoders.product[MsprtCum],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def rearm(immatureDays: Seq[Long]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (immatureDays.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = (immatureDays.min + 1L) * dayUs / 1000L + 1L
+        if (next != prev) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
+    private def release(tpe: String, wmUs: Long)
+        : Iterator[MsprtDayOut] = {
+      val all = buckets.iterator().toSeq
+      val (mature, immature) =
+        all.partition { case (d, _) => (d + 1L) * dayUs <= wmUs }
+      var c =
+        if (cum.exists()) cum.get()
+        else MsprtCum(0L, 0L, 0L, 0L, 0L, 0L, 0.0, started = false)
+      val out = mature.sortBy(_._1).map { case (d, x) =>
+        buckets.removeKey(d)
+        c = MsprtCum(c.na + x.dna, c.sa + x.dsa, c.qa + x.dqa,
+          c.nb + x.dnb, c.sb + x.dsb, c.qb + x.dqb, c.lnMax, c.started)
+        // q251's operand order, verbatim: every op is a correctly-
+        // rounded IEEE primitive, so stream ≡ batch bit-for-bit
+        val ma = c.sa.toDouble / c.na.toDouble
+        val mb = c.sb.toDouble / c.nb.toDouble
+        val s2 = (c.qa.toDouble - c.na.toDouble * ma * ma +
+          c.qb.toDouble - c.nb.toDouble * mb * mb) /
+          (c.na + c.nb - 2).toDouble
+        val vv = s2 * (1.0 / c.na.toDouble + 1.0 / c.nb.toDouble)
+        val th = ma - mb
+        val lnl = 0.5 * math.log(vv / (vv + 2500.0)) +
+          (th * th) * 2500.0 / (2.0 * vv * (vv + 2500.0))
+        val mx = if (c.started) math.max(c.lnMax, lnl) else lnl
+        c = c.copy(lnMax = mx, started = true)
+        MsprtDayOut(tpe, d, c.na, c.nb, lnl, mx)
+      }
+      cum.update(c)
+      rearm(immature.map(_._1))
+      out.iterator
+    }
+    override def handleInputRows(
+        tpe: String,
+        rows: Iterator[(String, Long, Boolean, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[MsprtDayOut] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      rows.filter(_._2 >= wmUs)
+        .foldLeft(Map.empty[Long, MsprtDayAgg]) { (m, r) =>
+          val d = r._2 / dayUs
+          val a = m.getOrElse(d, MsprtDayAgg(0L, 0L, 0L, 0L, 0L, 0L))
+          val c = r._4
+          m.updated(d,
+            if (r._3)
+              a.copy(dna = a.dna + 1L, dsa = a.dsa + c,
+                dqa = a.dqa + c * c)
+            else
+              a.copy(dnb = a.dnb + 1L, dsb = a.dsb + c,
+                dqb = a.dqb + c * c))
+        }
+        .foreach { case (d, add) =>
+          val cur =
+            if (buckets.containsKey(d)) buckets.getValue(d)
+            else MsprtDayAgg(0L, 0L, 0L, 0L, 0L, 0L)
+          buckets.updateValue(d, MsprtDayAgg(
+            cur.dna + add.dna, cur.dsa + add.dsa, cur.dqa + add.dqa,
+            cur.dnb + add.dnb, cur.dsb + add.dsb, cur.dqb + add.dqb))
+        }
+      release(tpe, wmUs)
+    }
+    override def handleExpiredTimer(
+        tpe: String,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
+    ): Iterator[MsprtDayOut] = {
+      armed.clear()
+      release(tpe, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** q256: [[MsprtProcessor]] under the driver's oracle gate — the
+    * oracle is LITERALLY q251's SQL. Harness = q224's: time-ranged
+    * staging files, then a far-future sentinel advances the watermark
+    * past every real day's end so the final timers drain each type's
+    * tail. Each (type, day) is folded and emitted exactly once
+    * (buckets are removed as they mature); the read-back applies
+    * q251's own rounding/threshold expressions to the raw doubles.
+    */
+  def streamMsprt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"msprt_$uuid")
+      val srcDir = root.resolve("src").toString
+      spark.read.schema(eventsSchema(tsLong))
+        .parquet(s"$dir/events.parquet")
+        .select($"event_type", usExpr(tsLong).as("us"),
+          ($"user_id" % 2 === 0L).as("arm_a"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(2, $"us")
+        .write.parquet(srcDir)
+      val parts = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toAbsolutePath)
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+      }
+      val now = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            now - 60000L + i * 10000L))
+      }
+      val hi = spark.read.parquet(srcDir).agg(max($"us")).head.getLong(0)
+      implicit val outEnc = Encoders.product[MsprtDayOut]
+      val days = spark.readStream
+        .schema("event_type STRING, us LONG, arm_a BOOLEAN, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"event_type", $"us", $"arm_a", $"cents")
+        .as[(String, Long, Boolean, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new MsprtProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val out = root.resolve("out").toString
+      withFewStatePartitions(spark) {
+        val q = days.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // sentinel: watermark → past the last real day's end
+          Seq(("__sentinel__", hi + 2L * 86400000000L, true, 0L))
+            .toDF("event_type", "us", "arm_a", "cents")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      deleteStaged(root.resolve("src"))
+      spark.read.parquet(out)
+        .filter($"event_type" =!= "__sentinel__")
+        // each (type, day) is emitted once; the aggregate is replay
+        // armor only (identical values if a batch ever re-runs)
+        .groupBy($"event_type", $"day_id")
+        .agg(max($"na").as("na"), max($"nb").as("nb"),
+          max($"ln_lambda").as("lnl"),
+          max($"ln_lambda_max").as("lnlm"))
+        .select($"event_type", $"day_id", $"na", $"nb",
+          round($"lnl", 6).as("ln_lambda"),
+          round($"lnlm", 6).as("ln_lambda_max"),
+          ($"lnlm" >= 2.995732273553991).as("crossed"))
+        .orderBy($"event_type", $"day_id")
+    }
+  }
+
   // ---- q249: streaming Misra-Gries heavy hitters --------------------
 
   final case class MgRow(bucket: Long, ver: Long, toks: String)

@@ -414,6 +414,16 @@ class Round13Spec extends AnyFunSuite {
 
   // ---- r12-advice regression gates ---------------------------------
 
+  test("streaming mSPRT == batch mSPRT, row for row (raw doubles)") {
+    val a = SparkEntry.queries("q256_stream_msprt")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q251_msprt_monitor")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      "the streamed cumulative fold must be bit-identical to the " +
+        "batch window closed form")
+  }
+
   test("streaming heavy hitters == batch heavy hitters, row for row") {
     val a = SparkEntry.queries("q249_stream_heavy_hitters")(spark, sf)
       .collect().map(_.toSeq).toSeq
