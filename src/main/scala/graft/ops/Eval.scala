@@ -1466,6 +1466,124 @@ object Eval {
       |FROM enriched ORDER BY event_type, hr""".stripMargin
   }
 
+  /** q257: SPLIT-CONFORMAL PREDICTION INTERVALS — distribution-free
+    * uncertainty for a point predictor, the modern answer to "the
+    * forecast says 50, how wrong can it be?" with a finite-sample
+    * coverage GUARANTEE (≥ 1−α whatever the data distribution): train
+    * a per-(type, hour-of-day) mean predictor on the first ten days,
+    * take the ⌈(n+1)(1−α)⌉-th smallest absolute calibration residual
+    * on the next ten as the interval half-width, and audit empirical
+    * coverage on the held-out last ten.
+    *
+    * Exactness: the predictor stays the integer RATIONAL (ΣS, N) —
+    * residuals compare as |c·N − S| (cross-multiplied, never a float
+    * subtraction), the conformal rank k = ⌈(n+1)·9/10⌉ is integer
+    * ceiling division, the order statistic is "smallest score whose
+    * cumulative count reaches k" (q248's device — tie-safe where
+    * row_number is not), and the coverage audit is an integer compare
+    * per test row. Three calendar slices from one pass; everything
+    * after the two grouped aggregates is (type × hour)-domain.
+    */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutTrainUs = 1704931200000000L // 2024-01-11T00:00:00Z
+    val cutCalUs = 1705795200000000L //   2024-01-21T00:00:00Z
+    val ev = Tables
+      .events(s, d)
+      .select($"event_type", expr(hrExpr).as("hr"),
+        expr(centsExpr).as("c"), unix_micros($"ts").as("us"))
+    val train = ev
+      .filter($"us" < cutTrainUs)
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n_train"), sum($"c").as("s_train"))
+    val calScores = ev
+      .filter($"us" >= cutTrainUs && $"us" < cutCalUs)
+      .join(train, Seq("event_type", "hr"))
+      .select($"event_type", $"hr", $"n_train", $"s_train",
+        abs($"c" * $"n_train" - $"s_train").as("score"))
+    val calHist = calScores
+      .groupBy($"event_type", $"hr", $"n_train", $"s_train", $"score")
+      .agg(count(lit(1)).as("cnt"))
+    val cell = Window.partitionBy($"event_type", $"hr")
+    val runW = cell.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = calHist
+      .withColumn("cum", sum($"cnt").over(runW))
+      .withColumn("n_cal", sum($"cnt").over(cell))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+      .groupBy($"event_type", $"hr", $"n_train", $"s_train")
+      .agg(max($"n_cal").as("n_cal"), max($"k").as("k"),
+        min(when($"cum" >= $"k", $"score")).as("q_scaled"))
+      // k > n_cal ⇒ the conformal interval is infinite; surfaced, not
+      // silently clamped
+      .withColumn("q_scaled",
+        when($"k" > $"n_cal", lit(null)).otherwise($"q_scaled"))
+    val test = ev
+      .filter($"us" >= cutCalUs)
+      .join(qhat, Seq("event_type", "hr"))
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs($"c" * $"n_train" - $"s_train") <= $"q_scaled",
+          1L).otherwise(0L)).as("n_covered"))
+    qhat
+      .join(test, Seq("event_type", "hr"))
+      .select($"event_type", $"hr", $"n_train", $"n_cal", $"n_test",
+        expr("ROUND(CAST(s_train AS DOUBLE) / CAST(n_train AS " +
+          "DOUBLE), 6)").as("mu_cents"),
+        expr("ROUND(CAST(q_scaled AS DOUBLE) / CAST(n_train AS " +
+          "DOUBLE), 6)").as("qhat_cents"),
+        expr("n_covered * 1000 DIV n_test").as("coverage_permille"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  private val q257Sql =
+    s"""WITH ev AS (
+      |  SELECT event_type, $hrSqlExpr AS hr, $centsExpr AS c,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |train AS (
+      |  SELECT event_type, hr, COUNT(*) AS n_train,
+      |    CAST(SUM(c) AS BIGINT) AS s_train
+      |  FROM ev WHERE us < 1704931200000000 GROUP BY 1, 2),
+      |cal_hist AS (
+      |  SELECT e.event_type, e.hr, t.n_train, t.s_train,
+      |    ABS(e.c * t.n_train - t.s_train) AS score, COUNT(*) AS cnt
+      |  FROM ev e JOIN train t
+      |    ON t.event_type = e.event_type AND t.hr = e.hr
+      |  WHERE e.us >= 1704931200000000 AND e.us < 1705795200000000
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |ranked AS (
+      |  SELECT *,
+      |    SUM(cnt) OVER (PARTITION BY event_type, hr ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type, hr) AS n_cal
+      |  FROM cal_hist),
+      |qhat AS (
+      |  SELECT event_type, hr, n_train, s_train,
+      |    CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+      |    CASE WHEN (9 * (MAX(n_cal) + 1) + 9) // 10 > MAX(n_cal)
+      |      THEN NULL
+      |      ELSE MIN(CASE WHEN cum >= (9 * (n_cal + 1) + 9) // 10
+      |        THEN score END) END AS q_scaled
+      |  FROM ranked GROUP BY 1, 2, 3, 4),
+      |test AS (
+      |  SELECT e.event_type, e.hr, COUNT(*) AS n_test,
+      |    CAST(SUM(CASE WHEN ABS(e.c * q.n_train - q.s_train)
+      |      <= q.q_scaled THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM ev e JOIN qhat q
+      |    ON q.event_type = e.event_type AND q.hr = e.hr
+      |  WHERE e.us >= 1705795200000000
+      |  GROUP BY 1, 2)
+      |SELECT q.event_type, q.hr, q.n_train, q.n_cal, t.n_test,
+      |  ROUND(CAST(q.s_train AS DOUBLE) / CAST(q.n_train AS DOUBLE),
+      |    6) AS mu_cents,
+      |  ROUND(CAST(q.q_scaled AS DOUBLE) / CAST(q.n_train AS DOUBLE),
+      |    6) AS qhat_cents,
+      |  t.n_covered * 1000 // t.n_test AS coverage_permille
+      |FROM qhat q JOIN test t
+      |  ON t.event_type = q.event_type AND t.hr = q.hr
+      |ORDER BY q.event_type, q.hr""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
@@ -1486,5 +1604,6 @@ object Eval {
     QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
     QueryDef("q254_ljung_box", q254, Some(q254Sql)),
     QueryDef("q255_eb_shrinkage", q255, Some(q255Sql)),
+    QueryDef("q257_conformal_intervals", q257, Some(q257Sql)),
   )
 }

@@ -412,6 +412,44 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q257 conformal: exact order statistic; coverage near nominal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sf0.001's ~3-row calibration cells all hit the k > n infinite-
+    // interval branch; the guarantee needs the driver's correctness SF
+    val sf01 = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q257_conformal_intervals")(spark, sf01)
+      .select($"event_type", $"hr", $"n_cal", $"qhat_cents",
+        $"coverage_permille")
+      .as[(String, Long, Long, Option[Double], Long)].collect()
+    assert(out.nonEmpty)
+    // marginal coverage averages to ≥ 1−α by the conformal guarantee
+    // (up to finite-cell noise); wildly low would mean a broken rank
+    val cov = out.map(_._5.toDouble)
+    assert(cov.sum / cov.length > 850.0,
+      s"mean coverage ${cov.sum / cov.length}")
+    // recompute one cell's q̂ as the ⌈(n+1)·0.9⌉-th smallest residual
+    val ev = Tables.events(spark, sf01)
+      .select($"event_type",
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"),
+        unix_micros($"ts").as("us"))
+      .as[(String, Long, Long, Long)].collect()
+    val (tpe, hr) = (out.head._1, out.head._2)
+    val cell = ev.filter(r => r._1 == tpe && r._2 == hr)
+    val trainRows = cell.filter(_._4 < 1704931200000000L)
+    val (nT, sT) = (trainRows.length.toLong, trainRows.map(_._3).sum)
+    val scores = cell
+      .filter(r =>
+        r._4 >= 1704931200000000L && r._4 < 1705795200000000L)
+      .map(r => math.abs(r._3 * nT - sT)).sorted
+    val k = (9 * (scores.length + 1) + 9) / 10
+    assert(k <= scores.length, "fixture: finite interval expected")
+    val want = scores(k - 1).toDouble / nT
+    val got = out.head._4.get
+    assert(math.abs(got - want) < 1e-5, s"$got vs $want")
+  }
+
   // ---- r12-advice regression gates ---------------------------------
 
   test("streaming mSPRT == batch mSPRT, row for row (raw doubles)") {
