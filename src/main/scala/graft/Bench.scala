@@ -205,7 +205,10 @@ object Bench {
       "q03_topk_orders", "q04_brand_volume",
       // r13: single-partition fan regression fixed by explicit-count
       // repartition — watch it stays fixed
-      "q243_bh_fdr")
+      "q243_bh_fdr",
+      // r13: unbounded-levenshtein cost fixed by factored predicates +
+      // thresholded edit distance — watch it stays fixed
+      "q253_entity_resolution")
     val retimeSet = (pass1.sortBy(-_._2).take(retimeK).map(_._1) ++
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {
