@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
   * the corpus-preparation surface a 100 TB pretraining run needs beyond
@@ -1745,7 +1746,83 @@ object Corpus {
       |  CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
       |FROM terms GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
 
+  /** q258: PMI COLLOCATIONS — "which word pairs belong together" by
+    * pointwise mutual information, the lexical-association member the
+    * text family was missing (q64 TF-IDF ranks words per doc, q132
+    * counts raw n-grams — raw counts surface common-word pairs, PMI
+    * surfaces BOUND pairs): PMI(w₁,w₂) = ln(P(w₁w₂)/(P(w₁)P(w₂))) over
+    * adjacent-token bigrams, with a minimum-support floor (5) so rare
+    * coincidences don't dominate. Counts and totals are INTEGER from
+    * two grouped passes (token, bigram); the single ln of a ratio of
+    * integer products is identical-order; top-50 ordering ties break
+    * on the words.
+    */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toksArr = Tables
+      .documents(s, d)
+      .select(split($"text", " ").as("t"))
+    val uni = toksArr
+      .select(explode($"t").as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nt", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bigr = toksArr
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("nb", sum($"c12").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    bigr
+      .filter($"c12" >= 5L)
+      .join(uni.select($"w".as("w1"), $"c".as("c1"), $"nt"), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2",
+        expr("ROUND(LN(CAST(c12 AS DOUBLE) * CAST(nt AS DOUBLE) * " +
+          "CAST(nt AS DOUBLE) / (CAST(nb AS DOUBLE) * " +
+          "CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6)").as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  private val q258Sql =
+    """WITH base AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(t) AS w FROM base) u
+      |  WHERE len(w) > 0 GROUP BY w),
+      |unit AS (
+      |  SELECT w, c, CAST(SUM(c) OVER () AS BIGINT) AS nt FROM uni),
+      |bigr AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM (
+      |    SELECT t[i] AS w1, t[i + 1] AS w2
+      |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |          FROM base) g) b
+      |  GROUP BY w1, w2),
+      |bigt AS (
+      |  SELECT w1, w2, c12, CAST(SUM(c12) OVER () AS BIGINT) AS nb
+      |  FROM bigr)
+      |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+      |  ROUND(LN(CAST(b.c12 AS DOUBLE) * CAST(u1.nt AS DOUBLE) *
+      |    CAST(u1.nt AS DOUBLE) / (CAST(b.nb AS DOUBLE) *
+      |    CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      |FROM bigt b
+      |JOIN unit u1 ON u1.w = b.w1
+      |JOIN unit u2 ON u2.w = b.w2
+      |WHERE b.c12 >= 5
+      |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q258_pmi_collocations", q258, Some(q258Sql)),
     QueryDef("q201_curriculum_shards", q201, Some(q201Sql)),
     QueryDef("q205_kl_divergence", q205, Some(q205Sql)),
     QueryDef("q202_contrastive_pairs", q202, Some(q202Sql)),

@@ -1584,6 +1584,94 @@ object Eval {
       |  ON t.event_type = q.event_type AND t.hr = q.hr
       |ORDER BY q.event_type, q.hr""".stripMargin
 
+  /** q259: POST-STRATIFICATION (direct standardization) — the
+    * composition-adjustment every observational A-vs-B comparison
+    * needs before anyone trusts it: if arm B's traffic skews toward
+    * high-value hours, the raw mean difference confounds arm and
+    * hour-mix. The adjusted B mean reweights B's per-hour means to
+    * A's hour composition, Σ_h (n_Ah/N_A)·(S_Bh/n_Bh) —
+    * epidemiology's age-adjusted rate, the experiment platform's
+    * "weighted by control composition" toggle. Per-hour rational
+    * terms n_Ah·S_Bh/n_Bh are rounded to 1e-6 and INTEGER-summed
+    * (q195's device); the output reports raw and adjusted differences
+    * side by side with the composition χ²-style imbalance the
+    * adjustment is correcting. One pass to (arm × 24) cells.
+    */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables
+      .events(s, d)
+      .select(($"user_id" % 2 === 1L).as("b"), expr(hrExpr).as("hr"),
+        expr(centsExpr).as("c"))
+      .groupBy($"hr")
+      .agg(
+        sum(when(!$"b", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"b", $"c").otherwise(0L)).as("sa"),
+        sum(when($"b", 1L).otherwise(0L)).as("nb"),
+        sum(when($"b", $"c").otherwise(0L)).as("sb"),
+      )
+      // weighted term of the standardized B mean: n_Ah · mean_Bh,
+      // micro-rounded so the cross-cell sum is an integer fold
+      .withColumn("adj_micro", expr(
+        "CAST(ROUND(CAST(na AS DOUBLE) * (CAST(sb AS DOUBLE) / " +
+          "CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)"))
+    cells
+      .groupBy()
+      .agg(sum($"na").as("n_a"), sum($"sa").as("s_a"),
+        sum($"nb").as("n_b"), sum($"sb").as("s_b"),
+        sum($"adj_micro").as("adj_micro"))
+      .select($"n_a", $"n_b",
+        expr("ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)")
+          .as("mean_a"),
+        expr("ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)")
+          .as("mean_b_raw"),
+        expr("ROUND(CAST(adj_micro AS DOUBLE) / 1000000.0 / " +
+          "CAST(n_a AS DOUBLE), 6)").as("mean_b_adjusted"),
+        expr("ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) - " +
+          "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)")
+          .as("diff_raw"),
+        expr("ROUND(CAST(adj_micro AS DOUBLE) / 1000000.0 / " +
+          "CAST(n_a AS DOUBLE) - CAST(s_a AS DOUBLE) / " +
+          "CAST(n_a AS DOUBLE), 6)").as("diff_adjusted"))
+  }
+
+  private val q259Sql =
+    s"""WITH cells AS (
+      |  SELECT $hrSqlExpr AS hr,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN $centsExpr
+      |      ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN $centsExpr
+      |      ELSE 0 END) AS BIGINT) AS sb
+      |  FROM events GROUP BY 1),
+      |terms AS (
+      |  SELECT *, CAST(ROUND(CAST(na AS DOUBLE) *
+      |    (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000)
+      |    AS BIGINT) AS adj_micro
+      |  FROM cells),
+      |tot AS (
+      |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |    CAST(SUM(sa) AS BIGINT) AS s_a,
+      |    CAST(SUM(nb) AS BIGINT) AS n_b,
+      |    CAST(SUM(sb) AS BIGINT) AS s_b,
+      |    CAST(SUM(adj_micro) AS BIGINT) AS adj_micro
+      |  FROM terms)
+      |SELECT n_a, n_b,
+      |  ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+      |  ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+      |    AS mean_b_raw,
+      |  ROUND(CAST(adj_micro AS DOUBLE) / 1000000.0 /
+      |    CAST(n_a AS DOUBLE), 6) AS mean_b_adjusted,
+      |  ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS diff_raw,
+      |  ROUND(CAST(adj_micro AS DOUBLE) / 1000000.0 /
+      |    CAST(n_a AS DOUBLE) - CAST(s_a AS DOUBLE) /
+      |    CAST(n_a AS DOUBLE), 6) AS diff_adjusted
+      |FROM tot""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
@@ -1605,5 +1693,6 @@ object Eval {
     QueryDef("q254_ljung_box", q254, Some(q254Sql)),
     QueryDef("q255_eb_shrinkage", q255, Some(q255Sql)),
     QueryDef("q257_conformal_intervals", q257, Some(q257Sql)),
+    QueryDef("q259_post_stratification", q259, Some(q259Sql)),
   )
 }

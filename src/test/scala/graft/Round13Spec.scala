@@ -450,6 +450,52 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-5, s"$got vs $want")
   }
 
+  test("q258 PMI matches a driver recompute on the top collocation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf)
+      .select(split($"text", " ").as("t")).as[Seq[String]].collect()
+    val toks = texts.flatMap(_.filter(_.nonEmpty))
+    val nt = toks.length.toDouble
+    val uni = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val bigrams = texts.flatMap(t => t.sliding(2).collect {
+      case Seq(a, b) => (a, b)
+    })
+    val nb = bigrams.length.toDouble
+    val big = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val got = SparkEntry.queries("q258_pmi_collocations")(spark, sf)
+      .select($"w1", $"w2", $"c12", $"pmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._3 >= 5L))
+    got.take(5).foreach { case (w1, w2, c12, pmi) =>
+      assert(big((w1, w2)).toLong == c12)
+      val want = math.log(c12 * nt * nt / (nb * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - want) < 1e-5, s"($w1,$w2): $pmi vs $want")
+    }
+  }
+
+  test("q259 adjusted mean reweights B's hour means to A's mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cells = Tables.events(spark, sf)
+      .select(($"user_id" % 2 === 1L).as("b"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+      .as[(Boolean, Long, Long)].collect()
+    val byHr = cells.groupBy(_._2)
+    val na = cells.count(!_._1).toDouble
+    val adj = byHr.values.map { grp =>
+      val nah = grp.count(!_._1).toDouble
+      val bs = grp.filter(_._1).map(_._3)
+      nah * (bs.sum.toDouble / bs.length)
+    }.sum / na
+    val got = SparkEntry.queries("q259_post_stratification")(spark, sf)
+      .select($"mean_b_adjusted", $"mean_a", $"diff_adjusted")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(got._1 - adj) < 1e-4, s"${got._1} vs $adj")
+    assert(math.abs(got._3 - (got._1 - got._2)) < 3e-6)
+  }
+
   // ---- r12-advice regression gates ---------------------------------
 
   test("streaming mSPRT == batch mSPRT, row for row (raw doubles)") {
