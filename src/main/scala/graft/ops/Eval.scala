@@ -44,30 +44,47 @@ object Eval {
     * positives contribute pos·(2cb + tot + 1) to 2R⁺ exactly. The one
     * float division per hour happens at the end.
     */
-  private def q240(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hist = Tables
-      .events(s, d)
-      .select(expr(hrExpr).as("hr"), expr(centsExpr).as("c"),
-        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
-      .groupBy($"hr", $"c")
-      .agg(sum($"p").as("pos"), count(lit(1)).as("tot"))
-    val runW = Window.partitionBy($"hr").orderBy($"c")
+  /** q240's rank arithmetic over any (hr, c) → (pos, tot) histogram —
+    * shared by the whole-corpus run (q240) and the store-merged
+    * incremental run (q260), so the two paths cannot drift.
+    */
+  private def aucFromHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val runW = Window.partitionBy(col("hr")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
-      .withColumn("cb", sum($"tot").over(runW) - $"tot")
-      .withColumn("contrib", $"pos" * (lit(2L) * $"cb" + $"tot" + 1L))
-      .groupBy($"hr")
-      .agg(sum($"pos").as("n_pos"),
-        (sum($"tot") - sum($"pos")).as("n_neg"),
-        sum($"contrib").as("rs2"))
-      .withColumn("u2", $"rs2" - $"n_pos" * ($"n_pos" + 1L))
+      .withColumn("cb", fsum(col("tot")).over(runW) - col("tot"))
+      .withColumn("contrib",
+        col("pos") * (lit(2L) * col("cb") + col("tot") + 1L))
+      .groupBy(col("hr"))
+      .agg(fsum(col("pos")).as("n_pos"),
+        (fsum(col("tot")) - fsum(col("pos"))).as("n_neg"),
+        fsum(col("contrib")).as("rs2"))
+      .withColumn("u2", col("rs2") - col("n_pos") * (col("n_pos") + 1L))
       .withColumn("auc",
-        round($"u2".cast("double") /
-          (lit(2.0) * $"n_pos".cast("double") *
-            $"n_neg".cast("double")), 6))
-      .select($"hr", $"n_pos", $"n_neg", $"u2", $"auc")
-      .orderBy($"hr")
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6))
+      .select(col("hr"), col("n_pos"), col("n_neg"), col("u2"),
+        col("auc"))
+      .orderBy(col("hr"))
+  }
+
+  private def eventsHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .select(expr(hrExpr).as("hr"), expr(centsExpr).as("c"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"),
+        unix_micros($"ts").as("us"))
+  }
+
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    aucFromHist(
+      eventsHist(s, d)
+        .groupBy($"hr", $"c")
+        .agg(sum($"p").as("pos"), count(lit(1)).as("tot")))
   }
 
   private val q240Sql =
@@ -1672,8 +1689,71 @@ object Eval {
       |    CAST(n_a AS DOUBLE), 6) AS diff_adjusted
       |FROM tot""".stripMargin
 
+  /** Per-SF staging root for q260's persisted metric-state store. */
+  private[graft] def q260StoreRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_eval/q260_store_v1_$tag"
+  }
+
+  /** Store-level build-if-absent guard (the r12-advice contract: the
+    * marker is written by the guard AFTER the whole build returns, so
+    * a crash mid-build self-heals on the next run).
+    */
+  private def ensureBuilt(s: SparkSession, root: String)(
+      build: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      build
+      fs.create(p, true).close()
+    }
+  }
+
+  /** q260: INCREMENTAL AUC — metric maintenance as a PIPELINE, the
+    * production shape where yesterday's metric state persists and
+    * today only the delta is touched (the q177/q182/q184 incremental
+    * family extended to the evaluation module): the (hour, cent) →
+    * (positives, total) histogram of the corpus through day 24 lives
+    * in a persisted store (built once, build-if-absent with the
+    * store-level completion marker); the registered run aggregates
+    * ONLY the post-cut delta events, merges the two histograms by sum
+    * (the histogram is a perfect mergeable summary — AUC's sufficient
+    * statistic), and replays q240's exact rank arithmetic on the
+    * merge. The merge is INTEGER-identical to the whole-corpus
+    * recompute, so the oracle is LITERALLY q240's SQL over the full
+    * table — the q177 full-recompute-equivalence gate. At 100 TB the
+    * nightly metric job reads a value-domain-sized store + one day of
+    * events instead of the corpus.
+    */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.SaveMode
+    val cutUs = 1706140800000000L // 2024-01-25T00:00:00Z
+    val root = q260StoreRoot(d)
+    ensureBuilt(s, root) {
+      eventsHist(s, d)
+        .filter($"us" < cutUs)
+        .groupBy($"hr", $"c")
+        .agg(sum($"p").as("pos"), count(lit(1)).as("tot"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/hist")
+    }
+    val store = s.read.parquet(s"$root/hist")
+    val delta = eventsHist(s, d)
+      .filter($"us" >= cutUs)
+      .groupBy($"hr", $"c")
+      .agg(sum($"p").as("pos"), count(lit(1)).as("tot"))
+    aucFromHist(
+      store
+        .unionByName(delta)
+        .groupBy($"hr", $"c")
+        .agg(sum($"pos").as("pos"), sum($"tot").as("tot")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
+    // incremental state-store maintenance of the SAME metric: the
+    // oracle is q240's SQL over the full table — merge ≡ recompute
+    QueryDef("q260_incremental_auc", q260, Some(q240Sql)),
     QueryDef("q241_gains_table", q241, Some(q241Sql)),
     QueryDef("q242_mann_whitney", q242, Some(q242Sql)),
     QueryDef("q243_bh_fdr", q243, Some(q243Sql)),

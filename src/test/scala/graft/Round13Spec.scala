@@ -498,6 +498,22 @@ class Round13Spec extends AnyFunSuite {
 
   // ---- r12-advice regression gates ---------------------------------
 
+  test("q260 incremental AUC == whole-corpus AUC; re-run idempotent") {
+    val full = SparkEntry.queries("q240_roc_auc")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inc1 = SparkEntry.queries("q260_incremental_auc")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // second run serves the already-built store (build-if-absent)
+    val inc2 = SparkEntry.queries("q260_incremental_auc")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc1 == full,
+      "store-merge must be integer-identical to the full recompute")
+    assert(inc2 == full, "replay must be idempotent")
+    val marker = new java.io.File(
+      s"${ops.Eval.q260StoreRoot(sf)}/_GRAFT_STORE_COMPLETE")
+    assert(marker.exists(), "store-level completion marker missing")
+  }
+
   test("streaming mSPRT == batch mSPRT, row for row (raw doubles)") {
     val a = SparkEntry.queries("q256_stream_msprt")(spark, sf)
       .collect().map(_.toSeq).toSeq
