@@ -715,42 +715,50 @@ object Eval {
     * and its two windows live entirely in band-domain (q203's
     * discipline). The fitted rate is decoded from the key once.
     */
-  private def q247(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val bins = Tables
-      .events(s, d)
-      .select(expr(s"$centsExpr DIV 100").as("b"),
-        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
-      .groupBy($"b")
-      .agg(count(lit(1)).as("n"), sum($"p").as("k"))
-    val runW = Window.orderBy($"b")
+  /** The minimax isotonic fit over any (b, n, k) band table — factored
+    * from q247 so Round13Spec can drive the SPARK plan (not a driver
+    * re-derivation) with randomized bands against textbook PAVA.
+    */
+  private[graft] def isotonicFit(bins: DataFrame): DataFrame = {
+    val runW = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins
-      .withColumn("cum_n", sum($"n").over(runW))
-      .withColumn("cum_k", sum($"k").over(runW))
-      .withColumn("prev_n", $"cum_n" - $"n")
-      .withColumn("prev_k", $"cum_k" - $"k")
-    val lo = pre.select($"b".as("i"), $"prev_n", $"prev_k")
-    val hi = pre.select($"b".as("j"), $"cum_n", $"cum_k")
+      .withColumn("cum_n", sum(col("n")).over(runW))
+      .withColumn("cum_k", sum(col("k")).over(runW))
+      .withColumn("prev_n", col("cum_n") - col("n"))
+      .withColumn("prev_k", col("cum_k") - col("k"))
+    val lo = pre.select(col("b").as("i"), col("prev_n"), col("prev_k"))
+    val hi = pre.select(col("b").as("j"), col("cum_n"), col("cum_k"))
     val pairKey = lo
-      .join(hi, $"i" <= $"j")
-      .select($"i", $"j",
+      .join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
         expr("(cum_k - prev_k) * 1099511627776 DIV (cum_n - prev_n)")
           .as("key"))
-    val sufW = Window.partitionBy($"i").orderBy($"j".desc)
+    val sufW = Window.partitionBy(col("i")).orderBy(col("j").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fit = pairKey
-      .withColumn("m", min($"key").over(sufW))
-      .groupBy($"j")
-      .agg(max($"m").as("g_key"))
+      .withColumn("m", min(col("key")).over(sufW))
+      .groupBy(col("j"))
+      .agg(max(col("m")).as("g_key"))
     bins
-      .join(fit, $"b" === $"j")
-      .select($"b", $"n", $"k",
-        round($"k".cast("double") / $"n".cast("double"), 6)
+      .join(fit, col("b") === col("j"))
+      .select(col("b"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n").cast("double"), 6)
           .as("raw_rate"),
-        round($"g_key".cast("double") / 1099511627776.0, 6)
+        round(col("g_key").cast("double") / 1099511627776.0, 6)
           .as("iso_rate"))
-      .orderBy($"b")
+      .orderBy(col("b"))
+  }
+
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    isotonicFit(
+      Tables
+        .events(s, d)
+        .select(expr(s"$centsExpr DIV 100").as("b"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+        .groupBy($"b")
+        .agg(count(lit(1)).as("n"), sum($"p").as("k")))
   }
 
   private val q247Sql =

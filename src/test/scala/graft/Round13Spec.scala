@@ -110,6 +110,43 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(fitMass - kMass) < 1e-6 * kMass + 1e-6)
   }
 
+  test("isotonicFit ≡ PAVA on randomized band tables (Spark path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    for (trial <- 1 to 8) {
+      val nBins = 5 + rnd.nextInt(40)
+      val bins = (0 until nBins).map { b =>
+        val n = 1L + rnd.nextInt(50)
+        (b.toLong, n, rnd.nextLong(n + 1).max(0L))
+      }
+      val got = ops.Eval
+        .isotonicFit(bins.toDF("b", "n", "k"))
+        .select($"b", $"iso_rate").as[(Long, Double)]
+        .collect().sortBy(_._1).map(_._2)
+      // textbook sequential PAVA with exact rational pools
+      case class Pool(var k: Long, var n: Long, var c: Int)
+      val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+      bins.foreach { case (_, n, k) =>
+        pools += Pool(k, n, 1)
+        while (pools.length >= 2 && {
+            val b = pools(pools.length - 1)
+            val a = pools(pools.length - 2)
+            a.k * b.n >= b.k * a.n
+          }) {
+          val b = pools.remove(pools.length - 1)
+          val a = pools(pools.length - 1)
+          a.k += b.k; a.n += b.n; a.c += b.c
+        }
+      }
+      val want = pools.flatMap(p =>
+        Seq.fill(p.c)(p.k.toDouble / p.n.toDouble))
+      assert(got.length == want.length, s"trial $trial")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 2e-6, s"trial $trial: $g vs $w")
+      }
+    }
+  }
+
   test("q244 Shapley == subset-enumeration reference; efficiency axiom") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
