@@ -1703,19 +1703,8 @@ object Eval {
     s"target/stage_eval/q260_store_v1_$tag"
   }
 
-  /** Store-level build-if-absent guard (the r12-advice contract: the
-    * marker is written by the guard AFTER the whole build returns, so
-    * a crash mid-build self-heals on the next run).
-    */
   private def ensureBuilt(s: SparkSession, root: String)(
-      build: => Unit): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      build
-      fs.create(p, true).close()
-    }
-  }
+      build: => Unit): Unit = StoreGuard.ensureBuilt(s, root)(build)
 
   /** q260: INCREMENTAL AUC — metric maintenance as a PIPELINE, the
     * production shape where yesterday's metric state persists and

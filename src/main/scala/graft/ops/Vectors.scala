@@ -968,24 +968,8 @@ object Vectors {
     store.filter(col("b").isin(buckets: _*) && col(idCol).isin(ids: _*))
   }
 
-  /** Build-if-absent guard for the deterministic staged stores: the
-    * builders are pure functions of the source table, so a present
-    * marker means the store's content is exactly what a rebuild would
-    * write. The marker is a STORE-LEVEL completion file written by this
-    * guard AFTER the whole builder returns — guarding on any sub-store's
-    * own `_SUCCESS` would pass forever on a store whose build crashed
-    * between sub-writes (the adj/emb halves land before cells/cents) and
-    * never self-heal.
-    */
   private def ensureBuilt(s: SparkSession, root: String)(
-      build: => Unit): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      build
-      fs.create(p, true).close()
-    }
-  }
+      build: => Unit): Unit = StoreGuard.ensureBuilt(s, root)(build)
 
   /** Persist [[ivfPqTopK]]'s index half: the `partitionBy(cell)` code
     * table (vec_id, label, cell, codes — raw embeddings dropped, the PQ
