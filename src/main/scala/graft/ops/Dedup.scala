@@ -684,22 +684,66 @@ object Dedup {
       s, docs.where($"doc_id" % 10 >= 8), s"$root/v1", s"$root/v2")
   }
 
+  /** Accepted NAME pairs for the lev ≤ 2 agreement rule, computed on
+    * the DISTINCT-name domain — the scale device behind q253 (and the
+    * q56 rewrite): edit distance is a function of the VALUES, so the
+    * quadratic work runs on the vocabulary grid (|V|² pairs; |V| is a
+    * property of the name generator, not the corpus), never on corpus
+    * pairs. Within the grid the |Δlen| ≤ t NECESSARY condition is a
+    * composite blocking key, not a post-join filter: the left side
+    * fans each name to length-bands {b−1, b, b+1} (band = len DIV
+    * (t+1); |Δlen| ≤ t ⟹ band distance ≤ 1) and the right side keeps
+    * its own band, so a qualifying pair meets at exactly ONE key (the
+    * right name's band) — pair count stays near-linear in |V| even if
+    * the vocabulary grows, which is the r13-verdict fix for the
+    * "fixed-cardinality blocking key ⟹ corpus² pairs" failure mode
+    * (salting cannot fix it: it moves a block's rows, not its pair
+    * count). Output includes the diagonal (every name matches itself
+    * at distance 0) and both orientations, so that joining a corpus
+    * pair through it matches exactly once regardless of which side
+    * holds which name.
+    */
+  private[graft] def acceptedNamePairs(
+      names: DataFrame, t: Int): DataFrame = {
+    val w = t + 1
+    val lo = names
+      .select(col("p_name").as("na"),
+        explode(expr(s"sequence(length(p_name) DIV $w - 1, " +
+          s"length(p_name) DIV $w + 1)")).as("band"))
+    val hi = names
+      .select(col("p_name").as("nb"),
+        expr(s"length(p_name) DIV $w").as("band"))
+    lo.join(hi, Seq("band"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= t)
+      // thresholded levenshtein returns -1 past the bound, so the
+      // accept test is "computed and ≤ t", i.e. in [0, t]
+      .filter(levenshtein(col("na"), col("nb"), t).between(0, t))
+      .select(col("na"), col("nb"))
+  }
+
   /** q253: ENTITY RESOLUTION — the full record-linkage pipeline as ONE
     * oracled plan, over the catalog shape it is run on in practice
-    * (`part`): (1) BLOCK by brand — all-pairs only ever forms inside a
-    * bounded block, the q56 contract; (2) SCORE pairs Fellegi–Sunter
-    * style with weighted field agreements (name edit distance ≤ 2 → +4,
-    * type equality → +2, size within ±2 → +1; link iff score ≥ 5, i.e.
-    * a near-identical name plus at least one corroborating field);
-    * (3) transitively CLOSE the link graph into entities
+    * (`part`): (1) generate CANDIDATES via [[acceptedNamePairs]] — the
+    * lev ≤ 2 name-agreement rule is decided once per DISTINCT name
+    * pair on the length-band-blocked vocabulary grid, and the corpus
+    * only ever joins through that accept-list on (brand, name)
+    * EQUI-keys, so emitted pairs = true name-agreeing pairs (~2.8% of
+    * the within-brand pairs at sf0.1), not block²; (2) SCORE pairs
+    * Fellegi–Sunter style with weighted field agreements (name edit
+    * distance ≤ 2 → +4, type equality → +2, size within ±2 → +1; link
+    * iff score ≥ 5, i.e. a near-identical name plus at least one
+    * corroborating field — score ≥ 5 REQUIRES the +4 name agreement
+    * since the corroborating fields alone max out at 3, so the link
+    * rule factors into the candidate join plus cheap per-pair field
+    * predicates); (3) transitively CLOSE the link graph into entities
     * ([[connectedComponents]], the q63 iteration, oracle = the same
     * fixpoint as a recursive CTE); (4) SURVIVORSHIP: singletons keep
     * their own key (left join + coalesce — an unmatched record is its
     * own entity), each entity reports its size, its canonical (root)
     * record's name, and the price spread the merge reconciles. Every
-    * stage is the production shape: bounded-block pairs, integer
-    * scores, iterative min-label closure with per-sweep checkpoint
-    * truncation, broadcast-free equi-joins.
+    * stage is the production shape: vocabulary-grid edit distance,
+    * integer scores, iterative min-label closure with per-sweep
+    * checkpoint truncation, broadcast accept-list + shuffle equi-joins.
     */
   private def q253(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -708,25 +752,20 @@ object Dedup {
       .select($"p_partkey", $"p_name", $"p_brand", $"p_type",
         $"p_size", expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)")
           .as("price_c"))
+    val namePairs =
+      acceptedNamePairs(p.select($"p_name").distinct(), 2)
     val l = p.select($"p_brand", $"p_partkey".as("a"),
       $"p_name".as("na"), $"p_type".as("ta"), $"p_size".as("sa"))
     val r = p.select($"p_brand", $"p_partkey".as("b"),
       $"p_name".as("nb"), $"p_type".as("tb"), $"p_size".as("sb"))
-    // score ≥ 5 REQUIRES the +4 name agreement (the corroborating
-    // fields alone max out at 3), so the link rule factors into
-    // dist ≤ 2 AND (type = type OR |Δsize| ≤ 2). Run the cheap field
-    // predicates and the |Δlen| ≤ 2 edit-distance NECESSARY condition
-    // first, then the THRESHOLDED levenshtein (early-exits past 2 —
-    // banded O(len·k), not O(len²)): at sf0.1 this is 8M blocked pairs
-    // and the unbounded-distance version measured 11.6 s.
+    // corpus side: pure equi-joins — attach each left record's
+    // accepted partner names (broadcast: the accept-list is
+    // vocabulary-sized), then meet the right side on (brand, name)
     val edges = l
-      .join(r, Seq("p_brand"))
+      .join(broadcast(namePairs), Seq("na"))
+      .join(r, Seq("p_brand", "nb"))
       .filter($"a" < $"b")
       .filter($"ta" === $"tb" || abs($"sa" - $"sb") <= 2)
-      .filter(abs(length($"na") - length($"nb")) <= 2)
-      // thresholded levenshtein returns -1 past the bound, so the
-      // accept test is "computed and ≤ 2", i.e. in [0, 2]
-      .filter(levenshtein($"na", $"nb", 2).between(0, 2))
       .select($"a", $"b")
     val labels = connectedComponents(edges)
       .select($"doc_id".as("p_partkey"), $"cluster_root")
