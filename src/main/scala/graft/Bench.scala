@@ -207,8 +207,12 @@ object Bench {
       // repartition — watch it stays fixed
       "q243_bh_fdr",
       // r13: unbounded-levenshtein cost fixed by factored predicates +
-      // thresholded edit distance — watch it stays fixed
-      "q253_entity_resolution")
+      // thresholded edit distance — watch it stays fixed (r14 rewrote
+      // the blocking onto the vocabulary grid; keep watching)
+      "q253_entity_resolution",
+      // r13 bench drifted 2.18 → 2.94 s single-passed — pin until a
+      // dual pass settles it
+      "q96_stream_attrib")
     val retimeSet = (pass1.sortBy(-_._2).take(retimeK).map(_._1) ++
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {
@@ -231,6 +235,21 @@ object Bench {
     val results = pass1.map { case (k, v) =>
       k -> math.min(v, pass2.getOrElse(k, v))
     }
+    // min(pass1, pass2) hides the case the r13 advice flagged: a
+    // PINNED query whose RE-time blows past its first pass by > 2×
+    // (q243 recorded 5.17 → 12.76 that round). That pattern is either
+    // host contention or a state/AQE interaction on the re-run —
+    // either way the pinned "stays fixed" signal is unreliable, so
+    // surface it explicitly instead of letting min() bury it.
+    val p1ByName = pass1.toMap
+    val suspect = pass2.collect {
+      case (name, t2)
+          if pinned(name) && t2 > 2 * p1ByName(name) =>
+        name
+    }.toSeq.sorted
+    suspect.foreach(n => System.err.println(
+      s"[bench] SUSPECT retime: pinned $n pass2 > 2x pass1 — " +
+        "treat this round's min() as unsettled for it"))
     // Full-precision per-query timings to a file for local profiling —
     // NOT stderr: sbt re-echoes stderr as [error] lines on stdout with no
     // flush-order guarantee vs our JSON line, and anything printed after
@@ -244,8 +263,10 @@ object Bench {
         .mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
+      val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.write(p,
-        s"""{"min":$full,"retimed_passes":$both}""".getBytes("UTF-8"))
+        s"""{"min":$full,"retimed_passes":$both,"suspect":$sus}"""
+          .getBytes("UTF-8"))
     }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum

@@ -1791,6 +1791,12 @@ object Corpus {
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
     val bigr = toksArr
+      // a 1-token (or empty) doc has no bigrams: sequence(0, -1) is the
+      // DESCENDING sequence [0, -1] in Spark, and t[-1] throws under
+      // ANSI — while DuckDB's generate_series(1, 0) is simply empty.
+      // Filter the degenerate docs out so both engines agree (they
+      // contribute no bigrams either way, so nb parity is preserved).
+      .where(size($"t") >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))

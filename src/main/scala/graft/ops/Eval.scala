@@ -240,15 +240,20 @@ object Eval {
       )
       .withColumn("u2", $"rs2" - $"n_a" * ($"n_a" + 1L))
       .withColumn("n", $"n_a" + $"n_b")
+      // a pair whose every observation shares one value has zero rank
+      // variance (tie3 = n³ − n) and the z ratio is 0/0 → NaN, which
+      // ANSI/parity handle differently per engine; a fully-tied pair
+      // carries no evidence, so define z = 0 identically in both
       .withColumn("z",
-        round(($"u2".cast("double") -
+        when($"tie3" === ($"n" * $"n" - 1L) * $"n", lit(0.0))
+          .otherwise(round(($"u2".cast("double") -
           $"n_a".cast("double") * $"n_b".cast("double")) /
           (lit(2.0) * sqrt(
             ($"n_a".cast("double") * $"n_b".cast("double") / 12.0) *
               (($"n" + 1L).cast("double") -
                 $"tie3".cast("double") /
                 ($"n".cast("double") * ($"n" - 1L).cast("double"))))),
-          6))
+          6)))
       .select($"ta", $"tb", $"n_a", $"n_b", $"u2", $"tie3", $"z")
       .orderBy($"ta", $"tb")
   }
@@ -285,6 +290,8 @@ object Eval {
       |  FROM ranked GROUP BY ta, tb)
       |SELECT ta, tb, n_a, n_b,
       |  rs2 - n_a * (n_a + 1) AS u2, tie3,
+      |  CASE WHEN tie3 = ((n_a + n_b) * (n_a + n_b) - 1) * (n_a + n_b)
+      |  THEN 0.0 ELSE
       |  ROUND((CAST(rs2 - n_a * (n_a + 1) AS DOUBLE) -
       |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
       |    (2.0 * SQRT(
@@ -292,7 +299,7 @@ object Eval {
       |        (CAST(n_a + n_b + 1 AS DOUBLE) -
       |          CAST(tie3 AS DOUBLE) /
       |          (CAST(n_a + n_b AS DOUBLE) *
-      |            CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
+      |            CAST(n_a + n_b - 1 AS DOUBLE))))), 6) END AS z
       |FROM agg ORDER BY ta, tb""".stripMargin
 
   /** q248: EXACT WEIGHTED QUANTILES — per return flag, the price
@@ -543,10 +550,14 @@ object Eval {
       .agg(sum($"oe_micro").as("oe_micro"),
         sum($"var_micro").as("var_micro"))
       .crossJoin(users)
+      // zero pooled variance (e.g. one arm empty at every death time)
+      // makes chi2 a 0/0 — carries no evidence, so define it 0 in
+      // both engines rather than let NaN/Inf diverge across them
       .withColumn("chi2",
-        round((($"oe_micro".cast("double") / 1000000.0) *
-          ($"oe_micro".cast("double") / 1000000.0)) /
-          ($"var_micro".cast("double") / 1000000.0), 6))
+        when($"var_micro" === 0L, lit(0.0)).otherwise(
+          round((($"oe_micro".cast("double") / 1000000.0) *
+            ($"oe_micro".cast("double") / 1000000.0)) /
+            ($"var_micro".cast("double") / 1000000.0), 6)))
       .select($"n1_users", $"n0_users", $"d1_total", $"d0_total",
         $"oe_micro", $"var_micro", $"chi2")
   }
@@ -606,9 +617,10 @@ object Eval {
       |  FROM per_user)
       |SELECT n1_users, n0_users, d1_total, d0_total, oe_micro,
       |  var_micro,
+      |  CASE WHEN var_micro = 0 THEN 0.0 ELSE
       |  ROUND(((CAST(oe_micro AS DOUBLE) / 1000000.0) *
       |    (CAST(oe_micro AS DOUBLE) / 1000000.0)) /
-      |    (CAST(var_micro AS DOUBLE) / 1000000.0), 6) AS chi2
+      |    (CAST(var_micro AS DOUBLE) / 1000000.0), 6) END AS chi2
       |FROM tot, users""".stripMargin
 
   /** q246: POPULATION STABILITY INDEX — the model-monitoring drift
@@ -710,7 +722,11 @@ object Eval {
     * the integer order key kk·2⁴⁰ DIV nn — exact total order because
     * distinct rationals with denominators ≤ N differ by ≥ 1/N² > 2⁻⁴⁰,
     * so min/max over keys ≡ min/max over rationals with no float
-    * compare anywhere. Scale: the event-cardinality work is ONE
+    * compare anywhere. The bound is CONDITIONAL on N < 2²⁰ rows per
+    * fit — an in-plan raise_error guard on cum_n enforces it loudly
+    * (band tables are score-domain, so real fits sit far below it),
+    * and the kk·2⁴⁰ multiply runs in DECIMAL(38,0)/HUGEINT so the key
+    * computation itself cannot overflow BIGINT. Scale: the event-cardinality work is ONE
     * aggregate to ≤ few-hundred score bands; the O(B²) interval table
     * and its two windows live entirely in band-domain (q203's
     * discipline). The fitted rate is decoded from the key once.
@@ -723,16 +739,30 @@ object Eval {
     val runW = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins
-      .withColumn("cum_n", sum(col("n")).over(runW))
+      // the 2⁴⁰ key is an exact total order only while total N < 2²⁰
+      // (1/N² > 2⁻⁴⁰): enforce the bound loudly instead of silently
+      // mis-ordering past it. cum_n is monotone, so guarding every
+      // cumulative value guards the total; riding on cum_n keeps the
+      // guard un-prunable (it feeds the key).
+      .withColumn("cum_n",
+        sum(col("n")).over(runW) +
+          when(sum(col("n")).over(runW) >= (1L << 20),
+            raise_error(lit("isotonicFit: > 2^20 rows per fit — " +
+              "the 2^40 rational order key is no longer exact")))
+            .otherwise(lit(0L)))
       .withColumn("cum_k", sum(col("k")).over(runW))
       .withColumn("prev_n", col("cum_n") - col("n"))
       .withColumn("prev_k", col("cum_k") - col("k"))
     val lo = pre.select(col("b").as("i"), col("prev_n"), col("prev_k"))
     val hi = pre.select(col("b").as("j"), col("cum_n"), col("cum_k"))
+    // the interval-k × 2⁴⁰ multiply lives in DECIMAL(38,0) (HUGEINT in
+    // the oracle) so it cannot overflow BIGINT for any k the guard
+    // admits — or, at a raised shift, for any realistic k at all
     val pairKey = lo
       .join(hi, col("i") <= col("j"))
       .select(col("i"), col("j"),
-        expr("(cum_k - prev_k) * 1099511627776 DIV (cum_n - prev_n)")
+        expr("CAST(cum_k - prev_k AS DECIMAL(38,0)) * 1099511627776 " +
+          "DIV (cum_n - prev_n)")
           .as("key"))
     val sufW = Window.partitionBy(col("i")).orderBy(col("j").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -776,7 +806,8 @@ object Eval {
       |  FROM bins),
       |pairs AS (
       |  SELECT lo.b AS i, hi.b AS j,
-      |    (hi.cum_k - (lo.cum_k - lo.k)) * 1099511627776 //
+      |    CAST(hi.cum_k - (lo.cum_k - lo.k) AS HUGEINT)
+      |      * 1099511627776 //
       |      (hi.cum_n - (lo.cum_n - lo.n)) AS key
       |  FROM pre lo JOIN pre hi ON lo.b <= hi.b),
       |suffix AS (
@@ -858,8 +889,20 @@ object Eval {
         $"lo", $"hi")), $"u" >= $"lo" && $"u" < $"hi")
       .groupBy($"rep", $"ptype")
       .agg(count(lit(1)).as("na"), sum($"c").as("sa"))
+    // A replicate that assigns ZERO events to a type produces no
+    // (rep, ptype) row in `fan` at all — without the explicit grid it
+    // would silently drop out of n_exceed instead of counting as an
+    // exceedance (na = 0 is a maximal deviation), biasing p-values low
+    // for rare types. Left-join the full reps × |types| grid so the
+    // na === 0 branch of `exceed` is actually reachable.
+    val grid = intervals
+      .select($"event_type".as("ptype"))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+    val fanFull = grid
+      .join(fan, Seq("rep", "ptype"), "left")
+      .na.fill(0L, Seq("na", "sa"))
     val dec = "decimal(38,0)"
-    val pvals = fan
+    val pvals = fanFull
       .join(broadcast(intervals.select($"event_type".as("ptype"),
         $"n_t".as("na0"), $"s_t".as("sa0"), $"n", $"s")), Seq("ptype"))
       .withColumn("exceed",
@@ -873,10 +916,18 @@ object Eval {
       .groupBy($"ptype")
       .agg(sum(when($"exceed", 1L).otherwise(0L)).as("n_exceed"))
       .withColumn("p_num", $"n_exceed" + 1L)
+    // 20·p_num ≤ 65·k is BH at q = 0.25 with m = 5 HARD-CODED
+    // (p/65 ≤ (k/5)·0.25): fail loudly if the type dictionary ever
+    // grows, instead of silently testing at the wrong level. The
+    // guard rides on `k` so column pruning can't drop it.
     val ranked = pvals
       .withColumn("k",
         row_number().over(Window.orderBy($"p_num", $"ptype"))
-          .cast("long"))
+          .cast("long") +
+          when(count(lit(1)).over(tot) =!= 5L,
+            raise_error(lit(
+              "q243: BH constants hard-code m=5 event types")))
+            .otherwise(lit(0L)))
       .withColumn("pass", lit(20L) * $"p_num" <= lit(65L) * $"k")
     ranked
       .withColumn("kmax",
@@ -914,12 +965,19 @@ object Eval {
       |    md5(CAST(ev.event_id AS VARCHAR) || ':' ||
       |      CAST(r.rep AS VARCHAR) || ':bh') AS h
       |  FROM ev, range(0, 64) r(rep)),
-      |fan AS (
+      |fan0 AS (
       |  SELECT i.event_type AS ptype, hashed.rep,
       |    COUNT(*) AS na, CAST(SUM(hashed.c) AS BIGINT) AS sa
       |  FROM (SELECT c, rep, $u32 AS u FROM hashed) hashed
       |  JOIN intervals i ON hashed.u >= i.lo AND hashed.u < i.hi
       |  GROUP BY 1, 2),
+      |fan AS (
+      |  SELECT g.ptype, g.rep,
+      |    CAST(COALESCE(f.na, 0) AS BIGINT) AS na,
+      |    CAST(COALESCE(f.sa, 0) AS BIGINT) AS sa
+      |  FROM (SELECT event_type AS ptype, r.rep
+      |        FROM freqs, range(0, 64) r(rep)) g
+      |  LEFT JOIN fan0 f ON f.ptype = g.ptype AND f.rep = g.rep),
       |cmp AS (
       |  SELECT f.ptype,
       |    (f.na = 0 OR f.na = i.n OR
@@ -1433,15 +1491,32 @@ object Eval {
       .withColumn("n2", sum($"n" * $"n").over(part))
     // identical-operand-order doubles from the integer aggregates:
     // within σ², between MS, n₀, τ² — the one-way ANOVA decomposition
+    // degenerate strata make the ANOVA moments 0/0 (kk = 1: a type
+    // seen in one hour only; nn = kk: every cell is a singleton so σ̂²
+    // is undefined; τ̂² = σ̂² = 0: no variance anywhere) — there is no
+    // information to shrink WITH, so the factor is defined as 0 (full
+    // pooling; for kk = 1 the cell mean IS the grand mean so the
+    // output is unchanged), identically in both engines. The Spark
+    // side additionally wraps the inner denominators in NULLIF:
+    // ANSI throws DIVIDE_BY_ZERO even for doubles, and whole-stage
+    // codegen's SUBEXPRESSION ELIMINATION hoists σ̂² out of the CASE
+    // so the guard alone cannot keep the division from evaluating
+    // (Round14Spec reproduces this). NULLIF makes the hoisted
+    // evaluation total (NULL, caught by the CASE), and is the
+    // identity whenever the cell is non-degenerate, so the oracle —
+    // where double division never errors — needs no counterpart.
     val sig2 = "((CAST(qq AS DOUBLE) - CAST(aa AS DOUBLE) / 1000000.0)" +
-      " / CAST(nn - kk AS DOUBLE))"
+      " / CAST(NULLIF(nn - kk, 0) AS DOUBLE))"
     val ssb = "(CAST(aa AS DOUBLE) / 1000000.0 - CAST(ss AS DOUBLE) *" +
       " CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
     val n0 = "((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / " +
-      "CAST(nn AS DOUBLE)) / CAST(kk - 1 AS DOUBLE))"
-    val tau2 = s"(GREATEST(0.0, ($ssb / CAST(kk - 1 AS DOUBLE) - " +
-      s"$sig2) / $n0))"
-    val bf = s"($tau2 / ($tau2 + $sig2 / CAST(n AS DOUBLE)))"
+      "CAST(nn AS DOUBLE)) / CAST(NULLIF(kk - 1, 0) AS DOUBLE))"
+    val tau2 = s"(GREATEST(0.0, ($ssb / CAST(NULLIF(kk - 1, 0) " +
+      s"AS DOUBLE) - $sig2) / $n0))"
+    val bf = s"(CASE WHEN kk <= 1 OR nn = kk OR " +
+      s"($tau2 + $sig2 / CAST(n AS DOUBLE)) = 0.0 THEN 0.0 ELSE " +
+      s"($tau2 / NULLIF($tau2 + $sig2 / CAST(n AS DOUBLE), 0.0)) " +
+      s"END)"
     val gm = "(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
     val mc = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     enriched
@@ -1462,7 +1537,9 @@ object Eval {
       "CAST(nn AS DOUBLE)) / CAST(kk - 1 AS DOUBLE))"
     val tau2 = s"(GREATEST(0.0, ($ssb / CAST(kk - 1 AS DOUBLE) - " +
       s"$sig2) / $n0))"
-    val bf = s"($tau2 / ($tau2 + $sig2 / CAST(n AS DOUBLE)))"
+    val bf = s"(CASE WHEN kk <= 1 OR nn = kk OR " +
+      s"($tau2 + $sig2 / CAST(n AS DOUBLE)) = 0.0 THEN 0.0 ELSE " +
+      s"($tau2 / ($tau2 + $sig2 / CAST(n AS DOUBLE))) END)"
     val gm = "(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
     val mc = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     s"""WITH cells AS (
@@ -1636,10 +1713,15 @@ object Eval {
         sum(when($"b", $"c").otherwise(0L)).as("sb"),
       )
       // weighted term of the standardized B mean: n_Ah · mean_Bh,
-      // micro-rounded so the cross-cell sum is an integer fold
+      // micro-rounded so the cross-cell sum is an integer fold. An
+      // hour stratum with zero arm-B events would make sb/nb NaN and
+      // the ANSI CAST(ROUND(NaN)) throw — such a stratum contributes
+      // nothing to the reweighted mean, so guard it to 0 identically
+      // in both engines.
       .withColumn("adj_micro", expr(
-        "CAST(ROUND(CAST(na AS DOUBLE) * (CAST(sb AS DOUBLE) / " +
-          "CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)"))
+        "CASE WHEN nb = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(ROUND(CAST(na AS DOUBLE) * (CAST(sb AS DOUBLE) / " +
+          "CAST(nb AS DOUBLE)) * 1000000) AS BIGINT) END"))
     cells
       .groupBy()
       .agg(sum($"na").as("n_a"), sum($"sa").as("s_a"),
@@ -1673,9 +1755,10 @@ object Eval {
       |      ELSE 0 END) AS BIGINT) AS sb
       |  FROM events GROUP BY 1),
       |terms AS (
-      |  SELECT *, CAST(ROUND(CAST(na AS DOUBLE) *
-      |    (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000)
-      |    AS BIGINT) AS adj_micro
+      |  SELECT *, CASE WHEN nb = 0 THEN CAST(0 AS BIGINT) ELSE
+      |    CAST(ROUND(CAST(na AS DOUBLE) *
+      |      (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000)
+      |      AS BIGINT) END AS adj_micro
       |  FROM cells),
       |tot AS (
       |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,

@@ -101,6 +101,196 @@ class Round14Spec extends AnyFunSuite {
       s"emitted=$emitted blockPairs=$blockPairs")
   }
 
+  /** Write a DataFrame as `$dir/<table>.parquet` (directory form —
+    * Spark reads it like the driver's single-file layout).
+    */
+  private def fixture(dir: String, table: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$table.parquet")
+    dir
+  }
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"r14_$tag").toString
+
+  test("q258 ignores 1-token and empty docs instead of crashing (ANSI)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 6 docs repeating "alpha beta" so the c12 >= 5 support floor
+    // keeps the pair, plus the two degenerate docs the advice flagged:
+    // sequence(0, size-2) on a 1-token doc is the DESCENDING [0, -1]
+    // and t[-1] throws under ANSI before the fix
+    val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta", "en",
+      "s1", 10L)) ++ Seq(
+      (7L, "solo", "en", "s1", 4L),
+      (8L, "", "en", "s1", 0L))
+    val d = fixture(tmpDir("q258"), "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = SparkEntry.queries("q258_pmi_collocations")(spark, d)
+      .select($"w1", $"w2", $"c12").as[(String, String, Long)]
+      .collect().toSet
+    assert(out == Set(("alpha", "beta", 6L), ("beta", "gamma", 6L),
+      ("gamma", "delta", 6L)))
+  }
+
+  test("isotonicFit guard rejects fits past the 2^20 exactness bound") {
+    import spark.implicits._
+    val big = Seq((1L, 600000L, 10L), (2L, 600000L, 500L))
+      .toDF("b", "n", "k")
+    val e = intercept[Exception] {
+      ops.Eval.isotonicFit(big).collect()
+    }
+    assert(e.getMessage.contains("isotonicFit") ||
+      Option(e.getCause).exists(_.getMessage.contains("isotonicFit")))
+    // and a legal fit still works, decimal key included: monotone
+    // means pass through; a violator pools
+    val fit = ops.Eval.isotonicFit(
+      Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 3L))
+        .toDF("b", "n", "k"))
+      .select("b", "iso_rate").as[(Long, Double)].collect().toMap
+    assert(fit(1L) == 0.1 && fit(2L) == 0.4 && fit(3L) == 0.4)
+  }
+
+  test("q243 counts replicates that assign ZERO events to a type") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 types, one RARE (1/60 events): with 64 replicates the rare
+    // type draws zero events in ~36% of them — before the grid fix
+    // those replicates silently vanished from n_exceed. Independent
+    // driver-side oracle replays the whole statistic with BigInt.
+    val counts = Seq("click" -> 20, "view" -> 25, "purchase" -> 8,
+      "error" -> 6, "signup" -> 1)
+    val evRows = counts.flatMap { case (t, c) =>
+      (1 to c).map(_ => t)
+    }.zipWithIndex.map { case (t, i) =>
+      val id = i + 1L
+      (id, new java.sql.Timestamp(1705000000000L + id * 1000),
+        id % 7, t, (id % 7) + 0.25, "{}")
+    }
+    val d = fixture(tmpDir("q243"), "events",
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    val got = SparkEntry.queries("q243_bh_fdr")(spark, d)
+      .select($"event_type", $"n_exceed", $"p_num", $"p_milli", $"k",
+        $"rejected")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+
+    // --- independent replay ---
+    val ev = evRows.map(r => (r._1, r._4,
+      math.round(r._5 * 100)))
+    val types = counts.map(_._1).sorted
+    val nT = types.map(t => t -> ev.count(_._2 == t).toLong).toMap
+    val sT = types.map(t =>
+      t -> ev.filter(_._2 == t).map(_._3).sum).toMap
+    val n = ev.size.toLong
+    val sTot = ev.map(_._3).sum
+    val cum = types.scanLeft(0L)((a, t) => a + nT(t)).tail
+    val his = types.zip(cum).map { case (t, c) =>
+      t -> (c * 4294967296L / n) }.toMap
+    val los = types.zip(cum).map { case (t, c) =>
+      t -> ((c - nT(t)) * 4294967296L / n) }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long, rep: Int): Long = {
+      val h = md.digest(s"$id:$rep:bh".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16)
+    }
+    val fan = (for {
+      rep <- 0 until 64
+      (id, _, c) <- ev
+    } yield {
+      val u = u32(id, rep)
+      val t = types.find(t => u >= los(t) && u < his(t)).get
+      ((rep, t), c)
+    }).groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    def exceed(t: String, na: Long, sa: Long): Boolean = {
+      if (na == 0L || na == n) true
+      else {
+        val na0 = nT(t); val sa0 = sT(t)
+        val lhs = (BigInt(sa) * (n - na) - BigInt(sTot - sa) * na).abs *
+          (BigInt(na0) * (n - na0))
+        val rhs = (BigInt(sa0) * (n - na0) -
+          BigInt(sTot - sa0) * na0).abs * (BigInt(na) * (n - na))
+        lhs >= rhs
+      }
+    }
+    val nExceed = types.map { t =>
+      t -> (0 until 64).count { rep =>
+        val (na, sa) = fan.getOrElse((rep, t), (0L, 0L))
+        exceed(t, na, sa)
+      }.toLong
+    }.toMap
+    // sanity: the rare type DOES have empty replicates in this fixture
+    assert((0 until 64).exists(rep => !fan.contains((rep, "signup"))))
+    val ranked = types.map(t => (t, nExceed(t) + 1L))
+      .sortBy { case (t, p) => (p, t) }.zipWithIndex
+      .map { case ((t, p), i) => (t, nExceed(t), p, i + 1L) }
+    val kmax = ranked.collect {
+      case (_, _, p, k) if 20L * p <= 65L * k => k
+    }.foldLeft(0L)(math.max)
+    val want = ranked.map { case (t, ne, p, k) =>
+      (t, ne, p, p * 1000 / 65, k, k <= kmax) }
+    assert(got == want)
+  }
+
+  test("q243 fails loudly when the type dictionary is not m=5") {
+    import spark.implicits._
+    val evRows = (1L to 40L).map { id =>
+      (id, new java.sql.Timestamp(1705000000000L + id * 1000),
+        id % 7, s"t${id % 4}", (id % 7) + 0.25, "{}")
+    }
+    val d = fixture(tmpDir("q243m"), "events",
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    val e = intercept[Exception] {
+      SparkEntry.queries("q243_bh_fdr")(spark, d).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("m=5")))
+  }
+
+  test("degenerate-cell guards: q242/q245/q255 stay finite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // all values IDENTICAL; two types; one type lives in ONE hour and
+    // every cell is a singleton → q242 fully-tied pairs (z = 0),
+    // q245 zero pooled variance paths, q255 kk=1/nn=kk strata
+    val evRows = Seq(
+      (1L, 1705000000000000L, 2L, "click", 3.0),
+      (2L, 1705000001000000L, 4L, "click", 3.0),
+      // the purchase keeps q245's death grid non-empty (one tau row
+      // with n1 = 0 → var_micro = 0 exercises the chi2 guard itself,
+      // not the empty-sum path)
+      (3L, 1705003600000000L, 6L, "purchase", 3.0),
+    ).map { case (id, us, u, t, v) =>
+      (id, new java.sql.Timestamp(us / 1000), u, t, v, "{}")
+    }
+    val d = fixture(tmpDir("degen"), "events",
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    val z = SparkEntry.queries("q242_mann_whitney")(spark, d)
+      .select($"z").as[Double].collect()
+    assert(z.toSeq == Seq(0.0))
+    // all user_ids even → group 1 empty → var_micro = 0 → chi2 = 0
+    val chi = SparkEntry.queries("q245_logrank_test")(spark, d)
+      .select($"var_micro", $"chi2").as[(Long, Double)].collect()
+    assert(chi.toSeq == Seq((0L, 0.0)))
+    val shrink = SparkEntry.queries("q255_eb_shrinkage")(spark, d)
+      .select($"shrink_factor", $"shrunk_mean", $"raw_mean")
+      .as[(Double, Double, Double)].collect()
+    assert(shrink.forall(r => !r._1.isNaN && !r._2.isNaN))
+    assert(shrink.forall(_._1 == 0.0))
+    // q259's zero-arm-B stratum guard: same fixture has only even
+    // user_ids → arm B (odd) empty in EVERY stratum; adj terms all 0
+    val q259 = SparkEntry.queries("q259_post_stratification")(spark, d)
+      .select($"n_b", $"mean_b_adjusted").as[(Long, Double)].collect()
+    assert(q259.toSeq == Seq((0L, 0.0)))
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
