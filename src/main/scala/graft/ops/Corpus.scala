@@ -1397,6 +1397,17 @@ object Corpus {
     */
   private def q167(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    bm25Scores(s, d)
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(10)
+  }
+
+  /** The q167 scorer unlimited — factored so q262's fusion ranks the
+    * same integer-exact scores. One explode → tf agg; the 3-term query
+    * and corpus totals broadcast; per-doc integer sum.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, d)
     val toks = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -1426,8 +1437,6 @@ object Corpus {
         expr("(idf_ppm * tf * 2200) DIV denom_milli"))
       .groupBy($"doc_id")
       .agg(sum($"score").as("bm25"), count(lit(1)).as("n_qterms"))
-      .orderBy($"bm25".desc, $"doc_id")
-      .limit(10)
   }
 
   private val q167Sql =
@@ -1462,6 +1471,111 @@ object Corpus {
       |  COUNT(*) AS n_qterms
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q262: HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical
+    * and semantic rankers, the serving shape every production RAG
+    * stack runs (BM25 catches exact terms, embeddings catch
+    * paraphrase; RRF needs no score calibration between the two
+    * because it consumes only RANKS): fuse q167's BM25 top-20 with the
+    * exact-scan cosine top-20 over the embeddings table (vec_id ≡
+    * doc_id; query = vector 0, the q40 contract) by
+    * Σ_lists 60000 DIV (60 + rank) — the standard RRF k = 60 in
+    * integer milli-units, so fusion is hash-exact end to end. The
+    * dense side here is the EXACT twin of the ANN store probe (q184's
+    * serving path; q263 is the filtered variant) — the fusion operator
+    * is identical whichever dense retriever feeds it, and using the
+    * exact scan keeps the whole query under the DuckDB oracle.
+    *
+    * Scale: each side reduces to its top-K via TakeOrderedAndProject
+    * BEFORE any global window — the rank row_number only ever sees K
+    * rows, so there is no single-partition sort of the full candidate
+    * set; the fusion join is K×K row-bounded. Round14Spec plants a
+    * relevance fixture where the relevant doc tops NEITHER single list
+    * but tops the fusion.
+    */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 20
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy($"bm25".desc, $"doc_id")
+    val sparse = bm25Scores(s, d)
+      .orderBy($"bm25".desc, $"doc_id").limit(K)
+      .withColumn("r_bm25", row_number().over(rankW).cast("long"))
+      .select($"doc_id", $"r_bm25")
+    val cosW = org.apache.spark.sql.expressions.Window
+      .orderBy($"cos".desc, $"vec_id")
+    val dense = Vectors
+      .topKCosine(Tables.embeddings(s, d), queryVecId = 0L, k = K)
+      .withColumn("r_cos", row_number().over(cosW).cast("long"))
+      .select($"vec_id".as("doc_id"), $"r_cos")
+    sparse
+      .join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr("60000 DIV (60 + r_bm25)"), lit(0L)) +
+          coalesce(expr("60000 DIV (60 + r_cos)"), lit(0L)))
+      .select($"doc_id", $"r_bm25", $"r_cos", $"rrf_milli")
+      .orderBy($"rrf_milli".desc, $"doc_id")
+      .limit(10)
+  }
+
+  private val q262Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |posting AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |lens AS (
+      |  SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+      |n AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS BIGINT) AS tot_toks
+      |  FROM documents),
+      |qterms AS (
+      |  SELECT term, (1000000 * n_docs) // df AS idf_ppm,
+      |    n_docs, tot_toks
+      |  FROM (SELECT term, COUNT(*) AS df FROM posting GROUP BY term) s, n
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    (q.idf_ppm * p.tf * 2200) //
+      |      (p.tf * 1000 +
+      |       (1200 * (250 + (750 * l.len * 1000) //
+      |         ((q.tot_toks * 1000) // q.n_docs))) // 1000) AS score
+      |  FROM posting p
+      |  JOIN qterms q USING (term)
+      |  JOIN lens l USING (doc_id)),
+      |bm AS (
+      |  SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25
+      |  FROM scored GROUP BY doc_id
+      |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |bmr AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+      |  FROM bm),
+      |cosd AS (
+      |  SELECT vec_id AS doc_id,
+      |    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(q.qe AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                 CAST(embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+      |                                 CAST(q.qe AS DOUBLE[])))), 4)
+      |      AS cos
+      |  FROM embeddings,
+      |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      |  WHERE vec_id <> 0
+      |  ORDER BY cos DESC, vec_id LIMIT 20),
+      |cr AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+      |  FROM cosd)
+      |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.r_bm25, c.r_cos,
+      |  COALESCE(60000 // (60 + b.r_bm25), 0) +
+      |    COALESCE(60000 // (60 + c.r_cos), 0) AS rrf_milli
+      |FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+      |ORDER BY rrf_milli DESC, doc_id LIMIT 10""".stripMargin
 
   /** q168: positional PHRASE search — the adjacency semantics a
     * bag-of-words index (q155/q167) cannot answer: "t1 t2" matches only
@@ -1854,6 +1968,7 @@ object Corpus {
     QueryDef("q202_contrastive_pairs", q202, Some(q202Sql)),
     QueryDef("q166_source_caps", q166, Some(q166Sql)),
     QueryDef("q167_bm25_search", q167, Some(q167Sql)),
+    QueryDef("q262_hybrid_rrf", q262, Some(q262Sql)),
     QueryDef("q168_phrase_search", q168, Some(q168Sql)),
     QueryDef("q53_train_split", q53, Some(q53Sql)),
     QueryDef("q54_doc_chunks", q54, Some(q54Sql)),

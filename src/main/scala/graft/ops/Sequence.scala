@@ -1405,6 +1405,123 @@ object Sequence {
       |  AND b.rn - b.pb - 1 >= 1
       |ORDER BY b.doc_id, a.pos""".stripMargin
 
+  /** Contiguous frequent-episode MINING — discovery, the inverse of
+    * everything above: the matchers run patterns the user DECLARES,
+    * this recovers the frequent patterns a stream CONTAINS without
+    * being told them. The reference exists to feed systems that learn
+    * sequences from the stream (`/root/reference/README.md:3-6`,
+    * planted dictionary `eventstream.py:140-183`), and recovering that
+    * dictionary is the canonical downstream task — Round14Spec proves
+    * this function run on the generator's own multi-stream output
+    * returns EXACTLY the 8 planted length-10 patterns and nothing
+    * else, with the least planted support multiply above the most
+    * frequent non-planted 10-gram (so the support cut is not
+    * delicate).
+    *
+    * Shape: per-key sequences via ONE window (the q104 single-exchange
+    * discipline — partition by key, partition-local sort, maxLen−1
+    * `lead`s share one Window operator), every contiguous episode of
+    * length in [minLen, maxLen] emitted as a '>'-joined string, then
+    * a hash aggregate per (len, episode) with map-side combine.
+    * Support floors prune BEFORE anything leaves the aggregate:
+    * absolute `minSupport` and/or relative `relPerMille` (support ·
+    * 1000 ≥ rows · relPerMille, the data-size-independent form).
+    * Scale: the shuffle carries (episode, count) pairs bounded by the
+    * observed-gram vocabulary, never event rows; no all-pairs, no
+    * self-join (the classic Apriori join is unnecessary for CONTIGUOUS
+    * episodes — windows enumerate them directly).
+    */
+  def mineEpisodes(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      minLen: Int = 2,
+      maxLen: Int = 4,
+      minSupport: Long = 1L,
+      relPerMille: Long = 0L): DataFrame = {
+    require(minLen >= 2 && maxLen >= minLen && maxLen <= 32,
+      s"mineEpisodes: need 2 <= minLen <= maxLen <= 32, " +
+        s"got [$minLen, $maxLen]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    // materialize the leads in a Project FIRST — Spark rejects window
+    // expressions nested inside a Generate (explode)
+    val stepCols = (0 until maxLen).map(j => s"_s$j")
+    val withSteps = (1 until maxLen).foldLeft(
+      df.withColumn("_s0", col(typeCol).cast("string"))) {
+      case (acc, j) =>
+        acc.withColumn(s"_s$j",
+          lead(col(typeCol), j).over(w).cast("string"))
+    }
+    // one struct per candidate length; NULL episode where the window
+    // runs off the key's sequence tail (last step NULL ⟹ incomplete)
+    val cands = (minLen to maxLen).map { l =>
+      struct(
+        lit(l.toLong).as("len"),
+        when(col(stepCols(l - 1)).isNotNull,
+          concat_ws(">", stepCols.take(l).map(col): _*)).as("episode"))
+    }
+    val n = df.count()
+    val floor = math.max(minSupport,
+      if (relPerMille > 0L) n * relPerMille / 1000L else 1L)
+    withSteps.select(col(keyCol), explode(array(cands: _*)).as("c"))
+      .select(col(keyCol), col("c.len"), col("c.episode"))
+      .where(col("episode").isNotNull)
+      .groupBy(col("len"), col("episode"))
+      .agg(count(lit(1)).as("support"),
+        countDistinct(col(keyCol)).as("n_keys"))
+      .where(col("support") >= floor)
+      .orderBy(col("len"), col("support").desc, col("episode"))
+  }
+
+  /** q261: SEQUENTIAL PATTERN MINING over the events table — "what
+    * behavioral episodes does the product actually have?": every
+    * contiguous per-user episode of length 2..4 (order = ts with
+    * event_id tie-break, the deterministic total order both engines
+    * share) with support ≥ 0.5% of all events. n_keys carries how many
+    * distinct users exhibit the episode — frequency concentrated in
+    * one power user and frequency spread across the base are different
+    * findings. Oracle: the same lead-window n-gram counts in DuckDB.
+    */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mineEpisodes(
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type"),
+      keyCol = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      typeCol = "event_type",
+      minLen = 2, maxLen = 4,
+      relPerMille = 5L)
+  }
+
+  private val q261Sql =
+    """WITH seqd AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(event_type, 3) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |eps AS (
+      |  SELECT user_id, CAST(2 AS BIGINT) AS len,
+      |    event_type || '>' || t1 AS episode
+      |  FROM seqd WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3, event_type || '>' || t1 || '>' || t2
+      |  FROM seqd WHERE t2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 4,
+      |    event_type || '>' || t1 || '>' || t2 || '>' || t3
+      |  FROM seqd WHERE t3 IS NOT NULL)
+      |SELECT len, episode, CAST(COUNT(*) AS BIGINT) AS support,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+      |FROM eps GROUP BY 1, 2
+      |HAVING COUNT(*) >= (SELECT COUNT(*) * 5 // 1000 FROM events)
+      |ORDER BY len, support DESC, episode""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -1438,5 +1555,6 @@ object Sequence {
     QueryDef("q230_match_quantifiers", q230, Some(q230Sql)),
     QueryDef("q231_match_sessions", q231, Some(q231Sql)),
     QueryDef("q239_token_motifs", q239, Some(q239Sql)),
+    QueryDef("q261_episode_mining", q261, Some(q261Sql)),
   )
 }

@@ -1104,6 +1104,11 @@ object Vectors {
       nCells: Int,
       nProbe: Int,
       k: Int,
+      // payload predicate for FILTERED ANN (q263): applied at the
+      // pruned scan, so it rides the same parquet read as the cell
+      // pruning — PartitionFilters prune cell directories, the
+      // predicate lands in PushedFilters on the payload columns
+      predicate: Column = lit(true),
   ): DataFrame = {
     val cells = emb.filter(col("vec_id") === queryVecId)
       .select(graft.functions.VectorExprs
@@ -1113,6 +1118,7 @@ object Vectors {
       .select(col("embedding").as("qe"))
     s.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))
+      .filter(predicate)
       .join(broadcast(qdf))
       .select(col("vec_id"), col("label"),
         round(graft.functions.VectorExprs
@@ -1163,6 +1169,50 @@ object Vectors {
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(idx)
     probeDiskIndex(s, idx, emb, queryVecId, cents, nCells,
       nProbe = 4, k = 10)
+  }
+
+  /** Per-SF staging root for q263's persisted filtered-serving index. */
+  private[graft] def q263IndexRoot(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"target/stage_vectors/q263_index_$tag"
+  }
+
+  /** q263: FILTERED ANN — the serving shape every vector DB ships:
+    * "nearest neighbors of q AMONG rows matching a metadata
+    * predicate" (here `label = 1`, the tenant/language/source filter).
+    * The predicate is pushed INTO the cell-pruned probe of the
+    * persisted `partitionBy(cell)` store, not applied to its output:
+    * the scan prunes to the nProbe probed cells' directories
+    * (PartitionFilters) AND skips non-matching payload rows at the
+    * parquet reader (PushedFilters on `label`) — so a 1%-selective
+    * filter reads ~1% of the probed cells' bytes, instead of scoring
+    * k vectors, filtering, and coming back starved (the classic
+    * post-filter recall bug: top-k THEN filter returns < k rows; the
+    * pushed form scores ONLY qualifying vectors, so it returns the
+    * true filtered-subset top-k of the probed cells). Store build is
+    * guard-once ([[StoreGuard]]); frozen centroids make assignment a
+    * pure function, so rebuild ≡ reuse. Search is IVF-approximate
+    * (sketch class — no SQL oracle); Round14Spec pins (a) exactness
+    * on the probed-cells × predicate subset against an in-memory
+    * twin, (b) recall vs the GLOBAL filtered exact scan, and (c) that
+    * the physical scan really carries both filter classes.
+    */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    val root = q263IndexRoot(d)
+    val emb = Tables.embeddings(s, d)
+    val nCells = 16
+    val base = emb.filter(col("vec_id") =!= 0L)
+    val cents = ivfCentroids(base, nCells)
+    val idx = s"$root/index"
+    StoreGuard.ensureBuilt(s, root) {
+      ivfIndex(base, cents, nCells)
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("embedding"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(idx)
+    }
+    probeDiskIndex(s, idx, emb, 0L, cents, nCells,
+      nProbe = 4, k = 10, predicate = col("label") === 1)
   }
 
   /** Semantic deduplication (the SemDeDup shape: cluster the embedding
@@ -1381,6 +1431,7 @@ object Vectors {
     // probe is the Round11Spec gate (exact equivalence, frozen coarse
     // quantizer); search recall is q49's story
     QueryDef("q184_ivf_incremental", q184, None),
+    QueryDef("q263_filtered_ann", q263, None),
     // sketch class (cluster-bounded candidate generation) — gated by
     // Round10Spec's brute-force-equivalence + consistency tests
     QueryDef("q147_semantic_dedup", q147, None),

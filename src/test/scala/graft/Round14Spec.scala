@@ -291,6 +291,131 @@ class Round14Spec extends AnyFunSuite {
     assert(q259.toSeq == Seq((0L, 0.0)))
   }
 
+  test("q261 miner recovers the planted dictionary from the generator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val spec = gen.GenQueries.demoSpec(10000L)
+    val ev = gen.StreamGen.multi(spark, spec, nStreams = 10)
+      .select($"stream_id", $"seq", $"event_type").toDF
+    // mine ALL length-10 grams (support floor 1) so the test sees the
+    // noise tail too, not just the survivors of a chosen cut
+    val grams = ops.Sequence
+      .mineEpisodes(ev, "stream_id", Seq("seq"), "event_type",
+        minLen = 10, maxLen = 10)
+      .select($"episode", $"support").as[(String, Long)].collect()
+    val planted = spec.patterns.types.map(_.mkString(">")).toSet
+    assert(planted.size == 8)
+    val (hits, noise) = grams.partition(g => planted(g._1))
+    // every planted pattern recovered...
+    assert(hits.map(_._1).toSet == planted)
+    // ...multiply above the loudest non-planted gram (the loudest
+    // noise is a planted pattern crossing INTO its own next instance,
+    // ~20% of instance count; deterministic at 363 vs 78 here), so a
+    // support cut anywhere in the wide gap returns the dictionary
+    // exactly
+    val minHit = hits.map(_._2).min
+    val maxNoise = noise.map(_._2).max
+    assert(minHit > 3 * maxNoise,
+      s"separation too thin: minPlanted=$minHit maxNoise=$maxNoise")
+    // and the registered q261 cut (0.5% relative support) run on the
+    // same corpus via the public API keeps exactly the dictionary
+    val cut = ops.Sequence
+      .mineEpisodes(ev, "stream_id", Seq("seq"), "event_type",
+        minLen = 10, maxLen = 10, minSupport = minHit / 2)
+      .select($"episode").as[String].collect().toSet
+    assert(cut == planted)
+  }
+
+  test("q262 fusion tops the relevant doc that tops NEITHER single list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted relevance: doc 5 is mid-ranked (r2) in BOTH lists; doc 1
+    // tops BM25 only (and is cosine-last), doc 2 tops cosine only (and
+    // sits in the BM25 tie tail) — RRF's rank sum puts doc 5 first
+    val docs = (0L to 9L).map { i =>
+      val text = i match {
+        case 1L => "x x x y y y z z z f1"
+        case 5L => "x x y y z z f5a f5b f5c f5d"
+        case _ => s"x y z f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g"
+      }
+      (i, text, "en", "s1", text.length.toLong)
+    }
+    val embs = (0L to 9L).map { i =>
+      val v = i match {
+        case 0L => Array(1f, 0f, 0f, 0f)      // the query vector
+        case 2L => Array(1f, 0f, 0f, 0f)      // cosine rank 1
+        case 5L => Array(0.9f, 0.1f, 0f, 0f)  // cosine rank 2
+        case 1L => Array(-1f, 0f, 0f, 0f)     // cosine last
+        case _ => Array(0f, 1f, 0f, 0f)       // orthogonal tie tail
+      }
+      (i, v, i.toInt % 3)
+    }
+    val dir = tmpDir("q262")
+    fixture(dir, "documents",
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    fixture(dir, "embeddings",
+      embs.toDF("vec_id", "embedding", "label"))
+    val bmTop = SparkEntry.queries("q167_bm25_search")(spark, dir)
+      .select($"doc_id").as[Long].head()
+    val cosTop = ops.Vectors
+      .topKCosine(Tables.embeddings(spark, dir), 0L, 10)
+      .select($"vec_id").as[Long].head()
+    val fusedTop = SparkEntry.queries("q262_hybrid_rrf")(spark, dir)
+      .select($"doc_id").as[Long].head()
+    assert(bmTop == 1L && cosTop == 2L && fusedTop == 5L,
+      s"bm=$bmTop cos=$cosTop fused=$fusedTop")
+  }
+
+  test("q263 filtered ANN: pushed predicate, in-cell exactness, recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val got = SparkEntry.queries("q263_filtered_ann")(spark, sf)
+    val rows = got.collect()
+    // every served row satisfies the predicate and k is honored
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("label") == 1))
+    assert(rows.length <= 10)
+    // (a) the physical scan carries BOTH filter classes: cell pruning
+    // at the file index, the metadata predicate at the parquet reader
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe not partition-pruned:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,1\\)".r
+      .findFirstIn(plan).isDefined,
+      s"label predicate not pushed to the scan:\n$plan")
+    // (b) exactness on the probed-cells × predicate subset: the store
+    // probe must equal the in-memory twin over the same cells
+    val nCells = 16
+    val base = emb.filter($"vec_id" =!= 0L)
+    val cents = ops.Vectors.ivfCentroids(base, nCells)
+    val cells = emb.filter($"vec_id" === 0L)
+      .select(graft.functions.VectorExprs
+        .vecTopCells(spark, $"embedding", cents, nCells, 64, 4))
+      .head.getSeq[Int](0)
+    val qe = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0)
+    val twin = ops.Vectors.ivfIndex(base, cents, nCells)
+      .filter($"cell".isin(cells: _*) && $"label" === 1)
+      .select($"vec_id", $"label",
+        round(graft.functions.VectorExprs
+          .vecCosine(spark, $"embedding", typedLit(qe)), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == twin,
+      "store probe diverged from the in-memory filtered twin")
+    // (c) recall vs the GLOBAL filtered exact scan — the number the
+    // operator is judged by in serving
+    val exact = base.filter($"label" === 1)
+      .select($"vec_id",
+        round(graft.functions.VectorExprs
+          .vecCosine(spark, $"embedding", typedLit(qe)), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = rows.map(_.getAs[Long]("vec_id"))
+      .count(exact).toDouble / exact.size
+    assert(recall >= 0.5, s"filtered recall@10 too low: $recall")
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
