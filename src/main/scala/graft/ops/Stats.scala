@@ -313,25 +313,42 @@ object Stats {
     * device: one md5 per cell, pure string compares, zero float ops at
     * query time.
     */
-  private val dpK = 20
-  private val dpTh: Seq[(Int, String)] = {
-    val alpha = math.exp(-1.0)
+  /** Cumulative hex thresholds for discrete Laplace with P(k) ∝ α^|k|
+    * over k = −kMax..kMax−1 — computed ONCE here and embedded as
+    * identical string constants in both engines (q219 uses α = e^(−1);
+    * q265's user-level variant widens to α = e^(−ε/Δ) for clamped
+    * sensitivity Δ).
+    */
+  private def dpThresholdTable(
+      alpha: Double, kMax: Int): Seq[(Int, String)] = {
     val p0 = (1 - alpha) / (1 + alpha)
     var cum = 0.0
-    (-dpK until dpK).map { k =>
+    (-kMax until kMax).map { k =>
       cum += p0 * math.pow(alpha, math.abs(k))
       k -> f"${math.min(math.floor(cum * 4294967296.0).toLong, 0xffffffffL)}%08x"
     }
   }
 
-  private def dpNoise(uhex: org.apache.spark.sql.Column) =
-    dpTh.foldRight(lit(dpK)) { case ((k, t), e) =>
+  private def dpNoiseCol(
+      uhex: org.apache.spark.sql.Column,
+      th: Seq[(Int, String)],
+      kMax: Int) =
+    th.foldRight(lit(kMax)) { case ((k, t), e) =>
       when(uhex < t, k).otherwise(e)
     }
 
-  private val dpCaseSql =
-    dpTh.map { case (k, t) => s"WHEN uhex < '$t' THEN $k" }
-      .mkString("CASE ", " ", s" ELSE $dpK END")
+  private def dpCaseSqlFor(th: Seq[(Int, String)], kMax: Int) =
+    th.map { case (k, t) => s"WHEN uhex < '$t' THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $kMax END")
+
+  private val dpK = 20
+  private val dpTh: Seq[(Int, String)] =
+    dpThresholdTable(math.exp(-1.0), dpK)
+
+  private def dpNoise(uhex: org.apache.spark.sql.Column) =
+    dpNoiseCol(uhex, dpTh, dpK)
+
+  private val dpCaseSql = dpCaseSqlFor(dpTh, dpK)
 
   /** q219: DIFFERENTIALLY-PRIVATE RELEASE AGGREGATE — the missing
     * release-side member of the privacy family (q89 masks identifiers,
@@ -392,6 +409,91 @@ object Stats {
       |SELECT event_type, day_id,
       |  CAST(n + ($dpCaseSql) AS BIGINT) AS noisy_count,
       |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM keyed ORDER BY event_type, day_id""".stripMargin
+
+  /** q265's noise table: α = e^(−ε/Δ) with ε = 1 and clamped
+    * user-level sensitivity Δ = C = 4; tails past ±96 carry
+    * < α⁹⁶ ≈ 2⁻³⁵ — below the u32 draw's resolution.
+    */
+  private val dpuK = 96
+  private val dpuCap = 4L
+  private val dpuTh: Seq[(Int, String)] =
+    dpThresholdTable(math.exp(-1.0 / dpuCap), dpuK)
+
+  /** q265: USER-LEVEL DP HISTOGRAM — the real privacy unit. q219 is
+    * event-level (add/remove ONE EVENT moves a cell by ≤ 1); but the
+    * thing a release must protect is a PERSON, and one user can
+    * contribute many events. The standard construction (Google's DP
+    * library, Wilson et al.): CLAMP each user's contribution to any
+    * single cell to C = 4 events FIRST (one user-grain aggregate,
+    * LEAST(n_u, C) — the q196 capping device as a privacy primitive),
+    * then add discrete-Laplace noise scaled to the clamped
+    * sensitivity.
+    *
+    * Sensitivity argument: after clamping, adding or removing one
+    * user changes any single cell's count by at most C (their clamped
+    * contribution there), so noise α = e^(−ε/C) makes EACH CELL's
+    * release ε-DP at user level. A user may touch many cells, so the
+    * whole-release guarantee composes: ε_total = M·ε over the M cells
+    * a user contributes to (bounding M too — contribution capping
+    * across cells — tightens this; here M is the user's active
+    * (type, day) spread, reported nowhere and bounded by the 5×days
+    * cell domain). Clamping bias is the price of bounded sensitivity;
+    * note the release deliberately does NOT report how much was
+    * clipped — that quantity moves one-for-one with a single user's
+    * over-cap activity, so publishing it raw would leak exactly what
+    * the clamp bounds (a DP utility readout would need its own noised
+    * release).
+    *
+    * The draw stays the q192/q219 deterministic device (one md5 per
+    * cell, pure string compares, bit-identical in both engines) — so
+    * the release hash-matches under the oracle while Round14Spec
+    * proves the CLAMP does the privacy work: duplicating one user's
+    * in-cell activity beyond the cap leaves the release BYTE-IDENTICAL
+    * (q219's event-level release moves by the duplicate count).
+    * Scale: user-grain aggregate then cell aggregate — two map-side-
+    * combinable exchanges, nothing event-sized past the first.
+    */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val uhex = substring(
+      md5(concat($"event_type", lit(":"), $"day_id".cast("string"),
+        lit(":dpu")).cast("binary")), 1, 8)
+    Tables
+      .events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        $"user_id")
+      .groupBy($"event_type", $"day_id", $"user_id")
+      .agg(count(lit(1)).as("nu"))
+      .groupBy($"event_type", $"day_id")
+      .agg(sum(least($"nu", lit(dpuCap))).as("n"))
+      .select($"event_type", $"day_id",
+        ($"n" + dpNoiseCol(uhex, dpuTh, dpuK)).as("noisy_count"),
+        lit(1.0).as("epsilon"),
+        lit(dpuCap).as("cap"))
+      .orderBy($"event_type", $"day_id")
+  }
+
+  private val q265Sql =
+    s"""WITH per_user AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+      |    user_id, COUNT(*) AS nu
+      |  FROM events GROUP BY 1, 2, 3),
+      |cells AS (
+      |  SELECT event_type, day_id,
+      |    CAST(SUM(LEAST(nu, $dpuCap)) AS BIGINT) AS n
+      |  FROM per_user GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT event_type, day_id, n,
+      |    substr(md5(event_type || ':' ||
+      |      CAST(day_id AS VARCHAR) || ':dpu'), 1, 8) AS uhex
+      |  FROM cells)
+      |SELECT event_type, day_id,
+      |  CAST(n + (${dpCaseSqlFor(dpuTh, dpuK)}) AS BIGINT)
+      |    AS noisy_count,
+      |  CAST(1.0 AS DOUBLE) AS epsilon,
+      |  CAST($dpuCap AS BIGINT) AS cap
       |FROM keyed ORDER BY event_type, day_id""".stripMargin
 
   /** q194: CUPED variance reduction (Controlled-experiment Using
@@ -1720,6 +1822,7 @@ object Stats {
     QueryDef("q212_quantile_effects", q212, Some(q212Sql)),
     QueryDef("q217_delta_method", q217, Some(q217Sql)),
     QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
+    QueryDef("q265_dp_user_level", q265, Some(q265Sql)),
     QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
     QueryDef("q233_kaplan_meier", q233, Some(q233Sql)),
     QueryDef("q234_permutation_test", q234, Some(q234Sql)),

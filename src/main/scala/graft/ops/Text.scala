@@ -213,6 +213,82 @@ object Text {
       |  MIN(fp) AS min_fp
       |FROM e GROUP BY source ORDER BY source""".stripMargin
 
+  /** q264: DUPLICATED-SPAN EXTRACTION — the variable-length exact
+    * grain between q140's fixed 4-token passages and q124's fixed
+    * 13-grams, and the step q119's winnowing stops short of: winnowing
+    * COUNTS shared fingerprints, this RECONSTRUCTS the maximal
+    * duplicated spans themselves (the Lee-et-al-style "what exactly is
+    * the boilerplate" answer, suffix-array-lite). Device: hash every
+    * 6-token gram; a gram is DUP if it occurs in ≥ 2 distinct docs; a
+    * maximal duplicated span is a maximal RUN of consecutive dup gram
+    * positions (the q153 islands trick: pos − row_number is constant
+    * within a run), covering tokens [p0+1, p1+6] — every cross-doc
+    * duplicate of ≥ 6 tokens is found in full, at ANY length, because
+    * each of its 6-grams is itself duplicated. Span text is rebuilt by
+    * slicing the doc's own token array. Exact and string-free on the
+    * wire where it matters: the gram join shuffles 16-hex hashes, and
+    * the islands window is one per-doc pass. Round14Spec pins EDIT
+    * LOCALITY: one edited token in a cloned doc splits the extraction
+    * into exactly the two flanking spans, with only the edit's ±5-gram
+    * neighborhood uncovered.
+    */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val G = 6
+    val toksArr = Tables
+      .documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+    val grams = toksArr
+      .where(size($"toks") >= G)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${G - 1}), " +
+          "i -> substring(md5(cast(concat_ws(' ', slice(toks, i, " +
+          s"$G)) as binary)), 1, 16))")).as(Seq("p", "gh")))
+    val dup = grams
+      .groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2)
+      .select($"gh")
+    val hits = grams.join(dup, Seq("gh")).select($"doc_id", $"p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val runs = hits
+      .withColumn("grp", $"p" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"p").as("p0"), max($"p").as("p1"))
+    runs
+      .join(toksArr, Seq("doc_id"))
+      .select($"doc_id",
+        ($"p0" + 1L).cast("long").as("start_pos"),
+        ($"p1" - $"p0" + G).cast("long").as("span_len"),
+        expr(s"concat_ws(' ', slice(toks, p0 + 1, p1 - p0 + $G))")
+          .as("span_text"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  private val q264Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, u.i - 1 AS p,
+      |        substr(md5(array_to_string(toks[u.i:u.i+5], ' ')), 1, 16)
+      |          AS gh
+      |      FROM t, UNNEST(generate_series(1, len(toks) - 5)) AS u(i)
+      |      WHERE len(toks) >= 6),
+      |dup AS (SELECT gh FROM g
+      |        GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, p FROM g JOIN dup USING (gh)),
+      |r AS (SELECT doc_id, p,
+      |        p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+      |          AS grp
+      |      FROM h),
+      |runs AS (SELECT doc_id, grp, MIN(p) AS p0, MAX(p) AS p1
+      |         FROM r GROUP BY doc_id, grp)
+      |SELECT runs.doc_id, p0 + 1 AS start_pos,
+      |  CAST(p1 - p0 + 6 AS BIGINT) AS span_len,
+      |  array_to_string(t.toks[p0 + 1:p1 + 6], ' ') AS span_text
+      |FROM runs JOIN t ON t.doc_id = runs.doc_id
+      |ORDER BY runs.doc_id, start_pos""".stripMargin
+
   /** Heuristic language ID (n-gram/stopword signals as a deterministic
     * decision list) vs the labeled `lang` column → confusion counts.
     * The corpus is a shared-vocabulary word soup, so the heuristic's
@@ -1614,6 +1690,7 @@ object Text {
     QueryDef("q32_quality_score", q32, Some(q32Sql)),
     QueryDef("q33_fingerprint", q33, Some(q33Sql)),
     QueryDef("q119_winnow_fps", q119, Some(q119Sql)),
+    QueryDef("q264_dup_spans", q264, Some(q264Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
     QueryDef("q38_bpe_tokens", q38, Some(q38Sql)),
     QueryDef("q128_bpe_merges", q128, Some(q128Sql)),

@@ -190,9 +190,11 @@ class PlanSpec extends AnyFunSuite {
       "q91_hll_merge", // 1-row merged × 1-row direct cross
       "q143_triangle_count", // 1-row nodes × edges × triangles counts
       "q167_bm25_search", // 1-row (n_docs, tot_toks) corpus constants
+      "q262_hybrid_rrf", // q167's 1-row corpus constants in the BM25 leg
       "q169_basket_rules", // 1-row n_orders basket denominator
       "q176_rfm_segments", // 1-row percentile-threshold broadcast
       "q184_ivf_incremental", // 1-row query embedding over pruned cells
+      "q263_filtered_ann", // same 1-row query embedding, filtered probe
       "q201_curriculum_shards", // 1-row difficulty-threshold broadcast
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded

@@ -416,6 +416,68 @@ class Round14Spec extends AnyFunSuite {
     assert(recall >= 0.5, s"filtered recall@10 too low: $recall")
   }
 
+  test("q264 edit locality: one edit splits extraction into flanking spans") {
+    import spark.implicits._
+    // doc 2 = doc 1 with TOKEN 21 (1-based) edited; docs 3-4 are
+    // unique noise. Every 6-gram not touching the edit is duplicated,
+    // so extraction must return exactly the two flanking maximal
+    // spans — tokens [1, 20] and [22, 40] — leaving ONLY the edited
+    // token uncovered, in both docs, with identical span text.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 21) "EDIT" else s"w$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, a, "en", "s1", a.length.toLong),
+      (2L, b, "en", "s2", b.length.toLong),
+      (3L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s1", 9L),
+      (4L, (1 to 40).map(i => s"y$i").mkString(" "), "en", "s2", 9L))
+    val d = fixture(tmpDir("q264"), "documents",
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("q264_dup_spans")(spark, d)
+      .select($"doc_id", $"start_pos", $"span_len", $"span_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val left = (1 to 20).map(i => s"w$i").mkString(" ")
+    val right = (22 to 40).map(i => s"w$i").mkString(" ")
+    assert(got == Set(
+      (1L, 1L, 20L, left), (1L, 22L, 19L, right),
+      (2L, 1L, 20L, left), (2L, 22L, 19L, right)))
+  }
+
+  test("q265 clamp: over-cap user activity cannot move the release") {
+    import spark.implicits._
+    def evRows(user7n: Int) = {
+      val base = 1705000000000000L
+      val mk = (id: Long, u: Long, t: String) =>
+        (id, new java.sql.Timestamp(base / 1000 + id), u, t,
+          1.25, "{}")
+      val u7 = (1 to user7n).map(i => mk(i.toLong, 7L, "click"))
+      val u8 = Seq(mk(1000L, 8L, "click"), mk(1001L, 8L, "click"))
+      val u9 = (1 to 6).map(i => mk(2000L + i, 9L, "view"))
+      u7 ++ u8 ++ u9
+    }
+    def release(q: String, n7: Int) = {
+      val d = fixture(tmpDir(s"q265_$n7$q"), "events",
+        evRows(n7).toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props"))
+      SparkEntry.queries(q)(spark, d).collect().map(_.toSeq).toSeq
+    }
+    // user 7 at 10 vs 30 in-cell events — both beyond the C=4 cap:
+    // the USER-LEVEL release is byte-identical (their contribution is
+    // clamped; extra activity is invisible by construction)...
+    assert(release("q265_dp_user_level", 10) ==
+      release("q265_dp_user_level", 30))
+    // ...while the EVENT-level release (q219) moves with every event,
+    // which is exactly why it is the wrong unit for people
+    assert(release("q219_dp_histogram", 10) !=
+      release("q219_dp_histogram", 30))
+    // and the clamp itself is visible: 12 click events from user 7+8
+    // release as clamped 4 + 2 (+ deterministic noise shared with the
+    // 30-event run) — strictly less than the raw 12
+    val rel = release("q265_dp_user_level", 10)
+    val click = rel.find(_.head == "click").get
+    assert(click(2).asInstanceOf[Long] <= 6L + 96L)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
