@@ -1476,6 +1476,111 @@ object Sequence {
       .orderBy(col("len"), col("support").desc, col("episode"))
   }
 
+  /** GAP-TOLERANT episode mining — [[mineEpisodes]]' robustness
+    * upgrade: an episode's steps may be separated by up to `maxGap`
+    * positions (an interleaved noise event no longer breaks the
+    * count), the MINEPI-style windowed-occurrence measure: support =
+    * number of (anchor, offsets) windows realizing the episode, so
+    * overlapping occurrences all count — deterministic, and exactly
+    * what the lead-enumeration computes. For len ∈ {2, 3} and small
+    * maxGap the occurrence windows are a FIXED offset set (o₁ ≤ g;
+    * o₁ < o₂ ≤ o₁ + g — g + g² combinations), so the whole miner is
+    * still ONE window of maxGap·2 leads + one hash aggregate: no NFA,
+    * no self-join, no state. Round14Spec pins the counts against a
+    * brute-force subsequence scan and shows the robustness property
+    * the operator exists for: interleaved noise collapses contiguous
+    * trigram support but leaves gappy support intact.
+    */
+  def mineGappyEpisodes(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      len: Int,
+      maxGap: Int,
+      minSupport: Long = 1L,
+      relPerMille: Long = 0L): DataFrame = {
+    require(len == 2 || len == 3,
+      s"mineGappyEpisodes: len must be 2 or 3, got $len")
+    require(maxGap >= 1 && maxGap <= 8,
+      s"mineGappyEpisodes: need 1 <= maxGap <= 8, got $maxGap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val maxOff = if (len == 2) maxGap else 2 * maxGap
+    val withSteps = (1 to maxOff).foldLeft(
+      df.withColumn("_s0", col(typeCol).cast("string"))) {
+      case (acc, j) =>
+        acc.withColumn(s"_s$j",
+          lead(col(typeCol), j).over(w).cast("string"))
+    }
+    val cands =
+      if (len == 2)
+        (1 to maxGap).map { o =>
+          when(col(s"_s$o").isNotNull,
+            concat_ws(">", col("_s0"), col(s"_s$o")))
+        }
+      else
+        for {
+          o1 <- 1 to maxGap
+          o2 <- (o1 + 1) to (o1 + maxGap)
+        } yield when(col(s"_s$o2").isNotNull,
+          concat_ws(">", col("_s0"), col(s"_s$o1"), col(s"_s$o2")))
+    val n = df.count()
+    val floor = math.max(minSupport,
+      if (relPerMille > 0L) n * relPerMille / 1000L else 1L)
+    withSteps
+      .select(col(keyCol), explode(array(cands: _*)).as("episode"))
+      .where(col("episode").isNotNull)
+      .groupBy(col("episode"))
+      .agg(count(lit(1)).as("support"),
+        countDistinct(col(keyCol)).as("n_keys"))
+      .where(col("support") >= floor)
+      .orderBy(col("support").desc, col("episode"))
+  }
+
+  /** q266: GAP-TOLERANT episode mining over the events table —
+    * q261's contiguous trigrams miss any behavioral motif a stray
+    * interleaved event interrupts; here `view → click → purchase`
+    * counts with up to 2 positions between consecutive steps (the
+    * MINEPI windowed-occurrence measure). Same single-window plan.
+    */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mineGappyEpisodes(
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type"),
+      keyCol = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      typeCol = "event_type",
+      len = 3, maxGap = 2,
+      relPerMille = 5L)
+  }
+
+  private val q266Sql = {
+    val pairs = for {
+      o1 <- 1 to 2
+      o2 <- (o1 + 1) to (o1 + 2)
+    } yield s"""SELECT user_id,
+      |    event_type || '>' || t$o1 || '>' || t$o2 AS episode
+      |  FROM seqd WHERE t$o2 IS NOT NULL""".stripMargin
+    s"""WITH seqd AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(event_type, 3) OVER w AS t3,
+      |    lead(event_type, 4) OVER w AS t4
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |eps AS (
+      |  ${pairs.mkString("\n  UNION ALL\n  ")})
+      |SELECT episode, CAST(COUNT(*) AS BIGINT) AS support,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+      |FROM eps GROUP BY 1
+      |HAVING COUNT(*) >= (SELECT COUNT(*) * 5 // 1000 FROM events)
+      |ORDER BY support DESC, episode""".stripMargin
+  }
+
   /** q261: SEQUENTIAL PATTERN MINING over the events table — "what
     * behavioral episodes does the product actually have?": every
     * contiguous per-user episode of length 2..4 (order = ts with
@@ -1556,5 +1661,15 @@ object Sequence {
     QueryDef("q231_match_sessions", q231, Some(q231Sql)),
     QueryDef("q239_token_motifs", q239, Some(q239Sql)),
     QueryDef("q261_episode_mining", q261, Some(q261Sql)),
+    QueryDef("q266_gappy_episodes", q266, Some(q266Sql)),
+    // STREAMING episode mining: the per-user gram fold runs live in
+    // transformWithState (watermark-matured, tail-carried), emissions
+    // are increments, and the read-side sum + support floor reproduce
+    // the batch miner row-for-row — the oracle is LITERALLY q261's
+    // SQL. The reference's "learn sequences lifelong and online"
+    // deployment (README.md:3-6), under the driver's hash gate.
+    QueryDef("q267_stream_episode_mining",
+      (s, d) => graft.streaming.Streams.streamEpisodeMining(s, d),
+      Some(q261Sql)),
   )
 }

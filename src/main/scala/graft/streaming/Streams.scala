@@ -2541,6 +2541,204 @@ object Streams {
     }
   }
 
+  // ---- q267: streaming episode mining (q261 live) --------------------
+
+  final case class EpRow(
+      user_id: Long, len: Long, episode: String, delta: Long)
+
+  /** Per-user ONLINE episode counting — q261's contiguous n-gram
+    * enumeration as streaming state, the "learn sequences lifelong and
+    * online" deployment the reference generates FOR: immature events
+    * buffer in a MapState keyed by µs timestamp (same-µs ties pack
+    * into the bucket value and unpack sorted by event_id, so the fold
+    * order is exactly q261's (ts, event_id) total order); once the
+    * watermark proves a timestamp complete (us < wm — no admissible
+    * future row), matured events release IN ORDER through the gram
+    * fold, which needs only the TAIL of the last maxLen−1 types as
+    * carry state — episodes spanning a maturation (or microbatch)
+    * boundary are counted exactly once, because the tail is the only
+    * context a CONTIGUOUS episode can reach back into. Emissions are
+    * per-batch (episode, delta) increments; the read side sums deltas
+    * and applies q261's relative support floor, so the final table is
+    * row-for-row the batch miner's and the DuckDB oracle is LITERALLY
+    * q261's SQL. One event-time timer per key (the q224 rearm device)
+    * releases the tail when a user goes quiet; state per key = the
+    * ≤ (maxLen−1)-type tail + immature buckets bounded by the
+    * watermark horizon.
+    */
+  final class EpisodeMineProcessor(minLen: Int, maxLen: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), EpRow] {
+    @transient private var buckets:
+        org.apache.spark.sql.streaming.MapState[Long, String] = _
+    @transient private var tail:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    @transient private var armed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, String]("buckets",
+        Encoders.scalaLong, Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      tail = getHandle.getValueState[String]("tail", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def rearm(immatureUs: Seq[Long]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (immatureUs.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = immatureUs.min / 1000L + 1L
+        if (next != prev) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
+    private def release(user: Long, wmUs: Long): Iterator[EpRow] = {
+      val all: Seq[(Long, String)] = buckets.iterator().toSeq
+      val (mature, immature) = all.partition { case (us, _) =>
+        us < wmUs
+      }
+      var tl: Vector[String] =
+        if (tail.exists() && tail.get().nonEmpty)
+          tail.get().split('\u0001').toVector
+        else Vector.empty
+      val deltas = scala.collection.mutable.HashMap.empty[String, Long]
+      mature.sortBy(_._1).foreach { case (us, packed) =>
+        packed.split('\u0001').toSeq
+          .map { kv =>
+            val i = kv.indexOf(':')
+            (kv.substring(0, i).toLong, kv.substring(i + 1))
+          }
+          .sortBy(_._1)
+          .foreach { case (_, t) =>
+            val ctx = tl :+ t
+            (minLen to maxLen).foreach { l =>
+              if (ctx.length >= l) {
+                val ep = s"$l\u0002" +
+                  ctx.takeRight(l).mkString(">")
+                deltas.update(ep, deltas.getOrElse(ep, 0L) + 1L)
+              }
+            }
+            tl = (tl :+ t).takeRight(maxLen - 1)
+          }
+        buckets.removeKey(us)
+      }
+      tail.update(tl.mkString("\u0001"))
+      rearm(immature.map(_._1))
+      deltas.iterator.map { case (k, d) =>
+        val i = k.indexOf('\u0002')
+        EpRow(user, k.substring(0, i).toLong, k.substring(i + 1), d)
+      }
+    }
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[EpRow] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      // rows below the eviction watermark drop (the q113-pinned rule)
+      rows.filter(_._2 >= wmUs).foreach { case (_, us, eid, t) =>
+        val entry = s"$eid:$t"
+        val cur =
+          if (buckets.containsKey(us)) buckets.getValue(us) + "\u0001"
+          else ""
+        buckets.updateValue(us, cur + entry)
+      }
+      release(user, wmUs)
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo,
+    ): Iterator[EpRow] = {
+      armed.clear()
+      release(user, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** q267: [[EpisodeMineProcessor]] under the driver's oracle gate —
+    * the oracle is LITERALLY q261's SQL. Harness = q224's time-ranged
+    * staging + far-future sentinel; emissions are increments, so the
+    * read side is one SUM per (len, episode) plus q261's relative
+    * support floor against the static corpus count.
+    */
+  def streamEpisodeMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"epmine_$uuid")
+      val srcDir = root.resolve("src").toString
+      spark.read.schema(eventsSchema(tsLong))
+        .parquet(s"$dir/events.parquet")
+        .select($"user_id", usExpr(tsLong).as("us"), $"event_id",
+          $"event_type")
+        .repartitionByRange(2, $"us")
+        .write.parquet(srcDir)
+      val parts = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toAbsolutePath)
+          .filter(_.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+      }
+      val now = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            now - 60000L + i * 10000L))
+      }
+      val hi = spark.read.parquet(srcDir).agg(max($"us")).head.getLong(0)
+      implicit val outEnc = Encoders.product[EpRow]
+      val updates = spark.readStream
+        .schema("user_id LONG, us LONG, event_id LONG, " +
+          "event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("wts", timestamp_micros($"us"))
+        .withWatermark("wts", "10 minutes")
+        .select($"user_id", $"us", $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new EpisodeMineProcessor(2, 4),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val out = root.resolve("out").toString
+      withFewStatePartitions(spark) {
+        val q = updates.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // sentinel: watermark → past every real event's timestamp
+          Seq((-1L, hi + 4800L * 1000000L, 0L, "__sentinel__"))
+            .toDF("user_id", "us", "event_id", "event_type")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      deleteStaged(root.resolve("src"))
+      val n = graft.Tables.events(spark, dir).count()
+      spark.read.parquet(out)
+        .filter($"user_id" =!= -1L)
+        .groupBy($"len", $"episode")
+        .agg(sum($"delta").as("support"),
+          countDistinct($"user_id").as("n_keys"))
+        .where($"support" >= lit(n * 5L / 1000L))
+        .orderBy($"len", $"support".desc, $"episode")
+    }
+  }
+
   // ---- q249: streaming Misra-Gries heavy hitters --------------------
 
   final case class MgRow(bucket: Long, ver: Long, toks: String)

@@ -478,6 +478,67 @@ class Round14Spec extends AnyFunSuite {
     assert(click(2).asInstanceOf[Long] <= 6L + 96L)
   }
 
+  test("q266 gappy episode counts equal brute-force subsequence windows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val seqs = (1L to 5L).map(k =>
+      k -> Vector.fill(60)("abcd" (rnd.nextInt(4)).toString))
+    val rows = seqs.flatMap { case (k, s) =>
+      s.zipWithIndex.map { case (t, i) => (k, i.toLong, t) }
+    }
+    val df = rows.toDF("k", "pos", "t")
+    val got = ops.Sequence
+      .mineGappyEpisodes(df, "k", Seq("pos"), "t", len = 3, maxGap = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val occ = seqs.flatMap { case (k, s) =>
+      for {
+        i <- s.indices; j <- (i + 1) until s.length
+        if j - i <= 2
+        l <- (j + 1) until s.length
+        if l - j <= 2
+      } yield (k, s"${s(i)}>${s(j)}>${s(l)}")
+    }
+    val want = occ.groupBy(_._2).map { case (ep, os) =>
+      ep -> (os.size.toLong, os.map(_._1).distinct.size.toLong)
+    }
+    assert(got == want)
+  }
+
+  test("q266 robustness: interleaved noise breaks contiguous, not gappy") {
+    import spark.implicits._
+    // every stream repeats the motif a,b,c with one noise token after
+    // each step — the contiguous trigram a>b>c never occurs, the
+    // gap<=2 episode occurs at full motif frequency
+    val rows = for {
+      k <- 1L to 20L
+      rep <- 0 until 10
+      (t, off) <- Seq("a" -> 0, "x" -> 1, "b" -> 2, "x" -> 3,
+        "c" -> 4, "x" -> 5)
+    } yield (k, (rep * 6 + off).toLong, t)
+    val df = rows.toDF("k", "pos", "t")
+    val contiguous = ops.Sequence
+      .mineEpisodes(df, "k", Seq("pos"), "t", minLen = 3, maxLen = 3)
+      .select($"episode").as[String].collect().toSet
+    val gappy = ops.Sequence
+      .mineGappyEpisodes(df, "k", Seq("pos"), "t", len = 3,
+        maxGap = 2, minSupport = 200L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(!contiguous.contains("a>b>c"))
+    assert(gappy.contains("a>b>c") && gappy("a>b>c") == 200L,
+      s"gappy=$gappy")
+  }
+
+  test("q267 streaming episode mining equals batch q261 row-for-row") {
+    val batch = SparkEntry.queries("q261_episode_mining")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry
+      .queries("q267_stream_episode_mining")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
