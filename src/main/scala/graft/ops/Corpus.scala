@@ -1961,7 +1961,309 @@ object Corpus {
       |WHERE b.c12 >= 5
       |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""".stripMargin
 
+  // ---- q268: DSIR importance resampling ------------------------------
+
+  /** Hashed-unigram bucket id — the DSIR/fastText feature space: the
+    * first 4 md5 hex digits of the word, mod `buckets`. Cross-engine
+    * exact (md5 + hex parse are identical in Spark and DuckDB), so the
+    * feature extraction itself is part of the oracled surface.
+    */
+  private[ops] def bucketCol(w: Column, buckets: Int): Column =
+    conv(substring(md5(w.cast("binary")), 1, 4), 16, 10)
+      .cast("long") % buckets
+
+  private[ops] def bucketSql(w: String, buckets: Int): String =
+    s"CAST(('0x' || substr(md5($w), 1, 4)) AS BIGINT) % $buckets"
+
+  /** Per-document DSIR log-importance scores in integer micro-units.
+    * `isTarget` marks the target-domain docs (the distribution to match);
+    * every doc — target and raw — gets a score. Exposed so Round14Spec
+    * can drive a planted-vocabulary fixture through the exact production
+    * arithmetic. The ln-argument shift device: `ROUND(1e6·Δln + 1e9) −
+    * 1e9` keeps the rounded argument positive (the regime where Spark
+    * HALF_UP ≡ DuckDB half-away is proven) without costing precision —
+    * doubles near 1e9 step at ~1.2e-7, finer than the micro grid.
+    */
+  private[graft] def dsirScores(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("is_t", isTarget)
+      .select($"doc_id", $"is_t",
+        explode(split($"text", " ")).as("w"))
+      .withColumn("b", bucketCol($"w", buckets))
+    val spine = s.range(0, buckets).select($"id".as("b"))
+    val cnt = toks
+      .groupBy($"b")
+      .agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when($"is_t", 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(
+      sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val lr = spine
+      .join(cnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select($"b",
+        (expr(
+          s"""CAST(ROUND(1000000.0 *
+             |  (LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + $buckets AS DOUBLE)) -
+             |   LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + $buckets AS DOUBLE)))
+             |  + 1000000000.0) AS BIGINT)""".stripMargin) -
+          lit(1000000000L)).as("lr_micro"))
+    toks
+      .join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum($"lr_micro").as("score_micro"))
+  }
+
+  /** q268: DSIR data selection — importance resampling of a crawl pool
+    * toward a curated target distribution (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): a
+    * hashed-unigram bag model of the curated sources (src0..src4) vs
+    * the crawl remainder, each crawl doc scored by its integer
+    * log-importance weight Σ_tokens ln(p_target/p_raw), and the top
+    * 25% quota selected by the exact k-th-order-statistic threshold
+    * (q248's cumulative-count device over the score histogram — no
+    * global row sort; ties at the threshold round the quota UP to the
+    * tie boundary, deterministically).
+    *
+    * Plan shape at 100 TB: the model is ONE map-side-combinable hash
+    * aggregate to `buckets` rows (a broadcast table); scoring is one
+    * explode + broadcast join + per-doc hash-agg; the quota threshold
+    * reads the (distinct-integer-score)-sized histogram — at extreme
+    * scale that histogram two-levels (coarse milli-bucket, then refine
+    * inside one bucket), same device, still no row sort. Every
+    * arithmetic step is integer except the two correctly-rounded LNs,
+    * computed in identical operand order in both engines.
+    */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val curated = Seq("src0", "src1", "src2", "src3", "src4")
+    val docs = Tables.documents(s, d)
+    val scored = dsirScores(docs, $"source".isin(curated: _*), 256)
+      .join(docs.select($"doc_id", $"source", $"lang"), Seq("doc_id"))
+      .filter(!$"source".isin(curated: _*))
+    val k = scored.agg(
+      expr("GREATEST((COUNT(*) * 25) DIV 100, CAST(1 AS BIGINT))")
+        .as("k"))
+    val cumW = Window
+      .orderBy($"score_micro".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = scored
+      .groupBy($"score_micro")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .crossJoin(broadcast(k))
+      .filter($"cum" >= $"k")
+      .agg(max($"score_micro").as("thr"))
+    scored
+      .crossJoin(broadcast(thr))
+      .filter($"score_micro" >= $"thr")
+      .select($"doc_id", $"source", $"lang", $"n_toks", $"score_micro")
+      .orderBy($"score_micro".desc, $"doc_id")
+  }
+
+  private val q268Sql = {
+    val b = bucketSql("w", 256)
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    source IN ('src0','src1','src2','src3','src4') AS is_t,
+       |    $b AS bk
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS w FROM documents) t),
+       |cnt AS (
+       |  SELECT bk,
+       |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM toks GROUP BY bk),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |               CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+       |lr AS (
+       |  SELECT s.b AS bk,
+       |    CAST(ROUND(1000000.0 *
+       |      (LN(CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) /
+       |          CAST(t.nt + 256 AS DOUBLE)) -
+       |       LN(CAST(COALESCE(c.cr, 0) + 1 AS DOUBLE) /
+       |          CAST(t.nr + 256 AS DOUBLE)))
+       |      + 1000000000.0) AS BIGINT) - 1000000000 AS lr_micro
+       |  FROM (SELECT unnest(generate_series(0, 255)) AS b) s
+       |  LEFT JOIN cnt c ON c.bk = s.b, tot t),
+       |scored AS (
+       |  SELECT k.doc_id, d.source, d.lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |    CAST(SUM(l.lr_micro) AS BIGINT) AS score_micro
+       |  FROM toks k JOIN lr l ON l.bk = k.bk
+       |  JOIN documents d ON d.doc_id = k.doc_id
+       |  WHERE NOT k.is_t
+       |  GROUP BY k.doc_id, d.source, d.lang),
+       |quota AS (
+       |  SELECT GREATEST((COUNT(*) * 25) // 100, 1) AS k FROM scored),
+       |hist AS (
+       |  SELECT score_micro, COUNT(*) AS cnt FROM scored GROUP BY 1),
+       |thr AS (
+       |  SELECT MAX(score_micro) AS thr
+       |  FROM (SELECT score_micro,
+       |          SUM(cnt) OVER (ORDER BY score_micro DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS cum
+       |        FROM hist) h, quota q
+       |  WHERE h.cum >= q.k)
+       |SELECT s.doc_id, s.source, s.lang, s.n_toks, s.score_micro
+       |FROM scored s, thr t WHERE s.score_micro >= t.thr
+       |ORDER BY s.score_micro DESC, s.doc_id""".stripMargin
+  }
+
+  // ---- q271: trained Naive-Bayes classifier + holdout confusion ------
+
+  /** q271: multinomial Naive-Bayes language classifier TRAINED on the
+    * corpus itself — the supervised counterpart of q34's rule heuristic
+    * and the canonical "train the cheap classifier on-cluster, apply it
+    * corpus-wide" pipeline stage (quality/domain classifiers in CCNet,
+    * fastText-style): per-(lang, hashed-unigram-bucket) add-one
+    * log-likelihoods and log-priors learned from the TRAIN split
+    * (q53's deterministic content-hash split), every TEST doc scored
+    * per class as `prior + Σ count·loglik` in integer micro-units,
+    * argmax with a (score DESC, lang ASC) total tie order, reported as
+    * the holdout confusion matrix.
+    *
+    * Training IS one hash aggregate: the model is (5 langs × 256
+    * buckets) rows broadcast back — the "distributed training via
+    * sufficient statistics" shape that holds at any corpus size.
+    * Scoring joins each doc's bucket counts against the model and
+    * reduces per (doc, lang) — bounded fan-out of 5. Same ln-shift
+    * rounding device as q268, so both engines produce identical
+    * integer log-likelihoods.
+    */
+  private def q271(s: SparkSession, d: String): DataFrame =
+    nbConfusion(Tables.documents(s, d), 256)
+
+  /** The q271 train/score/confusion pipeline over any (doc_id, lang,
+    * text) frame — exposed so Round14Spec can plant a vocabulary-
+    * separated fixture and require a perfect diagonal (the real corpus'
+    * langs share one vocabulary, so there the learned posterior is
+    * dominated by the majority class — exactness is the oracle's job,
+    * discrimination is the spec's).
+    */
+  private[graft] def nbConfusion(docsRaw: DataFrame, B: Int): DataFrame = {
+    val s = docsRaw.sparkSession
+    import s.implicits._
+    val docs = docsRaw
+      .withColumn("split", splitCol($"doc_id"))
+    val toks = docs
+      .select($"doc_id", $"lang", $"split",
+        explode(split($"text", " ")).as("w"))
+      .withColumn("b", bucketCol($"w", B))
+    val classes = docs.filter($"split" === "train")
+      .groupBy($"lang".as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTrainDocs = docs.filter($"split" === "train").count()
+    val clsTok = toks.filter($"split" === "train")
+      .groupBy($"lang".as("cls"), $"b")
+      .agg(count(lit(1)).as("c"))
+    val clsTot = clsTok.groupBy($"cls").agg(sum($"c").as("nc"))
+    val spine = s.range(0, B).select($"id".as("b"))
+      .crossJoin(classes.select($"cls"))
+    val lnShift = "CAST(ROUND(1000000.0 * LN(%s) + 1000000000.0) " +
+      "AS BIGINT) - 1000000000"
+    val model = spine
+      .join(clsTok, Seq("cls", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(clsTot), Seq("cls"))
+      .select($"cls", $"b",
+        expr(lnShift.format(
+          s"CAST(c + 1 AS DOUBLE) / CAST(nc + $B AS DOUBLE)"))
+          .as("lp_micro"))
+    val prior = classes
+      .select($"cls",
+        expr(lnShift.format(
+          s"CAST(n_docs AS DOUBLE) / CAST($nTrainDocs AS DOUBLE)"))
+          .as("prior_micro"))
+    val docBuckets = toks.filter($"split" === "test")
+      .groupBy($"doc_id", $"lang", $"b")
+      .agg(count(lit(1)).as("cnt"))
+    val scoresRaw = docBuckets
+      .join(broadcast(model), Seq("b"))
+      .groupBy($"doc_id", $"lang", $"cls")
+      .agg(sum($"cnt" * $"lp_micro").as("ll_micro"))
+      .join(broadcast(prior), Seq("cls"))
+      .withColumn("score_micro", $"ll_micro" + $"prior_micro")
+    val pickW = Window.partitionBy($"doc_id")
+      .orderBy($"score_micro".desc, $"cls")
+    scoresRaw
+      .withColumn("rn", row_number().over(pickW))
+      .filter($"rn" === 1)
+      .groupBy($"lang", $"cls".as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  private val q271Sql = {
+    val b = bucketSql("w", 256)
+    def lnShift(arg: String) =
+      s"CAST(ROUND(1000000.0 * LN($arg) + 1000000000.0) AS BIGINT)" +
+        " - 1000000000"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN h <= 'b' THEN 'train' WHEN h <= 'd' THEN 'val'
+       |         ELSE 'test' END AS split, text
+       |  FROM (SELECT doc_id, lang,
+       |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h, text
+       |        FROM documents) raw),
+       |toks AS (
+       |  SELECT doc_id, lang, split, $b AS bk
+       |  FROM (SELECT doc_id, lang, split,
+       |          unnest(string_split(text, ' ')) AS w FROM base) t),
+       |classes AS (
+       |  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM base WHERE split = 'train' GROUP BY 1),
+       |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+       |        WHERE split = 'train'),
+       |clstok AS (
+       |  SELECT lang AS cls, bk, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM toks WHERE split = 'train' GROUP BY 1, 2),
+       |clstot AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS nc
+       |           FROM clstok GROUP BY 1),
+       |model AS (
+       |  SELECT cl.cls, s.b AS bk,
+       |    ${lnShift("CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / " +
+         "CAST(tt.nc + 256 AS DOUBLE)")} AS lp_micro
+       |  FROM (SELECT unnest(generate_series(0, 255)) AS b) s
+       |  CROSS JOIN classes cl
+       |  LEFT JOIN clstok ct ON ct.cls = cl.cls AND ct.bk = s.b
+       |  JOIN clstot tt ON tt.cls = cl.cls),
+       |prior AS (
+       |  SELECT cls,
+       |    ${lnShift("CAST(c.n_docs AS DOUBLE) / CAST(n.n AS DOUBLE)")}
+       |      AS prior_micro
+       |  FROM classes c, ntr n),
+       |docb AS (
+       |  SELECT doc_id, lang, bk, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks WHERE split = 'test' GROUP BY 1, 2, 3),
+       |scores AS (
+       |  SELECT d.doc_id, d.lang, m.cls,
+       |    CAST(SUM(d.cnt * m.lp_micro) AS BIGINT) + ANY_VALUE(p.prior_micro)
+       |      AS score_micro
+       |  FROM docb d JOIN model m ON m.bk = d.bk
+       |  JOIN prior p ON p.cls = m.cls
+       |  GROUP BY d.doc_id, d.lang, m.cls),
+       |pick AS (
+       |  SELECT doc_id, lang, cls,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_micro DESC, cls) AS rn
+       |  FROM scores)
+       |SELECT lang, cls AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM pick WHERE rn = 1
+       |GROUP BY lang, cls ORDER BY lang, pred_lang""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
+    QueryDef("q271_nb_classifier", q271, Some(q271Sql)),
     QueryDef("q258_pmi_collocations", q258, Some(q258Sql)),
     QueryDef("q201_curriculum_shards", q201, Some(q201Sql)),
     QueryDef("q205_kl_divergence", q205, Some(q205Sql)),

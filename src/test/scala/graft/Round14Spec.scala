@@ -539,6 +539,52 @@ class Round14Spec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("q268 DSIR ranks the target-like pool doc above the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target corpus speaks vocab A; the pool has ONE A-speaking doc
+    // among B-speaking noise — importance weighting must surface it.
+    val vocabA = (0 until 20).map(i => s"alpha$i")
+    val vocabB = (0 until 20).map(i => s"beta$i")
+    def doc(id: Long, v: Seq[String]): (Long, String, Boolean) =
+      (id, (0 until 40).map(j => v((id.toInt * 7 + j) % v.size))
+        .mkString(" "), id < 100)
+    val rows = (0L until 100L).map(doc(_, vocabA)) ++ // target
+      Seq(doc(100L, vocabA)) ++                       // the planted doc
+      (101L until 140L).map(doc(_, vocabB))           // pool noise
+    val docs = rows.toDF("doc_id", "text", "is_t")
+    val scored = ops.Corpus
+      .dsirScores(docs, col("is_t"), 256)
+      .filter($"doc_id" >= 100L)
+      .orderBy($"score_micro".desc)
+      .as[(Long, Long, Long)].collect()
+    assert(scored.head._1 == 100L)
+    // and by a wide margin: A-doc positive, B-docs negative
+    assert(scored.head._3 > 0L)
+    assert(scored.tail.forall(_._3 < 0L))
+  }
+
+  test("q271 NB classifier is perfectly diagonal on separated vocab") {
+    import spark.implicits._
+    // two "languages" with disjoint vocabularies; ids 0..199 land in
+    // train/test by the production content-hash split, so both splits
+    // are populated and the confusion matrix must be exactly diagonal.
+    def doc(id: Long): (Long, String, String) = {
+      val lang = if (id % 2 == 0) "aa" else "bb"
+      val v = if (lang == "aa") (0 until 15).map(i => s"alpha$i")
+        else (0 until 15).map(i => s"beta$i")
+      (id, (0 until 30).map(j => v((id.toInt + j) % v.size))
+        .mkString(" "), lang)
+    }
+    val docs = (0L until 200L).map(doc).toDF("doc_id", "text", "lang")
+    val conf = ops.Corpus.nbConfusion(docs, 256)
+      .as[(String, String, Long)].collect()
+    assert(conf.nonEmpty)
+    assert(conf.forall { case (lang, pred, _) => lang == pred })
+    // sanity: the held-out third is actually populated on both classes
+    assert(conf.map(_._1).toSet == Set("aa", "bb"))
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
