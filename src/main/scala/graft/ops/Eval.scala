@@ -1829,7 +1829,282 @@ object Eval {
         .agg(sum($"pos").as("pos"), sum($"tot").as("tot")))
   }
 
+  // ---- q269: Bradley–Terry preference ranking ------------------------
+
+  /** The exact integer minorization–maximization iteration for the
+    * Bradley–Terry model, shared verbatim by the q269 driver loop and
+    * (as unrolled SQL sweeps) the DuckDB oracle: strengths live in nano
+    * units, each update is
+    *   raw_i  = (w_i · 10¹⁴) div Σ_j (n_ij · 10¹⁴) div max(π_i + π_j, 1)
+    *   π_i    = (raw_i · nb · 10⁹) div Σ raw        (renormalized)
+    * — every step a truncating integer division on BigInt (HUGEINT in
+    * the oracle), so the fixed-point algorithm IS its own cross-engine
+    * spec: no float enters at any iteration. Zero-win brands collapse
+    * to strength 0 in sweep 1 and stay there, matching the MLE's
+    * boundary behavior. Exposed for Round14Spec's planted-dominance
+    * fixtures.
+    */
+  private[graft] def bradleyTerry(
+      prefs: Seq[(String, String, Long)],
+      iters: Int): Seq[(String, Long, Long, Long, Long)] = {
+    val Q = BigInt("100000000000000") // 10^14
+    val sym = prefs
+      .flatMap { case (w, l, n) => Seq((w, l) -> n, (l, w) -> n) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val brands = sym.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val wins = prefs.groupMapReduce(_._1)(_._3)(_ + _)
+      .withDefaultValue(0L)
+    val comps = sym.toSeq.groupMapReduce(_._1._1)(_._2)(_ + _)
+    require(wins.valuesIterator.sum > 0L, "bradleyTerry: no decided pairs")
+    val target = BigInt(brands.size) * BigInt(1000000000L)
+    var pi: Map[String, BigInt] =
+      brands.map(_ -> BigInt(1000000000L)).toMap
+    (1 to iters).foreach { _ =>
+      val raw = brands.map { i =>
+        val w = BigInt(wins(i))
+        i -> (if (w == 0) BigInt(0)
+              else {
+                val den = sym.collect {
+                  case ((a, b), n) if a == i =>
+                    (BigInt(n) * Q) / (pi(a) + pi(b)).max(BigInt(1))
+                }.sum
+                (w * Q) / den
+              })
+      }.toMap
+      val s = raw.values.sum
+      pi = brands.map(i => i -> (raw(i) * target) / s).toMap
+    }
+    brands
+      .sortBy(i => (-pi(i), i))
+      .zipWithIndex
+      .map { case (i, r) =>
+        (i, wins(i), comps(i), pi(i).toLong, (r + 1).toLong)
+      }
+  }
+
+  /** q269: BRADLEY–TERRY preference ranking — the reward-modeling /
+    * RLHF data-prep primitive: turn pairwise "A preferred over B"
+    * observations into a global strength ranking (the model behind
+    * chess Elo, LMSYS-style arena leaderboards, and preference-data
+    * quality checks). Preferences here: within one order, brand A beats
+    * brand B when A's total quantity is strictly higher — pair
+    * enumeration blocks on the order key (an order holds ≤ 7 lines), so
+    * the corpus-sized work is one broadcast join + two hash aggregates;
+    * the MM fixed point runs on the |brands|²-bounded preference table
+    * (625 rows at ANY corpus size — collected under a require guard,
+    * the IVF-centroid/BPE-trainer bounded-driver discipline).
+    */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bq = Tables
+      .lineitem(s, d)
+      .join(
+        broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey", $"p_brand")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+    val prefs = bq
+      .as("x")
+      .join(bq.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.p_brand") < col("y.p_brand") &&
+          col("x.qty") =!= col("y.qty"))
+      .select(
+        when(col("x.qty") > col("y.qty"), col("x.p_brand"))
+          .otherwise(col("y.p_brand")).as("win"),
+        when(col("x.qty") > col("y.qty"), col("y.p_brand"))
+          .otherwise(col("x.p_brand")).as("lose"))
+      .groupBy($"win", $"lose")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .collect()
+    require(prefs.length <= 5000,
+      s"q269: preference table ${prefs.length} exceeds the domain bound")
+    bradleyTerry(prefs.toSeq, iters = 10)
+      .toDF("brand", "wins", "n_comps", "pi_nano", "rank")
+      .orderBy($"rank")
+  }
+
+  private val q269Sql = {
+    val Q = "100000000000000"
+    // AS MATERIALIZED everywhere on the chain: each sweep references
+    // the previous strength table TWICE (both pair endpoints), so
+    // default CTE inlining would expand the plan 2^iters-fold.
+    def sweep(prev: String, n: Int): String =
+      s"""d$n AS MATERIALIZED (
+         |  SELECT s.a AS i,
+         |    SUM((CAST(s.n AS HUGEINT) * $Q)
+         |      // GREATEST(CAST(pa.pi AS HUGEINT) + pb.pi, 1)) AS den
+         |  FROM symt s
+         |  JOIN $prev pa ON pa.i = s.a JOIN $prev pb ON pb.i = s.b
+         |  GROUP BY s.a),
+         |r$n AS MATERIALIZED (
+         |  SELECT w.i, CASE WHEN w.w = 0 THEN CAST(0 AS HUGEINT)
+         |    ELSE (CAST(w.w AS HUGEINT) * $Q) // d.den END AS raw
+         |  FROM wins w JOIN d$n d ON d.i = w.i),
+         |p$n AS MATERIALIZED (
+         |  SELECT i, CAST((raw * (SELECT nb FROM nbr) * 1000000000)
+         |    // (SELECT SUM(raw) FROM r$n) AS BIGINT) AS pi
+         |  FROM r$n)""".stripMargin
+    val sweeps = (1 to 10)
+      .map(n => sweep(if (n == 1) "p0" else s"p${n - 1}", n))
+      .mkString(",\n")
+    s"""WITH bq AS MATERIALIZED (
+       |  SELECT l_orderkey, p_brand,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |prefs AS MATERIALIZED (
+       |  SELECT CASE WHEN x.qty > y.qty THEN x.p_brand
+       |              ELSE y.p_brand END AS win,
+       |         CASE WHEN x.qty > y.qty THEN y.p_brand
+       |              ELSE x.p_brand END AS lose,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM bq x JOIN bq y ON x.l_orderkey = y.l_orderkey
+       |    AND x.p_brand < y.p_brand AND x.qty <> y.qty
+       |  GROUP BY 1, 2),
+       |symt AS MATERIALIZED (
+       |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM (SELECT win AS a, lose AS b, n FROM prefs
+       |        UNION ALL SELECT lose, win, n FROM prefs) u
+       |  GROUP BY a, b),
+       |brands AS (SELECT DISTINCT a AS i FROM symt),
+       |nbr AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nb FROM brands),
+       |wins AS MATERIALIZED (
+       |  SELECT b.i, CAST(COALESCE(SUM(p.n), 0) AS BIGINT) AS w
+       |  FROM brands b LEFT JOIN prefs p ON p.win = b.i GROUP BY b.i),
+       |comps AS (SELECT a AS i, CAST(SUM(n) AS BIGINT) AS c
+       |          FROM symt GROUP BY a),
+       |p0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS pi FROM brands),
+       |$sweeps
+       |SELECT p.i AS brand, w.w AS wins, c.c AS n_comps,
+       |  p.pi AS pi_nano,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY p.pi DESC, p.i) AS BIGINT)
+       |    AS rank
+       |FROM p10 p JOIN wins w ON w.i = p.i JOIN comps c ON c.i = p.i
+       |ORDER BY rank""".stripMargin
+  }
+
+  // ---- q270: off-policy evaluation (IPS / SNIPS / DR) ----------------
+
+  /** q270: OFF-POLICY EVALUATION of a recommendation policy from logged
+    * bandit feedback — "what would the new policy's mean reward have
+    * been?", answered from logs alone (Horvitz–Thompson / counterfactual
+    * estimation, the standard readout before any A/B test): inverse-
+    * propensity scoring (IPS), weight-clipped IPS, self-normalized IPS
+    * (SNIPS), and the doubly-robust estimator (DR) over a per-(hour,
+    * action) outcome model. The logged policy's propensities are the
+    * known randomization k/10 with k = 1 + (hour + len(action)) mod 4;
+    * the TARGET policy and the DR outcome model q̂ are both learned from
+    * the even-epoch-day TRAIN half (q̂ = integer mean cents per (hour,
+    * action); target = argmax_a q̂ with (q̂ DESC, action) tie order), and
+    * all four estimators evaluate on the odd-day half.
+    *
+    * Exactness: inverse weights are integer micro-units 10⁷ div k;
+    * every per-row term is a Long product; SNIPS' final ratio avoids
+    * the >2⁶³ cross-product via the division identity
+    * (q·10⁶ + (rem·10⁶) div den) ≡ (num·10⁶) div den. One row per
+    * estimator. Scale: two hash aggregates over the events table plus a
+    * 24×5-domain broadcast model — nothing corpus-sized survives the
+    * first aggregate.
+    */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables
+      .events(s, d)
+      .select(
+        expr(hrExpr).as("hr"),
+        $"event_type".as("action"),
+        expr(centsExpr).as("c"),
+        (expr("unix_micros(ts) DIV 86400000000") % 2 === 0)
+          .as("is_train"))
+    val qhat = base
+      .filter($"is_train")
+      .groupBy($"hr", $"action")
+      .agg(expr("SUM(c) DIV COUNT(*)").as("q"))
+    val polW = Window.partitionBy($"hr").orderBy($"q".desc, $"action")
+    val pol = qhat
+      .withColumn("rn", row_number().over(polW))
+      .filter($"rn" === 1)
+      .select($"hr", $"action".as("pol_action"), $"q".as("q_pol"))
+    val terms = base
+      .filter(!$"is_train")
+      .join(broadcast(pol), Seq("hr"), "left")
+      .join(broadcast(qhat), Seq("hr", "action"), "left")
+      .select(
+        coalesce($"q", lit(0L)).as("qa"),
+        coalesce($"q_pol", lit(0L)).as("qpi"),
+        when($"action" === $"pol_action", 1L).otherwise(0L).as("ind"),
+        $"c",
+        expr("10000000 DIV (1 + (hr + length(action)) % 4)").as("w"))
+    val agg = terms.agg(
+      count(lit(1)).as("n"),
+      sum($"ind" * $"c" * $"w").as("ips_num"),
+      sum($"ind" * $"c" * least($"w", lit(4000000L))).as("clip_num"),
+      sum($"ind" * $"w").as("sn_den"),
+      sum($"qpi" * lit(1000000L) +
+        $"ind" * $"w" * ($"c" - $"qa")).as("dr_num"))
+    agg.select(
+      explode(array(
+        struct(lit("1_ips").as("estimator"), $"n".as("n_eval"),
+          expr("ips_num DIV n").as("est_microcents")),
+        struct(lit("2_clip_ips").as("estimator"), $"n".as("n_eval"),
+          expr("clip_num DIV n").as("est_microcents")),
+        struct(lit("3_snips").as("estimator"), $"n".as("n_eval"),
+          expr("""(ips_num DIV GREATEST(sn_den, 1)) * 1000000 +
+                 |((ips_num % GREATEST(sn_den, 1)) * 1000000)
+                 |  DIV GREATEST(sn_den, 1)""".stripMargin)
+            .as("est_microcents")),
+        struct(lit("4_dr").as("estimator"), $"n".as("n_eval"),
+          expr("dr_num DIV n").as("est_microcents")))).as("r"))
+      .select($"r.estimator", $"r.n_eval", $"r.est_microcents")
+      .orderBy($"estimator")
+  }
+
+  private val q270Sql =
+    s"""WITH base AS (
+       |  SELECT $hrSqlExpr AS hr, event_type AS action,
+       |    $centsExpr AS c,
+       |    (epoch_us(ts) // 86400000000) % 2 = 0 AS is_train
+       |  FROM events),
+       |qhat AS (
+       |  SELECT hr, action,
+       |    CAST(SUM(c) AS BIGINT) // COUNT(*) AS q
+       |  FROM base WHERE is_train GROUP BY 1, 2),
+       |pol AS (
+       |  SELECT hr, action AS pol_action, q AS q_pol
+       |  FROM (SELECT hr, action, q, ROW_NUMBER() OVER (PARTITION BY hr
+       |          ORDER BY q DESC, action) AS rn FROM qhat) t
+       |  WHERE rn = 1),
+       |terms AS (
+       |  SELECT COALESCE(qh.q, 0) AS qa, COALESCE(p.q_pol, 0) AS qpi,
+       |    CASE WHEN b.action = p.pol_action THEN 1 ELSE 0 END AS ind,
+       |    b.c, 10000000 // (1 + (b.hr + length(b.action)) % 4) AS w
+       |  FROM base b
+       |  LEFT JOIN pol p ON p.hr = b.hr
+       |  LEFT JOIN qhat qh ON qh.hr = b.hr AND qh.action = b.action
+       |  WHERE NOT b.is_train),
+       |agg AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(ind * c * w) AS BIGINT) AS ips_num,
+       |    CAST(SUM(ind * c * LEAST(w, 4000000)) AS BIGINT) AS clip_num,
+       |    CAST(SUM(ind * w) AS BIGINT) AS sn_den,
+       |    CAST(SUM(qpi * 1000000 + ind * w * (c - qa)) AS BIGINT)
+       |      AS dr_num
+       |  FROM terms)
+       |SELECT '1_ips' AS estimator, n AS n_eval,
+       |  ips_num // n AS est_microcents FROM agg
+       |UNION ALL SELECT '2_clip_ips', n, clip_num // n FROM agg
+       |UNION ALL SELECT '3_snips', n,
+       |  (ips_num // GREATEST(sn_den, 1)) * 1000000 +
+       |  ((ips_num % GREATEST(sn_den, 1)) * 1000000)
+       |    // GREATEST(sn_den, 1) FROM agg
+       |UNION ALL SELECT '4_dr', n, dr_num // n FROM agg
+       |ORDER BY estimator""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q269_bradley_terry", q269, Some(q269Sql)),
+    QueryDef("q270_offpolicy_eval", q270, Some(q270Sql)),
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),
     // incremental state-store maintenance of the SAME metric: the
     // oracle is q240's SQL over the full table — merge ≡ recompute

@@ -585,6 +585,72 @@ class Round14Spec extends AnyFunSuite {
     assert(conf.map(_._1).toSet == Set("aa", "bb"))
   }
 
+  test("q269 Bradley-Terry: planted dominance orders the ranking") {
+    // A beats everyone heavily; B beats C; D never wins a pair.
+    val prefs = Seq(
+      ("A", "B", 30L), ("A", "C", 30L), ("A", "D", 30L),
+      ("B", "A", 2L), ("B", "C", 10L), ("B", "D", 10L),
+      ("C", "B", 3L), ("C", "D", 8L))
+    val out = ops.Eval.bradleyTerry(prefs, iters = 10)
+    assert(out.map(_._1) == Seq("A", "B", "C", "D"))
+    assert(out.map(_._5) == Seq(1L, 2L, 3L, 4L))
+    // strengths strictly ordered; zero-win D collapses to 0
+    val pi = out.map(_._4)
+    assert(pi.zip(pi.tail).forall { case (a, b) => a > b })
+    assert(pi.last == 0L)
+    // renormalization invariant: sum of strengths ~= nb * 1e9
+    // (each truncating division loses < 1 nano-unit per brand)
+    assert(math.abs(pi.sum - 4L * 1000000000L) <= 4L)
+  }
+
+  test("q270 estimators equal a driver-side recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+        $"event_type".as("a"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"),
+        expr("(unix_micros(ts) DIV 86400000000) % 2 = 0").as("tr"))
+      .as[(Long, String, Long, Boolean)].collect()
+    val qhat = ev.filter(_._4).groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._3).sum / rs.length }
+    val pol = ev.filter(_._4).map(r => (r._1, r._2)).distinct
+      .groupBy(_._1).map { case (h, ks) =>
+        h -> ks.map(k => (k._2, qhat(k))).minBy { case (a, q) => (-q, a) }
+      }
+    val te = ev.filterNot(_._4)
+    val n = te.length.toLong
+    def w(hr: Long, a: String) = 10000000L / (1 + (hr + a.length) % 4)
+    val ips = te.map { r =>
+      if (pol.get(r._1).exists(_._1 == r._2)) r._3 * w(r._1, r._2) else 0L
+    }
+    val clip = te.map { r =>
+      if (pol.get(r._1).exists(_._1 == r._2))
+        r._3 * math.min(w(r._1, r._2), 4000000L) else 0L
+    }
+    val snDen = te.map { r =>
+      if (pol.get(r._1).exists(_._1 == r._2)) w(r._1, r._2) else 0L
+    }.sum
+    val dr = te.map { r =>
+      val qpi = pol.get(r._1).map(_._2).getOrElse(0L)
+      val ind = if (pol.get(r._1).exists(_._1 == r._2)) 1L else 0L
+      qpi * 1000000L +
+        ind * w(r._1, r._2) * (r._3 - qhat.getOrElse((r._1, r._2), 0L))
+    }.sum
+    val num = ips.sum
+    val den = math.max(snDen, 1L)
+    val want = Map(
+      "1_ips" -> num / n,
+      "2_clip_ips" -> clip.sum / n,
+      "3_snips" -> ((num / den) * 1000000L + (num % den) * 1000000L / den),
+      "4_dr" -> dr / n)
+    val got = SparkEntry.queries("q270_offpolicy_eval")(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == want)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
