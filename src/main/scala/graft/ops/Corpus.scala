@@ -2261,7 +2261,186 @@ object Corpus {
        |GROUP BY lang, cls ORDER BY lang, pred_lang""".stripMargin
   }
 
+  // ---- q272: IR evaluation metrics -----------------------------------
+
+  /** q272: RETRIEVAL EVALUATION — recall@k, MRR@k, DCG@k and NDCG@k of
+    * the lexical ranker (q167's BM25 top-20) against graded semantic
+    * ground truth (the exact-cosine top-20 of q262's dense side, graded
+    * 3/2/1 by rank band 1-5/6-10/11-20) — the metric layer every search
+    * / RAG stack needs next to its rankers: q167/q262/q263 RETRIEVE,
+    * this query says how well. One row per cutoff k ∈ {5, 10, 20}.
+    *
+    * Exactness: relevance grades and ranks are integers; each DCG term
+    * (2^rel − 1)/log₂(i+1) is computed as a correctly-rounded double in
+    * identical operand order (LN(i+1)/LN(2) — the proven ln device),
+    * micro-rounded per TERM, then integer-summed (never float-summed
+    * across rows); NDCG is the integer ppm ratio of the two micro sums;
+    * MRR is 10⁶ div first-relevant-rank. Both input lists are K-bounded
+    * before any window, so the whole metric stage is O(K·|cutoffs|)
+    * rows regardless of corpus size.
+    */
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 20
+    val bmW = Window.orderBy($"bm25".desc, $"doc_id")
+    val sys = bm25Scores(s, d)
+      .orderBy($"bm25".desc, $"doc_id").limit(K)
+      .withColumn("i", row_number().over(bmW).cast("long"))
+      .select($"doc_id", $"i")
+    val cosW = Window.orderBy($"cos".desc, $"vec_id")
+    val truth = Vectors
+      .topKCosine(Tables.embeddings(s, d), queryVecId = 0L, k = K)
+      .withColumn("tr", row_number().over(cosW).cast("long"))
+      .select($"vec_id".as("doc_id"), $"tr")
+      .withColumn("rel",
+        when($"tr" <= 5, 3L).when($"tr" <= 10, 2L).otherwise(1L))
+      .select($"doc_id", $"rel")
+    irMetrics(sys, truth, Seq(5L, 10L, 20L))
+  }
+
+  /** The q272 metric core over any ranked list `sys(doc_id, i)` and
+    * graded truth `truth(doc_id, rel)` — exposed so Round14Spec can
+    * drive planted rankings (the ideal permutation must score
+    * NDCG = 10⁶ exactly; swapping in irrelevant docs must lower it).
+    */
+  private[graft] def irMetrics(
+      sys: DataFrame,
+      truth: DataFrame,
+      cutoffs: Seq[Long]): DataFrame = {
+    val s = sys.sparkSession
+    import s.implicits._
+    val nTruth = truth.count()
+    val idealW = Window.orderBy($"rel".desc, $"doc_id")
+    val ideal = truth
+      .withColumn("j", row_number().over(idealW).cast("long"))
+    val ks = s.range(0, cutoffs.length).select(
+      element_at(array(cutoffs.map(lit): _*),
+        ($"id" + 1).cast("int")).as("k"))
+    def dcgTerm(rel: String, pos: String): String =
+      s"""CAST(ROUND(1000000.0 *
+         |  (CAST(POW(2.0, $rel) - 1.0 AS DOUBLE) /
+         |   (LN(CAST($pos + 1 AS DOUBLE)) / LN(2.0)))) AS BIGINT)"""
+        .stripMargin
+    val sysK = sys
+      .crossJoin(broadcast(ks)).filter($"i" <= $"k")
+      .join(truth.select($"doc_id", $"rel"), Seq("doc_id"), "left")
+      .groupBy($"k")
+      .agg(
+        sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when($"rel".isNotNull, $"i")).as("first_rel"),
+        sum(when($"rel".isNotNull,
+          expr(dcgTerm("rel", "i"))).otherwise(0L)).as("dcg_micro"))
+    val idealK = ideal
+      .crossJoin(broadcast(ks)).filter($"j" <= $"k")
+      .groupBy($"k")
+      .agg(sum(expr(dcgTerm("rel", "j"))).as("idcg_micro"))
+    sysK
+      .join(idealK, Seq("k"))
+      .select($"k",
+        lit(nTruth).as("n_truth"),
+        $"hits",
+        expr(s"(hits * 1000) DIV $nTruth").as("recall_permille"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).as("mrr_micro"),
+        $"dcg_micro",
+        expr("(dcg_micro * 1000000) DIV idcg_micro").as("ndcg_ppm"))
+      .orderBy($"k")
+  }
+
+  private val q272Sql = {
+    def dcgTerm(rel: String, pos: String): String =
+      s"""CAST(ROUND(1000000.0 *
+         |  (CAST(POW(2.0, $rel) - 1.0 AS DOUBLE) /
+         |   (LN(CAST($pos + 1 AS DOUBLE)) / LN(2.0)))) AS BIGINT)"""
+        .stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |posting AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM toks GROUP BY doc_id, term),
+       |lens AS (
+       |  SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+       |n AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+       |      AS BIGINT) AS tot_toks
+       |  FROM documents),
+       |qterms AS (
+       |  SELECT term, (1000000 * n_docs) // df AS idf_ppm,
+       |    n_docs, tot_toks
+       |  FROM (SELECT term, COUNT(*) AS df FROM posting GROUP BY term) s, n
+       |  ORDER BY df DESC, term LIMIT 3),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    (q.idf_ppm * p.tf * 2200) //
+       |      (p.tf * 1000 +
+       |       (1200 * (250 + (750 * l.len * 1000) //
+       |         ((q.tot_toks * 1000) // q.n_docs))) // 1000) AS score
+       |  FROM posting p
+       |  JOIN qterms q USING (term)
+       |  JOIN lens l USING (doc_id)),
+       |bm AS (
+       |  SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |sys AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+       |      AS i
+       |  FROM bm),
+       |cosd AS (
+       |  SELECT vec_id AS doc_id,
+       |    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                           CAST(q.qe AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                 CAST(embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+       |                                 CAST(q.qe AS DOUBLE[])))), 4)
+       |      AS cos
+       |  FROM embeddings,
+       |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 20),
+       |truth AS (
+       |  SELECT doc_id, tr,
+       |    CASE WHEN tr <= 5 THEN 3 WHEN tr <= 10 THEN 2 ELSE 1 END
+       |      AS rel
+       |  FROM (SELECT doc_id,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+       |            AS BIGINT) AS tr
+       |        FROM cosd) t),
+       |ideal AS (
+       |  SELECT doc_id, rel,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT)
+       |      AS j
+       |  FROM truth),
+       |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k),
+       |sysk AS (
+       |  SELECT ks.k,
+       |    CAST(SUM(CASE WHEN t.rel IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits,
+       |    MIN(CASE WHEN t.rel IS NOT NULL THEN s.i END) AS first_rel,
+       |    CAST(SUM(CASE WHEN t.rel IS NOT NULL THEN
+       |      ${dcgTerm("t.rel", "s.i")} ELSE 0 END) AS BIGINT)
+       |      AS dcg_micro
+       |  FROM sys s CROSS JOIN ks
+       |  LEFT JOIN truth t ON t.doc_id = s.doc_id
+       |  WHERE s.i <= ks.k GROUP BY ks.k),
+       |idealk AS (
+       |  SELECT ks.k,
+       |    CAST(SUM(${dcgTerm("d.rel", "d.j")}) AS BIGINT) AS idcg_micro
+       |  FROM ideal d CROSS JOIN ks WHERE d.j <= ks.k GROUP BY ks.k)
+       |SELECT s.k AS k, CAST(20 AS BIGINT) AS n_truth, s.hits,
+       |  (s.hits * 1000) // 20 AS recall_permille,
+       |  COALESCE(1000000 // s.first_rel, 0) AS mrr_micro,
+       |  s.dcg_micro,
+       |  (s.dcg_micro * 1000000) // i.idcg_micro AS ndcg_ppm
+       |FROM sysk s JOIN idealk i ON i.k = s.k
+       |ORDER BY k""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q272_ir_metrics", q272, Some(q272Sql)),
     QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
     QueryDef("q271_nb_classifier", q271, Some(q271Sql)),
     QueryDef("q258_pmi_collocations", q258, Some(q258Sql)),

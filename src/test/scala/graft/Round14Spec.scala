@@ -651,6 +651,31 @@ class Round14Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q272 metric core: ideal ranking scores NDCG 1e6, noise lowers it") {
+    import spark.implicits._
+    // truth: docs 1..6 graded 3,3,2,2,1,1 — ideal order is 1..6
+    val truth = Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 2L), (5L, 1L),
+      (6L, 1L)).toDF("doc_id", "rel")
+    val ideal = (1L to 6L).zipWithIndex
+      .map { case (d, i) => (d, i + 1L) }.toDF("doc_id", "i")
+    val got = ops.Corpus.irMetrics(ideal, truth, Seq(3L, 6L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L)._7 == 1000000L) // NDCG@3 perfect
+    assert(got(6L)._7 == 1000000L)
+    assert(got(6L)._4 == 1000L)    // recall@6 = 100%
+    assert(got(6L)._5 == 1000000L) // MRR: first hit at rank 1
+    // corrupt: two irrelevant docs shoved on top
+    val noisy = (Seq((90L, 1L), (91L, 2L)) ++
+      (1L to 6L).zipWithIndex.map { case (d, i) => (d, i + 3L) })
+      .toDF("doc_id", "i")
+    val deg = ops.Corpus.irMetrics(noisy, truth, Seq(6L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(deg._7 < 1000000L)
+    assert(deg._5 == 333333L)      // first relevant now at rank 3
+    assert(deg._3 == 4L)           // only 4 of 6 truth docs inside k=6
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
