@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Distributed graph analytics over relations (no graph library — graphs
   * ARE relations: an edge table and iterated joins). Complements the
@@ -368,9 +369,115 @@ object Graph {
        |SELECT node, dist FROM r4 ORDER BY dist, node""".stripMargin
   }
 
+  /** Synchronous label propagation over a symmetric edge list
+    * `(src, dst)` — every sweep, each node adopts the most frequent
+    * label among its neighbors PLUS its own (the self-vote damps the
+    * 2-cycle oscillation pure-synchronous LPA exhibits on bipartite
+    * structures), ties broken by smallest label — a TOTAL order, so
+    * the whole fixed point is deterministic and oracle-exact, unlike
+    * textbook LPA's random tie-breaking. Exposed for Round14Spec's
+    * planted-clique fixtures and driver-simulation equality.
+    */
+  private[graft] def labelPropagation(
+      edges: DataFrame,
+      iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.localCheckpoint()
+    var labels = e
+      .select($"src".as("id"))
+      .distinct()
+      .withColumn("lab", $"id")
+      .localCheckpoint()
+    val pickW = Window.partitionBy($"id").orderBy($"c".desc, $"lab")
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select($"id".as("dst"), $"lab"), "dst")
+        .select($"src".as("id"), $"lab")
+        .unionAll(labels)
+      labels = votes
+        .groupBy($"id", $"lab")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(pickW))
+        .filter($"rn" === 1)
+        .select($"id", $"lab")
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q273: COMMUNITY DETECTION by label propagation over the
+    * co-purchase graph (parts adjacent when they share an order —
+    * q143's edge builder), 4 synchronous sweeps, reported as the top
+    * 25 communities by size. The missing fifth classic graph kernel
+    * next to PageRank (q75), components (q63), triangles (q143) and
+    * BFS (q187); in a training-data pipeline this is the
+    * near-dup-cluster / topic-grouping primitive at graph scale.
+    * ABSENT-IN-REF.
+    *
+    * Scale: each sweep is ONE co-partitioned join (edges hash on dst,
+    * labels on id), one map-side-combinable (id, lab) count, and one
+    * per-node window over candidate labels (bounded by degree);
+    * `localCheckpoint` per sweep truncates lineage (q63/q187's
+    * discipline). The oracle unrolls the same 4 sweeps as MATERIALIZED
+    * CTEs (each sweep reads its predecessor twice — inlining would
+    * double the plan per sweep, the q269 lesson).
+    */
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val und = li
+      .as("x")
+      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("a"), $"y.pk".as("b"))
+      .distinct()
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    labelPropagation(edges, iters = 4)
+      .groupBy($"lab".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"n_members".desc, $"community")
+      .limit(25)
+  }
+
+  private val q273Sql = {
+    def sweep(n: Int): String = {
+      val prev = if (n == 1) "l0" else s"l${n - 1}"
+      s"""v$n AS MATERIALIZED (
+         |  SELECT e.src AS id, l.lab
+         |  FROM edges e JOIN $prev l ON l.id = e.dst
+         |  UNION ALL SELECT id, lab FROM $prev),
+         |l$n AS MATERIALIZED (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY COUNT(*) DESC, lab) AS rn
+         |    FROM v$n GROUP BY id, lab) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey
+       |   AND l1.l_partkey < l2.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS lab FROM edges),
+       |${(1 to 4).map(sweep).mkString(",\n")}
+       |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM l4 GROUP BY lab
+       |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q75_pagerank", q75, Some(q75Sql)),
     QueryDef("q143_triangle_count", q143, Some(q143Sql)),
     QueryDef("q187_khop_bfs", q187, Some(q187Sql)),
+    QueryDef("q273_label_propagation", q273, Some(q273Sql)),
   )
 }

@@ -676,6 +676,33 @@ class Round14Spec extends AnyFunSuite {
     assert(deg._3 == 4L)           // only 4 of 6 truth docs inside k=6
   }
 
+  test("q273 LPA separates planted cliques and matches the simulation") {
+    import spark.implicits._
+    // two 6-cliques joined by one bridge edge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val und = clique(1L to 6L) ++ clique(11L to 16L) ++ Seq((6L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = ops.Graph.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // exact same synchronous algorithm, simulated on the driver
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = lab.map { case (n, _) =>
+        val votes = (adj(n).map(lab) :+ lab(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lab)
+    // and the planted structure is recovered: two communities, split
+    // exactly at the bridge
+    val comms = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(comms == Set((1L to 6L).toSet, (11L to 16L).toSet))
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
