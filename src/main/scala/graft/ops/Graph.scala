@@ -389,18 +389,20 @@ object Graph {
       .distinct()
       .withColumn("lab", $"id")
       .localCheckpoint()
-    val pickW = Window.partitionBy($"id").orderBy($"c".desc, $"lab")
     for (_ <- 1 to iters) {
       val votes = e
         .join(labels.select($"id".as("dst"), $"lab"), "dst")
         .select($"src".as("id"), $"lab")
         .unionAll(labels)
+      // mode with (count DESC, label ASC) as ONE max-of-struct pair of
+      // map-side-combinable aggregates — no per-node window sort; the
+      // label negation turns "smallest label" into plain max order.
       labels = votes
         .groupBy($"id", $"lab")
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(pickW))
-        .filter($"rn" === 1)
-        .select($"id", $"lab")
+        .groupBy($"id")
+        .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
+        .select($"id", (-$"m.nl").as("lab"))
         .localCheckpoint()
     }
     labels
