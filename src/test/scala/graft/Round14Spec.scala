@@ -767,6 +767,32 @@ class Round14Spec extends AnyFunSuite {
     assert(peig(0) / peig.sum > 0.99)
   }
 
+  test("q275 merged index equals q167 rebuild; delta replay is a no-op") {
+    import spark.implicits._
+    val inc = SparkEntry.queries("q275_incremental_index")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val full = SparkEntry.queries("q167_bm25_search")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full)
+    // replay: re-apply the SAME delta to the already-updated store —
+    // the (term, doc_id)-keyed merge must leave it unchanged
+    val root = ops.Corpus.q275StoreRoot(sf)
+    val before = spark.read.parquet(s"$root/v2")
+      .as[(String, Long, Long)].collect().toSet
+    val delta = Tables.documents(spark, sf)
+      .where($"doc_id" % 10 >= 8)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tf"))
+    val after = ops.Corpus
+      .indexMergeStep(spark, delta, s"$root/v2", s"$root/v3")
+      .as[(String, Long, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
