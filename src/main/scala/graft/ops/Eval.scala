@@ -640,18 +640,31 @@ object Eval {
     * the correctly-rounded primitives), rounded to 1e-9 fixed-point,
     * and INTEGER-summed (q195's device).
     */
+  /** q246's reference-window cut (2024-01-16T00:00:00Z, q194's). */
+  private[graft] val psiCutUs = 1705363200000000L
+
   private def q246(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z, q194's cut
     val binned = Tables
       .events(s, d)
       .select($"event_type", expr(s"$centsExpr DIV 500").as("bin"),
-        (unix_micros($"ts") < cutUs).as("ref"))
+        (unix_micros($"ts") < psiCutUs).as("ref"))
       .groupBy($"event_type", $"bin")
       .agg(
         sum(when($"ref", 1L).otherwise(0L)).as("a"),
         sum(when(!$"ref", 1L).otherwise(0L)).as("b"),
       )
+    psiFromBinned(binned)
+  }
+
+  /** q246's PSI arithmetic over any (event_type, bin, a, b) histogram —
+    * ONE implementation shared by the batch query and the streaming
+    * monitor's read side (q276), so the two paths cannot drift: the
+    * stream emits histogram snapshots, never floats, and every ln runs
+    * through this exact plan.
+    */
+  private[graft] def psiFromBinned(binned: DataFrame): DataFrame = {
+    import binned.sparkSession.implicits._
     val part = Window.partitionBy($"event_type")
     val terms = binned
       .withColumn("nb", count(lit(1)).over(part))
@@ -2124,6 +2137,11 @@ object Eval {
     QueryDef("q256_stream_msprt",
       (s, d) => graft.streaming.Streams.streamMsprt(s, d),
       Some(q251Sql)),
+    // the drift monitor LIVE: MapState histogram snapshots, read side
+    // through the SHARED psiFromBinned plan — oracle is q246's SQL
+    QueryDef("q276_stream_psi",
+      (s, d) => graft.streaming.Streams.streamPsi(s, d),
+      Some(q246Sql)),
     QueryDef("q252_qini_uplift", q252, Some(q252Sql)),
     QueryDef("q254_ljung_box", q254, Some(q254Sql)),
     QueryDef("q255_eb_shrinkage", q255, Some(q255Sql)),

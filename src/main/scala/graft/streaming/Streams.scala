@@ -2854,4 +2854,106 @@ object Streams {
         .orderBy($"cnt".desc, $"tok")
     }
   }
+
+  // ---- q276: streaming PSI drift monitor ----------------------------
+
+  final case class PsiRow(
+      event_type: String, ver: Long, bin: Long, a: Long, b: Long)
+
+  /** Per-type LIVE drift histogram — q246's (bin → ref/cur counts)
+    * sufficient statistic maintained in a MapState across microbatches
+    * (bins are the data-derived map keys, the q118 dynamic-sub-key
+    * shape; batch-local pre-aggregation keeps state ops to one per
+    * TOUCHED bin, not one per row). Counts are order-free integer sums,
+    * so no watermark or maturation is needed (contrast q256, whose
+    * fold is order-sensitive): each batch emits versioned SNAPSHOTS of
+    * the changed bins — never a float — and the read side reassembles
+    * the latest histogram and runs it through `Eval.psiFromBinned`,
+    * the IDENTICAL Spark plan the batch query uses. The monitor is
+    * always current (PSI is one domain-sized computation away at any
+    * instant), and its final table is bit-for-bit the batch q246.
+    */
+  final class PsiHistProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Boolean), PsiRow] {
+    @transient private var hist:
+        org.apache.spark.sql.streaming.MapState[Long, (Long, Long)] = _
+    @transient private var ver:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      hist = getHandle.getMapState[Long, (Long, Long)]("hist",
+        Encoders.scalaLong, Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long, Boolean)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[PsiRow] = {
+      val delta = scala.collection.mutable.HashMap
+        .empty[Long, (Long, Long)]
+      rows.foreach { case (_, bin, ref) =>
+        val (da, db) = delta.getOrElse(bin, (0L, 0L))
+        delta.update(bin,
+          if (ref) (da + 1L, db) else (da, db + 1L))
+      }
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v)
+      delta.iterator.map { case (bin, (da, db)) =>
+        val (a0, b0) =
+          if (hist.containsKey(bin)) hist.getValue(bin) else (0L, 0L)
+        val nw = (a0 + da, b0 + db)
+        hist.updateValue(bin, nw)
+        PsiRow(key, v, bin, nw._1, nw._2)
+      }.toVector.iterator
+    }
+  }
+
+  /** q276: [[PsiHistProcessor]] under the oracle gate — the oracle is
+    * LITERALLY q246's SQL, and Round14Spec pins stream ≡ batch
+    * row-for-row. Harness: the events table staged as 3 arrival
+    * batches so the MapState genuinely accumulates across microbatches;
+    * read side = max_by(ver) snapshot per (type, bin) → the shared
+    * `psiFromBinned` plan.
+    */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    withRocksDbStore(spark) {
+      val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Paths.get("target", "graft_stream",
+        s"psi_$uuid")
+      val srcDir = root.resolve("src").toString
+      spark.read.schema(eventsSchema(tsLong))
+        .parquet(s"$dir/events.parquet")
+        .select($"event_type", usExpr(tsLong).as("us"),
+          expr("CAST(ROUND(value * 100) AS BIGINT) DIV 500").as("bin"))
+        .repartitionByRange(3, $"us")
+        .write.parquet(srcDir)
+      implicit val outEnc = Encoders.product[PsiRow]
+      val updates = spark.readStream
+        .schema("event_type STRING, us LONG, bin LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select($"event_type", $"bin",
+          ($"us" < graft.ops.Eval.psiCutUs).as("ref"))
+        .as[(String, Long, Boolean)]
+        .groupByKey(_._1)
+        .transformWithState(new PsiHistProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      deleteStaged(root.resolve("src"))
+      val binned = spark.read.parquet(out)
+        .groupBy($"event_type", $"bin")
+        .agg(
+          expr("max_by(a, ver)").as("a"),
+          expr("max_by(b, ver)").as("b"))
+      graft.ops.Eval.psiFromBinned(binned)
+    }
+  }
 }

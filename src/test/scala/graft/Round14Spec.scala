@@ -793,6 +793,14 @@ class Round14Spec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("q276 streaming PSI equals batch q246 row-for-row") {
+    val batch = SparkEntry.queries("q246_psi_drift")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("q276_stream_psi")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
