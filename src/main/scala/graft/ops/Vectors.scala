@@ -1570,10 +1570,108 @@ object Vectors {
       .orderBy($"component")
   }
 
+  // ---- q277: greedy k-center coreset selection -----------------------
+
+  /** q277: K-CENTER CORESET — greedy farthest-point selection of k = 8
+    * maximally-spread exemplars from the embedding corpus (the
+    * 2-approximation of the k-center objective; the data-pruning /
+    * coreset primitive next to q268's distribution-matching selection:
+    * DSIR picks what LOOKS like the target, k-center picks what COVERS
+    * the space). Round t selects argmax over vectors of min squared
+    * distance to the chosen set, ties to the smallest vec_id — a total
+    * order, so the trajectory is deterministic and oracle-exact.
+    *
+    * Exactness device: embeddings quantize to 10⁴ fixed point, so
+    * every squared distance is an INTEGER ≤ ~4·10¹¹ — Spark computes
+    * Σ(x−y)² in Long inside codegen'd array HOFs, the oracle computes
+    * the algebraically identical daa + dbb − 2·a·b via
+    * `list_dot_product` (whose magnitudes stay < 2⁵³, so DuckDB's
+    * doubles hold them exactly). Scale: each of the k−1 rounds is ONE
+    * corpus scan + an all-reduce max of a (dist, id) pair — never a
+    * pairwise matrix; the chosen set lives on the driver (k vectors,
+    * the IVF-centroid bounded-driver discipline).
+    */
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val vq = Tables
+      .embeddings(s, d)
+      .select($"vec_id",
+        expr("transform(embedding, x -> " +
+          "CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("v"))
+      .localCheckpoint()
+    def vecOf(id: Long): Array[Long] =
+      vq.where($"vec_id" === id).select($"v")
+        .as[Array[Long]].head()
+    def distExpr(c: Array[Long]): String =
+      s"""aggregate(zip_with(v, array(${c.mkString(",")}L),
+         |  (x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e)"""
+        .stripMargin
+    var centers = Vector((0L, 0L)) // (vec_id, sel_dist2): the seed
+    var centerVecs = Vector(vecOf(0L))
+    for (_ <- 2 to k) {
+      val md =
+        if (centerVecs.length == 1) expr(distExpr(centerVecs.head))
+        else least(centerVecs.map(c => expr(distExpr(c))): _*)
+      val pick = vq
+        .select($"vec_id", md.as("md"))
+        .agg(max(struct($"md", (-$"vec_id").as("nid"))).as("m"))
+        .select((-$"m.nid").as("vec_id"), $"m.md".as("md"))
+        .as[(Long, Long)]
+        .head()
+      centers :+= pick
+      centerVecs :+= vecOf(pick._1)
+    }
+    centers.zipWithIndex
+      .map { case ((id, d2), i) => (i + 1L, id, d2) }
+      .toDF("round", "center_id", "sel_dist2")
+      .orderBy($"round")
+  }
+
+  private val q277Sql = {
+    def sweep(n: Int): String = {
+      val prev = if (n == 1) "k0" else s"k${n - 1}"
+      s"""m$n AS MATERIALIZED (
+         |  SELECT q.vec_id,
+         |    MIN(CAST(q.daa + c.daa
+         |      - 2 * list_dot_product(q.v, c.v) AS BIGINT)) AS md
+         |  FROM vqd q, vqd c JOIN $prev k ON k.vec_id = c.vec_id
+         |  GROUP BY q.vec_id),
+         |p$n AS MATERIALIZED (
+         |  SELECT vec_id, md FROM m$n
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |k$n AS MATERIALIZED (
+         |  SELECT vec_id FROM $prev
+         |  UNION ALL SELECT vec_id FROM p$n)""".stripMargin
+    }
+    s"""WITH vqd AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> ROUND(x * 10000.0)) AS v,
+       |    list_dot_product(
+       |      list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> ROUND(x * 10000.0)),
+       |      list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> ROUND(x * 10000.0))) AS daa
+       |  FROM embeddings),
+       |k0 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+       |${(1 to 7).map(sweep).mkString(",\n")}
+       |SELECT CAST(r AS BIGINT) AS round, vec_id AS center_id,
+       |  CAST(md AS BIGINT) AS sel_dist2
+       |FROM (
+       |  SELECT 1 AS r, CAST(0 AS BIGINT) AS vec_id,
+       |    CAST(0 AS BIGINT) AS md
+       |  ${(1 to 7).map(n =>
+            s"UNION ALL SELECT ${n + 1}, vec_id, md FROM p$n")
+            .mkString("\n  ")}) u
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // PCA: eigensolve is not SQL-expressible — Round14Spec gates the
     // scatter exactness, eigenpair residuals, and planted-axis recovery
     QueryDef("q274_pca_variance", q274, None),
+    QueryDef("q277_kcenter_coreset", q277, Some(q277Sql)),
     QueryDef("q40_cosine_topk", q40, Some(q40Sql)),
     // greedy serving-stage re-rank: not SQL-expressible — Round11Spec
     // re-derives each pick's MMR objective from the raw embeddings

@@ -801,6 +801,34 @@ class Round14Spec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("q277 k-center trajectory equals brute force; radii non-increase") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q277_kcenter_coreset")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // driver brute force, same quantization and tie rule
+    val raw = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 10000.0))
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = raw.toMap
+    var centers = Vector(0L)
+    var want = Vector((1L, 0L, 0L))
+    for (t <- 2 to 8) {
+      val (id, md) = raw.map { case (id, v) =>
+        id -> centers.map(c => d2(v, byId(c))).min
+      }.maxBy { case (id, md) => (md, -id) }
+      centers :+= id
+      want :+= ((t.toLong, id, md))
+    }
+    assert(got == want)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
