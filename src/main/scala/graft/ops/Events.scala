@@ -2903,7 +2903,120 @@ object Events {
       |FROM sk ORDER BY event_type""".stripMargin
   }
 
+  // ---- q278: point-in-time training-matrix assembly ------------------
+
+  /** The q278 assembly over any events frame with (user_id, ts,
+    * event_type, value) — exposed so Round14Spec can drive a
+    * hand-computable fixture and prove the LEAKAGE property (a future
+    * event cannot change an earlier example's features) mechanically.
+    */
+  private[graft] def featureMatrix(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events
+      .select($"user_id",
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        $"event_type",
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .as("n_view"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when($"event_type" === "purchase", $"cents").otherwise(0L))
+          .as("spend_cents"))
+    val byDay = Window.partitionBy($"user_id").orderBy($"day")
+    val w7 = byDay.rangeBetween(-7, -1)
+    val w30 = byDay.rangeBetween(-30, -1)
+    val maxDay = daily.agg(max($"day").as("max_day"))
+    daily
+      .withColumn("f_events_7d", coalesce(sum($"n_events").over(w7),
+        lit(0L)))
+      .withColumn("f_views_7d", coalesce(sum($"n_view").over(w7),
+        lit(0L)))
+      .withColumn("f_clicks_7d", coalesce(sum($"n_click").over(w7),
+        lit(0L)))
+      .withColumn("f_purch_7d", coalesce(sum($"n_purchase").over(w7),
+        lit(0L)))
+      .withColumn("f_spend_30d", coalesce(sum($"spend_cents").over(w30),
+        lit(0L)))
+      .withColumn("f_recency_d",
+        coalesce($"day" - lag($"day", 1).over(byDay), lit(-1L)))
+      .withColumn("label", when($"n_purchase" > 0, 1L).otherwise(0L))
+      .crossJoin(broadcast(maxDay))
+      .filter($"day" > $"max_day" - 14 && $"f_events_7d" > 0)
+      .select($"user_id", $"day", $"f_events_7d", $"f_views_7d",
+        $"f_clicks_7d", $"f_purch_7d", $"f_spend_30d", $"f_recency_d",
+        $"label")
+      .orderBy($"user_id", $"day")
+  }
+
+  /** q278: TRAINING-MATRIX ASSEMBLY with POINT-IN-TIME correctness —
+    * the feature-store primitive that turns the event stream into
+    * supervised examples without leakage: one example per active
+    * (user, day) in the last-14-day label window, label = "purchased
+    * that day", features = activity/spend aggregates over windows that
+    * END STRICTLY BEFORE the day (RANGE BETWEEN k PRECEDING AND 1
+    * PRECEDING on the integer day key — the frame boundary IS the
+    * leakage guarantee, spec-proven by perturbing the future). Feature
+    * stores (PIT joins, q173) exist exactly to get this frame right.
+    *
+    * Scale: events collapse FIRST to the (user, day) daily grain (one
+    * map-side-combinable aggregate — the event-cardinality step), and
+    * every window runs over that bounded-density rollup, partitioned
+    * by user: no event-grain window, no self-join. All features are
+    * integer counts/cents, so the matrix hash-compares exactly.
+    */
+  private def q278(s: SparkSession, d: String): DataFrame =
+    featureMatrix(Tables.events(s, d))
+
+  private val q278Sql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_view,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_click,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchase,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS spend_cents
+      |  FROM events GROUP BY 1, 2),
+      |feat AS (
+      |  SELECT user_id, day,
+      |    CAST(COALESCE(SUM(n_events) OVER w7, 0) AS BIGINT)
+      |      AS f_events_7d,
+      |    CAST(COALESCE(SUM(n_view) OVER w7, 0) AS BIGINT)
+      |      AS f_views_7d,
+      |    CAST(COALESCE(SUM(n_click) OVER w7, 0) AS BIGINT)
+      |      AS f_clicks_7d,
+      |    CAST(COALESCE(SUM(n_purchase) OVER w7, 0) AS BIGINT)
+      |      AS f_purch_7d,
+      |    CAST(COALESCE(SUM(spend_cents) OVER w30, 0) AS BIGINT)
+      |      AS f_spend_30d,
+      |    COALESCE(day - lag(day, 1) OVER wd, -1) AS f_recency_d,
+      |    CASE WHEN n_purchase > 0 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS label
+      |  FROM daily
+      |  WINDOW
+      |    wd AS (PARTITION BY user_id ORDER BY day),
+      |    w7 AS (PARTITION BY user_id ORDER BY day
+      |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+      |    w30 AS (PARTITION BY user_id ORDER BY day
+      |      RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING))
+      |SELECT * FROM feat
+      |WHERE day > (SELECT MAX(day) FROM daily) - 14
+      |  AND f_events_7d > 0
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
     // Streaming KMV sketch under the oracle gate: keyed state holds
     // the k smallest distinct hashes; the sketch is a deterministic

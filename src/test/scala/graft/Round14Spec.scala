@@ -829,6 +829,36 @@ class Round14Spec extends AnyFunSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q278 PIT matrix: hand-computed fixture + no future leakage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 86400000000L // one day in µs
+    def ev(u: Long, day: Long, t: String, v: Double) =
+      (u, day * us, t, v)
+    // user 1: views on days 93..99, purchase on day 100
+    val base = (93L to 99L).map(d => ev(1L, d, "view", 1.0)) :+
+      ev(1L, 100L, "purchase", 2.5)
+    def run(rows: Seq[(Long, Long, String, Double)]) =
+      ops.Events.featureMatrix(
+        rows.toDF("user_id", "us", "event_type", "value")
+          .select($"user_id", timestamp_micros($"us").as("ts"),
+            $"event_type", $"value"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    val got = run(base)
+    // day 100 example: 7 views in the 7d window (93..99), purchase
+    // label 1, no prior purchases/spend, recency 1 day
+    assert(got.exists(r => r == ((1L, 100L, 7L, 7L, 0L, 0L, 0L, 1L, 1L))))
+    // day 99 example: views 93..98 in window, label 0
+    assert(got.exists(r => r == ((1L, 99L, 6L, 6L, 0L, 0L, 0L, 1L, 0L))))
+    // LEAKAGE: appending a huge purchase on day 101 must leave every
+    // existing example row byte-identical (new rows may appear)
+    val withFuture = base :+ ev(1L, 101L, "purchase", 400.0)
+    val got2 = run(withFuture)
+    assert(got.forall(got2.contains))
+    assert(got.toSet.subsetOf(got2.toSet))
+  }
+
   test("q56 histogram decomposition equals the all-pairs definition") {
     import spark.implicits._
     val p = Tables.part(spark, sf)
