@@ -310,8 +310,29 @@ object GenQueries {
   private def genDetect10m(s: SparkSession, d: String): DataFrame =
     keyedDetect(s, demoSpec(10000L), nStreams = 1000L)
 
+  /** BYTE-EXACT numpy replay of `main.py`'s 40k demo via [[ParityStream]]
+    * (the [[NumpyRng]] PCG64 port): the stream the reference itself
+    * produces, bit-for-bit — NumpyParitySpec pins all 40k rows against
+    * an executed-reference golden. This row is the fingerprint: counts,
+    * final clock, and an order-sensitive xxhash64 checksum so any drift
+    * anywhere in the 40k (ts, type, is_pattern) tuples changes output.
+    */
+  private def genParityDemo(s: SparkSession, d: String): DataFrame = {
+    val spec = demoSpec(40000L).copy(patterns = ParityStream.patterns(
+      PatternSpec(8, 10, 6, IntervalDist.Uniform, 5, 3, 9, 137L)))
+    ParityStream.dataset(s, spec)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(!col("is_pattern"), 1L).otherwise(0L)).as("n_random"),
+        max(col("ts")).as("ts_span"),
+        expr("bit_xor(xxhash64(seq, ts, event_type, is_pattern))")
+          .as("stream_checksum"),
+      )
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("gen_demo_invariants", genInvariants, None),
+    QueryDef("gen_parity_demo", genParityDemo, None),
     QueryDef("gen_block_1m", genBlock1m, None),
     QueryDef("gen_block_10m", genBlock10m, None),
     QueryDef("gen_flagship_windows", flagship, None),

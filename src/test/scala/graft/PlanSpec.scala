@@ -196,6 +196,11 @@ class PlanSpec extends AnyFunSuite {
       "q184_ivf_incremental", // 1-row query embedding over pruned cells
       "q263_filtered_ann", // same 1-row query embedding, filtered probe
       "q201_curriculum_shards", // 1-row difficulty-threshold broadcast
+      "q268_dsir_selection", // 1-row sampling-threshold + quota broadcast
+      "q271_nb_classifier", // class-count-row prior/total broadcast
+      "q272_ir_metrics", // 3-row cutoff dim × 20-row ranked list
+      "q275_incremental_index", // q167's 1-row corpus constants, from postings
+      "q278_feature_matrix", // 1-row max-day broadcast bounds the label window
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded
       // dim (deciles, type CDF intervals, coalition masks, death
@@ -234,6 +239,27 @@ class PlanSpec extends AnyFunSuite {
     // and the approx path is genuinely ONE aggregate over ONE scan
     assert("Scan parquet".r.findAllIn(approx).size == 1,
       s"q180 should read the table once:\n$approx")
+  }
+
+  test("r14b ops: models broadcast, no sort-merge joins sneak in") {
+    // q268: the 256-row DSIR model and the threshold/quota scalars are
+    // broadcast; the corpus-side token join must never sort-merge
+    val dsir = plan("q268_dsir_selection")
+    assert(dsir.contains("BroadcastHashJoin") ||
+      dsir.contains("BroadcastNestedLoopJoin"), s"q268 model not broadcast:\n$dsir")
+    assert(!dsir.contains("SortMergeJoin"),
+      s"q268 token join regressed to SMJ:\n$dsir")
+    // q271: the (class × bucket) NB model broadcasts the same way
+    val nb = plan("q271_nb_classifier")
+    assert(nb.contains("BroadcastHashJoin"),
+      s"q271 model not broadcast:\n$nb")
+    assert(!nb.contains("SortMergeJoin"),
+      s"q271 scoring join regressed to SMJ:\n$nb")
+    // q278: the matrix reduces to the daily grain BEFORE any window —
+    // partial aggregation must sit under the exchange
+    val fm = plan("q278_feature_matrix")
+    assert(fm.contains("partial_count") || fm.contains("partial"),
+      s"q278 daily rollup lost map-side combine:\n$fm")
   }
 
   test("whole-stage codegen covers the scan→agg pipeline") {

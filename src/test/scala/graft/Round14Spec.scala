@@ -882,4 +882,35 @@ class Round14Spec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(got == want)
   }
+
+  test("gen_parity_demo fingerprint equals the executed-reference golden") {
+    // NumpyParitySpec proves the ParityStream iterator is byte-equal to
+    // the reference; this closes the loop on the REGISTERED query: the
+    // same fingerprint aggregate (count / n_random / final clock /
+    // order-sensitive xxhash64) applied to a DataFrame built straight
+    // from the executed-reference golden rows must match the query's
+    // output row exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = getClass.getResourceAsStream("/npparity/stream_demo.csv.gz")
+    val golden = scala.io.Source
+      .fromInputStream(new java.util.zip.GZIPInputStream(in))
+      .getLines().drop(1).zipWithIndex.map { case (l, i) =>
+        val Array(ts, ty, isp) = l.split(",")
+        (i.toLong, ts.toLong, ty.toInt, isp == "1")
+      }.toSeq
+    val goldenRow = golden
+      .toDF("seq", "ts", "event_type", "is_pattern")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(!$"is_pattern", 1L).otherwise(0L)).as("n_random"),
+        max($"ts").as("ts_span"),
+        expr("bit_xor(xxhash64(seq, ts, event_type, is_pattern))")
+          .as("stream_checksum"))
+      .as[(Long, Long, Long, Long)].head()
+    val got = SparkEntry.queries("gen_parity_demo")(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == goldenRow)
+    assert(got._1 == 40000L && got._2 == 28000L) // N and round(N·0.7)
+  }
 }
