@@ -3015,7 +3015,267 @@ object Events {
       |  AND f_events_7d > 0
       |ORDER BY user_id, day""".stripMargin
 
+  // ---- q283: change-point detection (binary segmentation) ------------
+
+  /** q283: CHANGE-POINT DETECTION on the daily event-count series by
+    * two-level binary segmentation — "when did the stream's regime
+    * shift?", the offline counterpart of q224's online CUSUM and the
+    * monitoring primitive behind every "traffic changed on day X"
+    * incident review. Level 1 picks the split minimizing the summed
+    * within-segment SSE; level 2 splits each side again (segments of
+    * ≥ 2 days), yielding ≤ 4 segments with day bounds, totals, and
+    * mean rates.
+    *
+    * Exactness: the selection statistic is the micro-scaled truncated
+    * SSE `sxx·10⁶ − sx²·10⁶ DIV len`, computed in DECIMAL(38,0)
+    * (HUGEINT in the oracle — q247's device, headroom to ~10¹² events
+    * per day before the ×10⁶ square approaches 10³⁸); truncation makes
+    * it an integer BOTH engines compute bit-identically, so the argmin
+    * (tie → earliest day) is deterministic — the ≤1 micro-unit
+    * truncation is selection-noise only, never cross-engine drift.
+    *
+    * Scale: ONE map-side-combinable aggregate reduces the corpus to
+    * the day grain; everything after runs on the ≤O(days) table —
+    * windows on one bounded partition, 1-row split broadcasts, a
+    * ≤5-row boundary join. The 100 TB cost is the daily rollup scan.
+    */
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    binarySegmentation(Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_id"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The q283 segmenter over any (day_id, n) series — exposed so
+    * Round14Spec can plant a step change and require the level-1 split
+    * to land exactly on it.
+    */
+  private[graft] def binarySegmentation(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val ordW = Window.orderBy($"day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy($"day_id")))
+      .withColumn("nn", count(lit(1)).over(
+        Window.orderBy($"day_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("sx", sum($"n").over(ordW))
+      .withColumn("sxx",
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).over(ordW))
+      .localCheckpoint()
+    // micro-scaled truncated SSE of rows (a+1)..b given prefix rows
+    def cm(sxxHi: String, sxxLo: String, sxHi: String, sxLo: String,
+        len: String): String =
+      s"""(($sxxHi - $sxxLo) * 1000000 -
+         |  CAST(($sxHi - $sxLo) AS DECIMAL(38,0)) * ($sxHi - $sxLo)
+         |    * 1000000 DIV ($len))""".stripMargin
+    val tot = idx.where($"i" === $"nn")
+      .select($"sx".as("tsx"), $"sxx".as("tsxx"), $"nn".as("tn"))
+    // level 1: split after row s (1 <= s < nn)
+    val c1 = idx.where($"i" < $"nn").crossJoin(broadcast(tot))
+      .withColumn("score",
+        expr(cm("sxx", "CAST(0 AS DECIMAL(38,0))", "sx", "0", "i") +
+          " + " + cm("tsxx", "sxx", "tsx", "sx", "tn - i")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"score", $"i")))
+      .where($"rk" === 1)
+      .select($"i".cast("long").as("s1"), $"sx".as("s1x"),
+        $"sxx".as("s1xx"))
+    // level 2: best split inside each side, sides of length >= 2 only
+    val sided = idx.crossJoin(broadcast(c1)).crossJoin(broadcast(tot))
+    val cands = sided.where($"i" < $"s1")
+      .withColumn("g", lit(1L))
+      .withColumn("score",
+        expr(cm("sxx", "CAST(0 AS DECIMAL(38,0))", "sx", "0", "i") +
+          " + " + cm("s1xx", "sxx", "s1x", "sx", "s1 - i")))
+      .unionByName(sided.where($"i" > $"s1" && $"i" < $"nn")
+        .withColumn("g", lit(2L))
+        .withColumn("score",
+          expr(cm("sxx", "s1xx", "sx", "s1x", "i - s1") +
+            " + " + cm("tsxx", "sxx", "tsx", "sx", "tn - i"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"score", $"i")))
+      .where($"rk" === 1)
+      .select($"i".cast("long").as("b"))
+    // boundaries: 0, the chosen splits, nn — segments via lead
+    val bounds = cands
+      .unionByName(c1.select($"s1".as("b")))
+      .unionByName(tot.select($"tn".as("b")))
+      .unionByName(idx.sparkSession.range(1).select(lit(0L).as("b")))
+      .distinct()
+      .withColumn("seg", row_number().over(Window.orderBy($"b")))
+      .withColumn("nxt", lead($"b", 1).over(Window.orderBy($"b")))
+      .where($"nxt".isNotNull)
+    bounds
+      .join(idx.select($"i", $"day_id".as("day_start")),
+        $"b" + 1 === $"i")
+      .join(idx.select($"i".as("j"), $"day_id".as("day_end"),
+        $"sx".as("ex")), $"nxt" === $"j")
+      .join(idx.select($"i".as("p"), $"sx".as("px")),
+        $"b" === $"p", "left")
+      .select($"seg".cast("long").as("seg"), $"day_start", $"day_end",
+        ($"nxt" - $"b").as("n_days"),
+        ($"ex" - coalesce($"px", lit(0L))).as("events"),
+        expr("(ex - COALESCE(px, 0)) * 1000 DIV (nxt - b)")
+          .as("mean_milli"))
+      .orderBy($"seg")
+  }
+
+  private val q283Sql = {
+    def cm(sxxHi: String, sxxLo: String, sxHi: String, sxLo: String,
+        len: String): String =
+      s"""(($sxxHi - $sxxLo) * 1000000 -
+         |  CAST(($sxHi - $sxLo) AS HUGEINT) * ($sxHi - $sxLo)
+         |    * 1000000 // ($len))""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT day_id, n,
+       |    ROW_NUMBER() OVER (ORDER BY day_id) AS i,
+       |    COUNT(*) OVER () AS nn,
+       |    SUM(n) OVER (ORDER BY day_id) AS sx,
+       |    SUM(CAST(n AS HUGEINT) * n) OVER (ORDER BY day_id) AS sxx
+       |  FROM daily),
+       |tot AS (SELECT sx AS tsx, sxx AS tsxx, nn AS tn
+       |        FROM idx WHERE i = nn),
+       |c1 AS (
+       |  SELECT i AS s1, sx AS s1x, sxx AS s1xx FROM (
+       |    SELECT idx.*, tot.*,
+       |      ${cm("sxx", "CAST(0 AS HUGEINT)", "sx", "0", "i")} +
+       |      ${cm("tsxx", "sxx", "tsx", "sx", "tn - i")} AS score,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        ${cm("sxx", "CAST(0 AS HUGEINT)", "sx", "0", "i")} +
+       |        ${cm("tsxx", "sxx", "tsx", "sx", "tn - i")}, i) AS rk
+       |    FROM idx, tot WHERE i < nn)
+       |  WHERE rk = 1),
+       |cands AS (
+       |  SELECT b FROM (
+       |    SELECT g, i AS b, ROW_NUMBER() OVER (
+       |      PARTITION BY g ORDER BY score, i) AS rk
+       |    FROM (
+       |      SELECT 1 AS g, i,
+       |        ${cm("sxx", "CAST(0 AS HUGEINT)", "sx", "0", "i")} +
+       |        ${cm("s1xx", "sxx", "s1x", "sx", "s1 - i")} AS score
+       |      FROM idx, c1, tot WHERE i < s1
+       |      UNION ALL
+       |      SELECT 2 AS g, i,
+       |        ${cm("sxx", "s1xx", "sx", "s1x", "i - s1")} +
+       |        ${cm("tsxx", "sxx", "tsx", "sx", "tn - i")} AS score
+       |      FROM idx, c1, tot WHERE i > s1 AND i < nn))
+       |  WHERE rk = 1),
+       |bounds AS (
+       |  SELECT b, ROW_NUMBER() OVER (ORDER BY b) AS seg,
+       |    LEAD(b) OVER (ORDER BY b) AS nxt
+       |  FROM (SELECT b FROM cands UNION
+       |        SELECT s1 FROM c1 UNION
+       |        SELECT tn FROM tot UNION SELECT 0))
+       |SELECT CAST(bo.seg AS BIGINT) AS seg,
+       |  st.day_id AS day_start, en.day_id AS day_end,
+       |  CAST(bo.nxt - bo.b AS BIGINT) AS n_days,
+       |  CAST(en.sx - COALESCE(pr.sx, 0) AS BIGINT) AS events,
+       |  CAST((en.sx - COALESCE(pr.sx, 0)) * 1000 // (bo.nxt - bo.b)
+       |    AS BIGINT) AS mean_milli
+       |FROM bounds bo
+       |JOIN idx st ON st.i = bo.b + 1
+       |JOIN idx en ON en.i = bo.nxt
+       |LEFT JOIN idx pr ON pr.i = bo.b
+       |WHERE bo.nxt IS NOT NULL
+       |ORDER BY seg""".stripMargin
+  }
+
+  // ---- q284: periodicity detection (integer ACF) ---------------------
+
+  /** q284: PERIODICITY DETECTION on the hourly event-count series —
+    * the top-5 autocorrelation lags over 1..48 h, i.e. "does this
+    * stream breathe daily/shift-cycle/half-day?". This is the
+    * consumer-side INVERSE of the generator's `density_mode='sin'`
+    * knob (`eventstream.py:94-113`): Round14Spec runs the same
+    * statistic over a sin-density generated stream and recovers the
+    * planted period exactly.
+    *
+    * Exactness: mean-centering is n-SCALED to stay integer — the
+    * centered term is `n·x_t − S` (S = Σx), so the lag covariance
+    * `num_l = Σ (n·x_t − S)(n·x_{t+l} − S)` is an exact integer
+    * (DECIMAL(38,0)/HUGEINT — products reach (n·x)², q247's device),
+    * and the per-pair normalization `num_l DIV (n − l)` truncates
+    * toward zero identically in both engines (negatives included —
+    * the `//`-truncation rule). Ranking (acov DESC, lag ASC) is then
+    * deterministic.
+    *
+    * Scale: one map-side-combinable aggregate to the hour grain;
+    * the lag fan-out is `explode(sequence(1, 48))` on the HOUR table
+    * (≤ 48·|hours| rows) followed by ONE equi-join on the shifted
+    * hour key — no nested loop, no event-grain work past the rollup.
+    */
+  private def q284(s: SparkSession, d: String): DataFrame =
+    acfTopLags(Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")), maxLag = 48, topK = 5)
+
+  /** The q284 statistic over any (h, x) series — exposed so Round14Spec
+    * can feed a sin-density GENERATED stream's bucket counts and
+    * require the planted period to surface as the top lag (the
+    * detector inverting `eventstream.py:94-113`).
+    */
+  private[graft] def acfTopLags(
+      hourly: DataFrame, maxLag: Int, topK: Int): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val statW = Window
+      .orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cent = hourly
+      .withColumn("nn", count(lit(1)).over(statW))
+      .withColumn("ss", sum($"x").over(statW))
+      .withColumn("c", expr("CAST(nn * x - ss AS DECIMAL(38,0))"))
+    val pairs = cent
+      .select($"h", $"c", explode(expr("sequence(1L, 48L)")).as("l"))
+      .withColumn("hk", $"h" - $"l")
+      .join(cent.select($"h".as("hk"), $"c".as("cl")), Seq("hk"))
+    pairs
+      .groupBy($"l")
+      .agg(sum($"c" * $"cl").as("num"), count(lit(1)).as("n_pairs"))
+      .withColumn("acov_scaled", expr("num DIV n_pairs"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"acov_scaled".desc, $"l")))
+      .where($"rk" <= topK)
+      .select($"rk".cast("long").as("rk"), $"l".as("lag_hours"),
+        $"n_pairs", $"acov_scaled".cast("string").as("acov_scaled"))
+      .orderBy($"rk")
+  }
+
+  private val q284Sql =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |cent AS (
+      |  SELECT h, CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS HUGEINT)
+      |    AS c
+      |  FROM hourly),
+      |pairs AS (
+      |  SELECT a.c AS c, b.c AS cl, l.l AS l
+      |  FROM cent a
+      |  JOIN generate_series(1, 48) AS l(l) ON TRUE
+      |  JOIN cent b ON b.h = a.h - l.l),
+      |acf AS (
+      |  SELECT l, SUM(c * cl) AS num,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM pairs GROUP BY l)
+      |SELECT CAST(rk AS BIGINT) AS rk, CAST(l AS BIGINT) AS lag_hours,
+      |  n_pairs, CAST(num // n_pairs AS VARCHAR) AS acov_scaled
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        ORDER BY num // n_pairs DESC, l) AS rk
+      |      FROM acf)
+      |WHERE rk <= 5 ORDER BY rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q283_changepoints", q283, Some(q283Sql)),
+    QueryDef("q284_periodicity", q284, Some(q284Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
     // Streaming KMV sketch under the oracle gate: keyed state holds

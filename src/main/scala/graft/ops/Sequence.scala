@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Declarative sequence-pattern matching — the MATCH_RECOGNIZE-class
   * CEP engine. The reference's entire purpose is generating event
@@ -1581,6 +1582,341 @@ object Sequence {
       |ORDER BY support DESC, episode""".stripMargin
   }
 
+  /** q279: MARKOV SEQUENCE MODEL + per-user sequence surprisal — the
+    * "learn the stream's dynamics" primitive the reference exists to
+    * benchmark (`README.md:3-6`): fit the first-order transition model
+    * P(next | prev) over every per-user consecutive pair (order =
+    * ts, event_id — the shared deterministic total order), add-one
+    * smoothed over the observed type vocabulary, then score every user
+    * by total and mean negative log-likelihood of their own sequence
+    * under that model. High avg_nll = the user whose behavior the
+    * corpus-level dynamics explain worst — the sequence-anomaly ranking
+    * a fraud/bot triage pipeline starts from.
+    *
+    * Exactness: the model term is rounded to integer micro-nats ONCE
+    * per (prev, cur) cell — `ROUND(-1e6 * LN((c+1)/(n+V)))`, positive
+    * so HALF_UP ≡ DuckDB half-away, LN correctly rounded on identical
+    * IEEE operands in identical order — and users then integer-sum
+    * k × cell. No cross-row float folds anywhere.
+    *
+    * Scale: one event-cardinality aggregate to the (user, prev, cur)
+    * grain (map-side combinable), the model is ≤|V|² rows (broadcast
+    * back), the vocabulary scalar is a 1-row broadcast touching only
+    * the model rows, per-user scoring is a second bounded aggregate
+    * behind a broadcast join. No event-grain joins, no windows wider
+    * than the lag.
+    */
+  private def q279(s: SparkSession, d: String): DataFrame =
+    markovSurprisal(Tables.events(s, d))
+
+  /** The q279 core over any (user_id, ts, event_id, event_type) frame —
+    * exposed so Round14Spec can drive planted sequences (a perfectly
+    * repetitive user must score strictly lower avg_nll than an erratic
+    * one under the jointly-fitted model).
+    */
+  private[graft] def markovSurprisal(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val big = ev
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("prev", lag($"cur", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"user_id", $"prev", $"cur").agg(count(lit(1)).as("k"))
+    surprisalFromBigrams(big, ev)
+  }
+
+  /** q279's model + scoring over a prepared per-user bigram-count
+    * frame `big(user_id, prev, cur, k)` — shared by the batch lag
+    * window (q279) and the streaming bigram extractor (q281), so the
+    * streaming twin's only novel stage is HOW the bigrams were counted.
+    * `ev` supplies the type vocabulary for the smoothing denominator.
+    */
+  private[graft] def surprisalFromBigrams(
+      big: DataFrame, ev: DataFrame): DataFrame = {
+    val s = big.sparkSession
+    import s.implicits._
+    val mat = big.groupBy($"prev", $"cur").agg(sum($"k").as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"prev")))
+    val vocab = ev
+      .agg(countDistinct($"event_type").as("v")).withColumn("one", lit(1))
+    val model = mat.withColumn("one", lit(1))
+      .join(broadcast(vocab), Seq("one"))
+      .withColumn("nll_micro",
+        expr("CAST(ROUND(-1000000.0 * LN((c + 1.0) / (n + v))) AS BIGINT)"))
+      .select($"prev", $"cur", $"nll_micro")
+    big
+      .join(broadcast(model), Seq("prev", "cur"))
+      .groupBy($"user_id")
+      .agg(sum($"k").as("n_trans"),
+        sum($"k" * $"nll_micro").as("nll_sum_micro"))
+      .withColumn("avg_nll_micro", expr("nll_sum_micro DIV n_trans"))
+      .orderBy($"user_id")
+  }
+
+  private val q279Sql =
+    """WITH seqd AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |big AS (
+      |  SELECT user_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+      |mat AS (
+      |  SELECT prev, cur, SUM(k) AS c,
+      |    SUM(SUM(k)) OVER (PARTITION BY prev) AS n
+      |  FROM big GROUP BY 1, 2),
+      |voc AS (SELECT COUNT(DISTINCT event_type) AS v FROM events),
+      |model AS (
+      |  SELECT prev, cur,
+      |    CAST(ROUND(-1000000.0 * LN((c + 1.0) / (n + v))) AS BIGINT)
+      |      AS nll_micro
+      |  FROM mat, voc)
+      |SELECT b.user_id, CAST(SUM(b.k) AS BIGINT) AS n_trans,
+      |  CAST(SUM(b.k * m.nll_micro) AS BIGINT) AS nll_sum_micro,
+      |  CAST(SUM(b.k * m.nll_micro) // SUM(b.k) AS BIGINT)
+      |    AS avg_nll_micro
+      |FROM big b JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q280: NEXT-EVENT PREDICTION with a point-in-time holdout — train
+    * the q279 transition matrix ONLY on events before Jan 25 and grade
+    * its argmax predictor on the held-out tail (lag computed WITHIN the
+    * holdout, so no feature crosses the split — the same leakage
+    * discipline as q278). Per previous-event row: the model's pick
+    * (max count, lexicographic tie-break — deterministic in both
+    * engines), evaluation support, hits, and accuracy in ppm. The
+    * marginal row ('(none)') would appear only for holdout prevs the
+    * training window never saw — coalesced, not dropped, so schema and
+    * semantics survive thinner slices.
+    *
+    * Scale: both legs are the one map-side-combinable bigram aggregate
+    * on partition-prunable date predicates; the trained model is ≤|V|²
+    * rows broadcast into the holdout-grain join.
+    */
+  private def q280(s: SparkSession, d: String): DataFrame =
+    nextEventEval(Tables.events(s, d),
+      java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+
+  /** The q280 core — exposed so Round14Spec can plant a deterministic
+    * training chain and require the holdout accuracy row to be exact.
+    */
+  private[graft] def nextEventEval(
+      ev: DataFrame, splitTs: java.sql.Timestamp): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val split = lit(splitTs)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("prev", lag($"cur", 1).over(w))
+      .where($"prev".isNotNull)
+    val rankW = Window.partitionBy($"prev").orderBy($"c".desc, $"cur")
+    val modelDf = bigrams(ev.where($"ts" < split))
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(rankW))
+      .where($"rk" === 1)
+      .select($"prev", $"cur".as("predicted"))
+    bigrams(ev.where($"ts" >= split))
+      .join(broadcast(modelDf), Seq("prev"), "left")
+      .withColumn("predicted", coalesce($"predicted", lit("(none)")))
+      .groupBy($"prev", $"predicted")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"cur" === $"predicted", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) DIV n_eval"))
+      .orderBy($"prev")
+  }
+
+  private val q280Sql =
+    """WITH train AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'),
+      |model AS (
+      |  SELECT prev, cur AS predicted FROM (
+      |    SELECT prev, cur, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY prev
+      |                         ORDER BY COUNT(*) DESC, cur) AS rk
+      |    FROM train WHERE prev IS NOT NULL GROUP BY prev, cur)
+      |  WHERE rk = 1),
+      |holdout AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00')
+      |SELECT h.prev, COALESCE(m.predicted, '(none)') AS predicted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(SUM(CASE WHEN h.cur = COALESCE(m.predicted, '(none)')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST((SUM(CASE WHEN h.cur = COALESCE(m.predicted, '(none)')
+      |                 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+      |    AS acc_ppm
+      |FROM holdout h LEFT JOIN model m ON h.prev = m.prev
+      |WHERE h.prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** One q282 output row: the Viterbi MAP decode summary of one user's
+    * event sequence under the two-regime HMM.
+    */
+  final case class ViterbiRow(user_id: Long, n_events: Long,
+      map_cost_micro: Long, map_state: String, n_burst_steps: Long,
+      n_switches: Long)
+
+  /** q282: VITERBI REGIME DECODING — exact MAP decoding of each user's
+    * event sequence under a two-regime HMM (calm/burst) with FIXED
+    * integer micro-nat cost matrices (−10⁶·ln p, literals identical in
+    * both engines: uniform prior 693147; stay 105361 / switch 2302585;
+    * calm emits view 798508, click 1386294, signup 1897120, purchase
+    * 2302585, error 2995732; burst emits error 916291, click 1203973,
+    * view 1897120, purchase 2302585, signup 2995732; unseen types floor
+    * at 13815511 ≈ −ln 1e-6). The DP is pure integer add/min, so the
+    * decode is EXACT — no runtime ln/exp anywhere — and the oracle
+    * replays the identical recurrence as a recursive CTE (q214's
+    * device). Instead of backpointers, each of the two alive hypotheses
+    * carries its own running (burst-steps, switches) counters — O(1)
+    * state per user, no O(n²) path strings — which is exact because a
+    * 2-state Viterbi keeps exactly 2 survivor paths. Ties prefer calm
+    * (strict `<` from the burst side), identically in both engines.
+    *
+    * Scale: the q214/q237 per-key fold — one hash exchange to
+    * co-locate each user's events, one in-partition sort, then a
+    * single-pass streaming fold with constant per-user state. The
+    * cost is the sort; nothing is collected and no state grows with
+    * sequence length.
+    */
+  private def q282(s: SparkSession, d: String): DataFrame =
+    viterbiRegimes(Tables.events(s, d))
+
+  /** The q282 decoder over any (user_id, ts, event_id, event_type)
+    * frame — exposed so Round14Spec can drive planted regimes (a pure
+    * view run must decode all-calm; a long error burst must decode
+    * burst with exactly two switches around it).
+    */
+  private[graft] def viterbiRegimes(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val seqd = ev
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .as[(Long, Long, Long, String)]
+    implicit val enc = Encoders.product[ViterbiRow]
+    seqd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[ViterbiRow] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): ViterbiRow = {
+          val u = buf.head._1
+          var n = 0L
+          // per-state: cost, burst-steps, switches of the best path in
+          var c0 = 693147L; var b0 = 0L; var w0 = 0L
+          var c1 = 693147L; var b1 = 0L; var w1 = 0L
+          var first = true
+          while (buf.hasNext && buf.head._1 == u) {
+            val t = buf.next()._4
+            val e0 = emitCalm(t)
+            val e1 = emitBurst(t)
+            if (first) {
+              c0 += e0; c1 += e1; b1 += 1L
+              first = false
+            } else {
+              // into state 0: stay from 0 vs switch from 1 (tie → calm)
+              val from1to0 = c1 + 2302585L
+              val s0 = c0 + 105361L
+              val n0 =
+                if (from1to0 < s0) (from1to0 + e0, b1, w1 + 1L)
+                else (s0 + e0, b0, w0)
+              // into state 1: switch from 0 vs stay from 1 (tie → calm)
+              val from0to1 = c0 + 2302585L
+              val s1 = c1 + 105361L
+              val n1 =
+                if (s1 < from0to1) (s1 + e1, b1 + 1L, w1)
+                else (from0to1 + e1, b0 + 1L, w0 + 1L)
+              c0 = n0._1; b0 = n0._2; w0 = n0._3
+              c1 = n1._1; b1 = n1._2; w1 = n1._3
+            }
+            n += 1L
+          }
+          if (c0 <= c1) ViterbiRow(u, n, c0, "calm", b0, w0)
+          else ViterbiRow(u, n, c1, "burst", b1, w1)
+        }
+      }
+    }.toDF().orderBy($"user_id")
+  }
+
+  private def emitCalm(t: String): Long = t match {
+    case "view" => 798508L
+    case "click" => 1386294L
+    case "signup" => 1897120L
+    case "purchase" => 2302585L
+    case "error" => 2995732L
+    case _ => 13815511L
+  }
+
+  private def emitBurst(t: String): Long = t match {
+    case "error" => 916291L
+    case "click" => 1203973L
+    case "view" => 1897120L
+    case "purchase" => 2302585L
+    case "signup" => 2995732L
+    case _ => 13815511L
+  }
+
+  private val q282Sql =
+    """WITH RECURSIVE idx AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |em AS (
+      |  SELECT user_id, i, n,
+      |    CASE event_type WHEN 'view' THEN 798508
+      |      WHEN 'click' THEN 1386294 WHEN 'signup' THEN 1897120
+      |      WHEN 'purchase' THEN 2302585 WHEN 'error' THEN 2995732
+      |      ELSE 13815511 END AS e0,
+      |    CASE event_type WHEN 'error' THEN 916291
+      |      WHEN 'click' THEN 1203973 WHEN 'view' THEN 1897120
+      |      WHEN 'purchase' THEN 2302585 WHEN 'signup' THEN 2995732
+      |      ELSE 13815511 END AS e1
+      |  FROM idx),
+      |rec AS (
+      |  SELECT user_id, i, n,
+      |    693147 + e0 AS c0, CAST(0 AS BIGINT) AS b0,
+      |      CAST(0 AS BIGINT) AS w0,
+      |    693147 + e1 AS c1, CAST(1 AS BIGINT) AS b1,
+      |      CAST(0 AS BIGINT) AS w1
+      |  FROM em WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.i, x.n,
+      |    CASE WHEN r.c1 + 2302585 < r.c0 + 105361
+      |      THEN r.c1 + 2302585 + x.e0 ELSE r.c0 + 105361 + x.e0
+      |      END AS c0,
+      |    CASE WHEN r.c1 + 2302585 < r.c0 + 105361
+      |      THEN r.b1 ELSE r.b0 END AS b0,
+      |    CASE WHEN r.c1 + 2302585 < r.c0 + 105361
+      |      THEN r.w1 + 1 ELSE r.w0 END AS w0,
+      |    CASE WHEN r.c1 + 105361 < r.c0 + 2302585
+      |      THEN r.c1 + 105361 + x.e1 ELSE r.c0 + 2302585 + x.e1
+      |      END AS c1,
+      |    CASE WHEN r.c1 + 105361 < r.c0 + 2302585
+      |      THEN r.b1 + 1 ELSE r.b0 + 1 END AS b1,
+      |    CASE WHEN r.c1 + 105361 < r.c0 + 2302585
+      |      THEN r.w1 ELSE r.w0 + 1 END AS w1
+      |  FROM rec r JOIN em x ON x.user_id = r.user_id AND x.i = r.i + 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN c0 <= c1 THEN c0 ELSE c1 END AS BIGINT)
+      |    AS map_cost_micro,
+      |  CASE WHEN c0 <= c1 THEN 'calm' ELSE 'burst' END AS map_state,
+      |  CAST(CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS BIGINT)
+      |    AS n_burst_steps,
+      |  CAST(CASE WHEN c0 <= c1 THEN w0 ELSE w1 END AS BIGINT)
+      |    AS n_switches
+      |FROM rec WHERE i = n ORDER BY user_id""".stripMargin
+
   /** q261: SEQUENTIAL PATTERN MINING over the events table — "what
     * behavioral episodes does the product actually have?": every
     * contiguous per-user episode of length 2..4 (order = ts with
@@ -1662,6 +1998,16 @@ object Sequence {
     QueryDef("q239_token_motifs", q239, Some(q239Sql)),
     QueryDef("q261_episode_mining", q261, Some(q261Sql)),
     QueryDef("q266_gappy_episodes", q266, Some(q266Sql)),
+    QueryDef("q279_markov_surprisal", q279, Some(q279Sql)),
+    QueryDef("q280_next_event_eval", q280, Some(q280Sql)),
+    // STREAMING Markov surprisal under the oracle gate: the stateful
+    // bigram extractor (EpisodeMineProcessor at L=2 — the carry tail
+    // IS the lag-1 context) feeds the SAME model+scoring core, so the
+    // oracle is LITERALLY q279's SQL.
+    QueryDef("q281_stream_markov",
+      (s, d) => graft.streaming.Streams.streamMarkovSurprisal(s, d),
+      Some(q279Sql)),
+    QueryDef("q282_viterbi_regimes", q282, Some(q282Sql)),
     // STREAMING episode mining: the per-user gram fold runs live in
     // transformWithState (watermark-matured, tail-carried), emissions
     // are increments, and the read-side sum + support floor reproduce

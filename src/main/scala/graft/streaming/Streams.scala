@@ -2670,6 +2670,49 @@ object Streams {
     */
   def streamEpisodeMining(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val deltas = episodeDeltas(spark, dir, minLen = 2, maxLen = 4)
+    val n = graft.Tables.events(spark, dir).count()
+    deltas
+      .groupBy($"len", $"episode")
+      .agg(sum($"delta").as("support"),
+        countDistinct($"user_id").as("n_keys"))
+      .where($"support" >= lit(n * 5L / 1000L))
+      .orderBy($"len", $"support".desc, $"episode")
+  }
+
+  /** q281: STREAMING MARKOV SURPRISAL — q279 live. The event-cardinality
+    * stage (per-user in-order bigram counting) runs as streaming state:
+    * [[EpisodeMineProcessor]] at minLen = maxLen = 2 IS the bigram
+    * extractor (its carry tail is exactly the lag-1 context), so the
+    * matured increments reduce to the same (user, prev, cur, k) frame
+    * the batch lag window produces, and the model fit + scoring reuse
+    * `Sequence.surprisalFromBigrams` verbatim — the oracle is LITERALLY
+    * q279's SQL, and Round14Spec pins stream ≡ batch row-for-row. The
+    * model stage is domain-sized (≤|V|² cells), so "online" deployment
+    * = keep the bigram counts hot in state and refit the broadcast
+    * model at any cadence for free.
+    */
+  def streamMarkovSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deltas = episodeDeltas(spark, dir, minLen = 2, maxLen = 2)
+    val big = deltas
+      .groupBy($"user_id", $"episode").agg(sum($"delta").as("k"))
+      .withColumn("prev", expr("split_part(episode, '>', 1)"))
+      .withColumn("cur", expr("split_part(episode, '>', 2)"))
+      .select($"user_id", $"prev", $"cur", $"k")
+    graft.ops.Sequence.surprisalFromBigrams(
+      big, graft.Tables.events(spark, dir))
+  }
+
+  /** The q267/q281 shared harness: stage the events table as a file
+    * stream in watermark order, run [[EpisodeMineProcessor]] over it,
+    * and return the summed per-user (len, episode, delta) increments
+    * (sentinel rows dropped).
+    */
+  private def episodeDeltas(
+      spark: SparkSession, dir: String,
+      minLen: Int, maxLen: Int): DataFrame = {
+    import spark.implicits._
     val tsLong = eventsTsIsLong(spark, dir)
     withRocksDbStore(spark) {
       val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -2707,7 +2750,7 @@ object Streams {
         .select($"user_id", $"us", $"event_id", $"event_type")
         .as[(Long, Long, Long, String)]
         .groupByKey(_._1)
-        .transformWithState(new EpisodeMineProcessor(2, 4),
+        .transformWithState(new EpisodeMineProcessor(minLen, maxLen),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Update())
       val out = root.resolve("out").toString
@@ -2728,14 +2771,7 @@ object Streams {
         } finally q.stop()
       }
       deleteStaged(root.resolve("src"))
-      val n = graft.Tables.events(spark, dir).count()
-      spark.read.parquet(out)
-        .filter($"user_id" =!= -1L)
-        .groupBy($"len", $"episode")
-        .agg(sum($"delta").as("support"),
-          countDistinct($"user_id").as("n_keys"))
-        .where($"support" >= lit(n * 5L / 1000L))
-        .orderBy($"len", $"support".desc, $"episode")
+      spark.read.parquet(out).filter($"user_id" =!= -1L)
     }
   }
 

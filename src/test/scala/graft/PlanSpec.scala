@@ -201,6 +201,9 @@ class PlanSpec extends AnyFunSuite {
       "q272_ir_metrics", // 3-row cutoff dim × 20-row ranked list
       "q275_incremental_index", // q167's 1-row corpus constants, from postings
       "q278_feature_matrix", // 1-row max-day broadcast bounds the label window
+      "q279_markov_surprisal", // 1-row vocabulary scalar into the |V|² model
+      "q281_stream_markov", // same surprisal core as q279
+      "q283_changepoints", // 1-row split/total broadcasts over the day grain
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded
       // dim (deciles, type CDF intervals, coalition masks, death
@@ -260,6 +263,13 @@ class PlanSpec extends AnyFunSuite {
     val fm = plan("q278_feature_matrix")
     assert(fm.contains("partial_count") || fm.contains("partial"),
       s"q278 daily rollup lost map-side combine:\n$fm")
+    // q279/q280: the |V|²-row transition model broadcasts back into the
+    // user-grain scoring join — never a sort-merge on the big side
+    Seq("q279_markov_surprisal", "q280_next_event_eval").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q model not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q scoring join SMJ:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the scan→agg pipeline") {

@@ -913,4 +913,104 @@ class Round14Spec extends AnyFunSuite {
     assert(got == goldenRow)
     assert(got._1 == 40000L && got._2 == 28000L) // N and round(N·0.7)
   }
+
+  test("q279 core: repetitive sequences score lower surprisal than erratic") {
+    import spark.implicits._
+    def ev(user: Long, types: Seq[String]): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      types.zipWithIndex.map { case (t, i) =>
+        (user, new java.sql.Timestamp(86400000L + i * 1000L), user * 1000 + i, t)
+      }
+    // user 1 loops a->b forever; user 2 wanders over four types
+    val rows = ev(1L, Seq.fill(20)(Seq("a", "b")).flatten) ++
+      ev(2L, Seq("a", "c", "b", "d", "c", "a", "d", "b", "a", "d",
+        "c", "b", "d", "a", "c", "d", "b", "c", "a", "b"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = ops.Sequence.markovSurprisal(df)
+      .select("user_id", "n_trans", "avg_nll_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 39L && got(2L)._1 == 19L) // n-1 transitions each
+    assert(got(1L)._2 < got(2L)._2,
+      s"repetitive user must be less surprising: $got")
+  }
+
+  test("q280 core: a planted deterministic chain grades 100% on holdout") {
+    import spark.implicits._
+    val t0 = 1704067200000L // 2024-01-01
+    val split = new java.sql.Timestamp(t0 + 10L * 86400000L)
+    // train: a->b 3x then b->a 2x per user; holdout repeats a->b / b->a
+    def seqAt(user: Long, start: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (user, new java.sql.Timestamp(start + i * 60000L), user * 100 + i, t)
+      }
+    val rows = seqAt(1L, t0, Seq("a", "b", "a", "b", "a", "b")) ++
+      seqAt(2L, t0 + 20L * 86400000L, Seq("a", "b", "a", "b"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = ops.Sequence.nextEventEval(df, split)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // holdout (user 2): a->b, b->a, a->b; model learned exactly that
+    assert(got("a") == (("b", 2L, 2L, 1000000L)))
+    assert(got("b") == (("a", 1L, 1L, 1000000L)))
+  }
+
+  test("q282 Viterbi: planted regimes decode exactly") {
+    import spark.implicits._
+    def ev(user: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) =>
+        (user, new java.sql.Timestamp(86400000L + i * 1000L),
+          user * 1000 + i, t)
+    }
+    // user 1: pure views -> all calm, zero switches; user 2: views,
+    // then a long error burst, then views -> burst island, 2 switches
+    val rows = ev(1L, Seq.fill(12)("view")) ++
+      ev(2L, Seq.fill(6)("view") ++ Seq.fill(8)("error") ++
+        Seq.fill(6)("view"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = ops.Sequence.viterbiRegimes(df)
+      .select("user_id", "map_state", "n_burst_steps", "n_switches")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (("calm", 0L, 0L)))
+    assert(got(2L) == (("calm", 8L, 2L)), s"burst island: ${got(2L)}")
+  }
+
+  test("q283 segmenter: a planted step splits exactly at the step") {
+    import spark.implicits._
+    // 20 flat days at 100 then 10 flat days at 500: level 1 must cut
+    // at the step; level-2 cuts of flat sides tie to the earliest day
+    val daily = ((1 to 20).map(i => (100L + i, 100L)) ++
+      (21 to 30).map(i => (100L + i, 500L)))
+      .toDF("day_id", "n")
+    val got = ops.Events.binarySegmentation(daily)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._4) == List(1L, 19L, 1L, 9L)) // n_days per segment
+    assert(got.map(_._6) == List(100000L, 100000L, 500000L, 500000L))
+    assert(got(1)._3 == 120L && got(2)._2 == 121L) // the step boundary
+  }
+
+  test("q284 ACF recovers the generator's planted sin-density period") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the byte-exact demo replay has density_mode=sin, period=8000
+    // ticks (main.py:33-35); in 500-tick buckets that is lag 16
+    val spec = gen.GenQueries.demoSpec(40000L).copy(
+      patterns = gen.ParityStream.patterns(
+        gen.PatternSpec(8, 10, 6, gen.Rng.IntervalDist.Uniform,
+          5, 3, 9, 137L)))
+    val buckets = gen.ParityStream.dataset(spark, spec)
+      .groupBy(expr("ts DIV 500").as("h")).agg(count(lit(1)).as("x"))
+    val top = ops.Events.acfTopLags(buckets, maxLag = 48, topK = 3)
+      .select("lag_hours").as[Long].collect().toList
+    assert(top.head == 16L, s"top lag: $top")
+    assert(top.toSet == Set(16L, 32L, 48L), s"harmonics: $top")
+  }
+
+  test("q281 streaming Markov surprisal equals batch q279 row-for-row") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("q279_markov_surprisal")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val stream = SparkEntry.queries("q281_stream_markov")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stream == batch)
+  }
 }
