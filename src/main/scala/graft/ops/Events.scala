@@ -3273,9 +3273,190 @@ object Events {
       |      FROM acf)
       |WHERE rk <= 5 ORDER BY rk""".stripMargin
 
+  // ---- q285: Markov conversion attribution ---------------------------
+
+  /** q285: MARKOV ATTRIBUTION — the absorbing-chain answer to "which
+    * channel actually drives purchases?", completing the attribution
+    * triptych next to last-touch (q193, positional) and Shapley (q244,
+    * coalition-game): journeys (per-user event runs split at each
+    * purchase) fit a first-order chain over channel states with CONV /
+    * NULL absorbers; each channel's value is its REMOVAL EFFECT — how
+    * much the K-step absorption probability of CONV from START drops
+    * when that channel's state is forced non-converting (the standard
+    * removal semantics: paths through the channel die to NULL).
+    *
+    * Exactness: absorption runs exactly K = 12 synchronous iterations
+    * of `v'(s) = Σ c(s,t)·v(t) DIV out(s)` in integer ppm with
+    * truncating division — the same recurrence the DuckDB oracle
+    * replays as a recursive CTE (absorbers carried as self-loop
+    * states, removal = forcing v(removed) = 0 each step), so every
+    * intermediate integer matches bit-for-bit. K-step absorption (not
+    * the limit) is the documented statistic; at these chain sizes it
+    * is within 1 ppm of the fixed point.
+    *
+    * Scale: journey segmentation + transition counting is one window
+    * pass and one map-side-combinable aggregate over events; the chain
+    * itself is ≤ (|V|+3)² counts — collected to the driver behind a
+    * `require(≤ 64 rows)` guard (the Eval.scala dictionary-collect
+    * discipline) where the 12×|V| integer recurrence is exact and
+    * free. Nothing event-sized ever leaves the executors.
+    */
+  private def q285(s: SparkSession, d: String): DataFrame =
+    markovAttribution(Tables.events(s, d))
+
+  private[graft] def markovAttribution(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val jw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seqd = ev
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("jid", coalesce(
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .over(jw.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val convj = seqd.groupBy($"user_id", $"jid").agg(
+      max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("has_conv"),
+      sum(when($"event_type" =!= "purchase", 1L).otherwise(0L))
+        .as("nch"))
+    val chanW = Window.partitionBy($"user_id", $"jid")
+      .orderBy($"ts", $"event_id")
+    val chan = seqd.where($"event_type" =!= "purchase")
+      .withColumn("prev", lag($"event_type", 1).over(chanW))
+      .withColumn("rn", row_number().over(chanW).cast("long"))
+    val trans = chan.where($"rn" === 1L)
+      .select(lit("START").as("src"), $"event_type".as("dst"))
+      .unionByName(chan.where($"prev".isNotNull)
+        .select($"prev".as("src"), $"event_type".as("dst")))
+      .unionByName(chan.join(convj, Seq("user_id", "jid"))
+        .where($"rn" === $"nch")
+        .select($"event_type".as("src"),
+          when($"has_conv" === 1L, "CONV").otherwise("NULL").as("dst")))
+      .unionByName(convj.where($"has_conv" === 1L && $"nch" === 0L)
+        .select(lit("START").as("src"), lit("CONV").as("dst")))
+    val matRows = trans.groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    require(matRows.length <= 64,
+      s"markovAttribution: ${matRows.length} transition cells — the " +
+        "driver-side chain math is sized for small channel vocabularies")
+
+    // exact integer K-step absorption, mirroring the oracle's CTE
+    val mat = matRows.toSeq ++ Seq(("CONV", "CONV", 1L), ("NULL", "NULL", 1L))
+    val bySrc = mat.groupBy(_._1)
+    val states = bySrc.keySet
+    val channels = states.diff(Set("START", "CONV", "NULL")).toSeq.sorted
+    def absorb(removed: String): Long = {
+      var v: Map[String, Long] =
+        states.map(st => st -> (if (st == "CONV") 1000000L else 0L)).toMap
+      for (_ <- 1 to 12) {
+        v = states.map { st =>
+          st -> (if (st == removed) 0L
+                 else {
+                   val edges = bySrc(st)
+                   val num = edges.iterator
+                     .map(e => BigInt(e._3) * v(e._2)).sum
+                   (num / edges.iterator.map(_._3).sum).toLong
+                 })
+        }.toMap
+      }
+      v("START")
+    }
+    val pFull = absorb("(full)") // no state named this: the full chain
+    val outBySrc = matRows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val effects = channels.map { ch => (ch, pFull - absorb(ch)) }
+    val totE = effects.map(_._2).sum
+    val rows = effects.map { case (ch, e) =>
+      (ch, pFull, pFull - e, e,
+        if (totE > 0) (BigInt(e) * 1000000 / totE).toLong else 0L,
+        outBySrc.getOrElse(ch, 0L))
+    }
+    rows.toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm",
+        "share_ppm", "out_transitions")
+      .orderBy($"channel")
+  }
+
+  private val q285Sql =
+    """WITH RECURSIVE seqd AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |                      ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS jid
+      |  FROM events),
+      |convj AS (
+      |  SELECT user_id, jid,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS has_conv,
+      |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |      AS nch
+      |  FROM seqd GROUP BY 1, 2),
+      |chan AS (
+      |  SELECT user_id, jid, event_type,
+      |    LAG(event_type) OVER w AS prev,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM seqd WHERE event_type <> 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id, jid ORDER BY ts, event_id)),
+      |trans AS (
+      |  SELECT 'START' AS src, event_type AS dst FROM chan WHERE rn = 1
+      |  UNION ALL
+      |  SELECT prev, event_type FROM chan WHERE prev IS NOT NULL
+      |  UNION ALL
+      |  SELECT c.event_type,
+      |    CASE WHEN j.has_conv = 1 THEN 'CONV' ELSE 'NULL' END
+      |  FROM chan c JOIN convj j USING (user_id, jid) WHERE c.rn = j.nch
+      |  UNION ALL
+      |  SELECT 'START', 'CONV' FROM convj
+      |  WHERE has_conv = 1 AND nch = 0),
+      |mat0 AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM trans GROUP BY 1, 2),
+      |mat AS (
+      |  SELECT * FROM mat0
+      |  UNION ALL SELECT 'CONV', 'CONV', 1
+      |  UNION ALL SELECT 'NULL', 'NULL', 1),
+      |chs AS (SELECT DISTINCT event_type AS ch FROM events
+      |        WHERE event_type <> 'purchase'),
+      |scen AS (SELECT '(full)' AS removed UNION ALL SELECT ch FROM chs),
+      |states AS (SELECT DISTINCT src AS st FROM mat),
+      |it AS (
+      |  SELECT s.removed, st.st,
+      |    CAST(CASE WHEN st.st = 'CONV' THEN 1000000 ELSE 0 END
+      |      AS BIGINT) AS v,
+      |    0 AS k
+      |  FROM scen s, states st
+      |  UNION ALL
+      |  SELECT i.removed, m.src,
+      |    CAST(CASE WHEN m.src = i.removed THEN 0
+      |      ELSE CAST(SUM(CAST(m.c AS HUGEINT) * i.v) // SUM(m.c)
+      |        AS BIGINT) END AS BIGINT),
+      |    i.k + 1
+      |  FROM it i JOIN mat m ON m.dst = i.st
+      |  WHERE i.k < 12
+      |  GROUP BY i.removed, m.src, i.k),
+      |fin AS (SELECT removed, v FROM it WHERE k = 12 AND st = 'START'),
+      |pf AS (SELECT v AS p FROM fin WHERE removed = '(full)'),
+      |eff AS (
+      |  SELECT c.ch, pf.p, r.v AS pr, pf.p - r.v AS e
+      |  FROM chs c JOIN fin r ON r.removed = c.ch, pf),
+      |outd AS (SELECT src AS ch, SUM(c) AS o FROM mat0
+      |         WHERE src <> 'START' GROUP BY 1),
+      |tot AS (SELECT SUM(e) AS te FROM eff)
+      |SELECT e.ch AS channel, CAST(e.p AS BIGINT) AS p_full_ppm,
+      |  CAST(e.pr AS BIGINT) AS p_removed_ppm,
+      |  CAST(e.e AS BIGINT) AS effect_ppm,
+      |  CAST(CASE WHEN t.te > 0
+      |    THEN (CAST(e.e AS HUGEINT) * 1000000) // t.te
+      |    ELSE 0 END AS BIGINT) AS share_ppm,
+      |  CAST(o.o AS BIGINT) AS out_transitions
+      |FROM eff e CROSS JOIN tot t JOIN outd o ON o.ch = e.ch
+      |ORDER BY channel""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q283_changepoints", q283, Some(q283Sql)),
     QueryDef("q284_periodicity", q284, Some(q284Sql)),
+    QueryDef("q285_markov_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
     // Streaming KMV sketch under the oracle gate: keyed state holds

@@ -476,7 +476,116 @@ object Graph {
        |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
   }
 
+  // ---- q287: k-core decomposition ------------------------------------
+
+  /** Iterative SIMULTANEOUS k-core peeling over a doubled
+    * (src, dst) edge list: each sweep drops every edge with an
+    * endpoint of current degree < k; the k-core is the (unique,
+    * removal-order-independent) fixpoint. Runs at most `maxSweeps`
+    * sweeps with early exit on convergence — and because the
+    * simultaneous-peel TRAJECTORY is deterministic, the result equals
+    * the oracle's idempotent `maxSweeps`-round recursive CTE replay
+    * even on a graph that hasn't converged by the bound.
+    */
+  private[graft] def kCore(
+      edges: DataFrame, k: Int, maxSweeps: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var cur = edges.localCheckpoint()
+    var curCount = cur.count()
+    var sweeps = 0
+    var done = curCount == 0L
+    while (!done && sweeps < maxSweeps) {
+      val deg = cur.groupBy($"src").agg(count(lit(1)).as("d"))
+        .where($"d" >= k).select($"src")
+      val next = cur
+        .join(deg, Seq("src"))
+        .join(deg.select($"src".as("dst")), Seq("dst"))
+        .select($"src", $"dst")
+        .localCheckpoint()
+      val nextCount = next.count()
+      done = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      sweeps += 1
+    }
+    cur
+  }
+
+  /** q287: K-CORE DECOMPOSITION of the co-purchase graph (k = 80) —
+    * the sixth classic graph kernel next to PageRank (q75), components
+    * (q63), triangles (q143), BFS (q187) and label propagation (q273):
+    * the maximal subgraph where every part co-purchases with ≥ 80
+    * others inside it — the dense backbone a recommender or
+    * negative-sampling pipeline treats as "head" items. Top 25 members
+    * by within-core degree, with the core's global size riding along.
+    *
+    * Exactness: peeling is pure integer counting; simultaneous peel
+    * has a unique deterministic trajectory, so Spark's
+    * loop-with-early-exit and the oracle's fixed-19-round idempotent
+    * recursive CTE (rounds past convergence reproduce the same rows)
+    * agree bit-for-bit — converged or not. On sf0.01 the cascade
+    * converges in 5 sweeps (Round14Spec pins a planted cascade).
+    *
+    * Scale: each sweep is one map-side-combinable degree aggregate +
+    * two semi-join-shaped equi-joins on a monotonically SHRINKING edge
+    * set, lineage truncated per sweep (q63/q75's discipline); sweep
+    * count is the graph's peeling depth at k, not its size.
+    */
+  private def q287(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val und = li
+      .as("x")
+      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("a"), $"y.pk".as("b"))
+      .distinct()
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val statW = Window
+      .orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kCore(edges, k = 80, maxSweeps = 19)
+      .groupBy($"src".as("id")).agg(count(lit(1)).as("core_deg"))
+      .withColumn("n_core_nodes", count(lit(1)).over(statW))
+      .withColumn("n_core_edges",
+        (sum($"core_deg").over(statW) / 2).cast("long"))
+      .orderBy($"core_deg".desc, $"id")
+      .limit(25)
+      .select($"id", $"core_deg", $"n_core_nodes", $"n_core_edges")
+  }
+
+  private val q287Sql =
+    """WITH RECURSIVE und AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |edges AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |peel AS (
+      |  SELECT 0 AS r, src, dst FROM edges
+      |  UNION ALL
+      |  SELECT r + 1, src, dst FROM (
+      |    SELECT p.r, p.src, p.dst,
+      |      COUNT(*) OVER (PARTITION BY p.src) AS ds,
+      |      COUNT(*) OVER (PARTITION BY p.dst) AS dd
+      |    FROM peel p) q
+      |  WHERE ds >= 80 AND dd >= 80 AND r < 19),
+      |fin AS (SELECT src, dst FROM peel WHERE r = 19)
+      |SELECT id, core_deg,
+      |  CAST(COUNT(*) OVER () AS BIGINT) AS n_core_nodes,
+      |  CAST(SUM(core_deg) OVER () // 2 AS BIGINT) AS n_core_edges
+      |FROM (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      |      FROM fin GROUP BY src)
+      |ORDER BY core_deg DESC, id LIMIT 25""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q287_kcore", q287, Some(q287Sql)),
     QueryDef("q75_pagerank", q75, Some(q75Sql)),
     QueryDef("q143_triangle_count", q143, Some(q143Sql)),
     QueryDef("q187_khop_bfs", q187, Some(q187Sql)),

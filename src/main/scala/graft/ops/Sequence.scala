@@ -1917,6 +1917,93 @@ object Sequence {
       |    AS n_switches
       |FROM rec WHERE i = n ORDER BY user_id""".stripMargin
 
+  /** q286: PREDICTION CALIBRATION for the q280 next-event model — "when
+    * the model says 40%, is it right 40% of the time?": every holdout
+    * transition is scored with the TRAINED model's add-one-smoothed
+    * probability of its own argmax pick (`p_hat_ppm = (c+1)·10⁶ DIV
+    * (n+V)` — exact integer), bucketed into 1%-wide confidence bins, and
+    * each bucket reports predicted-confidence bounds vs realized accuracy.
+    * The reliability table is how a serving stack decides whether the
+    * model's confidence is actionable — the sequence-model counterpart
+    * of q247's isotonic calibration audit.
+    *
+    * Exactness/scale: train and holdout legs are q280's bigram
+    * aggregates (partition-prunable timestamp predicates); the model
+    * (argmax row per prev + its integer p_hat) is ≤|V| rows broadcast
+    * into the holdout join; the bucket rollup is map-side combinable.
+    * Everything is integer DIV arithmetic — no floats anywhere.
+    */
+  private def q286(s: SparkSession, d: String): DataFrame =
+    predictionCalibration(Tables.events(s, d))
+
+  private[graft] def predictionCalibration(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("prev", lag($"cur", 1).over(w))
+      .where($"prev".isNotNull)
+    val train = bigrams(ev.where($"ts" < split))
+    val vocab = ev.agg(countDistinct($"event_type").as("v"))
+      .withColumn("one", lit(1))
+    val rankW = Window.partitionBy($"prev").orderBy($"c".desc, $"cur")
+    val model = train
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"prev")))
+      .withColumn("rk", row_number().over(rankW))
+      .where($"rk" === 1)
+      .withColumn("one", lit(1))
+      .join(broadcast(vocab), Seq("one"))
+      .withColumn("p_hat_ppm", expr("((c + 1) * 1000000) DIV (n + v)"))
+      .select($"prev", $"cur".as("predicted"), $"p_hat_ppm")
+    bigrams(ev.where($"ts" >= split))
+      .join(broadcast(model), Seq("prev"))
+      .groupBy(expr("p_hat_ppm DIV 10000").as("bucket"))
+      .agg(count(lit(1)).as("n_eval"),
+        min($"p_hat_ppm").as("p_hat_min_ppm"),
+        max($"p_hat_ppm").as("p_hat_max_ppm"),
+        sum(when($"cur" === $"predicted", 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) DIV n_eval"))
+      .orderBy($"bucket")
+  }
+
+  private val q286Sql =
+    """WITH train AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'),
+      |voc AS (SELECT COUNT(DISTINCT event_type) AS v FROM events),
+      |model AS (
+      |  SELECT prev, cur AS predicted,
+      |    CAST(((c + 1) * 1000000) // (n + v) AS BIGINT) AS p_hat_ppm
+      |  FROM (
+      |    SELECT prev, cur, COUNT(*) AS c,
+      |      SUM(COUNT(*)) OVER (PARTITION BY prev) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY prev
+      |                         ORDER BY COUNT(*) DESC, cur) AS rk
+      |    FROM train WHERE prev IS NOT NULL GROUP BY prev, cur), voc
+      |  WHERE rk = 1),
+      |holdout AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00')
+      |SELECT p_hat_ppm // 10000 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(MIN(p_hat_ppm) AS BIGINT) AS p_hat_min_ppm,
+      |  CAST(MAX(p_hat_ppm) AS BIGINT) AS p_hat_max_ppm,
+      |  CAST(SUM(CASE WHEN h.cur = m.predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST((SUM(CASE WHEN h.cur = m.predicted THEN 1 ELSE 0 END)
+      |    * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm
+      |FROM holdout h JOIN model m ON h.prev = m.prev
+      |WHERE h.prev IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q261: SEQUENTIAL PATTERN MINING over the events table — "what
     * behavioral episodes does the product actually have?": every
     * contiguous per-user episode of length 2..4 (order = ts with
@@ -2008,6 +2095,7 @@ object Sequence {
       (s, d) => graft.streaming.Streams.streamMarkovSurprisal(s, d),
       Some(q279Sql)),
     QueryDef("q282_viterbi_regimes", q282, Some(q282Sql)),
+    QueryDef("q286_prediction_calibration", q286, Some(q286Sql)),
     // STREAMING episode mining: the per-user gram fold runs live in
     // transformWithState (watermark-matured, tail-carried), emissions
     // are increments, and the read-side sum + support floor reproduce

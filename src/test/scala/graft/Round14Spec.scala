@@ -1005,6 +1005,68 @@ class Round14Spec extends AnyFunSuite {
     assert(top.toSet == Set(16L, 32L, 48L), s"harmonics: $top")
   }
 
+  test("q285 attribution: the channel on every converting path takes all credit") {
+    import spark.implicits._
+    def ev(user: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) =>
+        (user, new java.sql.Timestamp(86400000L + i * 1000L),
+          user * 1000 + i, t)
+    }
+    // every conversion goes through click, but only SOME go through
+    // view: click's removal kills all conversion, view's only part,
+    // and error (only on already-dead paths) carries nothing
+    val rows = ev(1L, Seq("click", "purchase", "click", "purchase",
+        "view", "click", "purchase")) ++
+      ev(2L, Seq("view", "error"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = ops.Events.markovAttribution(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click")._3 == 0L) // removing click kills conversion
+    assert(got("click")._4 > got("view")._4 && got("view")._4 > 0L,
+      s"ordering: ${got("click")} vs ${got("view")}")
+    assert(got("error")._4 == 0L) // error adds nothing
+    assert(got("view")._2 == got("click")._2) // shared p_full column
+    assert(got.values.map(_._5).sum <= 1000000L) // shares are a split
+  }
+
+  test("q286 calibration: planted split model grades exact integer buckets") {
+    import spark.implicits._
+    def ev(user: Long, day: String, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (user, java.sql.Timestamp.valueOf(s"$day 00:00:0$i"),
+          user * 100 + i, t)
+      }
+    // train (before the 2024-01-25 split): A,B,A,B,A fits a 2-type
+    // chain with c=2, n=2, v=2 for both prevs -> p_hat = 3e6 DIV 4 =
+    // 750000 exactly; holdout A,B,A,A grades 2/3 in bucket 75
+    val rows = ev(1L, "2024-01-20", Seq("A", "B", "A", "B", "A")) ++
+      ev(2L, "2024-01-26", Seq("A", "B", "A", "A"))
+    val got = ops.Sequence
+      .predictionCalibration(rows.toDF("user_id", "ts", "event_id", "event_type"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((75L, 3L, 750000L, 750000L, 2L, 666666L)))
+  }
+
+  test("q287 k-core: simultaneous peel cascades a tail one hop per sweep") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4-5-6-7: k=2 peel removes exactly one
+    // tail edge per sweep (leaf first), fixpoint = the triangle
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    def run(sweeps: Int): Set[(Long, Long)] =
+      ops.Graph.kCore(edges, k = 2, maxSweeps = sweeps)
+        .as[(Long, Long)].collect().toSet
+    val tri = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    val sym = (s: Set[(Long, Long)]) => s ++ s.map(_.swap)
+    assert(run(19) == sym(tri))
+    // trajectory is deterministic: after 2 sweeps exactly the edges
+    // touching 7 (sweep 1) and 6 (sweep 2) are gone, no more
+    assert(run(2) == sym(tri ++ Set((3L, 4L), (4L, 5L))))
+  }
+
   test("q281 streaming Markov surprisal equals batch q279 row-for-row") {
     import spark.implicits._
     val batch = SparkEntry.queries("q279_markov_surprisal")(spark, sf)
