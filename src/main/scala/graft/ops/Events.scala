@@ -3273,14 +3273,20 @@ object Events {
       |      FROM acf)
       |WHERE rk <= 5 ORDER BY rk""".stripMargin
 
-  // ---- q285: Markov conversion attribution ---------------------------
+  // ---- q285: journey-grain removal-effect attribution ----------------
 
-  /** q285: MARKOV ATTRIBUTION — the absorbing-chain answer to "which
-    * channel actually drives purchases?", completing the attribution
-    * triptych next to last-touch (q193, positional) and Shapley (q244,
-    * coalition-game): journeys (per-user event runs split at each
-    * purchase) fit a first-order chain over channel states with CONV /
-    * NULL absorbers; each channel's value is its REMOVAL EFFECT — how
+  /** q285: JOURNEY-GRAIN REMOVAL ATTRIBUTION — the journey-grain
+    * refinement of q215's Markov removal-effect model, next to
+    * last-touch (q193, positional) and Shapley (q244, coalition-game).
+    * Where q215 absorbs each user at their FIRST purchase (one journey
+    * per user, driver-side 32-sweep fixed point), q285 splits every
+    * user's history at EACH purchase — repeat purchasers contribute
+    * every journey, the grain a repeat-purchase business actually
+    * credits — and replaces the driver fixed point with a K-step
+    * recurrence the oracle replays as ONE recursive CTE (vs q215's
+    * unrolled chained CTEs): journeys fit a first-order chain over
+    * channel states with CONV / NULL absorbers; each channel's value
+    * is its REMOVAL EFFECT — how
     * much the K-step absorption probability of CONV from START drops
     * when that channel's state is forced non-converting (the standard
     * removal semantics: paths through the channel die to NULL).
@@ -3456,7 +3462,7 @@ object Events {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q283_changepoints", q283, Some(q283Sql)),
     QueryDef("q284_periodicity", q284, Some(q284Sql)),
-    QueryDef("q285_markov_attribution", q285, Some(q285Sql)),
+    QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
     // Streaming KMV sketch under the oracle gate: keyed state holds

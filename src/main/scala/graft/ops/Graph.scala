@@ -584,8 +584,228 @@ object Graph {
       |      FROM fin GROUP BY src)
       |ORDER BY core_deg DESC, id LIMIT 25""".stripMargin
 
+  // ---- q288: link prediction -----------------------------------------
+
+  /** Resource-allocation link prediction over a canonical undirected
+    * edge list `(a, b)` with `a < b`: for every NON-adjacent pair with
+    * at least one common neighbor of degree ≤ `degCap`, score
+    * `ra_ppm = Σ_z 1e6 DIV deg(z)` over those common neighbors z —
+    * the Zhou–Lü–Zhang resource-allocation index in integer ppm, with
+    * the common-neighbor count as secondary signal. Exposed so tests
+    * can drive planted graphs through the exact production plan.
+    *
+    * The degree cap is a DEFINED part of the statistic, not a lossy
+    * shortcut bolted on: RA exists to down-weight high-degree
+    * intermediaries (a hub z contributes ≤ 1e6/deg(z) ≈ nothing), so
+    * truncating centers above `degCap` removes only terms the index
+    * itself deems uninformative — and it is what bounds the wedge
+    * enumeration: wedges at center z cost deg(z)², so capping the
+    * CENTER degree caps the per-node blowup at degCap·deg(z) and the
+    * whole enumeration at degCap·2|E| — linear in edges, no Σdeg²
+    * hub explosion, exactly the q143 orientation argument transplanted
+    * to wedge CENTERS. The oracle computes the same capped index, so
+    * the cap is engine-exact.
+    */
+  private[graft] def raLinkPrediction(
+      und: DataFrame, degCap: Int): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val u = und.localCheckpoint()
+    val sym = u
+      .select($"a".as("z"), $"b".as("nb"))
+      .unionAll(u.select($"b".as("z"), $"a".as("nb")))
+    val deg = sym.groupBy($"z").agg(count(lit(1)).as("dg"))
+    val adj = sym
+      .join(deg.where($"dg".between(2, degCap)), Seq("z"))
+      .localCheckpoint()
+    val wedges = adj
+      .select($"z", $"nb".as("a"), $"dg")
+      .join(adj.select($"z", $"nb".as("b")), Seq("z"))
+      .where($"a" < $"b")
+      .select($"a", $"b", expr("1000000 DIV dg").as("term"))
+    wedges
+      .groupBy($"a", $"b")
+      .agg(sum($"term").as("ra_ppm"), count(lit(1)).as("common_n"))
+      .join(u, Seq("a", "b"), "left_anti")
+  }
+
+  /** q288: LINK PREDICTION on the co-purchase graph — which part pairs
+    * that have NEVER shared an order are most likely to (the "customers
+    * also bought" candidate generator, and the standard graph-ML
+    * evaluation task): top 25 non-edges by capped resource-allocation
+    * score (see [[raLinkPrediction]]), ties by common-neighbor count
+    * then pair id — a total order, so the top-k is deterministic.
+    *
+    * Scale: the wedge enumeration is an equi-join on the CENTER node
+    * with both sides degree-capped (≤ degCap rows per key per side), so
+    * the intermediate is ≤ degCap·2|E| rows; the (a,b) score rollup is
+    * one map-side-combinable hash aggregate; the known-edge exclusion
+    * is a co-partitioned left-anti equi-join; the top-k is
+    * TakeOrderedAndProject. Nothing collected, nothing quadratic in
+    * the corpus.
+    */
+  private def q288(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val und = li
+      .as("x")
+      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("a"), $"y.pk".as("b"))
+      .distinct()
+    raLinkPrediction(und, degCap = 64)
+      .orderBy($"ra_ppm".desc, $"common_n".desc, $"a", $"b")
+      .limit(25)
+      .select($"a", $"b", $"common_n", $"ra_ppm")
+  }
+
+  private val q288Sql =
+    """WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |sym AS (
+      |  SELECT a AS z, b AS nb FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT z, COUNT(*) AS dg FROM sym GROUP BY z),
+      |adj AS MATERIALIZED (
+      |  SELECT s.z, s.nb, d.dg FROM sym s JOIN deg d USING (z)
+      |  WHERE d.dg BETWEEN 2 AND 64),
+      |wedges AS (
+      |  SELECT x.nb AS a, y.nb AS b, 1000000 // x.dg AS term
+      |  FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb),
+      |sc AS (
+      |  SELECT a, b, CAST(SUM(term) AS BIGINT) AS ra_ppm,
+      |    CAST(COUNT(*) AS BIGINT) AS common_n
+      |  FROM wedges GROUP BY a, b)
+      |SELECT sc.a, sc.b, common_n, ra_ppm
+      |FROM sc LEFT JOIN und u ON u.a = sc.a AND u.b = sc.b
+      |WHERE u.a IS NULL
+      |ORDER BY ra_ppm DESC, common_n DESC, sc.a, sc.b LIMIT 25""".stripMargin
+
+  // ---- q289: personalized PageRank -----------------------------------
+
+  /** Personalized PageRank over a symmetric `(src, dst)` edge list:
+    * q75's integer-ppm fixed-point recurrence with the uniform teleport
+    * replaced by a restart to a SEED node — `r'(v) = 0.15e6·[v = seed]
+    * + 0.85·Σ r(u) DIV outd(u)` — so mass concentrates around the seed
+    * and the ranking is "relevance to seed", not global centrality.
+    * The seed rides the plan as a 1-row broadcast (the whitelisted
+    * crossJoin device), never a driver collect; every step is
+    * truncating integer arithmetic, so a fixed sweep count is
+    * bit-exact on any engine and any partitioning.
+    */
+  private[graft] def personalizedPageRank(
+      edges: DataFrame, seedDf: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst").distinct().cache()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outd"))
+    val degEdges = e.join(deg, Seq("src")).repartition($"src").cache()
+    // nodes carry their restart base: 150000 ppm at the seed, 0 elsewhere
+    val nodes = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+      .crossJoin(broadcast(seedDf))
+      .select($"id",
+        when($"id" === $"seedv", 150000L).otherwise(0L).as("base"))
+      .repartition($"id").cache()
+    var ranks = nodes.select($"id",
+      when($"base" > 0L, 1000000L).otherwise(0L).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = degEdges
+        .join(ranks.select($"id".as("rid"), $"r"), $"src" === $"rid")
+        .groupBy($"dst").agg(sum(expr("r DIV outd")).as("contrib"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          ($"base" +
+            expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    e.unpersist(); degEdges.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** q289: "RELATED PARTS" BY PERSONALIZED PAGERANK — random-walk-
+    * with-restart relevance to a seed part over the co-purchase graph,
+    * the item-to-item serving primitive behind "customers who bought
+    * this also bought" (vs q75's GLOBAL centrality: same recurrence,
+    * different teleport — restart mass pins the walk to the seed's
+    * neighborhood). Seed = the smallest part id in the graph
+    * (deterministic); 6 sweeps; top 25 nodes by ppm rank, zero-mass
+    * nodes dropped so the result is seed-local, not graph-sized.
+    *
+    * Scale: per sweep one co-partitioned equi-join of the rank vector
+    * onto the cached degree-annotated edge list + one map-side-
+    * combinable sum — q75's exact shape and cost; the oracle unrolls
+    * the same 6 integer sweeps as chained CTEs, seed via a scalar
+    * subquery, so the whole walk is engine-exact.
+    */
+  private def q289(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val und = li
+      .as("x")
+      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("a"), $"y.pk".as("b"))
+      .distinct()
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val seedDf = edges.agg(min(least($"src", $"dst")).as("seedv"))
+    personalizedPageRank(edges, seedDf, iters = 6)
+      .where($"r" > 0L)
+      .select($"id", $"r".as("ppr_ppm"))
+      .orderBy($"ppr_ppm".desc, $"id")
+      .limit(25)
+  }
+
+  private val q289Sql = {
+    def sweep(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST(CASE WHEN n.id = (SELECT sv FROM seed)
+         |      THEN 150000 ELSE 0 END
+         |      + (85 * COALESCE(SUM($prev.r // d.outd), 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.id
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  LEFT JOIN $prev ON $prev.id = e.src
+         |  GROUP BY n.id)""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey
+       |   AND l1.l_partkey < l2.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+       |seed AS (SELECT MIN(id) AS sv FROM nodes),
+       |r0 AS (
+       |  SELECT id, CAST(CASE WHEN id = (SELECT sv FROM seed)
+       |    THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |${sweep("r0", "r1")},
+       |${sweep("r1", "r2")},
+       |${sweep("r2", "r3")},
+       |${sweep("r3", "r4")},
+       |${sweep("r4", "r5")},
+       |${sweep("r5", "r6")}
+       |SELECT id, r AS ppr_ppm FROM r6 WHERE r > 0
+       |ORDER BY ppr_ppm DESC, id LIMIT 25""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
+    QueryDef("q288_link_prediction", q288, Some(q288Sql)),
+    QueryDef("q289_personalized_pagerank", q289, Some(q289Sql)),
     QueryDef("q75_pagerank", q75, Some(q75Sql)),
     QueryDef("q143_triangle_count", q143, Some(q143Sql)),
     QueryDef("q187_khop_bfs", q187, Some(q187Sql)),

@@ -1067,6 +1067,61 @@ class Round14Spec extends AnyFunSuite {
     assert(run(2) == sym(tri ++ Set((3L, 4L), (4L, 5L))))
   }
 
+  test("q288 link prediction: RA index exact on planted graphs") {
+    import spark.implicits._
+    def run(und: Seq[(Long, Long)], cap: Int): Set[(Long, Long, Long, Long)] =
+      ops.Graph.raLinkPrediction(und.toDF("a", "b"), cap)
+        .select("a", "b", "ra_ppm", "common_n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // path 1-2-3: the only non-edge with a common neighbor is (1,3)
+    // through center 2 (deg 2) -> ra = 1e6 DIV 2
+    assert(run(Seq((1L, 2L), (2L, 3L)), 64) ==
+      Set((1L, 3L, 500000L, 1L)))
+    // 4-cycle: both diagonals, two centers of degree 2 each
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), 64) ==
+      Set((1L, 3L, 1000000L, 2L), (2L, 4L, 1000000L, 2L)))
+    // triangle: every wedge pair is already an edge -> nothing predicted
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 64).isEmpty)
+    // star with center degree 4: cap 3 excludes the center entirely,
+    // cap 4 admits it and scores every leaf pair at 1e6 DIV 4
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+    assert(run(star, 3).isEmpty)
+    assert(run(star, 4) ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .map { case (a, b) => (a, b, 250000L, 1L) })
+  }
+
+  test("q289 personalized PageRank matches the integer reference walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // barbell: path 1-2-3 bridging into a triangle {3,4,5}; seed 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val sym = und ++ und.map(_.swap)
+    // driver-side twin of the exact truncating recurrence
+    val out = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = sym.map(_._1).distinct
+    var ref = nodes.map(n => n -> (if (n == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 6) {
+      val c = nodes.map { n =>
+        n -> sym.collect { case (u, v) if v == n => ref(u) / out(u) }.sum
+      }.toMap
+      ref = nodes.map { n =>
+        n -> ((if (n == 1L) 150000L else 0L) + 85L * c(n) / 100L)
+      }.toMap
+    }
+    val got = ops.Graph
+      .personalizedPageRank(
+        sym.toDF("src", "dst"),
+        Seq(Tuple1(1L)).toDF("seedv"), iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    // restart locality: the seed holds the most mass (plain distance
+    // decay does NOT hold here — triangle node 3 recirculates more
+    // than bridge node 2, which is the point of the walk model)
+    assert(got(1L) == got.values.max)
+    assert(got(3L) > got(4L) && got(4L) == got(5L))
+  }
+
   test("q281 streaming Markov surprisal equals batch q279 row-for-row") {
     import spark.implicits._
     val batch = SparkEntry.queries("q279_markov_surprisal")(spark, sf)
