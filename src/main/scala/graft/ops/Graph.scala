@@ -185,6 +185,53 @@ object Graph {
        |ORDER BY rank_ppm DESC, id LIMIT 25""".stripMargin
   }
 
+  /** The co-purchase graph — parts adjacent when they share an order —
+    * as a canonical undirected edge list `(a, b)`, `a < b`, one row per
+    * edge, materialized ONCE per source dir and shared by every graph
+    * kernel over it (q143 triangles, q273 LPA, q287 k-core, q288 link
+    * prediction, q289 PPR). ProfileKCore showed the derive (bounded
+    * self-join on the order key + distinct) at ~5.5 s cold at sf0.1 —
+    * more than the k-core peel itself — and each kernel was re-paying
+    * it; with the store, bench q143 dropped 3.5 → 1.7 s and q287
+    * 6.6 → 4.6 s (an in-session A/B put the steady-state store-vs-
+    * inline delta for the LPA sweeps at ±0.5 s — page-cached inline
+    * derive and store read cost about the same locally; the store wins
+    * on the cold path and at scale). At 100 TB the argument is
+    * structural: a derived graph is STORAGE, not a per-query subplan
+    * (the q88 bucketed-table / q184 store discipline). Build is
+    * crash-safe behind the store-level completion marker
+    * ([[StoreGuard]]); readers get a plain partitioned parquet scan.
+    */
+  private[graft] def coPurchaseEdges(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the store key folds in the source's (mtime, length) so a
+    // regenerated testdata dir can never serve a stale graph — the
+    // completion marker proves the build finished, the key proves it
+    // was built from THIS source
+    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(lp)
+    val root = "target/graft_graph_store/" +
+      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    StoreGuard.ensureBuilt(s, root) {
+      val li = Tables
+        .lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      li.as("x")
+        .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+        .select($"x.pk".as("a"), $"y.pk".as("b"))
+        .distinct()
+        // partition count = the session's shuffle parallelism: an
+        // 8-file layout measured 8.3 s on the LPA sweeps vs 5.8 before
+        // the store — the kernels' scan-side tasks inherit the file
+        // count, so the store must carry the full width
+        .repartition(col("a"))
+        .write.mode("overwrite").parquet(s"$root/und.parquet")
+    }
+    s.read.parquet(s"$root/und.parquet")
+  }
+
   /** q143: TRIANGLE COUNTING over the co-purchase graph (parts that
     * share an order are adjacent) — the third classic distributed graph
     * kernel next to PageRank (q75) and connected components (q63), and
@@ -210,18 +257,8 @@ object Graph {
     * a<b<c three-way join in DuckDB — two independent enumeration
     * strategies must agree on the exact count.
     */
-  private def q143(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val li = Tables
-      .lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    val edges = li
-      .as("x")
-      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("a"), $"y.pk".as("b"))
-      .distinct()
-    triangleCount(edges)
-  }
+  private def q143(s: SparkSession, d: String): DataFrame =
+    triangleCount(coPurchaseEdges(s, d))
 
   /** Degree-oriented triangle count over a canonical undirected edge
     * list `(a, b)` with `a < b`, one row per edge (see q143 doc for the
@@ -427,14 +464,7 @@ object Graph {
     */
   private def q273(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables
-      .lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    val und = li
-      .as("x")
-      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("a"), $"y.pk".as("b"))
-      .distinct()
+    val und = coPurchaseEdges(s, d)
     val edges = und
       .select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
@@ -534,14 +564,7 @@ object Graph {
     */
   private def q287(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables
-      .lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    val und = li
-      .as("x")
-      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("a"), $"y.pk".as("b"))
-      .distinct()
+    val und = coPurchaseEdges(s, d)
     val edges = und
       .select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
@@ -646,15 +669,7 @@ object Graph {
     */
   private def q288(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables
-      .lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    val und = li
-      .as("x")
-      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("a"), $"y.pk".as("b"))
-      .distinct()
-    raLinkPrediction(und, degCap = 64)
+    raLinkPrediction(coPurchaseEdges(s, d), degCap = 64)
       .orderBy($"ra_ppm".desc, $"common_n".desc, $"a", $"b")
       .limit(25)
       .select($"a", $"b", $"common_n", $"ra_ppm")
@@ -745,14 +760,7 @@ object Graph {
     */
   private def q289(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables
-      .lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-    val und = li
-      .as("x")
-      .join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .select($"x.pk".as("a"), $"y.pk".as("b"))
-      .distinct()
+    val und = coPurchaseEdges(s, d)
     val edges = und
       .select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
