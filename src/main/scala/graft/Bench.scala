@@ -168,6 +168,9 @@ object Bench {
     warm("co-purchase edge store") {
       graft.ops.Graph.coPurchaseEdges(spark, sfDir).count(): Unit
     }
+    warm("incremental-triangle snapshot store") {
+      graft.ops.Graph.incTriangleStore(spark, sfDir)._1.count(): Unit
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // Optional local-profiling filter (comma-separated names). The driver
     // never sets this, so the per-round bench always runs everything.

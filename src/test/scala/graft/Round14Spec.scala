@@ -1130,4 +1130,52 @@ class Round14Spec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(stream == batch)
   }
+
+  test("q290 delta core charges 1/2/3-new-edge triangles exactly once") {
+    import spark.implicits._
+    // old: path-ish graph with NO triangle; delta closes one triangle
+    // with exactly 1 new edge (2-3), one with 2 new edges (2-3 + 3-4
+    // over old 2-4), and one all-new (5-6-7) — the minimal-new-edge
+    // charge must count each exactly once: Δ = 3
+    val old   = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val delta = Seq((2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
+      .toDF("a", "b")
+    val got = ops.Graph.triangleDelta(old, delta)
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L))
+    // and a no-op delta counts nothing
+    assert(ops.Graph
+      .triangleDelta(old, spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+      .as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("q290 delta core equals recompute difference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14290)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 4
+      val all = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextInt(100) < 30
+      } yield (a, b)).toSeq
+      val (oldSeq, deltaSeq) = all.partition(_ => rnd.nextBoolean())
+      val oldDf   = oldSeq.toDF("a", "b")
+      val deltaDf = deltaSeq.toDF("a", "b")
+      def tri(df: org.apache.spark.sql.DataFrame): Long =
+        ops.Graph.triangleCount(df)
+          .select("n_triangles").as[Long].head()
+      val want = tri(all.toDF("a", "b")) - tri(oldDf)
+      val got = ops.Graph.triangleDelta(oldDf, deltaDf)
+        .as[Long].head()
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("q290 incremental census equals the q143 full recompute") {
+    val full = SparkEntry.queries("q143_triangle_count")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inc = SparkEntry.queries("q290_incremental_triangles")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full)
+  }
 }
