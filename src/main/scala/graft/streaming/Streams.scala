@@ -2992,4 +2992,173 @@ object Streams {
       graft.ops.Eval.psiFromBinned(binned)
     }
   }
+
+  /** q291: STREAMING TRIANGLE MAINTENANCE — q290 LIVE, the streaming
+    * graph-analytics shape (vertex/edge streams are their own system
+    * class; here the graph grows as its source rows arrive), and the
+    * lambda handoff done right: the stream RESUMES FROM q290's batch
+    * snapshot store ([[graft.ops.Graph.incTriangleStore]] — the
+    * pre-[[graft.ops.Graph.incCut]] edge list + census), then the
+    * post-cut lines arrive as two time-sliced microbatches and
+    * `foreachBatch` maintains an append-only delta chain on top: per
+    * tick, the edges its lines introduce (tick×tick pairs plus
+    * tick×PRIOR-lines pairs inside the same order, where prior = the
+    * base history scan ∪ previously installed ticks — cross-batch
+    * pairing is the point: an order's earlier lines arrived earlier),
+    * anti-joined against snapshot ∪ installed deltas so Δ is genuinely
+    * new, census advanced by [[graft.ops.Graph.triangleDelta]]'s
+    * minimal-new-edge charge — the IDENTICAL core q290's batch run
+    * uses, so the two paths cannot drift. Ticks install under
+    * batchId-keyed atomic moves (a replayed tick re-derives from the
+    * same predecessors and overwrites its own attempt — exactly-once
+    * state from at-least-once delivery, q107's discipline). The final
+    * census must hash-match the batch q143 census over the WHOLE
+    * table — the oracle is LITERALLY q143's SQL, the strongest gate a
+    * snapshot-handoff + live-maintenance pipeline can face.
+    */
+  def streamTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (storeEdgesRaw, storeStats) =
+      graft.ops.Graph.incTriangleStore(spark, dir)
+    // every tick probes the handed-off snapshot (pair derive, edge
+    // anti-join, adjacency scoring) — pin the edge list AND its
+    // adjacency index in memory for the stream's lifetime (~tens of MB
+    // here; on a cluster this is the executor-cached graph every
+    // streaming-graph system keeps hot)
+    val storeEdges = storeEdgesRaw.cache()
+    val snapAdj = graft.ops.Graph
+      .adjacency(storeEdges, isNew = false).cache()
+    val baseLines = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_shipdate" <
+        lit(graft.ops.Graph.incCut).cast("timestamp"))
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .cache()
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"tri_$uuid")
+    val srcDir = root.resolve("src").toString
+    // two post-cut time slices (the file source triggers oldest-
+    // written-first), so maintenance genuinely crosses a microbatch
+    // boundary; the pre-cut history is NOT streamed — it is the
+    // snapshot the stream resumes from
+    val lines = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"),
+        $"l_shipdate".cast("string").as("sd"))
+    val cutS = graft.ops.Graph.incCut.take(10)
+    for (
+      (lo, hi) <- Seq((cutS, Some("2001-10-01")),
+        ("2001-10-01", None))
+    ) lines
+      .filter($"sd" >= lo &&
+        hi.map($"sd" < _).getOrElse(lit(true)))
+      .select($"ok", $"pk")
+      .coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val sinkRoot = root.resolve("sink")
+    // the graph store is APPEND-ONLY (lines and edges only ever grow),
+    // so the snapshot chain holds per-batch DELTAS installed under a
+    // batchId-keyed atomic move (fanoutInstall's discipline) — state at
+    // batch id = the union of all installed b<id' ≤ id> deltas; a full
+    // copy-on-write rewrite (q107's shape, for stores that UPDATE in
+    // place) measured 4× slower here because each batch re-wrote the
+    // whole growing edge table
+    def installed(): Seq[Long] =
+      if (!java.nio.file.Files.exists(sinkRoot)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(sinkRoot)) {
+        files =>
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.matches("b\\d+") => s.drop(1).toLong }
+            .toSeq
+      }
+    def readAll(sp: SparkSession, ids: Seq[Long], sub: String,
+        orElse: => DataFrame): DataFrame =
+      if (ids.isEmpty) orElse
+      else sp.read.parquet(ids.map(i => s"$sinkRoot/b$i/$sub"): _*)
+    val q = spark.readStream
+      .schema("ok LONG, pk LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val b = batch.toDF().distinct().localCheckpoint()
+        val prevIds = installed().filter(_ < id).sorted
+        // prior state = the handed-off batch snapshot ∪ installed ticks
+        val prevLines = baseLines.unionByName(
+          readAll(sp, prevIds, "lines",
+            sp.emptyDataset[(Long, Long)].toDF("ok", "pk")))
+        val prevEdges = storeEdges.unionByName(
+          readAll(sp, prevIds, "edges",
+            sp.emptyDataset[(Long, Long)].toDF("a", "b")))
+        // an (order, part) re-observed across ticks re-derives pairs
+        // the store already holds — the edge anti-join below removes
+        // them, so no line-level dedup pass against the store is needed
+        // (the rare duplicate line row only re-offers already-present
+        // candidate pairs)
+        val bb = b.as("x")
+          .join(b.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("a"), $"y.pk".as("b"))
+        // the tick side is microbatch-sized; broadcast it so the line
+        // history is scanned, never shuffled (a checkpointed frame has
+        // no size stats, so the planner won't pick the broadcast itself)
+        val bp = broadcast(b.as("n"))
+          .join(prevLines.as("o"), $"n.ok" === $"o.ok" && $"n.pk" =!= $"o.pk")
+          .select(least($"n.pk", $"o.pk").as("a"),
+            greatest($"n.pk", $"o.pk").as("b"))
+        val delta = bb.unionAll(bp).distinct()
+          .join(prevEdges, Seq("a", "b"), "left_anti")
+          .localCheckpoint()
+        // base index = the CACHED snapshot adjacency, untouched; the
+        // small RECENT index covers installed tick edges (old flags)
+        // and this tick's delta (new flags) — the two merge per scoring
+        // row, never as a table
+        val tickEdges = readAll(sp, prevIds, "edges",
+          sp.emptyDataset[(Long, Long)].toDF("a", "b"))
+        val recent = graft.ops.Graph.adjacencyFlagged(
+          tickEdges.select($"a", $"b", lit(false).as("nw"))
+            .unionByName(delta.select($"a", $"b", lit(true).as("nw"))))
+        val dTri = graft.ops.Graph
+          .triangleDeltaOnAdj(snapAdj, recent, delta)
+        val dCnt = delta.agg(count(lit(1)).as("d_edges"))
+        val census = readAll(sp, prevIds.lastOption.toSeq, "census",
+          storeStats.select($"n_edges", $"n_triangles"))
+          .crossJoin(dCnt).crossJoin(dTri)
+          .select(($"n_edges" + $"d_edges").as("n_edges"),
+            ($"n_triangles" + $"d_triangles").as("n_triangles"))
+        // delta-only install: temp dir + ONE atomic move keyed by batch
+        // id, so a replayed batch (derived from the same b<prev> set)
+        // overwrites its own attempt with identical content
+        val tmp = sinkRoot.resolve(s"tmp_b$id")
+        deleteStaged(tmp)
+        b.coalesce(4).write.parquet(s"$tmp/lines")
+        delta.coalesce(4).write.parquet(s"$tmp/edges")
+        census.coalesce(1).write.parquet(s"$tmp/census")
+        java.nio.file.Files.createDirectories(sinkRoot)
+        val dst = sinkRoot.resolve(s"b$id")
+        deleteStaged(dst)
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    deleteStaged(root.resolve("src"))
+    baseLines.unpersist()
+    val ids = installed().sorted
+    require(ids.nonEmpty, "streamTriangles: no sink delta installed")
+    val edges = storeEdges.unionByName(readAll(spark, ids, "edges",
+      spark.emptyDataset[(Long, Long)].toDF("a", "b")))
+    val out = edges.select($"a").unionAll(edges.select($"b"))
+      .agg(count_distinct($"a").as("n_nodes"))
+      .crossJoin(spark.read.parquet(s"$sinkRoot/b${ids.max}/census"))
+      .select($"n_nodes", $"n_edges", $"n_triangles")
+      .localCheckpoint()
+    snapAdj.unpersist()
+    storeEdges.unpersist()
+    out
+  }
 }

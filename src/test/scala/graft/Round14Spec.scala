@@ -1178,4 +1178,12 @@ class Round14Spec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(inc == full)
   }
+
+  test("q291 streaming triangle census equals the q143 full recompute") {
+    val full = SparkEntry.queries("q143_triangle_count")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val live = SparkEntry.queries("q291_stream_triangles")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(live == full)
+  }
 }
