@@ -2050,6 +2050,103 @@ object Sequence {
       |HAVING COUNT(*) >= (SELECT COUNT(*) * 5 // 1000 FROM events)
       |ORDER BY len, support DESC, episode""".stripMargin
 
+  /** q292: SEQUENTIAL RULES from the mined episodes — the actionable
+    * output a miner exists to produce: each frequent episode P·x
+    * becomes the rule "after P, expect x" with
+    * `conf_ppm = supp(P·x)·10⁶ DIV supp(P)` and
+    * `lift_milli = conf_ppm·1000 DIV base_ppm(x)` (how much the prefix
+    * RAISES x over its base rate — a conf-only ranking just echoes the
+    * most common event). Supports are raw occurrence counts (q261's
+    * definition; a prefix at a sequence tail still counts, stated
+    * semantics shared by both engines).
+    *
+    * The key structural fact making this ONE broadcast join over the
+    * mined table: contiguous-episode support is ANTI-MONOTONE — every
+    * occurrence of P·x contains an occurrence of P at the same start,
+    * so supp(P) ≥ supp(P·x) ≥ floor and the antecedent of every
+    * surviving rule is guaranteed to have survived the same mining
+    * floor (length-1 prefixes come from the plain type histogram). No
+    * corpus re-scan beyond q261's own aggregate + two type rollups;
+    * everything downstream of the miner is vocabulary-sized. All
+    * ratios are truncating integer DIV on ppm/milli units, and the
+    * two-stage lift (ppm ratios first, both ≤ 10⁶, then their milli
+    * quotient) keeps every product within Long at ANY corpus size —
+    * lift as supp·n·10⁹/(supp_P·cnt_x) would overflow at ~10¹²
+    * events.
+    */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val eps = mineEpisodes(ev,
+      keyCol = "user_id", orderCols = Seq("ts", "event_id"),
+      typeCol = "event_type", minLen = 2, maxLen = 4,
+      relPerMille = 5L)
+      .localCheckpoint()
+    val n = ev.count()
+    val t1 = ev.groupBy($"event_type".cast("string").as("p_ep"))
+      .agg(count(lit(1)).as("p_sup"))
+    val prefixes = t1.unionByName(
+      eps.select($"episode".as("p_ep"), $"support".as("p_sup")))
+    val base = ev.groupBy($"event_type".cast("string").as("cons"))
+      .agg(count(lit(1)).as("c_cnt"))
+    eps
+      .withColumn("antecedent", regexp_replace($"episode", ">[^>]*$", ""))
+      .withColumn("consequent", regexp_extract($"episode", "([^>]*)$", 1))
+      .join(broadcast(prefixes), $"antecedent" === $"p_ep")
+      .join(broadcast(base), $"consequent" === $"cons")
+      .select($"len", $"antecedent", $"consequent", $"support",
+        expr("support * 1000000 DIV p_sup").as("conf_ppm"),
+        expr(s"c_cnt * 1000000 DIV ${n}L").as("base_ppm"))
+      .withColumn("lift_milli", expr("conf_ppm * 1000 DIV base_ppm"))
+      .orderBy($"len", $"conf_ppm".desc, $"antecedent", $"consequent")
+  }
+
+  private val q292Sql =
+    """WITH seqd AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(event_type, 3) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |eg AS (
+      |  SELECT user_id, CAST(2 AS BIGINT) AS len,
+      |    event_type || '>' || t1 AS episode
+      |  FROM seqd WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 3, event_type || '>' || t1 || '>' || t2
+      |  FROM seqd WHERE t2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, 4,
+      |    event_type || '>' || t1 || '>' || t2 || '>' || t3
+      |  FROM seqd WHERE t3 IS NOT NULL),
+      |sup AS (
+      |  SELECT len, episode, CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM eg GROUP BY 1, 2
+      |  HAVING COUNT(*) >= (SELECT COUNT(*) * 5 // 1000 FROM events)),
+      |pre AS (
+      |  SELECT event_type AS p_ep, CAST(COUNT(*) AS BIGINT) AS p_sup
+      |  FROM events GROUP BY 1
+      |  UNION ALL SELECT episode, support FROM sup),
+      |base AS (
+      |  SELECT event_type AS cons, CAST(COUNT(*) AS BIGINT) AS c_cnt
+      |  FROM events GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+      |SELECT s.len,
+      |  regexp_replace(s.episode, '>[^>]*$', '') AS antecedent,
+      |  regexp_extract(s.episode, '([^>]*)$', 1) AS consequent,
+      |  s.support,
+      |  CAST(s.support * 1000000 // p.p_sup AS BIGINT) AS conf_ppm,
+      |  CAST(b.c_cnt * 1000000 // nn.n AS BIGINT) AS base_ppm,
+      |  CAST((s.support * 1000000 // p.p_sup) * 1000 //
+      |    (b.c_cnt * 1000000 // nn.n) AS BIGINT) AS lift_milli
+      |FROM sup s
+      |JOIN pre p ON p.p_ep = regexp_replace(s.episode, '>[^>]*$', '')
+      |JOIN base b ON b.cons = regexp_extract(s.episode, '([^>]*)$', 1),
+      |  nn
+      |ORDER BY len, conf_ppm DESC, antecedent, consequent""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q216_match_recognize", q216, Some(q216Sql)),
     QueryDef("q221_match_trailing_plus", q221, Some(q221Sql)),
@@ -2084,6 +2181,7 @@ object Sequence {
     QueryDef("q231_match_sessions", q231, Some(q231Sql)),
     QueryDef("q239_token_motifs", q239, Some(q239Sql)),
     QueryDef("q261_episode_mining", q261, Some(q261Sql)),
+    QueryDef("q292_episode_rules", q292, Some(q292Sql)),
     QueryDef("q266_gappy_episodes", q266, Some(q266Sql)),
     QueryDef("q279_markov_surprisal", q279, Some(q279Sql)),
     QueryDef("q280_next_event_eval", q280, Some(q280Sql)),

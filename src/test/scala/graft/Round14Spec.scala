@@ -1179,6 +1179,36 @@ class Round14Spec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("q292 rules equal a driver recompute from q261's episodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val eps = SparkEntry.queries("q261_episode_mining")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (len, ep, sup, _) => (len, ep, sup) }
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val typeCnt = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val supOf = eps.map { case (_, ep, s) => ep -> s }.toMap
+    val want = eps.map { case (len, ep, sup) =>
+      val parts = ep.split(">")
+      val ante  = parts.dropRight(1).mkString(">")
+      val cons  = parts.last
+      val pSup  = if (parts.length == 2) typeCnt(ante) else supOf(ante)
+      val conf  = sup * 1000000L / pSup
+      val baseP = typeCnt(cons) * 1000000L / n
+      (len, ante, cons, sup, conf, baseP, conf * 1000L / baseP)
+    }.sortBy { case (l, a, c, _, conf, _, _) => (l, -conf, a, c) }.toSeq
+    val got = SparkEntry.queries("q292_episode_rules")(spark, sf)
+      .as[(Long, String, String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == want)
+    // lift is the point of the rule layer: the fixture must contain
+    // both enriching (>1000) and suppressing (<1000) rules, or the
+    // milli ranking is vacuous here
+    assert(got.exists(_._7 > 1000L) && got.exists(_._7 < 1000L))
+  }
+
   test("q291 streaming triangle census equals the q143 full recompute") {
     val full = SparkEntry.queries("q143_triangle_count")(spark, sf)
       .collect().map(_.toSeq).toSeq
