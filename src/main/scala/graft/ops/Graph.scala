@@ -1017,8 +1017,109 @@ object Graph {
         ($"n_triangles" + $"d_triangles").as("n_triangles"))
   }
 
+  // ---- q293: landmark harmonic centrality -----------------------------
+
+  /** q293: LANDMARK HARMONIC CENTRALITY — the distance-based centrality
+    * family (closeness/harmonic), which the degree-based (q75/q289) and
+    * mesoscale (q273/q287) kernels cannot express: how NEAR a node sits
+    * to the rest of the graph. Exact all-pairs distances are O(|V|·|E|)
+    * — infeasible at scale — so the standard estimator runs BFS from K
+    * deterministic LANDMARKS (the 8 smallest node ids) and scores each
+    * node by the truncated harmonic sum Σ_s 1000 DIV d(s, v) over
+    * landmarks within 4 hops (harmonic, not closeness: unreachable
+    * landmarks contribute 0 instead of breaking the mean — the
+    * disconnected-graph-safe variant). Multi-source frontier-
+    * synchronous BSP: ONE BFS carries (seed, node) pairs for all K
+    * landmarks simultaneously — per sweep one co-partitioned join +
+    * one anti-join, frontier-sized shuffles, localCheckpoint lineage
+    * discipline (q187's device, K-seeded); distances are small
+    * integers so the harmonic sum is exact in milli units. The oracle
+    * unrolls the same 4 level sets as seed-keyed chained CTEs —
+    * LEVEL-wise, never path-wise. Top 25 nodes by (score, id).
+    */
+  /** Truncated harmonic centrality over a symmetric `(src, dst)` edge
+    * list from a `seed`-column landmark table — exposed so tests can
+    * drive planted graphs (paths, stars) through the exact production
+    * multi-source BFS.
+    */
+  private[graft] def harmonicCentrality(
+      edgesRaw: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val s = edgesRaw.sparkSession
+    import s.implicits._
+    val edges = edgesRaw.localCheckpoint()
+    var reach = broadcast(seeds)
+      .select($"seed", $"seed".as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = reach
+    for (k <- 1 to hops) {
+      val next = frontier
+        .select($"seed", $"node".as("src"))
+        .join(edges, "src")
+        .select($"seed", $"dst".as("node"))
+        .distinct()
+        .join(reach.select($"seed", $"node"),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+        .localCheckpoint()
+      reach = reach.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    reach.filter($"dist" > 0L)
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000 DIV dist")).as("harmonic_milli"))
+  }
+
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = coPurchaseEdges(s, d)
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val seeds = edges.select($"src").distinct()
+      .orderBy($"src").limit(8)
+      .select($"src".as("seed"))
+    harmonicCentrality(edges, seeds, hops = 4)
+      .orderBy($"harmonic_milli".desc, $"node")
+      .limit(25)
+  }
+
+  private val q293Sql = {
+    def level(prev: String, out: String, k: Int) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT seed, node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT seed, node, $k AS dist FROM (
+         |    SELECT DISTINCT f.seed, e.dst AS node
+         |    FROM $prev f JOIN edges e ON e.src = f.node
+         |    WHERE f.dist = ${k - 1}) n
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev r
+         |    WHERE r.seed = n.seed AND r.node = n.node))""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey
+       |   AND l1.l_partkey < l2.l_partkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |seeds AS (
+       |  SELECT DISTINCT src AS seed FROM edges ORDER BY 1 LIMIT 8),
+       |r0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+       |${level("r0", "r1", 1)},
+       |${level("r1", "r2", 2)},
+       |${level("r2", "r3", 3)},
+       |${level("r3", "r4", 4)}
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_milli
+       |FROM r4 WHERE dist > 0
+       |GROUP BY node
+       |ORDER BY harmonic_milli DESC, node LIMIT 25""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
+    QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),
     QueryDef("q288_link_prediction", q288, Some(q288Sql)),
     QueryDef("q289_personalized_pagerank", q289, Some(q289Sql)),
     QueryDef("q75_pagerank", q75, Some(q75Sql)),

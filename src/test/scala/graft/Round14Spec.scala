@@ -1209,6 +1209,30 @@ class Round14Spec extends AnyFunSuite {
     assert(got.exists(_._7 > 1000L) && got.exists(_._7 < 1000L))
   }
 
+  test("q293 harmonic centrality exact on a planted path + star") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus star center 3 with leaves 7,8: landmark
+    // BFS from seeds {1, 7}, 4 hops — hand-computed truncated
+    // harmonic milli sums through the production multi-source BFS
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (3L, 8L))
+    val edges = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L, 7L).toDF("seed")
+    val got = ops.Graph.harmonicCentrality(edges, seeds, hops = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // d(1,·): 2→1 3→2 4→3 5→4 7→3 8→3 ; d(7,·): 3→1 2→2 4→2 8→2 1→3 5→3
+    assert(got(2L) == (2L, 1000L + 500L))  // d=1 from 1, d=2 from 7
+    assert(got(3L) == (2L, 500L + 1000L))
+    assert(got(4L) == (2L, 333L + 500L))
+    assert(got(5L) == (2L, 250L + 333L))
+    assert(got(8L) == (2L, 333L + 500L))
+    assert(got(6L) == (1L, 250L))          // d(1,6)=5 truncated; d(7,6)=4
+    assert(got(1L) == (1L, 333L))          // seed 1 itself excluded (dist 0), d(7,1)=3
+    assert(got(7L) == (1L, 333L))          // d(1,7)=3; seed 7 itself excluded
+  }
+
   test("q291 streaming triangle census equals the q143 full recompute") {
     val full = SparkEntry.queries("q143_triangle_count")(spark, sf)
       .collect().map(_.toSeq).toSeq
