@@ -1052,8 +1052,15 @@ object Graph {
       .localCheckpoint()
     var frontier = reach
     for (k <- 1 to hops) {
-      val next = frontier
-        .select($"seed", $"node".as("src"))
+      // the frontier side BROADCASTS (a checkpointed frame has no size
+      // stats, and without the hint every hop sort-merges the full
+      // edge table — measured 4.8 s/hop vs 1 s at sf0.1); frontiers
+      // are bounded by K·|seen nodes| 16-byte pairs. At a scale where
+      // that outgrows the broadcast budget, the switch is the q75
+      // degEdges discipline: hash-partition the edge table by src once
+      // and co-partition each frontier — per-hop shuffles become
+      // frontier-sized either way.
+      val next = broadcast(frontier.select($"seed", $"node".as("src")))
         .join(edges, "src")
         .select($"seed", $"dst".as("node"))
         .distinct()
@@ -1061,7 +1068,10 @@ object Graph {
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(k.toLong))
         .localCheckpoint()
-      reach = reach.unionByName(next).localCheckpoint()
+      // only the FRONTIER materializes per sweep — the reach set is a
+      // union of already-checkpointed frontiers, so re-checkpointing
+      // the growing union each sweep would re-copy K·|V| rows per hop
+      reach = reach.unionByName(next)
       frontier = next
     }
     reach.filter($"dist" > 0L)
