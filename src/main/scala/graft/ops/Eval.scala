@@ -2115,7 +2115,111 @@ object Eval {
        |UNION ALL SELECT '4_dr', n, dr_num // n FROM agg
        |ORDER BY estimator""".stripMargin
 
+  // ---- q294: out-of-fold target encoding ------------------------------
+
+  /** Out-of-fold encoding core — exposed for Round14Spec's mechanical
+    * leakage proof. Input rows `(cat, fold, t)` with integer target t;
+    * output per (cat, fold): counts and the EB-smoothed out-of-fold
+    * mean in micro units,
+    *   enc = (S_cat−S_cell + m·prior_f) / (n_cat−n_cell + m),
+    * where the smoothing prior for fold f is ITSELF out-of-fold (the
+    * global mean over every row NOT in f) — so nothing the encoder
+    * emits for fold f depends on any fold-f target, a property the
+    * spec proves by perturbation. All integer: sums, truncating DIV on
+    * micro units; Long overflow headroom is Σ|t|·10⁶ (~9·10¹² cents —
+    * DECIMAL(38,0) is the stated upgrade path past that, the q274
+    * note). Degenerate cells are total: a category confined to one
+    * fold has n_excl = 0, raw NULL, enc = prior exactly.
+    */
+  private[graft] def oofEncoding(
+      df: DataFrame, priorWeight: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val m = priorWeight
+    require(m > 0L, "oofEncoding: priorWeight must be positive")
+    val cells = df.groupBy($"cat", $"fold")
+      .agg(sum($"t").as("s"), count(lit(1)).as("n"))
+    val byCat = cells.groupBy($"cat")
+      .agg(sum($"s").as("cs"), sum($"n").as("cn"))
+    val byFold = cells.groupBy($"fold")
+      .agg(sum($"s").as("fs"), sum($"n").as("fn"))
+    val g = cells.agg(sum($"s").as("gs"), sum($"n").as("gn"))
+    cells
+      .join(broadcast(byCat), Seq("cat"))
+      .join(broadcast(byFold), Seq("fold"))
+      .crossJoin(g)
+      .select($"cat", $"fold", $"n".as("n_fold"),
+        ($"cn" - $"n").as("n_excl"),
+        expr("CASE WHEN cn - n = 0 THEN NULL ELSE " +
+          "(cs - s) * 1000000 DIV (cn - n) END").as("raw_micro"),
+        expr(s"CASE WHEN gn - fn = 0 THEN NULL ELSE " +
+          s"((cs - s) * 1000000 + $m * ((gs - fs) * 1000000 DIV " +
+          s"(gn - fn))) DIV (cn - n + $m) END").as("enc_micro"))
+  }
+
+  /** q294: OUT-OF-FOLD TARGET ENCODING — the leakage-safe categorical
+    * encoder every tabular-ML data-prep pipeline ships (CatBoost-style
+    * ordered/OOF statistics): replace a category by the smoothed mean
+    * of the target over all OTHER folds, so the feature a training row
+    * sees never contains its own label. Folds are deterministic md5
+    * buckets of the event id (the q192/q219 draw device), category =
+    * event_type, target = integer cents. Two event-cardinality hash
+    * aggregates (cells + their rollups) and broadcast joins — nothing
+    * downstream exceeds |cats|·|folds| rows.
+    */
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type".as("cat"),
+        (expr("conv(substring(md5(cast(cast(event_id as string) " +
+          "as binary)), 1, 8), 16, 10)").cast("long") % 5L).as("fold"),
+        expr(centsExpr).as("t"))
+      .transform(df => oofEncoding(df, priorWeight = 100L))
+      .select($"cat".as("event_type"), $"fold", $"n_fold", $"n_excl",
+        $"raw_micro", $"enc_micro")
+      .orderBy($"event_type", $"fold")
+  }
+
+  private val q294Sql =
+    s"""WITH r AS (
+      |  SELECT event_type AS cat,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 5 AS fold,
+      |    $centsExpr AS t
+      |  FROM events),
+      |cells AS (
+      |  SELECT cat, fold, CAST(SUM(t) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r GROUP BY 1, 2),
+      |bycat AS (
+      |  SELECT cat, CAST(SUM(s) AS BIGINT) AS cs,
+      |    CAST(SUM(n) AS BIGINT) AS cn
+      |  FROM cells GROUP BY 1),
+      |byfold AS (
+      |  SELECT fold, CAST(SUM(s) AS BIGINT) AS fs,
+      |    CAST(SUM(n) AS BIGINT) AS fn
+      |  FROM cells GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(SUM(s) AS BIGINT) AS gs,
+      |    CAST(SUM(n) AS BIGINT) AS gn
+      |  FROM cells)
+      |SELECT c.cat AS event_type, c.fold AS fold, c.n AS n_fold,
+      |  bc.cn - c.n AS n_excl,
+      |  CASE WHEN bc.cn - c.n = 0 THEN NULL ELSE
+      |    CAST((bc.cs - c.s) * 1000000 // (bc.cn - c.n) AS BIGINT)
+      |  END AS raw_micro,
+      |  CASE WHEN g.gn - bf.fn = 0 THEN NULL ELSE
+      |    CAST(((bc.cs - c.s) * 1000000 + 100 *
+      |      ((g.gs - bf.fs) * 1000000 // (g.gn - bf.fn))) //
+      |      (bc.cn - c.n + 100) AS BIGINT)
+      |  END AS enc_micro
+      |FROM cells c
+      |JOIN bycat bc ON bc.cat = c.cat
+      |JOIN byfold bf ON bf.fold = c.fold, g
+      |ORDER BY event_type, c.fold""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q294_target_encoding", q294, Some(q294Sql)),
     QueryDef("q269_bradley_terry", q269, Some(q269Sql)),
     QueryDef("q270_offpolicy_eval", q270, Some(q270Sql)),
     QueryDef("q240_roc_auc", q240, Some(q240Sql)),

@@ -203,6 +203,10 @@ class PlanSpec extends AnyFunSuite {
       "q278_feature_matrix", // 1-row max-day broadcast bounds the label window
       "q279_markov_surprisal", // 1-row vocabulary scalar into the |V|² model
       "q281_stream_markov", // same surprisal core as q279
+      "q286_prediction_calibration", // q279's 1-row vocab scalar in the trained model
+      "q290_incremental_triangles", // 1-row census × delta-count crosses
+      "q291_stream_triangles", // q290's 1-row census merge, read side
+      "q294_target_encoding", // 1-row global-sum cross into |cats|·|folds| cells
       "q283_changepoints", // 1-row split/total broadcasts over the day grain
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded

@@ -1209,6 +1209,35 @@ class Round14Spec extends AnyFunSuite {
     assert(got.exists(_._7 > 1000L) && got.exists(_._7 < 1000L))
   }
 
+  test("q294 OOF encoding is mechanically leakage-free") {
+    import spark.implicits._
+    val base = Seq(
+      ("A", 0L, 100L), ("A", 0L, 200L), ("A", 1L, 400L),
+      ("A", 2L, 600L), ("B", 1L, 1000L), ("B", 2L, 2000L),
+      ("B", 2L, 3000L), ("C", 0L, 500L))
+    def run(rows: Seq[(String, Long, Long)]) =
+      ops.Eval.oofEncoding(rows.toDF("cat", "fold", "t"), 100L)
+        .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+    val got = run(base)
+    // hand check: A/fold0 sees only A's fold-1/2 targets (400, 600)
+    assert(got(("A", 0L))._5.contains(500000000L))
+    // C exists only in fold 0: raw undefined, enc = the fold-0 prior
+    // exactly = mean of every row NOT in fold 0 = 7000/5
+    assert(got(("C", 0L))._5.isEmpty)
+    assert(got(("C", 0L))._6.contains(1400000000L))
+    // the leakage proof: perturb EVERY fold-0 target; nothing emitted
+    // FOR fold 0 may move (its encoder never sees fold-0 labels),
+    // while other folds' encodings must move
+    val pert = base.map { case (c, f, t) =>
+      (c, f, if (f == 0L) t + 10000L else t) }
+    val got2 = run(pert)
+    for (k <- got.keys if k._2 == 0L)
+      assert(got2(k) == got(k), s"fold-0 cell $k moved")
+    assert(got2(("A", 1L))._6 != got(("A", 1L))._6)
+    assert(got2(("B", 2L))._6 != got(("B", 2L))._6)
+  }
+
   test("q293 harmonic centrality exact on a planted path + star") {
     import spark.implicits._
     // path 1-2-3-4-5-6 plus star center 3 with leaves 7,8: landmark
