@@ -427,8 +427,13 @@ object Graph {
       .withColumn("lab", $"id")
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // the label vector (|V| rows of two longs) BROADCASTS into the
+      // edge join — a checkpointed frame has no size stats, and
+      // without the hint every sweep re-sorts the edge table for a
+      // sort-merge join; at a |V| beyond broadcast budget the switch
+      // is co-partitioning both sides once (the q75 device)
       val votes = e
-        .join(labels.select($"id".as("dst"), $"lab"), "dst")
+        .join(broadcast(labels.select($"id".as("dst"), $"lab")), "dst")
         .select($"src".as("id"), $"lab")
         .unionAll(labels)
       // mode with (count DESC, label ASC) as ONE max-of-struct pair of
