@@ -531,11 +531,14 @@ object Graph {
     var sweeps = 0
     var done = curCount == 0L
     while (!done && sweeps < maxSweeps) {
+      // the surviving-node set (≤|V| single longs) BROADCASTS into
+      // both semi-filters — without the hint each sweep sort-merges
+      // the checkpointed (stats-free) edge list twice
       val deg = cur.groupBy($"src").agg(count(lit(1)).as("d"))
         .where($"d" >= k).select($"src")
       val next = cur
-        .join(deg, Seq("src"))
-        .join(deg.select($"src".as("dst")), Seq("dst"))
+        .join(broadcast(deg), Seq("src"))
+        .join(broadcast(deg.select($"src".as("dst"))), Seq("dst"))
         .select($"src", $"dst")
         .localCheckpoint()
       val nextCount = next.count()
