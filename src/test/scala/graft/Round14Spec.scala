@@ -1151,6 +1151,7 @@ class Round14Spec extends AnyFunSuite {
 
   test("q290 delta core equals recompute difference on random graphs") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.lit
     val rnd = new scala.util.Random(14290)
     for (trial <- 1 to 5) {
       val n = 12 + trial * 4
@@ -1168,6 +1169,18 @@ class Round14Spec extends AnyFunSuite {
       val got = ops.Graph.triangleDelta(oldDf, deltaDf)
         .as[Long].head()
       assert(got == want, s"trial $trial: got $got want $want")
+      // q291's exact index split: old edges arbitrarily divided
+      // between the BASE index and the RECENT index (old flags), the
+      // delta riding in RECENT with new flags — must score identically
+      val (snapSeq, tickSeq) = oldSeq.partition(_ => rnd.nextBoolean())
+      val recent = ops.Graph.adjacencyFlagged(
+        tickSeq.toDF("a", "b").withColumn("nw", lit(false))
+          .unionByName(deltaDf.withColumn("nw", lit(true))))
+      val gotSplit = ops.Graph.triangleDeltaOnAdj(
+        ops.Graph.adjacency(snapSeq.toDF("a", "b"), isNew = false),
+        recent, deltaDf)
+        .as[Long].head()
+      assert(gotSplit == want, s"trial $trial split: $gotSplit/$want")
     }
   }
 
