@@ -1145,8 +1145,116 @@ object Graph {
        |ORDER BY harmonic_milli DESC, node LIMIT 25""".stripMargin
   }
 
+  // ---- q295: graph profile (degree stats, assortativity, tail) -------
+
+  /** q295: GRAPH PROFILE — the one-pass statistical fingerprint every
+    * graph system prints before anything else runs: size, degree
+    * moments, DEGREE ASSORTATIVITY (do hubs attach to hubs?) and the
+    * Hill MLE for the power-law tail exponent (how heavy is the hub
+    * tail — the number that decides whether the q143/q288 degree caps
+    * and the q47 salting devices are load-bearing on this graph).
+    *
+    * Exactness devices: assortativity is the Pearson correlation of
+    * end degrees over the DIRECTED edge ends — on a symmetric list the
+    * x- and y-marginals coincide, so r = (m·Σxy − (Σx)²)/(m·Σx² −
+    * (Σx)²) needs NO square root and stays a ratio of integers; the
+    * cross-products run in DECIMAL(38,0)/HUGEINT (m·Σxy overflows Long
+    * at ~10⁶-degree graphs — the q283 device) with truncating DIV
+    * identical cross-engine including the negative (disassortative)
+    * case. The Hill estimator α = 1 + n'/Σ ln(d/dmin) at dmin = 2 uses
+    * per-NODE ln terms micro-rounded then integer-summed (q195), so
+    * the whole row is hash-exact. Shape: one degree aggregate, one
+    * broadcast join of degrees onto the canonical edge list, two
+    * domain-sized rollups.
+    */
+  private def q295(s: SparkSession, d: String): DataFrame =
+    graphProfile(coPurchaseEdges(s, d))
+
+  /** The q295 profile over any canonical `(a, b)` edge list — exposed
+    * for Round14Spec's planted fixtures (a star is exactly −1
+    * assortative; a regular cycle exercises both NULL guards).
+    */
+  private[graft] def graphProfile(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("dg"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max($"dg").as("max_deg"),
+      sum(when($"dg" >= 2L, 1L).otherwise(0L)).as("n_tail"),
+      sum(when($"dg" >= 2L,
+        expr("CAST(ROUND(1000000 * LN(CAST(dg AS DOUBLE) / 2.0)) " +
+          "AS BIGINT)")).otherwise(0L)).as("s_micro"))
+    val endStats = und
+      .join(broadcast(deg.select($"v".as("a"), $"dg".as("da"))), "a")
+      .join(broadcast(deg.select($"v".as("b"), $"dg".as("db"))), "b")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum($"da" * $"db").as("sxy2"),      // Σxy over directed = 2·this
+        sum($"da" + $"db").as("sx"),        // Σx over directed ends
+        sum($"da" * $"da" + $"db" * $"db").as("sxx"))
+    nodeStats.crossJoin(endStats).select(
+      $"n_nodes", $"n_edges", $"max_deg",
+      expr("2 * n_edges * 1000 DIV n_nodes").as("avg_deg_milli"),
+      expr(
+        "CAST(CASE WHEN CAST(2 * n_edges AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE" +
+          " (CAST(2 * n_edges AS DECIMAL(38,0)) * (2 * sxy2)" +
+          "  - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000" +
+          " DIV (CAST(2 * n_edges AS DECIMAL(38,0)) * sxx" +
+          "  - CAST(sx AS DECIMAL(38,0)) * sx) END AS BIGINT)")
+        .as("assortativity_micro"),
+      expr(
+        "CAST(CASE WHEN s_micro = 0 THEN NULL ELSE 1000000 +" +
+          " CAST(n_tail AS DECIMAL(38,0)) * 1000000000000" +
+          " DIV CAST(s_micro AS DECIMAL(38,0)) END AS BIGINT)")
+        .as("hill_alpha_micro"))
+  }
+
+  private val q295Sql =
+    """WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) e
+      |  GROUP BY v),
+      |ns AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(MAX(dg) AS BIGINT) AS max_deg,
+      |    CAST(SUM(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_tail,
+      |    CAST(SUM(CASE WHEN dg >= 2 THEN
+      |      CAST(ROUND(1000000 * LN(CAST(dg AS DOUBLE) / 2.0))
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS s_micro
+      |  FROM deg),
+      |es AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(x.dg * y.dg) AS BIGINT) AS sxy2,
+      |    CAST(SUM(x.dg + y.dg) AS BIGINT) AS sx,
+      |    CAST(SUM(x.dg * x.dg + y.dg * y.dg) AS BIGINT) AS sxx
+      |  FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b)
+      |SELECT n_nodes, n_edges, max_deg,
+      |  2 * n_edges * 1000 // n_nodes AS avg_deg_milli,
+      |  CAST(CASE WHEN CAST(2 * n_edges AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx = 0 THEN NULL ELSE
+      |    (CAST(2 * n_edges AS HUGEINT) * (2 * sxy2)
+      |      - CAST(sx AS HUGEINT) * sx) * 1000000
+      |    // (CAST(2 * n_edges AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx) END AS BIGINT)
+      |    AS assortativity_micro,
+      |  CAST(CASE WHEN s_micro = 0 THEN NULL ELSE 1000000 +
+      |    CAST(n_tail AS HUGEINT) * 1000000000000
+      |    // CAST(s_micro AS HUGEINT) END AS BIGINT)
+      |    AS hill_alpha_micro
+      |FROM ns, es""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
+    QueryDef("q295_graph_profile", q295, Some(q295Sql)),
     QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),
     QueryDef("q288_link_prediction", q288, Some(q288Sql)),
     QueryDef("q289_personalized_pagerank", q289, Some(q289Sql)),

@@ -1251,6 +1251,26 @@ class Round14Spec extends AnyFunSuite {
     assert(got2(("B", 2L))._6 != got(("B", 2L))._6)
   }
 
+  test("q295 graph profile: star is exactly -1 assortative; guards") {
+    import spark.implicits._
+    // star K1,3: ends pairs (3,1)x3 + (1,3)x3 -> Pearson r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val p = ops.Graph.graphProfile(star)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(p._1 == 4L && p._2 == 3L && p._3 == 3L)
+    assert(p._5.contains(-1000000L))
+    // Hill at dmin=2: only the center qualifies, term = round(1e6 ln 1.5)
+    val term = math.round(1e6 * math.log(1.5))
+    assert(p._6.contains(1000000L + 1000000000000L / term))
+    // 4-cycle: regular graph — zero degree variance and zero tail sum
+    // hit BOTH null guards instead of dividing by zero
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val c = ops.Graph.graphProfile(cyc)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(c._5.isEmpty && c._6.isEmpty)
+    assert(c._4 == 2000L) // avg degree exactly 2
+  }
+
   test("q293 harmonic centrality exact on a planted path + star") {
     import spark.implicits._
     // path 1-2-3-4-5-6 plus star center 3 with leaves 7,8: landmark
