@@ -1196,7 +1196,10 @@ object Graph {
         sum($"da" * $"da" + $"db" * $"db").as("sxx"))
     nodeStats.crossJoin(endStats).select(
       $"n_nodes", $"n_edges", $"max_deg",
-      expr("2 * n_edges * 1000 DIV n_nodes").as("avg_deg_milli"),
+      // empty-graph guard: identical CASE in both engines, so a
+      // degenerate slice yields a NULL row, not an ANSI divide error
+      expr("CASE WHEN n_nodes = 0 THEN NULL ELSE " +
+        "2 * n_edges * 1000 DIV n_nodes END").as("avg_deg_milli"),
       expr(
         "CAST(CASE WHEN CAST(2 * n_edges AS DECIMAL(38,0)) * sxx" +
           " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE" +
@@ -1238,7 +1241,8 @@ object Graph {
       |    CAST(SUM(x.dg * x.dg + y.dg * y.dg) AS BIGINT) AS sxx
       |  FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b)
       |SELECT n_nodes, n_edges, max_deg,
-      |  2 * n_edges * 1000 // n_nodes AS avg_deg_milli,
+      |  CASE WHEN n_nodes = 0 THEN NULL ELSE
+      |    2 * n_edges * 1000 // n_nodes END AS avg_deg_milli,
       |  CAST(CASE WHEN CAST(2 * n_edges AS HUGEINT) * sxx
       |      - CAST(sx AS HUGEINT) * sx = 0 THEN NULL ELSE
       |    (CAST(2 * n_edges AS HUGEINT) * (2 * sxy2)
