@@ -1667,7 +1667,158 @@ object Vectors {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- q296: exact k-means refresh iteration (index maintenance) -----
+
+  /** q296: K-MEANS REFRESH ITERATION, EXACT — the maintenance job
+    * behind every IVF-class vector index (q49/q127/q184 freeze their
+    * coarse quantizer at build time; production stores re-center it as
+    * the corpus drifts): run ONE full Lloyd iteration from
+    * deterministic seed centroids (the 16 smallest vec_ids) and report
+    * per cell what a reindex decision needs — population, centroid
+    * MOVEMENT (L1 in micro units) and DEFECTORS (vectors whose nearest
+    * centroid changes under the refreshed codebook, the reassignment
+    * pressure that says rebuild). Empty cells keep their old centroid
+    * (stated, deterministic).
+    *
+    * Exactness end-to-end under the hash gate — the one k-means sweep
+    * that is bit-reproducible on ANY engine: components quantize to
+    * integer micro units FIRST (ROUND half-away matches cross-engine),
+    * squared-L2 distances are integer sums (≤ 64·(2·10⁶)², inside
+    * Long; the oracle derives the SAME integers through exact-double
+    * dot products — all magnitudes < 2⁵³), argmin tie-breaks by
+    * (dist, cell), and means are per-dimension integer sums with
+    * truncating DIV. Shape: the corpus is touched by two
+    * assignment scans (a 16-entry broadcast codebook exploded per
+    * vector — map-side only) and one posexplode aggregate to
+    * (cell, dim) sums; everything else is 16-row math.
+    */
+  private def q296(s: SparkSession, d: String): DataFrame =
+    kmeansRefresh(Tables.embeddings(s, d), k = 16)
+
+  /** The q296 refresh over any `(vec_id, embedding)` frame — exposed
+    * for Round14Spec's planted-cluster fixture (hand-computed means,
+    * shifts, and a boundary vector that genuinely defects).
+    */
+  private[graft] def kmeansRefresh(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val v = emb
+      .select($"vec_id", expr("transform(embedding, x -> " +
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("mic"))
+    val seeds = v.orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("cell"), $"mic".as("cmic"))
+    val distExpr = "aggregate(zip_with(mic, c.cmic, " +
+      "(a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+    def assignTo(codebook: DataFrame): DataFrame = {
+      val row = codebook
+        .agg(sort_array(collect_list(struct($"cell", $"cmic"))).as("cs"))
+      v.crossJoin(broadcast(row))
+        .select($"vec_id", $"mic", explode($"cs").as("c"))
+        .select($"vec_id", $"mic", $"c.cell".as("cell"),
+          expr(distExpr).as("dist"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"dist", $"cell")).as("m"))
+        .select($"vec_id", $"m.cell".as("cell"))
+    }
+    val a1 = assignTo(seeds).withColumnRenamed("cell", "cell0")
+      .join(v, "vec_id")
+      .localCheckpoint()
+    val counts = a1.groupBy($"cell0").agg(count(lit(1)).as("n_vecs"))
+    val newC = a1
+      .select($"cell0", posexplode($"mic").as(Seq("i", "x")))
+      .groupBy($"cell0", $"i")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      .select($"cell0", $"i", expr("sx DIV n").as("m"))
+      .groupBy($"cell0")
+      .agg(expr("transform(sort_array(collect_list(struct(i, m))), " +
+        "p -> p.m)").as("nmic"))
+    val cents = seeds
+      .join(newC.select($"cell0".as("cell"), $"nmic"), Seq("cell"), "left")
+      .select($"cell", $"cmic", coalesce($"nmic", $"cmic").as("eff"))
+      .localCheckpoint()
+    val a2 = assignTo(cents.select($"cell", $"eff".as("cmic")))
+      .withColumnRenamed("cell", "cell1")
+    val defect = a1.select($"vec_id", $"cell0")
+      .join(a2, "vec_id")
+      .filter($"cell1" =!= $"cell0")
+      .groupBy($"cell0").agg(count(lit(1)).as("n_defectors"))
+    cents
+      .select($"cell", expr("aggregate(zip_with(cmic, eff, " +
+        "(a, b) -> abs(a - b)), 0L, (s, x) -> s + x)")
+        .as("shift_micro_l1"))
+      .join(counts.select($"cell0".as("cell"), $"n_vecs"), Seq("cell"),
+        "left")
+      .join(defect.select($"cell0".as("cell"), $"n_defectors"),
+        Seq("cell"), "left")
+      .select($"cell", coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+        $"shift_micro_l1",
+        coalesce($"n_defectors", lit(0L)).as("n_defectors"))
+      .orderBy($"cell")
+  }
+
+  private val q296Sql = {
+    def dist(a: String, b: String) =
+      s"""CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |  - 2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |  + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |  AS BIGINT)""".stripMargin
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mic
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS cell, mic AS cmic FROM v
+      |  ORDER BY vec_id LIMIT 16),
+      |d1 AS (
+      |  SELECT v.vec_id, v.mic, s.cell,
+      |    ${dist("v.mic", "s.cmic")} AS dist
+      |  FROM v, seeds s),
+      |a1 AS (
+      |  SELECT vec_id, mic, cell AS cell0 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cell) AS rk FROM d1) t
+      |  WHERE rk = 1),
+      |sums AS (
+      |  SELECT cell0, g.i, CAST(SUM(mic[g.i]) AS BIGINT) AS sx,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM a1, generate_series(1, 64) g(i) GROUP BY cell0, g.i),
+      |newc AS (
+      |  SELECT cell0 AS cell, list(sx // n ORDER BY i) AS nmic
+      |  FROM sums GROUP BY cell0),
+      |cents AS (
+      |  SELECT s.cell, s.cmic, COALESCE(n.nmic, s.cmic) AS eff
+      |  FROM seeds s LEFT JOIN newc n ON n.cell = s.cell),
+      |cnts AS (
+      |  SELECT cell0 AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM a1 GROUP BY 1),
+      |d2 AS (
+      |  SELECT a.vec_id, a.cell0, c.cell AS cell1,
+      |    ${dist("a.mic", "c.eff")} AS dist
+      |  FROM a1 a, cents c),
+      |a2 AS (
+      |  SELECT vec_id, cell0, cell1 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cell1) AS rk FROM d2) t
+      |  WHERE rk = 1),
+      |def AS (
+      |  SELECT cell0 AS cell, CAST(COUNT(*) AS BIGINT) AS n_defectors
+      |  FROM a2 WHERE cell1 != cell0 GROUP BY 1),
+      |sh AS (
+      |  SELECT c.cell, CAST(SUM(ABS(c.cmic[g.i] - c.eff[g.i]))
+      |    AS BIGINT) AS shift_micro_l1
+      |  FROM cents c, generate_series(1, 64) g(i) GROUP BY c.cell)
+      |SELECT s.cell, CAST(COALESCE(cnts.n_vecs, 0) AS BIGINT) AS n_vecs,
+      |  sh.shift_micro_l1,
+      |  CAST(COALESCE(def.n_defectors, 0) AS BIGINT) AS n_defectors
+      |FROM seeds s
+      |JOIN sh ON sh.cell = s.cell
+      |LEFT JOIN cnts ON cnts.cell = s.cell
+      |LEFT JOIN def ON def.cell = s.cell
+      |ORDER BY s.cell""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q296_kmeans_refresh", q296, Some(q296Sql)),
     // PCA: eigensolve is not SQL-expressible — Round14Spec gates the
     // scatter exactness, eigenpair residuals, and planted-axis recovery
     QueryDef("q274_pca_variance", q274, None),

@@ -208,6 +208,7 @@ class PlanSpec extends AnyFunSuite {
       "q291_stream_triangles", // q290's 1-row census merge, read side
       "q294_target_encoding", // 1-row global-sum cross into |cats|·|folds| cells
       "q295_graph_profile", // 1-row node-stats × 1-row edge-stats cross
+      "q296_kmeans_refresh", // 1-row collected codebook crossed per scan
       "q283_changepoints", // 1-row split/total broadcasts over the day grain
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded

@@ -1251,6 +1251,23 @@ class Round14Spec extends AnyFunSuite {
     assert(got2(("B", 2L))._6 != got(("B", 2L))._6)
   }
 
+  test("q296 refresh: planted clusters move exactly; boundary defects") {
+    import spark.implicits._
+    // 2-dim line: seeds 0 at x=0 and 1 at x=10; members pull cluster 0
+    // to 1.375 and cluster 1 to 7.55 — vector 4 (x=4.9) sits with seed
+    // 0 initially but the refreshed centroid 1 comes CLOSER (2.65 vs
+    // 3.525), so it defects; vector 5 (x=5.1) stays.
+    val emb = Seq(
+      (0L, Seq(0.0f, 0f)), (1L, Seq(10.0f, 0f)), (2L, Seq(0.2f, 0f)),
+      (3L, Seq(0.4f, 0f)), (4L, Seq(4.9f, 0f)), (5L, Seq(5.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = ops.Vectors.kmeansRefresh(emb, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 1375000L, 1L),   // mean (0+0.2+0.4+4.9)/4; one defector
+      (1L, 2L, 2450000L, 0L))) // mean (10+5.1)/2 = 7.55, shift 2.45
+  }
+
   test("q295 graph profile: star is exactly -1 assortative; guards") {
     import spark.implicits._
     // star K1,3: ends pairs (3,1)x3 + (1,3)x3 -> Pearson r = -1 exactly
