@@ -1256,8 +1256,146 @@ object Graph {
       |    AS hill_alpha_micro
       |FROM ns, es""".stripMargin
 
+  // ---- q297: deterministic random-walk corpus -------------------------
+
+  /** Deterministic random walks over a canonical undirected edge list —
+    * exposed for Round14Spec's driver-recompute equality. Each walk
+    * step draws its neighbor INDEX from md5("walkId:step") mod degree
+    * over the (node, rank)-numbered adjacency (the q192/q219
+    * deterministic-draw device lifted to graph walks), so the corpus
+    * is a pure function of the graph: engine-exact, restart-safe,
+    * shardable by walk id with zero coordination.
+    */
+  private[graft] def randomWalks(
+      und: DataFrame, nSeeds: Int, walksPerSeed: Int,
+      len: Int): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val dir = und.select($"a".as("v"), $"b".as("z"))
+      .unionAll(und.select($"b".as("v"), $"a".as("z")))
+    // cached, not checkpointed: every step streams the full ranked
+    // table against a broadcast frontier, so it must come from RAM —
+    // 8 disk scans measured ~2× the whole walk's useful work
+    // 8 cache partitions: every step streams this table against a
+    // broadcast frontier in a trivial map stage, so fewer, larger
+    // tasks beat 32-way scheduling overhead
+    val ranked = dir
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"v").orderBy($"z")))
+      .coalesce(8)
+      .cache()
+    val deg = ranked.groupBy($"v").agg(count(lit(1)).as("dg"))
+      .cache()
+    val seeds = und.select($"a".as("nd")).unionAll(und.select($"b".as("nd")))
+      .distinct().orderBy($"nd").limit(nSeeds)
+    var cur = seeds
+      .crossJoin(broadcast(s.range(walksPerSeed.toLong).select(
+        $"id".as("j"))))
+      .select(($"nd" * walksPerSeed + $"j").as("walk_id"),
+        lit(0L).as("step"), $"nd".as("node"))
+      .localCheckpoint()
+    var trail = cur
+    for (k <- 1 to len) {
+      // draw = md5("walkId:step") mod degree, 1-based into the ranked
+      // adjacency; the frontier (one row per walk) broadcasts into
+      // BOTH probes — the second hint matters as much as the first
+      // (the degree-join output has no stats, so without it the
+      // ranked probe sort-merges the full adjacency every step)
+      cur = broadcast(broadcast(cur.select($"walk_id", $"node".as("v")))
+        .join(deg, "v")
+        .select($"walk_id", $"v",
+          (expr("conv(substring(md5(cast(concat(cast(walk_id as " +
+            s"string), ':', '$k') as binary)), 1, 8), 16, 10)")
+            .cast("long") % $"dg" + 1L).as("idx")))
+        .join(ranked, Seq("v", "idx"))
+        .select($"walk_id", lit(k.toLong).as("step"), $"z".as("node"))
+        .localCheckpoint()
+      trail = trail.unionByName(cur)
+    }
+    val out = trail
+      .groupBy($"walk_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(step, node))), p -> cast(p.node as string)), '>')")
+        .as("walk"),
+        count_distinct($"node").as("n_distinct"))
+      .orderBy($"walk_id")
+      .localCheckpoint()
+    ranked.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** q297: RANDOM-WALK CORPUS — DeepWalk/node2vec-style training-data
+    * generation from the co-purchase graph: 64 seed nodes × 4 walks ×
+    * 8 steps, each emitted as a '>'-joined node sentence ready for the
+    * tokenizer/embedding pipeline (the graph counterpart of the
+    * text-side corpus prep). Walks are DETERMINISTIC — each step's
+    * neighbor index is an md5 draw mod degree over rank-numbered
+    * adjacency — so the generator is engine-exact under the hash gate
+    * (textbook walkers are unreproducible across engines and retries;
+    * this one is a pure function of the graph, which is what a 100 TB
+    * pipeline wants from a corpus job anyway). Per step: one broadcast
+    * of the walk frontier + two equi-joins against the checkpointed
+    * ranked adjacency; the oracle replays the same draws through
+    * chained CTEs.
+    */
+  private def q297(s: SparkSession, d: String): DataFrame =
+    randomWalks(coPurchaseEdges(s, d),
+      nSeeds = 64, walksPerSeed = 4, len = 8)
+
+  private val q297Sql = {
+    def step(prev: String, out: String, k: Int) =
+      s"""$out AS (
+         |  SELECT w.walk_id, $k AS step, r.z AS node
+         |  FROM $prev w
+         |  JOIN deg d ON d.v = w.node
+         |  JOIN ranked r ON r.v = w.node
+         |   AND r.idx = CAST(('0x' || substr(md5(
+         |     CAST(w.walk_id AS VARCHAR) || ':' || '$k'), 1, 8))
+         |     AS BIGINT) % d.dg + 1)""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |dirs AS (
+      |  SELECT a AS v, b AS z FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |ranked AS MATERIALIZED (
+      |  SELECT v, z, ROW_NUMBER() OVER (PARTITION BY v ORDER BY z)
+      |    AS idx
+      |  FROM dirs),
+      |deg AS MATERIALIZED (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM ranked
+      |  GROUP BY v),
+      |seeds AS (
+      |  SELECT DISTINCT v AS nd FROM ranked ORDER BY 1 LIMIT 64),
+      |w0 AS (
+      |  SELECT nd * 4 + j AS walk_id, 0 AS step, nd AS node
+      |  FROM seeds, generate_series(0, 3) g(j)),
+      |${step("w0", "w1", 1)},
+      |${step("w1", "w2", 2)},
+      |${step("w2", "w3", 3)},
+      |${step("w3", "w4", 4)},
+      |${step("w4", "w5", 5)},
+      |${step("w5", "w6", 6)},
+      |${step("w6", "w7", 7)},
+      |${step("w7", "w8", 8)},
+      |trail AS (
+      |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+      |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+      |  UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5
+      |  UNION ALL SELECT * FROM w6 UNION ALL SELECT * FROM w7
+      |  UNION ALL SELECT * FROM w8)
+      |SELECT walk_id,
+      |  string_agg(CAST(node AS VARCHAR), '>' ORDER BY step) AS walk,
+      |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct
+      |FROM trail GROUP BY walk_id
+      |ORDER BY walk_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
+    QueryDef("q297_random_walks", q297, Some(q297Sql)),
     QueryDef("q295_graph_profile", q295, Some(q295Sql)),
     QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),
     QueryDef("q288_link_prediction", q288, Some(q288Sql)),

@@ -1251,6 +1251,35 @@ class Round14Spec extends AnyFunSuite {
     assert(got2(("B", 2L))._6 != got(("B", 2L))._6)
   }
 
+  test("q297 walks equal a driver MessageDigest replay of the draws") {
+    import spark.implicits._
+    // path + triangle: 1-2, 2-3, 3-4, 3-5, 4-5
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).sorted.toVector }
+    def md5idx(walkId: Long, step: Int, deg: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walkId:$step".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % deg).toInt
+    }
+    val want = (for {
+      nd <- Seq(1L, 2L, 3L) // 3 seeds, 2 walks each
+      j <- 0L to 1L
+    } yield {
+      val walkId = nd * 2 + j
+      val nodes = Iterator.iterate((nd, 1)) { case (cur, k) =>
+        val ns = adj(cur)
+        (ns(md5idx(walkId, k, ns.size)), k + 1)
+      }.map(_._1).take(5).toVector
+      (walkId, nodes.mkString(">"), nodes.distinct.size.toLong)
+    }).sortBy(_._1)
+    val got = ops.Graph.randomWalks(und.toDF("a", "b"),
+      nSeeds = 3, walksPerSeed = 2, len = 4)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q296 refresh: planted clusters move exactly; boundary defects") {
     import spark.implicits._
     // 2-dim line: seeds 0 at x=0 and 1 at x=10; members pull cluster 0
