@@ -1393,8 +1393,95 @@ object Graph {
       |ORDER BY walk_id""".stripMargin
   }
 
+  // ---- q298: skip-gram pairs from the walk corpus --------------------
+
+  /** q298: SKIP-GRAM TRAINING PAIRS — the word2vec-style prep step
+    * downstream of q297: every walk sentence yields (center, context)
+    * pairs within window 2, aggregated to pair counts — the actual
+    * training input of DeepWalk/node2vec embedding jobs, and the
+    * co-occurrence statistic (structurally close nodes, not just
+    * adjacent ones) that no single-hop operator produces. Consumes the
+    * corpus the way the trainer does: tokenize the sentence strings,
+    * self-join positions within the window PER WALK (9-token
+    * sentences — pair blow-up is bounded by walks × window, never
+    * corpus-quadratic), count, top-50 by (count, center, context).
+    * Deterministic end-to-end because q297's walks are; the oracle
+    * replays the walk CTEs and pairs the trail by step distance.
+    */
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = randomWalks(coPurchaseEdges(s, d),
+      nSeeds = 64, walksPerSeed = 4, len = 8)
+      .select($"walk_id",
+        posexplode(split($"walk", ">")).as(Seq("i", "node")))
+      .select($"walk_id", $"i", $"node".cast("long").as("node"))
+    toks.as("x")
+      .join(toks.as("y"),
+        $"x.walk_id" === $"y.walk_id" &&
+          abs($"x.i" - $"y.i").between(1, 2))
+      .groupBy($"x.node".as("center"), $"y.node".as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"center", $"context")
+      .limit(50)
+  }
+
+  private val q298Sql = {
+    // identical walk derivation as q297, paired by step distance
+    def step(prev: String, out: String, k: Int) =
+      s"""$out AS (
+         |  SELECT w.walk_id, $k AS step, r.z AS node
+         |  FROM $prev w
+         |  JOIN deg d ON d.v = w.node
+         |  JOIN ranked r ON r.v = w.node
+         |   AND r.idx = CAST(('0x' || substr(md5(
+         |     CAST(w.walk_id AS VARCHAR) || ':' || '$k'), 1, 8))
+         |     AS BIGINT) % d.dg + 1)""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |   AND l1.l_partkey < l2.l_partkey),
+      |dirs AS (
+      |  SELECT a AS v, b AS z FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |ranked AS MATERIALIZED (
+      |  SELECT v, z, ROW_NUMBER() OVER (PARTITION BY v ORDER BY z)
+      |    AS idx
+      |  FROM dirs),
+      |deg AS MATERIALIZED (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM ranked
+      |  GROUP BY v),
+      |seeds AS (
+      |  SELECT DISTINCT v AS nd FROM ranked ORDER BY 1 LIMIT 64),
+      |w0 AS (
+      |  SELECT nd * 4 + j AS walk_id, 0 AS step, nd AS node
+      |  FROM seeds, generate_series(0, 3) g(j)),
+      |${step("w0", "w1", 1)},
+      |${step("w1", "w2", 2)},
+      |${step("w2", "w3", 3)},
+      |${step("w3", "w4", 4)},
+      |${step("w4", "w5", 5)},
+      |${step("w5", "w6", 6)},
+      |${step("w6", "w7", 7)},
+      |${step("w7", "w8", 8)},
+      |trail AS (
+      |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+      |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+      |  UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5
+      |  UNION ALL SELECT * FROM w6 UNION ALL SELECT * FROM w7
+      |  UNION ALL SELECT * FROM w8)
+      |SELECT x.node AS center, y.node AS context,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM trail x JOIN trail y
+      |  ON x.walk_id = y.walk_id AND ABS(x.step - y.step) BETWEEN 1 AND 2
+      |GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, center, context
+      |LIMIT 50""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
+    QueryDef("q298_skipgram_pairs", q298, Some(q298Sql)),
     QueryDef("q297_random_walks", q297, Some(q297Sql)),
     QueryDef("q295_graph_profile", q295, Some(q295Sql)),
     QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),

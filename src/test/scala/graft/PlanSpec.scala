@@ -210,6 +210,7 @@ class PlanSpec extends AnyFunSuite {
       "q295_graph_profile", // 1-row node-stats × 1-row edge-stats cross
       "q296_kmeans_refresh", // 1-row collected codebook crossed per scan
       "q297_random_walks", // 4-row walks-per-seed fan crossed into seeds
+      "q298_skipgram_pairs", // q297's walk derivation feeds the pair join
       "q283_changepoints", // 1-row split/total broadcasts over the day grain
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
       // DOMAIN-bounded nested loops: the broadcast side is a bounded

@@ -1280,6 +1280,27 @@ class Round14Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q298 skip-gram pairs equal a driver recompute from q297 walks") {
+    import spark.implicits._
+    val walks = SparkEntry.queries("q297_random_walks")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val want = walks
+      .flatMap { case (_, w, _) =>
+        val ns = w.split(">").map(_.toLong)
+        for {
+          i <- ns.indices; j <- ns.indices
+          if i != j && math.abs(i - j) <= 2
+        } yield (ns(i), ns(j))
+      }
+      .groupBy(identity).map { case ((c, x), v) => (c, x, v.size.toLong) }
+      .toSeq
+      .sortBy { case (c, x, n) => (-n, c, x) }
+      .take(50)
+    val got = SparkEntry.queries("q298_skipgram_pairs")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q296 refresh: planted clusters move exactly; boundary defects") {
     import spark.implicits._
     // 2-dim line: seeds 0 at x=0 and 1 at x=10; members pull cluster 0
