@@ -171,6 +171,9 @@ object Bench {
     warm("incremental-triangle snapshot store") {
       graft.ops.Graph.incTriangleStore(spark, sfDir)._1.count(): Unit
     }
+    warm("walk corpus store") {
+      graft.ops.Graph.walkStore(spark, sfDir).count(): Unit
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // Optional local-profiling filter (comma-separated names). The driver
     // never sets this, so the per-round bench always runs everything.
