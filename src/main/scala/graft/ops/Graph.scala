@@ -1261,31 +1261,54 @@ object Graph {
   /** Deterministic random walks over a canonical undirected edge list —
     * exposed for Round14Spec's driver-recompute equality. Each walk
     * step draws its neighbor INDEX from md5("walkId:step") mod degree
-    * over the (node, rank)-numbered adjacency (the q192/q219
-    * deterministic-draw device lifted to graph walks), so the corpus
-    * is a pure function of the graph: engine-exact, restart-safe,
-    * shardable by walk id with zero coordination.
+    * over the sorted adjacency (the q192/q219 deterministic-draw
+    * device lifted to graph walks), so the corpus is a pure function
+    * of the graph: engine-exact, restart-safe, shardable by walk id
+    * with zero coordination.
+    *
+    * The adjacency is folded to ONE row per node carrying its sorted
+    * neighbor ARRAY — the draw needs (degree, k-th neighbor) together,
+    * and the fold makes each step a single equi-join on `v` (the r14
+    * shape probed degree and neighbor separately: two joins and a
+    * frontier that had to broadcast twice). Array position `i` equals
+    * the r14 `row_number() OVER (PARTITION BY v ORDER BY z)` rank, so
+    * the draws — and the corpus bytes — are unchanged.
+    *
+    * SCALE PATH (the r14 verdict's weak item): the frontier has
+    * exactly nSeeds·walksPerSeed rows at EVERY step, known up front.
+    * At or below `broadcastFrontierMax` it broadcasts into the cached
+    * adjacency (zero shuffles per step). Above it — the "millions of
+    * walks amortized over the same passes" production shape — forcing
+    * the broadcast would OOM the driver, so the adjacency is instead
+    * hash-partitioned on `v` once (cached, partitioning preserved) and
+    * each step pays exactly ONE exchange of the frontier onto `v`
+    * (the q75/q289 co-partitioning fallback). Round15Spec locks both:
+    * the large path plans ZERO BroadcastExchange per step, and the two
+    * paths produce identical corpora.
     */
   private[graft] def randomWalks(
       und: DataFrame, nSeeds: Int, walksPerSeed: Int,
-      len: Int): DataFrame = {
+      len: Int,
+      broadcastFrontierMax: Long = 1L << 18): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
     val dir = und.select($"a".as("v"), $"b".as("z"))
       .unionAll(und.select($"b".as("v"), $"a".as("z")))
-    // cached, not checkpointed: every step streams the full ranked
-    // table against a broadcast frontier, so it must come from RAM —
-    // 8 disk scans measured ~2× the whole walk's useful work
-    // 8 cache partitions: every step streams this table against a
-    // broadcast frontier in a trivial map stage, so fewer, larger
-    // tasks beat 32-way scheduling overhead
-    val ranked = dir
-      .withColumn("idx", row_number().over(
-        Window.partitionBy($"v").orderBy($"z")))
-      .coalesce(8)
-      .cache()
-    val deg = ranked.groupBy($"v").agg(count(lit(1)).as("dg"))
-      .cache()
+    val smallFrontier = nSeeds.toLong * walksPerSeed <= broadcastFrontierMax
+    // cached, not checkpointed: every step probes this table, so it
+    // must come from RAM — 8 disk scans measured ~2× the whole walk's
+    // useful work. Small path: 8 coalesced partitions (each step is a
+    // trivial broadcast-probe map stage; fewer, larger tasks beat
+    // 32-way scheduling overhead). Large path: hash-partitioned on v
+    // and sorted within partitions, so the per-step SMJ reuses both
+    // the partitioning and the order from the cache — the adjacency
+    // never moves again; only the frontier exchanges.
+    val adjBase = dir.groupBy($"v")
+      .agg(sort_array(collect_list($"z")).as("nbrs"))
+    val adj =
+      (if (smallFrontier) adjBase.coalesce(8)
+       else adjBase.repartition($"v").sortWithinPartitions($"v"))
+        .cache()
     val seeds = und.select($"a".as("nd")).unionAll(und.select($"b".as("nd")))
       .distinct().orderBy($"nd").limit(nSeeds)
     var cur = seeds
@@ -1296,20 +1319,7 @@ object Graph {
       .localCheckpoint()
     var trail = cur
     for (k <- 1 to len) {
-      // draw = md5("walkId:step") mod degree, 1-based into the ranked
-      // adjacency; the frontier (one row per walk) broadcasts into
-      // BOTH probes — the second hint matters as much as the first
-      // (the degree-join output has no stats, so without it the
-      // ranked probe sort-merges the full adjacency every step)
-      cur = broadcast(broadcast(cur.select($"walk_id", $"node".as("v")))
-        .join(deg, "v")
-        .select($"walk_id", $"v",
-          (expr("conv(substring(md5(cast(concat(cast(walk_id as " +
-            s"string), ':', '$k') as binary)), 1, 8), 16, 10)")
-            .cast("long") % $"dg" + 1L).as("idx")))
-        .join(ranked, Seq("v", "idx"))
-        .select($"walk_id", lit(k.toLong).as("step"), $"z".as("node"))
-        .localCheckpoint()
+      cur = walkStep(cur, adj, k, smallFrontier).localCheckpoint()
       trail = trail.unionByName(cur)
     }
     val out = trail
@@ -1320,8 +1330,42 @@ object Graph {
         count_distinct($"node").as("n_distinct"))
       .orderBy($"walk_id")
       .localCheckpoint()
-    ranked.unpersist(); deg.unpersist()
+    adj.unpersist()
     out
+  }
+
+  /** One walk step: frontier (walk_id, step, node) × adjacency
+    * (v, sorted nbrs array) → next frontier. The draw is
+    * md5("walkId:step") mod degree, 1-based into the sorted array —
+    * byte-identical to the r14 ranked-row probe. Exposed (pre-
+    * checkpoint) so Round15Spec can plan-lock the two join strategies:
+    * small frontier → explicit broadcast (the checkpointed frontier
+    * has no stats, so without the hint the probe sort-merges the full
+    * adjacency); large frontier → NO broadcast, one exchange of the
+    * frontier onto the adjacency's cached hash partitioning.
+    */
+  private[graft] def walkStep(
+      cur: DataFrame, adj: DataFrame, k: Int,
+      smallFrontier: Boolean): DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    val probe = cur.select($"walk_id", $"node".as("v"))
+    // Large path pins SORT-MERGE (`merge` hint): no side is assumed to
+    // fit in memory — the frontier can be millions of walks and the
+    // adjacency a full graph — and the explicit repartition plus the
+    // adjacency's cached (partitioned, sorted) layout make the step
+    // cost exactly one frontier exchange + one frontier sort.
+    val joined =
+      if (smallFrontier) broadcast(probe).join(adj, "v")
+      else probe.repartition($"v").hint("merge").join(adj, "v")
+    joined.select(
+      $"walk_id", lit(k.toLong).as("step"),
+      element_at(
+        $"nbrs",
+        (expr("conv(substring(md5(cast(concat(cast(walk_id as " +
+          s"string), ':', '$k') as binary)), 1, 8), 16, 10)")
+          .cast("long") % size($"nbrs").cast("long") + 1L).cast("int"))
+        .as("node"))
   }
 
   /** q297: RANDOM-WALK CORPUS — DeepWalk/node2vec-style training-data
@@ -1333,9 +1377,11 @@ object Graph {
     * adjacency — so the generator is engine-exact under the hash gate
     * (textbook walkers are unreproducible across engines and retries;
     * this one is a pure function of the graph, which is what a 100 TB
-    * pipeline wants from a corpus job anyway). Per step: one broadcast
-    * of the walk frontier + two equi-joins against the checkpointed
-    * ranked adjacency; the oracle replays the same draws through
+    * pipeline wants from a corpus job anyway). Per step: ONE equi-join
+    * of the walk frontier against the cached sorted-adjacency-array
+    * table — broadcast below the frontier threshold, one frontier
+    * exchange onto the adjacency's partitioning above it (see
+    * [[randomWalks]]); the oracle replays the same draws through
     * chained CTEs.
     */
   /** Build-if-absent persisted walk corpus (64 × 4 × 8 over the
