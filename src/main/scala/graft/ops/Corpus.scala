@@ -501,6 +501,140 @@ object Corpus {
       |LEFT JOIN train_grams tr USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q301: fuzzy (MinHash) train/test decontamination --------------
+
+  /** Fuzzy decontamination core — exposed for Round15Spec's planted-
+    * paraphrase gate. `docs` carries (doc_id, split, text); returns the
+    * per-TRAIN-doc ledger. Pipeline: word-3-gram shingles → 16 md5
+    * MinHash components → 8-band×2-row LSH candidate join of TRAIN
+    * against TEST signatures (at the J≈0.5 operating point 2-row bands
+    * give P(miss) = (1−J²)⁸ ≈ 1%% where 4-row bands miss half; band
+    * false-positives die in the signature verify) → signature-agreement verify (≥ `minMatches` of
+    * 16 components ⇒ estimated Jaccard ≥ minMatches/16). The direction
+    * is q124/q135's anti-join flipped onto q182's near-dup machinery:
+    * screen the TRAIN corpus against the TEST set, so paraphrased
+    * test-set leakage with NO shared 13-gram is still caught.
+    *
+    * The hash family here is md5-per-(permutation, shingle) — 16× the
+    * scan cost of q182's single-pass codegen kernel — CHOSEN because it
+    * is the cross-engine-replayable twin: DuckDB recomputes the exact
+    * signatures, bands, candidates, and verdicts, so the whole ledger
+    * is hash-gated, not spec-gated. The plan shape (band-join blocking,
+    * candidate-only verify, per-doc ledger) is the production shape;
+    * swapping the hash family back to the codegen kernel changes no
+    * operator. Decontamination runs once per test-set release, so the
+    * 16× scan constant buys exactness where it is cheapest to buy.
+    */
+  private[graft] def fuzzyDecontam(
+      docs: DataFrame, minMatches: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select($"doc_id", $"split", split($"text", " ").as("t"))
+    val sh = toks
+      .filter(size($"t") >= 3)
+      .select($"doc_id", $"split",
+        explode(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))")).as("sg"))
+    val sig = sh
+      .select($"doc_id", $"split", $"sg",
+        explode(expr("sequence(0, 15)")).as("p"))
+      .groupBy($"doc_id", $"split", $"p")
+      .agg(min(conv(substring(md5(concat($"p".cast("string"), lit("|"),
+        $"sg").cast("binary")), 1, 15), 16, 10).cast("long")).as("minv"))
+      .localCheckpoint()
+    val bands = sig
+      .groupBy($"doc_id", $"split", ($"p" / 2).cast("int").as("band"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(p, minv))), x -> cast(x.minv as string)), ':')").as("bkey"))
+    val cand = bands.filter($"split" === "train")
+      .select($"doc_id".as("tr_doc"), $"band", $"bkey")
+      .join(bands.filter($"split" === "test")
+        .select($"doc_id".as("te_doc"), $"band", $"bkey"),
+        Seq("band", "bkey"))
+      .select($"tr_doc", $"te_doc").distinct()
+    val hits = cand
+      .join(sig.filter($"split" === "train")
+        .select($"doc_id".as("tr_doc"), $"p", $"minv".as("va")), Seq("tr_doc"))
+      .join(sig.filter($"split" === "test")
+        .select($"doc_id".as("te_doc"), $"p", $"minv".as("vb")),
+        Seq("te_doc", "p"))
+      .groupBy($"tr_doc", $"te_doc")
+      .agg(sum(when($"va" === $"vb", 1L).otherwise(0L)).as("m"))
+      .filter($"m" >= minMatches.toLong)
+    val led = hits.groupBy($"tr_doc")
+      .agg(count(lit(1)).as("n_test_hits"), min($"te_doc").as("first_hit"))
+    docs.filter($"split" === "train").select($"doc_id")
+      .join(led.withColumnRenamed("tr_doc", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_test_hits", lit(0L)).as("n_test_hits"),
+        $"first_hit",
+        when($"n_test_hits".isNull, "keep").otherwise("drop").as("status"))
+      .orderBy($"doc_id")
+  }
+
+  /** q301: FUZZY DECONTAMINATION — the r14-verdict gap between q124
+    * (exact 13-gram decontamination: paraphrased test-set leakage
+    * passes straight through) and q182 (fuzzy dedup, but within one
+    * corpus): screen the TRAIN split against TEST MinHash signatures
+    * and ledger every train doc whose estimated word-3-gram Jaccard to
+    * any test doc clears 8/16. Round15Spec plants a paraphrase pair
+    * (high shingle Jaccard, provably zero shared 13-grams) and proves
+    * q301 catches what q124's machinery cannot. ABSENT-IN-REF.
+    */
+  private def q301(s: SparkSession, d: String): DataFrame =
+    fuzzyDecontam(Tables.documents(s, d)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        col("text")))
+
+  private val q301Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      |           THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+      |           THEN 'val' ELSE 'test' END AS split,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    array_to_string(t[i:i+2], ' ') AS sg
+      |  FROM (SELECT doc_id, split, t,
+      |          unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 3) g),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, split, p,
+      |    MIN(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || sg),
+      |      1, 15)) AS BIGINT)) AS minv
+      |  FROM sh, generate_series(0, 15) q(p)
+      |  GROUP BY 1, 2, 3),
+      |bands AS (
+      |  SELECT doc_id, split, p // 2 AS band,
+      |    string_agg(CAST(minv AS VARCHAR), ':' ORDER BY p) AS bkey
+      |  FROM sig GROUP BY 1, 2, 3),
+      |cand AS (
+      |  SELECT DISTINCT tr.doc_id AS tr_doc, te.doc_id AS te_doc
+      |  FROM bands tr JOIN bands te
+      |    ON tr.band = te.band AND tr.bkey = te.bkey
+      |  WHERE tr.split = 'train' AND te.split = 'test'),
+      |hits AS (
+      |  SELECT c.tr_doc, c.te_doc
+      |  FROM cand c
+      |  JOIN sig a ON a.doc_id = c.tr_doc AND a.split = 'train'
+      |  JOIN sig b ON b.doc_id = c.te_doc AND b.split = 'test'
+      |    AND b.p = a.p
+      |  GROUP BY 1, 2
+      |  HAVING SUM(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END) >= 8),
+      |led AS (
+      |  SELECT tr_doc, CAST(COUNT(*) AS BIGINT) AS n_test_hits,
+      |    MIN(te_doc) AS first_hit
+      |  FROM hits GROUP BY 1)
+      |SELECT t.doc_id,
+      |  COALESCE(l.n_test_hits, 0) AS n_test_hits, l.first_hit,
+      |  CASE WHEN l.tr_doc IS NULL THEN 'keep' ELSE 'drop' END AS status
+      |FROM toks t LEFT JOIN led l ON l.tr_doc = t.doc_id
+      |WHERE t.split = 'train'
+      |ORDER BY t.doc_id""".stripMargin
+
   /** q144: overlapping sliding-window CHUNKING — the RAG/long-context
     * ingestion shape: each document becomes ceil((n−W)/S)+1 windows of
     * W=32 tokens at stride S=24 (8-token overlap), so every token
@@ -2575,6 +2709,7 @@ object Corpus {
     QueryDef("q90_stratified_sample", q90, Some(q90Sql)),
     QueryDef("q109_fixed_k_sample", q109, Some(q109Sql)),
     QueryDef("q124_ngram_decontam", q124, Some(q124Sql)),
+    QueryDef("q301_fuzzy_decontam", q301, Some(q301Sql)),
     QueryDef("q141_bigram_lm", q141, Some(q141Sql)),
     QueryDef("q144_rag_chunks", q144, Some(q144Sql)),
     QueryDef("q131_shard_packing", q131, Some(q131Sql)),

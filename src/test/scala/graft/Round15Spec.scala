@@ -53,4 +53,181 @@ class Round15Spec extends AnyFunSuite {
     assert(viaBroadcast == viaExchange)
     assert(viaBroadcast.size == 12)
   }
+
+  // ---- q299/q300: SPPMI + embedding trainer gates --------------------
+
+  /** Two 6-cliques joined by a single bridge edge — the planted
+    * two-community fixture: walks mix within a clique and rarely cross
+    * the bridge, so SPPMI factorization must place same-clique nodes
+    * at high cosine and cross-clique nodes near/below zero.
+    */
+  private def barbellWalks(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cliqueA = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val cliqueB = for (a <- 11L to 16L; b <- (a + 1) to 16L) yield (a, b)
+    val und = (cliqueA ++ cliqueB :+ ((6L, 11L))).toDF("a", "b")
+    ops.Graph.randomWalks(und, nSeeds = 12, walksPerSeed = 6, len = 8)
+  }
+
+  // shift = 1 (plain PPMI) on the dense 12-node fixture: with only two
+  // 6-cliques the independence ratio tops out near 2.4, so the
+  // registered shift of 5 would (correctly) empty the matrix
+  test("q299 sppmi matrix is symmetric and positive by integer cut") {
+    import spark.implicits._
+    val m = ops.Graph.sppmi(
+      ops.Graph.skipgramPairs(barbellWalks()), shift = 1)
+      .select($"center", $"context", $"sppmi")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(m.nonEmpty)
+    assert(m.forall(_._3 > 0.0))
+    // window-2 pairs count both directions, so SPPMI is symmetric
+    assert(m.map { case (c, x, v) => (x, c, v) } == m)
+  }
+
+  test("q300 embeddings separate the planted two-community barbell") {
+    import spark.implicits._
+    val emb = ops.Graph.nodeEmbeddings(barbellWalks(), dim = 4, shift = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val comm = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 0,
+      11L -> 1, 12L -> 1, 13L -> 1, 14L -> 1, 15L -> 1, 16L -> 1)
+    val nodes = emb.keySet.filter(comm.contains).toSeq.sorted
+    val pairs = for {
+      a <- nodes; b <- nodes if a < b
+    } yield (comm(a) == comm(b), cos(emb(a), emb(b)))
+    val intra = pairs.collect { case (true, c) => c }
+    val inter = pairs.collect { case (false, c) => c }
+    assert(intra.nonEmpty && inter.nonEmpty)
+    val meanIntra = intra.sum / intra.size
+    val meanInter = inter.sum / inter.size
+    assert(meanIntra > meanInter + 0.4,
+      s"intra=$meanIntra inter=$meanInter — communities not separated")
+  }
+
+  test("q300 reruns are bit-identical and the vocab cap binds exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val walks = barbellWalks().localCheckpoint()
+    val run1 = ops.Graph.nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val run2 = ops.Graph.nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(run1 == run2)
+    assert(run1.size <= 8)
+    // the kept vocab is exactly the top-8 centers by total pair count
+    // (ties → smaller id) — a driver recompute from the pair layer
+    val want = ops.Graph.sppmi(
+      ops.Graph.skipgramPairs(walks), shift = 1)
+      .groupBy($"center").agg(sum($"n_pairs").as("m"))
+      .orderBy($"m".desc, $"center").limit(8)
+      .select($"center").as[Long].collect().toSet
+    assert(run1.map(_._1).toSet == want)
+  }
+
+  // ---- q301: fuzzy decontamination catches what q124 cannot ----------
+
+  test("q301 catches a planted paraphrase that shares NO 13-gram") {
+    import spark.implicits._
+    // test doc: 30 words; train doc 100: same text with words 9 and 22
+    // swapped — longest shared token run is 12 < 13, so exact 13-gram
+    // decontamination provably passes it, while word-3-gram Jaccard
+    // stays high (22 of 34 union shingles shared, J ≈ 0.65)
+    val words = (0 until 30).map(i => s"w$i")
+    val para = words.zipWithIndex.map { case (w, i) =>
+      if (i == 9 || i == 22) s"x$i" else w
+    }
+    val docs = Seq(
+      (100L, "train", para.mkString(" ")),      // planted paraphrase
+      (101L, "train", (0 until 30).map(i => s"z$i").mkString(" ")),
+      (200L, "test", words.mkString(" ")),
+      (201L, "test", (0 until 30).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "split", "text")
+    // (a) zero shared 13-grams — the q124 blind spot, proven directly
+    def grams13(t: Seq[String]): Set[String] =
+      (0 to t.length - 13).map(i => t.slice(i, i + 13).mkString(" ")).toSet
+    assert(grams13(para).intersect(grams13(words)).isEmpty)
+    // (b) the fuzzy ledger drops the paraphrase and keeps the clean doc
+    val led = ops.Corpus.fuzzyDecontam(docs, minMatches = 8)
+      .as[(Long, Long, Option[Long], String)].collect().toSeq
+    assert(led == Seq(
+      (100L, 1L, Some(200L), "drop"),
+      (101L, 0L, None, "keep")))
+  }
+
+  // ---- q302: modularity + best-move refinement ------------------------
+
+  /** Driver-side exact Q numerator (Q = qnum / 4m²) — the independent
+    * recompute the distributed modularity and gain tables are gated
+    * against.
+    */
+  private def qNum(und: Seq[(Long, Long)], lab: Map[Long, Long]): Long = {
+    val m = und.size.toLong
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dC = deg.groupBy { case (n, _) => lab(n) }
+      .map { case (c, xs) => c -> xs.values.sum }
+    val eC = und.filter { case (a, b) => lab(a) == lab(b) }
+      .groupBy { case (a, _) => lab(a) }
+      .map { case (c, xs) => c -> xs.size.toLong }
+    lab.values.toSet.toSeq.map { c: Long =>
+      4L * m * eC.getOrElse(c, 0L) - dC.getOrElse(c, 0L) * dC(c)
+    }.sum
+  }
+
+  private val barbellEdges: Seq[(Long, Long)] = {
+    val cliqueA = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val cliqueB = for (a <- 11L to 16L; b <- (a + 1) to 16L) yield (a, b)
+    (cliqueA ++ cliqueB :+ ((6L, 11L))).toSeq
+  }
+
+  test("q302 modularity_ppm equals the driver recompute exactly") {
+    import spark.implicits._
+    val und = barbellEdges.toDF("a", "b")
+    val lab = barbellEdges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => (n, if (n <= 6) 1L else 11L))
+    val labels = lab.toDF("id", "lab")
+    val got = ops.Graph.modularityOf(und, labels)
+      .select($"modularity_ppm").distinct().as[Long].collect()
+    val m = barbellEdges.size.toLong
+    val want = BigInt(qNum(barbellEdges, lab.toMap)) * 1000000 /
+      (4 * BigInt(m) * BigInt(m))
+    assert(got.toSeq == Seq(want.toLong))
+  }
+
+  test("q302 refinement moves the planted misassignment; gain is exact") {
+    import spark.implicits._
+    val und = barbellEdges.toDF("a", "b")
+    // node 6 misassigned to the far community
+    val lab0 = barbellEdges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => (n, if (n <= 6 && n != 6) 1L else if (n == 6) 11L else 11L))
+    val (lab1, move) = ops.Graph.refineOnce(und, lab0.toDF("id", "lab"))
+    assert(move.isDefined)
+    val (v, from, to, gain) = move.get
+    assert(v == 6L && from == 11L && to == 1L && gain > 0L)
+    // exact accounting: the predicted integer gain IS the Q-numerator
+    // delta of the applied move (ΔQ = gain / 4m²)
+    val after = lab1.as[(Long, Long)].collect().toMap
+    assert(qNum(barbellEdges, after) - qNum(barbellEdges, lab0.toMap) == gain)
+    // iterate to the local optimum: Q never decreases, loop terminates
+    var cur = lab1
+    var curQ = qNum(barbellEdges, after)
+    var moves = 0
+    var done = false
+    while (!done && moves < 20) {
+      val (nxt, mv) = ops.Graph.refineOnce(und, cur)
+      mv match {
+        case Some((_, _, _, g)) =>
+          val q2 = qNum(barbellEdges, nxt.as[(Long, Long)].collect().toMap)
+          assert(q2 - curQ == g && g > 0L)
+          curQ = q2; cur = nxt; moves += 1
+        case None => done = true
+      }
+    }
+    assert(done, "refinement did not reach a local optimum in 20 moves")
+  }
 }
