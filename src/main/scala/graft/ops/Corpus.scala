@@ -1274,18 +1274,26 @@ object Corpus {
     * (doubles don't hash-compare across engines) — membership itself is
     * the contract.
     */
-  private def q146(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The A-ES priority `ln(u)/w` — ONE definition shared by batch q146
+    * and the streaming reservoir q303 so the two paths cannot drift
+    * (the q260 shared-arithmetic discipline).
+    */
+  private[graft] def aesKey(docId: Column, nTokens: Column): Column = {
     val u =
       (conv(
         substring(
-          md5(concat(lit("ws:"), $"doc_id".cast("string")).cast("binary")),
+          md5(concat(lit("ws:"), docId.cast("string")).cast("binary")),
           1, 8),
         16, 10).cast("double") + 1.0) / 4294967296.0
+    log(u) / nTokens
+  }
+
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables
       .documents(s, d)
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
-      .withColumn("es_key", log(u) / $"n_tokens")
+      .withColumn("es_key", aesKey($"doc_id", $"n_tokens"))
       .orderBy($"es_key".desc, $"doc_id")
       .limit(200)
       .select($"doc_id", $"lang", $"n_tokens")
@@ -2716,6 +2724,11 @@ object Corpus {
     QueryDef("q132_top_ngram", q132, Some(q132Sql)),
     QueryDef("q135_manifest_v2", q135, Some(q135Sql)),
     QueryDef("q146_weighted_sample", q146, Some(q146Sql)),
+    // streaming twin: top-k under a total order is batching- and
+    // replay-independent, so the oracle is batch q146's SQL VERBATIM
+    QueryDef("q303_stream_weighted_sample",
+      (s, d) => graft.streaming.Streams.streamWeightedSample(s, d),
+      Some(q146Sql)),
     QueryDef("q148_temp_mixture", q148, Some(q148Sql)),
     QueryDef("q150_snapshot_diff", q150, Some(q150Sql)),
   )

@@ -2280,6 +2280,112 @@ object Streams {
     }
   }
 
+  // ---- q303: streaming A-ES weighted reservoir -----------------------
+
+  final case class AesRow(g: Int, ver: Long, doc_id: Long)
+
+  /** Streaming Efraimidis–Spirakis weighted reservoir: the global
+    * top-k documents by the deterministic A-ES priority ln(u)/w, kept
+    * as ONE ValueState (ver head + `bits:doc` entries — priorities
+    * stored as IEEE bit patterns so the state round-trips exactly).
+    * Top-k under a total order (priority DESC, doc ASC) is
+    * associative, commutative and idempotent (same doc → same md5
+    * priority → dedup by doc), so the final reservoir is independent
+    * of microbatch boundaries AND of replay — q207's KMV argument,
+    * lifted to weighted sampling. Each batch re-emits the membership
+    * under a bumped version; the read side keeps the last version.
+    */
+  final class AesReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, (Long, Double), AesRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[String]("aes", Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        g: Int,
+        rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[AesRow] = {
+      val prior =
+        if (st.exists()) st.get().split('|') else Array.empty[String]
+      val (ver, prev) =
+        if (prior.isEmpty) (0L, Array.empty[(Long, Double)])
+        else (prior.head.toLong, prior.tail.map { e =>
+          val Array(bits, doc) = e.split(':')
+          (doc.toLong, java.lang.Double.longBitsToDouble(bits.toLong))
+        })
+      val merged = (prev ++ rows).groupBy(_._1).map(_._2.head).toSeq
+        .sortBy { case (doc, es) => (-es, doc) }
+        .take(k)
+      st.update(((ver + 1) +: merged.map { case (doc, es) =>
+        s"${java.lang.Double.doubleToLongBits(es)}:$doc"
+      }).mkString("|"))
+      merged.iterator.map { case (doc, _) => AesRow(g, ver + 1, doc) }
+    }
+  }
+
+  /** q303: [[AesReservoirProcessor]] run to completion under the
+    * driver's oracle gate — the LIVE twin of batch q146 (the one
+    * sampler the streaming family lacked, r14 verdict #5): sample 200
+    * docs with probability ∝ token mass from an unbounded stream, with
+    * the priority expression SHARED with q146 so the paths cannot
+    * drift, and the oracle is q146's SQL VERBATIM. Scale shape: a
+    * stateless per-partition top-k (`mapPartitions`, the streaming
+    * analogue of batch TakeOrderedAndProject's per-task heap) bounds
+    * what reaches the single reservoir key to k rows per partition per
+    * batch — the funnel carries k·partitions rows, never the corpus.
+    * Output drops the float priority; membership is the contract.
+    */
+  def streamWeightedSample(
+      spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val k = 200
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"aes_$uuid")
+    val srcDir = root.resolve("src").toString
+    // stage (doc_id, es_key) as nFiles part files → genuine cross-batch
+    // microbatches; the wide text column never enters the stream
+    graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.ops.Corpus.aesKey($"doc_id",
+          size(split($"text", " ")).cast("long")).as("es"))
+      .repartition(nFiles)
+      .write.parquet(srcDir)
+    val out = withRocksDbStore(spark) {
+      implicit val outEnc = Encoders.product[AesRow]
+      val updates = spark.readStream
+        .schema("doc_id LONG, es DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .as[(Long, Double)]
+        .mapPartitions { it =>
+          // bounded local pre-reduce: only k candidates per partition
+          // per batch can enter the global reservoir
+          it.toSeq.sortBy { case (doc, es) => (-es, doc) }
+            .take(k).iterator
+        }
+        .groupByKey(_ => 0)
+        .transformWithState(new AesReservoirProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      runToParquet(updates.toDF(), OutputMode.Update)
+    }
+    val emitted = spark.read.parquet(out)
+    val last = emitted.agg(max($"ver")).as[Long].collect().head
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    emitted.filter($"ver" === last).select($"doc_id")
+      .join(docs, "doc_id")
+      .select($"doc_id", $"lang", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** q207: [[KmvSketchProcessor]] run to completion under the driver's
     * oracle gate — the streaming counterpart of the batch KMV family
     * (q191 intersection, q206 time-partition merge): the sketch lives

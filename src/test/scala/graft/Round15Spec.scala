@@ -230,4 +230,20 @@ class Round15Spec extends AnyFunSuite {
     }
     assert(done, "refinement did not reach a local optimum in 20 moves")
   }
+
+  // ---- q303: streaming A-ES reservoir ---------------------------------
+
+  test("q303 stream reservoir is batching-independent and equals batch q146") {
+    import spark.implicits._
+    val oneBatch = graft.streaming.Streams
+      .streamWeightedSample(spark, sf, nFiles = 1)
+      .as[(Long, String, Long)].collect().toSeq
+    val fourBatches = graft.streaming.Streams
+      .streamWeightedSample(spark, sf, nFiles = 4)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(oneBatch == fourBatches)
+    val batch = SparkEntry.queries("q146_weighted_sample")(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(fourBatches == batch)
+  }
 }
