@@ -922,6 +922,32 @@ object Events {
       |WHERE last_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Oracle for time travel over the StoreLog (q304): version 1 is the
+    * aggregate over the first TWO ntile(4)-over-event_id buckets
+    * (batch ids start at 0), the latest version over all four — both
+    * table states replayed from the same deterministic arrival order.
+    */
+  private val q304Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    NTILE(4) OVER (ORDER BY event_id) AS bkt
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS c
+      |  FROM e WHERE bkt <= 2 GROUP BY user_id),
+      |s3 AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS c
+      |  FROM e GROUP BY user_id)
+      |SELECT s3.user_id,
+      |  COALESCE(s1.n, 0) AS n_v1, COALESCE(s1.c, 0) AS cents_v1,
+      |  s3.n AS n_now, s3.c AS cents_now,
+      |  CASE WHEN s1.user_id IS NULL THEN 'added'
+      |       WHEN s1.n <> s3.n THEN 'grown' ELSE 'same' END AS status
+      |FROM s3 LEFT JOIN s1 USING (user_id)
+      |ORDER BY s3.user_id""".stripMargin
+
   /** Oracle for the full-outer streaming attribution join (q126): the
     * equivalent batch FULL OUTER JOIN — matched pairs plus BOTH orphan
     * populations (clicks with no purchase in the following hour, and
@@ -3605,6 +3631,12 @@ object Events {
     QueryDef("q125_cdc_tombstones",
       (s, d) => graft.streaming.Streams.cdcTombstoneCompact(s, d),
       Some(q125Sql)),
+    // Time travel over the unified StoreLog: the diff of the table AS
+    // OF version 1 against the latest commit, with arrival order a
+    // deterministic ntile over event_id so DuckDB replays BOTH states.
+    QueryDef("q304_time_travel",
+      (s, d) => graft.streaming.Streams.timeTravelDiff(s, d),
+      Some(q304Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
     // Dual-sink foreachBatch fanout under the oracle gate: the union of
     // the clean and quarantine sinks must hash-match one batch scan —

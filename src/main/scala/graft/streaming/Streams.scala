@@ -813,57 +813,37 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .withColumn("wts", timestamp_micros(col("ts_us"))))
-    val sinkRoot = root.resolve("sink")
     // Sink recovery reads the sink itself, never driver memory: the
-    // v<batchId> snapshot dirs ARE the commit log. A batch replayed
-    // after checkpoint recovery re-derives the same predecessor (the
-    // newest snapshot with a LOWER batch id — its own prior attempt is
-    // superseded output, not input), rewrites its own snapshot via
-    // temp-dir + atomic rename, and lands byte-identical content
-    // because upsertMerge is idempotent. Retention is 2 (snapshot +
-    // predecessor) so a single-batch replay always finds its true
-    // predecessor; older snapshots are vacuumed.
-    def snapshots(): Seq[Long] =
-      if (!java.nio.file.Files.exists(sinkRoot)) Seq.empty
-      else scala.util.Using.resource(java.nio.file.Files.list(sinkRoot)) {
-        files =>
-          import scala.jdk.CollectionConverters._
-          files.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-            .toSeq
-      }
+    // v<batchId> commit dirs ARE the log ([[StoreLog]] — r15 factored
+    // the four hand-rolled chains into it). A batch replayed after
+    // checkpoint recovery re-derives the same predecessor
+    // (`latestBefore` — its own prior attempt is superseded output,
+    // not input), rewrites its own commit via temp-dir + atomic
+    // rename, and lands byte-identical content because upsertMerge is
+    // idempotent. Retention is 2 (snapshot + predecessor) so a
+    // single-batch replay always finds its true predecessor; older
+    // snapshots are vacuumed.
+    val log = new StoreLog(root.resolve("sink"), "v", retention = 2)
     withFewStatePartitions(spark) {
       val q = aggDf.writeStream
         .outputMode(OutputMode.Update)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           val sp = batch.sparkSession
-          val existing = snapshots()
-          val prev = existing.filter(_ < id).sorted.lastOption
           val merged = merge(
-            prev.map(p => sp.read.parquet(s"$sinkRoot/v$p")),
+            log.latestBefore(id).map(p => sp.read.parquet(log.path(p))),
             batch.toDF())
           // the merge plan lazily READS v<prev>, so the write target is
           // always a fresh temp dir, moved into place only once durable
-          val tmp = sinkRoot.resolve(s"tmp_v$id")
-          deleteStaged(tmp)
-          merged.coalesce(1).write.parquet(tmp.toString)
-          val dst = sinkRoot.resolve(s"v$id")
-          deleteStaged(dst) // a replayed batch overwrites its own attempt
-          java.nio.file.Files.move(tmp, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          existing.filterNot(v => v == id || prev.contains(v))
-            .foreach(v => deleteStaged(sinkRoot.resolve(s"v$v")))
+          log.commitTable(id, merged)
         }
         .start()
       try q.processAllAvailable()
       finally q.stop()
     }
     deleteStaged(root.resolve("src")) // stream stopped; staged copy is dead
-    val snaps = snapshots()
-    require(snaps.nonEmpty, s"$tag: no sink snapshot was written")
-    spark.read.parquet(s"$sinkRoot/v${snaps.max}")
-      .orderBy(col("user_id"))
+    val out = log.readLatest(spark)
+    require(out.nonEmpty, s"$tag: no sink snapshot was written")
+    out.get.orderBy(col("user_id"))
   }
 
   /** Install one sink's slice of a microbatch as an immutable
@@ -880,16 +860,8 @@ object Streams {
       batch: DataFrame,
       sinkDir: java.nio.file.Path,
       id: Long,
-  ): Unit = {
-    java.nio.file.Files.createDirectories(sinkDir)
-    val tmp = sinkDir.resolve(s"tmp_b$id")
-    deleteStaged(tmp)
-    batch.coalesce(1).write.parquet(tmp.toString)
-    val dst = sinkDir.resolve(s"b$id")
-    deleteStaged(dst)
-    java.nio.file.Files.move(tmp, dst,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  ): Unit =
+    new StoreLog(sinkDir, "b").commitTable(id, batch)
 
   /** Dual-sink streaming fanout under the driver's oracle gate (q152) —
     * the multi-sink delivery pattern every ingest job needs and no
@@ -3099,6 +3071,98 @@ object Streams {
     }
   }
 
+  // ---- q304: time travel over the StoreLog ---------------------------
+
+  /** q304: TIME TRAVEL — the read side the four snapshot chains never
+    * had (the r14 verdict's "table as of version k" gap; q164 answers
+    * as-of for SCD2 ROWS, not whole table states): run a per-user
+    * running aggregate over four DETERMINISTIC microbatches (events
+    * bucketed by ntile(4) over event_id — arrival order must be a pure
+    * function of the data or "version k" means nothing cross-engine;
+    * staged file mtimes are forced strictly increasing so the file
+    * source triggers the buckets in order), commit every batch to a
+    * FULL-RETENTION [[StoreLog]], then diff `asOf(v1)` against the
+    * latest commit: which users existed at version 1, and how far each
+    * has moved since. The oracle replays both table states from the
+    * same ntile buckets — the whole commit history is hash-gated, not
+    * just the final state.
+    */
+  def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"tt_$uuid")
+    val srcDir = root.resolve("src")
+    val ev = spark.read.schema(eventsSchema(tsLong))
+      .parquet(s"$dir/events.parquet")
+      .select($"event_id", $"user_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+      .withColumn("bkt", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"event_id")))
+    java.nio.file.Files.createDirectories(srcDir)
+    for (k <- 1 to 4) {
+      val stage = root.resolve(s"stage$k")
+      ev.filter($"bkt" === k).select($"user_id", $"cents")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(stage)) { fs =>
+        import scala.jdk.CollectionConverters._
+        fs.iterator().asScala.find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.get
+      }
+      val dst = srcDir.resolve(s"b$k.parquet")
+      java.nio.file.Files.move(part, dst)
+      // strictly increasing, well-separated mtimes pin the file
+      // source's trigger order to the bucket order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
+          k * 60000L))
+      deleteStaged(stage)
+    }
+    val log = new StoreLog(root.resolve("sink"), "v") // full retention
+    withFewStatePartitions(spark) {
+      val agg = spark.readStream
+        .schema("user_id LONG, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          val sp = batch.sparkSession
+          val merged = log.latestBefore(id)
+            .map(p => sp.read.parquet(log.path(p))) match {
+            case None       => batch.toDF()
+            case Some(prev) => upsertMerge(prev, batch.toDF(), "user_id")
+          }
+          log.commitTable(id, merged)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    deleteStaged(srcDir)
+    val v1 = log.asOf(spark, 1L)
+      .getOrElse(sys.error("timeTravelDiff: no commit at or below v1"))
+    val now = log.readLatest(spark)
+      .getOrElse(sys.error("timeTravelDiff: empty commit log"))
+    // keys only ever grow in this aggregate, so v1 ⊆ latest and a left
+    // join from the latest state covers the whole diff
+    now.as("n").join(v1.as("o"), Seq("user_id"), "left")
+      .select($"user_id",
+        coalesce($"o.n_events", lit(0L)).as("n_v1"),
+        coalesce($"o.sum_cents", lit(0L)).as("cents_v1"),
+        $"n.n_events".as("n_now"), $"n.sum_cents".as("cents_now"),
+        when($"o.n_events".isNull, "added")
+          .when($"o.n_events" =!= $"n.n_events", "grown")
+          .otherwise("same").as("status"))
+      .orderBy($"user_id")
+  }
+
   /** q291: STREAMING TRIANGLE MAINTENANCE — q290 LIVE, the streaming
     * graph-analytics shape (vertex/edge streams are their own system
     * class; here the graph grows as its source rows arrive), and the
@@ -3160,28 +3224,16 @@ object Streams {
       .select($"ok", $"pk")
       .coalesce(1)
       .write.mode("append").parquet(srcDir)
-    val sinkRoot = root.resolve("sink")
     // the graph store is APPEND-ONLY (lines and edges only ever grow),
-    // so the snapshot chain holds per-batch DELTAS installed under a
-    // batchId-keyed atomic move (fanoutInstall's discipline) — state at
-    // batch id = the union of all installed b<id' ≤ id> deltas; a full
-    // copy-on-write rewrite (q107's shape, for stores that UPDATE in
-    // place) measured 4× slower here because each batch re-wrote the
-    // whole growing edge table
-    def installed(): Seq[Long] =
-      if (!java.nio.file.Files.exists(sinkRoot)) Seq.empty
-      else scala.util.Using.resource(java.nio.file.Files.list(sinkRoot)) {
-        files =>
-          import scala.jdk.CollectionConverters._
-          files.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case s if s.matches("b\\d+") => s.drop(1).toLong }
-            .toSeq
-      }
+    // so the commit log holds per-batch DELTAS ([[StoreLog]], full
+    // retention) — state at batch id = the union of all installed
+    // b<id' ≤ id> commits; a full copy-on-write rewrite (q107's shape,
+    // for stores that UPDATE in place) measured 4× slower here because
+    // each batch re-wrote the whole growing edge table
+    val log = new StoreLog(root.resolve("sink"), "b")
     def readAll(sp: SparkSession, ids: Seq[Long], sub: String,
         orElse: => DataFrame): DataFrame =
-      if (ids.isEmpty) orElse
-      else sp.read.parquet(ids.map(i => s"$sinkRoot/b$i/$sub"): _*)
+      log.readMany(sp, ids, sub).getOrElse(orElse)
     val q = spark.readStream
       .schema("ok LONG, pk LONG")
       .option("maxFilesPerTrigger", "1")
@@ -3192,7 +3244,7 @@ object Streams {
         val sp = batch.sparkSession
         import sp.implicits._
         val b = batch.toDF().distinct().localCheckpoint()
-        val prevIds = installed().filter(_ < id).sorted
+        val prevIds = log.versions().filter(_ < id)
         // prior state = the handed-off batch snapshot ∪ installed ticks
         val prevLines = baseLines.unionByName(
           readAll(sp, prevIds, "lines",
@@ -3235,32 +3287,28 @@ object Streams {
           .crossJoin(dCnt).crossJoin(dTri)
           .select(($"n_edges" + $"d_edges").as("n_edges"),
             ($"n_triangles" + $"d_triangles").as("n_triangles"))
-        // delta-only install: temp dir + ONE atomic move keyed by batch
-        // id, so a replayed batch (derived from the same b<prev> set)
-        // overwrites its own attempt with identical content
-        val tmp = sinkRoot.resolve(s"tmp_b$id")
-        deleteStaged(tmp)
-        b.coalesce(4).write.parquet(s"$tmp/lines")
-        delta.coalesce(4).write.parquet(s"$tmp/edges")
-        census.coalesce(1).write.parquet(s"$tmp/census")
-        java.nio.file.Files.createDirectories(sinkRoot)
-        val dst = sinkRoot.resolve(s"b$id")
-        deleteStaged(dst)
-        java.nio.file.Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        // delta-only install: a multi-table StoreLog commit (temp dir +
+        // ONE atomic move keyed by batch id), so a replayed batch
+        // (derived from the same b<prev> set) overwrites its own
+        // attempt with identical content
+        log.commit(id) { tmp =>
+          b.coalesce(4).write.parquet(s"$tmp/lines")
+          delta.coalesce(4).write.parquet(s"$tmp/edges")
+          census.coalesce(1).write.parquet(s"$tmp/census")
+        }
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
     deleteStaged(root.resolve("src"))
     baseLines.unpersist()
-    val ids = installed().sorted
+    val ids = log.versions()
     require(ids.nonEmpty, "streamTriangles: no sink delta installed")
     val edges = storeEdges.unionByName(readAll(spark, ids, "edges",
       spark.emptyDataset[(Long, Long)].toDF("a", "b")))
     val out = edges.select($"a").unionAll(edges.select($"b"))
       .agg(count_distinct($"a").as("n_nodes"))
-      .crossJoin(spark.read.parquet(s"$sinkRoot/b${ids.max}/census"))
+      .crossJoin(log.readLatest(spark, "census").get)
       .select($"n_nodes", $"n_edges", $"n_triangles")
       .localCheckpoint()
     snapAdj.unpersist()

@@ -246,4 +246,70 @@ class Round15Spec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(fourBatches == batch)
   }
+
+  // ---- StoreLog: the unified commit log (q107/q125/q152/q291/q304) ----
+
+  private def freshLogRoot(): java.nio.file.Path =
+    java.nio.file.Paths.get("target", "graft_stream",
+      "slog_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+
+  test("StoreLog: replayed commit supersedes its own attempt; asOf reads") {
+    import spark.implicits._
+    val log = new graft.streaming.StoreLog(freshLogRoot(), "v")
+    log.commitTable(0L, Seq((1L, "a")).toDF("k", "x"))
+    log.commitTable(1L, Seq((1L, "b")).toDF("k", "x"))
+    // at-least-once replay of batch 1 — re-derived from the same
+    // predecessor, must REPLACE its own prior attempt, not duplicate
+    log.commitTable(1L, Seq((1L, "b")).toDF("k", "x"))
+    assert(log.versions() == Seq(0L, 1L))
+    assert(log.latestBefore(1L) == Some(0L))
+    def read(v: Long) =
+      log.asOf(spark, v).get.as[(Long, String)].collect().toSeq
+    assert(read(0L) == Seq((1L, "a")))
+    assert(read(1L) == Seq((1L, "b")))
+    assert(read(99L) == Seq((1L, "b"))) // asOf clamps to the newest ≤ v
+    assert(log.asOf(spark, -1L).isEmpty)
+  }
+
+  test("StoreLog: retention vacuums history but keeps the predecessor") {
+    import spark.implicits._
+    val log = new graft.streaming.StoreLog(freshLogRoot(), "v",
+      retention = 2)
+    (0L to 3L).foreach(i => log.commitTable(i, Seq((i, i)).toDF("k", "x")))
+    // exactly {latest, predecessor} survive — what a single-batch
+    // replay needs to re-derive, nothing more
+    assert(log.versions() == Seq(2L, 3L))
+    assert(log.readLatest(spark).get.as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 3L)))
+  }
+
+  test("StoreLog: dead temp dirs are invisible and get cleaned by commit") {
+    import spark.implicits._
+    val root = freshLogRoot()
+    val log = new graft.streaming.StoreLog(root, "v")
+    // simulate a crash between stage and rename: a dead tmp_v0 exists
+    java.nio.file.Files.createDirectories(root.resolve("tmp_v0"))
+    java.nio.file.Files.write(root.resolve("tmp_v0").resolve("junk"),
+      Array[Byte](1))
+    assert(log.versions().isEmpty) // the listing IS the log; tmp ≠ commit
+    log.commitTable(0L, Seq((7L, 7L)).toDF("k", "x"))
+    assert(log.versions() == Seq(0L))
+    assert(!java.nio.file.Files.exists(root.resolve("tmp_v0")))
+    assert(log.asOf(spark, 0L).get.as[(Long, Long)].collect().toSeq ==
+      Seq((7L, 7L)))
+  }
+
+  test("StoreLog: delta chain unions commits up to a version") {
+    import spark.implicits._
+    val log = new graft.streaming.StoreLog(freshLogRoot(), "b")
+    log.commitTable(0L, Seq(1L).toDF("x"))
+    log.commitTable(1L, Seq(2L).toDF("x"))
+    log.commitTable(2L, Seq(3L).toDF("x"))
+    def upTo(v: Long) = log.deltasUpTo(spark, v).get
+      .as[Long].collect().toSeq.sorted
+    assert(upTo(0L) == Seq(1L))
+    assert(upTo(1L) == Seq(1L, 2L))
+    assert(upTo(2L) == Seq(1L, 2L, 3L))
+    assert(log.deltasUpTo(spark, -1L).isEmpty)
+  }
 }
