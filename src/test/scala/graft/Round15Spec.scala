@@ -312,4 +312,76 @@ class Round15Spec extends AnyFunSuite {
     assert(upTo(2L) == Seq(1L, 2L, 3L))
     assert(log.deltasUpTo(spark, -1L).isEmpty)
   }
+
+  // ---- open-vocabulary ER blocking (q-gram prefix postings) -----------
+
+  /** Deterministic OPEN vocabulary: names are 3 words drawn from a
+    * word pool that GROWS with n (the defining property of an open
+    * vocabulary — new entities bring new tokens; a fixed-alphabet
+    * random-string fixture saturates its gram space and every blocker
+    * goes quadratic on it, md5-measured 4.5× here). Planted near-dups
+    * and short names exercise the accept set and the zero-gram
+    * residue.
+    */
+  private def openVocab(n: Int): Seq[String] = {
+    def word(i: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$i".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+    val pool = (0 until math.max(n / 2, 4)).map(word)
+    def pick(i: Int, k: Int): String =
+      pool(math.abs((i * 31 + k * 7 + 13) * 2654435761L % pool.size).toInt)
+    val base = (0 until n)
+      .map(i => Seq(pick(i, 0), pick(i, 1), pick(i, 2)).mkString(" "))
+    val planted = base.take(n / 10).map(w => w.updated(3, 'z'))
+    val shorts = Seq("ab", "abc", "abcd", "a")
+    (base ++ planted ++ shorts).distinct
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("qgram accept set equals brute force on an open vocabulary") {
+    import spark.implicits._
+    val vocab = openVocab(200)
+    val names = vocab.toDF("p_name")
+    val got = ops.Dedup.acceptedNamePairsQgram(names, 2)
+      .as[(String, String)].collect().toSet
+    val want = (for {
+      a <- vocab; b <- vocab if levRef(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(vocab.forall(n => got((n, n))))
+  }
+
+  test("qgram accept set equals the length-band grid on the TPC-H vocab") {
+    import spark.implicits._
+    val names = Tables.part(spark, sf).select($"p_name").distinct()
+      .localCheckpoint()
+    val viaQgram = ops.Dedup.acceptedNamePairsQgram(names, 2)
+      .as[(String, String)].collect().toSet
+    val viaGrid = ops.Dedup.acceptedNamePairs(names, 2)
+      .as[(String, String)].collect().toSet
+    assert(viaQgram == viaGrid)
+  }
+
+  test("qgram candidates grow ~linearly when the open vocabulary doubles") {
+    import spark.implicits._
+    val small = openVocab(400).toDF("p_name")
+    val large = openVocab(800).toDF("p_name")
+    val cSmall = ops.Dedup.qgramCandidates(small, 2).count().toDouble
+    val cLarge = ops.Dedup.qgramCandidates(large, 2).count().toDouble
+    val ratio = cLarge / cSmall
+    // linear ≈ 2, all-pairs/within-band ≈ 4; leave slack for posting-
+    // list collisions on the random vocab
+    assert(ratio < 2.8,
+      s"candidate growth $ratio on a 2x vocab — blocking is superlinear")
+  }
 }
