@@ -232,7 +232,12 @@ object Bench {
       "q291_stream_triangles",
       // r14: sparse+broadcast rewrite measured 6.2 s isolated but
       // 8.6-8.8 inside full bench sessions — watch the gap
-      "q289_personalized_pagerank")
+      "q289_personalized_pagerank",
+      // r14 verdict: 3-9x pass spread on the new graph/streaming
+      // family (q242 11.3->1.2, q267 10.3/8.6) — dual-pass the whole
+      // family so single-pass spikes never read as regressions
+      "q242_mann_whitney",
+      "q267_stream_episode_mining")
     val retimeSet = (pass1.sortBy(-_._2).take(retimeK).map(_._1) ++
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {

@@ -384,4 +384,27 @@ class Round15Spec extends AnyFunSuite {
     assert(ratio < 2.8,
       s"candidate growth $ratio on a 2x vocab — blocking is superlinear")
   }
+
+  // ---- q305: WAV codec round trip --------------------------------------
+
+  test("q305 audio decode equals the closed-form waveform exactly") {
+    import spark.implicits._
+    val feats = ops.Multimodal
+      .decodeAudioFeatures(ops.Multimodal.audioAssets(spark, sf))
+      .select($"doc_id", $"n_samples", $"energy", $"zero_crossings",
+        $"peak")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(feats.nonEmpty)
+    feats.keys.toSeq.sorted.take(7).foreach { id =>
+      val n = ops.Multimodal.audioLen(id)
+      val s = (0 until n).map(i => ops.Multimodal.audioSample(id, i.toLong))
+      val energy = s.map(v => v.toLong * v).sum
+      val zc = (1 until n)
+        .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+      val peak = s.map(v => math.abs(v.toLong)).max
+      assert(feats(id) == ((n.toLong, energy, zc, peak)),
+        s"doc $id decoded features diverge from the closed form")
+    }
+  }
 }
