@@ -1833,6 +1833,80 @@ object Graph {
   private def q300(s: SparkSession, d: String): DataFrame =
     nodeEmbeddings(walkStore(s, d), dim = 8).orderBy(col("node"))
 
+  // ---- q307: serve + evaluate the trained embeddings ------------------
+
+  /** q307: EMBEDDING NEIGHBOR EVALUATION — the serve+evaluate end of
+    * the loop (generate q297 → pair q298 → weigh q299 → train q300 →
+    * SERVE/EVALUATE here): brute-force top-3 cosine neighbors over the
+    * trained node embeddings, each neighbor labeled by whether it
+    * shares the anchor's LPA community (q273's labeling — an
+    * embedding's nearest neighbors agreeing with an independent
+    * community structure is the standard intrinsic quality check), and
+    * the verdict rolled up per community. Cosine ORDER is decided on
+    * integer-micro fixed-point components (each embedding coordinate
+    * is already a 6-dp decimal, so dot products of ×10⁶ integers are
+    * exact in Long up to huge dims — no float tie ambiguity), with the
+    * rank tie-broken by neighbor id. Brute force over the CAPPED vocab
+    * is vocabCap² ≈ 65k pairs — constant in the corpus (the cap is the
+    * scale device, q300); a full-corpus serving path would plug these
+    * vectors into the q49 IVF family unchanged. No SQL oracle
+    * (embeddings come from the eigensolve); Round15Spec gates the
+    * planted barbell at 100% intra-community neighbors and pins the
+    * ranking against a driver recompute.
+    */
+  private[graft] def embeddingNeighbors(
+      emb: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    // ×10⁶ integer components: exact dot/norm arithmetic in Long
+    val fixed = emb.select($"node",
+      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
+        .as("v"))
+      .localCheckpoint()
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val pairs = fixed.as("a")
+      .join(fixed.as("b"), $"a.node" =!= $"b.node")
+      .select($"a.node".as("node"), $"b.node".as("nbr"),
+        dot($"a.v", $"b.v").as("dp"),
+        dot($"a.v", $"a.v").as("na2"),
+        dot($"b.v", $"b.v").as("nb2"))
+      // per-anchor cosine ranking: na2 is shared, so cos order is the
+      // order of the SIGNED square dp·|dp| / nb2 (x·|x| is monotone,
+      // so the sign survives squaring); the truncating integer ratio
+      // keeps ~na2-scale resolution (≫ 10¹²) of cos² with no float
+      // anywhere, and dp·|dp| ≤ ~10³³ sits inside DECIMAL(38,0)
+      .withColumn("key",
+        expr("CAST(dp AS DECIMAL(38,0)) * ABS(dp) DIV " +
+          "CAST(nb2 AS DECIMAL(38,0))"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"node").orderBy($"key".desc, $"nbr")))
+      .filter($"rnk" <= k)
+    pairs
+      .join(broadcast(labels.select($"id".as("node"), $"lab".as("la"))),
+        "node")
+      .join(broadcast(labels.select($"id".as("nbr"), $"lab".as("lb"))),
+        "nbr")
+      .groupBy($"la".as("community"))
+      .agg(count_distinct($"node").as("n_nodes"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when($"la" === $"lb", 1L).otherwise(0L)).as("n_intra"))
+      .withColumn("intra_pct",
+        expr("(100 * n_intra) DIV n_neighbors"))
+      .orderBy($"n_nodes".desc, $"community")
+  }
+
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = coPurchaseEdges(s, d)
+    val edges = und
+      .select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    embeddingNeighbors(
+      nodeEmbeddings(walkStore(s, d), dim = 8),
+      labelPropagation(edges, iters = 4), k = 3)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
     QueryDef("q298_skipgram_pairs", q298, Some(q298Sql)),
@@ -1841,6 +1915,10 @@ object Graph {
     // Round15Spec gates factorization exactness, planted-community
     // separation, and rerun determinism
     QueryDef("q300_node_embeddings", q300, None),
+    // no SQL oracle (consumes q300's eigensolve output); Round15Spec
+    // gates 100% intra-community neighbors on the planted barbell and
+    // pins the integer-key ranking against a driver recompute
+    QueryDef("q307_embedding_neighbors", q307, None),
     QueryDef("q297_random_walks", q297, Some(q297Sql)),
     QueryDef("q295_graph_profile", q295, Some(q295Sql)),
     QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),

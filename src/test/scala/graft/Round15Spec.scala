@@ -385,6 +385,48 @@ class Round15Spec extends AnyFunSuite {
       s"candidate growth $ratio on a 2x vocab — blocking is superlinear")
   }
 
+  // ---- q307: embedding neighbors agree with communities ----------------
+
+  test("q307 planted barbell: all embedding neighbors are intra-community") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val walks = barbellWalks().localCheckpoint()
+    val emb = ops.Graph.nodeEmbeddings(walks, dim = 4, shift = 1)
+      .localCheckpoint()
+    val labels = emb.select($"node".as("id"))
+      .withColumn("lab", when($"id" <= 6L, 1L).otherwise(11L))
+    val got = ops.Graph.embeddingNeighbors(emb, labels, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // every community: every mined neighbor is intra → intra_pct 100
+    assert(got.forall(_._5 == 100L),
+      s"cross-community embedding neighbors found: $got")
+    // driver recompute of the identical integer-key ranking pins the
+    // rollup end-to-end
+    val vecs = emb.as[(Long, Seq[Double])].collect()
+      .map { case (n, v) => n -> v.map(x => math.round(x * 1e6)) }.toMap
+    val lab = (id: Long) => if (id <= 6L) 1L else 11L
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = vecs.keys.toSeq.flatMap { a =>
+      vecs.keys.toSeq.filter(_ != a)
+        .map { b =>
+          val dp = dot(vecs(a), vecs(b))
+          val key = (BigInt(dp) * BigInt(dp).abs /
+            BigInt(dot(vecs(b), vecs(b))))
+          (b, key)
+        }
+        .sortBy { case (b, key) => (-key, b) }
+        .take(2)
+        .map { case (b, _) => (lab(a), a, b) }
+    }
+    val wantRoll = want.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.map(_._2).distinct.size.toLong, xs.size.toLong,
+        xs.count { case (la, _, b) => la == lab(b) }.toLong, 100L)
+    }.toSeq.sortBy(x => (-x._2, x._1))
+    assert(got == wantRoll)
+  }
+
   // ---- q305: WAV codec round trip --------------------------------------
 
   test("q305 audio decode equals the closed-form waveform exactly") {
