@@ -923,15 +923,17 @@ object Events {
       |ORDER BY user_id""".stripMargin
 
   /** Oracle for time travel over the StoreLog (q304): version 1 is the
-    * aggregate over the first TWO ntile(4)-over-event_id buckets
-    * (batch ids start at 0), the latest version over all four — both
-    * table states replayed from the same deterministic arrival order.
+    * aggregate over the first TWO event_id-range quarters (batch ids
+    * start at 0), the latest version over all four — both table states
+    * replayed from the same deterministic arrival order (range
+    * buckets, not ntile: no global sort on either engine).
     */
   private val q304Sql =
-    """WITH e AS (
+    """WITH mx AS (SELECT MAX(event_id) + 1 AS m FROM events),
+      |e AS (
       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
-      |    NTILE(4) OVER (ORDER BY event_id) AS bkt
-      |  FROM events),
+      |    LEAST(3, event_id * 4 // mx.m) + 1 AS bkt
+      |  FROM events, mx),
       |s1 AS (
       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(cents) AS BIGINT) AS c
@@ -3633,7 +3635,7 @@ object Events {
       Some(q125Sql)),
     // Time travel over the unified StoreLog: the diff of the table AS
     // OF version 1 against the latest commit, with arrival order a
-    // deterministic ntile over event_id so DuckDB replays BOTH states.
+    // deterministic event_id-range quarters so DuckDB replays BOTH states.
     QueryDef("q304_time_travel",
       (s, d) => graft.streaming.Streams.timeTravelDiff(s, d),
       Some(q304Sql)),
