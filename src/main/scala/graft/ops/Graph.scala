@@ -1896,6 +1896,59 @@ object Graph {
       .orderBy($"n_nodes".desc, $"community")
   }
 
+  /** Fold-in embeddings for every node OUTSIDE the trained vocabulary:
+    * emb(v) = Σ_c sppmi(v,c)·emb(c) / Σ_c sppmi(v,c) over v's in-vocab
+    * SPPMI contexts — the standard fold-in that makes the vocabCap a
+    * quality knob rather than a coverage limit (only the top-K
+    * eigensolve is driver-side; fold-in is one scan-shaped join +
+    * aggregate over the SPPMI rows, so FULL-corpus coverage costs no
+    * new driver work at any scale). All arithmetic is exact-integer:
+    * weights and components are ×10⁶ fixed-point (both already 6-dp
+    * decimals), per-dim weighted sums are commutative Long adds, and
+    * the final per-dim value is one truncating DIV — deterministic
+    * under any partitioning, no cross-row float sum anywhere.
+    */
+  private[graft] def foldInEmbeddings(
+      walks: DataFrame, dim: Int, shift: Int = 5,
+      vocabCap: Int = 256): DataFrame = {
+    val s = walks.sparkSession
+    import s.implicits._
+    val emb = nodeEmbeddings(walks, dim, shift, vocabCap)
+      .localCheckpoint()
+    val fixed = emb.select($"node".as("context"),
+      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
+        .as("ev"))
+    val m = sppmi(skipgramPairs(walks), shift)
+      .select($"center", $"context",
+        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
+    val oov = m
+      .join(broadcast(emb.select($"node".as("center"))), Seq("center"),
+        "left_anti")
+      .join(broadcast(fixed), "context")
+    oov
+      .select($"center", $"w",
+        expr("transform(ev, x -> x * w)").as("wev"))
+      .groupBy($"center")
+      .agg(sum($"w").as("den"), count(lit(1)).as("n_anchors"),
+        array((0 until dim).map(i =>
+          sum(element_at($"wev", i + 1))): _*).as("num"))
+      .select($"center".as("node"),
+        expr("transform(num, x -> x DIV den)").as("embedding_micro"),
+        $"n_anchors")
+      .orderBy($"node")
+  }
+
+  /** q308: EMBEDDING FOLD-IN — full-vocabulary coverage for the q300
+    * trainer (the scale story the cap alone leaves open): every node
+    * outside the trained top-K gets the exact-integer SPPMI-weighted
+    * average of its in-vocab contexts' vectors. ABSENT-IN-REF. No SQL
+    * oracle (consumes the eigensolve); Round15Spec gates planted-
+    * community placement (folded nodes land nearest their own
+    * community's trained vectors) and rerun determinism.
+    */
+  private def q308(s: SparkSession, d: String): DataFrame =
+    foldInEmbeddings(walkStore(s, d), dim = 8)
+
   private def q307(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val und = coPurchaseEdges(s, d)
@@ -1919,6 +1972,9 @@ object Graph {
     // gates 100% intra-community neighbors on the planted barbell and
     // pins the integer-key ranking against a driver recompute
     QueryDef("q307_embedding_neighbors", q307, None),
+    // no SQL oracle (consumes the eigensolve); Round15Spec gates
+    // planted-community placement and determinism
+    QueryDef("q308_embedding_foldin", q308, None),
     QueryDef("q297_random_walks", q297, Some(q297Sql)),
     QueryDef("q295_graph_profile", q295, Some(q295Sql)),
     QueryDef("q293_harmonic_centrality", q293, Some(q293Sql)),

@@ -427,6 +427,45 @@ class Round15Spec extends AnyFunSuite {
     assert(got == wantRoll)
   }
 
+  // ---- q308: fold-in places out-of-vocab nodes with their community ----
+
+  test("q308 fold-in lands out-of-cap nodes nearest their own community") {
+    import spark.implicits._
+    val walks = barbellWalks().localCheckpoint()
+    // cap 8 of 12: at least 4 nodes must fold in
+    val trained = ops.Graph
+      .nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    val folded = ops.Graph
+      .foldInEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(folded.nonEmpty)
+    assert(folded.map(_._1).toSet.intersect(trained.keySet).isEmpty)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val comm = (id: Long) => if (id <= 6L) 0 else 1
+    folded.foreach { case (node, em, nAnchors) =>
+      assert(nAnchors > 0L)
+      val v = em.map(_.toDouble / 1e6)
+      val own = trained.filter(t => comm(t._1) == comm(node)).values
+      val other = trained.filter(t => comm(t._1) != comm(node)).values
+      if (own.nonEmpty && other.nonEmpty) {
+        val meanOwn = own.map(cos(v, _)).sum / own.size
+        val meanOther = other.map(cos(v, _)).sum / other.size
+        assert(meanOwn > meanOther,
+          s"folded node $node sits closer to the other community")
+      }
+    }
+    // determinism: the integer pipeline reruns bit-identically
+    val rerun = ops.Graph
+      .foldInEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(folded.toSeq == rerun.toSeq)
+  }
+
   // ---- q305: WAV codec round trip --------------------------------------
 
   test("q305 audio decode equals the closed-form waveform exactly") {
