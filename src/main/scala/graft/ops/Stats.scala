@@ -496,6 +496,81 @@ object Stats {
       |  CAST($dpuCap AS BIGINT) AS cap
       |FROM keyed ORDER BY event_type, day_id""".stripMargin
 
+  // ---- q309: k-anonymity audit along a generalization step -----------
+
+  /** q309: K-ANONYMITY AUDIT — the third member of the privacy family
+    * (q219 event-level DP, q265 user-level DP): before a table ships
+    * as training data, how re-identifiable are its rows under their
+    * quasi-identifiers, and how much does ONE generalization step buy?
+    * QI level 0 = (nation, market segment, $1000 balance band); level
+    * 1 drops the segment — the classic generalization-lattice move.
+    * Per nation: group count, min k, groups violating k < 5, and the
+    * EXPOSED row count (customers inside violating groups) at both
+    * levels. Everything is two hash aggregates over the customer table
+    * plus domain-sized rollups — map-side combinable, exact integers,
+    * fully hash-gated. ABSENT-IN-REF.
+    */
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+      .select($"c_nationkey",
+        $"c_mktsegment",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) DIV 100000")
+          .as("bal_band"))
+    def audit(groups: DataFrame, pfx: String): DataFrame =
+      groups
+        .groupBy($"c_nationkey")
+        .agg(
+          count(lit(1)).as(s"${pfx}n_groups"),
+          min($"k").as(s"${pfx}min_k"),
+          sum(when($"k" < 5L, 1L).otherwise(0L))
+            .as(s"${pfx}n_violating"),
+          sum(when($"k" < 5L, $"k").otherwise(0L))
+            .as(s"${pfx}n_exposed"))
+    val g0 = base.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("k"))
+    val g1 = base.groupBy($"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("k"))
+    audit(g0, "")
+      .join(audit(g1, "gen_"), "c_nationkey")
+      .orderBy($"c_nationkey")
+  }
+
+  private val q309Sql =
+    """WITH base AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+      |  FROM customer),
+      |g0 AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM base GROUP BY 1, 2, 3),
+      |g1 AS (
+      |  SELECT c_nationkey, bal_band, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM base GROUP BY 1, 2),
+      |a0 AS (
+      |  SELECT c_nationkey,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    MIN(k) AS min_k,
+      |    CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |      AS n_exposed
+      |  FROM g0 GROUP BY 1),
+      |a1 AS (
+      |  SELECT c_nationkey,
+      |    CAST(COUNT(*) AS BIGINT) AS gen_n_groups,
+      |    MIN(k) AS gen_min_k,
+      |    CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS gen_n_violating,
+      |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |      AS gen_n_exposed
+      |  FROM g1 GROUP BY 1)
+      |SELECT a0.*, a1.gen_n_groups, a1.gen_min_k, a1.gen_n_violating,
+      |  a1.gen_n_exposed
+      |FROM a0 JOIN a1 USING (c_nationkey)
+      |ORDER BY c_nationkey""".stripMargin
+
   /** q194: CUPED variance reduction (Controlled-experiment Using
     * Pre-Experiment Data, Deng et al.) — the adjustment every mature
     * experimentation platform applies before q185's t-test: the
@@ -1823,6 +1898,7 @@ object Stats {
     QueryDef("q217_delta_method", q217, Some(q217Sql)),
     QueryDef("q219_dp_histogram", q219, Some(q219Sql)),
     QueryDef("q265_dp_user_level", q265, Some(q265Sql)),
+    QueryDef("q309_k_anonymity", q309, Some(q309Sql)),
     QueryDef("q232_kendall_tau", q232, Some(q232Sql)),
     QueryDef("q233_kaplan_meier", q233, Some(q233Sql)),
     QueryDef("q234_permutation_test", q234, Some(q234Sql)),
