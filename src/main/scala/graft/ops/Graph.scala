@@ -1865,8 +1865,11 @@ object Graph {
       .localCheckpoint()
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // the neighbor side is vocabCap-bounded (the cap IS the scale
+    // device), so broadcast it explicitly: a vocab²-bounded broadcast
+    // loop, never a shuffled cartesian
     val pairs = fixed.as("a")
-      .join(fixed.as("b"), $"a.node" =!= $"b.node")
+      .join(broadcast(fixed.as("b")), $"a.node" =!= $"b.node")
       .select($"a.node".as("node"), $"b.node".as("nbr"),
         dot($"a.v", $"b.v").as("dp"),
         dot($"a.v", $"a.v").as("na2"),

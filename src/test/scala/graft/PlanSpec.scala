@@ -224,7 +224,11 @@ class PlanSpec extends AnyFunSuite {
       "q243_bh_fdr", // 5-row type-interval CDF lookup per draw
       "q244_shapley_attribution", // 16-row coalition ⊆-joins (bitmask)
       "q245_logrank_test", // death-time grid × duration histogram
-      "q247_isotonic_calibration") // band i ≤ j interval self-join
+      "q247_isotonic_calibration", // band i ≤ j interval self-join
+      // vocabCap²-bounded brute force BY DESIGN (the cap is the scale
+      // device — q300's eigensolve input); a corpus-sized serving path
+      // plugs the same vectors into the q49 IVF family instead
+      "q307_embedding_neighbors")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")
