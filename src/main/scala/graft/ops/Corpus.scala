@@ -535,32 +535,46 @@ object Corpus {
       .select($"doc_id", $"split",
         explode(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
           "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))")).as("sg"))
+    // the 16 components are COLUMNS of one doc-grain map-side min
+    // aggregate (16 md5s per shingle in the projection), not 16× the
+    // shingle rows through a (doc, p)-keyed shuffle — the exploded
+    // form shuffled 16·|shingles| rows where this shuffles |docs|
+    val minCols = (0 until 16).map(p =>
+      min(conv(substring(md5(concat(lit(s"$p|"), $"sg").cast("binary")),
+        1, 15), 16, 10).cast("long")).as(s"m$p"))
     val sig = sh
-      .select($"doc_id", $"split", $"sg",
-        explode(expr("sequence(0, 15)")).as("p"))
-      .groupBy($"doc_id", $"split", $"p")
-      .agg(min(conv(substring(md5(concat($"p".cast("string"), lit("|"),
-        $"sg").cast("binary")), 1, 15), 16, 10).cast("long")).as("minv"))
+      .groupBy($"doc_id", $"split")
+      .agg(minCols.head, minCols.tail: _*)
       .localCheckpoint()
     val bands = sig
-      .groupBy($"doc_id", $"split", ($"p" / 2).cast("int").as("band"))
-      .agg(expr("array_join(transform(sort_array(collect_list(" +
-        "struct(p, minv))), x -> cast(x.minv as string)), ':')").as("bkey"))
+      .select($"doc_id", $"split",
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))
+              .as("bkey"))): _*)).as("bk"))
+      .select($"doc_id", $"split", $"bk.band", $"bk.bkey")
     val cand = bands.filter($"split" === "train")
       .select($"doc_id".as("tr_doc"), $"band", $"bkey")
       .join(bands.filter($"split" === "test")
         .select($"doc_id".as("te_doc"), $"band", $"bkey"),
         Seq("band", "bkey"))
       .select($"tr_doc", $"te_doc").distinct()
+    // verify = two doc-keyed equi-joins + ONE codegen row expression
+    // summing 16 column equalities — no per-component rows anywhere
+    val trSig = sig.filter($"split" === "train").select(
+      $"doc_id".as("tr_doc") +:
+        (0 until 16).map(p => col(s"m$p").as(s"a$p")): _*)
+    val teSig = sig.filter($"split" === "test").select(
+      $"doc_id".as("te_doc") +:
+        (0 until 16).map(p => col(s"m$p").as(s"b$p")): _*)
     val hits = cand
-      .join(sig.filter($"split" === "train")
-        .select($"doc_id".as("tr_doc"), $"p", $"minv".as("va")), Seq("tr_doc"))
-      .join(sig.filter($"split" === "test")
-        .select($"doc_id".as("te_doc"), $"p", $"minv".as("vb")),
-        Seq("te_doc", "p"))
-      .groupBy($"tr_doc", $"te_doc")
-      .agg(sum(when($"va" === $"vb", 1L).otherwise(0L)).as("m"))
+      .join(trSig, Seq("tr_doc"))
+      .join(teSig, Seq("te_doc"))
+      .withColumn("m", (0 until 16).map(p =>
+        when(col(s"a$p") === col(s"b$p"), 1L).otherwise(0L))
+        .reduce(_ + _))
       .filter($"m" >= minMatches.toLong)
+      .select($"tr_doc", $"te_doc")
     val led = hits.groupBy($"tr_doc")
       .agg(count(lit(1)).as("n_test_hits"), min($"te_doc").as("first_hit"))
     docs.filter($"split" === "train").select($"doc_id")

@@ -467,13 +467,36 @@ object Graph {
     * CTEs (each sweep reads its predecessor twice — inlining would
     * double the plan per sweep, the q269 lesson).
     */
+  /** Build-if-absent persisted LPA labeling (4 sweeps over the
+    * co-purchase graph) shared by q273 (community sizes), q302
+    * (modularity) and q307 (embedding evaluation) — a labeling is a
+    * derived ARTIFACT, not a per-query subplan (the walk-corpus
+    * discipline), and LPA's deterministic fixed sweep count is what
+    * makes the store rebuildable: same graph, same labels. Key folds
+    * source mtime+length.
+    */
+  private[graft] def lpaStore(s: SparkSession, d: String): DataFrame = {
+    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(lp)
+    val root = "target/graft_graph_store/lpa_" +
+      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    StoreGuard.ensureBuilt(s, root) {
+      import s.implicits._
+      val und = coPurchaseEdges(s, d)
+      val edges = und
+        .select($"a".as("src"), $"b".as("dst"))
+        .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      labelPropagation(edges, iters = 4)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/labels.parquet")
+    }
+    s.read.parquet(s"$root/labels.parquet")
+  }
+
   private def q273(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val und = coPurchaseEdges(s, d)
-    val edges = und
-      .select($"a".as("src"), $"b".as("dst"))
-      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
-    labelPropagation(edges, iters = 4)
+    lpaStore(s, d)
       .groupBy($"lab".as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"n_members".desc, $"community")
@@ -633,14 +656,8 @@ object Graph {
     * statement — and Round15Spec's refinement gate shows a best-move
     * sweep improving it with exact predicted-gain accounting.
     */
-  private def q302(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val und = coPurchaseEdges(s, d)
-    val edges = und
-      .select($"a".as("src"), $"b".as("dst"))
-      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
-    modularityOf(und, labelPropagation(edges, iters = 4))
-  }
+  private def q302(s: SparkSession, d: String): DataFrame =
+    modularityOf(coPurchaseEdges(s, d), lpaStore(s, d))
 
   private val q302Sql =
     s"""WITH $lpaCtes,
@@ -1859,12 +1876,17 @@ object Graph {
     val s = emb.sparkSession
     import s.implicits._
     // ×10⁶ integer components: exact dot/norm arithmetic in Long
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // a node orthogonal to every kept eigenvector carries the zero
+    // vector — cosine is undefined there and a zero norm would divide
+    // by zero in the rank key — so drop zero-norm rows from both sides
     val fixed = emb.select($"node",
       expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
         .as("v"))
+      .withColumn("n2", dot($"v", $"v"))
+      .filter($"n2" > 0L)
       .localCheckpoint()
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     // the neighbor side is vocabCap-bounded (the cap IS the scale
     // device), so broadcast it explicitly: a vocab²-bounded broadcast
     // loop, never a shuffled cartesian
@@ -1872,8 +1894,8 @@ object Graph {
       .join(broadcast(fixed.as("b")), $"a.node" =!= $"b.node")
       .select($"a.node".as("node"), $"b.node".as("nbr"),
         dot($"a.v", $"b.v").as("dp"),
-        dot($"a.v", $"a.v").as("na2"),
-        dot($"b.v", $"b.v").as("nb2"))
+        $"a.n2".as("na2"),
+        $"b.n2".as("nb2"))
       // per-anchor cosine ranking: na2 is shared, so cos order is the
       // order of the SIGNED square dp·|dp| / nb2 (x·|x| is monotone,
       // so the sign survives squaring); the truncating integer ratio
@@ -1952,16 +1974,10 @@ object Graph {
   private def q308(s: SparkSession, d: String): DataFrame =
     foldInEmbeddings(walkStore(s, d), dim = 8)
 
-  private def q307(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val und = coPurchaseEdges(s, d)
-    val edges = und
-      .select($"a".as("src"), $"b".as("dst"))
-      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+  private def q307(s: SparkSession, d: String): DataFrame =
     embeddingNeighbors(
       nodeEmbeddings(walkStore(s, d), dim = 8),
-      labelPropagation(edges, iters = 4), k = 3)
-  }
+      lpaStore(s, d), k = 3)
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
