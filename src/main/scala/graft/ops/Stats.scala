@@ -498,17 +498,18 @@ object Stats {
 
   // ---- q309: k-anonymity audit along a generalization step -----------
 
-  /** q309: K-ANONYMITY AUDIT — the third member of the privacy family
-    * (q219 event-level DP, q265 user-level DP): before a table ships
-    * as training data, how re-identifiable are its rows under their
-    * quasi-identifiers, and how much does ONE generalization step buy?
+  /** q309: GENERALIZATION-STEP EVALUATION — the action side of q236's
+    * k-anonymity verdict: q236 tells you a release is re-identifiable;
+    * this query evaluates the classic REMEDY, one step up the
+    * generalization lattice, answering "how much does coarsening a
+    * quasi-identifier actually buy" BEFORE the release is rewritten.
     * QI level 0 = (nation, market segment, $1000 balance band); level
-    * 1 drops the segment — the classic generalization-lattice move.
-    * Per nation: group count, min k, groups violating k < 5, and the
-    * EXPOSED row count (customers inside violating groups) at both
-    * levels. Everything is two hash aggregates over the customer table
-    * plus domain-sized rollups — map-side combinable, exact integers,
-    * fully hash-gated. ABSENT-IN-REF.
+    * 1 drops the segment. Per nation: group count, min k, groups
+    * violating k < 5, and the EXPOSED row count (customers inside
+    * violating groups) at BOTH levels side by side — the before/after
+    * a data steward reads to pick the lattice cut. Two hash aggregates
+    * over the customer table plus domain-sized rollups — map-side
+    * combinable, exact integers, fully hash-gated. ABSENT-IN-REF.
     */
   private def q309(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
