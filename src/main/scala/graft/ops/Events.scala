@@ -121,6 +121,83 @@ object Events {
   /** Tumbling 1-hour windows per event type (batch shape of the streaming
     * `window($"ts", "1 hour")` agg — date_trunc keeps the oracle exact).
     */
+  // ---- q310: backfill splice into a persisted rollup ------------------
+
+  /** q310: BACKFILL SPLICE — the RESTATEMENT job every warehouse runs
+    * and the one maintenance verb the incremental family lacked: q71
+    * and the q177/q260/q275/q290 stores all APPEND deltas; a
+    * restatement must CORRECT history — recompute exactly one late-
+    * corrected day and splice it into the persisted daily rollup
+    * without touching any other day. The store is built-if-absent from
+    * a deliberately PARTIAL world (a third of day minDay+3's events
+    * "hadn't arrived" — the partial-build predicate is part of the
+    * store key); the run recomputes that one day from the now-complete
+    * table and splices (drop the day's rows, insert the recomputation).
+    * The oracle is the FULL-recompute SQL — the splice must be
+    * indistinguishable from rebuilding the whole rollup (the q177
+    * merge ≡ recompute gate, pointed at correction instead of append).
+    *
+    * Scale: the backfill scan is filter-pruned to the restated day (on
+    * a day-partitioned layout this is planning-time directory pruning,
+    * the q105 mechanics); the splice is a filter + union over the
+    * DOMAIN-sized rollup. Nothing outside the restated day is ever
+    * rescanned — at 100 TB a one-day restatement costs one day of
+    * scan, not a history rebuild.
+    */
+  /** (stale store, corrected day rollup, restated day) — exposed so
+    * Round15Spec can prove the gate is NOT vacuous: the partial store
+    * must genuinely DIFFER from the recomputation on the restated day
+    * (otherwise "splice ≡ full recompute" would pass with a no-op
+    * splice).
+    */
+  private[graft] def backfillParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, Long) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id",
+        expr("unix_micros(ts) DIV 86400000000").as("day_id"),
+        $"event_type",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+    val restatedDay = ev.agg(min($"day_id")).as[Long].collect().head + 3
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("day_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val lp = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(lp)
+    val root = "target/stage_events/backfill_" + Scale.bucketTag(
+      s"$d:${st.getModificationTime}:${st.getLen}:partial3")
+    StoreGuard.ensureBuilt(s, root) {
+      rollup(ev.filter(!($"day_id" === restatedDay &&
+          $"event_id" % 3 === 0L)))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/rollup.parquet")
+    }
+    val store = s.read.parquet(s"$root/rollup.parquet")
+    val corrected = rollup(ev.filter($"day_id" === restatedDay))
+    (store, corrected, restatedDay)
+  }
+
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (store, corrected, restatedDay) = backfillParts(s, d)
+    store.filter($"day_id" =!= restatedDay)
+      .unionByName(corrected)
+      .orderBy($"day_id", $"event_type")
+  }
+
+  /** Oracle for the backfill splice: the FULL recompute — a correct
+    * splice is indistinguishable from rebuilding the rollup.
+    */
+  private val q310Sql =
+    """SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day_id, event_type""".stripMargin
+
   private def q22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables
@@ -3524,6 +3601,9 @@ object Events {
     QueryDef("q20_sessionize", q20, Some(q20Sql)),
     QueryDef("q21_interarrival", q21, Some(q21Sql)),
     QueryDef("q22_hourly_windows", q22, Some(q22Sql)),
+    // restatement: the splice must equal the FULL recompute — the
+    // q177 merge ≡ recompute gate pointed at correction, not append
+    QueryDef("q310_backfill_splice", q310, Some(q310Sql)),
     QueryDef("q23_json_extract", q23, Some(q23Sql)),
     QueryDef("q24_funnel", q24, Some(q24Sql)),
     QueryDef("q25_event_stats", q25, Some(q25Sql)),

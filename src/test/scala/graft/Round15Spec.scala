@@ -466,6 +466,29 @@ class Round15Spec extends AnyFunSuite {
     assert(folded.toSeq == rerun.toSeq)
   }
 
+  // ---- q310: backfill splice is a genuine correction -------------------
+
+  test("q310 partial store genuinely differs on the restated day") {
+    import spark.implicits._
+    val (store, corrected, day) = ops.Events.backfillParts(spark, sf)
+    val stale = store.filter($"day_id" === day)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val fresh = corrected
+      .as[(Long, String, Long, Long)].collect().toSet
+    // the restatement must have something to correct — otherwise the
+    // oracle gate (splice ≡ full recompute) would pass vacuously
+    assert(fresh.nonEmpty)
+    assert(stale != fresh,
+      s"day $day partial build equals the recomputation — vacuous gate")
+    // and only the restated day is touched by the splice
+    val out = SparkEntry.queries("q310_backfill_splice")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.filter(_._1 == day).toSet == fresh)
+    assert(out.filterNot(_._1 == day).toSet ==
+      store.filter($"day_id" =!= day)
+        .as[(Long, String, Long, Long)].collect().toSet)
+  }
+
   // ---- q305: WAV codec round trip --------------------------------------
 
   test("q305 audio decode equals the closed-form waveform exactly") {
