@@ -313,6 +313,52 @@ class Round15Spec extends AnyFunSuite {
     assert(log.deltasUpTo(spark, -1L).isEmpty)
   }
 
+  test("StoreLog model-based randomized commit/replay/crash sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1546L)
+    for (trial <- 0 until 3) {
+      val retention = if (trial == 2) 2 else Int.MaxValue
+      val log = new graft.streaming.StoreLog(freshLogRoot(), "v", retention)
+      var model = Map.empty[Long, Long] // version -> content tag
+      var nextId = 0L
+      for (_ <- 0 until 25) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => // fresh commit
+            val id = nextId; nextId += 1
+            val tag = rnd.nextLong()
+            log.commitTable(id, Seq((id, tag)).toDF("k", "tag"))
+            model += (id -> tag)
+            if (retention != Int.MaxValue) {
+              val keep = (model.keys.filter(_ < id).toSeq.sorted
+                .takeRight(retention - 1) :+ id).toSet
+              model = model.filter { case (v, _) => keep(v) }
+            }
+          case 2 if model.nonEmpty => // at-least-once replay of a past id
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            log.commitTable(id, Seq((id, model(id))).toDF("k", "tag"))
+            if (retention != Int.MaxValue) {
+              val keep = (model.keys.filter(_ < id).toSeq.sorted
+                .takeRight(retention - 1) :+ id).toSet
+              model = model.filter { case (v, _) => keep(v) }
+            }
+          case _ => // crash between stage and publish: dead tmp junk
+            val p = log.root.resolve(s"tmp_v$nextId")
+            java.nio.file.Files.createDirectories(p)
+            java.nio.file.Files.write(p.resolve("junk"), Array[Byte](7))
+        }
+        assert(log.versions() == model.keys.toSeq.sorted)
+        if (model.nonEmpty) {
+          val probe = rnd.nextLong(nextId + 2)
+          val want = model.keys.filter(_ <= probe).maxOption
+          val got = log.asOf(spark, probe)
+            .map(_.as[(Long, Long)].collect().head)
+          assert(got == want.map(v => (v, model(v))),
+            s"trial $trial asOf($probe): got $got want $want")
+        }
+      }
+    }
+  }
+
   // ---- open-vocabulary ER blocking (q-gram prefix postings) -----------
 
   /** Deterministic OPEN vocabulary: names are 3 words drawn from a
