@@ -1654,8 +1654,13 @@ object Sequence {
       .orderBy($"user_id")
   }
 
-  private val q279Sql =
-    """WITH seqd AS (
+  /** Shared DuckDB CTE chain fitting the per-user bigram counts and
+    * the transition matrix (through `mat(prev, cur, c, n)`) — the fit
+    * is identical for every query over it (q279 surprisal, q311
+    * serving), so the chain lives once.
+    */
+  private val markovMatCtes: String =
+    """seqd AS (
       |  SELECT user_id, event_type AS cur,
       |    lag(event_type) OVER (PARTITION BY user_id
       |                          ORDER BY ts, event_id) AS prev
@@ -1666,7 +1671,10 @@ object Sequence {
       |mat AS (
       |  SELECT prev, cur, SUM(k) AS c,
       |    SUM(SUM(k)) OVER (PARTITION BY prev) AS n
-      |  FROM big GROUP BY 1, 2),
+      |  FROM big GROUP BY 1, 2)""".stripMargin
+
+  private val q279Sql =
+    s"""WITH $markovMatCtes,
       |voc AS (SELECT COUNT(DISTINCT event_type) AS v FROM events),
       |model AS (
       |  SELECT prev, cur,
@@ -1679,6 +1687,65 @@ object Sequence {
       |    AS avg_nll_micro
       |FROM big b JOIN model m ON b.prev = m.prev AND b.cur = m.cur
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q311: next-event serving ---------------------------------------
+
+  /** q311: NEXT-EVENT SERVING — the step the Markov family trains for
+    * and never ran: q279 FITS the transition matrix, q280 EVALUATES it
+    * point-in-time, q286 CALIBRATES it; q311 SERVES it — for every
+    * user, the top-3 predicted next events given their LAST observed
+    * event, with exact integer-ppm transition scores. Per user: one
+    * max_by over (ts, event_id) picks the serving context; the fitted
+    * ≤|V|² matrix broadcasts into the user-grain join; ranking is
+    * (count DESC, type ASC) — deterministic in both engines; the score
+    * is 10⁶·c // n in DECIMAL(38,0)/HUGEINT (overflow-proof at any
+    * event count). The serving shape IS the production shape: one
+    * event-grain aggregate per leg, then user-grain work against a
+    * broadcast model. ABSENT-IN-REF (the reference generates the
+    * sequences; this serves their fitted model).
+    */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val mat = ev
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("prev", lag($"cur", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev", $"cur").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"prev")))
+    val last = ev
+      .groupBy($"user_id")
+      .agg(max_by($"event_type", struct($"ts", $"event_id"))
+        .as("last_type"))
+    last
+      .join(broadcast(mat), $"last_type" === $"prev")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"c".desc, $"cur")))
+      .filter($"rnk" <= 3)
+      .select($"user_id", $"last_type", $"rnk".cast("long").as("rnk"),
+        $"cur".as("predicted_next"),
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) DIV n AS LONG)")
+          .as("score_ppm"))
+      .orderBy($"user_id", $"rnk")
+  }
+
+  private val q311Sql =
+    s"""WITH $markovMatCtes,
+      |lastev AS (
+      |  SELECT user_id,
+      |    first(event_type ORDER BY ts DESC, event_id DESC) AS last_type
+      |  FROM events GROUP BY user_id),
+      |cand AS (
+      |  SELECT l.user_id, l.last_type, m.cur,
+      |    CAST(CAST(m.c AS HUGEINT) * 1000000 // m.n AS BIGINT)
+      |      AS score_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY l.user_id
+      |      ORDER BY m.c DESC, m.cur) AS rnk
+      |  FROM lastev l JOIN mat m ON m.prev = l.last_type)
+      |SELECT user_id, last_type, rnk, cur AS predicted_next, score_ppm
+      |FROM cand WHERE rnk <= 3
+      |ORDER BY user_id, rnk""".stripMargin
 
   /** q280: NEXT-EVENT PREDICTION with a point-in-time holdout — train
     * the q279 transition matrix ONLY on events before Jan 25 and grade
@@ -2184,6 +2251,7 @@ object Sequence {
     QueryDef("q292_episode_rules", q292, Some(q292Sql)),
     QueryDef("q266_gappy_episodes", q266, Some(q266Sql)),
     QueryDef("q279_markov_surprisal", q279, Some(q279Sql)),
+    QueryDef("q311_next_event_serving", q311, Some(q311Sql)),
     QueryDef("q280_next_event_eval", q280, Some(q280Sql)),
     // STREAMING Markov surprisal under the oracle gate: the stateful
     // bigram extractor (EpisodeMineProcessor at L=2 — the carry tail
