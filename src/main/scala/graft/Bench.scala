@@ -132,6 +132,7 @@ object Bench {
     warm("derived-artifact stores") {
       ops.Graph.walkStore(spark, sfDir).count(): Unit
       ops.Graph.lpaStore(spark, sfDir).count(): Unit
+      ops.Graph.embeddingStore(spark, sfDir).count(): Unit
       val (edges, stats) = ops.Graph.incTriangleStore(spark, sfDir)
       edges.count(): Unit
       stats.count(): Unit
