@@ -1704,9 +1704,9 @@ object Sequence {
     * broadcast model. ABSENT-IN-REF (the reference generates the
     * sequences; this serves their fitted model).
     */
-  private def q311(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nextEventServing(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val ev = graft.Tables.events(s, d)
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val mat = ev
       .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
@@ -1714,36 +1714,76 @@ object Sequence {
       .where($"prev".isNotNull)
       .groupBy($"prev", $"cur").agg(count(lit(1)).as("c"))
       .withColumn("n", sum($"c").over(Window.partitionBy($"prev")))
+    // COLD-START back-off: a user whose last type never occurs as a
+    // CONTEXT (it only ever ended sequences) gets the global type
+    // marginal instead of silently vanishing from the serving table;
+    // the `source` column says which model answered. The back-off
+    // meets the |V|-row marginal through a constant equi-key
+    // (broadcast hash join over a bounded dim — never a cartesian).
+    val marg = ev
+      .groupBy($"event_type".as("cur")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
     val last = ev
       .groupBy($"user_id")
       .agg(max_by($"event_type", struct($"ts", $"event_id"))
         .as("last_type"))
-    last
+    val fromModel = last
       .join(broadcast(mat), $"last_type" === $"prev")
+      .select($"user_id", $"last_type", $"cur", $"c", $"n",
+        lit("bigram").as("source"))
+    val fromMarginal = last
+      .join(broadcast(mat.select($"prev".as("last_type")).distinct()),
+        Seq("last_type"), "left_anti")
+      .withColumn("one", lit(1))
+      .join(broadcast(marg.withColumn("one", lit(1))), "one")
+      .select($"user_id", $"last_type", $"cur", $"c", $"n",
+        lit("marginal").as("source"))
+    fromModel.unionByName(fromMarginal)
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"user_id").orderBy($"c".desc, $"cur")))
       .filter($"rnk" <= 3)
       .select($"user_id", $"last_type", $"rnk".cast("long").as("rnk"),
         $"cur".as("predicted_next"),
         expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000) DIV n AS LONG)")
-          .as("score_ppm"))
+          .as("score_ppm"),
+        $"source")
       .orderBy($"user_id", $"rnk")
   }
 
+  private def q311(s: SparkSession, d: String): DataFrame =
+    nextEventServing(graft.Tables.events(s, d))
+
   private val q311Sql =
     s"""WITH $markovMatCtes,
+      |marg AS (
+      |  SELECT event_type AS cur, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
       |lastev AS (
       |  SELECT user_id,
       |    first(event_type ORDER BY ts DESC, event_id DESC) AS last_type
       |  FROM events GROUP BY user_id),
-      |cand AS (
+      |from_model AS (
       |  SELECT l.user_id, l.last_type, m.cur,
-      |    CAST(CAST(m.c AS HUGEINT) * 1000000 // m.n AS BIGINT)
-      |      AS score_ppm,
-      |    ROW_NUMBER() OVER (PARTITION BY l.user_id
-      |      ORDER BY m.c DESC, m.cur) AS rnk
-      |  FROM lastev l JOIN mat m ON m.prev = l.last_type)
-      |SELECT user_id, last_type, rnk, cur AS predicted_next, score_ppm
+      |    CAST(m.c AS BIGINT) AS c, CAST(m.n AS BIGINT) AS n,
+      |    'bigram' AS source
+      |  FROM lastev l JOIN mat m ON m.prev = l.last_type),
+      |from_marg AS (
+      |  SELECT l.user_id, l.last_type, g.cur, g.c, g.n,
+      |    'marginal' AS source
+      |  FROM lastev l, marg g
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM mat m WHERE m.prev = l.last_type)),
+      |cand AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY c DESC, cur) AS rnk
+      |  FROM (SELECT * FROM from_model
+      |        UNION ALL SELECT * FROM from_marg) u)
+      |SELECT user_id, last_type, rnk, cur AS predicted_next,
+      |  CAST(CAST(c AS HUGEINT) * 1000000 // n AS BIGINT) AS score_ppm,
+      |  source
       |FROM cand WHERE rnk <= 3
       |ORDER BY user_id, rnk""".stripMargin
 

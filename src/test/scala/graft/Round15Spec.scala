@@ -535,6 +535,31 @@ class Round15Spec extends AnyFunSuite {
         .as[(Long, String, Long, Long)].collect().toSet)
   }
 
+  // ---- q311: next-event serving on a planted sequence -------------------
+
+  test("q311 serves the planted bigram model and backs off on cold start") {
+    import spark.implicits._
+    // user 1: A B A B A C  → transitions A→B ×2, B→A ×2, A→C ×1;
+    // user 2: A B          → A→B ×1. C never occurs as a CONTEXT, so
+    // user 1 (last event C) must fall back to the global marginal;
+    // user 2 (last event B) serves from the bigram model.
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i")
+    val ev = Seq(
+      (1L, t(1), 1L, "A"), (2L, t(2), 1L, "B"), (3L, t(3), 1L, "A"),
+      (4L, t(4), 1L, "B"), (5L, t(5), 1L, "A"), (6L, t(6), 1L, "C"),
+      (7L, t(1), 2L, "A"), (8L, t(2), 2L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = ops.Sequence.nextEventServing(ev)
+      .as[(Long, String, Long, String, Long, String)].collect().toSeq
+    // marginal: A×4, B×3, C×1 of 8 → top-3 A(500000) B(375000) C(125000)
+    // bigram from B: B→A c=2 n=2 → 1000000
+    assert(got == Seq(
+      (1L, "C", 1L, "A", 500000L, "marginal"),
+      (1L, "C", 2L, "B", 375000L, "marginal"),
+      (1L, "C", 3L, "C", 125000L, "marginal"),
+      (2L, "B", 1L, "A", 1000000L, "bigram")))
+  }
+
   // ---- q305: WAV codec round trip --------------------------------------
 
   test("q305 audio decode equals the closed-form waveform exactly") {
