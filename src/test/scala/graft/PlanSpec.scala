@@ -228,7 +228,11 @@ class PlanSpec extends AnyFunSuite {
       // vocabCap²-bounded brute force BY DESIGN (the cap is the scale
       // device — q300's eigensolve input); a corpus-sized serving path
       // plugs the same vectors into the q49 IVF family instead
-      "q307_embedding_neighbors")
+      "q307_embedding_neighbors",
+      // cold-start back-off: the |V|-row type marginal broadcast into
+      // the (rare) context-less users — a bounded dim (the constant
+      // equi-key folds away, so the planner shows BNLJ)
+      "q311_next_event_serving")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")
