@@ -231,6 +231,25 @@ class Round15Spec extends AnyFunSuite {
     assert(done, "refinement did not reach a local optimum in 20 moves")
   }
 
+  test("q302 refinement never decreases modularity on the real graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val und = ops.Graph.coPurchaseEdges(spark, sf).localCheckpoint()
+    val labels = ops.Graph.lpaStore(spark, sf)
+    def q(l: org.apache.spark.sql.DataFrame): Long =
+      ops.Graph.modularityOf(und, l)
+        .select($"modularity_ppm").distinct().as[Long].collect().head
+    val before = q(labels)
+    val (refined, move) = ops.Graph.refineOnce(und, labels)
+    val after = q(refined)
+    assert(after >= before,
+      s"refinement decreased modularity: $before -> $after")
+    // if a move was applied its gain must be strictly positive
+    move.foreach { case (_, from, to, g) =>
+      assert(g > 0L && from != to)
+    }
+  }
+
   // ---- q303: streaming A-ES reservoir ---------------------------------
 
   test("q303 stream reservoir is batching-independent and equals batch q146") {
