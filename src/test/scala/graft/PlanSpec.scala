@@ -232,7 +232,18 @@ class PlanSpec extends AnyFunSuite {
       // cold-start back-off: the |V|-row type marginal broadcast into
       // the (rare) context-less users — a bounded dim (the constant
       // equi-key folds away, so the planner shows BNLJ)
-      "q311_next_event_serving")
+      "q311_next_event_serving",
+      // sppmi's grand total is a broadcast 1-row aggregate (the q78
+      // device that replaced the r15-flagged single-partition global
+      // window) — every sppmi consumer inherits the 1-row cross
+      "q299_shifted_ppmi", "q300_node_embeddings",
+      "q308_embedding_foldin", "q312_embedding_refresh",
+      // q313 additionally broadcasts the 8-row probe set against the
+      // cell-pruned index scan (array_contains join — bounded dim)
+      "q313_trained_ann_serving",
+      // q315 reads the stream sink; its batch tail inherits sppmi's
+      // 1-row cross through the staged-contribution derivation
+      "q315_stream_foldin")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 gates. Headline items from the r15 verdict: (1) q300/q308
+  * report shapes flattened to scalar rows (the driver comparator
+  * cannot sort ndarray cells); (2) sppmi's grand total is now a
+  * broadcast 1-row aggregate, never a single-partition global window;
+  * (3) the embedding store gains the merge ≡ recompute refresh
+  * (q312) every other derived store already had; (4) the trained
+  * vectors are served through the real IVF layout (q313) with a
+  * recall gate against the exact integer ranking.
+  */
+class Round16Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- verdict item 2: no single-partition window in sppmi -----------
+
+  test("q299 sppmi plans no global window (total is a broadcast 1-row agg)") {
+    val p = SparkEntry.queries("q299_shifted_ppmi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a partition-less window prints `windowspecdefinition(specified-
+    // windowframe...` with no leading partition column — that shape
+    // funnels the whole |V|² pair matrix through ONE task. The benign
+    // `Exchange SinglePartition` under the 1-row HashAggregate (32
+    // partial rows) is the q78 device and is allowed.
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      s"sppmi grand total must not be a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast total cross join in:\n$p")
+  }
+
+  // ---- verdict item 1: flattened report shapes -----------------------
+
+  test("q300/q308 reports are scalar rows (no array columns)") {
+    import org.apache.spark.sql.types.ArrayType
+    val q300 = SparkEntry.queries("q300_node_embeddings")(spark, sf)
+    val q308 = SparkEntry.queries("q308_embedding_foldin")(spark, sf)
+    assert(!q300.schema.exists(_.dataType.isInstanceOf[ArrayType]),
+      q300.schema.treeString)
+    assert(!q308.schema.exists(_.dataType.isInstanceOf[ArrayType]),
+      q308.schema.treeString)
+    // flattening must not change content: rows = stored vectors × dim
+    val stored = ops.Graph.embeddingStore(spark, sf).count()
+    assert(q300.count() == stored * 8)
+    println(s"[r16] q300 rows=${stored * 8} q308 rows=${q308.count()}")
+  }
+
+  // ---- q312: incremental refresh ≡ full rebuild ----------------------
+
+  private def barbellWalks(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cliqueA = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val cliqueB = for (a <- 11L to 16L; b <- (a + 1) to 16L) yield (a, b)
+    val und = (cliqueA ++ cliqueB :+ ((6L, 11L))).toDF("a", "b")
+    ops.Graph.randomWalks(und, nSeeds = 12, walksPerSeed = 6, len = 8)
+  }
+
+  test("q312 fixture: base+delta refresh is bit-identical to a rebuild") {
+    import org.apache.spark.sql.functions._
+    val walks = barbellWalks().localCheckpoint()
+    val base = ops.Graph.skipgramPairs(
+      walks.filter(col("walk_id") % 4 =!= 3))
+    val delta = walks.filter(col("walk_id") % 4 === 3)
+    val refreshed = ops.Graph
+      .refreshedEmbeddings(base, delta, dim = 4, shift = 1, vocabCap = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val rebuilt = ops.Graph
+      .refreshedEmbeddings(ops.Graph.skipgramPairs(walks), walks.limit(0),
+        dim = 4, shift = 1, vocabCap = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(refreshed.nonEmpty)
+    assert(refreshed.toSeq == rebuilt.toSeq)
+  }
+
+  test("q312 real corpus: registered refresh ≡ full rebuild, rerun-stable") {
+    val q = SparkEntry.queries("q312_embedding_refresh")(spark, sf)
+      .collect().map(_.toSeq)
+    val walks = ops.Graph.walkStore(spark, sf)
+    val rebuilt = ops.Graph
+      .refreshedEmbeddings(ops.Graph.skipgramPairs(walks),
+        walks.limit(0), dim = 8)
+      .orderBy(org.apache.spark.sql.functions.col("origin"),
+        org.apache.spark.sql.functions.col("node"),
+        org.apache.spark.sql.functions.col("dim"))
+      .collect().map(_.toSeq)
+    assert(q.nonEmpty)
+    assert(q.toSeq == rebuilt.toSeq,
+      s"refresh diverged from rebuild: ${q.size} vs ${rebuilt.size} rows")
+    val rerun = SparkEntry.queries("q312_embedding_refresh")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(q.toSeq == rerun.toSeq)
+  }
+
+  // ---- q313: trained-vector IVF serving ------------------------------
+
+  test("q313 pruned probe meets the recall floor; full probe is exact") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q313_trained_ann_serving")(spark, sf)
+      .select($"probe_node", $"n_exact", $"n_hits", $"recall_pct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.length == 8, s"expected 8 probes, got ${r.length}")
+    val mean = r.map(_._4).sum / r.length
+    println(s"[r16] q313 recalls=${r.map(_._4).toSeq} mean=$mean")
+    assert(mean >= 50, s"mean recall $mean below floor; rows=${r.toSeq}")
+    val full = ops.Graph.trainedAnnRecall(spark, sf, nCells = 4, nProbe = 4)
+      .select($"recall_pct").as[Long].collect()
+    assert(full.forall(_ == 100L),
+      s"nProbe=nCells must degenerate to exact: ${full.toSeq}")
+  }
+
+  // ---- q314: cross-modal recall metric ------------------------------
+
+  test("q314 metric: aligned towers score 100, rotated towers score 0") {
+    import spark.implicits._
+    // one full batch of 8; towers are 1-dim integer vectors
+    def fixture(txtOf: Int => Long) = (0 until 8).map { i =>
+      (i.toLong, 0L, Seq(100L * i), Seq(txtOf(i)))
+    }.toDF("doc_id", "batch_id", "img", "txt")
+    val aligned = ops.Multimodal
+      .crossModalRecall(fixture(i => 100L * i), Seq(1, 3))
+      .select($"direction", $"recall1_pct").as[(String, Long)]
+      .collect().toMap
+    assert(aligned == Map("img2txt" -> 100L, "txt2img" -> 100L), aligned)
+    // rotated: doc i's text tower carries doc (i+1)%8's image value, so
+    // the TRUE pair never wins at k=1 in either direction
+    val rotated = ops.Multimodal
+      .crossModalRecall(fixture(i => 100L * ((i + 1) % 8)), Seq(1, 3))
+      .select($"direction", $"recall1_pct").as[(String, Long)]
+      .collect().toMap
+    assert(rotated == Map("img2txt" -> 0L, "txt2img" -> 0L), rotated)
+  }
+
+  test("q314 registered run: full batches only, ranks well-defined") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q314_crossmodal_recall")(spark, sf)
+      .collect()
+    assert(r.length == 2)
+    val byDir = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byDir.keySet == Set("img2txt", "txt2img"))
+    // both directions query the same anchors
+    assert(byDir("img2txt") == byDir("txt2img"))
+    println(s"[r16] q314 rows=${r.toSeq}")
+  }
+
+  // ---- q315: streaming fold-in ≡ batch q308 --------------------------
+
+  test("q315 fixture: stream fold-in ≡ batch across microbatch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val walks = barbellWalks().localCheckpoint()
+    val trained = ops.Graph
+      .nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .localCheckpoint()
+    val contribs = ops.Graph
+      .sppmi(ops.Graph.skipgramPairs(walks), shift = 1)
+      .select($"center", $"context",
+        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
+      .join(broadcast(trained.select($"node".as("center"))),
+        Seq("center"), "left_anti")
+      .localCheckpoint()
+    val batch = ops.Graph
+      .foldInEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .select($"node", $"n_anchors",
+        posexplode($"embedding_micro").as(Seq("dim", "value_micro")))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(batch.nonEmpty, "fixture must have out-of-vocab nodes")
+    for (nFiles <- Seq(1, 3)) {
+      val stream = graft.streaming.Streams
+        .streamFoldInFrom(spark, trained, contribs, dim = 4,
+          nFiles = nFiles)
+        .select($"node", $"n_anchors", $"dim", $"value_micro")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(stream.toSeq == batch.toSeq,
+        s"stream(nFiles=$nFiles) diverged from batch fold-in")
+    }
+  }
+
+  test("q315 real corpus (sf0.01): stream ≡ batch q308 bit-for-bit") {
+    val d = "/root/testdata/sf0.01"
+    val batch = SparkEntry.queries("q308_embedding_foldin")(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val stream = SparkEntry.queries("q315_stream_foldin")(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(batch.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("q313 probe scan is partition-pruned to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val (path, _) = ops.Graph.trainedIvfStore(spark, sf)
+    val p = spark.read.parquet(path).filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    println(s"[r16] q313 probe plan:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("cell#"),
+      s"cell filter must prune partitions:\n$p")
+  }
+}
