@@ -660,9 +660,13 @@ object Multimodal {
     * corpus²), the same scale shape as q306's negative mining.
     */
   private[graft] def crossModalRecall(
-      pairs: DataFrame, ks: Seq[Int]): DataFrame = {
+      pairs: DataFrame, ks: Seq[Int],
+      zero: Column = lit(0L)): DataFrame = {
+    // `zero` sets the L1 accumulator type: Long towers use the 0L
+    // default; q316's det-scaled towers pass a DECIMAL(38,0) zero so
+    // the ~10²⁹-magnitude distances stay exact integers
     val l1 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L),
+      aggregate(zip_with(a, b, (x, y) => abs(x - y)), zero,
         (acc, x) => acc + x)
     def trueRanks(name: String, qv: String, cv: String): DataFrame =
       pairs.as("q")
@@ -699,7 +703,12 @@ object Multimodal {
     * metric machinery itself is proven on a planted perfectly-aligned
     * fixture in Round16Spec (aligned towers ⇒ recall@1 = 100%).
     */
-  private def q314(s: SparkSession, d: String): DataFrame = {
+  /** q306's collation (same md5 batch ranking) carrying the raw
+    * per-modality integer features — the shared base of q314
+    * (untrained recall) and q316 (trained linear alignment).
+    */
+  private[graft] def collatedFeatures(
+      s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val b = 8
     val feats = decodeImageFeatures(imageAssets(s, d))
@@ -709,7 +718,7 @@ object Multimodal {
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("cap_tokens"),
         length($"text").cast("long").as("n_chars"))
-    val full = feats.join(caps, "doc_id")
+    feats.join(caps, "doc_id")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(
           md5(concat(lit("cb:"), $"doc_id".cast("string"))
@@ -718,12 +727,228 @@ object Multimodal {
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"batch_id")))
       .filter($"bsz" === b)
-    val towers = full.select($"doc_id", $"batch_id",
+  }
+
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val towers = collatedFeatures(s, d).select($"doc_id", $"batch_id",
       array($"px_milli", $"px_sum" % 251,
         ($"width" * 16 + $"height").cast("long")).as("img"),
       array(($"cap_tokens" * 9973) % 256000, $"n_chars" % 251,
         lit(68L) + ($"n_chars" * 31 + $"cap_tokens") % 67).as("txt"))
     crossModalRecall(towers, Seq(1, 3))
+  }
+
+  // ---- q316: trained cross-modal alignment ---------------------------
+
+  /** Least-squares linear probe from the text tower onto the image
+    * tower, solved IN-PLAN and evaluated with q314's recall machinery:
+    * the normal-equation sums XᵀX / XᵀY are one distributed integer
+    * aggregate over the training pairs (features are byte-scale, so
+    * every sum and every 2×2 minor fits a Long exactly), the 3×3
+    * solve is Cramer's rule in DECIMAL(38,0) expressions on that
+    * 1-row frame (broadcast — no driver collect, no float), and the
+    * projection is evaluated WITHOUT the division: ranking compares
+    * |imgᵢ·detD − Σₐ tₐ·N(a,i)| = |detD|·|imgᵢ − projᵢ|, so the
+    * whole train→project→rank chain is exact integer arithmetic and
+    * DuckDB replays it in HUGEINT. Input: `(doc_id, batch_id,
+    * t1..t3, i1..i3)` LONG features.
+    */
+  private[graft] def alignedRecall(
+      feats: DataFrame, ks: Seq[Int]): DataFrame = {
+    val s = feats.sparkSession
+    import s.implicits._
+    val sums = feats.agg(
+      sum($"t1" * $"t1").as("s11"), sum($"t1" * $"t2").as("s12"),
+      sum($"t1" * $"t3").as("s13"), sum($"t2" * $"t2").as("s22"),
+      sum($"t2" * $"t3").as("s23"), sum($"t3" * $"t3").as("s33"),
+      sum($"t1" * $"i1").as("b11"), sum($"t2" * $"i1").as("b21"),
+      sum($"t3" * $"i1").as("b31"), sum($"t1" * $"i2").as("b12"),
+      sum($"t2" * $"i2").as("b22"), sum($"t3" * $"i2").as("b32"),
+      sum($"t1" * $"i3").as("b13"), sum($"t2" * $"i3").as("b23"),
+      sum($"t3" * $"i3").as("b33"))
+    // 3×3 determinant entirely in DECIMAL(38,0): byte-scale features
+    // keep every term under ~10³¹ even at a 10⁶-doc corpus, far inside
+    // DECIMAL(38,0)/HUGEINT — and nothing silently wraps the way bare
+    // Long minors would past ~3·10⁴ docs
+    def mul(a: String, b: String): String =
+      s"CAST($a AS DECIMAL(38,0)) * $b"
+    def det(m11: String, m12: String, m13: String,
+        m21: String, m22: String, m23: String,
+        m31: String, m32: String, m33: String): String =
+      s"(CAST($m11 AS DECIMAL(38,0)) * (${mul(m22, m33)} - ${mul(m23, m32)})" +
+        s" - CAST($m12 AS DECIMAL(38,0)) * (${mul(m21, m33)} - ${mul(m23, m31)})" +
+        s" + CAST($m13 AS DECIMAL(38,0)) * (${mul(m21, m32)} - ${mul(m22, m31)}))"
+    val dets = sums.select(expr(
+      det("s11", "s12", "s13", "s12", "s22", "s23", "s13", "s23", "s33"))
+      .as("detD") +:
+      (1 to 3).flatMap { i =>
+        val (b1, b2, b3) = (s"b1$i", s"b2$i", s"b3$i")
+        Seq(
+          expr(det(b1, "s12", "s13", b2, "s22", "s23", b3, "s23", "s33"))
+            .as(s"n1$i"),
+          expr(det("s11", b1, "s13", "s12", b2, "s23", "s13", b3, "s33"))
+            .as(s"n2$i"),
+          expr(det("s11", "s12", b1, "s12", "s22", b2, "s13", "s23", b3))
+            .as(s"n3$i"))
+      }: _*)
+    val towers = feats.crossJoin(broadcast(dets))
+      .select($"doc_id", $"batch_id",
+        array(
+          expr("CAST(i1 AS DECIMAL(38,0)) * detD"),
+          expr("CAST(i2 AS DECIMAL(38,0)) * detD"),
+          expr("CAST(i3 AS DECIMAL(38,0)) * detD")).as("img"),
+        array(
+          expr("CAST(t1 AS DECIMAL(38,0)) * n11 + " +
+            "CAST(t2 AS DECIMAL(38,0)) * n21 + " +
+            "CAST(t3 AS DECIMAL(38,0)) * n31"),
+          expr("CAST(t1 AS DECIMAL(38,0)) * n12 + " +
+            "CAST(t2 AS DECIMAL(38,0)) * n22 + " +
+            "CAST(t3 AS DECIMAL(38,0)) * n32"),
+          expr("CAST(t1 AS DECIMAL(38,0)) * n13 + " +
+            "CAST(t2 AS DECIMAL(38,0)) * n23 + " +
+            "CAST(t3 AS DECIMAL(38,0)) * n33")).as("txt"))
+    crossModalRecall(towers, ks,
+      zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+  }
+
+  /** q316: TRAINED CROSS-MODAL ALIGNMENT — the train step between
+    * q306's collation and q314's eval: fit the least-squares linear
+    * map from caption features to image features over all collated
+    * pairs, then re-run the in-batch recall@{1,3} eval on the ALIGNED
+    * towers. On this corpus the modalities are generated independently
+    * (pixels are a doc_id closed form, captions are sampled text), so
+    * the probe finds ≈nothing and trained recall stays at the q314
+    * chance baseline — the honest result, hash-gated exactly against
+    * DuckDB's HUGEINT replay of the same normal equations; Round16Spec
+    * plants an exactly-linear image↔text relationship and proves the
+    * probe recovers it (recall@1 = 100 both directions, residual 0).
+    * Scale: training is ONE map-side-combined aggregate; the solve is
+    * fifteen 1-row expressions; scoring stays batch-blocked B×B.
+    */
+  private def q316(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    alignedRecall(collatedFeatures(s, d).select($"doc_id", $"batch_id",
+      expr("(cap_tokens * 9973 % 256000) DIV 1000").as("t1"),
+      expr("n_chars % 251").as("t2"),
+      expr("68 + (n_chars * 31 + cap_tokens) % 67").as("t3"),
+      expr("px_sum DIV (width * height)").as("i1"),
+      expr("px_sum % 251").as("i2"),
+      expr("CAST(width * 16 + height AS LONG)").as("i3")), Seq(1, 3))
+  }
+
+  private val q316Sql = {
+    val mulH = (a: String, b: String) => s"CAST($a AS HUGEINT) * $b"
+    val det = (m: Seq[String]) =>
+      s"(CAST(${m(0)} AS HUGEINT) * (${mulH(m(4), m(8))} - ${mulH(m(5), m(7))})" +
+        s" - CAST(${m(1)} AS HUGEINT) * (${mulH(m(3), m(8))} - ${mulH(m(5), m(6))})" +
+        s" + CAST(${m(2)} AS HUGEINT) * (${mulH(m(3), m(7))} - ${mulH(m(4), m(6))}))"
+    val detD = det(Seq("s11", "s12", "s13", "s12", "s22", "s23",
+      "s13", "s23", "s33"))
+    def n(a: Int, i: Int): String = a match {
+      case 1 => det(Seq(s"b1$i", "s12", "s13", s"b2$i", "s22", "s23",
+        s"b3$i", "s23", "s33"))
+      case 2 => det(Seq("s11", s"b1$i", "s13", "s12", s"b2$i", "s23",
+        "s13", s"b3$i", "s33"))
+      case 3 => det(Seq("s11", "s12", s"b1$i", "s12", "s22", s"b2$i",
+        "s13", "s23", s"b3$i"))
+    }
+    val nCols = (for (i <- 1 to 3; a <- 1 to 3)
+      yield s"${n(a, i)} AS n$a$i").mkString(",\n      |    ")
+    s"""WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM((d.doc_id * 31 + t.i) % 256) AS BIGINT) AS px_sum,
+      |    ANY_VALUE(d.w) AS w, ANY_VALUE(d.h) AS h
+      |  FROM dims d, unnest(generate_series(0, d.w * d.h - 1)) AS t(i)
+      |  GROUP BY d.doc_id),
+      |feat0 AS (
+      |  SELECT p.doc_id,
+      |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS cap_tokens,
+      |    CAST(length(doc.text) AS BIGINT) AS n_chars,
+      |    px_sum, w, h
+      |  FROM px p JOIN documents doc ON doc.doc_id = p.doc_id),
+      |ranked AS (
+      |  SELECT f.*, ROW_NUMBER() OVER (ORDER BY
+      |    md5('cb:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r
+      |  FROM feat0 f),
+      |full_b AS (
+      |  SELECT doc_id, batch_id,
+      |    (cap_tokens * 9973 % 256000) // 1000 AS t1,
+      |    n_chars % 251 AS t2,
+      |    68 + (n_chars * 31 + cap_tokens) % 67 AS t3,
+      |    px_sum // (w * h) AS i1,
+      |    px_sum % 251 AS i2,
+      |    CAST(w * 16 + h AS BIGINT) AS i3
+      |  FROM (
+      |    SELECT b.*, b.r // 8 AS batch_id,
+      |      COUNT(*) OVER (PARTITION BY b.r // 8) AS bsz
+      |    FROM ranked b) t
+      |  WHERE bsz = 8),
+      |sums AS (
+      |  SELECT
+      |    CAST(SUM(t1 * t1) AS BIGINT) AS s11,
+      |    CAST(SUM(t1 * t2) AS BIGINT) AS s12,
+      |    CAST(SUM(t1 * t3) AS BIGINT) AS s13,
+      |    CAST(SUM(t2 * t2) AS BIGINT) AS s22,
+      |    CAST(SUM(t2 * t3) AS BIGINT) AS s23,
+      |    CAST(SUM(t3 * t3) AS BIGINT) AS s33,
+      |    CAST(SUM(t1 * i1) AS BIGINT) AS b11,
+      |    CAST(SUM(t2 * i1) AS BIGINT) AS b21,
+      |    CAST(SUM(t3 * i1) AS BIGINT) AS b31,
+      |    CAST(SUM(t1 * i2) AS BIGINT) AS b12,
+      |    CAST(SUM(t2 * i2) AS BIGINT) AS b22,
+      |    CAST(SUM(t3 * i2) AS BIGINT) AS b32,
+      |    CAST(SUM(t1 * i3) AS BIGINT) AS b13,
+      |    CAST(SUM(t2 * i3) AS BIGINT) AS b23,
+      |    CAST(SUM(t3 * i3) AS BIGINT) AS b33
+      |  FROM full_b),
+      |dets AS (
+      |  SELECT $detD AS detD,
+      |    $nCols
+      |  FROM sums),
+      |towers AS (
+      |  SELECT doc_id, batch_id,
+      |    CAST(i1 AS HUGEINT) * detD AS p1,
+      |    CAST(i2 AS HUGEINT) * detD AS p2,
+      |    CAST(i3 AS HUGEINT) * detD AS p3,
+      |    CAST(t1 AS HUGEINT) * n11 + CAST(t2 AS HUGEINT) * n21
+      |      + CAST(t3 AS HUGEINT) * n31 AS q1,
+      |    CAST(t1 AS HUGEINT) * n12 + CAST(t2 AS HUGEINT) * n22
+      |      + CAST(t3 AS HUGEINT) * n32 AS q2,
+      |    CAST(t1 AS HUGEINT) * n13 + CAST(t2 AS HUGEINT) * n23
+      |      + CAST(t3 AS HUGEINT) * n33 AS q3
+      |  FROM full_b, dets),
+      |i2t AS (
+      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |    ABS(q.p1 - c.q1) + ABS(q.p2 - c.q2) + ABS(q.p3 - c.q3) AS dist
+      |  FROM towers q JOIN towers c ON q.batch_id = c.batch_id),
+      |t2i AS (
+      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |    ABS(q.q1 - c.p1) + ABS(q.q2 - c.p2) + ABS(q.q3 - c.p3) AS dist
+      |  FROM towers q JOIN towers c ON q.batch_id = c.batch_id),
+      |ranks AS (
+      |  SELECT 'img2txt' AS direction, rnk FROM (
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |      ORDER BY dist, cand) AS rnk FROM i2t) x
+      |  WHERE anchor = cand
+      |  UNION ALL
+      |  SELECT 'txt2img', rnk FROM (
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |      ORDER BY dist, cand) AS rnk FROM t2i) y
+      |  WHERE anchor = cand)
+      |SELECT direction, COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_1,
+      |  CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_3,
+      |  CAST((100 * SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS recall1_pct,
+      |  CAST((100 * SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS recall3_pct
+      |FROM ranks GROUP BY direction ORDER BY direction""".stripMargin
   }
 
   private val q314Sql =
@@ -798,5 +1023,6 @@ object Multimodal {
     QueryDef("q305_audio_features", q305, Some(q305Sql)),
     QueryDef("q306_clip_collation", q306, Some(q306Sql)),
     QueryDef("q314_crossmodal_recall", q314, Some(q314Sql)),
+    QueryDef("q316_crossmodal_alignment", q316, Some(q316Sql)),
   )
 }

@@ -243,7 +243,10 @@ class PlanSpec extends AnyFunSuite {
       "q313_trained_ann_serving",
       // q315 reads the stream sink; its batch tail inherits sppmi's
       // 1-row cross through the staged-contribution derivation
-      "q315_stream_foldin")
+      "q315_stream_foldin",
+      // q316's Cramer solve lives on a broadcast 1-row normal-equation
+      // aggregate crossed into the scoring — the q78 device again
+      "q316_crossmodal_alignment")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")

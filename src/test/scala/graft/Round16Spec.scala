@@ -144,6 +144,38 @@ class Round16Spec extends AnyFunSuite {
     println(s"[r16] q314 rows=${r.toSeq}")
   }
 
+  test("q316 probe recovers a planted exact-linear alignment") {
+    import spark.implicits._
+    // one batch of 8; text features span 3D, image features are an
+    // EXACT integer-linear map of them (W = [[2,0,1],[1,1,0],[0,3,1]]
+    // applied as i1=2·t1+t2, i2=t2+3·t3, i3=t1+t3), so least squares
+    // has residual 0, Cramer's numerators are detD·W exactly, and the
+    // true pair sits at integer distance 0 — recall@1 must be 100
+    val feats = (0L until 8L).map { i =>
+      val t1 = 3 * i + 1
+      val t2 = (i * i) % 17 + 2
+      val t3 = (7 * i + 5) % 23 + 1
+      (i, 0L, t1, t2, t3, 2 * t1 + t2, t2 + 3 * t3, t1 + t3)
+    }.toDF("doc_id", "batch_id", "t1", "t2", "t3", "i1", "i2", "i3")
+    val r = ops.Multimodal.alignedRecall(feats, Seq(1, 3))
+      .select($"direction", $"recall1_pct").as[(String, Long)]
+      .collect().toMap
+    assert(r == Map("img2txt" -> 100L, "txt2img" -> 100L), r.toString)
+  }
+
+  test("q316 registered run: chance-level recall on independent modalities") {
+    import spark.implicits._
+    val trained = SparkEntry.queries("q316_crossmodal_alignment")(spark, sf)
+      .select($"direction", $"n_queries", $"recall1_pct", $"recall3_pct")
+      .as[(String, Long, Long, Long)].collect()
+    assert(trained.length == 2)
+    println(s"[r16] q316 aligned=${trained.toSeq}")
+    // pixels and captions are generated independently here, so the
+    // probe must NOT fabricate alignment: recall@1 stays in the
+    // chance band (≤ 3× the 12.5% in-batch chance level)
+    assert(trained.forall(_._3 <= 37), trained.toSeq.toString)
+  }
+
   // ---- q315: streaming fold-in ≡ batch q308 --------------------------
 
   test("q315 fixture: stream fold-in ≡ batch across microbatch splits") {
