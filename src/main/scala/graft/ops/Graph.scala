@@ -2192,7 +2192,12 @@ object Graph {
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     val (indexPath, cents) = trainedIvfStore(s, d, nCells)
-    val vecs = fullCoverageVectors(s, d).localCheckpoint()
+    // the persisted index holds every vector — the exact baseline and
+    // the probe set read it back instead of re-deriving the fold-in
+    // chain (the store IS the full-coverage table)
+    val vecs = s.read.parquet(indexPath)
+      .select($"vec_id".as("node"), $"vmic", $"n2")
+      .localCheckpoint()
     val probes = vecs.orderBy($"node").limit(8)
       .select($"node".as("qid"), $"vmic".as("qv"))
       .withColumn("qcells", graft.functions.VectorExprs.vecTopCells(s,
@@ -2232,6 +2237,74 @@ object Graph {
   private def q313(s: SparkSession, d: String): DataFrame =
     trainedAnnRecall(s, d)
 
+  // ---- q317: versioned embedding model registry -----------------------
+
+  /** Exact drift report between two model versions: full-outer join on
+    * node, per-node L1 distance on the ×10⁶ fixed-point vectors (both
+    * versions are 6-dp decimals, so the distance is an exact Long),
+    * status `added` / `dropped` / `retrained`. Model-sized frames
+    * (≤ vocab rows) — the join is registry work, never corpus work.
+    */
+  private[graft] def registryDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
+    def micro(df: DataFrame, name: String) = df.select($"node",
+      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
+        .as(name))
+    micro(v1, "a").join(micro(v2, "b"), Seq("node"), "full_outer")
+      .select($"node",
+        when($"a".isNull, lit("added"))
+          .when($"b".isNull, lit("dropped"))
+          .otherwise(lit("retrained")).as("status"),
+        when($"a".isNull || $"b".isNull, lit(-1L))
+          .otherwise(aggregate(zip_with($"a", $"b", (x, y) => abs(x - y)),
+            lit(0L), (acc, x) => acc + x)).as("l1_micro"))
+      .orderBy($"node")
+  }
+
+  /** Build-if-absent two-version model registry over [[StoreLog]]:
+    * v1 = the model trained on the HISTORY slice's persisted pair
+    * counts (q312's base store — the model that existed before the
+    * delta arrived), v2 = the refreshed full-corpus model (identical
+    * to a from-scratch rebuild by q312's merge ≡ recompute identity).
+    * Each version is ONE atomic-rename commit, so a crashed build
+    * leaves either no version or a complete one — the model-registry
+    * discipline every serving stack wants, riding the same commit log
+    * as q304's time travel.
+    */
+  private[graft] def embeddingRegistry(
+      s: SparkSession, d: String): graft.streaming.StoreLog = {
+    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(lp)
+    val root = "target/graft_graph_store/embreg_" +
+      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val log = new graft.streaming.StoreLog(
+      java.nio.file.Paths.get(root), "v")
+    if (log.versions().size < 2) {
+      log.commitTable(1L,
+        nodeEmbeddingsFromPairs(basePairStore(s, d), dim = 8))
+      log.commitTable(2L, embeddingStore(s, d))
+    }
+    log
+  }
+
+  /** q317: EMBEDDING MODEL REGISTRY — the versioning verb over the
+    * trained artifact (q300 trains, q312 refreshes, q317 keeps the
+    * lineage): history-slice model committed as v1, refreshed
+    * full-corpus model as v2, and the report is the exact per-node
+    * drift between them — which vectors a retrain moved (L1 in ×10⁶
+    * fixed point), which nodes entered the vocabulary with the delta,
+    * which fell out of the top-K mass cut. ABSENT-IN-REF. No SQL
+    * oracle (consumes the eigensolve); Round16Spec gates the version
+    * readbacks against direct retrains and the diff statuses against
+    * the vocab set algebra.
+    */
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val log = embeddingRegistry(s, d)
+    registryDiff(log.asOf(s, 1L).get, log.asOf(s, 2L).get)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
     QueryDef("q298_skipgram_pairs", q298, Some(q298Sql)),
@@ -2254,6 +2327,9 @@ object Graph {
     // stream ≡ batch q308 bit-identity across microbatch boundaries
     QueryDef("q315_stream_foldin",
       (s, d) => graft.streaming.Streams.streamFoldIn(s, d), None),
+    // no SQL oracle (consumes the eigensolve); Round16Spec gates the
+    // version readbacks and the diff status algebra
+    QueryDef("q317_embedding_registry", q317, None),
     // no SQL oracle (consumes the eigensolve + IVF internals);
     // Round16Spec gates recall floor, nProbe=nCells degeneracy, and
     // the partition-pruned probe scan

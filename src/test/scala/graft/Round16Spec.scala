@@ -219,6 +219,45 @@ class Round16Spec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  // ---- q317: embedding model registry --------------------------------
+
+  test("q317 diff: statuses and L1 are exact on a hand-built pair") {
+    import spark.implicits._
+    val v1 = Seq((1L, Seq(0.5, 0.25)), (2L, Seq(1.0, 0.0)))
+      .toDF("node", "embedding")
+    val v2 = Seq((2L, Seq(0.75, 0.5)), (3L, Seq(0.1, 0.2)))
+      .toDF("node", "embedding")
+    val r = ops.Graph.registryDiff(v1, v2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "dropped", -1L), (2L, "retrained", 750000L),
+      (3L, "added", -1L)), r.toString)
+  }
+
+  test("q317 registry: version readbacks match direct retrains") {
+    import spark.implicits._
+    val log = ops.Graph.embeddingRegistry(spark, sf)
+    assert(log.versions() == Seq(1L, 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(rows(log.asOf(spark, 2L).get) ==
+      rows(ops.Graph.embeddingStore(spark, sf)))
+    assert(rows(log.asOf(spark, 1L).get) ==
+      rows(ops.Graph.nodeEmbeddingsFromPairs(
+        ops.Graph.basePairStore(spark, sf), dim = 8)))
+    // diff statuses follow the vocab set algebra
+    val v1n = rows(log.asOf(spark, 1L).get).map(_._1).toSet
+    val v2n = rows(log.asOf(spark, 2L).get).map(_._1).toSet
+    val diff = SparkEntry.queries("q317_embedding_registry")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(diff.filter(_._2 == "added").map(_._1).toSet == v2n -- v1n)
+    assert(diff.filter(_._2 == "dropped").map(_._1).toSet == v1n -- v2n)
+    assert(diff.filter(_._2 == "retrained").map(_._1).toSet ==
+      (v1n intersect v2n))
+    assert(diff.forall(r => (r._3 >= 0) == (r._2 == "retrained")))
+    println(s"[r16] q317 added=${(v2n -- v1n).size} " +
+      s"dropped=${(v1n -- v2n).size} retrained=${(v1n & v2n).size}")
+  }
+
   test("q313 probe scan is partition-pruned to the probed cells") {
     import org.apache.spark.sql.functions._
     val (path, _) = ops.Graph.trainedIvfStore(spark, sf)
