@@ -74,6 +74,28 @@ class Round16Spec extends AnyFunSuite {
     assert(refreshed.toSeq == rebuilt.toSeq)
   }
 
+  test("q312 property: refresh ≡ rebuild for arbitrary walk splits") {
+    import org.apache.spark.sql.functions._
+    val walks = barbellWalks().localCheckpoint()
+    val rebuilt = ops.Graph
+      .refreshedEmbeddings(ops.Graph.skipgramPairs(walks), walks.limit(0),
+        dim = 4, shift = 1, vocabCap = 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // m = 1 makes the base EMPTY (the whole corpus arrives as delta);
+    // the other splits carve history/delta at different boundaries —
+    // pair counts are per-walk, so every split must land on the same
+    // merged counts and the same trained bits
+    for ((m, r) <- Seq((1, 0), (2, 0), (2, 1), (5, 3))) {
+      val refreshed = ops.Graph
+        .refreshedEmbeddings(
+          ops.Graph.skipgramPairs(walks.filter(col("walk_id") % m =!= r)),
+          walks.filter(col("walk_id") % m === r),
+          dim = 4, shift = 1, vocabCap = 8)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(refreshed == rebuilt, s"split mod $m == $r diverged")
+    }
+  }
+
   test("q312 real corpus: registered refresh ≡ full rebuild, rerun-stable") {
     val q = SparkEntry.queries("q312_embedding_refresh")(spark, sf)
       .collect().map(_.toSeq)
