@@ -758,7 +758,14 @@ object Multimodal {
       feats: DataFrame, ks: Seq[Int]): DataFrame = {
     val s = feats.sparkSession
     import s.implicits._
-    val sums = feats.agg(
+    // held-out protocol: the probe is FIT on even batches and
+    // EVALUATED on odd batches only — recall on the training pairs
+    // would overstate any learned alignment (the batch id is the
+    // md5-ranked collation unit, so the split is a deterministic
+    // 50/50 shuffle split)
+    val train = feats.filter($"batch_id" % 2 === 0)
+    val eval_ = feats.filter($"batch_id" % 2 === 1)
+    val sums = train.agg(
       sum($"t1" * $"t1").as("s11"), sum($"t1" * $"t2").as("s12"),
       sum($"t1" * $"t3").as("s13"), sum($"t2" * $"t2").as("s22"),
       sum($"t2" * $"t3").as("s23"), sum($"t3" * $"t3").as("s33"),
@@ -792,7 +799,7 @@ object Multimodal {
           expr(det("s11", "s12", b1, "s12", "s22", b2, "s13", "s23", b3))
             .as(s"n3$i"))
       }: _*)
-    val towers = feats.crossJoin(broadcast(dets))
+    val towers = eval_.crossJoin(broadcast(dets))
       .select($"doc_id", $"batch_id",
         array(
           expr("CAST(i1 AS DECIMAL(38,0)) * detD"),
@@ -814,9 +821,11 @@ object Multimodal {
 
   /** q316: TRAINED CROSS-MODAL ALIGNMENT — the train step between
     * q306's collation and q314's eval: fit the least-squares linear
-    * map from caption features to image features over all collated
-    * pairs, then re-run the in-batch recall@{1,3} eval on the ALIGNED
-    * towers. On this corpus the modalities are generated independently
+    * map from caption features to image features on the EVEN collated
+    * batches, then run the in-batch recall@{1,3} eval on the HELD-OUT
+    * odd batches with the aligned towers (recall on the training pairs
+    * would overstate any learned alignment). On this corpus the
+    * modalities are generated independently
     * (pixels are a doc_id closed form, captions are sampled text), so
     * the probe finds ≈nothing and trained recall stays at the q314
     * chance baseline — the honest result, hash-gated exactly against
@@ -904,7 +913,7 @@ object Multimodal {
       |    CAST(SUM(t1 * i3) AS BIGINT) AS b13,
       |    CAST(SUM(t2 * i3) AS BIGINT) AS b23,
       |    CAST(SUM(t3 * i3) AS BIGINT) AS b33
-      |  FROM full_b),
+      |  FROM full_b WHERE batch_id % 2 = 0),
       |dets AS (
       |  SELECT $detD AS detD,
       |    $nCols
@@ -920,7 +929,7 @@ object Multimodal {
       |      + CAST(t3 AS HUGEINT) * n32 AS q2,
       |    CAST(t1 AS HUGEINT) * n13 + CAST(t2 AS HUGEINT) * n23
       |      + CAST(t3 AS HUGEINT) * n33 AS q3
-      |  FROM full_b, dets),
+      |  FROM full_b, dets WHERE batch_id % 2 = 1),
       |i2t AS (
       |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
       |    ABS(q.p1 - c.q1) + ABS(q.p2 - c.q2) + ABS(q.p3 - c.q3) AS dist

@@ -168,16 +168,17 @@ class Round16Spec extends AnyFunSuite {
 
   test("q316 probe recovers a planted exact-linear alignment") {
     import spark.implicits._
-    // one batch of 8; text features span 3D, image features are an
-    // EXACT integer-linear map of them (W = [[2,0,1],[1,1,0],[0,3,1]]
-    // applied as i1=2·t1+t2, i2=t2+3·t3, i3=t1+t3), so least squares
-    // has residual 0, Cramer's numerators are detD·W exactly, and the
-    // true pair sits at integer distance 0 — recall@1 must be 100
-    val feats = (0L until 8L).map { i =>
+    // two batches of 8: batch 0 TRAINS, batch 1 is the HELD-OUT eval
+    // set. Text features span 3D; image features are an EXACT
+    // integer-linear map of them (i1=2·t1+t2, i2=t2+3·t3, i3=t1+t3)
+    // in BOTH batches, so least squares on batch 0 has residual 0,
+    // Cramer's numerators are detD·W exactly, and every held-out true
+    // pair sits at integer distance 0 — recall@1 must be 100
+    val feats = (0L until 16L).map { i =>
       val t1 = 3 * i + 1
       val t2 = (i * i) % 17 + 2
       val t3 = (7 * i + 5) % 23 + 1
-      (i, 0L, t1, t2, t3, 2 * t1 + t2, t2 + 3 * t3, t1 + t3)
+      (i, i / 8, t1, t2, t3, 2 * t1 + t2, t2 + 3 * t3, t1 + t3)
     }.toDF("doc_id", "batch_id", "t1", "t2", "t3", "i1", "i2", "i3")
     val r = ops.Multimodal.alignedRecall(feats, Seq(1, 3))
       .select($"direction", $"recall1_pct").as[(String, Long)]
