@@ -232,6 +232,86 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("q315 fold-in state survives a checkpoint restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // accumulated per-center sums are state: a query killed between
+    // microbatches and restarted from its checkpoint must resume the
+    // integer accumulation (and the per-center version counter), or
+    // the final vectors would double- or under-count the weights
+    val walks = barbellWalks().localCheckpoint()
+    val trained = ops.Graph
+      .nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+      .localCheckpoint()
+    val contribs = ops.Graph
+      .sppmi(ops.Graph.skipgramPairs(walks), shift = 1)
+      .select($"center", $"context",
+        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
+      .join(broadcast(trained.select($"node".as("center"))),
+        Seq("center"), "left_anti")
+      .localCheckpoint()
+    val fixed = trained.select($"node".as("context"),
+      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
+        .as("ev")).localCheckpoint()
+    graft.streaming.Streams.withRocksDbStore(spark) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_foldrst").toString
+      def writeWave(df: org.apache.spark.sql.DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      implicit val outEnc =
+        org.apache.spark.sql.Encoders.product[
+          graft.streaming.Streams.FoldRow]
+      def startQuery() = spark.readStream
+        .schema("center LONG, context LONG, w LONG")
+        .parquet(s"$tmp/src")
+        .join(broadcast(fixed), "context")
+        .select($"center", $"w",
+          expr("transform(ev, x -> x * w)").as("wev"))
+        .as[(Long, Long, Seq[Long])]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.FoldInProcessor(4),
+          TimeMode.None(), OutputMode.Update())
+        .toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$tmp/chk")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+      // wave 1: even contexts; wave 2: the rest — both waves touch the
+      // same centers, so correctness REQUIRES the recovered state
+      writeWave(contribs.filter($"context" % 2 === 0))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop() // crash point: partial sums in state
+      writeWave(contribs.filter($"context" % 2 =!= 0))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"center").orderBy($"ver".desc)))
+        .filter($"rnk" === 1)
+        .select($"center".as("node"), $"anchors".as("n_anchors"),
+          posexplode(expr("transform(num, x -> x DIV den)"))
+            .as(Seq("dim", "value_micro")))
+        .select($"node", $"n_anchors", $"dim", $"value_micro")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val batch = ops.Graph
+        .foldInEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
+        .select($"node", $"n_anchors",
+          posexplode($"embedding_micro").as(Seq("dim", "value_micro")))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        "post-restart fold-in diverged from the batch fold-in")
+    }
+  }
+
   test("q315 real corpus (sf0.01): stream ≡ batch q308 bit-for-bit") {
     val d = "/root/testdata/sf0.01"
     val batch = SparkEntry.queries("q308_embedding_foldin")(spark, d)
