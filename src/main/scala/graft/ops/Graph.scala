@@ -2111,6 +2111,27 @@ object Graph {
       .orderBy($"origin", $"node", $"dim")
   }
 
+  /** q318: REFRESHED SPPMI ≡ RECOMPUTE, oracle-checked — the
+    * externally-hash-gated half of q312's merge ≡ recompute claim
+    * (the q290/q143 device): the SPPMI matrix derived from the
+    * PERSISTED base counts + the delta walks' counts must hash-match
+    * DuckDB recomputing the matrix from the whole corpus (q299's SQL
+    * VERBATIM). The eigensolve downstream of this frame is what the
+    * spec gates; the count merge — the part an incremental pipeline
+    * can silently get wrong — is certified by the oracle.
+    */
+  private def q318(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merged = basePairStore(s, d)
+      .select($"center", $"context", $"n_pairs")
+      .unionByName(skipgramPairs(
+        walkStore(s, d).filter(col("walk_id") % 4 === 3)))
+      .groupBy($"center", $"context")
+      .agg(sum($"n_pairs").as("n_pairs"))
+    sppmi(merged, shift = 5)
+      .orderBy($"sppmi".desc, $"center", $"context")
+  }
+
   // ---- q313: serve the trained vectors through the IVF index ---------
 
   /** Trained ∪ folded micro-vectors — FULL-corpus coverage in one
@@ -2330,6 +2351,10 @@ object Graph {
     // no SQL oracle (consumes the eigensolve); Round16Spec gates the
     // version readbacks and the diff status algebra
     QueryDef("q317_embedding_registry", q317, None),
+    // merge ≡ recompute, externally gated: the incremental path's
+    // SPPMI matrix must hash-match DuckDB's full-corpus recompute, so
+    // the oracle is q299's SQL verbatim (the q290/q143 device)
+    QueryDef("q318_refresh_sppmi", q318, Some(q299Sql)),
     // no SQL oracle (consumes the eigensolve + IVF internals);
     // Round16Spec gates recall floor, nProbe=nCells degeneracy, and
     // the partition-pruned probe scan

@@ -238,6 +238,7 @@ class PlanSpec extends AnyFunSuite {
       // window) — every sppmi consumer inherits the 1-row cross
       "q299_shifted_ppmi", "q300_node_embeddings",
       "q308_embedding_foldin", "q312_embedding_refresh",
+      "q318_refresh_sppmi",
       // q313 additionally broadcasts the 8-row probe set against the
       // cell-pruned index scan (array_contains join — bounded dim)
       "q313_trained_ann_serving",
