@@ -2128,6 +2128,9 @@ object Graph {
         walkStore(s, d).filter(col("walk_id") % 4 === 3)))
       .groupBy($"center", $"context")
       .agg(sum($"n_pairs").as("n_pairs"))
+      // |V|²-bounded; materialized once so sppmi's broadcast-total
+      // branch doesn't re-derive the delta's pair counts
+      .localCheckpoint()
     sppmi(merged, shift = 5)
       .orderBy($"sppmi".desc, $"center", $"context")
   }
