@@ -2704,7 +2704,60 @@ object Corpus {
       .limit(10)
   }
 
+  // ---- q319: resumable deterministic data order ----------------------
+
+  /** q319: RESUMABLE DATA ORDER — the dataloader contract between the
+    * corpus and the trainer that q131 (packing) and q201 (curriculum)
+    * leave open: a seeded, per-epoch deterministic global shuffle with
+    * crash RESUME — given a trainer checkpoint at (epoch, step), the
+    * next `take` documents come back in order without replaying
+    * anything before them, crossing epoch boundaries when the resume
+    * point is near an epoch's end. The order key is md5(seed:epoch:
+    * doc_id) (each epoch re-salts, so epochs are independent
+    * permutations — the standard epoch reshuffle), `step` is the md5
+    * rank within the epoch, `shard = step DIV shardSize` is the worker
+    * slice. Everything is md5-exact integers/strings, so DuckDB
+    * replays the entire schedule. Scale: the per-epoch rank is the
+    * manifest BUILD (one sort per epoch — written once, shard-
+    * partitioned); a production resume reads the stored manifest
+    * pruned to shards ≥ step₀ DIV shardSize with these same
+    * expressions, and the demonstration plan ends in
+    * filter → TakeOrderedAndProject, never a full-order
+    * materialization.
+    */
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"epoch").orderBy($"okey", $"doc_id")
+    val ord = Tables.documents(s, d).select($"doc_id")
+      .crossJoin(broadcast(s.range(2).toDF("epoch")))
+      .withColumn("okey", md5(concat(lit("graft:"), $"epoch",
+        lit(":"), $"doc_id").cast("binary")))
+      .withColumn("step", (row_number().over(w) - 1).cast("long"))
+    ord
+      .filter($"epoch" > 0 || ($"epoch" === 0 && $"step" >= 450))
+      .select($"epoch", $"step", expr("step DIV 64").as("shard"),
+        $"doc_id")
+      .orderBy($"epoch", $"step")
+      .limit(100)
+  }
+
+  private val q319Sql =
+    """WITH ep AS (SELECT CAST(epoch AS BIGINT) AS epoch
+      |  FROM (VALUES (0), (1)) e(epoch)),
+      |ord AS (
+      |  SELECT e.epoch, d.doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.epoch
+      |      ORDER BY md5('graft:' || CAST(e.epoch AS VARCHAR) || ':'
+      |        || CAST(d.doc_id AS VARCHAR)), d.doc_id) - 1 AS step
+      |  FROM documents d, ep e)
+      |SELECT epoch, step, step // 64 AS shard, doc_id
+      |FROM ord
+      |WHERE epoch > 0 OR (epoch = 0 AND step >= 450)
+      |ORDER BY epoch, step
+      |LIMIT 100""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q319_resumable_order", q319, Some(q319Sql)),
     // incremental index maintenance: oracle = q167's full-corpus SQL
     // verbatim — the driver's green row IS the merge ≡ rebuild proof
     QueryDef("q275_incremental_index", q275, Some(q167Sql)),

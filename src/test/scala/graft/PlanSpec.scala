@@ -247,7 +247,9 @@ class PlanSpec extends AnyFunSuite {
       "q315_stream_foldin",
       // q316's Cramer solve lives on a broadcast 1-row normal-equation
       // aggregate crossed into the scoring — the q78 device again
-      "q316_crossmodal_alignment")
+      "q316_crossmodal_alignment",
+      // q319's 2-row epoch dim crossed into the corpus — bounded dim
+      "q319_resumable_order")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs
     val skip = Set("q73_stream_hourly", "q92_stream_enrich")

@@ -322,6 +322,37 @@ class Round16Spec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  // ---- q319: resumable data order -------------------------------------
+
+  test("q319 resume returns the exact tail of an independent schedule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSeq
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    // independent schedule: same md5 rank, recomputed on the driver
+    def sched(epoch: Long): Seq[Long] =
+      docs.map(d => (md5hex(s"graft:$epoch:$d"), d)).sorted.map(_._2)
+    val full = for {
+      e <- 0L to 1L
+      (d, i) <- sched(e).zipWithIndex
+    } yield (e, i.toLong, i.toLong / 64, d)
+    val expected = full
+      .filter { case (e, st, _, _) => e > 0 || (e == 0 && st >= 450) }
+      .sortBy(r => (r._1, r._2)).take(100)
+    val got = SparkEntry.queries("q319_resumable_order")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // epoch re-salt produces genuinely different permutations
+    assert(sched(0) != sched(1))
+    // and the resume plan is a top-k, not a full-order materialization
+    val p = SparkEntry.queries("q319_resumable_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k pushdown:\n$p")
+  }
+
   // ---- q317: embedding model registry --------------------------------
 
   test("q317 diff: statuses and L1 are exact on a hand-built pair") {
