@@ -2717,23 +2717,82 @@ object Corpus {
     * permutations — the standard epoch reshuffle), `step` is the md5
     * rank within the epoch, `shard = step DIV shardSize` is the worker
     * slice. Everything is md5-exact integers/strings, so DuckDB
-    * replays the entire schedule. Scale: the per-epoch rank is the
-    * manifest BUILD (one sort per epoch — written once, shard-
-    * partitioned); a production resume reads the stored manifest
-    * pruned to shards ≥ step₀ DIV shardSize with these same
-    * expressions, and the demonstration plan ends in
-    * filter → TakeOrderedAndProject, never a full-order
-    * materialization.
+    * replays the entire schedule (its oracle uses the textbook
+    * ROW_NUMBER window — affordable at oracle scale — which
+    * independently proves the distributed plan computes exactly the
+    * rank semantics it replaced, the q131 argument). Scale: step
+    * assignment is [[resumableSchedule]]'s two-pass prefix sum — no
+    * single-task window anywhere; a production build writes the
+    * schedule `partitionBy(epoch, shard)` once per seed and resume
+    * prunes to shards ≥ step₀ DIV shardSize; the demonstration plan
+    * ends in filter → TakeOrderedAndProject.
     */
+  /** The schedule itself — `(epoch, step, doc_id)` for every doc in
+    * every epoch, step assigned by [[packShards]]'s two-pass prefix-sum
+    * device rather than a per-epoch `row_number` window (which would
+    * funnel the whole corpus through ONE task per epoch — the exact
+    * shape this round removed from sppmi): range-partition on
+    * (epoch, okey, doc_id), count rows per (partition, epoch), scan the
+    * bounded per-partition counts into broadcast offsets, then assign
+    * each row its offset + local rank. Output is localCheckpointed —
+    * the manifest MATERIALIZATION a production build writes
+    * `partitionBy(epoch, shard)` once per seed.
+    */
+  private[graft] def resumableSchedule(
+      docs: DataFrame, seed: String, epochs: Int,
+      nParts: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .crossJoin(broadcast(spark.range(epochs).toDF("epoch")))
+      .withColumn("okey", md5(concat(lit(seed), lit(":"), col("epoch"),
+        lit(":"), col("doc_id")).cast("binary")))
+      .repartitionByRange(nParts, col("epoch"), col("okey"), col("doc_id"))
+      .sortWithinPartitions(col("epoch"), col("okey"), col("doc_id"))
+      .select(col("epoch"), col("okey"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, epoch) row counts — nParts×epochs rows,
+      // a bounded driver collect
+      val partCounts = keyed
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[Long, Long]
+          it.foreach(r => counts(r._1) = counts.getOrElse(r._1, 0L) + 1)
+          counts.iterator.map { case (e, c) => (pid, e, c) }
+        }
+        .collect()
+      val offsets: Map[(Int, Long), Long] = partCounts
+        .groupBy(_._2)
+        .flatMap { case (e, arr) =>
+          val inOrder = arr.sortBy(_._1)
+          inOrder.zip(inOrder.scanLeft(0L)(_ + _._3))
+            .map { case ((pid, _, _), off) => ((pid, e), off) }
+        }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // pass 2: offset + local rank (range partitioning makes ascending
+      // partition ids the global (epoch, okey, doc_id) order)
+      keyed
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val runs = scala.collection.mutable.HashMap.empty[Long, Long]
+          it.map { case (e, _, d) =>
+            val st = runs.getOrElse(e, bOff.value.getOrElse((pid, e), 0L))
+            runs(e) = st + 1
+            (e, st, d)
+          }
+        }
+        .toDF("epoch", "step", "doc_id")
+        .localCheckpoint()
+    } finally keyed.unpersist()
+  }
+
   private def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"epoch").orderBy($"okey", $"doc_id")
-    val ord = Tables.documents(s, d).select($"doc_id")
-      .crossJoin(broadcast(s.range(2).toDF("epoch")))
-      .withColumn("okey", md5(concat(lit("graft:"), $"epoch",
-        lit(":"), $"doc_id").cast("binary")))
-      .withColumn("step", (row_number().over(w) - 1).cast("long"))
-    ord
+    resumableSchedule(Tables.documents(s, d), "graft", epochs = 2)
       .filter($"epoch" > 0 || ($"epoch" === 0 && $"step" >= 450))
       .select($"epoch", $"step", expr("step DIV 64").as("shard"),
         $"doc_id")

@@ -1726,12 +1726,17 @@ object Graph {
   private[graft] def sppmi(pairs: DataFrame, shift: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    // materialize the pair counts once: the frame is |V|²-bounded but
+    // its DERIVATION is corpus-sized (the trail self-join), and both
+    // the total branch and the marginals branch read it below —
+    // without this the plan contains the derivation twice
+    val p = pairs.localCheckpoint()
     // the grand total arrives as a broadcast 1-row aggregate (the
     // q78/q64 device), NOT an unpartitioned window: a global
     // rows-between window funnels the whole |V|²-bounded pair matrix
     // through ONE task — fine at vocab 10³, a scale-killer at 10⁵
-    val total = pairs.agg(sum($"n_pairs").as("nn"))
-    pairs
+    val total = p.agg(sum($"n_pairs").as("nn"))
+    p
       .withColumn("cc", sum($"n_pairs").over(Window.partitionBy($"center")))
       .withColumn("cx", sum($"n_pairs").over(Window.partitionBy($"context")))
       .crossJoin(broadcast(total))
@@ -1742,6 +1747,20 @@ object Graph {
           ($"cc".cast("double") * $"cx".cast("double") *
             lit(shift).cast("double"))), 6).as("sppmi"))
   }
+
+  /** ×10⁶ fixed-point lift of a 6-dp double vector — THE fixed-point
+    * convention of the whole embedding family (trainer outputs, fold-in
+    * weights, serving keys, stream state). One definition: q315's
+    * stream ≡ batch bit-identity and q313's ranking exactness both
+    * depend on every site agreeing on this scale and rounding.
+    */
+  private[graft] def microVec(v: Column): Column =
+    transform(v, x => round(x * 1000000).cast("long"))
+
+  /** Exact Long dot product of two micro-vectors (the family's other
+    * shared kernel). */
+  private[graft] def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** q299: SHIFTED-PPMI MATRIX — the training statistic between the
     * walk corpus (q297/q298) and the embedding trainer (q300): the
@@ -1924,14 +1943,11 @@ object Graph {
     val s = emb.sparkSession
     import s.implicits._
     // ×10⁶ integer components: exact dot/norm arithmetic in Long
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val dot = dotLong _
     // a node orthogonal to every kept eigenvector carries the zero
     // vector — cosine is undefined there and a zero norm would divide
     // by zero in the rank key — so drop zero-norm rows from both sides
-    val fixed = emb.select($"node",
-      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
-        .as("v"))
+    val fixed = emb.select($"node", microVec($"embedding").as("v"))
       .withColumn("n2", dot($"v", $"v"))
       .filter($"n2" > 0L)
       .localCheckpoint()
@@ -1988,6 +2004,28 @@ object Graph {
     foldInFromPairs(skipgramPairs(walks), dim, shift, vocabCap,
       pretrained.getOrElse(nodeEmbeddings(walks, dim, shift, vocabCap)))
 
+  /** Out-of-vocab SPPMI contribution rows `(center, context, w)` —
+    * the SHARED derivation of batch fold-in (q308/q312) and its
+    * streaming twin (q315), so the two paths cannot drift. Weights
+    * are ×10⁶ fixed-point; rows whose weight rounds to ZERO are
+    * dropped here — they carry no evidence, and a center with only
+    * zero-weight contexts would otherwise reach the truncating DIV
+    * with a zero denominator (null components). Unreachable at the
+    * registered shift (the cut keeps sppmi ≥ ln(1+ε) ≫ 10⁻⁶), but
+    * the guard makes the invariant structural.
+    */
+  private[graft] def oovContribs(
+      pairs: DataFrame, trained: DataFrame, shift: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    sppmi(pairs, shift)
+      .select($"center", $"context",
+        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
+      .filter($"w" > 0L)
+      .join(broadcast(trained.select($"node".as("center"))), Seq("center"),
+        "left_anti")
+  }
+
   /** Fold-in over a PAIR-COUNT frame + a trained embedding table —
     * the pairs seam shared with [[nodeEmbeddingsFromPairs]] so the
     * incremental refresh (q312) re-folds from merged counts.
@@ -2001,14 +2039,8 @@ object Graph {
     // (fixture paths in Round15Spec)
     val emb = trained.localCheckpoint()
     val fixed = emb.select($"node".as("context"),
-      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
-        .as("ev"))
-    val m = sppmi(pairs, shift)
-      .select($"center", $"context",
-        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
-    val oov = m
-      .join(broadcast(emb.select($"node".as("center"))), Seq("center"),
-        "left_anti")
+      microVec($"embedding").as("ev"))
+    val oov = oovContribs(pairs, emb, shift)
       .join(broadcast(fixed), "context")
     oov
       .select($"center", $"w",
@@ -2077,9 +2109,7 @@ object Graph {
     val folded = foldInFromPairs(merged, dim, shift, vocabCap, trained)
     trained
       .select($"node", lit("trained").as("origin"),
-        posexplode(
-          expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))"))
-          .as(Seq("dim", "value_micro")))
+        posexplode(microVec($"embedding")).as(Seq("dim", "value_micro")))
       .unionByName(folded
         .select($"node", lit("folded").as("origin"),
           posexplode($"embedding_micro").as(Seq("dim", "value_micro"))))
@@ -2147,11 +2177,9 @@ object Graph {
   private[graft] def fullCoverageVectors(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val dot = dotLong _
     val trained = embeddingStore(s, d).select($"node",
-      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
-        .as("vmic"))
+      microVec($"embedding").as("vmic"))
     val folded = foldInEmbeddings(walkStore(s, d), dim = 8,
       pretrained = Some(embeddingStore(s, d)))
       .select($"node", $"embedding_micro".as("vmic"))
@@ -2213,8 +2241,7 @@ object Graph {
       s: SparkSession, d: String, nCells: Int = 4, nProbe: Int = 2,
       k: Int = 5): DataFrame = {
     import s.implicits._
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val dot = dotLong _
     val (indexPath, cents) = trainedIvfStore(s, d, nCells)
     // the persisted index holds every vector — the exact baseline and
     // the probe set read it back instead of re-deriving the fold-in
@@ -2272,9 +2299,8 @@ object Graph {
   private[graft] def registryDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
     val s = v1.sparkSession
     import s.implicits._
-    def micro(df: DataFrame, name: String) = df.select($"node",
-      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
-        .as(name))
+    def micro(df: DataFrame, name: String) =
+      df.select($"node", microVec($"embedding").as(name))
     micro(v1, "a").join(micro(v2, "b"), Seq("node"), "full_outer")
       .select($"node",
         when($"a".isNull, lit("added"))

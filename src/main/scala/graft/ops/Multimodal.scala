@@ -668,14 +668,19 @@ object Multimodal {
     val l1 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => abs(x - y)), zero,
         (acc, x) => acc + x)
+    // rank within (anchor, batch): an anchor doc appearing in MORE
+    // THAN ONE batch (epoch-repeated or oversampled collations) must
+    // rank each batch's candidates separately, not a pooled 2B list
     def trueRanks(name: String, qv: String, cv: String): DataFrame =
       pairs.as("q")
         .join(pairs.as("c"), col("q.batch_id") === col("c.batch_id"))
-        .select(col("q.doc_id").as("anchor"), col("c.doc_id").as("cand"),
+        .select(col("q.doc_id").as("anchor"), col("q.batch_id").as("b"),
+          col("c.doc_id").as("cand"),
           l1(col(s"q.$qv"), col(s"c.$cv")).as("dist"))
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("anchor")).orderBy(col("dist"), col("cand"))))
+            .partitionBy(col("anchor"), col("b"))
+            .orderBy(col("dist"), col("cand"))))
         .filter(col("anchor") === col("cand"))
         .select(lit(name).as("direction"), col("rnk"))
     val ranks = trueRanks("img2txt", "img", "txt")
@@ -931,21 +936,21 @@ object Multimodal {
       |      + CAST(t3 AS HUGEINT) * n33 AS q3
       |  FROM full_b, dets WHERE batch_id % 2 = 1),
       |i2t AS (
-      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |  SELECT q.doc_id AS anchor, q.batch_id AS b, c.doc_id AS cand,
       |    ABS(q.p1 - c.q1) + ABS(q.p2 - c.q2) + ABS(q.p3 - c.q3) AS dist
       |  FROM towers q JOIN towers c ON q.batch_id = c.batch_id),
       |t2i AS (
-      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |  SELECT q.doc_id AS anchor, q.batch_id AS b, c.doc_id AS cand,
       |    ABS(q.q1 - c.p1) + ABS(q.q2 - c.p2) + ABS(q.q3 - c.p3) AS dist
       |  FROM towers q JOIN towers c ON q.batch_id = c.batch_id),
       |ranks AS (
       |  SELECT 'img2txt' AS direction, rnk FROM (
-      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor, b
       |      ORDER BY dist, cand) AS rnk FROM i2t) x
       |  WHERE anchor = cand
       |  UNION ALL
       |  SELECT 'txt2img', rnk FROM (
-      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor, b
       |      ORDER BY dist, cand) AS rnk FROM t2i) y
       |  WHERE anchor = cand)
       |SELECT direction, COUNT(*) AS n_queries,
@@ -987,14 +992,14 @@ object Multimodal {
       |    FROM ranked b) t
       |  WHERE bsz = 8),
       |i2t AS (
-      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |  SELECT q.doc_id AS anchor, q.batch_id AS b, c.doc_id AS cand,
       |    ABS(q.px_milli - (c.cap_tokens * 9973) % 256000)
       |    + ABS(q.px_sum % 251 - c.n_chars % 251)
       |    + ABS(q.w * 16 + q.h
       |          - (68 + (c.n_chars * 31 + c.cap_tokens) % 67)) AS dist
       |  FROM full_b q JOIN full_b c ON q.batch_id = c.batch_id),
       |t2i AS (
-      |  SELECT q.doc_id AS anchor, c.doc_id AS cand,
+      |  SELECT q.doc_id AS anchor, q.batch_id AS b, c.doc_id AS cand,
       |    ABS((q.cap_tokens * 9973) % 256000 - c.px_milli)
       |    + ABS(q.n_chars % 251 - c.px_sum % 251)
       |    + ABS(68 + (q.n_chars * 31 + q.cap_tokens) % 67
@@ -1002,12 +1007,12 @@ object Multimodal {
       |  FROM full_b q JOIN full_b c ON q.batch_id = c.batch_id),
       |ranks AS (
       |  SELECT 'img2txt' AS direction, rnk FROM (
-      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor, b
       |      ORDER BY dist, cand) AS rnk FROM i2t) x
       |  WHERE anchor = cand
       |  UNION ALL
       |  SELECT 'txt2img', rnk FROM (
-      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor
+      |    SELECT anchor, cand, ROW_NUMBER() OVER (PARTITION BY anchor, b
       |      ORDER BY dist, cand) AS rnk FROM t2i) y
       |  WHERE anchor = cand)
       |SELECT direction, COUNT(*) AS n_queries,

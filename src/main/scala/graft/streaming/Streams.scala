@@ -3403,8 +3403,7 @@ object Streams {
       .repartition(nFiles)
       .write.parquet(srcDir)
     val fixed = trained.select($"node".as("context"),
-      expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
-        .as("ev"))
+      graft.ops.Graph.microVec($"embedding").as("ev"))
       .localCheckpoint()
     val out = withRocksDbStore(spark) {
       implicit val outEnc = Encoders.product[FoldRow]
@@ -3456,15 +3455,12 @@ object Streams {
     * crosses microbatch boundaries.
     */
   def streamFoldIn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = graft.ops.Graph.embeddingStore(spark, dir).localCheckpoint()
-    val contribs = graft.ops.Graph
-      .sppmi(graft.ops.Graph.skipgramPairs(
-        graft.ops.Graph.walkStore(spark, dir)), shift = 5)
-      .select($"center", $"context",
-        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
-      .join(broadcast(emb.select($"node".as("center"))), Seq("center"),
-        "left_anti")
+    // contribution rows come from the SAME derivation batch q308 uses
+    // ([[graft.ops.Graph.oovContribs]]) — the paths cannot drift
+    val contribs = graft.ops.Graph.oovContribs(
+      graft.ops.Graph.skipgramPairs(
+        graft.ops.Graph.walkStore(spark, dir)), emb, shift = 5)
     streamFoldInFrom(spark, emb, contribs, dim = 8)
   }
 }

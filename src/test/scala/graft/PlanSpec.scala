@@ -242,17 +242,17 @@ class PlanSpec extends AnyFunSuite {
       // q313 additionally broadcasts the 8-row probe set against the
       // cell-pruned index scan (array_contains join — bounded dim)
       "q313_trained_ann_serving",
-      // q315 reads the stream sink; its batch tail inherits sppmi's
-      // 1-row cross through the staged-contribution derivation
-      "q315_stream_foldin",
       // q316's Cramer solve lives on a broadcast 1-row normal-equation
       // aggregate crossed into the scoring — the q78 device again
       "q316_crossmodal_alignment",
       // q319's 2-row epoch dim crossed into the corpus — bounded dim
       "q319_resumable_order")
     // streaming/generator entries build side effects or stream plans —
-    // plan text is checked by their own specs
-    val skip = Set("q73_stream_hourly", "q92_stream_enrich")
+    // plan text is checked by their own specs. q315 RUNS a complete
+    // streaming query (staging, RocksDB state, retrain) at
+    // plan-construction time; its batch tail is covered by Round16Spec
+    val skip = Set("q73_stream_hourly", "q92_stream_enrich",
+      "q315_stream_foldin")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
         val p = plan(q)

@@ -209,11 +209,7 @@ class Round16Spec extends AnyFunSuite {
       .nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
       .localCheckpoint()
     val contribs = ops.Graph
-      .sppmi(ops.Graph.skipgramPairs(walks), shift = 1)
-      .select($"center", $"context",
-        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
-      .join(broadcast(trained.select($"node".as("center"))),
-        Seq("center"), "left_anti")
+      .oovContribs(ops.Graph.skipgramPairs(walks), trained, shift = 1)
       .localCheckpoint()
     val batch = ops.Graph
       .foldInEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
@@ -246,11 +242,7 @@ class Round16Spec extends AnyFunSuite {
       .nodeEmbeddings(walks, dim = 4, shift = 1, vocabCap = 8)
       .localCheckpoint()
     val contribs = ops.Graph
-      .sppmi(ops.Graph.skipgramPairs(walks), shift = 1)
-      .select($"center", $"context",
-        expr("CAST(ROUND(sppmi * 1000000) AS LONG)").as("w"))
-      .join(broadcast(trained.select($"node".as("center"))),
-        Seq("center"), "left_anti")
+      .oovContribs(ops.Graph.skipgramPairs(walks), trained, shift = 1)
       .localCheckpoint()
     val fixed = trained.select($"node".as("context"),
       expr("transform(embedding, x -> CAST(ROUND(x * 1000000) AS LONG))")
