@@ -154,6 +154,27 @@ class Round16Spec extends AnyFunSuite {
     assert(rotated == Map("img2txt" -> 0L, "txt2img" -> 0L), rotated)
   }
 
+  test("q314 metric ranks within (anchor, batch) for repeated docs") {
+    import spark.implicits._
+    // the same doc collated into TWO batches (epoch-repeated shape):
+    // each batch must rank independently — doc 0 is aligned in batch 0
+    // and rotated in batch 1, so it contributes one rank-1 hit and one
+    // miss, never a pooled 16-candidate ranking
+    val twoBatches = (
+      (0 until 8).map(i => (i.toLong, 0L, Seq(100L * i), Seq(100L * i))) ++
+      (0 until 8).map(i => (i.toLong, 1L, Seq(100L * i),
+        Seq(100L * ((i + 1) % 8))))
+    ).toDF("doc_id", "batch_id", "img", "txt")
+    val byDir = ops.Multimodal.crossModalRecall(twoBatches, Seq(1, 3))
+      .select($"direction", $"n_queries", $"hits_at_1")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // 16 anchor instances (8 docs × 2 batches); the aligned batch's 8
+    // all hit at k=1, the rotated batch's 8 all miss
+    assert(byDir("img2txt") == ((16L, 8L)), byDir.toString)
+    assert(byDir("txt2img") == ((16L, 8L)), byDir.toString)
+  }
+
   test("q314 registered run: full batches only, ranks well-defined") {
     import spark.implicits._
     val r = SparkEntry.queries("q314_crossmodal_recall")(spark, sf)
