@@ -96,6 +96,44 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("q312 randomized graphs: refresh ≡ rebuild under random splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded random graphs hit the shapes the barbell can't: vocab
+    // cuts that SHIFT when the delta lands (cap < vocab), deltas that
+    // introduce brand-new nodes, sparse/disconnected components
+    val rnd = new scala.util.Random(0xC0FFEE)
+    var trials = 0
+    while (trials < 4) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextInt(100) < 40
+      } yield (a, b)
+      if (edges.size >= 4) {
+        trials += 1
+        val walks = ops.Graph
+          .randomWalks(edges.toDF("a", "b"), nSeeds = n.toInt,
+            walksPerSeed = 3, len = 6)
+          .localCheckpoint()
+        val rebuilt = ops.Graph
+          .refreshedEmbeddings(ops.Graph.skipgramPairs(walks),
+            walks.limit(0), dim = 3, shift = 1, vocabCap = 6)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        val m = 2 + rnd.nextInt(3)
+        val r = rnd.nextInt(m)
+        val refreshed = ops.Graph
+          .refreshedEmbeddings(
+            ops.Graph.skipgramPairs(
+              walks.filter(col("walk_id") % m =!= r)),
+            walks.filter(col("walk_id") % m === r),
+            dim = 3, shift = 1, vocabCap = 6)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        assert(refreshed == rebuilt,
+          s"trial $trials (n=$n, split mod $m == $r) diverged")
+      }
+    }
+  }
+
   test("q312 real corpus: registered refresh ≡ full rebuild, rerun-stable") {
     val q = SparkEntry.queries("q312_embedding_refresh")(spark, sf)
       .collect().map(_.toSeq)
