@@ -2722,10 +2722,13 @@ object Corpus {
     * independently proves the distributed plan computes exactly the
     * rank semantics it replaced, the q131 argument). Scale: step
     * assignment is [[resumableSchedule]]'s two-pass prefix sum — no
-    * single-task window anywhere; a production build writes the
-    * schedule `partitionBy(epoch, shard)` once per seed and resume
-    * prunes to shards ≥ step₀ DIV shardSize; the demonstration plan
-    * ends in filter → TakeOrderedAndProject.
+    * single-task window anywhere — and the REGISTERED query itself
+    * builds [[scheduleStore]]'s manifest (build-if-absent, keyed on
+    * corpus + seed + epochs + shardSize, written
+    * `partitionBy(epoch, shard)`) then resumes by reading it with the
+    * shard cut FIRST: pre-checkpoint shards are pruned at the scan
+    * (PartitionFilters plan-locked) and the tail ends in
+    * filter → TakeOrderedAndProject.
     */
   /** The schedule itself — `(epoch, step, doc_id)` for every doc in
     * every epoch, step assigned by [[packShards]]'s two-pass prefix-sum
@@ -2734,9 +2737,9 @@ object Corpus {
     * shape this round removed from sppmi): range-partition on
     * (epoch, okey, doc_id), count rows per (partition, epoch), scan the
     * bounded per-partition counts into broadcast offsets, then assign
-    * each row its offset + local rank. Output is localCheckpointed —
-    * the manifest MATERIALIZATION a production build writes
-    * `partitionBy(epoch, shard)` once per seed.
+    * each row its offset + local rank. Output is localCheckpointed;
+    * [[scheduleStore]] persists it `partitionBy(epoch, shard)` as the
+    * manifest the registered resume reads.
     */
   private[graft] def resumableSchedule(
       docs: DataFrame, seed: String, epochs: Int,
@@ -2790,20 +2793,19 @@ object Corpus {
     } finally keyed.unpersist()
   }
 
-  /** Build-if-absent schedule MANIFEST: the two-pass schedule written
-    * once per (corpus, seed) `partitionBy(epoch, shard)` — the layout
-    * that makes resume a PARTITION-PRUNED read (shards before the
-    * checkpoint are never scanned). Key folds source mtime+length.
+  /** Build-if-absent schedule MANIFEST — what the REGISTERED q319
+    * reads: the two-pass schedule written `partitionBy(epoch, shard)`,
+    * the layout that makes resume a PARTITION-PRUNED read (shards
+    * before the checkpoint are never scanned). Keyed on the corpus
+    * (mtime+length) AND the schedule parameters (seed, epochs,
+    * shardSize), so a parameter change builds a fresh manifest.
     */
   private[graft] def scheduleStore(
       s: SparkSession, d: String, seed: String, epochs: Int,
       shardSize: Long): String = {
-    val dp = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val st = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(dp)
-    val root = "target/graft_corpus_store/sched_" + Scale.bucketTag(
-      s"$d:${st.getModificationTime}:${st.getLen}:$seed:$epochs:$shardSize")
-    graft.ops.StoreGuard.ensureBuilt(s, root) {
+    val root = StoreGuard.storeRoot(s, "target/graft_corpus_store",
+      "sched", d, "documents.parquet", s"$seed:$epochs:$shardSize")
+    StoreGuard.ensureBuilt(s, root) {
       resumableSchedule(Tables.documents(s, d), seed, epochs)
         .withColumn("shard", expr(s"step DIV $shardSize"))
         .write.mode("overwrite").partitionBy("epoch", "shard")
@@ -2814,13 +2816,19 @@ object Corpus {
 
   private def q319(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val path = scheduleStore(s, d, "graft", epochs = 2, shardSize = 64)
+    val shardSize = 64L
+    val resumeStep = 450L
+    // the resume point's shard is DERIVED, so the partition cut and
+    // the row cut can never disagree
+    val shard0 = resumeStep / shardSize
+    val path = scheduleStore(s, d, "graft", epochs = 2,
+      shardSize = shardSize)
     s.read.parquet(path)
-      // partition prune FIRST (epoch/shard are directory columns: the
-      // resume point's shard is 450 DIV 64 = 7, so shards 0–6 of epoch
-      // 0 are never read), then the row-level step cut inside shard 7
-      .filter($"epoch" > 0 || ($"epoch" === 0 && $"shard" >= 7))
-      .filter($"epoch" > 0 || $"step" >= 450)
+      // partition prune FIRST (epoch/shard are directory columns —
+      // pre-checkpoint shards of epoch 0 are never read), then the
+      // row-level step cut inside the boundary shard
+      .filter($"epoch" > 0 || ($"epoch" === 0 && $"shard" >= shard0))
+      .filter($"epoch" > 0 || $"step" >= resumeStep)
       .select($"epoch".cast("long").as("epoch"), $"step",
         $"shard".cast("long").as("shard"), $"doc_id")
       .orderBy($"epoch", $"step")

@@ -2121,11 +2121,8 @@ object Graph {
     * mtime+length (the embeddingStore discipline).
     */
   private[graft] def basePairStore(s: SparkSession, d: String): DataFrame = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/basepairs_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "basepairs", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
       skipgramPairs(walkStore(s, d).filter(col("walk_id") % 4 =!= 3))
         .coalesce(1)
@@ -2198,11 +2195,8 @@ object Graph {
       s: SparkSession, d: String,
       nCells: Int = 4): (String, Array[Double]) = {
     import s.implicits._
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/trainedivf_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}:$nCells")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "trainedivf", d, "lineitem.parquet", s"$nCells")
     StoreGuard.ensureBuilt(s, root) {
       val vecs = fullCoverageVectors(s, d).localCheckpoint()
       val embF = vecs.select($"node".as("vec_id"),
@@ -2324,11 +2318,8 @@ object Graph {
     */
   private[graft] def embeddingRegistry(
       s: SparkSession, d: String): graft.streaming.StoreLog = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/embreg_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "embreg", d, "lineitem.parquet")
     val log = new graft.streaming.StoreLog(
       java.nio.file.Paths.get(root), "v")
     if (log.versions().size < 2) {

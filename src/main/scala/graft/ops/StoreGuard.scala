@@ -13,6 +13,24 @@ import org.apache.spark.sql.SparkSession
   * Round13Spec drives the exact crash window).
   */
 private[graft] object StoreGuard {
+
+  /** Canonical store-root keying for build-if-absent stores:
+    * `<base>/<prefix>_<bucketTag of "dir:mtime:len[:extra]">`, with
+    * mtime/length taken from `dir/sourceName` — ONE implementation of
+    * the freshness-key recipe the derived stores were each hand-rolling
+    * (round-16 stores use this; older sites carry byte-identical
+    * inline copies and can migrate without changing their tags).
+    */
+  def storeRoot(s: SparkSession, base: String, prefix: String,
+      dir: String, sourceName: String, extra: String = ""): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$sourceName")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    val suffix = if (extra.isEmpty) "" else s":$extra"
+    s"$base/${prefix}_" + Scale.bucketTag(
+      s"$dir:${st.getModificationTime}:${st.getLen}$suffix")
+  }
+
   def ensureBuilt(s: SparkSession, root: String)(build: => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
