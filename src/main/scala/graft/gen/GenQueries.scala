@@ -43,8 +43,12 @@ object GenQueries {
   private def genInvariants(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = StreamGen.exact(s, demoSpec(40000L))
-    val w  = Window.orderBy("seq")
-    ev.withColumn("prev_ts", lag($"ts", 1).over(w))
+    // adjacent-gap check as a distributed self-join on the dense seq
+    // (prev row of seq is seq-1 by construction) — a partition-less
+    // lag window would serialize the whole stream through one task;
+    // seq 0 keeps a NULL gap via the left join, exactly as lag(1) did
+    val prev = ev.select(($"seq" + 1).as("seq"), $"ts".as("prev_ts"))
+    ev.join(prev, Seq("seq"), "left")
       .withColumn("gap", $"ts" - $"prev_ts")
       .agg(
         count(lit(1)).as("n_events"),

@@ -2052,15 +2052,20 @@ object Corpus {
     val toksArr = Tables
       .documents(s, d)
       .select(split($"text", " ").as("t"))
-    val uni = toksArr
+    // totals attach as broadcast 1-row aggregates over the
+    // localCheckpointed grouped counts (the q299/sppmi device): a
+    // full-frame window here would funnel the vocab-sized unigram
+    // table — and the vocab²-bounded bigram table — through ONE task,
+    // and the checkpoint keeps the corpus scan to one pass per table
+    val uni0 = toksArr
       .select(explode($"t").as("w"))
       .where(length($"w") > 0)
       .groupBy($"w")
       .agg(count(lit(1)).as("c"))
-      .withColumn("nt", sum($"c").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    val bigr = toksArr
+      .localCheckpoint()
+    val uni = uni0
+      .crossJoin(broadcast(uni0.agg(sum($"c").as("nt"))))
+    val bigr0 = toksArr
       // a 1-token (or empty) doc has no bigrams: sequence(0, -1) is the
       // DESCENDING sequence [0, -1] in Spark, and t[-1] throws under
       // ANSI — while DuckDB's generate_series(1, 0) is simply empty.
@@ -2073,9 +2078,9 @@ object Corpus {
       .select($"b.w1", $"b.w2")
       .groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("c12"))
-      .withColumn("nb", sum($"c12").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .localCheckpoint()
+    val bigr = bigr0
+      .crossJoin(broadcast(bigr0.agg(sum($"c12").as("nb"))))
     bigr
       .filter($"c12" >= 5L)
       .join(uni.select($"w".as("w1"), $"c".as("c1"), $"nt"), Seq("w1"))
@@ -2207,13 +2212,15 @@ object Corpus {
     val k = scored.agg(
       expr("GREATEST((COUNT(*) * 25) DIV 100, CAST(1 AS BIGINT))")
         .as("k"))
-    val cumW = Window
-      .orderBy($"score_micro".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = scored
-      .groupBy($"score_micro")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum($"cnt").over(cumW))
+    // the cumulative count over the score histogram is a two-pass
+    // prefix sum (Rank.runningSum): distinct score_micro values grow
+    // with the corpus (worst case one per doc), so a partition-less
+    // running window here would funnel a corpus-sized histogram
+    // through ONE task
+    val thr = Rank
+      .runningSum(
+        scored.groupBy($"score_micro").agg(count(lit(1)).as("cnt")),
+        Seq($"score_micro".desc), $"cnt", "cum")
       .crossJoin(broadcast(k))
       .filter($"cum" >= $"k")
       .agg(max($"score_micro").as("thr"))

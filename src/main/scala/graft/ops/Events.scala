@@ -755,15 +755,21 @@ object Events {
     * current rows) reconstructs the whole dimension as it stood at t.
     * The cut point is derived from the history itself (midpoint of the
     * observed valid_from range, exact integer µs) so the row set is
-    * engine-independent; the global min/max window runs over the
-    * change-count-sized history table, not over events. Users whose
-    * first change postdates t correctly have no row.
+    * engine-independent; the min/max come from a broadcast 1-row
+    * aggregate over the change-count-sized history, never a global
+    * window. Users whose first change postdates t correctly have no
+    * row.
     */
   private def q164(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    q153(s, d)
-      .withColumn("t", expr(
-        "(min(valid_from_us) OVER () + max(valid_from_us) OVER ()) div 2"))
+    // the cut point attaches as a broadcast 1-row aggregate (the q299
+    // device) over the localCheckpointed history — a global OVER ()
+    // window would funnel the change-cardinality history (which grows
+    // with the corpus) through ONE task
+    val h = q153(s, d).localCheckpoint()
+    val cut = h.agg(expr(
+      "(min(valid_from_us) + max(valid_from_us)) div 2").as("t"))
+    h.crossJoin(broadcast(cut))
       .where($"valid_from_us" <= $"t" &&
         ($"valid_to_us".isNull || $"valid_to_us" > $"t"))
       .select($"user_id", $"ver", $"event_type", $"valid_from_us")
@@ -2828,13 +2834,14 @@ object Events {
     *
     * Scale: everything after q153's change extraction runs on the
     * CHANGE-count-sized table (one user_id exchange reused by both
-    * rank windows); V and T derive from full-frame window extremes
-    * over that same small table (q164's device), exact integer µs.
+    * rank windows); V and T derive from a broadcast 1-row aggregate
+    * over that same localCheckpointed table (q164's device, exact
+    * integer µs) — never a full-frame window through one task.
     */
   private def q210(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val changes = Tables
+    val changes0 = Tables
       .events(s, d)
       .withColumn("us", unix_micros($"ts"))
       .withColumn("prev_type", lag($"event_type", 1).over(w))
@@ -2846,14 +2853,15 @@ object Events {
             md5(concat(lit("rec:"), $"event_id".cast("string"))
               .cast("binary")), 1, 8), 16, 10)
             .cast("long") % 172800L) * 1000000L)
-      .withColumn("v_cut",
-        expr("(min(us) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-          "UNBOUNDED FOLLOWING) + max(us) OVER (ROWS BETWEEN " +
-          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) DIV 2"))
-      .withColumn("t_cut",
-        expr("(min(rec_us) OVER (ROWS BETWEEN UNBOUNDED PRECEDING " +
-          "AND UNBOUNDED FOLLOWING) + max(rec_us) OVER (ROWS BETWEEN " +
-          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) DIV 2"))
+      // both bitemporal cuts attach as ONE broadcast 1-row aggregate
+      // (the q299 device) over the localCheckpointed change table — a
+      // global OVER () window would funnel the change-cardinality
+      // table (corpus-scaling) through ONE task, twice
+      .localCheckpoint()
+    val cuts = changes0.agg(
+      expr("(min(us) + max(us)) DIV 2").as("v_cut"),
+      expr("(min(rec_us) + max(rec_us)) DIV 2").as("t_cut"))
+    val changes = changes0.crossJoin(broadcast(cuts))
     val wv = Window.partitionBy($"user_id")
       .orderBy($"us".desc, $"event_id".desc)
     val now = changes

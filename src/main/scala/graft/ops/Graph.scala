@@ -487,8 +487,11 @@ object Graph {
       val edges = und
         .select($"a".as("src"), $"b".as("dst"))
         .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      // node-cardinality artifact: hash-distribute the write (the
+      // q177 store discipline) — one task writing the whole labeling
+      // would serialize a 10⁵-node graph's store build
       labelPropagation(edges, iters = 4)
-        .coalesce(1)
+        .repartition(8, col("id"))
         .write.mode("overwrite").parquet(s"$root/labels.parquet")
     }
     s.read.parquet(s"$root/labels.parquet")
@@ -760,14 +763,18 @@ object Graph {
     val edges = und
       .select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
-    val statW = Window
-      .orderBy($"id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    kCore(edges, k = 80, maxSweeps = 19)
+    // core stats attach as a broadcast 1-row aggregate (the q299
+    // device) over the localCheckpointed degree table — a full-frame
+    // window here would funnel the node-cardinality core through ONE
+    // task, and the checkpoint keeps the iterative peel to one run
+    val deg = kCore(edges, k = 80, maxSweeps = 19)
       .groupBy($"src".as("id")).agg(count(lit(1)).as("core_deg"))
-      .withColumn("n_core_nodes", count(lit(1)).over(statW))
-      .withColumn("n_core_edges",
-        (sum($"core_deg").over(statW) / 2).cast("long"))
+      .localCheckpoint()
+    val stats = deg.agg(
+      count(lit(1)).as("n_core_nodes"),
+      (sum($"core_deg") / 2).cast("long").as("n_core_edges"))
+    deg
+      .crossJoin(broadcast(stats))
       .orderBy($"core_deg".desc, $"id")
       .limit(25)
       .select($"id", $"core_deg", $"n_core_nodes", $"n_core_edges")
@@ -1583,6 +1590,8 @@ object Graph {
     StoreGuard.ensureBuilt(s, root) {
       randomWalks(coPurchaseEdges(s, d),
         nSeeds = 64, walksPerSeed = 4, len = 8)
+        // bounded artifact: exactly nSeeds×walksPerSeed = 256 rows by
+        // construction — one output file is the right layout
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/walks.parquet")
     }
@@ -1901,6 +1910,8 @@ object Graph {
       Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
     StoreGuard.ensureBuilt(s, root) {
       nodeEmbeddings(walkStore(s, d), dim = 8)
+        // bounded artifact: ≤ vocabCap rows by the eigensolve's own
+        // `require` bound — one output file is the right layout
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/emb.parquet")
     }
@@ -2124,8 +2135,11 @@ object Graph {
     val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
       "basepairs", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
+      // |V|²-bounded artifact: hash-distribute the write by center
+      // (the q177 store discipline) — one task writing the whole pair
+      // matrix would serialize a 10⁵-node graph's store build
       skipgramPairs(walkStore(s, d).filter(col("walk_id") % 4 =!= 3))
-        .coalesce(1)
+        .repartition(8, col("center"))
         .write.mode("overwrite").parquet(s"$root/pairs.parquet")
     }
     s.read.parquet(s"$root/pairs.parquet")
@@ -2193,12 +2207,23 @@ object Graph {
     */
   private[graft] def trainedIvfStore(
       s: SparkSession, d: String,
-      nCells: Int = 4): (String, Array[Double]) = {
+      nCells: Int = 4): (String, Array[Double]) =
+    buildIvfAt(s,
+      StoreGuard.storeRoot(s, "target/graft_graph_store",
+        "trainedivf", d, "lineitem.parquet", s"$nCells"),
+      fullCoverageVectors(s, d), nCells)
+
+  /** Build-if-absent IVF layout at `root` over any `(node, vmic, n2)`
+    * vector table — the store body of [[trainedIvfStore]], factored so
+    * q320 can lay out each REGISTRY version the same way. The vector
+    * argument is by-name: an already-built store never evaluates it.
+    */
+  private[graft] def buildIvfAt(
+      s: SparkSession, root: String, vecsIn: => DataFrame,
+      nCells: Int): (String, Array[Double]) = {
     import s.implicits._
-    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
-      "trainedivf", d, "lineitem.parquet", s"$nCells")
     StoreGuard.ensureBuilt(s, root) {
-      val vecs = fullCoverageVectors(s, d).localCheckpoint()
+      val vecs = vecsIn.localCheckpoint()
       val embF = vecs.select($"node".as("vec_id"),
         expr("transform(vmic, x -> CAST(x / 1000000.0D AS FLOAT))")
           .as("embedding"))
@@ -2234,9 +2259,20 @@ object Graph {
   private[graft] def trainedAnnRecall(
       s: SparkSession, d: String, nCells: Int = 4, nProbe: Int = 2,
       k: Int = 5): DataFrame = {
+    val (indexPath, cents) = trainedIvfStore(s, d, nCells)
+    annRecallFromIndex(s, indexPath, cents, nCells, nProbe, k)
+  }
+
+  /** Per-probe recall of the cell-pruned IVF search against the exact
+    * integer-cosine ranking over a persisted IVF layout — the serving
+    * body of [[trainedAnnRecall]], factored so q320 can drive any
+    * REGISTRY version's index through the identical probe path.
+    */
+  private[graft] def annRecallFromIndex(
+      s: SparkSession, indexPath: String, cents: Array[Double],
+      nCells: Int = 4, nProbe: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val dot = dotLong _
-    val (indexPath, cents) = trainedIvfStore(s, d, nCells)
     // the persisted index holds every vector — the exact baseline and
     // the probe set read it back instead of re-deriving the fold-in
     // chain (the store IS the full-coverage table)
@@ -2346,6 +2382,64 @@ object Graph {
     registryDiff(log.asOf(s, 1L).get, log.asOf(s, 2L).get)
   }
 
+  // ---- q320: registry-driven serving cutover ---------------------------
+
+  /** Registry version v in the serving shape `(node, vmic, n2)` —
+    * the registry committed 6-dp double vectors, so the micro scaling
+    * is exact; zero-norm rows drop by the q307 rule.
+    */
+  private[graft] def registryVectors(
+      s: SparkSession, d: String, v: Long): DataFrame = {
+    import s.implicits._
+    val dot = dotLong _
+    embeddingRegistry(s, d).asOf(s, v).get
+      .select($"node", microVec($"embedding").as("vmic"))
+      .withColumn("n2", dot($"vmic", $"vmic"))
+      .filter($"n2" > 0L)
+  }
+
+  /** Build-if-absent IVF layout for ONE registry version — the q313
+    * store discipline keyed additionally on the version, so serving
+    * v1 after a cutover to v2 (rollback) is a store lookup, never a
+    * rebuild.
+    */
+  private[graft] def registryIvfStore(
+      s: SparkSession, d: String, v: Long,
+      nCells: Int = 4): (String, Array[Double]) =
+    buildIvfAt(s,
+      StoreGuard.storeRoot(s, "target/graft_graph_store",
+        "regivf", d, "lineitem.parquet", s"$v:$nCells"),
+      registryVectors(s, d, v), nCells)
+
+  /** The q313 probe path pointed at a REGISTRY version. */
+  private[graft] def registryAnnRecall(
+      s: SparkSession, d: String, v: Long, nCells: Int = 4,
+      nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val (indexPath, cents) = registryIvfStore(s, d, v, nCells)
+    annRecallFromIndex(s, indexPath, cents, nCells, nProbe, k)
+  }
+
+  /** q320: REGISTRY-DRIVEN SERVING CUTOVER — the deploy/rollback loop
+    * the r16 verdict named missing: q317 versions the model, this
+    * SERVES `asOf(v)` through q313's exact probe path, one IVF store
+    * per version, and reports v1 and v2 recall side by side. Rollback
+    * is literally the v1 half: reading the previous version back
+    * through the same serving path with no rebuild (its store is
+    * keyed on the version). ABSENT-IN-REF (the reference has no
+    * serving layer). No SQL oracle (consumes the eigensolve);
+    * Round17Spec gates asOf(v) serving ≡ a direct index built from
+    * the same version's retrained vectors, for both versions.
+    */
+  private def q320(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registryAnnRecall(s, d, 1L).withColumn("version", lit(1L))
+      .unionByName(
+        registryAnnRecall(s, d, 2L).withColumn("version", lit(2L)))
+      .select($"version", $"probe_node", $"n_exact", $"n_hits",
+        $"recall_pct")
+      .orderBy($"version", $"probe_node")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q287_kcore", q287, Some(q287Sql)),
     QueryDef("q298_skipgram_pairs", q298, Some(q298Sql)),
@@ -2371,6 +2465,9 @@ object Graph {
     // no SQL oracle (consumes the eigensolve); Round16Spec gates the
     // version readbacks and the diff status algebra
     QueryDef("q317_embedding_registry", q317, None),
+    // no SQL oracle (serves the eigensolve through the registry);
+    // Round17Spec gates asOf(v) serving ≡ direct per-version index
+    QueryDef("q320_registry_serving", q320, None),
     // merge ≡ recompute, externally gated: the incremental path's
     // SPPMI matrix must hash-match DuckDB's full-corpus recompute, so
     // the oracle is q299's SQL verbatim (the q290/q143 device)

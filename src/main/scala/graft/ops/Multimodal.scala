@@ -571,31 +571,15 @@ object Multimodal {
     * level (argmin |Δ|, ties → smaller doc). Batch membership, caption
     * stats, and the mined negatives are all exact integers, so the
     * whole collation — including the decoded pixel means — is
-    * hash-gated against a codec-free DuckDB replay. Scale: the rank is
-    * the only global order (a sample-sized sort), batches are the
-    * blocking unit, and negative mining is 8×7 comparisons per batch.
+    * hash-gated against a codec-free DuckDB replay. Scale: batch
+    * assignment is [[collatedFeatures]]' two-pass prefix-sum rank
+    * (corpus-distributed, never one task), batches are the blocking
+    * unit, and negative mining is 8×7 comparisons per batch.
     */
   private def q306(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val b = 8
-    val feats = decodeImageFeatures(imageAssets(s, d))
-      .select($"doc_id",
-        expr("px_sum * 1000 DIV (width * height)").as("px_milli"))
-    val caps = Tables.documents(s, d)
-      .select($"doc_id", size(split($"text", " ")).cast("long")
-        .as("cap_tokens"))
-    val ranked = feats.join(caps, "doc_id")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          md5(concat(lit("cb:"), $"doc_id".cast("string"))
-            .cast("binary")), $"doc_id")))
-      .select($"doc_id", $"px_milli", $"cap_tokens",
-        (($"rn" - 1) / b).cast("long").as("batch_id"),
-        (($"rn" - 1) % b).cast("long").as("pos"))
-    val full = ranked
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"batch_id")))
-      .filter($"bsz" === b).drop("bsz")
+    val full = collatedFeatures(s, d)
+      .select($"doc_id", $"px_milli", $"cap_tokens", $"batch_id", $"pos")
     full.as("a")
       .join(full.as("n"),
         $"a.batch_id" === $"n.batch_id" && $"a.doc_id" =!= $"n.doc_id")
@@ -708,9 +692,19 @@ object Multimodal {
     * metric machinery itself is proven on a planted perfectly-aligned
     * fixture in Round16Spec (aligned towers ⇒ recall@1 = 100%).
     */
-  /** q306's collation (same md5 batch ranking) carrying the raw
-    * per-modality integer features — the shared base of q314
-    * (untrained recall) and q316 (trained linear alignment).
+  /** THE batch assigner of the collation family — q306 (negative
+    * mining), q314 (untrained recall), and q316 (trained alignment)
+    * all read their batches from here: every (image, caption) pair,
+    * its raw per-modality integer features, and its deterministic
+    * md5-shuffled batch membership (`batch_id`, `pos`), with trailing
+    * ragged batches dropped. The md5 rank is assigned by
+    * [[Rank.globalRank]]'s two-pass prefix sum — NOT a partition-less
+    * `row_number` window, which would funnel the whole multimodal
+    * corpus (every document with an image, not a sample) through ONE
+    * task (the r16 verdict's one plan defect). The oracles keep the
+    * textbook ROW_NUMBER window — affordable at oracle scale — which
+    * independently proves the distributed plan computes exactly the
+    * rank semantics it replaced (the q319/q131 argument).
     */
   private[graft] def collatedFeatures(
       s: SparkSession, d: String): DataFrame = {
@@ -723,12 +717,13 @@ object Multimodal {
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("cap_tokens"),
         length($"text").cast("long").as("n_chars"))
-    feats.join(caps, "doc_id")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          md5(concat(lit("cb:"), $"doc_id".cast("string"))
-            .cast("binary")), $"doc_id")))
-      .withColumn("batch_id", (($"rn" - 1) / b).cast("long"))
+    val keyed = feats.join(caps, "doc_id")
+      .withColumn("okey",
+        md5(concat(lit("cb:"), $"doc_id".cast("string")).cast("binary")))
+    Rank.globalRank(keyed, Seq($"okey", $"doc_id"), "rk")
+      .withColumn("batch_id", expr(s"rk DIV $b"))
+      .withColumn("pos", $"rk" % b)
+      .drop("okey", "rk")
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"batch_id")))
       .filter($"bsz" === b)

@@ -15,20 +15,51 @@ import org.apache.spark.sql.SparkSession
 private[graft] object StoreGuard {
 
   /** Canonical store-root keying for build-if-absent stores:
-    * `<base>/<prefix>_<bucketTag of "dir:mtime:len[:extra]">`, with
+    * `<base>/<prefix>_<bucketTag of "dir:mtime:len:fp[:extra]">`, with
     * mtime/length taken from `dir/sourceName` — ONE implementation of
     * the freshness-key recipe the derived stores were each hand-rolling
-    * (round-16 stores use this; older sites carry byte-identical
-    * inline copies and can migrate without changing their tags).
+    * (round-16 stores use this; older sites carry inline mtime+length
+    * copies and can migrate without changing their tags).
+    *
+    * `fp` is a CRC32 of the source's first and last 4 KiB (r17, the
+    * r16 advice): mtime+length alone would silently serve a stale
+    * store after a same-length rewrite inside filesystem mtime
+    * granularity. Two 4 KiB reads per storeRoot call — parquet footer
+    * + header cover both the schema and the row-group index, so any
+    * realistic rewrite moves the fingerprint.
     */
   def storeRoot(s: SparkSession, base: String, prefix: String,
       dir: String, sourceName: String, extra: String = ""): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$sourceName")
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(p)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
     val suffix = if (extra.isEmpty) "" else s":$extra"
     s"$base/${prefix}_" + Scale.bucketTag(
-      s"$dir:${st.getModificationTime}:${st.getLen}$suffix")
+      s"$dir:${st.getModificationTime}:${st.getLen}:" +
+        s"${edgeFingerprint(fs, p, st.getLen)}$suffix")
+  }
+
+  /** CRC32 over the first and last `block` bytes of `p` (whole file
+    * when shorter) — the cheap content component of the store key.
+    */
+  private[graft] def edgeFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      len: Long,
+      block: Int = 4096): Long = {
+    val crc = new java.util.zip.CRC32()
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](math.min(block.toLong, len).toInt)
+      in.readFully(0L, head)
+      crc.update(head)
+      if (len > block) {
+        val tail = new Array[Byte](block)
+        in.readFully(len - block, tail)
+        crc.update(tail)
+      }
+    } finally in.close()
+    crc.getValue
   }
 
   def ensureBuilt(s: SparkSession, root: String)(build: => Unit): Unit = {

@@ -3421,7 +3421,6 @@ object Streams {
           OutputMode.Update())
       runToParquet(updates.toDF(), OutputMode.Update)
     }
-    deleteStaged(root.resolve("src"))
     // an all-empty stream (no out-of-vocab nodes at this SF) may never
     // materialize the sink — fold-in of nothing is the empty table
     val emitted =
@@ -3431,7 +3430,7 @@ object Streams {
         implicit val enc = Encoders.product[FoldRow]
         spark.emptyDataset[FoldRow].toDF()
       }
-    emitted
+    val folded = emitted
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"center").orderBy($"ver".desc)))
@@ -3441,6 +3440,14 @@ object Streams {
           .as(Seq("dim", "value_micro")))
       .select($"node", $"n_anchors", $"dim", $"value_micro")
       .orderBy($"node", $"dim")
+      // pin the (node×dim bounded) result in the block manager so the
+      // WHOLE fold_<uuid> staging root AND the sink dir can be deleted
+      // now — repeated bench/verify invocations previously accumulated
+      // one sink dir per call (r16 advice)
+      .localCheckpoint()
+    deleteStaged(root)
+    deleteStaged(java.nio.file.Paths.get(out))
+    folded
   }
 
   /** q315: STREAMING EMBEDDING FOLD-IN — the online twin of batch

@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 gates. Headline item from the r16 verdict: the q299
+  * single-partition-window lock GENERALIZED — the q306/q314/q316
+  * collation family's corpus-sized `row_number().over(Window.orderBy)`
+  * is replaced by [[ops.Rank]]'s two-pass prefix-sum device (shared
+  * with q319's resumableSchedule), and BOTH layers are now audited
+  * codebase-wide: every registered query's physical plan is walked for
+  * partition-less `WindowExec`s, and every `Window.orderBy`/
+  * `Window.rowsBetween` source site must sit on the bounded-frame
+  * allowlist below with its bound stated.
+  */
+class Round17Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- layer 1: source audit of global-window constructors -----------
+
+  test("source audit: global windows only at audited bounded-frame sites") {
+    // Every partition-less window constructor in src/main must be on
+    // this allowlist, each with the bound that justifies it. A global
+    // window moves its WHOLE input through one task, so the bound must
+    // be a DOMAIN bound (types, hours, days, top-K, bins), never a
+    // corpus bound. Corpus-sized ranks/cumulations use ops.Rank's
+    // two-pass prefix sum (q306/q314/q316 collation, q268 threshold,
+    // q319 schedule) or a broadcast 1-row aggregate (q258/q287/q299).
+    val allow = Map(
+      // q262/q272 rank fusion + IR metrics: every window input is a
+      // TakeOrderedAndProject top-K (K=20) or the graded-truth top-K;
+      // q148's two empty partitionBy() frames run on the |langs|-row
+      // language histogram
+      "src/main/scala/graft/ops/Corpus.scala" -> 7,
+      // q241 cents-histogram CDF (distinct price cents — a price
+      // DOMAIN bound), q247 isotonic bins, q234's 5-type frequency CDF,
+      // q243's 5 p-values, q252's treated/control cents histogram
+      "src/main/scala/graft/ops/Eval.scala" -> 8,
+      // q283 binary segmentation + q284 ACF run on per-DAY / per-HOUR
+      // series (calendar-bounded); the q204 incident window at :1992
+      // is hourly too
+      "src/main/scala/graft/ops/Events.scala" -> 9,
+      // q311's event-type marginal back-off: |types| = 5 rows
+      "src/main/scala/graft/ops/Sequence.scala" -> 1,
+      // q157's above-average cut over the |types|-row totals — kept a
+      // real Filter node deliberately so DPP attaches its subquery
+      "src/main/scala/graft/ops/Sources.scala" -> 1,
+      // q185/q194 variant pairs and q195's type histogram: group-count
+      // bounded (variants × metrics, 5 types)
+      "src/main/scala/graft/ops/Stats.scala" -> 2,
+      // q151/q183's token-count frontier: distinct n_tokens values — a
+      // max DOC-LENGTH domain bound, not a corpus bound
+      "src/main/scala/graft/ops/Text.scala" -> 1,
+    )
+    val pat = ("(?<![A-Za-z0-9_])Window\\s*\\.\\s*" +
+      "(orderBy|rowsBetween|rangeBetween|partitionBy\\(\\s*\\))").r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    val base = java.nio.file.Paths.get("src/main/scala")
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val body = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator
+          .filterNot { l =>
+            val t = l.trim
+            t.startsWith("*") || t.startsWith("//")
+          }
+          .mkString(" ")
+        val n = pat.findAllIn(body).size
+        if (n > 0) found(p.toString) = n
+      }
+    }
+    assert(found.toMap == allow,
+      s"global-window sites drifted from the audited allowlist:\n" +
+        s"found  = ${found.toMap}\nallow  = $allow\n" +
+        "New partition-less windows must either use ops.Rank / a " +
+        "broadcast 1-row aggregate, or be added here WITH their bound.")
+  }
+
+  // ---- layer 2: physical plans of ALL registered queries -------------
+
+  test("plan audit: no registered query plans an unaudited global WindowExec") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // Queries whose final plans legitimately carry a partition-less
+    // WindowExec — each traced to a source-audit site above and
+    // bounded by a DOMAIN (types, langs, hours/days, price cents,
+    // top-K, doc-length), never the corpus. (A bounded global window
+    // that runs EAGERLY behind a localCheckpoint never shows in the
+    // final plan; the source audit above is the layer covering those.)
+    val allow = Set(
+      "q148_temp_mixture",      // |langs|-row temperature histogram
+      "q151_pareto_skyline",    // per-x frontier: doc-length DOMAIN
+      "q157_dynamic_prune",     // |types|-row totals (Filter, for DPP)
+      "q194_cuped",             // variant-pair covariance rows
+      "q195_chi2_srm",          // 5-type histogram
+      "q204_interval_overlap",  // hourly incident table
+      "q241_gains_table",       // cents-histogram CDF (price domain)
+      "q243_bh_fdr",            // 5 p-values
+      "q247_isotonic_calibration", // score bins (2^40-key bounded)
+      "q252_qini_uplift",       // treated/control cents histogram
+      "q262_hybrid_rrf",        // two top-K (K=20) rank lists
+      "q272_ir_metrics",        // top-K system/ideal rank lists
+      "q283_changepoints",      // per-day series
+      "q284_periodicity",       // per-hour series + maxLag
+      "q311_next_event_serving", // 5-row type marginal back-off
+    )
+    // same skips as PlanSpec's cartesian audit: streaming entries whose
+    // construction RUNS a query, and the gen_ generator family (their
+    // plans are locked by GenSpec/ScheduleSpec)
+    val skip = Set("q73_stream_hourly", "q92_stream_enrich",
+      "q315_stream_foldin")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("gen_")).filterNot(skip)
+      .flatMap { q =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+        val global = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            w.nodeName
+        }
+        if (global.nonEmpty) Some(q) else None
+      }.toSet
+    assert(offenders == allow,
+      "partition-less WindowExec set drifted from the audited " +
+        s"allowlist:\nfound = $offenders\nallow = $allow")
+  }
+
+  // the collation family specifically must be clean — it is the r16
+  // verdict's one plan defect and must never regress back
+  test("q306/q314/q316 plans carry NO partition-less window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q306_clip_collation", "q314_crossmodal_recall",
+        "q316_crossmodal_alignment")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q regressed to a global window:\n$plan")
+    }
+  }
+
+  // ---- Rank device: exact equivalence to the textbook windows --------
+
+  // ---- q320: registry-driven serving cutover --------------------------
+
+  test("q320: asOf(v) serving ≡ a direct index built from that version") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q320_registry_serving")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "q320 returned no rows")
+    val versions = rows.map(_.getLong(0)).distinct.sorted
+    assert(versions.toSeq == Seq(1L, 2L),
+      s"expected v1 AND v2 rows (rollback = the v1 half), got $versions")
+    // the cutover/rollback identity: serving registry version v must
+    // be bit-identical to building an index DIRECTLY from the same
+    // version's retrained vectors and probing it — v1 from the base
+    // pair store's model, v2 from the refreshed full model
+    val direct = Map(
+      1L -> ops.Graph.nodeEmbeddingsFromPairs(
+        ops.Graph.basePairStore(spark, sf), dim = 8),
+      2L -> ops.Graph.embeddingStore(spark, sf))
+    for ((v, model) <- direct) {
+      val vecs = model
+        .select($"node", ops.Graph.microVec($"embedding").as("vmic"))
+        .withColumn("n2", ops.Graph.dotLong($"vmic", $"vmic"))
+        .filter($"n2" > 0L)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"r17_direct_v$v").toString
+      val (p, c) = ops.Graph.buildIvfAt(spark, dir, vecs, nCells = 4)
+      val want = ops.Graph.annRecallFromIndex(spark, p, c)
+        .collect().map(_.toSeq).toSet
+      val got = rows.filter(_.getLong(0) == v)
+        .map(_.toSeq.drop(1)).toSet
+      assert(got == want,
+        s"asOf($v) serving diverged from the direct v$v build:\n" +
+          s"got  = $got\nwant = $want")
+    }
+  }
+
+  test("Rank.globalRank ≡ row_number over a global order (randomized)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map(_ => rnd.nextLong())
+      .distinct.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = ops.Rank.globalRank(df, Seq($"v", $"id"), "rk")
+      .select($"id", $"rk")
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long") - 1L)
+      .select($"id", $"rk")
+    assert(got.collect().toSet == want.collect().toSet)
+  }
+
+  test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "cnt").repartition(5)
+    val got = ops.Rank.runningSum(df, Seq($"k".desc), $"cnt", "cum")
+      .select($"k", $"cum")
+    val want = df.withColumn("cum",
+        sum($"cnt").over(Window.orderBy($"k".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"cum")
+    assert(got.collect().toSet == want.collect().toSet)
+  }
+}
