@@ -199,9 +199,21 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Per-query JVM evidence (r16 verdict item 6): cumulative GC time
+    // around each timed run, so a q291-style retime spread carries its
+    // own diagnosis (GC-bound vs genuinely slower plan) instead of a
+    // narrative. Two MXBean reads per query — free.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    }
+    val gc1 = scala.collection.mutable.Map.empty[String, Long]
+    val gc2 = scala.collection.mutable.Map.empty[String, Long]
     // Deterministic name order: Map iteration order is arbitrary, and a
     // run-order change shifts which query absorbs shared lazy costs.
     val pass1 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {
@@ -210,6 +222,7 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      gc1(name) = gcMs() - g0
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Second pass over the K slowest: a single-pass bench has no defense
@@ -258,6 +271,7 @@ object Bench {
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {
       case (name, p1time) if !errors.contains(name) =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         val t =
           try {
@@ -271,6 +285,7 @@ object Bench {
                 s"[bench] retime $name FAILED: ${e.getMessage}")
               p1time
           }
+        gc2(name) = gcMs() - g0
         name -> t
     }.toMap
     val results = pass1.map { case (k, v) =>
@@ -305,8 +320,15 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // per-pass GC evidence for every retimed query (r16 verdict
+      // item 6): a retime that blows out WITH a matching GC blowout is
+      // memory pressure, one WITHOUT is a plan/state question — the
+      // next SUSPECT carries its diagnosis instead of a narrative
+      val gcPairs = pass2.keys.toSeq.sorted
+        .map(k => s""""$k":[${gc1.getOrElse(k, -1L)},${gc2(k)}]""")
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(p,
-        s"""{"min":$full,"retimed_passes":$both,"suspect":$sus}"""
+        s"""{"min":$full,"retimed_passes":$both,"suspect":$sus,"gc_ms":$gcPairs}"""
           .getBytes("UTF-8"))
     }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -364,8 +386,17 @@ object Bench {
       .map { case (k, v2) => "\"" + shortKey(k) + "\":[" + r2(p1(k)) +
         "," + r2(v2) + "]" }
       .mkString("{", ",", "}")
+    // when a SUSPECT retime fires, the round artifact itself carries
+    // the evidence: [pass1 sec, pass2 sec, pass1 GC ms, pass2 GC ms]
+    // per suspect. Usually empty — zero line-budget cost.
+    val susGc =
+      if (suspect.isEmpty) ""
+      else ","  + "\"suspect_gc\":" + suspect.map { n =>
+        "\"" + n + "\":[" + r2(p1ByName(n)) + "," + r2(pass2(n)) + "," +
+          gc1.getOrElse(n, -1L) + "," + gc2(n) + "]"
+      }.mkString("{", ",", "}")
     def line(qs: String, omit: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit$susGc,"errors":$errs,"sf":"$sfDir"}"""
     // tier-3 frame: every non-load-bearing char dropped so the complete
     // vector survives registry growth — r10 additions at 166 queries:
     // gen_* keys lose their "gen_" prefix (lossless — no registered
@@ -383,14 +414,14 @@ object Bench {
     // "errors" stays in EVERY tier, empty or not — prior rounds always
     // emitted it and the external driver's parser may require the key
     def line3(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1$susGc,"errors":$errs,"sf":"$sfBase"}"""
     // tier 3b: the COMPLETE vector beats in-line dual timings — when the
     // registry outgrows tier 3 (166 queries measured 1815 chars), drop
     // the retimed map from the LINE (every pair stays in
     // target/bench_full.json) before even thinking about truncating the
     // vector itself
     def line3b(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$susGc,"errors":$errs,"sf":"$sfBase"}"""
     // tier 3c (180 queries measured 1848 chars at 3b): keep every query
     // at or above 0.25 s individually and collapse the sub-threshold
     // tail to {"n","sec"} — a VALUE threshold, not a budget cutoff: a
@@ -403,7 +434,7 @@ object Bench {
         .mkString("{", ",", "}")
       val fastPart =
         s""","fast":{"n":${fast.size},"sec":${r3(fast.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastPart,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastPart$susGc,"errors":$errs,"sf":"$sfBase"}"""
     }
     val cap = 1800
     val fullMap = sorted

@@ -903,6 +903,172 @@ object Text {
        |FROM ledger GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- q322: pipeline manifest v4 --------------------------------------
+
+  /** Per-doc token economics over the WHOLE corpus — q183's stage 2
+    * without the delta cut (v4 prices every doc it ships). */
+  private def mf4DocCost(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("n"))
+    val wordM = words.select($"tok").distinct()
+      .withColumn("m", unigramM($"tok", unigramPieces))
+    words.join(wordM, "tok")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n").as("n_words"),
+        sum($"n" * ($"m" % 256)).as("n_pieces"))
+      .withColumn("fert_ppm", expr("n_pieces * 1000000 div n_words"))
+  }
+
+  /** ONE version of the v4 manifest: the tokenizer-economics gate
+    * (q183's, here over the whole corpus) always fires; the
+    * embedding-space semantic prune (q55/q147's verdict — lowest id
+    * in a ≥τ near-dup pair survives, label-blocked) only in v2.
+    * Survivors get their epoch-0 resumable-schedule positions via
+    * [[Rank.globalRank]] (q319's rank semantics, never a
+    * partition-less window) and roll up per worker shard.
+    */
+  private[graft] def manifestV4Version(
+      s: SparkSession, d: String, semantic: Boolean): DataFrame = {
+    import s.implicits._
+    val econ = mf4DocCost(Tables.documents(s, d))
+    val gated = econ.where($"fert_ppm" <= lit(2000000L))
+      .select($"doc_id", $"n_words", $"n_pieces")
+    val shipped =
+      if (!semantic) gated
+      else gated.join(
+        Corpus.blockedNearDupPairs(
+          Tables.embeddings(s, d), minCosine = 0.3)
+          .select($"b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val keyed = shipped.withColumn("okey",
+      md5(concat(lit("mf4:0:"), $"doc_id".cast("string")).cast("binary")))
+    Rank.globalRank(keyed, Seq($"okey", $"doc_id"), "step")
+      .withColumn("shard", expr("step DIV 64"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"step").as("min_step"),
+        max($"step").as("max_step"),
+        sum($"n_words").as("n_words"),
+        sum($"n_pieces").as("n_pieces"))
+  }
+
+  /** q322: PIPELINE MANIFEST v4 — the r12–r16 era layers composed in
+    * ONE oracled deliverable (the q79 → q135 → q183 lineage): the
+    * corpus flows through (1) the unigram tokenizer-economics gate
+    * (q183's fertility cap, a REAL model artifact pricing every doc),
+    * (2) the embedding-space semantic prune (q55/q147's verdict), (3)
+    * the resumable trainer schedule (q319's md5 rank + worker shards,
+    * assigned by the shared two-pass device), and (4) REGISTRY
+    * LINEAGE (q317's verb applied to the data manifest): v1 = the
+    * gate-only pipeline, v2 = gate ∘ semantic prune, each committed
+    * through [[graft.streaming.StoreLog]] atomic renames, and the
+    * registered query READS BOTH VERSIONS BACK from the log — the
+    * deliverable is the per-(version, shard) ledger, so the v1↔v2
+    * drift (which shards thinned, which token mass left) is the
+    * rollback view a data registry exists to answer. Every number is
+    * exact integers (the one float, q55's ROUND(cos, 4), is the
+    * identical-operand-order device) and the DuckDB oracle replays the
+    * ENTIRE composition — the recursive Viterbi DP, the cosine prune,
+    * the md5 rank, both versions — so a green row certifies the
+    * COMPOSITION, not just each stage (q135's discipline); Round17Spec
+    * additionally proves every stage moved the ledger (q142's lesson).
+    * Scale: the DP runs per DISTINCT word, the prune is label-blocked,
+    * the rank is the two-pass prefix sum, the ledger is shard-sized,
+    * and the registry read-back is partition-pruned to the version
+    * asked for.
+    */
+  private def q322(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the manifest derives from documents AND embeddings — fold the
+    // second source's freshness into the store key
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(ep)
+    val root = StoreGuard.storeRoot(s, "target/graft_text_store", "mf4",
+      d, "documents.parquet", s"${est.getModificationTime}:${est.getLen}")
+    val log = new graft.streaming.StoreLog(
+      java.nio.file.Paths.get(root), "mf")
+    if (log.versions().size < 2) {
+      log.commitTable(1L, manifestV4Version(s, d, semantic = false))
+      log.commitTable(2L, manifestV4Version(s, d, semantic = true))
+    }
+    def ver(v: Long) =
+      log.asOf(s, v).get.withColumn("version", lit(v))
+    ver(1L).unionByName(ver(2L))
+      .select($"version", $"shard", $"n_docs", $"min_step", $"max_step",
+        $"n_words", $"n_pieces")
+      .orderBy($"version", $"shard")
+  }
+
+  private val q322Sql: String = {
+    val vals = unigramPieces
+      .map { case (p, c) => s"('$p',${p.length},$c)" }
+      .mkString(",")
+    s"""WITH RECURSIVE pieces(p, l, c) AS (SELECT * FROM (VALUES $vals) v),
+       |words AS (
+       |  SELECT doc_id, tok, COUNT(*) AS n FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) t
+       |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
+       |dw AS (SELECT DISTINCT tok FROM words),
+       |dp AS (
+       |  SELECT tok, 0 AS i, [CAST(0 AS BIGINT)] AS d FROM dw
+       |  UNION ALL
+       |  SELECT tok, i + 1,
+       |    list_append(d, (
+       |      SELECT MIN(v) FROM (
+       |        SELECT d[i + 2 - p.l] + p.c * 256 + 1 AS v FROM pieces p
+       |        WHERE p.l <= i + 1 AND substr(tok, i + 2 - p.l, p.l) = p.p
+       |        UNION ALL
+       |        SELECT d[i + 1] + $unigramUnkCostMilli * 256 + 1) cand))
+       |  FROM dp WHERE i < len(tok)),
+       |seg AS (SELECT tok, d[len(tok) + 1] AS m FROM dp WHERE i = len(tok)),
+       |econ AS (
+       |  SELECT w.doc_id, CAST(SUM(w.n) AS BIGINT) AS n_words,
+       |         CAST(SUM(w.n * (s.m % 256)) AS BIGINT) AS n_pieces
+       |  FROM words w JOIN seg s USING (tok) GROUP BY w.doc_id),
+       |gated AS (
+       |  SELECT doc_id, n_words, n_pieces FROM econ
+       |  WHERE (n_pieces * 1000000) // n_words <= 2000000),
+       |pruned AS (
+       |  SELECT DISTINCT b AS doc_id FROM (
+       |    SELECT a.vec_id AS a, b.vec_id AS b,
+       |      ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) /
+       |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(a.embedding AS DOUBLE[]))) *
+       |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])))), 4)
+       |        AS cos
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.label = b.label AND a.vec_id < b.vec_id) p
+       |  WHERE cos >= 0.3),
+       |vers AS (
+       |  SELECT CAST(1 AS BIGINT) AS version, g.* FROM gated g
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), g.* FROM gated g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM pruned)),
+       |ranked AS (
+       |  SELECT version, doc_id, n_words, n_pieces,
+       |    ROW_NUMBER() OVER (PARTITION BY version
+       |      ORDER BY md5('mf4:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      - 1 AS step
+       |  FROM vers)
+       |SELECT version, step // 64 AS shard,
+       |  COUNT(*) AS n_docs, MIN(step) AS min_step, MAX(step) AS max_step,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+       |FROM ranked GROUP BY version, shard
+       |ORDER BY version, shard""".stripMargin
+  }
+
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
     * corpus in tokens: per language, the fraction of pre-tokens the
@@ -1697,6 +1863,7 @@ object Text {
     QueryDef("q158_vocab_coverage", q158, Some(q158Sql)),
     QueryDef("q179_unigram_tokens", q179, Some(q179Sql)),
     QueryDef("q183_manifest_v3", q183, Some(q183Sql)),
+    QueryDef("q322_manifest_v4", q322, Some(q322Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

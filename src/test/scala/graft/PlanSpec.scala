@@ -246,7 +246,15 @@ class PlanSpec extends AnyFunSuite {
       // aggregate crossed into the scoring — the q78 device again
       "q316_crossmodal_alignment",
       // q319's 2-row epoch dim crossed into the corpus — bounded dim
-      "q319_resumable_order")
+      "q319_resumable_order",
+      // r17: broadcast 1-row aggregates replacing global windows (the
+      // q299 device generalized) — bitemporal cuts, core stats, PMI
+      // totals; q320 inherits q313's 8-row probe broadcast per version
+      "q164_asof_dimension", "q210_bitemporal_asof", "q287_kcore",
+      "q258_pmi_collocations", "q320_registry_serving",
+      // q321 serves q275's BM25 (same 1-row corpus-stats cross) from
+      // the compacted store
+      "q321_index_compaction")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at

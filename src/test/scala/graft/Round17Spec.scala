@@ -139,6 +139,160 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q321: index-store compaction -----------------------------------
+
+  test("q321: compaction collapses files per dir, keeps layout pruned") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // run the registered query (it builds fragmented + compacted and
+    // carries its own require gates); then inspect the layouts
+    assert(SparkEntry.queries("q321_index_compaction")(spark, sf)
+      .count() == 10)
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"target/stage_corpus/q321_compact_$tag"
+    val before = ops.Corpus.storeLayout(s"$root/fragmented")
+    val after = ops.Corpus.storeLayout(s"$root/compacted")
+    // same partition directories, strictly fewer files in each touched
+    // dir (the 3 appends put >= 3 files everywhere; at this SF each
+    // bucket is far under the 256 KB target, so the plan is 1 file/dir)
+    assert(before.dirs.keySet == after.dirs.keySet)
+    for ((dir, (nIn, bytes)) <- before.dirs) {
+      val nOut = after.dirs(dir)._1
+      val want = math.max(1L, (bytes + 256L * 1024 - 1) / (256L * 1024))
+      assert(nOut <= want, s"$dir: $nOut files > size-derived $want")
+      assert(nOut < nIn, s"$dir: $nIn -> $nOut did not collapse")
+    }
+    // rewrite preserved every row bit-exactly (store-level, on top of
+    // the registered oracle gate)
+    val a = spark.read.parquet(s"$root/fragmented")
+      .select($"term", $"doc_id", $"tf", $"pb").collect().toSet
+    val b = spark.read.parquet(s"$root/compacted")
+      .select($"term", $"doc_id", $"tf", $"pb").collect().toSet
+    assert(a == b, "compaction changed store content")
+    // the compacted store still partition-prunes on the bucket column
+    val pruned = spark.read.parquet(s"$root/compacted")
+      .filter($"pb" === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pb"),
+      s"bucket cut not pruned at the scan:\n$plan")
+  }
+
+  // ---- q322: manifest v4 — every stage provably fires -----------------
+
+  test("q322: every composed stage moves the ledger (q142's lesson)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // sf0.01: the semantic prune needs near-dup cosine pairs to exist
+    // (q55 finds them at this SF; 0.001's 50 vectors may not collide)
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q322_manifest_v4")(spark, d).collect()
+    val v1docs = rows.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum
+    val v2docs = rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).sum
+    val offered = Tables.documents(spark, d).count()
+    // fertility gate fired: v1 ships fewer docs than offered
+    assert(v1docs < offered, s"fertility gate pruned nothing: " +
+      s"$v1docs of $offered")
+    // semantic prune fired: v2 ships fewer than v1
+    assert(v2docs < v1docs, s"semantic prune pruned nothing: " +
+      s"v1=$v1docs v2=$v2docs")
+    // schedule fired: multiple shards, contiguous dense step ranges
+    val v2 = rows.filter(_.getLong(0) == 2L).sortBy(_.getLong(1))
+    assert(v2.length > 1, "schedule produced a single shard")
+    for (r <- v2) {
+      val (shard, n, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == shard * 64 && hi == lo + n - 1,
+        s"shard $shard steps not dense: [$lo,$hi] n=$n")
+    }
+    // registry lineage fired: both versions committed and re-readable
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val est = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(ep)
+    val root = ops.StoreGuard.storeRoot(spark, "target/graft_text_store",
+      "mf4", d, "documents.parquet",
+      s"${est.getModificationTime}:${est.getLen}")
+    val log = new streaming.StoreLog(java.nio.file.Paths.get(root), "mf")
+    assert(log.versions() == Seq(1L, 2L))
+    // read-back ≡ a direct recompute of the same version
+    val direct = ops.Text.manifestV4Version(spark, d, semantic = true)
+      .collect().map(_.toSeq).toSet
+    val reread = log.asOf(spark, 2L).get.collect().map(_.toSeq).toSet
+    assert(reread == direct, "v2 read-back diverged from recompute")
+  }
+
+  // ---- q319 at trainer fan-out: disjoint pruned worker reads ----------
+
+  test("q319 manifest serves W workers disjoint partition-pruned slices") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val shardSize = 64L
+    val path = ops.Corpus.scheduleStore(spark, sf, "graft", epochs = 2,
+      shardSize = shardSize)
+    // epoch 0's shard grid — each worker w reads exactly shard w
+    val nDocs = Tables.documents(spark, sf).count()
+    val workers = (0L until (nDocs + shardSize - 1) / shardSize).toSeq
+    val slices = workers.map { w =>
+      val slice = spark.read.parquet(path)
+        .filter($"epoch" === 0 && $"shard" === w)
+        .select($"step", $"doc_id")
+      val plan = slice.queryExecution.executedPlan.toString
+      // the worker cut reaches the FILE INDEX: epoch and shard are
+      // directory columns, so un-asked shards are never listed or read
+      assert(plan.contains("PartitionFilters:") &&
+        plan.contains(s"(shard#") && plan.contains("= " + w + ")"),
+        s"worker $w read not partition-pruned:\n$plan")
+      slice.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // disjoint + union ≡ the epoch's full schedule
+    val all = slices.flatten
+    assert(all.length == all.map(_._1).distinct.length,
+      "worker slices overlap")
+    val want = ops.Corpus
+      .resumableSchedule(Tables.documents(spark, sf), "graft", epochs = 2)
+      .filter($"epoch" === 0).select($"step", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSet == want.toSet,
+      "union of worker slices != the epoch schedule")
+  }
+
+  test("compaction verb on q184's delta-appended IVF cells: probe-identical") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // q184 builds its store as base write + delta APPEND — the exact
+    // fragmented layout the r16 verdict named. Run it, then compact
+    // with the SAME generic verb q321 uses and prove the probe path is
+    // row-identical on the compacted store.
+    SparkEntry.queries("q184_ivf_incremental")(spark, sf).collect()
+    val idx = ops.Vectors.q184IndexRoot(sf) + "/index"
+    val out = ops.Vectors.q184IndexRoot(sf) + "/index_compacted"
+    val (before, after) = ops.Corpus.compactPartitionedStore(
+      spark, idx, out, "cell", "vec_id", targetBytes = 256L * 1024)
+    assert(before.dirs.keySet == after.dirs.keySet,
+      "compaction changed the cell layout")
+    assert(after.files < before.files,
+      s"append-fragmented index did not collapse: " +
+        s"${before.files} -> ${after.files}")
+    // content bit-exact
+    val a = spark.read.parquet(idx)
+      .select($"vec_id", $"label", $"cell").collect().toSet
+    val b = spark.read.parquet(out)
+      .select($"vec_id", $"label", $"cell").collect().toSet
+    assert(a == b, "compaction changed index content")
+    // the SERVING path (cell-pruned probe) is row-identical
+    val emb = Tables.embeddings(spark, sf)
+    val cents = ops.Vectors.ivfCentroids(
+      emb.filter($"vec_id" % 10 < 8 && $"vec_id" =!= 0L), 16)
+    def probe(p: String) = ops.Vectors.probeDiskIndex(
+      spark, p, emb, queryVecId = 0L, cents, nCells = 16,
+      nProbe = 4, k = 10).collect().toSeq
+    assert(probe(idx) == probe(out),
+      "probe results diverged on the compacted index")
+  }
+
   // ---- Rank device: exact equivalence to the textbook windows --------
 
   // ---- q320: registry-driven serving cutover --------------------------
