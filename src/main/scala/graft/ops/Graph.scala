@@ -2265,12 +2265,15 @@ object Graph {
 
   /** Per-probe recall of the cell-pruned IVF search against the exact
     * integer-cosine ranking over a persisted IVF layout — the serving
-    * body of [[trainedAnnRecall]], factored so q320 can drive any
-    * REGISTRY version's index through the identical probe path.
+    * body of [[trainedAnnRecall]], factored so q320/q323 can drive any
+    * REGISTRY version's index through the identical probe path. The
+    * default probe set is the 8 lowest node ids of the index itself
+    * (the q313 contract); q323's live canary passes its own ids.
     */
   private[graft] def annRecallFromIndex(
       s: SparkSession, indexPath: String, cents: Array[Double],
-      nCells: Int = 4, nProbe: Int = 2, k: Int = 5): DataFrame = {
+      nCells: Int = 4, nProbe: Int = 2, k: Int = 5,
+      probeIds: Option[Seq[Long]] = None): DataFrame = {
     import s.implicits._
     val dot = dotLong _
     // the persisted index holds every vector — the exact baseline and
@@ -2279,7 +2282,9 @@ object Graph {
     val vecs = s.read.parquet(indexPath)
       .select($"vec_id".as("node"), $"vmic", $"n2")
       .localCheckpoint()
-    val probes = vecs.orderBy($"node").limit(8)
+    val probes = probeIds
+      .map(ids => vecs.filter($"node".isin(ids: _*)))
+      .getOrElse(vecs.orderBy($"node").limit(8))
       .select($"node".as("qid"), $"vmic".as("qv"))
       .withColumn("qcells", graft.functions.VectorExprs.vecTopCells(s,
         expr("transform(qv, x -> CAST(x / 1000000.0D AS FLOAT))"),
@@ -2414,9 +2419,10 @@ object Graph {
   /** The q313 probe path pointed at a REGISTRY version. */
   private[graft] def registryAnnRecall(
       s: SparkSession, d: String, v: Long, nCells: Int = 4,
-      nProbe: Int = 2, k: Int = 5): DataFrame = {
+      nProbe: Int = 2, k: Int = 5,
+      probeIds: Option[Seq[Long]] = None): DataFrame = {
     val (indexPath, cents) = registryIvfStore(s, d, v, nCells)
-    annRecallFromIndex(s, indexPath, cents, nCells, nProbe, k)
+    annRecallFromIndex(s, indexPath, cents, nCells, nProbe, k, probeIds)
   }
 
   /** q320: REGISTRY-DRIVEN SERVING CUTOVER — the deploy/rollback loop
@@ -2468,6 +2474,11 @@ object Graph {
     // no SQL oracle (serves the eigensolve through the registry);
     // Round17Spec gates asOf(v) serving ≡ direct per-version index
     QueryDef("q320_registry_serving", q320, None),
+    // live pointer-swap cutover + rollback over the same stores; no
+    // SQL oracle — Round17Spec gates each phase ≡ q320's cold start
+    QueryDef("q323_serving_cutover",
+      (s, d) => graft.streaming.Streams.streamServingCutover(s, d),
+      None),
     // merge ≡ recompute, externally gated: the incremental path's
     // SPPMI matrix must hash-match DuckDB's full-corpus recompute, so
     // the oracle is q299's SQL verbatim (the q290/q143 device)

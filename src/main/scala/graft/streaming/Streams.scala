@@ -3470,4 +3470,82 @@ object Streams {
         graft.ops.Graph.walkStore(spark, dir)), emb, shift = 5)
     streamFoldInFrom(spark, emb, contribs, dim = 8)
   }
+
+  // ---- q323: live registry cutover -------------------------------------
+
+  /** q323: ZERO-DOWNTIME SERVING CUTOVER — q320 live: a canary probe
+    * stream keeps evaluating serving health while the REGISTRY POINTER
+    * flips underneath it. The pointer is a 1-row [[StoreLog]] table
+    * (the "metadata-pointer swap" the StoreLog doc names as the
+    * object-store form of its atomic rename); each canary tick reads
+    * the pointer AS OF NOW and serves the q313 probe path from that
+    * version's own pre-built IVF store — a cutover or ROLLBACK is one
+    * pointer commit, never a rebuild (q320's key property, exercised
+    * here with the stream RUNNING). The harness flips v1 → v2 between
+    * ticks 0 and 1 and BACK between ticks 1 and 2, so the output's
+    * three phases are served by versions 1, 2, 1 — a live rollback.
+    * No SQL oracle (consumes the eigensolve); Round17Spec gates that
+    * each phase's rows are IDENTICAL to q320's cold-start rows for the
+    * version the pointer named — a mid-stream flip serves exactly what
+    * a cold start on that version serves, with no gap tick.
+    */
+  def streamServingCutover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // deploys stage artifacts BEFORE the pointer moves: both versions'
+    // stores exist up front; only the pointer changes mid-stream
+    graft.ops.Graph.registryIvfStore(spark, dir, 1L)
+    graft.ops.Graph.registryIvfStore(spark, dir, 2L)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"cut_$uuid")
+    val srcDir = root.resolve("src").toString
+    val pointer = new StoreLog(root.resolve("pointer"), "p")
+    val outLog = new StoreLog(root.resolve("out"), "b")
+    def setPointer(id: Long, v: Long): Unit =
+      pointer.commit(id)(tmp => Seq(Tuple1(v)).toDF("v")
+        .coalesce(1).write.parquet(tmp.toString))
+    def stage(phase: Long): Unit =
+      Seq(Tuple1(phase)).toDF("phase").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    setPointer(1L, 1L)
+    stage(0L)
+    val q = spark.readStream
+      .schema("phase LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val sp = batch.sparkSession
+        val phases = batch.collect().map(_.getLong(0)).toSeq.distinct.sorted
+        if (phases.nonEmpty) {
+          // the serving decision each tick: whatever the pointer says NOW
+          val v = pointer.readLatest(sp).get.head.getLong(0)
+          val served = graft.ops.Graph.registryAnnRecall(sp, dir, v)
+            .localCheckpoint()
+          val out = phases.map(p => served
+            .withColumn("phase", lit(p)).withColumn("version", lit(v)))
+            .reduce(_ unionByName _)
+          outLog.commit(id)(tmp =>
+            out.coalesce(1).write.parquet(tmp.toString))
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      setPointer(2L, 2L) // CUTOVER — the stream is live
+      stage(1L)
+      q.processAllAvailable()
+      setPointer(3L, 1L) // ROLLBACK — still live
+      stage(2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = outLog.readMany(spark, outLog.versions()).get
+      .select($"phase", $"version", $"probe_node", $"n_exact",
+        $"n_hits", $"recall_pct")
+      .orderBy($"phase", $"probe_node")
+      .localCheckpoint()
+    deleteStaged(root)
+    out
+  }
 }

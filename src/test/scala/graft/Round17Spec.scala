@@ -333,6 +333,28 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q323: live cutover ≡ cold start on each version ----------------
+
+  test("q323: mid-stream pointer flips serve exactly the cold-start rows") {
+    val live = SparkEntry.queries("q323_serving_cutover")(spark, sf)
+      .collect()
+    // three phases, served by versions 1, 2, 1 — the live rollback
+    val byPhase = live.groupBy(_.getLong(0))
+    assert(byPhase.keySet == Set(0L, 1L, 2L))
+    assert(byPhase(0L).map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    assert(byPhase(1L).map(_.getLong(1)).distinct.toSeq == Seq(2L))
+    assert(byPhase(2L).map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    // each phase row-identical to q320's COLD start on that version
+    val cold = SparkEntry.queries("q320_registry_serving")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.toSeq.drop(1)).toSet }
+    def phaseRows(p: Long) =
+      byPhase(p).map(_.toSeq.drop(2)).toSet
+    assert(phaseRows(0L) == cold(1L), "phase 0 != cold v1")
+    assert(phaseRows(1L) == cold(2L), "phase 1 != cold v2")
+    assert(phaseRows(2L) == cold(1L), "rollback phase != cold v1")
+  }
+
   test("Rank.globalRank ≡ row_number over a global order (randomized)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
