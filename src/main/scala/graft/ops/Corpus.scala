@@ -2713,28 +2713,52 @@ object Corpus {
     * a data read) — and the rewrite is ONE hash shuffle routing each
     * row to one of its partition's nOut slots: no driver loop over
     * data, no global sort, each output task writes whole files for
-    * the (partition, slot) groups it owns. Returns (before, after)
-    * layouts so callers can prove the collapse.
+    * the (partition, slot) groups it owns. Returns the (before, after)
+    * layouts plus the SKIP count so callers can prove both the
+    * collapse and that right-sized shards paid nothing.
     */
   private[graft] def compactPartitionedStore(
       s: SparkSession, inDir: String, outDir: String, partCol: String,
-      slotCol: String, targetBytes: Long): (StoreLayout, StoreLayout) = {
+      slotCol: String,
+      targetBytes: Long): (StoreLayout, StoreLayout, Int) = {
     import s.implicits._
     val before = storeLayout(inDir)
-    val plan = before.dirs.toSeq.map { case (d, (_, bytes)) =>
-      (d.substring(d.indexOf('=') + 1),
-        math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+    // per-dir decision from the metadata listing: a dir already at or
+    // under its size-derived file target is SKIPPED — its files are
+    // hard-copied byte-for-byte, paying zero decode/shuffle/encode.
+    // On a month-old 100 TB store that is ~99% of the shards; only the
+    // delta-fragmented minority pays the rewrite.
+    val plan = before.dirs.toSeq.map { case (d, (files, bytes)) =>
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      (d, d.substring(d.indexOf('=') + 1), nOut, files > nOut)
     }
-    val planDf = broadcast(plan.toDF("_pv", "_n_out"))
-    s.read.parquet(inDir)
-      .join(planDf, col(partCol).cast("string") === $"_pv")
-      .withColumn("_slot", pmod(hash(col(slotCol)), $"_n_out"))
-      .repartition(col(partCol), $"_slot")
-      .drop("_pv", "_n_out", "_slot")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(partCol)
-      .parquet(outDir)
-    (before, storeLayout(outDir))
+    val frag = plan.collect { case (_, pv, nOut, true) => (pv, nOut) }
+    val skipped = plan.collect { case (d, _, _, false) => d }
+    if (frag.nonEmpty) {
+      val planDf = broadcast(frag.toDF("_pv", "_n_out"))
+      s.read.parquet(inDir)
+        .join(planDf, col(partCol).cast("string") === $"_pv")
+        .withColumn("_slot", pmod(hash(col(slotCol)), $"_n_out"))
+        .repartition(col(partCol), $"_slot")
+        .drop("_pv", "_n_out", "_slot")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partCol)
+        .parquet(outDir)
+    }
+    for (d <- skipped) {
+      val src = java.nio.file.Paths.get(inDir, d)
+      val dst = java.nio.file.Paths.get(outDir, d)
+      java.nio.file.Files.createDirectories(dst)
+      scala.util.Using.resource(java.nio.file.Files.list(src)) { l =>
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.copy(f,
+            dst.resolve(f.getFileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      }
+    }
+    (before, storeLayout(outDir), skipped.size)
   }
 
   /** q321: INCREMENTAL-INDEX COMPACTION, oracle-gated — the q275
@@ -2775,7 +2799,7 @@ object Corpus {
       postings(docs.where($"doc_id" % 10 === slice)).repartition(8)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("pb").parquet(frag)
-    val (before, after) = compactPartitionedStore(
+    val (before, after, _) = compactPartitionedStore(
       s, frag, tidy, "pb", "term", targetBytes = 256L * 1024)
     require(before.dirs.keySet == after.dirs.keySet,
       s"q321: compaction changed the partition layout: " +

@@ -176,6 +176,20 @@ class Round17Spec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(pb"),
       s"bucket cut not pruned at the scan:\n$plan")
+    // SKIP metrics: re-compacting the already-tidy store must rewrite
+    // NOTHING — every dir skipped, every file hard-copied byte-for-byte
+    // (on a month-old store this is the ~99% of shards a maintenance
+    // run must not touch)
+    val (_, after2, skipped) = ops.Corpus.compactPartitionedStore(
+      spark, s"$root/compacted", s"$root/recompacted", "pb", "term",
+      targetBytes = 256L * 1024)
+    assert(skipped == after.dirs.size,
+      s"re-compaction skipped $skipped of ${after.dirs.size} tidy dirs")
+    assert(after2.dirs == after.dirs,
+      "skip path changed the layout it was supposed to leave alone")
+    val c = spark.read.parquet(s"$root/recompacted")
+      .select($"term", $"doc_id", $"tf", $"pb").collect().toSet
+    assert(c == b, "skip path changed store content")
   }
 
   // ---- q322: manifest v4 — every stage provably fires -----------------
@@ -269,7 +283,7 @@ class Round17Spec extends AnyFunSuite {
     SparkEntry.queries("q184_ivf_incremental")(spark, sf).collect()
     val idx = ops.Vectors.q184IndexRoot(sf) + "/index"
     val out = ops.Vectors.q184IndexRoot(sf) + "/index_compacted"
-    val (before, after) = ops.Corpus.compactPartitionedStore(
+    val (before, after, _) = ops.Corpus.compactPartitionedStore(
       spark, idx, out, "cell", "vec_id", targetBytes = 256L * 1024)
     assert(before.dirs.keySet == after.dirs.keySet,
       "compaction changed the cell layout")
