@@ -260,7 +260,11 @@ class PlanSpec extends AnyFunSuite {
     // streaming query (staging, RocksDB state, retrain) at
     // plan-construction time; its batch tail is covered by Round16Spec
     val skip = Set("q73_stream_hourly", "q92_stream_enrich",
-      "q315_stream_foldin")
+      "q315_stream_foldin",
+      // q323 likewise RUNS its streaming cutover at construction; its
+      // batch tail (an RDD scan of the committed servings) is gated by
+      // Round17Spec's cold-start equality
+      "q323_serving_cutover")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
         val p = plan(q)

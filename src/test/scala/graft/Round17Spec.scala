@@ -105,14 +105,20 @@ class Round17Spec extends AnyFunSuite {
       "q311_next_event_serving", // 5-row type marginal back-off
     )
     // same skips as PlanSpec's cartesian audit: streaming entries whose
-    // construction RUNS a query, and the gen_ generator family (their
-    // plans are locked by GenSpec/ScheduleSpec)
+    // construction RUNS a query (q315/q323 run complete streaming
+    // pipelines at plan time — their batch tails are their own gates),
+    // and the gen_ generator family (locked by GenSpec/ScheduleSpec +
+    // the source audit above)
     val skip = Set("q73_stream_hourly", "q92_stream_enrich",
-      "q315_stream_foldin")
+      "q315_stream_foldin", "q323_serving_cutover")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip)
       .flatMap { q =>
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+        // main-plan walk; subquery plans are still LOGICAL at this
+        // stage so they can't be walked for WindowExec here — the
+        // SOURCE audit above is the layer that covers window
+        // construction everywhere, including inside subqueries
         val global = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
