@@ -3006,8 +3006,44 @@ object Corpus {
       |ORDER BY epoch, step
       |LIMIT 100""".stripMargin
 
+  /** q324: TRAINER-WORKER SHARD READ — q319's manifest at fan-out,
+    * registered (Round17Spec proves the W-worker union/disjointness
+    * property; this is the per-worker verb itself, driver-gated):
+    * worker w of epoch e reads `shard = w` from the
+    * partitionBy(epoch, shard) manifest — the cut is TWO directory
+    * columns, so the scan lists and reads exactly ONE shard directory
+    * however large the corpus (the q105/q319 pruning argument, at the
+    * granularity a dataloader actually fetches). The oracle replays
+    * the full textbook rank and cuts the same shard — a green row
+    * certifies the persisted manifest slice IS the schedule slice.
+    * shardSize 16 here (vs q319's 64) also proves the manifest store
+    * keys on its parameters: two schedules coexist, neither clobbers.
+    */
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = scheduleStore(s, d, "graft", epochs = 2, shardSize = 16L)
+    s.read.parquet(path)
+      .filter($"epoch" === 1 && $"shard" === 3)
+      .select($"epoch".cast("long").as("epoch"), $"step",
+        $"shard".cast("long").as("shard"), $"doc_id")
+      .orderBy($"step")
+  }
+
+  private val q324Sql =
+    """WITH ord AS (
+      |  SELECT d.doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      md5('graft:1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) - 1
+      |      AS step
+      |  FROM documents d)
+      |SELECT CAST(1 AS BIGINT) AS epoch, step, step // 16 AS shard,
+      |  doc_id
+      |FROM ord WHERE step // 16 = 3
+      |ORDER BY step""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q319_resumable_order", q319, Some(q319Sql)),
+    QueryDef("q324_worker_shard", q324, Some(q324Sql)),
     // incremental index maintenance: oracle = q167's full-corpus SQL
     // verbatim — the driver's green row IS the merge ≡ rebuild proof
     QueryDef("q275_incremental_index", q275, Some(q167Sql)),
