@@ -1007,7 +1007,101 @@ object Text {
       .orderBy($"version", $"shard")
   }
 
-  private val q322Sql: String = {
+  // ---- q325: incremental manifest v4 -----------------------------------
+
+  /** Ledger tail shared by the full (q322) and incremental (q325) v4
+    * pipelines: shipped per-doc rows → schedule rank → per-shard
+    * ledger.
+    */
+  private def mf4Ledger(shipped: DataFrame): DataFrame = {
+    val s = shipped.sparkSession
+    import s.implicits._
+    val keyed = shipped.withColumn("okey",
+      md5(concat(lit("mf4:0:"), $"doc_id".cast("string")).cast("binary")))
+    Rank.globalRank(keyed, Seq($"okey", $"doc_id"), "step")
+      .withColumn("shard", expr("step DIV 64"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"step").as("min_step"),
+        max($"step").as("max_step"),
+        sum($"n_words").as("n_words"),
+        sum($"n_pieces").as("n_pieces"))
+  }
+
+  /** q325: INCREMENTAL MANIFEST v4 — q322 maintained the q177/q275/q312
+    * way instead of rebuilt: yesterday's job persists the two per-doc
+    * sufficient statistics of the composition (the token-economics
+    * table and the semantic DROP SET over the base slice,
+    * doc_id % 10 < 8); today's delta (% 10 >= 8) is the ONLY text that
+    * gets priced (the DP is a pure per-word function, so per-doc
+    * economics are doc-local — perfectly incremental), and the drop
+    * set updates by its MONOTONicity: adding docs only adds near-dup
+    * pairs, so drops(B ∪ D) = drops(B) ∪ drops-from-pairs-touching-D —
+    * one label-blocked delta × corpus join, never a corpus² recheck.
+    * The merged states flow through the same gate → schedule → ledger
+    * tail as q322's v2, and the oracle is the FULL-corpus recompute of
+    * that pipeline (q322's v2 arm verbatim) — the driver's green row IS
+    * the merge ≡ rebuild proof, the strongest claim an incremental
+    * pipeline can make (q177's discipline applied to the whole
+    * composed manifest). Scale: delta-sized text scan, delta-blocked
+    * pair enumeration, doc-cardinality state merge, two-pass rank.
+    */
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(ep)
+    val root = StoreGuard.storeRoot(s, "target/graft_text_store",
+      "mf4inc", d, "documents.parquet",
+      s"${est.getModificationTime}:${est.getLen}")
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val isBase = col("doc_id") % 10 < 8
+    StoreGuard.ensureBuilt(s, root) {
+      // yesterday: price the base slice, and record which base docs a
+      // base-blocked near-dup pair drops
+      mf4DocCost(docs.where(isBase))
+        .write.mode("overwrite").parquet(s"$root/econ")
+      Corpus.blockedNearDupPairs(emb.where(col("vec_id") % 10 < 8),
+          minCosine = 0.3)
+        .select($"b".as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$root/drops")
+    }
+    // today: price ONLY the delta...
+    val econ = s.read.parquet(s"$root/econ")
+      .unionByName(mf4DocCost(docs.where(!isBase)))
+    // ...and extend the drop set by the pairs the delta introduces —
+    // each pair has at least one delta side; label blocking bounds the
+    // join exactly as in the full pipeline
+    val lhs = emb.select($"label", $"vec_id".as("a"),
+      $"embedding".as("ea"))
+    val rhs = emb.where($"vec_id" % 10 >= 8)
+      .select($"label", $"vec_id".as("dv"), $"embedding".as("ed"))
+    val deltaPairs = lhs.join(rhs, Seq("label"))
+      .filter($"a" =!= $"dv")
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(s, $"ea", $"ed"), 4))
+      .filter($"cos" >= 0.3)
+      .select(greatest($"a", $"dv").as("doc_id"))
+      .distinct()
+    val drops = s.read.parquet(s"$root/drops")
+      .unionByName(deltaPairs).distinct()
+    val shipped = econ
+      .where($"fert_ppm" <= lit(2000000L))
+      .select($"doc_id", $"n_words", $"n_pieces")
+      .join(drops, Seq("doc_id"), "left_anti")
+    mf4Ledger(shipped)
+      .select($"shard", $"n_docs", $"min_step", $"max_step",
+        $"n_words", $"n_pieces")
+      .orderBy($"shard")
+  }
+
+  /** The shared v4 CTE prefix — DP pricing, fertility gate, semantic
+    * prune — referenced by BOTH q322's two-version replay and q325's
+    * full-recompute oracle (the merge ≡ rebuild gate).
+    */
+  private val mf4Ctes: String = {
     val vals = unigramPieces
       .map { case (p, c) => s"('$p',${p.length},$c)" }
       .mkString(",")
@@ -1049,7 +1143,11 @@ object Text {
        |        AS cos
        |    FROM embeddings a JOIN embeddings b
        |      ON a.label = b.label AND a.vec_id < b.vec_id) p
-       |  WHERE cos >= 0.3),
+       |  WHERE cos >= 0.3)""".stripMargin
+  }
+
+  private val q322Sql: String =
+    s"""$mf4Ctes,
        |vers AS (
        |  SELECT CAST(1 AS BIGINT) AS version, g.* FROM gated g
        |  UNION ALL
@@ -1067,7 +1165,25 @@ object Text {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
        |FROM ranked GROUP BY version, shard
        |ORDER BY version, shard""".stripMargin
-  }
+
+  /** q325's oracle: the FULL-corpus recompute of q322's v2 pipeline —
+    * the external half of the merge ≡ rebuild identity.
+    */
+  private val q325Sql: String =
+    s"""$mf4Ctes,
+       |ranked AS (
+       |  SELECT doc_id, n_words, n_pieces,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY md5('mf4:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      - 1 AS step
+       |  FROM gated
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM pruned))
+       |SELECT step // 64 AS shard,
+       |  COUNT(*) AS n_docs, MIN(step) AS min_step, MAX(step) AS max_step,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+       |FROM ranked GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
@@ -1864,6 +1980,9 @@ object Text {
     QueryDef("q179_unigram_tokens", q179, Some(q179Sql)),
     QueryDef("q183_manifest_v3", q183, Some(q183Sql)),
     QueryDef("q322_manifest_v4", q322, Some(q322Sql)),
+    // incremental maintenance of the v4 manifest: the oracle is the
+    // FULL-corpus recompute — the green row IS merge ≡ rebuild
+    QueryDef("q325_manifest_v4_incremental", q325, Some(q325Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

@@ -242,6 +242,43 @@ class Round17Spec extends AnyFunSuite {
     assert(reread == direct, "v2 read-back diverged from recompute")
   }
 
+  // ---- q325: incremental v4 — genuinely incremental, replay-safe ------
+
+  test("q325 runs from the persisted base states and replays identically") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val first = SparkEntry.queries("q325_manifest_v4_incremental")(
+      spark, d).collect().map(_.toSeq)
+    // the persisted base states are the BASE slice only — the delta's
+    // text was never priced into the store (the incremental claim)
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val est = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(ep)
+    val root = ops.StoreGuard.storeRoot(spark, "target/graft_text_store",
+      "mf4inc", d, "documents.parquet",
+      s"${est.getModificationTime}:${est.getLen}")
+    val econ = spark.read.parquet(s"$root/econ")
+    val nBase = Tables.documents(spark, d)
+      .where($"doc_id" % 10 < 8).count()
+    assert(econ.count() == nBase, "econ store is not the base slice")
+    assert(econ.filter($"doc_id" % 10 >= 8).count() == 0,
+      "delta docs leaked into the persisted base pricing")
+    // replay: a second run reads the same stores and emits the same rows
+    val second = SparkEntry.queries("q325_manifest_v4_incremental")(
+      spark, d).collect().map(_.toSeq)
+    assert(first.toSeq == second.toSeq, "q325 replay diverged")
+    // and the incremental ledger IS q322's v2 ledger (same pipeline,
+    // maintained vs rebuilt) — the in-repo half of the oracle identity
+    val v2 = SparkEntry.queries("q322_manifest_v4")(spark, d)
+      .filter($"version" === 2L)
+      .select($"shard", $"n_docs", $"min_step", $"max_step",
+        $"n_words", $"n_pieces")
+      .collect().map(_.toSeq)
+    assert(first.toSeq == v2.toSeq, "incremental != rebuilt v2 ledger")
+  }
+
   // ---- q319 at trainer fan-out: disjoint pruned worker reads ----------
 
   test("q319 manifest serves W workers disjoint partition-pruned slices") {
