@@ -2723,6 +2723,11 @@ object Corpus {
       targetBytes: Long): (StoreLayout, StoreLayout, Int) = {
     import s.implicits._
     val before = storeLayout(inDir)
+    // the rewrite target must start EMPTY: the skip path hard-copies
+    // files under their original names, and a stale prior attempt's
+    // differently-named part files would silently double every skipped
+    // dir (SaveMode.Overwrite only cleans the dirs the SHUFFLE writes)
+    graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(outDir))
     // per-dir decision from the metadata listing: a dir already at or
     // under its size-derived file target is SKIPPED — its files are
     // hard-copied byte-for-byte, paying zero decode/shuffle/encode.
