@@ -1628,6 +1628,17 @@ object Corpus {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q327's oracle: q167's full-corpus BM25 replayed once per canary
+    * phase — every phase of the live swap must serve the same exact
+    * top-10 the raw corpus derives.
+    */
+  private val q327Sql: String =
+    s"""SELECT ph.phase, t.doc_id, t.bm25, t.n_qterms
+       |FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+       |             (CAST(2 AS BIGINT))) ph(phase)
+       |CROSS JOIN ($q167Sql) t
+       |ORDER BY ph.phase, t.bm25 DESC, t.doc_id""".stripMargin
+
   /** q262: HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical
     * and semantic rankers, the serving shape every production RAG
     * stack runs (BM25 catches exact terms, embeddings catch
@@ -2614,7 +2625,7 @@ object Corpus {
     * IDENTICALLY to q167 — which is what lets the incremental path
     * register under q167's oracle verbatim.
     */
-  private def bm25FromPostings(posting: DataFrame): DataFrame = {
+  private[graft] def bm25FromPostings(posting: DataFrame): DataFrame = {
     val s = posting.sparkSession
     import s.implicits._
     val lens = posting.groupBy($"doc_id").agg(sum($"tf").as("len"))
@@ -2782,21 +2793,22 @@ object Corpus {
     * counts and that a bucket-pruned read of the compacted store
     * still prunes (PartitionFilters).
     */
-  private def q321(s: SparkSession, d: String): DataFrame = {
+  /** Stage a DELIBERATELY FRAGMENTED bucketed posting store at `frag`:
+    * a base write plus two delta APPENDs, each repartitioned wide so
+    * every bucket directory accumulates small files — months of
+    * incremental maintenance in miniature. Shared by q321 (offline
+    * compaction) and q327 (the same rewrite under a LIVE serving
+    * stream).
+    */
+  private[graft] def fragmentPostingsStore(
+      s: SparkSession, d: String, frag: String): Unit = {
     import s.implicits._
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"target/stage_corpus/q321_compact_$tag"
-    val frag = s"$root/fragmented"
-    val tidy = s"$root/compacted"
     val docs = Tables.documents(s, d)
     def postings(df: DataFrame) = df
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"))
       .withColumn("pb", pmod(hash($"term"), lit(8)))
-    // base + two delta APPENDs, each delta repartitioned wide so every
-    // bucket dir accumulates small files — months of maintenance in
-    // miniature
     postings(docs.where($"doc_id" % 10 < 8)).repartition(8)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("pb").parquet(frag)
@@ -2804,6 +2816,15 @@ object Corpus {
       postings(docs.where($"doc_id" % 10 === slice)).repartition(8)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("pb").parquet(frag)
+  }
+
+  private def q321(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"target/stage_corpus/q321_compact_$tag"
+    val frag = s"$root/fragmented"
+    val tidy = s"$root/compacted"
+    fragmentPostingsStore(s, d, frag)
     val (before, after, _) = compactPartitionedStore(
       s, frag, tidy, "pb", "term", targetBytes = 256L * 1024)
     require(before.dirs.keySet == after.dirs.keySet,
@@ -3055,6 +3076,12 @@ object Corpus {
     // store compaction: oracle = q167's SQL verbatim again — a green
     // row proves the layout rewrite preserved every posting bit-exactly
     QueryDef("q321_index_compaction", q321, Some(q167Sql)),
+    // the same rewrite under a LIVE canary stream with a pointer swap
+    // and rollback: the oracle replays q167 once per phase, so a green
+    // row certifies zero-downtime + bit-exactness together
+    QueryDef("q327_live_compaction",
+      (s, d) => graft.streaming.Streams.streamLiveCompaction(s, d),
+      Some(q327Sql)),
     QueryDef("q272_ir_metrics", q272, Some(q272Sql)),
     QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
     QueryDef("q271_nb_classifier", q271, Some(q271Sql)),

@@ -1098,10 +1098,13 @@ object Text {
   }
 
   /** The shared v4 CTE prefix — DP pricing, fertility gate, semantic
-    * prune — referenced by BOTH q322's two-version replay and q325's
-    * full-recompute oracle (the merge ≡ rebuild gate).
+    * prune — referenced by q322's two-version replay, q325's
+    * full-recompute oracle (the merge ≡ rebuild gate), and (over the
+    * erasure-reduced relations) q326's rebuild-without oracle.
+    * `docsRel`/`embRel` name the relations the pipeline reads — the
+    * base tables for q322/q325, filtered subqueries for q326.
     */
-  private val mf4Ctes: String = {
+  private def mf4CtesOver(docsRel: String, embRel: String): String = {
     val vals = unigramPieces
       .map { case (p, c) => s"('$p',${p.length},$c)" }
       .mkString(",")
@@ -1109,7 +1112,7 @@ object Text {
        |words AS (
        |  SELECT doc_id, tok, COUNT(*) AS n FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |    FROM documents) t
+       |    FROM $docsRel) t
        |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
        |dw AS (SELECT DISTINCT tok FROM words),
        |dp AS (
@@ -1141,10 +1144,12 @@ object Text {
        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
        |                               CAST(b.embedding AS DOUBLE[])))), 4)
        |        AS cos
-       |    FROM embeddings a JOIN embeddings b
+       |    FROM $embRel a JOIN $embRel b
        |      ON a.label = b.label AND a.vec_id < b.vec_id) p
        |  WHERE cos >= 0.3)""".stripMargin
   }
+
+  private val mf4Ctes: String = mf4CtesOver("documents", "embeddings")
 
   private val q322Sql: String =
     s"""$mf4Ctes,
@@ -1184,6 +1189,109 @@ object Text {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
        |FROM ranked GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  // ---- q326: manifest erasure (right-to-be-forgotten) -------------------
+
+  /** q326: MANIFEST ERASURE — the DELETE half of manifest maintenance,
+    * which q325's additive merge cannot express: adding docs only ADDS
+    * near-dup pairs (drops are monotone), but ERASING a doc can
+    * RESURRECT another — a doc whose only near-dup blocker was erased
+    * must ship again (the q199 erasure-cascade obligation applied to a
+    * derived artifact: the erased user's data must leave the manifest,
+    * and nothing else may change). The store therefore persists, next
+    * to the per-doc economics, the near-dup PAIR EVIDENCE (a, b) —
+    * WHICH doc blocked which — not just q325's collapsed drop set: with
+    * evidence, erasure of E is pure state-side algebra, drops' =
+    * {b : ∃(a,b), a∉E, b∉E}, one anti-join per side. The erase path
+    * re-prices NO text and re-scores NO vectors (Round17Spec walks the
+    * registered plan: no documents/embeddings scan survives once the
+    * state store exists), and the oracle is the FULL recompute of the
+    * q322-v2 pipeline over the corpus WITHOUT the erased docs — the
+    * driver's green row IS erase ≡ rebuild-without, the non-monotone
+    * twin of q325's merge ≡ rebuild. Scale: evidence is bounded by the
+    * blocked pair enumeration the prune already pays (label-blocked,
+    * never corpus²); an erasure batch costs two anti-joins against
+    * doc-cardinality state plus the two-pass rank over survivors.
+    */
+  /** q326's persisted erasure state (build-if-absent): the full-corpus
+    * per-doc economics plus the near-dup pair evidence. Returns the
+    * store root.
+    */
+  private[graft] def mf4ErasureState(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(ep)
+    val root = StoreGuard.storeRoot(s, "target/graft_text_store",
+      "mf4era", d, "documents.parquet",
+      s"${est.getModificationTime}:${est.getLen}")
+    StoreGuard.ensureBuilt(s, root) {
+      // yesterday: price every doc, and keep the pair EVIDENCE —
+      // doc-cardinality and pair-cardinality state, hash-distributed
+      mf4DocCost(Tables.documents(s, d))
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/econ")
+      Corpus.blockedNearDupPairs(Tables.embeddings(s, d), minCosine = 0.3)
+        .select($"a", $"b")
+        .repartition(8, col("b"))
+        .write.mode("overwrite").parquet(s"$root/pairs")
+    }
+    root
+  }
+
+  /** q326's erase step: the post-erasure shipped set, computed ONLY
+    * from the persisted state at `root` — no document is re-priced, no
+    * vector re-scored (Round17Spec walks this frame's file scans: all
+    * under the store root). The erased doc's rows leave `econ`; the
+    * drop set is re-derived from the pair evidence with both sides
+    * restricted to survivors, which is what RESURRECTS a doc whose
+    * only blockers were erased.
+    */
+  private[graft] def mf4EraseSurvivors(
+      s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val econ = s.read.parquet(s"$root/econ")
+      .where($"doc_id" % 7 =!= 3)
+    val drops = s.read.parquet(s"$root/pairs")
+      .where($"a" % 7 =!= 3 && $"b" % 7 =!= 3)
+      .select($"b".as("doc_id")).distinct()
+    econ
+      .where($"fert_ppm" <= lit(2000000L))
+      .select($"doc_id", $"n_words", $"n_pieces")
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mf4Ledger(mf4EraseSurvivors(s, mf4ErasureState(s, d)))
+      .select($"shard", $"n_docs", $"min_step", $"max_step",
+        $"n_words", $"n_pieces")
+      .orderBy($"shard")
+  }
+
+  /** q326's oracle: the q322-v2 pipeline recomputed from scratch over
+    * the corpus WITHOUT the erased docs — the external half of the
+    * erase ≡ rebuild-without identity.
+    */
+  private val q326Sql: String = {
+    val ctes = mf4CtesOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+      "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)")
+    s"""$ctes,
+       |ranked AS (
+       |  SELECT doc_id, n_words, n_pieces,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY md5('mf4:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      - 1 AS step
+       |  FROM gated
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM pruned))
+       |SELECT step // 64 AS shard,
+       |  COUNT(*) AS n_docs, MIN(step) AS min_step, MAX(step) AS max_step,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+       |FROM ranked GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
 
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
@@ -1983,6 +2091,9 @@ object Text {
     // incremental maintenance of the v4 manifest: the oracle is the
     // FULL-corpus recompute — the green row IS merge ≡ rebuild
     QueryDef("q325_manifest_v4_incremental", q325, Some(q325Sql)),
+    // the DELETE half: erasure over persisted pair evidence; the
+    // oracle is the rebuild WITHOUT the erased docs
+    QueryDef("q326_manifest_erasure", q326, Some(q326Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

@@ -313,6 +313,73 @@ object Vectors {
       .limit(k)
   }
 
+  /** BULK ANN JOIN — the whole-table form of [[ivfTopK]]: every row of
+    * `queries` (qid, qe) gets its approximate cosine top-k from the IVF
+    * index in ONE distributed plan, the operator a batch retrieval /
+    * semantic-dedup / RAG-indexing pipeline needs when the query side
+    * is a TABLE, not a probe. No per-query driver collect anywhere:
+    * each query's `nProbe` cells come from the same codegen'd
+    * [[graft.functions.VectorExprs.vecTopCells]] kernel, the query is
+    * EXPLODED to (qid, cell) rows, and ONE join on `cell` routes each
+    * query to exactly the index slices it probes — co-partitioned with
+    * the index's `partitionBy(cell)` layout at corpus scale, so total
+    * work is Σ_q (probed-cell sizes), never |Q| × corpus. Per-query
+    * top-k is a PARTITIONED row_number window (WindowGroupLimit keeps
+    * it a streaming rank — plan-locked in Round17Spec). `nProbe =
+    * nCells` degenerates to the exact join, which is the spec's
+    * equivalence gate (PipelineSpec's single-probe device, bulk-ified).
+    */
+  def annJoin(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      cents: Array[Double],
+      nCells: Int,
+      nProbe: Int,
+      k: Int,
+      dims: Int = 64,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val probed = queries.withColumn(
+      "cell",
+      explode(graft.functions.VectorExprs
+        .vecTopCells(spark, col("qe"), cents, nCells, dims, nProbe)))
+    val scored = ivfIndex(embeddings, cents, nCells, dims)
+      .join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(spark, col("embedding"), col("qe")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Exact cosine top-k JOIN — the brute-force twin of [[annJoin]]
+    * (|Q| × corpus work; the recall gate's ground truth, not a serving
+    * path). Same tie rule: cosine desc, then vec_id.
+    */
+  private[graft] def exactJoinTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scored = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .join(queries)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(spark, col("embedding"), col("qe")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Product-quantization codebooks: the embedding space split into `m`
     * contiguous sub-spaces of `dims/m` dims, each with its own `k`-entry
     * codebook learned by plain (L2) Lloyd iterations over the SAME
@@ -1817,8 +1884,37 @@ object Vectors {
       |ORDER BY s.cell""".stripMargin
   }
 
+  /** q328: BULK ANN JOIN — [[annJoin]] registered: a query TABLE
+    * (every 41st vector) against the IVF index in one distributed
+    * plan, emitting each query's approximate top-k — the operator's
+    * natural output, and PURELY the serving side (no quadratic gate
+    * shape in the registered plan). No SQL oracle (centroid training
+    * is the eigensolve-class boundary); Round17Spec gates (a)
+    * nProbe = nCells ≡ [[exactJoinTopK]] row-for-row (the brute-force
+    * twin is the GATE cost, not a serving cost — the q313 argument,
+    * bulk-ified), (b) a recall floor at partial probes, (c) the probe
+    * really prunes (total candidates scored ≪ |Q| × corpus), and (d)
+    * the plan shape: the per-query top-k is a PARTITIONED
+    * WindowGroupLimit and the cell join is an equi-join (no nested
+    * loop anywhere).
+    */
+  private def q328(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val nCells = 16; val dims = 64; val k = 10; val nProbe = 4
+    val cents = ivfCentroids(emb, nCells, dims)
+    val queries = emb.where($"vec_id" % 41 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    annJoin(emb, queries, cents, nCells, nProbe, k, dims)
+      .orderBy($"qid", $"rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q296_kmeans_refresh", q296, Some(q296Sql)),
+    // bulk ANN join: approximate by construction — Round17Spec gates
+    // full-probe ≡ exact equivalence, the recall floor, and the
+    // WindowGroupLimit top-k plan shape
+    QueryDef("q328_ann_join", q328, None),
     // PCA: eigensolve is not SQL-expressible — Round14Spec gates the
     // scatter exactness, eigenpair residuals, and planted-axis recovery
     QueryDef("q274_pca_variance", q274, None),

@@ -3548,4 +3548,92 @@ object Streams {
     deleteStaged(root)
     out
   }
+
+  // ---- q327: live index compaction under serving ------------------------
+
+  /** q327: LIVE COMPACTION — q321's maintenance rewrite run while a
+    * serving stream is READING the store, the property that makes the
+    * verb safe to schedule in production: compaction writes a NEW
+    * store directory and publishes it with q323's metadata-pointer
+    * swap (a 1-row [[StoreLog]] commit), so the serving path never
+    * observes a half-rewritten store — phase 0 serves the fragmented
+    * layout, the rewrite runs with the stream LIVE, phase 1 serves the
+    * compacted layout after one pointer commit, and phase 2 ROLLS BACK
+    * to the fragmented original (still intact — compaction never
+    * mutates its input, so the old store stays serving-valid until a
+    * retention vacuum). All three phases are row-identical BM25 top-10
+    * because the rewrite preserves every posting bit-exactly; the
+    * oracle replays q167's full-corpus BM25 once per phase — a green
+    * row certifies both the zero-downtime swap AND the rewrite's
+    * bit-exactness from outside the engine. Scale: the rewrite is
+    * [[graft.ops.Corpus.compactPartitionedStore]]'s one hash shuffle
+    * (right-sized dirs skip), each canary tick reads only the pointer
+    * (1 row) plus the store the pointer names.
+    */
+  def streamLiveCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"cmp_$uuid")
+    val frag = root.resolve("frag").toString
+    val tidy = root.resolve("tidy").toString
+    graft.ops.Corpus.fragmentPostingsStore(spark, dir, frag)
+    val srcDir = root.resolve("src").toString
+    val pointer = new StoreLog(root.resolve("pointer"), "p")
+    val outLog = new StoreLog(root.resolve("out"), "b")
+    def setPointer(id: Long, path: String): Unit =
+      pointer.commit(id)(tmp => Seq(Tuple1(path)).toDF("path")
+        .coalesce(1).write.parquet(tmp.toString))
+    def stage(phase: Long): Unit =
+      Seq(Tuple1(phase)).toDF("phase").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    setPointer(1L, frag)
+    stage(0L)
+    val q = spark.readStream
+      .schema("phase LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val sp = batch.sparkSession
+        val phases = batch.collect().map(_.getLong(0)).toSeq.distinct.sorted
+        if (phases.nonEmpty) {
+          import sp.implicits._
+          // each tick serves from whatever store the pointer names NOW
+          val path = pointer.readLatest(sp).get.head.getString(0)
+          val served = graft.ops.Corpus.bm25FromPostings(
+            sp.read.parquet(path).select($"term", $"doc_id", $"tf"))
+            .orderBy($"bm25".desc, $"doc_id")
+            .limit(10)
+            .localCheckpoint()
+          val out = phases.map(p => served.withColumn("phase", lit(p)))
+            .reduce(_ unionByName _)
+          outLog.commit(id)(tmp =>
+            out.coalesce(1).write.parquet(tmp.toString))
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // MAINTENANCE, live: rewrite into a NEW directory, then publish
+      val (before, after, _) = graft.ops.Corpus.compactPartitionedStore(
+        spark, frag, tidy, "pb", "term", targetBytes = 256L * 1024)
+      require(after.files < before.files,
+        s"q327: compaction did not collapse files " +
+          s"(${before.files} -> ${after.files})")
+      setPointer(2L, tidy) // CUTOVER to the compacted store
+      stage(1L)
+      q.processAllAvailable()
+      setPointer(3L, frag) // ROLLBACK — the input store was never mutated
+      stage(2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = outLog.readMany(spark, outLog.versions()).get
+      .select($"phase", $"doc_id", $"bm25", $"n_qterms")
+      .orderBy($"phase", $"bm25".desc, $"doc_id")
+      .localCheckpoint()
+    deleteStaged(root)
+    out
+  }
 }

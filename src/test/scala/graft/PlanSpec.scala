@@ -261,10 +261,10 @@ class PlanSpec extends AnyFunSuite {
     // plan-construction time; its batch tail is covered by Round16Spec
     val skip = Set("q73_stream_hourly", "q92_stream_enrich",
       "q315_stream_foldin",
-      // q323 likewise RUNS its streaming cutover at construction; its
-      // batch tail (an RDD scan of the committed servings) is gated by
-      // Round17Spec's cold-start equality
-      "q323_serving_cutover")
+      // q323/q327 likewise RUN their streaming harnesses at
+      // construction; their batch tails (RDD scans of the committed
+      // servings) are gated by Round17Spec
+      "q323_serving_cutover", "q327_live_compaction")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
         val p = plan(q)

@@ -110,7 +110,8 @@ class Round17Spec extends AnyFunSuite {
     // and the gen_ generator family (locked by GenSpec/ScheduleSpec +
     // the source audit above)
     val skip = Set("q73_stream_hourly", "q92_stream_enrich",
-      "q315_stream_foldin", "q323_serving_cutover")
+      "q315_stream_foldin", "q323_serving_cutover",
+      "q327_live_compaction")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip)
       .flatMap { q =>
@@ -427,6 +428,178 @@ class Round17Spec extends AnyFunSuite {
         row_number().over(Window.orderBy($"v", $"id")).cast("long") - 1L)
       .select($"id", $"rk")
     assert(got.collect().toSet == want.collect().toSet)
+  }
+
+  // ---- q326: manifest erasure — the non-monotone DELETE half ----------
+
+  test("q326: erasure resurrects a doc whose only blocker was erased") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // fixture: 1 ~ 3 ~ 9 a near-dup cluster (lowest id 1 survives;
+    // 3, 9 dropped), 11 blocked ONLY by 3, 2 similar to nobody.
+    // Erasing {3} (doc_id % 7 == 3) must (a) remove 3 everywhere,
+    // (b) keep 9 dropped (1 still blocks it), (c) RESURRECT 11 —
+    // the case q325's monotone delta merge cannot express.
+    val dir = java.nio.file.Files.createTempDirectory("r17_era").toString
+    // the driver's tables are single parquet FILES (StoreGuard
+    // fingerprints them directly) — stage the dir write, keep the part
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      }
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+      streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
+    }
+    writeFile(Seq(1L, 2L, 3L, 9L, 11L)
+      .map(id => (id, "spark spark", "en", "fix", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "documents.parquet")
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](64); a(axis) = 1f; a
+    }
+    val v = (1.0 / math.sqrt(2)).toFloat
+    val mix = { val a = new Array[Float](64); a(0) = v; a(1) = v; a }
+    writeFile(Seq((1L, unit(0)), (9L, unit(0)), (3L, mix), (11L, unit(1)),
+        (2L, unit(2)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0)),
+      "embeddings.parquet")
+    val out = SparkEntry.queries("q326_manifest_erasure")(spark, dir)
+      .collect()
+    // survivors = {1, 2, 11}: one shard, dense steps, 2 words/doc
+    assert(out.map(_.toSeq).toSeq ==
+      Seq(Seq(0L, 3L, 0L, 2L, 6L, 6L)),
+      s"erasure ledger wrong: ${out.map(_.toSeq).toSeq}")
+    // the evidence store recorded every blocking pair
+    val root = ops.Text.mf4ErasureState(spark, dir)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (1L, 9L), (3L, 9L), (3L, 11L)),
+      s"pair evidence wrong: $pairs")
+    // pre-erasure drops were {3, 9, 11}; post-erasure exactly {9}
+    val survivors = ops.Text.mf4EraseSurvivors(spark, root)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 11L),
+      s"post-erasure survivors wrong: $survivors")
+  }
+
+  test("q326: erase path reads only the persisted state, never the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val d = "/root/testdata/sf0.01"
+    val root = ops.Text.mf4ErasureState(spark, d) // builds if absent
+    val frame = ops.Text.mf4EraseSurvivors(spark, root)
+    // sparkPlan, not executedPlan: the AQE wrapper hides the scans
+    // from collect()
+    val scans = frame.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty, "expected file scans of the state store")
+    assert(scans.forall(_.contains("mf4era")),
+      s"erase step scanned outside the state store: $scans")
+    // and it reprices nothing: the erased docs' rows simply leave the
+    // persisted econ table (state-side delete, not a recompute)
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val econ = spark.read.parquet(s"$root/econ")
+    assert(econ.count() == Tables.documents(spark, d).count(),
+      "state store must price the FULL corpus (erasure is a read filter)")
+  }
+
+  // ---- q327: compaction under a LIVE serving stream --------------------
+
+  test("q327: every phase of the live swap serves identical exact BM25") {
+    val rows = SparkEntry.queries("q327_live_compaction")(spark, sf)
+      .collect()
+    val byPhase = rows.groupBy(_.getLong(0))
+    assert(byPhase.keySet == Set(0L, 1L, 2L), s"phases: ${byPhase.keySet}")
+    // phase 0 = fragmented, 1 = compacted (cutover mid-stream),
+    // 2 = rollback to the (unmutated) fragmented original — all three
+    // row-identical, and identical to q167's direct full-corpus BM25
+    val phase = (p: Long) => byPhase(p).map(_.toSeq.drop(1)).toSet
+    assert(phase(0L) == phase(1L), "cutover changed the served rows")
+    assert(phase(1L) == phase(2L), "rollback changed the served rows")
+    val direct = SparkEntry.queries("q167_bm25_search")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(phase(0L) == direct, "served rows != direct corpus BM25")
+    assert(byPhase(0L).length == 10)
+  }
+
+  // ---- q328: bulk ANN join ---------------------------------------------
+
+  test("q328: full-probe ann join ≡ exact top-k join, row for row") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val cents = ops.Vectors.ivfCentroids(emb, nCells = 16)
+    val queries = emb.where($"vec_id" % 41 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val full = ops.Vectors
+      .annJoin(emb, queries, cents, nCells = 16, nProbe = 16, k = 10)
+      .select($"qid", $"vec_id", $"rn")
+      .collect().map(_.toSeq).toSet
+    val exact = ops.Vectors.exactJoinTopK(emb, queries, k = 10)
+      .select($"qid", $"vec_id", $"rn")
+      .collect().map(_.toSeq).toSet
+    assert(full == exact,
+      "nProbe = nCells did not degenerate to the exact join")
+  }
+
+  test("q328: partial probes hold a recall floor and actually prune") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val cents = ops.Vectors.ivfCentroids(emb, nCells = 16)
+    val queries = emb.where($"vec_id" % 41 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val nQ = queries.count()
+    val ann = SparkEntry.queries("q328_ann_join")(spark, d)
+    val exact = ops.Vectors.exactJoinTopK(emb, queries, k = 10)
+    val hits = ann.select($"qid", $"vec_id")
+      .join(exact.select($"qid", $"vec_id"), Seq("qid", "vec_id"))
+      .count()
+    // 4 of 16 cells probed: macro recall must beat random cell pickup
+    // by a wide margin (random would be ~25%)
+    val recall = hits.toDouble / (nQ * 10)
+    assert(recall >= 0.5, f"bulk ANN recall $recall%.2f below floor 0.5")
+    // the probe PRUNES: total candidates scored ≪ |Q| × corpus
+    val probed = queries.withColumn("cell",
+      explode(graft.functions.VectorExprs
+        .vecTopCells(spark, $"qe", cents, 16, 64, 4)))
+    val cand = ops.Vectors.ivfIndex(emb, cents, 16)
+      .join(probed, Seq("cell"))
+      .filter($"vec_id" =!= $"qid").count()
+    assert(cand < nQ * n / 2,
+      s"probe scored $cand of ${nQ * n} pairs — not pruning")
+  }
+
+  test("q328 plan: partitioned WindowGroupLimit top-k, no nested loop") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val d = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q328_ann_join")(spark, d)
+    // sparkPlan, not executedPlan: the AQE wrapper hides children
+    val plan = df.queryExecution.sparkPlan
+    val limits = plan.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.nonEmpty && limits.forall(_.partitionSpec.nonEmpty),
+      s"per-query top-k is not a partitioned WindowGroupLimit:\n$plan")
+    val global = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "global window in the ann join plan")
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in the serving plan:\n$p")
   }
 
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
