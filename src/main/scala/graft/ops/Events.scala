@@ -1033,6 +1033,24 @@ object Events {
       |FROM s3 LEFT JOIN s1 USING (user_id)
       |ORDER BY s3.user_id""".stripMargin
 
+  /** Oracle for streaming state erasure (q330): erased users
+    * (user_id % 97 == 13, tombstoned between arrival quarters 2 and 3)
+    * keep only quarters 3–4; everyone else keeps everything; an erased
+    * user whose whole history preceded the tombstone has no row.
+    */
+  private val q330Sql =
+    """WITH mx AS (SELECT MAX(event_id) + 1 AS m FROM events),
+      |e AS (
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    LEAST(3, event_id * 4 // mx.m) + 1 AS bkt
+      |  FROM events, mx)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM e
+      |WHERE user_id % 97 <> 13 OR bkt >= 3
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Oracle for the full-outer streaming attribution join (q126): the
     * equivalent batch FULL OUTER JOIN — matched pairs plus BOTH orphan
     * populations (clicks with no purchase in the following hour, and
@@ -3727,6 +3745,12 @@ object Events {
     QueryDef("q304_time_travel",
       (s, d) => graft.streaming.Streams.timeTravelDiff(s, d),
       Some(q304Sql)),
+    // Streaming state erasure: a mid-stream tombstone batch resets the
+    // erased users' keyed state in arrival order; the oracle replays
+    // the forget-then-continue semantics from the same range quarters.
+    QueryDef("q330_stream_erasure",
+      (s, d) => graft.streaming.Streams.streamStateErasure(s, d),
+      Some(q330Sql)),
     QueryDef("q101_cohort_retention", q101, Some(q101Sql)),
     // Dual-sink foreachBatch fanout under the oracle gate: the union of
     // the clean and quarantine sinks must hash-match one batch scan —

@@ -2176,6 +2176,72 @@ object Graph {
       .orderBy($"sppmi".desc, $"center", $"context")
   }
 
+  // ---- q329: training-statistic erasure (fold-out) --------------------
+
+  /** Build-if-absent FULL-corpus pair-count store — the persisted
+    * training statistic q329's erasure folds OUT of (the full twin of
+    * [[basePairStore]]'s history slice). Hash-distributed by center,
+    * the q177 store discipline.
+    */
+  private[graft] def fullPairStore(s: SparkSession, d: String): DataFrame = {
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "fullpairs", d, "lineitem.parquet")
+    StoreGuard.ensureBuilt(s, root) {
+      skipgramPairs(walkStore(s, d))
+        .repartition(8, col("center"))
+        .write.mode("overwrite").parquet(s"$root/pairs.parquet")
+    }
+    s.read.parquet(s"$root/pairs.parquet")
+  }
+
+  /** q329: TRAINING-STATISTIC ERASURE — the q326 erasure obligation
+    * applied to the EMBEDDING pipeline's persisted state: erase a node
+    * set (node % 23 == 7) from the SPPMI statistic without re-walking
+    * the graph or recounting the corpus. Pair counts are additive per
+    * (center, context) key, so erasure is a pure state-side FILTER of
+    * the persisted pair store (rows keyed by an erased node leave;
+    * every surviving count is untouched) — but the STATISTIC is
+    * non-local: the marginals and grand total shrink, so every
+    * surviving pair's SPPMI value moves, and entries can ENTER the
+    * positive matrix that the pre-erasure threshold suppressed
+    * (n·nn > shift·cc·cx can flip when nn/cc/cx lose the erased mass)
+    * — the renormalization a naive "delete the rows" erasure gets
+    * wrong, certified here exactly: the oracle recomputes the matrix
+    * from the raw corpus WITH the erased nodes filtered at the pair
+    * level (q299's SQL over the kept pairs), so the driver's green row
+    * IS fold-out ≡ rebuild-without. Downstream, the eigensolve
+    * consumes this frame through [[nodeEmbeddingsFromPairs]] — q312's
+    * seam — so the erased model is one retrain away, never a re-walk.
+    * Scale: the erase batch reads only the |V|²-bounded store; all
+    * arithmetic downstream of the filter is the q299 path.
+    */
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sppmi(fullPairStore(s, d)
+      .where($"center" % 23 =!= 7 && $"context" % 23 =!= 7), shift = 5)
+      .orderBy($"sppmi".desc, $"center", $"context")
+  }
+
+  private val q329Sql =
+    s"""WITH $walkCtes,
+      |$pairCte,
+      |kept AS (
+      |  SELECT * FROM pairs
+      |  WHERE center % 23 <> 7 AND context % 23 <> 7),
+      |marg AS (
+      |  SELECT center, context, n_pairs,
+      |    CAST(SUM(n_pairs) OVER (PARTITION BY center) AS BIGINT) AS cc,
+      |    CAST(SUM(n_pairs) OVER (PARTITION BY context) AS BIGINT) AS cx,
+      |    CAST(SUM(n_pairs) OVER () AS BIGINT) AS nn
+      |  FROM kept)
+      |SELECT center, context, n_pairs,
+      |  ROUND(LN(CAST(n_pairs AS DOUBLE) * CAST(nn AS DOUBLE) /
+      |    (CAST(cc AS DOUBLE) * CAST(cx AS DOUBLE) *
+      |     CAST(5 AS DOUBLE))), 6) AS sppmi
+      |FROM marg
+      |WHERE CAST(n_pairs AS HUGEINT) * nn > CAST(5 AS HUGEINT) * cc * cx
+      |ORDER BY sppmi DESC, center, context""".stripMargin
+
   // ---- q313: serve the trained vectors through the IVF index ---------
 
   /** Trained ∪ folded micro-vectors — FULL-corpus coverage in one
@@ -2483,6 +2549,9 @@ object Graph {
     // SPPMI matrix must hash-match DuckDB's full-corpus recompute, so
     // the oracle is q299's SQL verbatim (the q290/q143 device)
     QueryDef("q318_refresh_sppmi", q318, Some(q299Sql)),
+    // erasure fold-out of the persisted statistic: the oracle is the
+    // rebuild WITHOUT the erased nodes — renormalization certified
+    QueryDef("q329_sppmi_erasure", q329, Some(q329Sql)),
     // no SQL oracle (consumes the eigensolve + IVF internals);
     // Round16Spec gates recall floor, nProbe=nCells degeneracy, and
     // the partition-pruned probe scan

@@ -3549,6 +3549,137 @@ object Streams {
     out
   }
 
+  // ---- q330: streaming state erasure (GDPR tombstones) ------------------
+
+  private[graft] final case class EraseRow(
+      user_id: Long, ver: Long, n_events: Long, sum_cents: Long)
+
+  /** Keyed running (n_events, sum_cents) with TOMBSTONE handling: an
+    * input row flagged `tomb` resets the key's state to zero IN ORDER
+    * — contributions that arrived before the tombstone are forgotten,
+    * contributions after it accumulate fresh. One ValueState of two
+    * Longs per user; `ver` orders the Update-mode emissions for the
+    * read side's max_by snapshot (the PsiHistProcessor device).
+    */
+  final class EraseStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Boolean), EraseRow] {
+    @transient private var agg:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    @transient private var ver:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long, Boolean)],
+        tv: org.apache.spark.sql.streaming.TimerValues,
+    ): Iterator[EraseRow] = {
+      var (n, c) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { case (_, cents, tomb) =>
+        if (tomb) { n = 0L; c = 0L }
+        else { n += 1L; c += cents }
+      }
+      agg.update((n, c))
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v)
+      Iterator.single(EraseRow(key, v, n, c))
+    }
+  }
+
+  /** q330: STREAMING STATE ERASURE — the q326/q329 erasure obligation
+    * applied to LIVE state: an erasure command (a tombstone batch for
+    * user_id % 97 == 13) arrives MID-STREAM between arrival quarters 2
+    * and 3, the keyed state for those users is reset in arrival order,
+    * and the stream keeps running — post-tombstone contributions
+    * accumulate fresh while every other user's state is untouched.
+    * Same deterministic arrival device as q304 (event_id-range
+    * quarters, mtime-pinned trigger order), so "before the tombstone"
+    * is a pure function of the data and the ORACLE can replay the
+    * final state in SQL: erased users count only quarters 3–4, others
+    * count everything, users whose entire history preceded their
+    * tombstone disappear — the driver's green row certifies the
+    * forget-then-continue semantics end to end. Scale: state is two
+    * Longs per user; the tombstone batch is |erased users| rows; no
+    * replay, no rebuild — the q199 cascade for streaming aggregates.
+    */
+  def streamStateErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsLong = eventsTsIsLong(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"gdpr_$uuid")
+    val srcDir = root.resolve("src")
+    val raw = spark.read.schema(eventsSchema(tsLong))
+      .parquet(s"$dir/events.parquet")
+      .select($"event_id", $"user_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+    val maxId = raw.agg(max($"event_id")).as[Long].collect().head
+    val ev = raw.withColumn("bkt",
+      expr(s"least(3L, (event_id * 4) DIV ${maxId + 1}L) + 1L"))
+    java.nio.file.Files.createDirectories(srcDir)
+    def stage(df: DataFrame, seq: Int): Unit = {
+      val tmp = root.resolve(s"stage$seq")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(tmp)) { fs =>
+        import scala.jdk.CollectionConverters._
+        fs.iterator().asScala.find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.get
+      }
+      val dst = srcDir.resolve(s"b$seq.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
+          seq * 60000L))
+      deleteStaged(tmp)
+    }
+    def quarter(k: Int) = ev.filter($"bkt" === k)
+      .select($"user_id", $"cents", lit(false).as("tomb"))
+    stage(quarter(1), 1)
+    stage(quarter(2), 2)
+    // the erasure command batch: one tombstone per erased user
+    stage(ev.where($"user_id" % 97 === 13)
+      .select($"user_id").distinct()
+      .select($"user_id", lit(0L).as("cents"), lit(true).as("tomb")), 3)
+    stage(quarter(3), 4)
+    stage(quarter(4), 5)
+    withRocksDbStore(spark) { withFewStatePartitions(spark) {
+      implicit val outEnc = Encoders.product[EraseRow]
+      val updates = spark.readStream
+        .schema("user_id LONG, cents LONG, tomb BOOLEAN")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .as[(Long, Long, Boolean)]
+        .groupByKey(_._1)
+        .transformWithState(new EraseStateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val out = runToParquet(updates.toDF(), OutputMode.Update)
+      // snapshot = each user's LAST update; a user fully forgotten
+      // (tombstoned with no later events) ends at zero and leaves
+      val fin = spark.read.parquet(out)
+        .groupBy($"user_id")
+        .agg(expr("max_by(n_events, ver)").as("n_events"),
+          expr("max_by(sum_cents, ver)").as("sum_cents"))
+        .filter($"n_events" > 0L)
+        .orderBy($"user_id")
+        .localCheckpoint()
+      deleteStaged(root)
+      deleteStaged(java.nio.file.Paths.get(out))
+      fin
+    } }
+  }
+
   // ---- q327: live index compaction under serving ------------------------
 
   /** q327: LIVE COMPACTION — q321's maintenance rewrite run while a

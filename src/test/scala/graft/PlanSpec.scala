@@ -264,7 +264,8 @@ class PlanSpec extends AnyFunSuite {
       // q323/q327 likewise RUN their streaming harnesses at
       // construction; their batch tails (RDD scans of the committed
       // servings) are gated by Round17Spec
-      "q323_serving_cutover", "q327_live_compaction")
+      "q323_serving_cutover", "q327_live_compaction",
+      "q330_stream_erasure")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
         val p = plan(q)

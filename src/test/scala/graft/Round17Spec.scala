@@ -16,6 +16,22 @@ class Round17Spec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** The driver's tables are single parquet FILES (StoreGuard
+    * fingerprints them directly) — stage the dir write, keep the part.
+    */
+  private def writeSingleParquet(
+      df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val tmp = dest + "_tmp"
+    df.coalesce(1).write.parquet(tmp)
+    val part = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dest))
+    streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
+  }
+
   // ---- layer 1: source audit of global-window constructors -----------
 
   test("source audit: global windows only at audited bounded-frame sites") {
@@ -111,7 +127,7 @@ class Round17Spec extends AnyFunSuite {
     // the source audit above)
     val skip = Set("q73_stream_hourly", "q92_stream_enrich",
       "q315_stream_foldin", "q323_serving_cutover",
-      "q327_live_compaction")
+      "q327_live_compaction", "q330_stream_erasure")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip)
       .flatMap { q =>
@@ -442,32 +458,20 @@ class Round17Spec extends AnyFunSuite {
     // (b) keep 9 dropped (1 still blocks it), (c) RESURRECT 11 —
     // the case q325's monotone delta merge cannot express.
     val dir = java.nio.file.Files.createTempDirectory("r17_era").toString
-    // the driver's tables are single parquet FILES (StoreGuard
-    // fingerprints them directly) — stage the dir write, keep the part
-    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = s"$dir/_tmp_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = scala.util.Using.resource(
-        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
-        import scala.jdk.CollectionConverters._
-        l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-      }
-      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
-      streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
-    }
-    writeFile(Seq(1L, 2L, 3L, 9L, 11L)
+    writeSingleParquet(Seq(1L, 2L, 3L, 9L, 11L)
       .map(id => (id, "spark spark", "en", "fix", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "documents.parquet")
+      s"$dir/documents.parquet")
     def unit(axis: Int): Array[Float] = {
       val a = new Array[Float](64); a(axis) = 1f; a
     }
     val v = (1.0 / math.sqrt(2)).toFloat
     val mix = { val a = new Array[Float](64); a(0) = v; a(1) = v; a }
-    writeFile(Seq((1L, unit(0)), (9L, unit(0)), (3L, mix), (11L, unit(1)),
+    writeSingleParquet(
+      Seq((1L, unit(0)), (9L, unit(0)), (3L, mix), (11L, unit(1)),
         (2L, unit(2)))
       .toDF("vec_id", "embedding").withColumn("label", lit(0)),
-      "embeddings.parquet")
+      s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("q326_manifest_erasure")(spark, dir)
       .collect()
     // survivors = {1, 2, 11}: one shard, dense steps, 2 words/doc
@@ -600,6 +604,126 @@ class Round17Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join shape in the serving plan:\n$p")
+  }
+
+  // ---- q329: training-statistic erasure (fold-out) ---------------------
+
+  test("q329: erasure renormalizes the statistic, erased nodes leave") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val era = SparkEntry.queries("q329_sppmi_erasure")(spark, d).collect()
+    assert(era.nonEmpty)
+    // erased nodes appear in NEITHER column
+    assert(era.forall(r =>
+      r.getLong(0) % 23 != 7 && r.getLong(1) % 23 != 7),
+      "erased node survived in the folded-out matrix")
+    // the statistic is NON-LOCAL: surviving pairs' values must move —
+    // deleting only the erased rows without renormalizing would keep
+    // q299's values verbatim
+    val full = SparkEntry.queries("q299_shifted_ppmi")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val moved = era.count { r =>
+      full.get((r.getLong(0), r.getLong(1)))
+        .exists(_ != r.getDouble(3))
+    }
+    assert(moved > 0,
+      "no surviving sppmi value moved — erasure did not renormalize")
+    // the erase step reads ONLY the persisted pair store
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val kept = ops.Graph.fullPairStore(spark, d)
+      .where($"center" % 23 =!= 7 && $"context" % 23 =!= 7)
+    val scans = kept.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("fullpairs")),
+      s"erase step scanned outside the pair store: $scans")
+  }
+
+  test("q329: erasure can flip an entry INTO the positive matrix") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // planted counts: (1,2) is UNDER-represented while erased node 7's
+    // mass inflates nn and cc(1); after the fold-out the same count is
+    // over-represented and crosses the shift threshold — the
+    // renormalization a naive row-delete erasure misses
+    val pairs = Seq(
+      (1L, 2L, 4L),   // the entry that must ENTER
+      (1L, 7L, 96L),  // erased mass attached to center 1
+      (5L, 6L, 100L), // unrelated background mass
+    ).toDF("center", "context", "n_pairs")
+    def positives(p: org.apache.spark.sql.DataFrame) =
+      ops.Graph.sppmi(p, shift = 5)
+        .select($"center", $"context")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = positives(pairs)
+    val after = positives(
+      pairs.where($"center" % 23 =!= 7 && $"context" % 23 =!= 7))
+    assert(!before.contains((1L, 2L)),
+      s"fixture broken: (1,2) already positive before erasure: $before")
+    assert(after.contains((1L, 2L)),
+      s"(1,2) did not enter the positive matrix after erasure: $after")
+  }
+
+  // ---- q330: streaming state erasure ------------------------------------
+
+  test("q330: tombstones forget in arrival order; batch identity holds") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q330_stream_erasure")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in-repo twin of the oracle: batch replay of forget-then-continue
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"user_id",
+        expr("CAST(ROUND(value * 100) AS LONG)").as("cents"))
+    val m = ev.agg(max($"event_id")).collect()(0).getLong(0) + 1
+    val want = ev
+      .withColumn("bkt", expr(s"least(3L, (event_id * 4) DIV ${m}L) + 1L"))
+      .where($"user_id" % 97 =!= 13 || $"bkt" >= 3)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet, "stream erasure != batch replay")
+    // the erased users genuinely lost history: their streamed counts
+    // are strictly below their full-history counts
+    val fullCnt = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .where($"user_id" % 97 === 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCnt = got.map(t => t._1 -> t._2).toMap
+    assert(fullCnt.nonEmpty, "no erased users at this SF")
+    for ((u, n) <- fullCnt)
+      assert(gotCnt.getOrElse(u, 0L) < n,
+        s"erased user $u kept its full history")
+  }
+
+  test("q330 fixture: a fully-forgotten user leaves no row") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // ids 0..7 → quarters (id DIV 2)+1. user 13: quarters 1-2 only →
+    // fully forgotten; user 110 (also ≡13 mod 97): quarters 1+4 →
+    // forget-then-continue; user 5: untouched
+    val dir = java.nio.file.Files.createTempDirectory("r17_gdpr").toString
+    val rows = Seq(
+      (0L, 13L, 1.0), (2L, 13L, 1.0),
+      (1L, 110L, 0.5), (7L, 110L, 0.7),
+      (3L, 5L, 0.1), (6L, 5L, 0.2))
+    writeSingleParquet(
+      rows.map { case (id, u, v) =>
+        (id, id * 1000000000L, u, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/events.parquet")
+    val got = SparkEntry.queries("q330_stream_erasure")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((5L, 2L, 30L), (110L, 1L, 70L)),
+      s"fixture semantics wrong: $got")
   }
 
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
