@@ -1595,10 +1595,15 @@ object Corpus {
       .agg(sum($"score").as("bm25"), count(lit(1)).as("n_qterms"))
   }
 
-  private val q167Sql =
-    """WITH toks AS (
+  /** q167's BM25 SQL over an arbitrary documents relation — the base
+    * table for q167/q275/q321/q327, the erasure-reduced subquery for
+    * q331 (whose oracle must renormalize df/N/avglen over the kept
+    * corpus).
+    */
+  private def q167SqlOver(docsRel: String) =
+    s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
+      |  FROM $docsRel),
       |posting AS (
       |  SELECT doc_id, term, COUNT(*) AS tf
       |  FROM toks GROUP BY doc_id, term),
@@ -1608,7 +1613,7 @@ object Corpus {
       |  SELECT COUNT(*) AS n_docs,
       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
       |      AS BIGINT) AS tot_toks
-      |  FROM documents),
+      |  FROM $docsRel),
       |qterms AS (
       |  SELECT term, (1000000 * n_docs) // df AS idf_ppm,
       |    n_docs, tot_toks
@@ -1627,6 +1632,15 @@ object Corpus {
       |  COUNT(*) AS n_qterms
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  private val q167Sql = q167SqlOver("documents")
+
+  /** q331's oracle: q167's BM25 recomputed from scratch over the
+    * corpus WITHOUT the erased docs — df, N, and avglen all
+    * renormalize, the external half of the index-erasure identity.
+    */
+  private val q331Sql =
+    q167SqlOver("(SELECT * FROM documents WHERE doc_id % 9 <> 4)")
 
   /** q327's oracle: q167's full-corpus BM25 replayed once per canary
     * phase — every phase of the live swap must serve the same exact
@@ -2886,6 +2900,53 @@ object Corpus {
       .limit(10)
   }
 
+  // ---- q331: retrieval-index erasure ----------------------------------
+
+  /** Build-if-absent FULL-corpus posting store — the persisted index
+    * state q331's erasure filters (hash-distributed by term, the q275
+    * layout; keyed on source freshness through [[StoreGuard]]).
+    */
+  private[graft] def fullPostingStore(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = StoreGuard.storeRoot(s, "target/stage_corpus",
+      "fullpostings", d, "documents.parquet")
+    StoreGuard.ensureBuilt(s, root) {
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"))
+        .repartition($"term")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/postings")
+    }
+    s.read.parquet(s"$root/postings")
+  }
+
+  /** q331: RETRIEVAL-INDEX ERASURE — the erasure family (q326 manifest,
+    * q329 statistic, q330 stream state) applied to the SEARCH INDEX:
+    * erase docs (doc_id % 9 == 4) from the persisted posting store
+    * without re-tokenizing anything. Postings are additive per
+    * (term, doc_id), so erasure is a state-side anti-filter — but the
+    * SCORER renormalizes: document frequencies, N, and the average
+    * length all shrink, so surviving docs' BM25 scores move and the
+    * query-term selection itself (top df) can change. The oracle is
+    * q167's SQL over the corpus WITHOUT the erased docs — a green row
+    * proves the filtered index serves exactly what a from-scratch
+    * rebuild on the reduced corpus would serve (erase ≡
+    * rebuild-without at the retrieval layer). Scale: the erase reads
+    * only the posting store (term-partitioned, delta-sized filter);
+    * the scorer's corpus stats reduce from the postings, never from
+    * raw text.
+    */
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bm25FromPostings(
+      fullPostingStore(s, d).where($"doc_id" % 9 =!= 4))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(10)
+  }
+
   // ---- q319: resumable deterministic data order ----------------------
 
   /** q319: RESUMABLE DATA ORDER — the dataloader contract between the
@@ -3082,6 +3143,9 @@ object Corpus {
     QueryDef("q327_live_compaction",
       (s, d) => graft.streaming.Streams.streamLiveCompaction(s, d),
       Some(q327Sql)),
+    // index erasure: state-side posting filter, oracle = BM25 rebuilt
+    // from the reduced corpus — df/N/avglen renormalization certified
+    QueryDef("q331_index_erasure", q331, Some(q331Sql)),
     QueryDef("q272_ir_metrics", q272, Some(q272Sql)),
     QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
     QueryDef("q271_nb_classifier", q271, Some(q271Sql)),

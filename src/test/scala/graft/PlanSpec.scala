@@ -238,7 +238,7 @@ class PlanSpec extends AnyFunSuite {
       // window) — every sppmi consumer inherits the 1-row cross
       "q299_shifted_ppmi", "q300_node_embeddings",
       "q308_embedding_foldin", "q312_embedding_refresh",
-      "q318_refresh_sppmi",
+      "q318_refresh_sppmi", "q329_sppmi_erasure",
       // q313 additionally broadcasts the 8-row probe set against the
       // cell-pruned index scan (array_contains join — bounded dim)
       "q313_trained_ann_serving",
@@ -253,8 +253,9 @@ class PlanSpec extends AnyFunSuite {
       "q164_asof_dimension", "q210_bitemporal_asof", "q287_kcore",
       "q258_pmi_collocations", "q320_registry_serving",
       // q321 serves q275's BM25 (same 1-row corpus-stats cross) from
-      // the compacted store
-      "q321_index_compaction")
+      // the compacted store; q331 serves it from the erasure-filtered
+      // posting store
+      "q321_index_compaction", "q331_index_erasure")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at

@@ -726,6 +726,39 @@ class Round17Spec extends AnyFunSuite {
       s"fixture semantics wrong: $got")
   }
 
+  // ---- q331: retrieval-index erasure -----------------------------------
+
+  test("q331: index erasure renormalizes BM25, erased docs leave") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val era = SparkEntry.queries("q331_index_erasure")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(era.nonEmpty)
+    assert(era.forall(_._1 % 9 != 4), "erased doc served from the index")
+    // the scorer renormalized: at least one doc served by BOTH the
+    // full and the reduced index must carry a DIFFERENT score (df, N,
+    // avglen all shrank) — a naive row-delete that kept q167's
+    // constants would score survivors identically
+    val full = SparkEntry.queries("q167_bm25_search")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shared = era.filter { case (id, _) => full.contains(id) }
+    assert(shared.nonEmpty, "no shared docs between full/reduced top-10")
+    assert(shared.exists { case (id, s) => full(id) != s },
+      "no shared doc re-scored — index erasure did not renormalize")
+    // the erase step reads ONLY the persisted posting store
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val kept = ops.Corpus.fullPostingStore(spark, d)
+      .where($"doc_id" % 9 =!= 4)
+    val scans = kept.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("fullpostings")),
+      s"erase step scanned outside the posting store: $scans")
+  }
+
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
