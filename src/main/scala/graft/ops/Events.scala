@@ -162,11 +162,8 @@ object Events {
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(col("day_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-    val lp = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/stage_events/backfill_" + Scale.bucketTag(
-      s"$d:${st.getModificationTime}:${st.getLen}:partial3")
+    val root = StoreGuard.storeRoot(s, "target/stage_events",
+      "backfill", d, "events.parquet", "partial3")
     StoreGuard.ensureBuilt(s, root) {
       rollup(ev.filter(!($"day_id" === restatedDay &&
           $"event_id" % 3 === 0L)))

@@ -205,15 +205,13 @@ object Graph {
   private[graft] def coPurchaseEdges(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // the store key folds in the source's (mtime, length) so a
+    // the store key folds in the source's (mtime, length, content
+    // fingerprint — StoreGuard's shared recipe, r17 migration) so a
     // regenerated testdata dir can never serve a stale graph — the
     // completion marker proves the build finished, the key proves it
     // was built from THIS source
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "edges", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
       val li = Tables
         .lineitem(s, d)
@@ -472,15 +470,12 @@ object Graph {
     * (modularity) and q307 (embedding evaluation) — a labeling is a
     * derived ARTIFACT, not a per-query subplan (the walk-corpus
     * discipline), and LPA's deterministic fixed sweep count is what
-    * makes the store rebuildable: same graph, same labels. Key folds
-    * source mtime+length.
+    * makes the store rebuildable: same graph, same labels. Keyed via
+    * StoreGuard's shared freshness recipe.
     */
   private[graft] def lpaStore(s: SparkSession, d: String): DataFrame = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/lpa_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "lpa", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
       import s.implicits._
       val und = coPurchaseEdges(s, d)
@@ -1129,13 +1124,9 @@ object Graph {
     * [[coPurchaseEdges]] the key folds in the source's (mtime, length)
     * so regenerated testdata can never serve a stale snapshot.
     */
-  private def q290StoreRoot(s: SparkSession, d: String): String = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    "target/graft_graph_store/inc_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}:$incCut")
-  }
+  private def q290StoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "inc", d, "lineitem.parquet", s"$incCut")
 
   /** q290: INCREMENTAL TRIANGLE COUNTING — graph-metric maintenance as
     * a PIPELINE, the q177/q182/q184/q260 incremental-store discipline
@@ -1579,14 +1570,12 @@ object Graph {
     * co-purchase graph) shared by q297 and q298 — a corpus is STORAGE,
     * not a per-query subplan (the co-purchase-store discipline), and
     * the determinism of the walks is exactly what makes the store
-    * rebuildable: same graph, same bytes. Key folds source mtime+length.
+    * rebuildable: same graph, same bytes. Keyed via StoreGuard's
+    * shared freshness recipe (mtime, length, content fingerprint).
     */
   private[graft] def walkStore(s: SparkSession, d: String): DataFrame = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/walks_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "walks", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
       randomWalks(coPurchaseEdges(s, d),
         nSeeds = 64, walksPerSeed = 4, len = 8)
@@ -1899,15 +1888,12 @@ object Graph {
     * the canonical derived ARTIFACT of this whole family (nobody
     * retrains per lookup), and the trainer's end-to-end determinism
     * (integer vocab cut, sign-fixed Jacobi) is what makes the store
-    * rebuildable: same corpus, same vectors. Key folds source
-    * mtime+length.
+    * rebuildable: same corpus, same vectors. Keyed via StoreGuard's
+    * shared freshness recipe.
     */
   private[graft] def embeddingStore(s: SparkSession, d: String): DataFrame = {
-    val lp = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val st = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(lp)
-    val root = "target/graft_graph_store/emb_" +
-      Scale.bucketTag(s"$d:${st.getModificationTime}:${st.getLen}")
+    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "emb", d, "lineitem.parquet")
     StoreGuard.ensureBuilt(s, root) {
       nodeEmbeddings(walkStore(s, d), dim = 8)
         // bounded artifact: ≤ vocabCap rows by the eigensolve's own
@@ -2129,7 +2115,8 @@ object Graph {
   /** Build-if-absent base pair-count store over the HISTORY slice of
     * the walk corpus (walk_id % 4 != 3) — the persisted count state a
     * production refresh folds deltas into. Key folds source
-    * mtime+length (the embeddingStore discipline).
+    * freshness via StoreGuard's shared recipe (the embeddingStore
+    * discipline).
     */
   private[graft] def basePairStore(s: SparkSession, d: String): DataFrame = {
     val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
