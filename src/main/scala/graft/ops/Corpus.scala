@@ -2906,11 +2906,14 @@ object Corpus {
     * state q331's erasure filters (hash-distributed by term, the q275
     * layout; keyed on source freshness through [[StoreGuard]]).
     */
+  private def fullPostingStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/stage_corpus",
+      "fullpostings", d, "documents.parquet")
+
   private[graft] def fullPostingStore(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = StoreGuard.storeRoot(s, "target/stage_corpus",
-      "fullpostings", d, "documents.parquet")
+    val root = fullPostingStoreRoot(s, d)
     StoreGuard.ensureBuilt(s, root) {
       Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -2923,11 +2926,32 @@ object Corpus {
     s.read.parquet(s"$root/postings")
   }
 
+  /** q331's PHYSICAL erase: rewrite the posting store minus the erased
+    * docs' rows (build-if-absent sibling dir) — the index itself
+    * forgets; Round17Spec asserts zero erased rows on disk.
+    */
+  private[graft] def erasedPostingStore(
+      s: SparkSession, d: String): DataFrame = {
+    val root = fullPostingStoreRoot(s, d)
+    fullPostingStore(s, d) // ensure the base state exists
+    val erased = s"$root/erased"
+    StoreGuard.ensureBuilt(s, erased) {
+      s.read.parquet(s"$root/postings")
+        .where(col("doc_id") % 9 =!= 4)
+        .repartition(col("term"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$erased/postings")
+    }
+    s.read.parquet(s"$erased/postings")
+  }
+
   /** q331: RETRIEVAL-INDEX ERASURE — the erasure family (q326 manifest,
     * q329 statistic, q330 stream state) applied to the SEARCH INDEX:
     * erase docs (doc_id % 9 == 4) from the persisted posting store
     * without re-tokenizing anything. Postings are additive per
-    * (term, doc_id), so erasure is a state-side anti-filter — but the
+    * (term, doc_id), so erasure is a state-side REWRITE (the erased
+    * rows physically leave the index — the store itself forgets) — but
+    * the
     * SCORER renormalizes: document frequencies, N, and the average
     * length all shrink, so surviving docs' BM25 scores move and the
     * query-term selection itself (top df) can change. The oracle is
@@ -2941,8 +2965,7 @@ object Corpus {
     */
   private def q331(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bm25FromPostings(
-      fullPostingStore(s, d).where($"doc_id" % 9 =!= 4))
+    bm25FromPostings(erasedPostingStore(s, d))
       .orderBy($"bm25".desc, $"doc_id")
       .limit(10)
   }

@@ -2170,9 +2170,12 @@ object Graph {
     * [[basePairStore]]'s history slice). Hash-distributed by center,
     * the q177 store discipline.
     */
-  private[graft] def fullPairStore(s: SparkSession, d: String): DataFrame = {
-    val root = StoreGuard.storeRoot(s, "target/graft_graph_store",
+  private def fullPairStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/graft_graph_store",
       "fullpairs", d, "lineitem.parquet")
+
+  private[graft] def fullPairStore(s: SparkSession, d: String): DataFrame = {
+    val root = fullPairStoreRoot(s, d)
     StoreGuard.ensureBuilt(s, root) {
       skipgramPairs(walkStore(s, d))
         .repartition(8, col("center"))
@@ -2185,9 +2188,10 @@ object Graph {
     * applied to the EMBEDDING pipeline's persisted state: erase a node
     * set (node % 23 == 7) from the SPPMI statistic without re-walking
     * the graph or recounting the corpus. Pair counts are additive per
-    * (center, context) key, so erasure is a pure state-side FILTER of
-    * the persisted pair store (rows keyed by an erased node leave;
-    * every surviving count is untouched) — but the STATISTIC is
+    * (center, context) key, so erasure is a pure state-side REWRITE of
+    * the persisted pair store (rows keyed by an erased node physically
+    * leave the disk — the state itself forgets; every surviving count
+    * is untouched) — but the STATISTIC is
     * non-local: the marginals and grand total shrink, so every
     * surviving pair's SPPMI value moves, and entries can ENTER the
     * positive matrix that the pre-erasure threshold suppressed
@@ -2202,10 +2206,27 @@ object Graph {
     * Scale: the erase batch reads only the |V|²-bounded store; all
     * arithmetic downstream of the filter is the q299 path.
     */
+  /** q329's PHYSICAL erase: rewrite the pair store minus every row
+    * keyed by an erased node (build-if-absent sibling dir) — the state
+    * itself forgets; Round17Spec asserts zero erased rows on disk.
+    */
+  private[graft] def erasedPairStore(
+      s: SparkSession, d: String): DataFrame = {
+    val root = fullPairStoreRoot(s, d)
+    fullPairStore(s, d) // ensure the base state exists
+    val erased = s"$root/erased"
+    StoreGuard.ensureBuilt(s, erased) {
+      s.read.parquet(s"$root/pairs.parquet")
+        .where(col("center") % 23 =!= 7 && col("context") % 23 =!= 7)
+        .repartition(8, col("center"))
+        .write.mode("overwrite").parquet(s"$erased/pairs.parquet")
+    }
+    s.read.parquet(s"$erased/pairs.parquet")
+  }
+
   private def q329(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    sppmi(fullPairStore(s, d)
-      .where($"center" % 23 =!= 7 && $"context" % 23 =!= 7), shift = 5)
+    sppmi(erasedPairStore(s, d), shift = 5)
       .orderBy($"sppmi".desc, $"center", $"context")
   }
 

@@ -1239,21 +1239,35 @@ object Text {
     root
   }
 
-  /** q326's erase step: the post-erasure shipped set, computed ONLY
-    * from the persisted state at `root` — no document is re-priced, no
-    * vector re-scored (Round17Spec walks this frame's file scans: all
-    * under the store root). The erased doc's rows leave `econ`; the
-    * drop set is re-derived from the pair evidence with both sides
-    * restricted to survivors, which is what RESURRECTS a doc whose
+  /** q326's erase step — PHYSICAL: the erasure batch (doc_id % 7 == 3)
+    * REWRITES the state store (build-if-absent sibling dirs under the
+    * same root): the erased docs' rows leave `econ` on disk, and every
+    * evidence pair touching an erased doc leaves `pairs` on disk — the
+    * store itself forgets, which is what right-to-be-forgotten means
+    * (a read-time filter would retain the erased rows; Round17Spec
+    * asserts ZERO erased rows in the rewritten store). No document is
+    * re-priced, no vector re-scored — the rewrite reads only the
+    * persisted state (Round17Spec walks the survivor frame's file
+    * scans: all under the store root). The drop set is re-derived from
+    * the surviving pair evidence, which is what RESURRECTS a doc whose
     * only blockers were erased.
     */
   private[graft] def mf4EraseSurvivors(
       s: SparkSession, root: String): DataFrame = {
     import s.implicits._
-    val econ = s.read.parquet(s"$root/econ")
-      .where($"doc_id" % 7 =!= 3)
-    val drops = s.read.parquet(s"$root/pairs")
-      .where($"a" % 7 =!= 3 && $"b" % 7 =!= 3)
+    val erased = s"$root/erased"
+    StoreGuard.ensureBuilt(s, erased) {
+      s.read.parquet(s"$root/econ")
+        .where($"doc_id" % 7 =!= 3)
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$erased/econ")
+      s.read.parquet(s"$root/pairs")
+        .where($"a" % 7 =!= 3 && $"b" % 7 =!= 3)
+        .repartition(8, col("b"))
+        .write.mode("overwrite").parquet(s"$erased/pairs")
+    }
+    val econ = s.read.parquet(s"$erased/econ")
+    val drops = s.read.parquet(s"$erased/pairs")
       .select($"b".as("doc_id")).distinct()
     econ
       .where($"fert_ppm" <= lit(2000000L))

@@ -505,14 +505,23 @@ class Round17Spec extends AnyFunSuite {
     assert(scans.nonEmpty, "expected file scans of the state store")
     assert(scans.forall(_.contains("mf4era")),
       s"erase step scanned outside the state store: $scans")
-    // and it reprices nothing: the erased docs' rows simply leave the
-    // persisted econ table (state-side delete, not a recompute)
+    // and it reprices nothing: the base state prices the FULL corpus
+    // once; the erase batch only rewrites it
     import org.apache.spark.sql.functions._
     val s = spark
     import s.implicits._
     val econ = spark.read.parquet(s"$root/econ")
     assert(econ.count() == Tables.documents(spark, d).count(),
-      "state store must price the FULL corpus (erasure is a read filter)")
+      "base state must price the FULL corpus (erasure rewrites it)")
+    // PHYSICAL forgetting: the rewritten store holds ZERO erased rows —
+    // a read-time filter that retained them would fail GDPR's actual
+    // obligation
+    assert(spark.read.parquet(s"$root/erased/econ")
+      .where($"doc_id" % 7 === 3).count() == 0,
+      "erased docs still priced in the rewritten econ store")
+    assert(spark.read.parquet(s"$root/erased/pairs")
+      .where($"a" % 7 === 3 || $"b" % 7 === 3).count() == 0,
+      "erased docs still present in the rewritten pair evidence")
   }
 
   // ---- q327: compaction under a LIVE serving stream --------------------
@@ -631,16 +640,18 @@ class Round17Spec extends AnyFunSuite {
     }
     assert(moved > 0,
       "no surviving sppmi value moved — erasure did not renormalize")
-    // the erase step reads ONLY the persisted pair store
+    // the erase step reads ONLY the persisted pair store, and the
+    // rewritten store PHYSICALLY forgot the erased nodes
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val kept = ops.Graph.fullPairStore(spark, d)
-      .where($"center" % 23 =!= 7 && $"context" % 23 =!= 7)
+    val kept = ops.Graph.erasedPairStore(spark, d)
     val scans = kept.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",")
     }
     assert(scans.nonEmpty && scans.forall(_.contains("fullpairs")),
       s"erase step scanned outside the pair store: $scans")
+    assert(kept.where($"center" % 23 === 7 || $"context" % 23 === 7)
+      .count() == 0, "erased nodes still on disk in the pair store")
   }
 
   test("q329: erasure can flip an entry INTO the positive matrix") {
@@ -747,16 +758,18 @@ class Round17Spec extends AnyFunSuite {
     assert(shared.nonEmpty, "no shared docs between full/reduced top-10")
     assert(shared.exists { case (id, s) => full(id) != s },
       "no shared doc re-scored — index erasure did not renormalize")
-    // the erase step reads ONLY the persisted posting store
+    // the erase step reads ONLY the persisted posting store, and the
+    // rewritten index PHYSICALLY forgot the erased docs
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val kept = ops.Corpus.fullPostingStore(spark, d)
-      .where($"doc_id" % 9 =!= 4)
+    val kept = ops.Corpus.erasedPostingStore(spark, d)
     val scans = kept.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",")
     }
     assert(scans.nonEmpty && scans.forall(_.contains("fullpostings")),
       s"erase step scanned outside the posting store: $scans")
+    assert(kept.where($"doc_id" % 9 === 4).count() == 0,
+      "erased docs still on disk in the posting store")
   }
 
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
