@@ -2906,7 +2906,7 @@ object Corpus {
     * state q331's erasure filters (hash-distributed by term, the q275
     * layout; keyed on source freshness through [[StoreGuard]]).
     */
-  private def fullPostingStoreRoot(s: SparkSession, d: String): String =
+  private[graft] def fullPostingStoreRoot(s: SparkSession, d: String): String =
     StoreGuard.storeRoot(s, "target/stage_corpus",
       "fullpostings", d, "documents.parquet")
 
@@ -2927,21 +2927,26 @@ object Corpus {
   }
 
   /** q331's PHYSICAL erase: rewrite the posting store minus the erased
-    * docs' rows (build-if-absent sibling dir) — the index itself
-    * forgets; Round17Spec asserts zero erased rows on disk.
+    * docs' rows into a build-if-absent sibling, then VACUUM the
+    * superseded pre-erasure index (crash-safe: the erased store's
+    * marker lands before the vacuum, and the vacuum is idempotent) —
+    * the index itself forgets; Round17Spec asserts zero erased rows on
+    * disk and the vacuumed base.
     */
   private[graft] def erasedPostingStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPostingStoreRoot(s, d)
-    fullPostingStore(s, d) // ensure the base state exists
     val erased = s"$root/erased"
     StoreGuard.ensureBuilt(s, erased) {
+      fullPostingStore(s, d) // "yesterday": the pre-request state
       s.read.parquet(s"$root/postings")
         .where(col("doc_id") % 9 =!= 4)
         .repartition(col("term"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$erased/postings")
     }
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(s"$root/postings"))
     s.read.parquet(s"$erased/postings")
   }
 

@@ -2170,7 +2170,7 @@ object Graph {
     * [[basePairStore]]'s history slice). Hash-distributed by center,
     * the q177 store discipline.
     */
-  private def fullPairStoreRoot(s: SparkSession, d: String): String =
+  private[graft] def fullPairStoreRoot(s: SparkSession, d: String): String =
     StoreGuard.storeRoot(s, "target/graft_graph_store",
       "fullpairs", d, "lineitem.parquet")
 
@@ -2207,20 +2207,28 @@ object Graph {
     * arithmetic downstream of the filter is the q299 path.
     */
   /** q329's PHYSICAL erase: rewrite the pair store minus every row
-    * keyed by an erased node (build-if-absent sibling dir) — the state
-    * itself forgets; Round17Spec asserts zero erased rows on disk.
+    * keyed by an erased node into a build-if-absent sibling, then
+    * VACUUM the superseded pre-erasure state — retaining it would keep
+    * the erased rows on disk past the swap, which defeats the
+    * obligation. Crash-safe order: the erased store's completion
+    * marker lands BEFORE the vacuum (a crash in between re-vacuums on
+    * the next call; a crash during the rewrite still has the base to
+    * rebuild from). Round17Spec asserts zero erased rows on disk AND
+    * the vacuumed base.
     */
   private[graft] def erasedPairStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
-    fullPairStore(s, d) // ensure the base state exists
     val erased = s"$root/erased"
     StoreGuard.ensureBuilt(s, erased) {
+      fullPairStore(s, d) // "yesterday": the pre-request state
       s.read.parquet(s"$root/pairs.parquet")
         .where(col("center") % 23 =!= 7 && col("context") % 23 =!= 7)
         .repartition(8, col("center"))
         .write.mode("overwrite").parquet(s"$erased/pairs.parquet")
     }
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(s"$root/pairs.parquet"))
     s.read.parquet(s"$erased/pairs.parquet")
   }
 

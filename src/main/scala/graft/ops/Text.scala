@@ -1266,6 +1266,13 @@ object Text {
         .repartition(8, col("b"))
         .write.mode("overwrite").parquet(s"$erased/pairs")
     }
+    // VACUUM the superseded pre-erasure state — retaining it would
+    // keep the erased rows on disk past the swap. Crash-safe: the
+    // erased store's marker landed first, and the vacuum is idempotent
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(s"$root/econ"))
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(s"$root/pairs"))
     val econ = s.read.parquet(s"$erased/econ")
     val drops = s.read.parquet(s"$erased/pairs")
       .select($"b".as("doc_id")).distinct()

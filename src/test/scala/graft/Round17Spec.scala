@@ -472,23 +472,35 @@ class Round17Spec extends AnyFunSuite {
         (2L, unit(2)))
       .toDF("vec_id", "embedding").withColumn("label", lit(0)),
       s"$dir/embeddings.parquet")
+    // "yesterday": the pre-request state — every blocking pair recorded
+    val root = ops.Text.mf4ErasureState(spark, dir)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (1L, 9L), (3L, 9L), (3L, 11L)),
+      s"pair evidence wrong: $pairs")
+    // "today": the erasure batch runs
     val out = SparkEntry.queries("q326_manifest_erasure")(spark, dir)
       .collect()
     // survivors = {1, 2, 11}: one shard, dense steps, 2 words/doc
     assert(out.map(_.toSeq).toSeq ==
       Seq(Seq(0L, 3L, 0L, 2L, 6L, 6L)),
       s"erasure ledger wrong: ${out.map(_.toSeq).toSeq}")
-    // the evidence store recorded every blocking pair
-    val root = ops.Text.mf4ErasureState(spark, dir)
-    val pairs = spark.read.parquet(s"$root/pairs")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 3L), (1L, 9L), (3L, 9L), (3L, 11L)),
-      s"pair evidence wrong: $pairs")
     // pre-erasure drops were {3, 9, 11}; post-erasure exactly {9}
     val survivors = ops.Text.mf4EraseSurvivors(spark, root)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 2L, 11L),
       s"post-erasure survivors wrong: $survivors")
+    // the rewritten evidence kept only survivor pairs, and the
+    // superseded pre-erasure state was VACUUMED
+    val keptPairs = spark.read.parquet(s"$root/erased/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptPairs == Set((1L, 9L)), s"kept evidence wrong: $keptPairs")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/pairs")),
+      "pre-erasure evidence not vacuumed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/econ")),
+      "pre-erasure econ not vacuumed")
   }
 
   test("q326: erase path reads only the persisted state, never the corpus") {
@@ -505,23 +517,27 @@ class Round17Spec extends AnyFunSuite {
     assert(scans.nonEmpty, "expected file scans of the state store")
     assert(scans.forall(_.contains("mf4era")),
       s"erase step scanned outside the state store: $scans")
-    // and it reprices nothing: the base state prices the FULL corpus
-    // once; the erase batch only rewrites it
+    // PHYSICAL forgetting: the rewritten store holds ZERO erased rows —
+    // a read-time filter that retained them would fail GDPR's actual
+    // obligation — every survivor is still priced, and the superseded
+    // pre-erasure state is vacuumed
     import org.apache.spark.sql.functions._
     val s = spark
     import s.implicits._
-    val econ = spark.read.parquet(s"$root/econ")
-    assert(econ.count() == Tables.documents(spark, d).count(),
-      "base state must price the FULL corpus (erasure rewrites it)")
-    // PHYSICAL forgetting: the rewritten store holds ZERO erased rows —
-    // a read-time filter that retained them would fail GDPR's actual
-    // obligation
-    assert(spark.read.parquet(s"$root/erased/econ")
-      .where($"doc_id" % 7 === 3).count() == 0,
+    val econ = spark.read.parquet(s"$root/erased/econ")
+    assert(econ.where($"doc_id" % 7 === 3).count() == 0,
       "erased docs still priced in the rewritten econ store")
+    assert(econ.count() == Tables.documents(spark, d)
+      .where($"doc_id" % 7 =!= 3).count(),
+      "rewritten econ must still price every SURVIVING doc")
     assert(spark.read.parquet(s"$root/erased/pairs")
       .where($"a" % 7 === 3 || $"b" % 7 === 3).count() == 0,
       "erased docs still present in the rewritten pair evidence")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/econ")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/pairs")),
+      "pre-erasure state not vacuumed")
   }
 
   // ---- q327: compaction under a LIVE serving stream --------------------
@@ -652,6 +668,10 @@ class Round17Spec extends AnyFunSuite {
       s"erase step scanned outside the pair store: $scans")
     assert(kept.where($"center" % 23 === 7 || $"context" % 23 === 7)
       .count() == 0, "erased nodes still on disk in the pair store")
+    // the superseded pre-erasure pair store is vacuumed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${ops.Graph.fullPairStoreRoot(spark, d)}/pairs.parquet")),
+      "pre-erasure pair store not vacuumed")
   }
 
   test("q329: erasure can flip an entry INTO the positive matrix") {
@@ -770,6 +790,10 @@ class Round17Spec extends AnyFunSuite {
       s"erase step scanned outside the posting store: $scans")
     assert(kept.where($"doc_id" % 9 === 4).count() == 0,
       "erased docs still on disk in the posting store")
+    // the superseded pre-erasure index is vacuumed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${ops.Corpus.fullPostingStoreRoot(spark, d)}/postings")),
+      "pre-erasure posting store not vacuumed")
   }
 
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
