@@ -1909,8 +1909,66 @@ object Vectors {
       .orderBy($"qid", $"rn")
   }
 
+  /** q332: HARD-NEGATIVE MINING — the prep operator of contrastive
+    * embedding training: for each anchor, the top-5 candidates in the
+    * cosine band [0.30, 0.95) — semantically close enough to be an
+    * informative negative, far enough to not be a near-duplicate (the
+    * complement of the q55/q147 dedup verdict band, so the dedup
+    * pipeline and the miner share one geometry). Label-blocked like
+    * the whole q55 family (never corpus²); per-anchor top-k is a
+    * partitioned WindowGroupLimit. Exact integer/ROUND(cos,4)
+    * arithmetic end to end, so unlike the ANN family this vector op is
+    * FULLY ORACLED — DuckDB replays the band join bit-for-bit. At
+    * corpus scale the same band filter composes with q328's annJoin
+    * for the probe-routed variant; this exact arm is the verdict gate.
+    */
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where($"vec_id" % 41 === 0)
+      .select($"label", $"vec_id".as("qid"), $"embedding".as("qe"))
+    val scored = anchors
+      .join(emb.select($"label", $"vec_id", $"embedding"), Seq("label"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(s, $"embedding", $"qe"), 4))
+      .filter($"cos" >= 0.30 && $"cos" < 0.95)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"vec_id", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  private val q332Sql =
+    """WITH scored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+      |    ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])))), 4)
+      |      AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id % 41 = 0),
+      |banded AS (
+      |  SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored WHERE cos >= 0.30 AND cos < 0.95)
+      |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn
+      |FROM banded WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q296_kmeans_refresh", q296, Some(q296Sql)),
+    // hard-negative mining: exact label-blocked band join — the one
+    // FULLY ORACLED member of the vector retrieval family
+    QueryDef("q332_hard_negatives", q332, Some(q332Sql)),
     // bulk ANN join: approximate by construction — Round17Spec gates
     // full-probe ≡ exact equivalence, the recall floor, and the
     // WindowGroupLimit top-k plan shape

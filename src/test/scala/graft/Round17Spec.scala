@@ -796,6 +796,24 @@ class Round17Spec extends AnyFunSuite {
       "pre-erasure posting store not vacuumed")
   }
 
+  // ---- q332: hard-negative mining ---------------------------------------
+
+  test("q332: band, cap, and no-self invariants hold") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q332_hard_negatives")(spark, d)
+      .collect()
+    assert(rows.nonEmpty, "no hard negatives mined at this SF")
+    for (r <- rows) {
+      val (qid, vid, cos, rn) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(qid != vid, "anchor returned as its own negative")
+      assert(cos >= 0.30 && cos < 0.95, s"cos $cos outside the band")
+      assert(rn >= 1 && rn <= 5, s"rank $rn outside the cap")
+    }
+    val perAnchor = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perAnchor.forall(_ <= 5), "an anchor exceeded 5 negatives")
+  }
+
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
