@@ -2936,7 +2936,9 @@ object Corpus {
   private[graft] def erasedPostingStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPostingStoreRoot(s, d)
-    val erased = s"$root/erased"
+    // keyed on the erasure PREDICATE (doc_id % 9 == 4): changing the
+    // erase set can never serve a store built under the old one
+    val erased = s"$root/erased_mod9ne4"
     StoreGuard.ensureBuilt(s, erased) {
       fullPostingStore(s, d) // "yesterday": the pre-request state
       s.read.parquet(s"$root/postings")
@@ -2945,8 +2947,9 @@ object Corpus {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$erased/postings")
     }
-    graft.streaming.Streams.deleteStaged(
-      java.nio.file.Paths.get(s"$root/postings"))
+    // vacuum payload AND base marker together: a stranded marker over
+    // vacuumed data would break fullPostingStore's self-heal forever
+    StoreGuard.vacuumStore(s, root, "postings")
     s.read.parquet(s"$erased/postings")
   }
 

@@ -1121,8 +1121,9 @@ object Graph {
   }
 
   /** Per-source staging root for q290's persisted graph store; like
-    * [[coPurchaseEdges]] the key folds in the source's (mtime, length)
-    * so regenerated testdata can never serve a stale snapshot.
+    * [[coPurchaseEdges]] it keys via [[StoreGuard]]'s shared freshness
+    * recipe (mtime, length, content fingerprint) so regenerated
+    * testdata can never serve a stale snapshot.
     */
   private def q290StoreRoot(s: SparkSession, d: String): String =
     StoreGuard.storeRoot(s, "target/graft_graph_store",
@@ -2219,7 +2220,10 @@ object Graph {
   private[graft] def erasedPairStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
-    val erased = s"$root/erased"
+    // the erased store keys on its PREDICATE (node % 23 == 7), the
+    // store-keys-on-its-parameters discipline — changing the erasure
+    // set can never serve a store built under the old one
+    val erased = s"$root/erased_mod23ne7"
     StoreGuard.ensureBuilt(s, erased) {
       fullPairStore(s, d) // "yesterday": the pre-request state
       s.read.parquet(s"$root/pairs.parquet")
@@ -2227,8 +2231,9 @@ object Graph {
         .repartition(8, col("center"))
         .write.mode("overwrite").parquet(s"$erased/pairs.parquet")
     }
-    graft.streaming.Streams.deleteStaged(
-      java.nio.file.Paths.get(s"$root/pairs.parquet"))
+    // vacuum payload AND base marker together: a stranded marker over
+    // vacuumed data would break fullPairStore's self-heal forever
+    StoreGuard.vacuumStore(s, root, "pairs.parquet")
     s.read.parquet(s"$erased/pairs.parquet")
   }
 

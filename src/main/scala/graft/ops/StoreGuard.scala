@@ -18,8 +18,10 @@ private[graft] object StoreGuard {
     * `<base>/<prefix>_<bucketTag of "dir:mtime:len:fp[:extra]">`, with
     * mtime/length taken from `dir/sourceName` — ONE implementation of
     * the freshness-key recipe the derived stores were each hand-rolling
-    * (round-16 stores use this; older sites carry inline mtime+length
-    * copies and can migrate without changing their tags).
+    * (round-16 stores use this; the remaining inline mtime+length
+    * sites migrated in r17 — migration changes a store's tag, so each
+    * migrated store rebuilds once and the pre-migration dir becomes
+    * dead weight under target/ until a manual clean).
     *
     * `fp` is a CRC32 of the source's first and last 4 KiB (r17, the
     * r16 advice): mtime+length alone would silently serve a stale
@@ -69,5 +71,21 @@ private[graft] object StoreGuard {
       build
       fs.create(p, true).close()
     }
+  }
+
+  /** Vacuum a SUPERSEDED build-if-absent store: delete the named
+    * payload dirs AND the completion marker together — a marker left
+    * behind over vacuumed data would make every future `ensureBuilt`
+    * skip the rebuild and then crash reading the missing payload,
+    * forever (exactly the "passes forever on a crashed store" failure
+    * the marker exists to prevent). With the marker gone, a direct
+    * caller self-heals by rebuilding from source. Idempotent.
+    */
+  def vacuumStore(s: SparkSession, root: String, payload: String*): Unit = {
+    payload.foreach(sub => graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(root, sub)))
+    val m = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(m)) fs.delete(m, false)
   }
 }

@@ -1217,14 +1217,19 @@ object Text {
     * per-doc economics plus the near-dup pair evidence. Returns the
     * store root.
     */
-  private[graft] def mf4ErasureState(s: SparkSession, d: String): String = {
-    import s.implicits._
+  /** Pure key of q326's erasure-state store (no side effects). */
+  private[graft] def mf4EraseStateRoot(s: SparkSession, d: String): String = {
     val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(ep)
-    val root = StoreGuard.storeRoot(s, "target/graft_text_store",
+    StoreGuard.storeRoot(s, "target/graft_text_store",
       "mf4era", d, "documents.parquet",
       s"${est.getModificationTime}:${est.getLen}")
+  }
+
+  private[graft] def mf4ErasureState(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = mf4EraseStateRoot(s, d)
     StoreGuard.ensureBuilt(s, root) {
       // yesterday: price every doc, and keep the pair EVIDENCE —
       // doc-cardinality and pair-cardinality state, hash-distributed
@@ -1253,10 +1258,14 @@ object Text {
     * only blockers were erased.
     */
   private[graft] def mf4EraseSurvivors(
-      s: SparkSession, root: String): DataFrame = {
+      s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val erased = s"$root/erased"
+    val root = mf4EraseStateRoot(s, d)
+    // keyed on the erasure PREDICATE (doc_id % 7 == 3): changing the
+    // erase set can never serve a store built under the old one
+    val erased = s"$root/erased_mod7ne3"
     StoreGuard.ensureBuilt(s, erased) {
+      mf4ErasureState(s, d) // "yesterday": the pre-request state
       s.read.parquet(s"$root/econ")
         .where($"doc_id" % 7 =!= 3)
         .repartition(8, col("doc_id"))
@@ -1266,13 +1275,11 @@ object Text {
         .repartition(8, col("b"))
         .write.mode("overwrite").parquet(s"$erased/pairs")
     }
-    // VACUUM the superseded pre-erasure state — retaining it would
-    // keep the erased rows on disk past the swap. Crash-safe: the
-    // erased store's marker landed first, and the vacuum is idempotent
-    graft.streaming.Streams.deleteStaged(
-      java.nio.file.Paths.get(s"$root/econ"))
-    graft.streaming.Streams.deleteStaged(
-      java.nio.file.Paths.get(s"$root/pairs"))
+    // VACUUM the superseded pre-erasure state (payload AND marker —
+    // a stranded marker over vacuumed data would break the base
+    // store's self-heal forever). Crash-safe: the erased store's
+    // marker landed first, and the vacuum is idempotent
+    StoreGuard.vacuumStore(s, root, "econ", "pairs")
     val econ = s.read.parquet(s"$erased/econ")
     val drops = s.read.parquet(s"$erased/pairs")
       .select($"b".as("doc_id")).distinct()
@@ -1284,7 +1291,7 @@ object Text {
 
   private def q326(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mf4Ledger(mf4EraseSurvivors(s, mf4ErasureState(s, d)))
+    mf4Ledger(mf4EraseSurvivors(s, d))
       .select($"shard", $"n_docs", $"min_step", $"max_step",
         $"n_words", $"n_pieces")
       .orderBy($"shard")

@@ -3115,27 +3115,10 @@ object Streams {
     val ev = raw.withColumn("bkt",
       expr(s"least(3L, (event_id * 4) DIV ${maxId + 1}L) + 1L"))
     java.nio.file.Files.createDirectories(srcDir)
-    for (k <- 1 to 4) {
-      val stage = root.resolve(s"stage$k")
-      ev.filter($"bkt" === k).select($"user_id", $"cents")
-        .coalesce(1).write.parquet(stage.toString)
-      val part = scala.util.Using.resource(
-        java.nio.file.Files.list(stage)) { fs =>
-        import scala.jdk.CollectionConverters._
-        fs.iterator().asScala.find { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.get
-      }
-      val dst = srcDir.resolve(s"b$k.parquet")
-      java.nio.file.Files.move(part, dst)
-      // strictly increasing, well-separated mtimes pin the file
-      // source's trigger order to the bucket order
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
-          k * 60000L))
-      deleteStaged(stage)
-    }
+    for (k <- 1 to 4)
+      stageArrivalBatch(
+        ev.filter($"bkt" === k).select($"user_id", $"cents"),
+        root, srcDir, k)
     val log = new StoreLog(root.resolve("sink"), "v") // full retention
     withFewStatePartitions(spark) {
       val agg = spark.readStream
@@ -3549,6 +3532,37 @@ object Streams {
     out
   }
 
+  /** Stage `df` as the `seq`-th SINGLE-FILE arrival batch under
+    * `srcDir`, with a strictly-increasing well-separated mtime so the
+    * file source's `maxFilesPerTrigger=1` trigger order IS the `seq`
+    * order — the deterministic-arrival staging device shared by q304's
+    * time travel and q330's tombstone stream (arrival order must be a
+    * pure function of the data or "before version k" means nothing
+    * cross-engine).
+    */
+  private def stageArrivalBatch(
+      df: DataFrame,
+      root: java.nio.file.Path,
+      srcDir: java.nio.file.Path,
+      seq: Int): Unit = {
+    val tmp = root.resolve(s"stage$seq")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = scala.util.Using.resource(
+      java.nio.file.Files.list(tmp)) { fs =>
+      import scala.jdk.CollectionConverters._
+      fs.iterator().asScala.find { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.get
+    }
+    val dst = srcDir.resolve(s"b$seq.parquet")
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
+        seq * 60000L))
+    deleteStaged(tmp)
+  }
+
   // ---- q330: streaming state erasure (GDPR tombstones) ------------------
 
   private[graft] final case class EraseRow(
@@ -3625,24 +3639,8 @@ object Streams {
     val ev = raw.withColumn("bkt",
       expr(s"least(3L, (event_id * 4) DIV ${maxId + 1}L) + 1L"))
     java.nio.file.Files.createDirectories(srcDir)
-    def stage(df: DataFrame, seq: Int): Unit = {
-      val tmp = root.resolve(s"stage$seq")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = scala.util.Using.resource(
-        java.nio.file.Files.list(tmp)) { fs =>
-        import scala.jdk.CollectionConverters._
-        fs.iterator().asScala.find { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.get
-      }
-      val dst = srcDir.resolve(s"b$seq.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L +
-          seq * 60000L))
-      deleteStaged(tmp)
-    }
+    def stage(df: DataFrame, seq: Int): Unit =
+      stageArrivalBatch(df, root, srcDir, seq)
     def quarter(k: Int) = ev.filter($"bkt" === k)
       .select($"user_id", $"cents", lit(false).as("tomb"))
     stage(quarter(1), 1)

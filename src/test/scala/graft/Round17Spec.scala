@@ -486,28 +486,33 @@ class Round17Spec extends AnyFunSuite {
       Seq(Seq(0L, 3L, 0L, 2L, 6L, 6L)),
       s"erasure ledger wrong: ${out.map(_.toSeq).toSeq}")
     // pre-erasure drops were {3, 9, 11}; post-erasure exactly {9}
-    val survivors = ops.Text.mf4EraseSurvivors(spark, root)
+    val survivors = ops.Text.mf4EraseSurvivors(spark, dir)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 2L, 11L),
       s"post-erasure survivors wrong: $survivors")
     // the rewritten evidence kept only survivor pairs, and the
-    // superseded pre-erasure state was VACUUMED
-    val keptPairs = spark.read.parquet(s"$root/erased/pairs")
+    // superseded pre-erasure state was VACUUMED — payload AND marker
+    // (a stranded marker would break the base store's self-heal)
+    val keptPairs = spark.read.parquet(s"$root/erased_mod7ne3/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keptPairs == Set((1L, 9L)), s"kept evidence wrong: $keptPairs")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/pairs")),
-      "pre-erasure evidence not vacuumed")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/econ")),
-      "pre-erasure econ not vacuumed")
+    for (sub <- Seq("pairs", "econ", "_GRAFT_STORE_COMPLETE"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/$sub")),
+        s"pre-erasure $sub not vacuumed")
+    // self-heal: with the base marker vacuumed, re-ensuring the base
+    // state rebuilds it from source instead of crashing on a missing
+    // payload under a stale marker
+    assert(ops.Text.mf4ErasureState(spark, dir) == root)
+    assert(spark.read.parquet(s"$root/econ").count() == 5,
+      "vacuumed base store did not self-heal on rebuild")
   }
 
   test("q326: erase path reads only the persisted state, never the corpus") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val d = "/root/testdata/sf0.01"
-    val root = ops.Text.mf4ErasureState(spark, d) // builds if absent
-    val frame = ops.Text.mf4EraseSurvivors(spark, root)
+    val root = ops.Text.mf4EraseStateRoot(spark, d) // pure key
+    val frame = ops.Text.mf4EraseSurvivors(spark, d)
     // sparkPlan, not executedPlan: the AQE wrapper hides the scans
     // from collect()
     val scans = frame.queryExecution.sparkPlan.collect {
@@ -515,8 +520,12 @@ class Round17Spec extends AnyFunSuite {
         f.relation.location.rootPaths.mkString(",")
     }
     assert(scans.nonEmpty, "expected file scans of the state store")
-    assert(scans.forall(_.contains("mf4era")),
-      s"erase step scanned outside the state store: $scans")
+    // the REWRITTEN store specifically — the pre-erasure base shares
+    // the root prefix, so matching on the root alone would also pass a
+    // regression that reads (and merely filters) the retained base
+    assert(scans.forall(p => p.contains("mf4era") &&
+      p.contains("erased_mod7ne3")),
+      s"erase step scanned outside the rewritten store: $scans")
     // PHYSICAL forgetting: the rewritten store holds ZERO erased rows —
     // a read-time filter that retained them would fail GDPR's actual
     // obligation — every survivor is still priced, and the superseded
@@ -524,13 +533,13 @@ class Round17Spec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val s = spark
     import s.implicits._
-    val econ = spark.read.parquet(s"$root/erased/econ")
+    val econ = spark.read.parquet(s"$root/erased_mod7ne3/econ")
     assert(econ.where($"doc_id" % 7 === 3).count() == 0,
       "erased docs still priced in the rewritten econ store")
     assert(econ.count() == Tables.documents(spark, d)
       .where($"doc_id" % 7 =!= 3).count(),
       "rewritten econ must still price every SURVIVING doc")
-    assert(spark.read.parquet(s"$root/erased/pairs")
+    assert(spark.read.parquet(s"$root/erased_mod7ne3/pairs")
       .where($"a" % 7 === 3 || $"b" % 7 === 3).count() == 0,
       "erased docs still present in the rewritten pair evidence")
     assert(!java.nio.file.Files.exists(
@@ -664,14 +673,19 @@ class Round17Spec extends AnyFunSuite {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",")
     }
-    assert(scans.nonEmpty && scans.forall(_.contains("fullpairs")),
-      s"erase step scanned outside the pair store: $scans")
+    // the REWRITTEN store specifically (the base shares the root
+    // prefix — see the q326 test's rationale)
+    assert(scans.nonEmpty && scans.forall(p =>
+      p.contains("fullpairs") && p.contains("erased_mod23ne7")),
+      s"erase step scanned outside the rewritten pair store: $scans")
     assert(kept.where($"center" % 23 === 7 || $"context" % 23 === 7)
       .count() == 0, "erased nodes still on disk in the pair store")
-    // the superseded pre-erasure pair store is vacuumed
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${ops.Graph.fullPairStoreRoot(spark, d)}/pairs.parquet")),
-      "pre-erasure pair store not vacuumed")
+    // the superseded pre-erasure pair store is vacuumed, marker included
+    val proot = ops.Graph.fullPairStoreRoot(spark, d)
+    for (sub <- Seq("pairs.parquet", "_GRAFT_STORE_COMPLETE"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$proot/$sub")),
+        s"pre-erasure $sub not vacuumed")
   }
 
   test("q329: erasure can flip an entry INTO the positive matrix") {
@@ -728,9 +742,16 @@ class Round17Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val gotCnt = got.map(t => t._1 -> t._2).toMap
     assert(fullCnt.nonEmpty, "no erased users at this SF")
+    // an erased user whose events all landed AFTER the tombstone
+    // legitimately keeps its full count — so each user loses AT MOST
+    // its pre-tombstone history (<=), and at least one user with
+    // pre-tombstone events must strictly lose (the fixture test pins
+    // the exact per-case semantics)
     for ((u, n) <- fullCnt)
-      assert(gotCnt.getOrElse(u, 0L) < n,
-        s"erased user $u kept its full history")
+      assert(gotCnt.getOrElse(u, 0L) <= n,
+        s"erased user $u GAINED history")
+    assert(fullCnt.exists { case (u, n) => gotCnt.getOrElse(u, 0L) < n },
+      "no erased user lost any history — the tombstones did nothing")
   }
 
   test("q330 fixture: a fully-forgotten user leaves no row") {
@@ -786,14 +807,19 @@ class Round17Spec extends AnyFunSuite {
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",")
     }
-    assert(scans.nonEmpty && scans.forall(_.contains("fullpostings")),
-      s"erase step scanned outside the posting store: $scans")
+    // the REWRITTEN store specifically (the base shares the root
+    // prefix — see the q326 test's rationale)
+    assert(scans.nonEmpty && scans.forall(p =>
+      p.contains("fullpostings") && p.contains("erased_mod9ne4")),
+      s"erase step scanned outside the rewritten posting store: $scans")
     assert(kept.where($"doc_id" % 9 === 4).count() == 0,
       "erased docs still on disk in the posting store")
-    // the superseded pre-erasure index is vacuumed
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"${ops.Corpus.fullPostingStoreRoot(spark, d)}/postings")),
-      "pre-erasure posting store not vacuumed")
+    // the superseded pre-erasure index is vacuumed, marker included
+    val proot = ops.Corpus.fullPostingStoreRoot(spark, d)
+    for (sub <- Seq("postings", "_GRAFT_STORE_COMPLETE"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$proot/$sub")),
+        s"pre-erasure $sub not vacuumed")
   }
 
   // ---- q332: hard-negative mining ---------------------------------------
