@@ -984,15 +984,25 @@ object Text {
     * and the registry read-back is partition-pruned to the version
     * asked for.
     */
+  /** Freshness key component of the SECOND source (embeddings) for the
+    * manifest-family stores — mtime, length, AND the same edge
+    * fingerprint StoreGuard folds for the primary source, so a
+    * same-length embeddings rewrite can't serve a stale manifest.
+    */
+  private[graft] def embFreshness(s: SparkSession, d: String): String = {
+    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val est = fs.getFileStatus(ep)
+    s"${est.getModificationTime}:${est.getLen}:" +
+      s"${StoreGuard.edgeFingerprint(fs, ep, est.getLen)}"
+  }
+
   private def q322(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the manifest derives from documents AND embeddings — fold the
     // second source's freshness into the store key
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(ep)
     val root = StoreGuard.storeRoot(s, "target/graft_text_store", "mf4",
-      d, "documents.parquet", s"${est.getModificationTime}:${est.getLen}")
+      d, "documents.parquet", embFreshness(s, d))
     val log = new graft.streaming.StoreLog(
       java.nio.file.Paths.get(root), "mf")
     if (log.versions().size < 2) {
@@ -1049,12 +1059,8 @@ object Text {
     */
   private def q325(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(ep)
     val root = StoreGuard.storeRoot(s, "target/graft_text_store",
-      "mf4inc", d, "documents.parquet",
-      s"${est.getModificationTime}:${est.getLen}")
+      "mf4inc", d, "documents.parquet", embFreshness(s, d))
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val isBase = col("doc_id") % 10 < 8
@@ -1218,14 +1224,9 @@ object Text {
     * store root.
     */
   /** Pure key of q326's erasure-state store (no side effects). */
-  private[graft] def mf4EraseStateRoot(s: SparkSession, d: String): String = {
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val est = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(ep)
+  private[graft] def mf4EraseStateRoot(s: SparkSession, d: String): String =
     StoreGuard.storeRoot(s, "target/graft_text_store",
-      "mf4era", d, "documents.parquet",
-      s"${est.getModificationTime}:${est.getLen}")
-  }
+      "mf4era", d, "documents.parquet", embFreshness(s, d))
 
   private[graft] def mf4ErasureState(s: SparkSession, d: String): String = {
     import s.implicits._

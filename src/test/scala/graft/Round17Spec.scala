@@ -244,12 +244,8 @@ class Round17Spec extends AnyFunSuite {
         s"shard $shard steps not dense: [$lo,$hi] n=$n")
     }
     // registry lineage fired: both versions committed and re-readable
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val est = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(ep)
     val root = ops.StoreGuard.storeRoot(spark, "target/graft_text_store",
-      "mf4", d, "documents.parquet",
-      s"${est.getModificationTime}:${est.getLen}")
+      "mf4", d, "documents.parquet", ops.Text.embFreshness(spark, d))
     val log = new streaming.StoreLog(java.nio.file.Paths.get(root), "mf")
     assert(log.versions() == Seq(1L, 2L))
     // read-back ≡ a direct recompute of the same version
@@ -270,12 +266,8 @@ class Round17Spec extends AnyFunSuite {
       spark, d).collect().map(_.toSeq)
     // the persisted base states are the BASE slice only — the delta's
     // text was never priced into the store (the incremental claim)
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val est = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(ep)
     val root = ops.StoreGuard.storeRoot(spark, "target/graft_text_store",
-      "mf4inc", d, "documents.parquet",
-      s"${est.getModificationTime}:${est.getLen}")
+      "mf4inc", d, "documents.parquet", ops.Text.embFreshness(spark, d))
     val econ = spark.read.parquet(s"$root/econ")
     val nBase = Tables.documents(spark, d)
       .where($"doc_id" % 10 < 8).count()
