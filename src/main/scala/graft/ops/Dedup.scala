@@ -405,6 +405,78 @@ object Dedup {
       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** q333: LEAKAGE-FREE TRAIN/VAL/TEST SPLIT — the split operator a
+    * training pipeline actually needs: splitting by per-doc hash puts
+    * the near-duplicates of a test document into train (evaluation
+    * contamination built right into the split); splitting whole
+    * NEAR-DUP CLUSTERS cannot — every doc inherits its cluster ROOT's
+    * assignment, so no near-dup pair straddles a boundary BY
+    * CONSTRUCTION (Round17Spec asserts it pair-by-pair on the real
+    * corpus). Components ride q63's machinery over the embedding
+    * near-dup graph (q55's ROUND(cos,4) ≥ 0.3 verdict pairs, vec_id ≡
+    * doc_id); singletons are their own cluster (q145's left join +
+    * coalesce); assignment = first 32 md5 bits of the root mod 10 →
+    * 8/1/1 train/val/test, the cross-engine-exact hash device the walk
+    * CTEs established. Fully oracled: DuckDB replays pairs, the
+    * transitive-closure components, and the identical md5 buckets.
+    * Scale: everything is q63's shape (blocked pairs, slim label
+    * loop); the assignment adds one hash + CASE per doc.
+    */
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graft.ops.Corpus.blockedNearDupPairs(
+      Tables.embeddings(s, d), minCosine = 0.3)
+      .select($"a", $"b")
+    val labels = connectedComponents(edges)
+    Tables.embeddings(s, d).select($"vec_id".as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("root", coalesce($"cluster_root", $"doc_id"))
+      .withColumn("bucket", expr(
+        """CAST(conv(substring(
+          |  md5(CAST(concat('split:', CAST(root AS STRING)) AS BINARY)),
+          |  1, 8), 16, 10) AS BIGINT) % 10""".stripMargin))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 8 THEN 'train' " +
+          "WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+      .select($"doc_id", $"root", $"split")
+      .orderBy($"doc_id")
+  }
+
+  private val q333Sql =
+    """WITH RECURSIVE
+      |  e AS (
+      |    SELECT a.vec_id AS a, b.vec_id AS b
+      |    FROM embeddings a JOIN embeddings b
+      |      ON a.label = b.label AND a.vec_id < b.vec_id
+      |    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])))), 4)
+      |      >= 0.3),
+      |  sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      |  reach(u, v) AS (
+      |    SELECT u, v FROM sym
+      |    UNION
+      |    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |  roots AS (
+      |    SELECT u AS doc_id, LEAST(u, MIN(v)) AS root
+      |    FROM reach GROUP BY u),
+      |  asg AS (
+      |    SELECT d.vec_id AS doc_id,
+      |      COALESCE(r.root, d.vec_id) AS root
+      |    FROM embeddings d LEFT JOIN roots r ON r.doc_id = d.vec_id),
+      |  b AS (
+      |    SELECT doc_id, root,
+      |      CAST(('0x' || substr(md5('split:' || CAST(root AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 10 AS bucket
+      |    FROM asg)
+      |SELECT doc_id, root,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** q145: fuzzy-dedup SURVIVOR CORPUS — the missing output stage of
     * the near-dup chain (q35/q37 find pairs, q63 labels clusters, THIS
     * decides who ships): per near-dup cluster keep exactly the
@@ -885,6 +957,9 @@ object Dedup {
     QueryDef("q36_simhash_pairs", q36, None),
     QueryDef("q37_prefix_jaccard", q37, Some(q37Sql)),
     QueryDef("q63_jaccard_clusters", q63, Some(q63Sql)),
+    // leakage-free split: whole near-dup clusters assigned together —
+    // the oracle replays components AND the md5 bucket assignment
+    QueryDef("q333_leakfree_split", q333, Some(q333Sql)),
     QueryDef("q145_fuzzy_keep", q145, Some(q145Sql)),
     QueryDef("q253_entity_resolution", q253, Some(q253Sql)),
     // sketch-kernel family: no DuckDB twin — Round11Spec gates replay

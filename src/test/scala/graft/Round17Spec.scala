@@ -832,6 +832,33 @@ class Round17Spec extends AnyFunSuite {
     assert(perAnchor.forall(_ <= 5), "an anchor exceeded 5 negatives")
   }
 
+  // ---- q333: leakage-free split ------------------------------------------
+
+  test("q333: no near-dup pair straddles a split boundary") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val split = SparkEntry.queries("q333_leakfree_split")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(split.nonEmpty)
+    // THE property: every near-dup pair lands in ONE split — the
+    // contamination a per-doc hash split builds in by construction
+    val pairs = ops.Corpus.blockedNearDupPairs(
+      Tables.embeddings(spark, d), minCosine = 0.3)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at this SF")
+    for ((a, b) <- pairs)
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) straddles ${split(a)._2}/${split(b)._2}")
+    // all three splits populated, at roughly the asked 8/1/1 odds
+    val byS = split.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"), s"splits: $byS")
+    assert(byS("train") > byS("val") && byS("train") > byS("test"),
+      s"train is not the bulk: $byS")
+  }
+
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
