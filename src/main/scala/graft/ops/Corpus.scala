@@ -2900,6 +2900,97 @@ object Corpus {
       .limit(10)
   }
 
+  // ---- q334: exact budget apportionment --------------------------------
+
+  /** q334: EXACT TOKEN-BUDGET APPORTIONMENT — the integer half the
+    * q60/q148 keep-fraction mixtures leave open: given a TOTAL budget
+    * (1000 docs), allocate per-language quotas that sum to the budget
+    * EXACTLY (largest-remainder / Hamilton apportionment: base =
+    * floor(n·B / total), the leftover seats go to the largest integer
+    * remainders with a deterministic lang tie-break), then MATERIALIZE
+    * the sample — each language's quota filled by its md5-ranked first
+    * quota docs, so the same corpus always ships the same sample and
+    * n_sampled ≡ quota per language (a rate-based sampler can't
+    * promise either). All integer arithmetic; DuckDB replays the
+    * apportionment and the md5 ranks exactly. Scale: the apportionment
+    * runs on the |langs|-row histogram (its global windows are
+    * DOMAIN-bounded — the q148 note); the sample rank is a partitioned
+    * per-lang window over the corpus (WindowGroupLimit shape).
+    */
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000L
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum($"n").as("total"))
+    val q = c.crossJoin(broadcast(t))
+      .withColumn("base", expr(s"(n * $budget) DIV total"))
+      .withColumn("rem", expr(s"(n * $budget) % total"))
+    val x = q.agg((lit(budget) - sum($"base")).as("extra"))
+    val ranked = q
+      .withColumn("rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy($"rem".desc, $"lang")))
+      .crossJoin(broadcast(x))
+      .withColumn("bonus",
+        when($"rk" <= $"extra", 1L).otherwise(0L))
+      .withColumn("quota", $"base" + $"bonus")
+      .select($"lang", $"n".as("n_docs"), $"base".as("base_quota"),
+        $"bonus", $"quota")
+    // materialize: each lang's md5-ranked first `quota` docs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5(concat(lit("s:"), $"doc_id".cast("string"))
+        .cast("binary")), $"doc_id")
+    val sampled = docs.select($"lang", $"doc_id")
+      .withColumn("srk", row_number().over(w))
+      .join(ranked.select($"lang", $"quota"), Seq("lang"))
+      .where($"srk" <= $"quota")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"))
+    ranked.join(sampled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .select($"lang", $"n_docs", $"base_quota", $"bonus", $"quota",
+        $"n_sampled")
+      .orderBy($"lang")
+  }
+
+  private val q334Sql =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |q AS (
+      |  SELECT lang, n, (n * 1000) // total AS base,
+      |    (n * 1000) % total AS rem
+      |  FROM c, t),
+      |x AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS extra FROM q),
+      |r AS (
+      |  SELECT lang, n, base, rem,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM q),
+      |quotas AS (
+      |  SELECT lang, n AS n_docs, base AS base_quota,
+      |    CASE WHEN rk <= x.extra THEN 1 ELSE 0 END AS bonus,
+      |    base + CASE WHEN rk <= x.extra THEN 1 ELSE 0 END AS quota
+      |  FROM r, x),
+      |srk AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS srk
+      |  FROM documents),
+      |sam AS (
+      |  SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      |  FROM srk s JOIN quotas qq ON s.lang = qq.lang
+      |  WHERE s.srk <= qq.quota GROUP BY s.lang)
+      |SELECT qq.lang, CAST(qq.n_docs AS BIGINT) AS n_docs,
+      |  CAST(qq.base_quota AS BIGINT) AS base_quota,
+      |  CAST(qq.bonus AS BIGINT) AS bonus,
+      |  CAST(qq.quota AS BIGINT) AS quota,
+      |  CAST(COALESCE(sam.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM quotas qq LEFT JOIN sam ON sam.lang = qq.lang
+      |ORDER BY qq.lang""".stripMargin
+
   // ---- q331: retrieval-index erasure ----------------------------------
 
   /** Build-if-absent FULL-corpus posting store — the persisted index
@@ -3177,6 +3268,8 @@ object Corpus {
     // index erasure: state-side posting filter, oracle = BM25 rebuilt
     // from the reduced corpus — df/N/avglen renormalization certified
     QueryDef("q331_index_erasure", q331, Some(q331Sql)),
+    // exact largest-remainder apportionment + deterministic fill
+    QueryDef("q334_budget_apportion", q334, Some(q334Sql)),
     QueryDef("q272_ir_metrics", q272, Some(q272Sql)),
     QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
     QueryDef("q271_nb_classifier", q271, Some(q271Sql)),

@@ -255,7 +255,9 @@ class PlanSpec extends AnyFunSuite {
       // q321 serves q275's BM25 (same 1-row corpus-stats cross) from
       // the compacted store; q331 serves it from the erasure-filtered
       // posting store
-      "q321_index_compaction", "q331_index_erasure")
+      "q321_index_compaction", "q331_index_erasure",
+      // q334's 1-row total/extra broadcasts over the |langs| histogram
+      "q334_budget_apportion")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at

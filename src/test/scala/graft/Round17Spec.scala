@@ -45,9 +45,9 @@ class Round17Spec extends AnyFunSuite {
     val allow = Map(
       // q262/q272 rank fusion + IR metrics: every window input is a
       // TakeOrderedAndProject top-K (K=20) or the graded-truth top-K;
-      // q148's two empty partitionBy() frames run on the |langs|-row
-      // language histogram
-      "src/main/scala/graft/ops/Corpus.scala" -> 7,
+      // q148's two empty partitionBy() frames and q334's remainder
+      // rank run on the |langs|-row language histogram
+      "src/main/scala/graft/ops/Corpus.scala" -> 8,
       // q241 cents-histogram CDF (distinct price cents — a price
       // DOMAIN bound), q247 isotonic bins, q234's 5-type frequency CDF,
       // q243's 5 p-values, q252's treated/control cents histogram
@@ -119,6 +119,7 @@ class Round17Spec extends AnyFunSuite {
       "q283_changepoints",      // per-day series
       "q284_periodicity",       // per-hour series + maxLag
       "q311_next_event_serving", // 5-row type marginal back-off
+      "q334_budget_apportion",  // |langs|-row remainder ranking
     )
     // same skips as PlanSpec's cartesian audit: streaming entries whose
     // construction RUNS a query (q315/q323 run complete streaming
@@ -857,6 +858,27 @@ class Round17Spec extends AnyFunSuite {
     assert(byS.keySet == Set("train", "val", "test"), s"splits: $byS")
     assert(byS("train") > byS("val") && byS("train") > byS("test"),
       s"train is not the bulk: $byS")
+  }
+
+  // ---- q334: exact budget apportionment ----------------------------------
+
+  test("q334: quotas sum to the budget EXACTLY; samples fill the quotas") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q334_budget_apportion")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    // the Hamilton guarantee a rate-based mixture can't make: quotas
+    // sum to the budget exactly, and each bonus seat is 0 or 1
+    assert(rows.map(_.getLong(4)).sum == 1000L,
+      s"quotas sum to ${rows.map(_.getLong(4)).sum}, not the budget")
+    assert(rows.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
+    // the materialized sample fills every quota to min(supply, quota)
+    for (r <- rows) {
+      val (n, quota, sampled) =
+        (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(sampled == math.min(n, quota),
+        s"${r.getString(0)}: sampled $sampled of quota $quota (n=$n)")
+    }
   }
 
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
