@@ -2927,6 +2927,9 @@ object Corpus {
       .withColumn("base", expr(s"(n * $budget) DIV total"))
       .withColumn("rem", expr(s"(n * $budget) % total"))
     val x = q.agg((lit(budget) - sum($"base")).as("extra"))
+    // |langs|-row frame, pinned once: without this the histogram branch
+    // (corpus scan + rank + 1-row crosses) is re-derived by every
+    // consumer below — 4+ corpus scans where 2 suffice
     val ranked = q
       .withColumn("rk", row_number().over(org.apache.spark.sql
         .expressions.Window.orderBy($"rem".desc, $"lang")))
@@ -2936,6 +2939,7 @@ object Corpus {
       .withColumn("quota", $"base" + $"bonus")
       .select($"lang", $"n".as("n_docs"), $"base".as("base_quota"),
         $"bonus", $"quota")
+      .localCheckpoint()
     // materialize: each lang's md5-ranked first `quota` docs
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang")

@@ -119,7 +119,9 @@ class Round17Spec extends AnyFunSuite {
       "q283_changepoints",      // per-day series
       "q284_periodicity",       // per-hour series + maxLag
       "q311_next_event_serving", // 5-row type marginal back-off
-      "q334_budget_apportion",  // |langs|-row remainder ranking
+      // (q334's |langs|-row remainder rank runs EAGERLY behind its
+      // localCheckpoint, so it never reaches the final plan — the
+      // SOURCE audit above is the layer covering it)
     )
     // same skips as PlanSpec's cartesian audit: streaming entries whose
     // construction RUNS a query (q315/q323 run complete streaming
