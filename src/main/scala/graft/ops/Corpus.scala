@@ -3021,30 +3021,24 @@ object Corpus {
     s.read.parquet(s"$root/postings")
   }
 
-  /** q331's PHYSICAL erase: rewrite the posting store minus the erased
-    * docs' rows into a build-if-absent sibling, then VACUUM the
-    * superseded pre-erasure index (crash-safe: the erased store's
-    * marker lands before the vacuum, and the vacuum is idempotent) —
-    * the index itself forgets; Round17Spec asserts zero erased rows on
-    * disk and the vacuumed base.
+  /** q331's PHYSICAL erase, through [[StoreGuard.eraseRewrite]]'s
+    * shared transaction: the posting store minus the erased docs' rows
+    * into the predicate-tagged sibling; the superseded pre-erasure
+    * index is vacuumed by the helper (crash-safe order + steady-state
+    * sweep). Round17Spec asserts zero erased rows on disk and the
+    * vacuumed base.
     */
   private[graft] def erasedPostingStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPostingStoreRoot(s, d)
-    // keyed on the erasure PREDICATE (doc_id % 9 == 4): changing the
-    // erase set can never serve a store built under the old one
-    val erased = s"$root/erased_mod9ne4"
-    StoreGuard.ensureBuilt(s, erased) {
-      fullPostingStore(s, d) // "yesterday": the pre-request state
+    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod9ne4",
+      Seq("postings"))(fullPostingStore(s, d)) { out =>
       s.read.parquet(s"$root/postings")
         .where(col("doc_id") % 9 =!= 4)
         .repartition(col("term"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$erased/postings")
+        .parquet(s"$out/postings")
     }
-    // vacuum payload AND base marker together: a stranded marker over
-    // vacuumed data would break fullPostingStore's self-heal forever
-    StoreGuard.vacuumStore(s, root, "postings")
     s.read.parquet(s"$erased/postings")
   }
 

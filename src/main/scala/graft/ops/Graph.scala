@@ -2207,33 +2207,23 @@ object Graph {
     * Scale: the erase batch reads only the |V|²-bounded store; all
     * arithmetic downstream of the filter is the q299 path.
     */
-  /** q329's PHYSICAL erase: rewrite the pair store minus every row
-    * keyed by an erased node into a build-if-absent sibling, then
-    * VACUUM the superseded pre-erasure state — retaining it would keep
-    * the erased rows on disk past the swap, which defeats the
-    * obligation. Crash-safe order: the erased store's completion
-    * marker lands BEFORE the vacuum (a crash in between re-vacuums on
-    * the next call; a crash during the rewrite still has the base to
-    * rebuild from). Round17Spec asserts zero erased rows on disk AND
-    * the vacuumed base.
+  /** q329's PHYSICAL erase, through [[StoreGuard.eraseRewrite]]'s
+    * shared transaction: rewrite the pair store minus every row keyed
+    * by an erased node into the predicate-tagged sibling, vacuuming
+    * the superseded pre-erasure state (crash-safe order and the
+    * steady-state sweep both live in the ONE helper). Round17Spec
+    * asserts zero erased rows on disk AND the vacuumed base.
     */
   private[graft] def erasedPairStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
-    // the erased store keys on its PREDICATE (node % 23 == 7), the
-    // store-keys-on-its-parameters discipline — changing the erasure
-    // set can never serve a store built under the old one
-    val erased = s"$root/erased_mod23ne7"
-    StoreGuard.ensureBuilt(s, erased) {
-      fullPairStore(s, d) // "yesterday": the pre-request state
+    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod23ne7",
+      Seq("pairs.parquet"))(fullPairStore(s, d)) { out =>
       s.read.parquet(s"$root/pairs.parquet")
         .where(col("center") % 23 =!= 7 && col("context") % 23 =!= 7)
         .repartition(8, col("center"))
-        .write.mode("overwrite").parquet(s"$erased/pairs.parquet")
+        .write.mode("overwrite").parquet(s"$out/pairs.parquet")
     }
-    // vacuum payload AND base marker together: a stranded marker over
-    // vacuumed data would break fullPairStore's self-heal forever
-    StoreGuard.vacuumStore(s, root, "pairs.parquet")
     s.read.parquet(s"$erased/pairs.parquet")
   }
 

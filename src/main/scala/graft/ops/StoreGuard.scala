@@ -32,13 +32,9 @@ private[graft] object StoreGuard {
     */
   def storeRoot(s: SparkSession, base: String, prefix: String,
       dir: String, sourceName: String, extra: String = ""): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$sourceName")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
     val suffix = if (extra.isEmpty) "" else s":$extra"
     s"$base/${prefix}_" + Scale.bucketTag(
-      s"$dir:${st.getModificationTime}:${st.getLen}:" +
-        s"${edgeFingerprint(fs, p, st.getLen)}$suffix")
+      s"$dir:${sourceFreshness(s, dir, sourceName)}$suffix")
   }
 
   /** CRC32 over the first and last `block` bytes of `p` (whole file
@@ -73,19 +69,73 @@ private[graft] object StoreGuard {
     }
   }
 
-  /** Vacuum a SUPERSEDED build-if-absent store: delete the named
-    * payload dirs AND the completion marker together — a marker left
-    * behind over vacuumed data would make every future `ensureBuilt`
-    * skip the rebuild and then crash reading the missing payload,
-    * forever (exactly the "passes forever on a crashed store" failure
-    * the marker exists to prevent). With the marker gone, a direct
-    * caller self-heals by rebuilding from source. Idempotent.
+  /** Vacuum a SUPERSEDED build-if-absent store: delete the completion
+    * marker FIRST, then the named payload dirs. Marker-first is the
+    * crash-safe order — a crash after the payload delete but before
+    * the marker delete would leave a marker over missing data, making
+    * every future `ensureBuilt` skip the rebuild and then crash
+    * reading the missing payload, forever (exactly the "passes forever
+    * on a crashed store" failure the marker exists to prevent); a
+    * crash after the marker delete merely costs one rebuild
+    * (self-heal — the leftover payload is overwritten by the
+    * SaveMode.Overwrite builders). All deletion through the Hadoop
+    * filesystem of the root, so the same code is correct on a
+    * non-local store. Idempotent.
     */
   def vacuumStore(s: SparkSession, root: String, payload: String*): Unit = {
-    payload.foreach(sub => graft.streaming.Streams.deleteStaged(
-      java.nio.file.Paths.get(root, sub)))
+    val conf = s.sparkContext.hadoopConfiguration
     val m = new org.apache.hadoop.fs.Path(root, "_GRAFT_STORE_COMPLETE")
-    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = m.getFileSystem(conf)
     if (fs.exists(m)) fs.delete(m, false)
+    payload.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(root, sub)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** PHYSICAL-ERASURE transaction — the ONE implementation of the
+    * rewrite-then-vacuum discipline the erase verbs (q326/q329/q331)
+    * share: the erased store lives at `<baseRoot>/<erasedTag>` (the
+    * tag encodes the erasure PREDICATE, so changing the erase set can
+    * never serve a store built under the old one); building it
+    * (1) ensures the superseded base exists, (2) runs the caller's
+    * rewrite, (3) vacuums the base INSIDE the build block (payload and
+    * marker — see [[vacuumStore]]'s ordering argument) so a completed
+    * erased marker certifies the base is already gone. A crash at any
+    * point self-heals: before the vacuum the base still exists to
+    * rebuild from; after it, the next entry re-ensures the base from
+    * source (its marker was vacuumed too). The trailing steady-state
+    * sweep re-vacuums on EVERY call, so an out-of-band base rebuild
+    * (test staging drives one deliberately) cannot leave the erased
+    * rows resurrected past the next erase read. Returns the erased
+    * root.
+    */
+  def eraseRewrite(
+      s: SparkSession, baseRoot: String, erasedTag: String,
+      payloads: Seq[String])(ensureBase: => Any)(
+      rewrite: String => Unit): String = {
+    val erased = s"$baseRoot/$erasedTag"
+    ensureBuilt(s, erased) {
+      ensureBase
+      rewrite(erased)
+      vacuumStore(s, baseRoot, payloads: _*)
+    }
+    vacuumStore(s, baseRoot, payloads: _*)
+    erased
+  }
+
+  /** Freshness key of ONE source file — mtime, length, and the edge
+    * fingerprint — THE shared recipe: [[storeRoot]] folds it for the
+    * primary source and multi-source stores (the mf4 family) fold it
+    * for their secondary sources, so a recipe change cannot silently
+    * leave one source with a weaker staleness guarantee.
+    */
+  def sourceFreshness(
+      s: SparkSession, dir: String, sourceName: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$sourceName")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}:${st.getLen}:" +
+      s"${edgeFingerprint(fs, p, st.getLen)}"
   }
 }

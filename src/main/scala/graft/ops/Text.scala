@@ -985,17 +985,12 @@ object Text {
     * asked for.
     */
   /** Freshness key component of the SECOND source (embeddings) for the
-    * manifest-family stores — mtime, length, AND the same edge
-    * fingerprint StoreGuard folds for the primary source, so a
-    * same-length embeddings rewrite can't serve a stale manifest.
+    * manifest-family stores — [[StoreGuard.sourceFreshness]]'s shared
+    * recipe, so a same-length embeddings rewrite can't serve a stale
+    * manifest and a recipe change covers both sources together.
     */
-  private[graft] def embFreshness(s: SparkSession, d: String): String = {
-    val ep = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = ep.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val est = fs.getFileStatus(ep)
-    s"${est.getModificationTime}:${est.getLen}:" +
-      s"${StoreGuard.edgeFingerprint(fs, ep, est.getLen)}"
-  }
+  private[graft] def embFreshness(s: SparkSession, d: String): String =
+    StoreGuard.sourceFreshness(s, d, "embeddings.parquet")
 
   private def q322(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1262,25 +1257,17 @@ object Text {
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = mf4EraseStateRoot(s, d)
-    // keyed on the erasure PREDICATE (doc_id % 7 == 3): changing the
-    // erase set can never serve a store built under the old one
-    val erased = s"$root/erased_mod7ne3"
-    StoreGuard.ensureBuilt(s, erased) {
-      mf4ErasureState(s, d) // "yesterday": the pre-request state
+    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod7ne3",
+      Seq("econ", "pairs"))(mf4ErasureState(s, d)) { out =>
       s.read.parquet(s"$root/econ")
         .where($"doc_id" % 7 =!= 3)
         .repartition(8, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$erased/econ")
+        .write.mode("overwrite").parquet(s"$out/econ")
       s.read.parquet(s"$root/pairs")
         .where($"a" % 7 =!= 3 && $"b" % 7 =!= 3)
         .repartition(8, col("b"))
-        .write.mode("overwrite").parquet(s"$erased/pairs")
+        .write.mode("overwrite").parquet(s"$out/pairs")
     }
-    // VACUUM the superseded pre-erasure state (payload AND marker —
-    // a stranded marker over vacuumed data would break the base
-    // store's self-heal forever). Crash-safe: the erased store's
-    // marker landed first, and the vacuum is idempotent
-    StoreGuard.vacuumStore(s, root, "econ", "pairs")
     val econ = s.read.parquet(s"$erased/econ")
     val drops = s.read.parquet(s"$erased/pairs")
       .select($"b".as("doc_id")).distinct()
