@@ -1309,6 +1309,128 @@ object Text {
        |ORDER BY shard""".stripMargin
   }
 
+  // ---- q335: pipeline manifest v5 ---------------------------------------
+
+  /** q335: PIPELINE MANIFEST v5 — the ROUND-17 era composed into ONE
+    * oracled deliverable (the q79 → q135 → q183 → q322 lineage): the
+    * corpus flows through (1) the unigram tokenizer-economics gate,
+    * (2) PHYSICAL ERASURE (q326's predicate — the erased docs are
+    * gone from the state this manifest is computed FROM, not just
+    * filtered), (3) the embedding-space semantic prune over the
+    * surviving pair evidence, (4) the LEAKAGE-FREE CLUSTER SPLIT
+    * (q333's verdict: components over the same pair graph the prune
+    * used, whole clusters assigned by their root's md5 bucket — so
+    * transitive near-dup families never straddle train/test even when
+    * the prune keeps several semi-distinct survivors of one family),
+    * and (5) a PER-SPLIT resumable schedule (q319's md5 rank computed
+    * by [[Rank.globalRank]] over (split, okey) with three broadcast
+    * split offsets — never a per-split single-task window). The
+    * deliverable is the per-(split, shard) ledger, and the DuckDB
+    * oracle replays the ENTIRE composition — DP pricing, erasure,
+    * cosine prune, transitive-closure components, md5 buckets, md5
+    * ranks — so a green row certifies the COMPOSITION (q135's
+    * discipline); Round17Spec proves every stage moved the ledger
+    * (q142's lesson). Scale: stages (1)–(3) are q326's delta/state
+    * shapes, the closure is q63's slim label loop, the rank is the
+    * two-pass device; the ledger is shard-sized.
+    */
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shipped = mf4EraseSurvivors(s, d) // gate ∘ erasure ∘ prune
+    val root = mf4EraseStateRoot(s, d)
+    val labels = Dedup.connectedComponents(
+      s.read.parquet(s"$root/erased_mod7ne3/pairs"))
+    val split = shipped.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("root", coalesce($"cluster_root", $"doc_id"))
+      .withColumn("bucket", expr(
+        """CAST(conv(substring(
+          |  md5(CAST(concat('split:', CAST(root AS STRING)) AS BINARY)),
+          |  1, 8), 16, 10) AS BIGINT) % 10""".stripMargin))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 8 THEN 'train' " +
+          "WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+      .select($"doc_id", $"split")
+    val keyed = shipped.join(split, Seq("doc_id"))
+      .withColumn("okey",
+        md5(concat(lit("mf5:0:"), $"doc_id".cast("string")).cast("binary")))
+    val ranked = Rank.globalRank(keyed,
+      Seq($"split", $"okey", $"doc_id"), "grk")
+    // per-split step = global rank − the split's offset (3 bounded rows)
+    val offs = ranked.groupBy($"split").agg(min($"grk").as("off"))
+    ranked.join(broadcast(offs), Seq("split"))
+      .withColumn("step", $"grk" - $"off")
+      .withColumn("shard", expr("step DIV 64"))
+      .groupBy($"split", $"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"step").as("min_step"),
+        max($"step").as("max_step"),
+        sum($"n_words").as("n_words"),
+        sum($"n_pieces").as("n_pieces"))
+      .orderBy($"split", $"shard")
+  }
+
+  /** q335's oracle: the whole v5 composition recomputed from the raw
+    * corpus WITHOUT the erased docs — DP gate, cosine prune,
+    * transitive-closure components, md5 split buckets, per-split md5
+    * rank. One green row certifies every stage at once.
+    */
+  private val q335Sql: String = {
+    val ctes = mf4CtesOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+      "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)")
+    s"""$ctes,
+       |e2 AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id % 7 <> 3 AND b.vec_id % 7 <> 3
+       |    AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(a.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])))), 4)
+       |      >= 0.3),
+       |sym AS (SELECT a AS u, b AS v FROM e2 UNION SELECT b, a FROM e2),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |roots AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS root
+       |  FROM reach GROUP BY u),
+       |shipped AS (
+       |  SELECT g.doc_id, g.n_words, g.n_pieces FROM gated g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM pruned)),
+       |asg AS (
+       |  SELECT s.doc_id, s.n_words, s.n_pieces,
+       |    COALESCE(r.root, s.doc_id) AS root
+       |  FROM shipped s LEFT JOIN roots r ON r.doc_id = s.doc_id),
+       |sp AS (
+       |  SELECT doc_id, n_words, n_pieces,
+       |    CASE WHEN CAST(('0x' || substr(
+       |        md5('split:' || CAST(root AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 10 < 8 THEN 'train'
+       |      WHEN CAST(('0x' || substr(
+       |        md5('split:' || CAST(root AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM asg),
+       |ranked AS (
+       |  SELECT split, doc_id, n_words, n_pieces,
+       |    ROW_NUMBER() OVER (PARTITION BY split
+       |      ORDER BY md5('mf5:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      - 1 AS step
+       |  FROM sp)
+       |SELECT split, step // 64 AS shard,
+       |  COUNT(*) AS n_docs, MIN(step) AS min_step, MAX(step) AS max_step,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+       |FROM ranked GROUP BY split, shard
+       |ORDER BY split, shard""".stripMargin
+  }
+
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
     * derives from q128's BPE before shipping a tokenizer or pricing a
     * corpus in tokens: per language, the fraction of pre-tokens the
@@ -2110,6 +2232,9 @@ object Text {
     // the DELETE half: erasure over persisted pair evidence; the
     // oracle is the rebuild WITHOUT the erased docs
     QueryDef("q326_manifest_erasure", q326, Some(q326Sql)),
+    // the round-17 era composed: gate ∘ erasure ∘ prune ∘ cluster
+    // split ∘ per-split schedule, replayed end-to-end by the oracle
+    QueryDef("q335_manifest_v5", q335, Some(q335Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

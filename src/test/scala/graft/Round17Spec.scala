@@ -883,6 +883,43 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q335: manifest v5 — every composed stage provably fires ----------
+
+  test("q335: every composed stage moves the v5 ledger (q142's lesson)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q335_manifest_v5")(spark, d).collect()
+    val survivors = ops.Text.mf4EraseSurvivors(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    // erasure fired: no erased doc ships
+    assert(survivors.forall(_ % 7 != 3), "erased doc shipped in v5")
+    // gate + prune fired: the erased-state econ count strictly exceeds
+    // the gated count, which strictly exceeds the shipped count
+    val root = ops.Text.mf4EraseStateRoot(spark, d)
+    val econ = spark.read.parquet(s"$root/erased_mod7ne3/econ")
+    val gated = econ.where($"fert_ppm" <= 2000000L).count()
+    assert(gated < econ.count(), "fertility gate pruned nothing")
+    assert(survivors.size < gated, "semantic prune dropped nothing")
+    // split fired: ≥ 2 splits populated; ledger accounts every survivor
+    val bySplit = rows.groupBy(_.getString(0))
+    assert(bySplit.size >= 2, s"one split only: ${bySplit.keySet}")
+    assert(rows.map(_.getLong(2)).sum == survivors.size,
+      "ledger does not account every shipped doc")
+    // schedule fired: per split, dense per-shard step ranges from 0
+    for ((sp, rs) <- bySplit) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) == 0L, s"$sp steps not 0-based")
+      for (r <- sorted) {
+        val (shard, n, lo, hi) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(lo == shard * 64 && hi == lo + n - 1,
+          s"$sp shard $shard steps not dense: [$lo,$hi] n=$n")
+      }
+    }
+  }
+
   test("Rank.runningSum ≡ cumulative window sum (randomized, desc order)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
