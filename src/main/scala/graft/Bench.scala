@@ -379,12 +379,16 @@ object Bench {
     // visible in the round artifact itself, not just the min. The LINE
     // carries the 8 slowest pairs (char budget — 16 would overflow the
     // tier-3 cap); min() still uses all retimeK, and bench_full.json
-    // records every pair.
+    // records every pair. Entries are [pass1 s, pass2 s, pass1 GC ms,
+    // pass2 GC ms] — gc UNCONDITIONALLY (the r17 verdict note: the gc
+    // evidence must live in the round artifact itself, not only in
+    // bench_full.json / the usually-absent SUSPECT line), so a variance
+    // blowout is diagnosable from BENCH_r{N}.json alone.
     val p1 = pass1.toMap
     val lineRetimes = pass1.sortBy(-_._2).take(8).map(_._1).toSet
     val retimed = pass2.toSeq.filter(kv => lineRetimes(kv._1)).sortBy(_._1)
       .map { case (k, v2) => "\"" + shortKey(k) + "\":[" + r2(p1(k)) +
-        "," + r2(v2) + "]" }
+        "," + r2(v2) + "," + gc1.getOrElse(k, -1L) + "," + gc2(k) + "]" }
       .mkString("{", ",", "}")
     // when a SUSPECT retime fires, the round artifact itself carries
     // the evidence: [pass1 sec, pass2 sec, pass1 GC ms, pass2 GC ms]
@@ -409,7 +413,7 @@ object Bench {
     val lineRetimes3 = pass1.sortBy(-_._2).take(4).map(_._1).toSet
     val retimed1 = pass2.toSeq.filter(kv => lineRetimes3(kv._1)).sortBy(_._1)
       .map { case (k, v2) => "\"" + numKey3(k) + "\":[" + r1(p1(k)) +
-        "," + r1(v2) + "]" }
+        "," + r1(v2) + "," + gc1.getOrElse(k, -1L) + "," + gc2(k) + "]" }
       .mkString("{", ",", "}")
     // "errors" stays in EVERY tier, empty or not — prior rounds always
     // emitted it and the external driver's parser may require the key

@@ -2910,8 +2910,12 @@ object Corpus {
     * remainders with a deterministic lang tie-break), then MATERIALIZE
     * the sample — each language's quota filled by its md5-ranked first
     * quota docs, so the same corpus always ships the same sample and
-    * n_sampled ≡ quota per language (a rate-based sampler can't
-    * promise either). All integer arithmetic; DuckDB replays the
+    * n_sampled ≡ min(n_docs, quota) per language (quota EXACTNESS
+    * always holds; fill exactness holds under sufficient supply — when
+    * the budget exceeds a language's doc count the sample honestly
+    * undershoots rather than over-drawing another language, which is
+    * the contract a mixture negotiation wants; a rate-based sampler
+    * can't promise either). All integer arithmetic; DuckDB replays the
     * apportionment and the md5 ranks exactly. Scale: the apportionment
     * runs on the |langs|-row histogram (its global windows are
     * DOMAIN-bounded — the q148 note); the sample rank is a partitioned
@@ -3009,6 +3013,10 @@ object Corpus {
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = fullPostingStoreRoot(s, d)
+    // erasure-family store: a superseded freshness-tagged sibling would
+    // RETAIN erased posting rows on disk — sweep it, don't orphan it
+    StoreGuard.sweepStaleSiblings(s, "target/stage_corpus",
+      "fullpostings", Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -3031,6 +3039,10 @@ object Corpus {
   private[graft] def erasedPostingStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPostingStoreRoot(s, d)
+    // steady-state sweep of superseded freshness-tagged roots: an old
+    // root orphaned by a source rewrite may hold PRE-erase payloads
+    StoreGuard.sweepStaleSiblings(s, "target/stage_corpus",
+      "fullpostings", Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, "erased_mod9ne4",
       Seq("postings"))(fullPostingStore(s, d)) { out =>
       s.read.parquet(s"$root/postings")

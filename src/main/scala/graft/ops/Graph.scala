@@ -2177,6 +2177,10 @@ object Graph {
 
   private[graft] def fullPairStore(s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
+    // erasure-family store: a superseded freshness-tagged sibling would
+    // RETAIN erased pair rows on disk — sweep it, don't just orphan it
+    StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
+      "fullpairs", Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       skipgramPairs(walkStore(s, d))
         .repartition(8, col("center"))
@@ -2217,6 +2221,10 @@ object Graph {
   private[graft] def erasedPairStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
+    // steady-state sweep of superseded freshness-tagged roots: an old
+    // root orphaned by a source rewrite may hold PRE-erase payloads
+    StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
+      "fullpairs", Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, "erased_mod23ne7",
       Seq("pairs.parquet"))(fullPairStore(s, d)) { out =>
       s.read.parquet(s"$root/pairs.parquet")

@@ -93,6 +93,33 @@ private[graft] object StoreGuard {
     }
   }
 
+  /** Delete SUPERSEDED sibling store roots: every directory under
+    * `base` named `<prefix>_<tag>` whose full name is not in `keep`.
+    * Safe ONLY when the caller enumerates every LIVE tag of the prefix
+    * — true for freshness-keyed single-store prefixes (the tag is a
+    * pure function of the current source, so any other tag is provably
+    * stale: the r17-advice dead-weight finding), and REQUIRED for the
+    * erasure-family stores, where a stale sibling is not mere dead
+    * weight but a RETAINED COPY of rows a later erase physically
+    * removed (the source rewrites, the store root moves, and the
+    * pre-rewrite root — erased rows included — would sit on disk
+    * forever). Version-keyed prefixes (regivf — one live root PER
+    * registry version, rollback is a store lookup) must NOT sweep.
+    */
+  def sweepStaleSiblings(
+      s: SparkSession, base: String, prefix: String,
+      keep: Set[String]): Unit = {
+    val b = new org.apache.hadoop.fs.Path(base)
+    val fs = b.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(b)) {
+      fs.listStatus(b).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(s"${prefix}_") && !keep(n))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** PHYSICAL-ERASURE transaction — the ONE implementation of the
     * rewrite-then-vacuum discipline the erase verbs (q326/q329/q331)
     * share: the erased store lives at `<baseRoot>/<erasedTag>` (the

@@ -1223,9 +1223,26 @@ object Text {
     StoreGuard.storeRoot(s, "target/graft_text_store",
       "mf4era", d, "documents.parquet", embFreshness(s, d))
 
+  /** The ONE spelling of q326's erasure predicate tag (the r17-advice
+    * fix: q335 used to duplicate the literal when reading the erased
+    * pair evidence — a predicate change in one site but not the other
+    * would silently serve the OLD predicate's pairs).
+    */
+  private[graft] val Mf4ErasedTag = "erased_mod7ne3"
+
+  /** Root of the ERASED q326 state — the only path q335-class readers
+    * may read pair evidence from.
+    */
+  private[graft] def mf4ErasedRoot(s: SparkSession, d: String): String =
+    s"${mf4EraseStateRoot(s, d)}/$Mf4ErasedTag"
+
   private[graft] def mf4ErasureState(s: SparkSession, d: String): String = {
     import s.implicits._
     val root = mf4EraseStateRoot(s, d)
+    // erasure-family store: a superseded freshness-tagged sibling would
+    // RETAIN erased econ/pair rows on disk — sweep it, don't orphan it
+    StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
+      "mf4era", Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       // yesterday: price every doc, and keep the pair EVIDENCE —
       // doc-cardinality and pair-cardinality state, hash-distributed
@@ -1257,7 +1274,11 @@ object Text {
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = mf4EraseStateRoot(s, d)
-    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod7ne3",
+    // steady-state sweep of superseded freshness-tagged roots: an old
+    // root orphaned by a source rewrite may hold PRE-erase payloads
+    StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
+      "mf4era", Set(root.split('/').last))
+    val erased = StoreGuard.eraseRewrite(s, root, Mf4ErasedTag,
       Seq("econ", "pairs"))(mf4ErasureState(s, d)) { out =>
       s.read.parquet(s"$root/econ")
         .where($"doc_id" % 7 =!= 3)
@@ -1337,9 +1358,8 @@ object Text {
   private def q335(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val shipped = mf4EraseSurvivors(s, d) // gate ∘ erasure ∘ prune
-    val root = mf4EraseStateRoot(s, d)
     val labels = Dedup.connectedComponents(
-      s.read.parquet(s"$root/erased_mod7ne3/pairs"))
+      s.read.parquet(s"${mf4ErasedRoot(s, d)}/pairs"))
     val split = shipped.select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("root", coalesce($"cluster_root", $"doc_id"))

@@ -90,6 +90,45 @@ final class StoreLog(
   def commitTable(id: Long, df: DataFrame, parts: Int = 1): Unit =
     commit(id)(tmp => df.coalesce(parts).write.parquet(tmp.toString))
 
+  /** COMPARE-AND-SWAP commit — the MULTI-WRITER discipline plain
+    * [[commit]] deliberately lacks (its id comes from a replayed
+    * batch, so overwriting its own prior attempt is the point). Two
+    * maintenance jobs racing on a pointer table (a compaction and a
+    * cutover, the r17-verdict scenario) must instead serialize:
+    * `commitNext(expected)` publishes version `expected + 1` ONLY if
+    * `expected` is still the newest committed version, and returns
+    * None when another writer got there first — the loser re-reads the
+    * log and retries (or aborts) instead of silently clobbering a swap
+    * it never saw. Atomicity is the rename itself: the staged dir is
+    * moved WITHOUT deleting an existing target, and rename(2) onto an
+    * existing non-empty directory fails (commit dirs are never empty),
+    * so of two racers past the optimistic pre-check exactly ONE
+    * rename lands — readers observe the old pointer or a complete new
+    * one, never a torn or doubly-applied swap. Each attempt stages
+    * into its own temp dir (racing stagers must not share scratch).
+    * On an object store the same contract is a conditional PUT
+    * (if-match on the pointer object's version).
+    */
+  def commitNext(expected: Option[Long])(
+      write: java.nio.file.Path => Unit): Option[Long] = {
+    if (latest() != expected) return None
+    val id = expected.getOrElse(0L) + 1L
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve(s"tmp_cas_$prefix${id}_${System.nanoTime()}")
+    write(tmp)
+    val dst = root.resolve(s"$prefix$id")
+    try {
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(id)
+    } catch {
+      case _: java.nio.file.FileSystemException =>
+        // lost the race: the winner's commit dir is already at dst
+        Streams.deleteStaged(tmp)
+        None
+    }
+  }
+
   /** Snapshot read: the newest commit ≤ `id` (None if nothing is
     * committed at or below it). `sub` selects a table inside a
     * multi-table commit.

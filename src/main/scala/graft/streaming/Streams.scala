@@ -3484,13 +3484,17 @@ object Streams {
     val srcDir = root.resolve("src").toString
     val pointer = new StoreLog(root.resolve("pointer"), "p")
     val outLog = new StoreLog(root.resolve("out"), "b")
-    def setPointer(id: Long, v: Long): Unit =
-      pointer.commit(id)(tmp => Seq(Tuple1(v)).toDF("v")
-        .coalesce(1).write.parquet(tmp.toString))
+    // pointer swaps go through the CAS commit: a racing maintenance
+    // writer (q327's compaction is the scenario) loses the rename and
+    // must re-read, never silently clobber a swap it didn't see
+    def setPointer(expect: Option[Long], v: Long): Unit =
+      require(pointer.commitNext(expect)(tmp => Seq(Tuple1(v)).toDF("v")
+          .coalesce(1).write.parquet(tmp.toString)).isDefined,
+        s"pointer CAS lost at expected=$expect — concurrent writer")
     def stage(phase: Long): Unit =
       Seq(Tuple1(phase)).toDF("phase").coalesce(1)
         .write.mode("append").parquet(srcDir)
-    setPointer(1L, 1L)
+    setPointer(None, 1L)
     stage(0L)
     val q = spark.readStream
       .schema("phase LONG")
@@ -3516,10 +3520,10 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      setPointer(2L, 2L) // CUTOVER — the stream is live
+      setPointer(Some(1L), 2L) // CUTOVER — the stream is live
       stage(1L)
       q.processAllAvailable()
-      setPointer(3L, 1L) // ROLLBACK — still live
+      setPointer(Some(2L), 1L) // ROLLBACK — still live
       stage(2L)
       q.processAllAvailable()
     } finally q.stop()
@@ -3574,6 +3578,17 @@ object Streams {
     * contributions after it accumulate fresh. One ValueState of two
     * Longs per user; `ver` orders the Update-mode emissions for the
     * read side's max_by snapshot (the PsiHistProcessor device).
+    *
+    * A tombstone with NO following contributions physically CLEARS the
+    * aggregate from the state store (`agg.clear()`, the r17-advice
+    * fix) — "the state itself forgets" holds for the RocksDB store the
+    * same way it holds for the q326/q329/q331 disk stores, not just
+    * for the emitted values. Only the `ver` counter survives (one Long
+    * of ordering metadata, zero user content): clearing it too would
+    * restart a post-tombstone resurrection at ver=1 and let the read
+    * side's max_by(_, ver) snapshot resolve to a PRE-tombstone
+    * emission — ver monotonicity is what makes "last update wins"
+    * well-defined across an erasure.
     */
   final class EraseStateProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -3597,11 +3612,15 @@ object Streams {
         tv: org.apache.spark.sql.streaming.TimerValues,
     ): Iterator[EraseRow] = {
       var (n, c) = if (agg.exists()) agg.get() else (0L, 0L)
+      var tombed = false
       rows.foreach { case (_, cents, tomb) =>
-        if (tomb) { n = 0L; c = 0L }
+        if (tomb) { n = 0L; c = 0L; tombed = true }
         else { n += 1L; c += cents }
       }
-      agg.update((n, c))
+      // tombstone with no following rows: clear the aggregate from the
+      // store (physical forget), don't persist a zeroed row
+      if (tombed && n == 0L && c == 0L) agg.clear()
+      else agg.update((n, c))
       val v = (if (ver.exists()) ver.get() else 0L) + 1L
       ver.update(v)
       Iterator.single(EraseRow(key, v, n, c))
@@ -3710,13 +3729,17 @@ object Streams {
     val srcDir = root.resolve("src").toString
     val pointer = new StoreLog(root.resolve("pointer"), "p")
     val outLog = new StoreLog(root.resolve("out"), "b")
-    def setPointer(id: Long, path: String): Unit =
-      pointer.commit(id)(tmp => Seq(Tuple1(path)).toDF("path")
-        .coalesce(1).write.parquet(tmp.toString))
+    // pointer swaps go through the CAS commit (see q323): compaction
+    // and cutover racing on one pointer serialize on the rename
+    def setPointer(expect: Option[Long], path: String): Unit =
+      require(pointer.commitNext(expect)(tmp =>
+          Seq(Tuple1(path)).toDF("path")
+            .coalesce(1).write.parquet(tmp.toString)).isDefined,
+        s"pointer CAS lost at expected=$expect — concurrent writer")
     def stage(phase: Long): Unit =
       Seq(Tuple1(phase)).toDF("phase").coalesce(1)
         .write.mode("append").parquet(srcDir)
-    setPointer(1L, frag)
+    setPointer(None, frag)
     stage(0L)
     val q = spark.readStream
       .schema("phase LONG")
@@ -3751,10 +3774,10 @@ object Streams {
       require(after.files < before.files,
         s"q327: compaction did not collapse files " +
           s"(${before.files} -> ${after.files})")
-      setPointer(2L, tidy) // CUTOVER to the compacted store
+      setPointer(Some(1L), tidy) // CUTOVER to the compacted store
       stage(1L)
       q.processAllAvailable()
-      setPointer(3L, frag) // ROLLBACK — the input store was never mutated
+      setPointer(Some(2L), frag) // ROLLBACK — input store never mutated
       stage(2L)
       q.processAllAvailable()
     } finally q.stop()
