@@ -3036,6 +3036,20 @@ object Corpus {
     * sweep). Round17Spec asserts zero erased rows on disk and the
     * vacuumed base.
     */
+  /** The ONE spelling of q331's erasure predicate tag (doc_id % 9 == 4
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val PostingErasedTag = "erased_mod9ne4"
+
+  /** q331's erased store root — ensures the erase transaction ran and
+    * returns the predicate-tagged root (q338's audit handle).
+    */
+  private[graft] def erasedPostingStoreRoot(
+      s: SparkSession, d: String): String = {
+    erasedPostingStore(s, d)
+    s"${fullPostingStoreRoot(s, d)}/$PostingErasedTag"
+  }
+
   private[graft] def erasedPostingStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPostingStoreRoot(s, d)
@@ -3043,7 +3057,7 @@ object Corpus {
     // root orphaned by a source rewrite may hold PRE-erase payloads
     StoreGuard.sweepStaleSiblings(s, "target/stage_corpus",
       "fullpostings", Set(root.split('/').last))
-    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod9ne4",
+    val erased = StoreGuard.eraseRewrite(s, root, PostingErasedTag,
       Seq("postings"))(fullPostingStore(s, d)) { out =>
       s.read.parquet(s"$root/postings")
         .where(col("doc_id") % 9 =!= 4)

@@ -678,8 +678,33 @@ object Dedup {
       bands: Int = 8,
       minMatches: Int = 16,
       maxBucket: Int = 64,
+  ): (DataFrame, DataFrame) =
+    nearDupDecideCore(spark, sketchSigs(delta, numHashes), store,
+      numHashes, bands, minMatches, maxBucket)
+
+  /** The DECISION half of [[incrementalNearDupCore]], factored at the
+    * signature boundary (r18): input is an already-sketched (doc, sig)
+    * frame, so the SAME collision/suppression rules can run over
+    * signatures of MIXED provenance — fresh sketches (the normal
+    * ingest path) or signatures loaded back from a persisted store
+    * (q337's erasure replay, where re-running the decisions over
+    * stored 256-byte rows is what makes erase cheap: the expensive
+    * text→shingle→minhash work is only re-paid for the handful of
+    * previously-DROPPED survivors whose signatures the store never
+    * kept). Decisions are a deterministic function of (doc, sig)
+    * alone, so provenance cannot change an outcome — the property
+    * q337's rebuild-equivalence gate rests on.
+    */
+  private[graft] def nearDupDecideCore(
+      spark: SparkSession,
+      deltaSigs: DataFrame,
+      store: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minMatches: Int = 16,
+      maxBucket: Int = 64,
   ): (DataFrame, DataFrame) = {
-    val dsk = sketchSigs(delta, numHashes)
+    val dsk = deltaSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dbands = bandRows(dsk, numHashes, bands)
     def guard(b: DataFrame): DataFrame = b.withColumn(
@@ -754,6 +779,135 @@ object Dedup {
       s, docs.where($"doc_id" % 10 < 8), s"$root/v0", s"$root/v1")
     incrementalNearDupStep(
       s, docs.where($"doc_id" % 10 >= 8), s"$root/v1", s"$root/v2")
+  }
+
+  // ---- q337: signature-store erasure -------------------------------------
+
+  /** Empty (doc, sig) frame with the signature-store schema. */
+  private def emptySigStore(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc LONG, sig ARRAY<LONG>"))
+
+  /** Pure key of q337's consolidated signature store (q182's final v2
+    * state under the [[StoreGuard.storeRoot]] freshness recipe, so the
+    * erasure transaction has a build-if-absent base to rewrite).
+    */
+  private[graft] def sigStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/stage_dedup",
+      "sigstore", d, "documents.parquet")
+
+  /** The ONE spelling of q337's erasure predicate tag (doc_id % 13 == 6
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val SigErasedTag = "erased_mod13ne6"
+
+  /** Build-if-absent consolidated signature store: q182's two-phase
+    * pipeline (base batch against an empty store, delta against the
+    * base survivors), final kept-doc signatures persisted
+    * hash-distributed by doc.
+    */
+  private[graft] def sigStore(s: SparkSession, d: String): String = {
+    val root = sigStoreRoot(s, d)
+    StoreGuard.ensureBuilt(s, root) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (_, s1) = incrementalNearDupCore(
+        s, docs.where(col("doc_id") % 10 < 8), emptySigStore(s))
+      val (_, s2) = incrementalNearDupCore(
+        s, docs.where(col("doc_id") % 10 >= 8), s1)
+      s2.repartition(col("doc"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/sigs")
+    }
+    root
+  }
+
+  /** q337's PHYSICAL erase of the MinHash signature store — the fuzzy
+    * twin of q336 and the r17 verdict's top item: stored signatures
+    * are fingerprints DERIVED from erased text, so erasing doc set E
+    * (doc_id % 13 == 6) must remove E's 256-byte rows from disk AND
+    * replay the keep/drop CASCADE over the survivors, because the
+    * rebuild-without semantics is non-monotone in BOTH directions — a
+    * dropped doc whose only blockers were erased ships again
+    * (resurrection), and a resurrected doc can newly block a
+    * later-batch doc that used to ship (unshipping). The replay runs
+    * [[nearDupDecideCore]] batch-by-batch over SIGNATURES, never text:
+    * kept survivors' signatures come back from the store, and only the
+    * previously-DROPPED survivors (the dedup rate's small complement)
+    * are re-sketched from the corpus — so the erase costs sig-sized
+    * decision work plus a drop-set-sized sketch pass, not the full
+    * text scan the oracle rebuild pays. Decisions are deterministic in
+    * (doc, sig), so the replay is BIT-IDENTICAL to a from-scratch
+    * rebuild over corpus∖E (Round18Spec gates store ≡ rebuild exactly,
+    * plus zero erased signatures in any parquet under the erased
+    * root). The per-doc decision ledger (kept now vs kept before) is
+    * persisted beside the store — the post-vacuum world could not
+    * otherwise reconstruct "before".
+    */
+  private[graft] def erasedSigStore(s: SparkSession, d: String): String = {
+    val root = sigStoreRoot(s, d)
+    // steady-state sweep: an orphaned pre-erase root would RETAIN the
+    // erased docs' signatures on disk
+    StoreGuard.sweepStaleSiblings(s, "target/stage_dedup",
+      "sigstore", Set(root.split('/').last))
+    StoreGuard.eraseRewrite(s, root, SigErasedTag,
+      Seq("sigs"))(sigStore(s, d)) { out =>
+      val store = s.read.parquet(s"$root/sigs")
+        .localCheckpoint() // pin: the base payload is vacuumed below
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val keptIds = store.select(col("doc").as("doc_id"))
+      // survivors the store has no signature for: previously dropped
+      def resketched(batch: Column): DataFrame = sketchSigs(
+        docs.where(batch && col("doc_id") % 13 =!= 6)
+          .join(keptIds, Seq("doc_id"), "left_anti"), 32)
+      def fromStore(batch: Column): DataFrame = store
+        .where(batch && col("doc") % 13 =!= 6)
+      val (led1, s1) = nearDupDecideCore(s,
+        fromStore(col("doc") % 10 < 8)
+          .unionByName(resketched(col("doc_id") % 10 < 8)),
+        emptySigStore(s))
+      val (led2, s2) = nearDupDecideCore(s,
+        fromStore(col("doc") % 10 >= 8)
+          .unionByName(resketched(col("doc_id") % 10 >= 8)),
+        s1)
+      s2.repartition(col("doc"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/sigs")
+      led1.unionByName(led2)
+        .select(col("doc_id"), col("kept"))
+        .join(keptIds.withColumn("was_kept", lit(true)),
+          Seq("doc_id"), "left")
+        .na.fill(false, Seq("was_kept"))
+        .repartition(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/ledger")
+    }
+  }
+
+  /** q337: SIGNATURE-STORE ERASURE — the per-doc decision ledger of
+    * the erased MinHash store: every surviving doc's (kept, was_kept)
+    * pair and the status it implies — `kept`, `dropped`, `resurrected`
+    * (its only blockers were erased), or `unshipped` (newly blocked by
+    * a resurrected doc — the cascade a naive delete-the-rows erase
+    * misses). Sketch class, no SQL oracle (DuckDB has no MinHash
+    * twin); Round18Spec gates the strongest external check instead:
+    * the erased store and ledger are BIT-IDENTICAL to a from-scratch
+    * rebuild of the two-phase pipeline over corpus∖E, zero erased
+    * signatures survive in any parquet file under the erased root, and
+    * a planted fixture forces both cascade directions.
+    */
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val erased = erasedSigStore(s, d)
+    s.read.parquet(s"$erased/ledger")
+      .withColumn("status",
+        when($"kept" && !$"was_kept", lit("resurrected"))
+          .when(!$"kept" && $"was_kept", lit("unshipped"))
+          .when($"kept", lit("kept"))
+          .otherwise(lit("dropped")))
+      .select($"doc_id", $"kept", $"was_kept", $"status")
+      .orderBy($"doc_id")
   }
 
   /** Accepted NAME pairs for the lev ≤ 2 agreement rule, computed on
@@ -965,5 +1119,9 @@ object Dedup {
     // sketch-kernel family: no DuckDB twin — Round11Spec gates replay
     // idempotence and store-path ≡ recompute-path equivalence
     QueryDef("q182_incremental_neardup", q182, None),
+    // signature-store erasure: sketch class, no SQL oracle —
+    // Round18Spec gates erase ≡ from-scratch rebuild bit-identity,
+    // zero erased signatures on disk, and both cascade directions
+    QueryDef("q337_signature_erasure", q337, None),
   )
 }

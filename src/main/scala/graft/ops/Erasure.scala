@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+
+/** q338: the composed ERASURE AUDIT CERTIFICATE — the missing closure
+  * of the erasure family (r17 verdict item 2): each erase verb
+  * (q326/q329/q331/q336/q337) proves ITS OWN store clean, but nothing
+  * swept ALL persisted stores for erased references, so adding store
+  * N+1 would silently reopen the right-to-be-forgotten obligation.
+  * The audit enumerates a REGISTRY of every eraseRewrite-maintained
+  * store, runs the whole erase cascade, and counts — from the PARQUET
+  * FILES under each erased root, never from the verbs' return frames —
+  * (a) rows still referencing an erased id and (b) superseded BASE
+  * payload dirs still resident beside the erased store. The auditor's
+  * certificate is the all-zero per-store ledger (the q142
+  * declarative-contract discipline applied to erasure).
+  *
+  * Two locks keep the certificate honest: Round18Spec runs the SAME
+  * audit runner over a fixture with one store deliberately un-erased
+  * and asserts the ledger goes nonzero (an audit that cannot fail
+  * certifies nothing — q142's lesson), and a completeness check
+  * re-greps src/main for `StoreGuard.eraseRewrite` call sites and
+  * fails when the registry's distinct `site` count drifts from the
+  * source — registering the erase verb without registering its store
+  * here breaks the build. The oracle is the constant all-zero ledger:
+  * DuckDB cannot see target/ disk state, so the SQL side pins schema
+  * and the zero contract while the Spark side carries the physical
+  * evidence (the per-store CONTENT equivalences are each erase verb's
+  * own oracle — q326/q329/q331/q336 replay erase ≡ rebuild-without in
+  * SQL; this query is the cross-store zero-residue certificate).
+  *
+  * q330's streaming state is deliberately absent: its RocksDB state
+  * lives inside a per-run checkpoint that is deleted with the harness
+  * (and the tombstone path physically clears the keyed aggregate);
+  * there is no persisted root to audit once the run ends.
+  *
+  * Scale: each count is a column-pruned scan of one store (the stores
+  * are delta/evidence-sized, never the corpus), and the cascade's
+  * builders are all build-if-absent — steady-state cost is six
+  * metadata reads plus six pruned counts.
+  */
+object Erasure {
+
+  /** One audited store: `site` names the eraseRewrite call site (the
+    * completeness lock's join key — several payload rows may share
+    * one site), `erasedRoot` ensures the erase transaction ran and
+    * returns the predicate-tagged root, `payload` the parquet dir
+    * under it, `refPred` the "references an erased id" predicate over
+    * that payload's schema, and `basePayloads` the superseded dirs
+    * that must be GONE from the base root.
+    */
+  private[graft] final case class AuditedStore(
+      site: String,
+      store: String,
+      erasedRoot: (SparkSession, String) => String,
+      payload: String,
+      refPred: DataFrame => Column,
+      basePayloads: Seq[String])
+
+  /** The registry — one row per persisted payload of every erase
+    * site. New erase verbs MUST add their store(s) here; the
+    * Round18Spec completeness lock fails the build otherwise.
+    */
+  private[graft] val registry: Seq[AuditedStore] = Seq(
+    AuditedStore("mf4", "mf4_econ",
+      (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
+      "econ", df => df("doc_id") % 7 === 3, Seq("econ", "pairs")),
+    AuditedStore("mf4", "mf4_pairs",
+      (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
+      "pairs", df => df("a") % 7 === 3 || df("b") % 7 === 3,
+      Seq("econ", "pairs")),
+    AuditedStore("sppmi", "sppmi_pairs",
+      (s, d) => Graph.erasedPairStoreRoot(s, d),
+      "pairs.parquet",
+      df => df("center") % 23 === 7 || df("context") % 23 === 7,
+      Seq("pairs.parquet")),
+    AuditedStore("postings", "search_postings",
+      (s, d) => Corpus.erasedPostingStoreRoot(s, d),
+      "postings", df => df("doc_id") % 9 === 4, Seq("postings")),
+    AuditedStore("passage", "passage_hashes",
+      (s, d) => Text.erasedPassageStore(s, d),
+      "store", df => df("w_doc") % 11 === 5, Seq("store")),
+    AuditedStore("minhash", "minhash_sigs",
+      (s, d) => Dedup.erasedSigStore(s, d),
+      "sigs", df => df("doc") % 13 === 6, Seq("sigs")),
+    AuditedStore("minhash", "minhash_ledger",
+      (s, d) => Dedup.erasedSigStore(s, d),
+      "ledger", df => df("doc_id") % 13 === 6, Seq("sigs")),
+  )
+
+  /** Audit ledger over a registry — factored so Round18Spec can run
+    * the identical code path over a fixture whose stores are NOT all
+    * clean and watch the certificate fail.
+    */
+  private[graft] def auditFrame(
+      s: SparkSession, d: String,
+      stores: Seq[AuditedStore]): DataFrame = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    val rows = stores.map { a =>
+      val root = a.erasedRoot(s, d)
+      val payload = s.read.parquet(s"$root/${a.payload}")
+      val nRefs = payload.where(a.refPred(payload)).count()
+      val base = root.substring(0, root.lastIndexOf('/'))
+      val resident = a.basePayloads.count { p =>
+        val hp = new org.apache.hadoop.fs.Path(s"$base/$p")
+        hp.getFileSystem(conf).exists(hp)
+      }
+      (a.store, nRefs, resident.toLong)
+    }
+    rows.toDF("store", "n_erased_refs", "n_base_resident")
+      .orderBy($"store")
+  }
+
+  private def q338(s: SparkSession, d: String): DataFrame =
+    auditFrame(s, d, registry)
+
+  private val q338Sql =
+    """SELECT * FROM (VALUES
+      |  ('mf4_econ',        CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('mf4_pairs',       CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('minhash_ledger',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('minhash_sigs',    CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('passage_hashes',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('search_postings', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('sppmi_pairs',     CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(store, n_erased_refs, n_base_resident)
+      |ORDER BY store""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // the audit's power is the disk scan + the Round18Spec negative
+    // fixture; the SQL side pins the schema and the all-zero contract
+    QueryDef("q338_erasure_audit", q338, Some(q338Sql)),
+  )
+}

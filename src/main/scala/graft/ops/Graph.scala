@@ -2218,6 +2218,20 @@ object Graph {
     * steady-state sweep both live in the ONE helper). Round17Spec
     * asserts zero erased rows on disk AND the vacuumed base.
     */
+  /** The ONE spelling of q329's erasure predicate tag (node % 23 == 7
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val SppmiErasedTag = "erased_mod23ne7"
+
+  /** q329's erased store root — ensures the erase transaction ran and
+    * returns the predicate-tagged root (q338's audit handle).
+    */
+  private[graft] def erasedPairStoreRoot(
+      s: SparkSession, d: String): String = {
+    erasedPairStore(s, d)
+    s"${fullPairStoreRoot(s, d)}/$SppmiErasedTag"
+  }
+
   private[graft] def erasedPairStore(
       s: SparkSession, d: String): DataFrame = {
     val root = fullPairStoreRoot(s, d)
@@ -2225,7 +2239,7 @@ object Graph {
     // root orphaned by a source rewrite may hold PRE-erase payloads
     StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
       "fullpairs", Set(root.split('/').last))
-    val erased = StoreGuard.eraseRewrite(s, root, "erased_mod23ne7",
+    val erased = StoreGuard.eraseRewrite(s, root, SppmiErasedTag,
       Seq("pairs.parquet"))(fullPairStore(s, d)) { out =>
       s.read.parquet(s"$root/pairs.parquet")
         .where(col("center") % 23 =!= 7 && col("context") % 23 =!= 7)

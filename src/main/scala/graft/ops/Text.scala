@@ -2121,6 +2121,164 @@ object Text {
       |FROM alln a LEFT JOIN kept k USING (doc_id)
       |ORDER BY a.doc_id""".stripMargin
 
+  // ---- q336: cross-run dedup-store erasure ------------------------------
+
+  /** Pure key of q336's consolidated passage-fingerprint store (the
+    * lifelong dedup state a 100 TB pipeline keeps longest — q177's v2
+    * shape under the [[StoreGuard.storeRoot]] freshness recipe so the
+    * erasure transaction has a build-if-absent base to rewrite).
+    */
+  private[graft] def passageStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/graft_text_store",
+      "pdedup", d, "documents.parquet")
+
+  /** The ONE spelling of q336's erasure predicate tag (doc_id % 11 == 5
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val PassageErasedTag = "erased_mod11ne5"
+
+  /** Keep-first winner per passage hash over an id+text frame, with
+    * the ARRIVAL priority the incremental store records (base batch
+    * doc_id%10<8 beats delta, then (doc_id, chunk_idx)) — the one
+    * election rule shared by the store build and the erase re-election
+    * so the two cannot drift.
+    */
+  private def electPassageWinners(docs: DataFrame): DataFrame =
+    passageChunks(docs)
+      .groupBy(col("ph"))
+      .agg(min(struct(
+        (col("doc_id") % 10 >= 8).cast("int").as("b"),
+        col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("ph"), col("w.doc_id").as("w_doc"),
+        col("w.chunk_idx").as("w_chunk"))
+
+  /** Build-if-absent consolidated passage store — winner rows
+    * (ph, w_doc, w_chunk), hash-distributed on ph (q177's 24-byte
+    * store discipline; q177 itself proves the incremental path is
+    * indistinguishable from this one-pass election).
+    */
+  private[graft] def passageStore(s: SparkSession, d: String): String = {
+    val root = passageStoreRoot(s, d)
+    StoreGuard.ensureBuilt(s, root) {
+      electPassageWinners(Tables.documents(s, d))
+        .repartition(8, col("ph"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/store")
+    }
+    root
+  }
+
+  /** q336's PHYSICAL erase of the passage-fingerprint store — the r17
+    * verdict's top item: the store persists span fingerprints DERIVED
+    * from erased documents (exactly the derived PII a GDPR pipeline
+    * must also forget), so erasing doc set E (doc_id % 11 == 5) must
+    * (a) remove every winner row held by an erased doc from disk and
+    * (b) RE-ELECT each orphaned fingerprint among the SURVIVING
+    * occurrences — q326's resurrection semantics at the dedup layer: a
+    * dropped duplicate whose keeper was erased must ship again.
+    *
+    * Winner rows whose holder survives are untouched BY PROOF, not by
+    * recompute: the pre-erase winner is the minimum over ALL
+    * occurrences, so losing only erased occurrences cannot move a
+    * surviving minimum — erase ≡ rebuild-without follows, and the
+    * oracle certifies it externally (full recompute over corpus∖E in
+    * DuckDB). Unlike q326/q329/q331 the re-election MUST touch the
+    * corpus — the 24-byte store keeps winners only, never the loser
+    * occurrence lists (unbounded) — but only orphan-sized state moves:
+    * the survivor corpus is chunked once and SEMI-JOINED to the
+    * broadcast orphan fingerprint set (erase-batch-sized) before any
+    * aggregation, so the shuffle is |orphans|, never corpus-wide. The
+    * re-elected set is persisted as the `inherit` payload — the
+    * resurrection ledger the post-vacuum world could not otherwise
+    * reconstruct (the pre-erase store is gone; that is the point).
+    */
+  private[graft] def erasedPassageStore(
+      s: SparkSession, d: String): String = {
+    val root = passageStoreRoot(s, d)
+    // steady-state sweep: an orphaned pre-erase root would RETAIN the
+    // erased docs' fingerprints on disk
+    StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
+      "pdedup", Set(root.split('/').last))
+    StoreGuard.eraseRewrite(s, root, PassageErasedTag,
+      Seq("store"))(passageStore(s, d)) { out =>
+      val store = s.read.parquet(s"$root/store")
+      val survivors = store.where(col("w_doc") % 11 =!= 5)
+      val orphanPh = store.where(col("w_doc") % 11 === 5).select("ph")
+      val reelected = passageChunks(
+          Tables.documents(s, d).where(col("doc_id") % 11 =!= 5))
+        .join(broadcast(orphanPh), Seq("ph"), "left_semi")
+        .groupBy(col("ph"))
+        .agg(min(struct(
+          (col("doc_id") % 10 >= 8).cast("int").as("b"),
+          col("doc_id"), col("chunk_idx"))).as("w"))
+        .select(col("ph"), col("w.doc_id").as("w_doc"),
+          col("w.chunk_idx").as("w_chunk"))
+        .localCheckpoint()
+      survivors.unionByName(reelected)
+        .repartition(8, col("ph"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/store")
+      reelected.select(col("ph"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/inherit")
+    }
+  }
+
+  /** q336: DEDUP-STORE ERASURE — the per-winner-doc ledger of the
+    * POST-ERASE passage store: how many fingerprints each surviving
+    * doc holds and how many it INHERITED from an erased winner. The
+    * oracle recomputes both from the raw corpus (pre- and post-erase
+    * winner elections over passage STRINGS in DuckDB), so a green row
+    * proves the store-side erase transaction — removal, re-election,
+    * and the untouched-survivor argument — is indistinguishable from
+    * rebuilding the dedup state over corpus∖E. Round18Spec adds the
+    * physical half the oracle cannot see: zero erased fingerprints in
+    * any parquet file under the erased root, the vacuumed base, and a
+    * replay that reuses the store byte-for-byte.
+    */
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val erased = erasedPassageStore(s, d)
+    val inherit = s.read.parquet(s"$erased/inherit")
+      .withColumn("inh", lit(1L))
+    s.read.parquet(s"$erased/store")
+      .join(inherit, Seq("ph"), "left")
+      .groupBy($"w_doc")
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(coalesce($"inh", lit(0L))).as("n_inherited"))
+      .orderBy($"w_doc")
+  }
+
+  private val q336Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, (doc_id % 10 >= 8) AS is_delta,
+      |         string_split(text, ' ') AS t
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, is_delta, i AS chunk_idx,
+      |         array_to_string(t[(i*4+1):(i*4+4)], ' ') AS passage
+      |  FROM (SELECT doc_id, is_delta, t,
+      |          unnest(generate_series(0, (len(t)-1)//4)) AS i FROM toks) g),
+      |pre AS (
+      |  SELECT passage, doc_id FROM (
+      |    SELECT passage, doc_id,
+      |           row_number() OVER (PARTITION BY passage
+      |             ORDER BY is_delta, doc_id, chunk_idx) AS rn
+      |    FROM chunks) r
+      |  WHERE rn = 1),
+      |post AS (
+      |  SELECT passage, doc_id FROM (
+      |    SELECT passage, doc_id,
+      |           row_number() OVER (PARTITION BY passage
+      |             ORDER BY is_delta, doc_id, chunk_idx) AS rn
+      |    FROM chunks WHERE doc_id % 11 <> 5) r
+      |  WHERE rn = 1)
+      |SELECT p.doc_id AS w_doc, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+      |       CAST(SUM(CASE WHEN pre.doc_id % 11 = 5 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_inherited
+      |FROM post p JOIN pre ON pre.passage = p.passage
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q155: INVERTED INDEX build — the search-engine/RAG-retrieval
     * primitive none of the per-doc stats queries produce: term →
     * document frequency, collection frequency, and the head of the
@@ -2261,6 +2419,9 @@ object Text {
     QueryDef("q62_dedup_keep", q62, Some(q62Sql)),
     QueryDef("q140_passage_dedup", q140, Some(q140Sql)),
     QueryDef("q177_incremental_dedup", q177, Some(q177Sql)),
+    // cross-run dedup-store erasure: remove + re-elect, erase ≡
+    // rebuild-without replayed externally over passage strings
+    QueryDef("q336_dedup_store_erasure", q336, Some(q336Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),
     // Streaming dedup under the oracle gate: watermark-bounded
     // dropDuplicates (streaming twin of q30/q62) must keep exactly one
