@@ -2999,6 +2999,122 @@ object Corpus {
       |FROM quotas qq LEFT JOIN sam ON sam.lang = qq.lang
       |ORDER BY qq.lang""".stripMargin
 
+  // ---- q340: token-grain budget apportionment ---------------------------
+
+  /** q340: TOKEN-GRAIN BUDGET APPORTIONMENT — q334's integer-exact
+    * Hamilton quotas renegotiated in the unit training mixtures are
+    * actually priced in: TOKENS. Per-language quotas are
+    * largest-remainder apportioned over token MASS (they sum to the
+    * 10000-token budget EXACTLY), and each language's quota is filled
+    * by its md5-ranked PACKED-TOKEN PREFIX — the maximal prefix of the
+    * deterministic doc order whose cumulative token count fits the
+    * quota (q131's packing discipline as the fill rule, closing the
+    * verdict's q334⇄shard-layer loop): Σ shipped tokens ≤ budget by
+    * construction, with the exact integer slack reported per language
+    * (the first unshipped doc would overflow — maximality is the
+    * cumulative rule itself, replayed by the oracle). All integer
+    * arithmetic; DuckDB replays apportionment, md5 ranks, and the
+    * prefix sums exactly.
+    *
+    * Scale: the apportionment runs on the |langs|-row histogram
+    * (domain-bounded global window, pinned once — q334's two-scan
+    * discipline), and the FILL's running sum is [[Rank.runningSum]]'s
+    * two-pass device over (lang, md5, doc_id) with per-language
+    * offsets from a broadcast |langs|-row aggregate — no per-language
+    * single-task window even when one language is 90% of the corpus
+    * (the skew q334's partitioned row_number would funnel into one
+    * task; token mass makes the skew certain at 100 TB, so the fill
+    * is built on the distributed rank device from the start).
+    */
+  private def q340(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 10000L
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("ntok"))
+    val c = docs.groupBy($"lang").agg(sum($"ntok").as("n"))
+    val t = c.agg(sum($"n").as("total"))
+    val q = c.crossJoin(broadcast(t))
+      .withColumn("base", expr(s"(n * $budget) DIV total"))
+      .withColumn("rem", expr(s"(n * $budget) % total"))
+    val x = q.agg((lit(budget) - sum($"base")).as("extra"))
+    val ranked = q
+      .withColumn("rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy($"rem".desc, $"lang")))
+      .crossJoin(broadcast(x))
+      .withColumn("bonus", when($"rk" <= $"extra", 1L).otherwise(0L))
+      .withColumn("quota", $"base" + $"bonus")
+      .select($"lang", $"n".as("n_tokens"), $"base".as("base_quota"),
+        $"bonus", $"quota")
+      .localCheckpoint() // |langs|-row frame, pinned once (q334)
+    val keyed = docs.withColumn("okey",
+      md5(concat(lit("t:"), $"doc_id".cast("string")).cast("binary")))
+    val cum = Rank.runningSum(keyed,
+      Seq($"lang", $"okey", $"doc_id"), $"ntok", "cum")
+    // per-lang offset: the global running sum just before the lang's
+    // first row — min(cum − ntok) is that row's predecessor total
+    // (cum − ntok is nondecreasing in the order), a |langs|-row agg
+    val offs = cum.groupBy($"lang").agg(min($"cum" - $"ntok").as("off"))
+    val shipped = cum.join(broadcast(offs), Seq("lang"))
+      .withColumn("lcum", $"cum" - $"off")
+      .join(broadcast(ranked.select($"lang", $"quota")), Seq("lang"))
+      .where($"lcum" <= $"quota")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ntok").as("tokens_shipped"))
+    ranked.join(shipped, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_docs", "tokens_shipped"))
+      .withColumn("slack", $"quota" - $"tokens_shipped")
+      .select($"lang", $"n_tokens", $"base_quota", $"bonus", $"quota",
+        $"n_docs", $"tokens_shipped", $"slack")
+      .orderBy($"lang")
+  }
+
+  private val q340Sql =
+    """WITH dt AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |c AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS n
+      |  FROM dt GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |q AS (
+      |  SELECT lang, n, (n * 10000) // total AS base,
+      |    (n * 10000) % total AS rem
+      |  FROM c, t),
+      |x AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS extra FROM q),
+      |r AS (
+      |  SELECT lang, n, base, rem,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM q),
+      |quotas AS (
+      |  SELECT lang, n AS n_tokens, base AS base_quota,
+      |    CASE WHEN rk <= x.extra THEN 1 ELSE 0 END AS bonus,
+      |    base + CASE WHEN rk <= x.extra THEN 1 ELSE 0 END AS quota
+      |  FROM r, x),
+      |cum AS (
+      |  SELECT lang, doc_id, ntok,
+      |    SUM(ntok) OVER (PARTITION BY lang
+      |      ORDER BY md5('t:' || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
+      |  FROM dt),
+      |sam AS (
+      |  SELECT cc.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(cc.ntok) AS BIGINT) AS tokens_shipped
+      |  FROM cum cc JOIN quotas qq ON cc.lang = qq.lang
+      |  WHERE cc.lcum <= qq.quota GROUP BY cc.lang)
+      |SELECT qq.lang, qq.n_tokens,
+      |  CAST(qq.base_quota AS BIGINT) AS base_quota,
+      |  CAST(qq.bonus AS BIGINT) AS bonus,
+      |  CAST(qq.quota AS BIGINT) AS quota,
+      |  CAST(COALESCE(sam.n_docs, 0) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(sam.tokens_shipped, 0) AS BIGINT)
+      |    AS tokens_shipped,
+      |  CAST(qq.quota - COALESCE(sam.tokens_shipped, 0) AS BIGINT)
+      |    AS slack
+      |FROM quotas qq LEFT JOIN sam ON sam.lang = qq.lang
+      |ORDER BY qq.lang""".stripMargin
+
   // ---- q331: retrieval-index erasure ----------------------------------
 
   /** Build-if-absent FULL-corpus posting store — the persisted index
@@ -3294,6 +3410,9 @@ object Corpus {
     QueryDef("q331_index_erasure", q331, Some(q331Sql)),
     // exact largest-remainder apportionment + deterministic fill
     QueryDef("q334_budget_apportion", q334, Some(q334Sql)),
+    // token-grain Hamilton quotas + packed-token-prefix fill, integer
+    // exact and fully replayed by the oracle
+    QueryDef("q340_token_apportion", q340, Some(q340Sql)),
     QueryDef("q272_ir_metrics", q272, Some(q272Sql)),
     QueryDef("q268_dsir_selection", q268, Some(q268Sql)),
     QueryDef("q271_nb_classifier", q271, Some(q271Sql)),

@@ -1356,10 +1356,20 @@ object Text {
     * two-pass device; the ledger is shard-sized.
     */
   private def q335(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val shipped = mf4EraseSurvivors(s, d) // gate ∘ erasure ∘ prune
-    val labels = Dedup.connectedComponents(
-      s.read.parquet(s"${mf4ErasedRoot(s, d)}/pairs"))
+    mf5Ledger(shipped, s.read.parquet(s"${mf4ErasedRoot(s, d)}/pairs"))
+  }
+
+  /** The v5 tail shared by q335 (pairs from the erased state store)
+    * and q341 (pairs from the incremental base ∪ delta merge):
+    * transitive-closure components over the pair evidence → whole
+    * clusters to md5 split buckets → per-split Rank-device schedule →
+    * the per-(split, shard) ledger.
+    */
+  private def mf5Ledger(shipped: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = shipped.sparkSession
+    import s.implicits._
+    val labels = Dedup.connectedComponents(pairs)
     val split = shipped.select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("root", coalesce($"cluster_root", $"doc_id"))
@@ -1449,6 +1459,87 @@ object Text {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
        |FROM ranked GROUP BY split, shard
        |ORDER BY split, shard""".stripMargin
+  }
+
+  // ---- q341: incremental manifest v5 -------------------------------------
+
+  /** q341: INCREMENTAL MANIFEST v5 — q335's composition MAINTAINED the
+    * q325 way between erasures (r17 verdict item 7): yesterday's job
+    * persists the per-doc economics and the near-dup PAIR EVIDENCE of
+    * the erasure-SURVIVING base slice (doc_id % 10 < 8 ∧ ∉E); today's
+    * delta (% 10 >= 8 ∧ ∉E) is the only text priced, and the pair
+    * evidence extends MONOTONICALLY — adding docs only adds pairs, so
+    * pairs(B ∪ D) = pairs(B) ∪ pairs-with-a-delta-side, one
+    * label-blocked delta × survivors join. The merged evidence then
+    * feeds BOTH v5 consumers at once — the semantic drop set AND the
+    * leakage-free cluster split (components over the same merged
+    * pairs) — before the per-split Rank-device schedule; that is the
+    * v5-specific content q325 couldn't express (its collapsed drop set
+    * cannot grow a split label). Erasure itself stays a FULL state
+    * rewrite by design (q326's transaction; it is non-monotone).
+    * The oracle is q335's full-recompute SQL VERBATIM — the driver's
+    * green row is merge ≡ rebuild over the whole five-stage
+    * composition, q325's strongest-claim discipline.
+    *
+    * The store key folds in the erasure predicate tag: a predicate
+    * change must orphan the old state (its "survivors" include docs
+    * the new predicate erases), and the stale sibling is swept, not
+    * left resident.
+    *
+    * Scale: delta-sized text scan, delta-blocked pair join,
+    * pair-cardinality state merge, q63's closure, two-pass rank.
+    */
+  private def q341(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = StoreGuard.storeRoot(s, "target/graft_text_store",
+      "mf5inc", d, "documents.parquet",
+      s"${embFreshness(s, d)}:$Mf4ErasedTag")
+    StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
+      "mf5inc", Set(root.split('/').last))
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val isBase = col("doc_id") % 10 < 8
+    val notE = col("doc_id") % 7 =!= 3
+    val isBaseV = col("vec_id") % 10 < 8
+    val notEv = col("vec_id") % 7 =!= 3
+    StoreGuard.ensureBuilt(s, root) {
+      mf4DocCost(docs.where(isBase && notE))
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/econ")
+      Corpus.blockedNearDupPairs(emb.where(isBaseV && notEv),
+          minCosine = 0.3)
+        .select($"a", $"b")
+        .repartition(8, col("b"))
+        .write.mode("overwrite").parquet(s"$root/pairs")
+    }
+    // today: price ONLY the delta...
+    val econ = s.read.parquet(s"$root/econ")
+      .unionByName(mf4DocCost(docs.where(!isBase && notE)))
+    // ...and extend the pair evidence by the pairs the delta
+    // introduces (≥ 1 delta side, both sides surviving) — label
+    // blocking bounds the join exactly as in the full pipeline
+    val lhs = emb.where(notEv)
+      .select($"label", $"vec_id".as("u"), $"embedding".as("eu"))
+    val rhs = emb.where(!isBaseV && notEv)
+      .select($"label", $"vec_id".as("v"), $"embedding".as("ev"))
+    val deltaPairs = lhs.join(rhs, Seq("label"))
+      .filter($"u" =!= $"v")
+      .withColumn("cos", round(graft.functions.VectorExprs
+        .vecCosine(s, $"eu", $"ev"), 4))
+      .filter($"cos" >= 0.3)
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+    val pairs = s.read.parquet(s"$root/pairs")
+      .unionByName(deltaPairs).distinct()
+      // pair-cardinality state, pinned: both v5 consumers (drop set +
+      // split components) read it
+      .localCheckpoint()
+    val drops = pairs.select($"b".as("doc_id")).distinct()
+    val shipped = econ
+      .where($"fert_ppm" <= lit(2000000L))
+      .select($"doc_id", $"n_words", $"n_pieces")
+      .join(drops, Seq("doc_id"), "left_anti")
+    mf5Ledger(shipped, pairs)
   }
 
   /** q158: tokenizer VOCAB COVERAGE / fertility — the metric a pipeline
@@ -2413,6 +2504,9 @@ object Text {
     // the round-17 era composed: gate ∘ erasure ∘ prune ∘ cluster
     // split ∘ per-split schedule, replayed end-to-end by the oracle
     QueryDef("q335_manifest_v5", q335, Some(q335Sql)),
+    // incremental v5 maintenance: merge ≡ rebuild, gated by q335's
+    // full-recompute SQL verbatim (the q290/q143 oracle device)
+    QueryDef("q341_manifest_v5_incremental", q341, Some(q335Sql)),
     QueryDef("q130_quality_logit", q130, Some(q130Sql)),
     QueryDef("q61_ttr_quality", q61, Some(q61Sql)),
     QueryDef("q151_pareto_skyline", q151, Some(q151Sql)),

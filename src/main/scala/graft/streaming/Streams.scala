@@ -148,10 +148,21 @@ object Streams {
     * the harness (including the read-back of the sunk result) are
     * unaffected.
     */
-  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T =
+    withShufflePartitions(spark, 1)(body)
+
+  /** Run `body` with `n` shuffle partitions, session default restored
+    * after. Stateful streams pin n = 1 (state partitions = shuffle
+    * partitions — the r8 lesson). Trimming n for foreachBatch tick
+    * jobs was MEASURED A LOSS for q291 (see streamTriangles) — the
+    * tick work there is data-parallel; don't reach for this helper to
+    * shrink task fans without timing both sides.
+    */
+  private def withShufflePartitions[T](
+      spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, "1")
+    spark.conf.set(key, n.toString)
     try body
     finally spark.conf.set(key, saved)
   }
@@ -3231,6 +3242,13 @@ object Streams {
     def readAll(sp: SparkSession, ids: Seq[Long], sub: String,
         orElse: => DataFrame): DataFrame =
       log.readMany(sp, ids, sub).getOrElse(orElse)
+    // NOTE (r18, measured): trimming shuffle partitions to 8 for the
+    // tick jobs was tried for the q291 floor and made the harness
+    // ~70% SLOWER (15.8–16.8 s vs 9.2 s at 32 partitions, same code
+    // otherwise) — the per-tick work is DATA-parallel, not
+    // task-overhead-bound: the delta pair derivation and the
+    // adjacency-probe scoring at sf0.1 want the cores. The session
+    // default stays; the floor's composition is itemized in SCALE.md.
     val q = spark.readStream
       .schema("ok LONG, pk LONG")
       .option("maxFilesPerTrigger", "1")

@@ -257,7 +257,10 @@ class PlanSpec extends AnyFunSuite {
       // posting store
       "q321_index_compaction", "q331_index_erasure",
       // q334's 1-row total/extra broadcasts over the |langs| histogram
-      "q334_budget_apportion")
+      "q334_budget_apportion",
+      // q340 inherits q334's 1-row total/extra broadcasts (the fill's
+      // corpus-sized cumulation is Rank.runningSum, checkpointed)
+      "q340_token_apportion")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at

@@ -45,9 +45,11 @@ class Round17Spec extends AnyFunSuite {
     val allow = Map(
       // q262/q272 rank fusion + IR metrics: every window input is a
       // TakeOrderedAndProject top-K (K=20) or the graded-truth top-K;
-      // q148's two empty partitionBy() frames and q334's remainder
-      // rank run on the |langs|-row language histogram
-      "src/main/scala/graft/ops/Corpus.scala" -> 8,
+      // q148's two empty partitionBy() frames and q334's/q340's
+      // remainder ranks run on the |langs|-row language histogram
+      // (q340's corpus-sized FILL cumulation is Rank.runningSum, not
+      // a window)
+      "src/main/scala/graft/ops/Corpus.scala" -> 9,
       // q241 cents-histogram CDF (distinct price cents — a price
       // DOMAIN bound), q247 isotonic bins, q234's 5-type frequency CDF,
       // q243's 5 p-values, q252's treated/control cents histogram
