@@ -13,10 +13,13 @@ import graft.QueryDef
   * The audit enumerates a REGISTRY of every eraseRewrite-maintained
   * store, runs the whole erase cascade, and counts — from the PARQUET
   * FILES under each erased root, never from the verbs' return frames —
-  * (a) rows still referencing an erased id and (b) superseded BASE
-  * payload dirs still resident beside the erased store. The auditor's
-  * certificate is the all-zero per-store ledger (the q142
-  * declarative-contract discipline applied to erasure).
+  * (a) rows still referencing an erased id, (b) superseded BASE
+  * payload dirs still resident beside the erased store, and (c) stale
+  * freshness-tagged SIBLING roots under the store's base prefix (a
+  * stale sibling is a retained PRE-ERASE copy — the per-store sweeps
+  * must have removed it). The auditor's certificate is the all-zero
+  * per-store ledger (the q142 declarative-contract discipline applied
+  * to erasure).
   *
   * Two locks keep the certificate honest: Round18Spec runs the SAME
   * audit runner over a fixture with one store deliberately un-erased
@@ -39,8 +42,8 @@ import graft.QueryDef
   *
   * Scale: each count is a column-pruned scan of one store (the stores
   * are delta/evidence-sized, never the corpus), and the cascade's
-  * builders are all build-if-absent — steady-state cost is six
-  * metadata reads plus six pruned counts.
+  * builders are all build-if-absent — steady-state cost is one
+  * metadata listing plus one pruned count per registered store.
   */
 object Erasure {
 
@@ -49,8 +52,10 @@ object Erasure {
     * one site), `erasedRoot` ensures the erase transaction ran and
     * returns the predicate-tagged root, `payload` the parquet dir
     * under it, `refPred` the "references an erased id" predicate over
-    * that payload's schema, and `basePayloads` the superseded dirs
-    * that must be GONE from the base root.
+    * that payload's schema, `basePayloads` the superseded dirs that
+    * must be GONE from the base root, and (`siblingBase`,
+    * `siblingPrefix`) the store-root key prefix whose non-live
+    * freshness-tagged siblings must have been swept.
     */
   private[graft] final case class AuditedStore(
       site: String,
@@ -58,7 +63,9 @@ object Erasure {
       erasedRoot: (SparkSession, String) => String,
       payload: String,
       refPred: DataFrame => Column,
-      basePayloads: Seq[String])
+      basePayloads: Seq[String],
+      siblingBase: String,
+      siblingPrefix: String)
 
   /** The registry — one row per persisted payload of every erase
     * site. New erase verbs MUST add their store(s) here; the
@@ -67,28 +74,39 @@ object Erasure {
   private[graft] val registry: Seq[AuditedStore] = Seq(
     AuditedStore("mf4", "mf4_econ",
       (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
-      "econ", df => df("doc_id") % 7 === 3, Seq("econ", "pairs")),
+      "econ", df => df("doc_id") % 7 === 3, Seq("econ", "pairs"),
+      "target/graft_text_store", "mf4era"),
     AuditedStore("mf4", "mf4_pairs",
       (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
       "pairs", df => df("a") % 7 === 3 || df("b") % 7 === 3,
-      Seq("econ", "pairs")),
+      Seq("econ", "pairs"),
+      "target/graft_text_store", "mf4era"),
     AuditedStore("sppmi", "sppmi_pairs",
       (s, d) => Graph.erasedPairStoreRoot(s, d),
       "pairs.parquet",
       df => df("center") % 23 === 7 || df("context") % 23 === 7,
-      Seq("pairs.parquet")),
+      Seq("pairs.parquet"),
+      "target/graft_graph_store", "fullpairs"),
     AuditedStore("postings", "search_postings",
       (s, d) => Corpus.erasedPostingStoreRoot(s, d),
-      "postings", df => df("doc_id") % 9 === 4, Seq("postings")),
+      "postings", df => df("doc_id") % 9 === 4, Seq("postings"),
+      "target/stage_corpus", "fullpostings"),
     AuditedStore("passage", "passage_hashes",
       (s, d) => Text.erasedPassageStore(s, d),
-      "store", df => df("w_doc") % 11 === 5, Seq("store")),
+      "store", df => df("w_doc") % 11 === 5, Seq("store"),
+      "target/graft_text_store", "pdedup"),
     AuditedStore("minhash", "minhash_sigs",
       (s, d) => Dedup.erasedSigStore(s, d),
-      "sigs", df => df("doc") % 13 === 6, Seq("sigs")),
+      "sigs", df => df("doc") % 13 === 6, Seq("sigs"),
+      "target/stage_dedup", "sigstore"),
     AuditedStore("minhash", "minhash_ledger",
       (s, d) => Dedup.erasedSigStore(s, d),
-      "ledger", df => df("doc_id") % 13 === 6, Seq("sigs")),
+      "ledger", df => df("doc_id") % 13 === 6, Seq("sigs"),
+      "target/stage_dedup", "sigstore"),
+    AuditedStore("servivf", "serving_index",
+      (s, d) => Graph.erasedServingStore(s, d)._1,
+      "index", df => df("vec_id") % 53 === 7, Seq("index", "cents"),
+      "target/graft_graph_store", "servivf"),
   )
 
   /** Audit ledger over a registry — factored so Round18Spec can run
@@ -109,9 +127,22 @@ object Erasure {
         val hp = new org.apache.hadoop.fs.Path(s"$base/$p")
         hp.getFileSystem(conf).exists(hp)
       }
-      (a.store, nRefs, resident.toLong)
+      // superseded freshness-tagged SIBLING roots: a stale sibling is
+      // a retained pre-erase copy — the sweep must have removed it
+      val liveName = base.substring(base.lastIndexOf('/') + 1)
+      val bp = new org.apache.hadoop.fs.Path(a.siblingBase)
+      val bfs = bp.getFileSystem(conf)
+      val nStale =
+        if (!bfs.exists(bp)) 0L
+        else bfs.listStatus(bp).count { st =>
+          val n = st.getPath.getName
+          st.isDirectory &&
+            n.startsWith(s"${a.siblingPrefix}_") && n != liveName
+        }.toLong
+      (a.store, nRefs, resident.toLong, nStale)
     }
-    rows.toDF("store", "n_erased_refs", "n_base_resident")
+    rows.toDF("store", "n_erased_refs", "n_base_resident",
+        "n_stale_siblings")
       .orderBy($"store")
   }
 
@@ -119,13 +150,15 @@ object Erasure {
     auditFrame(s, d, registry)
 
   private val q338Sql =
-    """SELECT * FROM (VALUES
+    """SELECT t.*, CAST(0 AS BIGINT) AS n_stale_siblings
+      |FROM (VALUES
       |  ('mf4_econ',        CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('mf4_pairs',       CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('minhash_ledger',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('minhash_sigs',    CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('passage_hashes',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('search_postings', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('serving_index',   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('sppmi_pairs',     CAST(0 AS BIGINT), CAST(0 AS BIGINT))
       |) AS t(store, n_erased_refs, n_base_resident)
       |ORDER BY store""".stripMargin

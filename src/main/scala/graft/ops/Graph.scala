@@ -2545,6 +2545,111 @@ object Graph {
       .orderBy($"version", $"probe_node")
   }
 
+  // ---- q342: serving-index erasure --------------------------------------
+
+  /** Pure key of q342's dedicated serving-index store — registry
+    * version 2's IVF layout under its OWN freshness-keyed root: the
+    * erase transaction vacuums its base, so it cannot share the
+    * regivf roots q320/q323 keep serving (their per-version stores
+    * are rollback state, not erasure bases).
+    */
+  private[graft] def servingIvfRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/graft_graph_store",
+      "servivf", d, "lineitem.parquet")
+
+  /** The ONE spelling of q342's erasure predicate tag (node % 53 == 7
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val ServingErasedTag = "erased_mod53ne7"
+
+  /** Build-if-absent serving IVF store (q342's erasure base). */
+  private[graft] def servingIvfStore(
+      s: SparkSession, d: String): (String, Array[Double]) =
+    buildIvfAt(s, servingIvfRoot(s, d), registryVectors(s, d, 2L),
+      nCells = 4)
+
+  /** q342's PHYSICAL erase of the SERVING index — the erasure family
+    * reaches the last state-bearing layer (raw → statistic → search
+    * index → dedup stores → now the ANN serving artifact): erase node
+    * set E (node % 53 == 7) from the partitionBy(cell) IVF layout at
+    * the PARTITION grain. Only cells that actually hold an erased
+    * vector are rewritten (filter + rewrite of those cell dirs);
+    * every untouched cell is copied BYTE-FOR-BYTE (Round18Spec
+    * CRC-gates it) — at 100 TB the erase touches |affected cells| of
+    * the index, never the whole layout, which is exactly what the
+    * cell partitioning buys the maintenance verb. The affected-cell
+    * set is an erase-set-sized (≤ nCells) driver collect.
+    *
+    * The centroids are copied FROZEN (q184's incremental-IVF
+    * discipline): they are k-means aggregates over a bounded sample —
+    * cohort statistics, not per-subject rows; full quantizer
+    * unlearning is a retrain, which is the q296/q312 refresh path
+    * this store plugs into. What the erase guarantees physically is
+    * that NO erased VECTOR remains in any index file, the probe path
+    * can never return an erased node, and the superseded base (which
+    * held the erased rows) is vacuumed by the shared transaction.
+    */
+  private[graft] def erasedServingStore(
+      s: SparkSession, d: String): (String, Array[Double]) = {
+    import s.implicits._
+    val root = servingIvfRoot(s, d)
+    // steady-state sweep: an orphaned pre-erase root would RETAIN the
+    // erased vectors on disk
+    StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
+      "servivf", Set(root.split('/').last))
+    val erased = StoreGuard.eraseRewrite(s, root, ServingErasedTag,
+      Seq("index", "cents"))(servingIvfStore(s, d)) { out =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(s"$root/index")
+      val fs = basePath.getFileSystem(conf)
+      val affected = s.read.parquet(s"$root/index")
+        .where($"vec_id" % 53 === 7)
+        .select($"cell").distinct().as[Int].collect().toSet
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$root/cents"), fs,
+        new org.apache.hadoop.fs.Path(s"$out/cents"), false, conf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/index"))
+      fs.listStatus(basePath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("cell=")) {
+          if (affected(n.stripPrefix("cell=").toInt)) {
+            // the cell dir's files lack the partition column — filter
+            // on vec_id and rewrite just this partition
+            s.read.parquet(st.getPath.toString)
+              .where($"vec_id" % 53 =!= 7)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$out/index/$n")
+          } else {
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(s"$out/index/$n"),
+              false, conf)
+          }
+        }
+      }
+    }
+    val cents = s.read.parquet(s"$erased/cents")
+      .head.getSeq[Double](0).toArray
+    (erased, cents)
+  }
+
+  /** q342: SERVING-INDEX ERASURE — the q313 probe path served from the
+    * ERASED store: per-probe recall of the cell-pruned search against
+    * the exact ranking, both computed over the post-erase index (the
+    * erased nodes exist in neither side — they are GONE from the
+    * serving artifact, not filtered at read time). No SQL oracle
+    * (consumes the eigensolve + index internals); Round18Spec gates
+    * erase ≡ rebuild-without under the frozen quantizer (row
+    * identity), untouched cells byte-identical (the partition-grain
+    * claim), zero erased vectors in any index file, and the audit
+    * registration (q338's completeness lock made adding this verb
+    * impossible WITHOUT registering the store — the lock working as
+    * designed).
+    */
+  private def q342(s: SparkSession, d: String): DataFrame = {
+    val (erased, cents) = erasedServingStore(s, d)
+    annRecallFromIndex(s, s"$erased/index", cents, nCells = 4)
+  }
+
   // ---- q339: bulk ANN join served from the registry store --------------
 
   /** The serving-path bulk ANN join body — q328's whole-table
@@ -2620,6 +2725,10 @@ object Graph {
     // oracle — Round18Spec gates pruned ≡ unpruned, full-probe ≡
     // exact, and the pruned-scan + WindowGroupLimit plan locks
     QueryDef("q339_ann_join_served", q339, None),
+    // partition-grain erasure of the serving index; no SQL oracle —
+    // Round18Spec gates rebuild-without identity under the frozen
+    // quantizer, byte-identical untouched cells, zero erased vectors
+    QueryDef("q342_serving_erasure", q342, None),
     QueryDef("q298_skipgram_pairs", q298, Some(q298Sql)),
     QueryDef("q299_shifted_ppmi", q299, Some(q299Sql)),
     // no SQL oracle: DuckDB has no eigensolver (q274's escape hatch);

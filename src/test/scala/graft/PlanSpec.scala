@@ -240,8 +240,9 @@ class PlanSpec extends AnyFunSuite {
       "q308_embedding_foldin", "q312_embedding_refresh",
       "q318_refresh_sppmi", "q329_sppmi_erasure",
       // q313 additionally broadcasts the 8-row probe set against the
-      // cell-pruned index scan (array_contains join — bounded dim)
-      "q313_trained_ann_serving",
+      // cell-pruned index scan (array_contains join — bounded dim);
+      // q342 serves the same probe path from the ERASED index
+      "q313_trained_ann_serving", "q342_serving_erasure",
       // q316's Cramer solve lives on a broadcast 1-row normal-equation
       // aggregate crossed into the scoring — the q78 device again
       "q316_crossmodal_alignment",

@@ -179,19 +179,23 @@ class Round18Spec extends AnyFunSuite {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_audit18").toString
     // a store whose erase never ran: erased refs resident in the
-    // payload AND the superseded base payload still on disk
+    // payload, the superseded base payload still on disk, AND a stale
+    // freshness-tagged sibling root never swept
     Seq(1L, 2L, 7L, 14L).toDF("doc_id")
-      .write.parquet(s"$tmp/store_x/erased_test/payload")
-    Seq(9L).toDF("doc_id").write.parquet(s"$tmp/store_x/payload")
+      .write.parquet(s"$tmp/x_live/erased_test/payload")
+    Seq(9L).toDF("doc_id").write.parquet(s"$tmp/x_live/payload")
+    Seq(7L).toDF("doc_id").write.parquet(s"$tmp/x_stale/payload")
     val reg = Seq(ops.Erasure.AuditedStore("x", "x_store",
-      (_, _) => s"$tmp/store_x/erased_test", "payload",
-      df => df("doc_id") % 7 === 0, Seq("payload")))
+      (_, _) => s"$tmp/x_live/erased_test", "payload",
+      df => df("doc_id") % 7 === 0, Seq("payload"), tmp, "x"))
     val row = ops.Erasure.auditFrame(spark, sf, reg).collect().head
     assert(row.getString(0) == "x_store")
     assert(row.getLong(1) == 2L,
       "audit must count the resident erased references (7, 14)")
     assert(row.getLong(2) == 1L,
       "audit must flag the resident superseded base payload")
+    assert(row.getLong(3) == 1L,
+      "audit must flag the unswept stale sibling root")
     graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
   }
 
@@ -224,7 +228,8 @@ class Round18Spec extends AnyFunSuite {
     val out = SparkEntry.queries("q338_erasure_audit")(spark, sf)
       .collect()
     assert(out.length == ops.Erasure.registry.size)
-    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L),
       s"erasure audit found residue: ${out.mkString(", ")}")
   }
 
@@ -327,6 +332,68 @@ class Round18Spec extends AnyFunSuite {
     }
     assert(stray == 0, "lost CAS attempt left staging dirs behind")
     graft.streaming.Streams.deleteStaged(root)
+  }
+
+  // ---- q342: serving-index erasure ----------------------------------------
+
+  test("q342: erase ≡ rebuild-without under the frozen quantizer; " +
+      "untouched cells byte-identical; zero erased vectors on disk") {
+    val s = spark
+    import s.implicits._
+    // force a FRESH transaction so the byte-copy gate compares within
+    // one build (parquet bytes across separate builds are not pinned)
+    val baseRoot = ops.Graph.servingIvfRoot(spark, sf)
+    graft.streaming.Streams.deleteStaged(
+      java.nio.file.Paths.get(s"$baseRoot/${ops.Graph.ServingErasedTag}"))
+    val (builtIdx, _) = ops.Graph.servingIvfStore(spark, sf)
+    def crcDir(dir: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(dir)
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { f =>
+            val crc = new java.util.zip.CRC32()
+            crc.update(java.nio.file.Files.readAllBytes(f))
+            p.relativize(f).toString -> crc.getValue
+          }.toMap
+      }
+    }
+    val base = spark.read.parquet(builtIdx)
+    val affected = base.where($"vec_id" % 53 === 7)
+      .select($"cell").distinct().as[Int].collect().toSet
+    assert(affected.nonEmpty, "fixture: some cell must hold erased vectors")
+    val untouched = base.select($"cell").distinct().as[Int].collect()
+      .toSet -- affected
+    assert(untouched.nonEmpty,
+      "fixture: some cell must be untouched (else the partition-grain " +
+        "claim is vacuous)")
+    val beforeCrc = untouched.map(c =>
+      c -> crcDir(s"$builtIdx/cell=$c")).toMap
+    // survivors snapshot BEFORE the erase vacuums the base
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select($"cell", $"vec_id", $"vmic".cast("string"), $"n2")
+      .collect().map(_.toString).toSeq.sorted
+    val expected = canon(base.where($"vec_id" % 53 =!= 7))
+    val (erased, _) = ops.Graph.erasedServingStore(spark, sf)
+    val after = spark.read.parquet(s"$erased/index")
+    // rebuild-without identity: same rows, same (frozen-centroid)
+    // cell assignments — nothing but the erased vectors changed
+    assert(canon(after) == expected,
+      "erased serving index diverges from filter-under-frozen-quantizer")
+    assert(after.where($"vec_id" % 53 === 7).count() == 0,
+      "erased vectors still in the serving index files")
+    // the partition-grain claim: untouched cells are byte-identical
+    for (c <- untouched)
+      assert(crcDir(s"$erased/index/cell=$c") == beforeCrc(c),
+        s"untouched cell $c was rewritten, not byte-copied")
+    // base vacuumed
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$baseRoot/index")),
+      "pre-erasure serving index not vacuumed")
+    // the probe path can never return an erased node
+    val out = SparkEntry.queries("q342_serving_erasure")(spark, sf)
+    assert(out.where($"probe_node" % 53 === 7).count() == 0)
   }
 
   // ---- q340: token-grain apportionment -----------------------------------
