@@ -768,11 +768,8 @@ object Dedup {
     import s.implicits._
     val root = q182StoreRoot(d)
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    // empty store seed with the right schema
-    s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc LONG, sig ARRAY<LONG>"))
+    // empty store seed — the ONE spelling of the store schema
+    emptySigStore(s)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/v0")
     incrementalNearDupStep(

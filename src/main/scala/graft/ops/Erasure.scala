@@ -118,8 +118,14 @@ object Erasure {
       stores: Seq[AuditedStore]): DataFrame = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
+    // one erase-transaction run per SITE: multi-payload sites (mf4,
+    // minhash) register several rows sharing one verb — re-running the
+    // verb per row would repeat its sweep + steady-state vacuum I/O
+    val rootBySite = stores.map(_.site).distinct.map { site =>
+      site -> stores.find(_.site == site).get.erasedRoot(s, d)
+    }.toMap
     val rows = stores.map { a =>
-      val root = a.erasedRoot(s, d)
+      val root = rootBySite(a.site)
       val payload = s.read.parquet(s"$root/${a.payload}")
       val nRefs = payload.where(a.refPred(payload)).count()
       val base = root.substring(0, root.lastIndexOf('/'))

@@ -2228,20 +2228,25 @@ object Text {
     */
   private[graft] val PassageErasedTag = "erased_mod11ne5"
 
-  /** Keep-first winner per passage hash over an id+text frame, with
-    * the ARRIVAL priority the incremental store records (base batch
-    * doc_id%10<8 beats delta, then (doc_id, chunk_idx)) — the one
-    * election rule shared by the store build and the erase re-election
-    * so the two cannot drift.
+  /** Keep-first winner per passage hash over a CHUNKS frame
+    * (doc_id, chunk_idx, ph), with the ARRIVAL priority the
+    * incremental store records (base batch doc_id%10<8 beats delta,
+    * then (doc_id, chunk_idx)) — the one election rule shared by the
+    * store build and the erase re-election so the two cannot drift
+    * (the re-election interposes a semi-join between chunking and
+    * election, which is why this operates on chunks, not docs).
     */
-  private def electPassageWinners(docs: DataFrame): DataFrame =
-    passageChunks(docs)
+  private def electChunkWinners(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy(col("ph"))
       .agg(min(struct(
         (col("doc_id") % 10 >= 8).cast("int").as("b"),
         col("doc_id"), col("chunk_idx"))).as("w"))
       .select(col("ph"), col("w.doc_id").as("w_doc"),
         col("w.chunk_idx").as("w_chunk"))
+
+  private def electPassageWinners(docs: DataFrame): DataFrame =
+    electChunkWinners(passageChunks(docs))
 
   /** Build-if-absent consolidated passage store — winner rows
     * (ph, w_doc, w_chunk), hash-distributed on ph (q177's 24-byte
@@ -2295,15 +2300,10 @@ object Text {
       val store = s.read.parquet(s"$root/store")
       val survivors = store.where(col("w_doc") % 11 =!= 5)
       val orphanPh = store.where(col("w_doc") % 11 === 5).select("ph")
-      val reelected = passageChunks(
-          Tables.documents(s, d).where(col("doc_id") % 11 =!= 5))
-        .join(broadcast(orphanPh), Seq("ph"), "left_semi")
-        .groupBy(col("ph"))
-        .agg(min(struct(
-          (col("doc_id") % 10 >= 8).cast("int").as("b"),
-          col("doc_id"), col("chunk_idx"))).as("w"))
-        .select(col("ph"), col("w.doc_id").as("w_doc"),
-          col("w.chunk_idx").as("w_chunk"))
+      val reelected = electChunkWinners(
+        passageChunks(
+            Tables.documents(s, d).where(col("doc_id") % 11 =!= 5))
+          .join(broadcast(orphanPh), Seq("ph"), "left_semi"))
         .localCheckpoint()
       survivors.unionByName(reelected)
         .repartition(8, col("ph"))

@@ -115,17 +115,29 @@ final class StoreLog(
     val id = expected.getOrElse(0L) + 1L
     java.nio.file.Files.createDirectories(root)
     val tmp = root.resolve(s"tmp_cas_$prefix${id}_${System.nanoTime()}")
-    write(tmp)
     val dst = root.resolve(s"$prefix$id")
     try {
+      write(tmp)
       java.nio.file.Files.move(tmp, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       Some(id)
     } catch {
-      case _: java.nio.file.FileSystemException =>
-        // lost the race: the winner's commit dir is already at dst
+      // "lost the race" must be VERIFIED, never inferred from the
+      // exception class alone (ENOTEMPTY surfaces as a plain
+      // FileSystemException): the conclusion holds iff the winner's
+      // commit dir is now at dst. Any other failure — staging write
+      // error, disk full, permissions — PROPAGATES instead of
+      // masquerading as contention: a caller following the loser
+      // protocol (re-read, retry) against a persistent I/O error
+      // would livelock on a log whose head never moved. Either way
+      // the attempt's staging dir is reclaimed — unlike commit()'s
+      // fixed-name tmp, each attempt mints a fresh name, so nothing
+      // else would ever clean it.
+      case e: Throwable =>
         Streams.deleteStaged(tmp)
-        None
+        val lostRace = e.isInstanceOf[java.nio.file.FileSystemException] &&
+          java.nio.file.Files.exists(dst)
+        if (lostRace) None else throw e
     }
   }
 
