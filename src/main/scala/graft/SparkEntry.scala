@@ -13,7 +13,8 @@ object SparkEntry {
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
       ops.Corpus.all ++ ops.Graph.all ++ ops.Sources.all ++
       ops.Scale.all ++ ops.Stats.all ++ ops.Sequence.all ++
-      ops.Eval.all ++ ops.Erasure.all ++ gen.GenQueries.all
+      ops.Eval.all ++ ops.Erasure.all ++ ops.Analyze.all ++
+      gen.GenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.3: generator → window agg → pattern-dim join → sort.

@@ -30,4 +30,21 @@ private[graft] object FoldableArg {
       s"$what must be a positive 32-bit integer, got $v")
     v.toInt
   }
+
+  def positiveLong(e: Expression, what: String): Long = {
+    val v: Long = e.eval(null) match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long    => l.longValue()
+      case s: java.lang.Short   => s.longValue()
+      case b: java.lang.Byte    => b.longValue()
+      case null =>
+        throw new IllegalArgumentException(s"$what must not be NULL")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what must be an integer literal, got " +
+            s"$other (${other.getClass.getSimpleName})")
+    }
+    require(v > 0, s"$what must be a positive integer, got $v")
+    v
+  }
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table statistics + the cost decision they feed.
+  *
+  * The optimizer-facing half of the engine's metadata story: one pass
+  * over a table producing the per-column statistics a cost-based planner
+  * consumes — row count, null count, exact NDV, min/max, byte mass —
+  * and a `broadcastable` verdict derived from them. The join-strategy
+  * payoff is locked by Round18bSpec: `statsJoin` plans a
+  * BroadcastHashJoin for a table the statistics call small and a
+  * SortMergeJoin for one they call large, with the session's
+  * size-estimate autobroadcast DISABLED — the decision comes from
+  * MEASURED stats, not from file-size guesses (which at 100 TB routinely
+  * mis-estimate post-filter/post-projection sizes).
+  *
+  * Portability discipline: every statistic is computed over the CANONICAL
+  * STRING PROJECTION of the column (`CAST(col AS STRING)`) so the same
+  * melt → rollup shape covers every data type and the DuckDB oracle
+  * replays it bit-for-bit (both engines print integers, sub-1e7 doubles,
+  * and µs timestamps identically; min/max are therefore lexicographic on
+  * that canonical form — the NDV/null/mass stats a CBO actually keys on
+  * are representation-independent, and a typed min/max arm is one
+  * per-type aggregate away when a range-pruning consumer needs it).
+  *
+  * Scale: the melt fans each row out |columns|× but carries only
+  * (col_name, value-string); the single shuffle is the (col, v) rollup.
+  * Exact NDV is the oracle-parity choice — the 100 TB swap is
+  * `approx_count_distinct`, exactly the q08→q19 trade.
+  */
+object Analyze {
+
+  /** In-memory broadcast budget the advisory compares against (10 MiB —
+    * Spark's own autoBroadcastJoinThreshold default).
+    */
+  val BroadcastBudgetBytes: Long = 10L * 1024 * 1024
+
+  /** Estimated in-memory bytes of one row's column value: the string
+    * mass plus a fixed 16-byte object/offset overhead per cell.
+    */
+  private val CellOverhead = 16L
+
+  /** Per-column statistics of `df` — one row per column. */
+  def tableStats(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cells: Array[Column] = df.schema.fields.map { f =>
+      struct(lit(f.name).as("col_name"), col(f.name).cast("string").as("v"))
+    }
+    df.select(explode(array(cells: _*)).as("kv"))
+      .select($"kv.col_name".as("col_name"), $"kv.v".as("v"))
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_null"),
+        countDistinct($"v").as("ndv"),
+        min($"v").as("min_v"), max($"v").as("max_v"),
+        coalesce(sum(length($"v")), lit(0L)).cast("long").as("sum_len"))
+      .withColumn("avg_len", expr(
+        "CASE WHEN n_rows > n_null THEN CAST(sum_len AS DOUBLE) " +
+          "/ (n_rows - n_null) ELSE 0.0 END"))
+      .withColumn("est_bytes", expr(s"sum_len + $CellOverhead * n_rows"))
+      .withColumn("broadcastable",
+        expr(s"est_bytes < ${BroadcastBudgetBytes}L"))
+      .orderBy($"col_name")
+  }
+
+  /** The CBO decision the stats feed: total measured table mass under
+    * the broadcast budget ⇒ broadcast. Runs the stats plan (an ANALYZE
+    * is a run-once-and-persist artifact; here it is the 1-aggregate
+    * readback).
+    */
+  def adviseBroadcast(
+      df: DataFrame, budget: Long = BroadcastBudgetBytes): Boolean =
+    tableStats(df).agg(sum("est_bytes")).head().getLong(0) < budget
+
+  /** Stats-informed equi-join: broadcast the right side iff ANALYZE says
+    * it fits the budget; otherwise leave the shuffle strategy to the
+    * planner (SMJ/SHJ). Round18bSpec locks both branches' physical
+    * plans with size-estimate autobroadcast disabled.
+    */
+  def statsJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      budget: Long = BroadcastBudgetBytes): DataFrame = {
+    val r = if (adviseBroadcast(right, budget)) broadcast(right) else right
+    left.join(r, keys)
+  }
+
+  /** q346: ANALYZE over `lineitem` — the widest driver table. */
+  private def q346(s: SparkSession, d: String): DataFrame =
+    tableStats(Tables.lineitem(s, d))
+
+  private val q346Sql =
+    """WITH c AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+      |    CAST(l_partkey AS VARCHAR) AS l_partkey,
+      |    CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+      |    CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+      |    CAST(l_quantity AS VARCHAR) AS l_quantity,
+      |    CAST(l_extendedprice AS VARCHAR) AS l_extendedprice,
+      |    CAST(l_discount AS VARCHAR) AS l_discount,
+      |    CAST(l_tax AS VARCHAR) AS l_tax,
+      |    CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+      |    CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+      |    CAST(l_shipdate AS VARCHAR) AS l_shipdate
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT col_name, v FROM c
+      |  UNPIVOT INCLUDE NULLS (v FOR col_name IN (
+      |    l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |    l_shipdate)))
+      |SELECT col_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+      |  MIN(v) AS min_v, MAX(v) AS max_v,
+      |  CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS sum_len,
+      |  CASE WHEN COUNT(v) > 0
+      |    THEN CAST(COALESCE(SUM(length(v)), 0) AS DOUBLE) / COUNT(v)
+      |    ELSE 0.0 END AS avg_len,
+      |  CAST(COALESCE(SUM(length(v)), 0) + 16 * COUNT(*) AS BIGINT)
+      |    AS est_bytes,
+      |  (COALESCE(SUM(length(v)), 0) + 16 * COUNT(*)) < 10485760
+      |    AS broadcastable
+      |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q346_table_stats", q346, Some(q346Sql)),
+  )
+}

@@ -1103,6 +1103,216 @@ object Dedup {
       |FROM ent e JOIN part c ON c.p_partkey = e.entity_id
       |GROUP BY e.entity_id ORDER BY e.entity_id""".stripMargin
 
+  // ---- q348: incremental CDC chunk store + erasure ---------------------
+
+  /** Chunk occurrences of a doc batch: (batch, doc_id, idx, ch, clen) —
+    * one kernel pass per row, occurrence identity = (batch, doc, idx).
+    */
+  private[graft] def docChunks(
+      s: SparkSession, docs: DataFrame, batch: Int): DataFrame =
+    docs
+      .select(lit(batch.toLong).as("batch"), col("doc_id"),
+        posexplode(graft.functions.GearChunks
+          .gearChunks(s, col("text"), 24, 0x3fL, 192)))
+      .select(col("batch"), col("doc_id"), col("pos").as("idx"),
+        col("col.ch").as("ch"), col("col.clen").as("clen"))
+
+  /** ONE winner election over chunk occurrences — shared by the store
+    * build and the erase re-election (q336's drift lesson): winner =
+    * min(batch, doc, idx), so first-batch-wins incrementally ≡ a global
+    * election.
+    */
+  private[graft] def electChunkWinners(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("ch"))
+      .agg(min(struct(col("batch"), col("doc_id"), col("idx"),
+        col("clen"))).as("w"))
+      .select(col("ch"), col("w.batch").as("w_batch"),
+        col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"),
+        col("w.clen").as("clen"))
+
+  /** Pure freshness key of the q348 chunk store. */
+  private[graft] def chunkStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/stage_dedup",
+      "cdcstore", d, "documents.parquet")
+
+  /** The ONE spelling of q348's erasure predicate tag (doc_id % 17 == 2
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val ChunkErasedTag = "erased_mod17ne2"
+
+  /** Build-if-absent CDC chunk store: q347's gear chunks lifted to the
+    * q177/q182 CROSS-RUN contract — batch 0 (doc_id % 10 < 8) elects
+    * winners per chunk hash, batch 1 appends winners only for hashes
+    * new to the store (first-batch-wins ≡ global min-election because
+    * batch leads the winner key). Rows are (ch, w_batch, w_doc, w_idx,
+    * clen): 28 bytes per distinct chunk, the text never persists.
+    */
+  private[graft] def chunkStore(s: SparkSession, d: String): String = {
+    val root = chunkStoreRoot(s, d)
+    StoreGuard.ensureBuilt(s, root) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val b0 = electChunkWinners(
+        docChunks(s, docs.where(col("doc_id") % 10 < 8), 0))
+      val b1 = electChunkWinners(
+        docChunks(s, docs.where(col("doc_id") % 10 >= 8), 1))
+        .join(b0.select("ch"), Seq("ch"), "left_anti")
+      b0.unionByName(b1)
+        .repartition(8, col("ch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/chunks")
+    }
+    root
+  }
+
+  /** q348's PHYSICAL erase of the CDC chunk store — the first store
+    * added AFTER the q338 audit shipped, which is the point: the
+    * completeness lock (eraseRewrite call-site count ≡ registry sites)
+    * made adding this verb impossible without registering the store in
+    * `ops.Erasure.registry`. Semantics are q336's at the byte grain:
+    * chunk hashes are fingerprints DERIVED from erased text, so erasing
+    * E (doc_id % 17 == 2) must remove E's winner rows from disk and
+    * RE-ELECT each orphaned hash among its surviving occurrences
+    * (dropping hashes that occurred only in E). Surviving winners are
+    * untouched BY PROOF — a surviving minimum cannot move when only
+    * erased occurrences leave the multiset. The re-election is the one
+    * corpus touch: survivor chunk occurrences are kernel-scanned where
+    * they live and SEMI-JOINED to the broadcast orphan set, so only
+    * orphan-sized state shuffles. Round18bSpec gates erase ≡
+    * rebuild-without bit-identity, a nonempty re-election, and zero
+    * erased winner rows in the rewritten files; q338's audit sweeps the
+    * store, its vacuumed base, and its stale siblings every run.
+    */
+  private[graft] def erasedChunkStore(s: SparkSession, d: String): String = {
+    val root = chunkStoreRoot(s, d)
+    // steady-state sweep: an orphaned pre-erase root would RETAIN the
+    // erased docs' chunk fingerprints on disk
+    StoreGuard.sweepStaleSiblings(s, "target/stage_dedup",
+      "cdcstore", Set(root.split('/').last))
+    StoreGuard.eraseRewrite(s, root, ChunkErasedTag,
+      Seq("chunks"))(chunkStore(s, d)) { out =>
+      val store = s.read.parquet(s"$root/chunks")
+        .localCheckpoint() // pin: the base payload is vacuumed below
+      val surviving = store.where(col("w_doc") % 17 =!= 2)
+      val orphaned = store.where(col("w_doc") % 17 === 2).select("ch")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 17 =!= 2)
+      val reElected = electChunkWinners(
+        docChunks(s, docs.where(col("doc_id") % 10 < 8), 0)
+          .unionByName(
+            docChunks(s, docs.where(col("doc_id") % 10 >= 8), 1))
+          .join(broadcast(orphaned), Seq("ch"), "left_semi"))
+      surviving.unionByName(reElected)
+        .repartition(8, col("ch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/chunks")
+    }
+  }
+
+  /** q348: INCREMENTAL CDC CHUNK-STORE LEDGER — the byte-grain dedup
+    * run as a maintained cross-run pipeline: per batch, the chunk mass
+    * scanned, the winners newly persisted, and the bytes the store
+    * SAVED (occurrences whose hash already had a winner). Output is the
+    * 2-row batch ledger; the store itself is served/erased/audited by
+    * the q338 registry. Sketch class (rolling-hash kernel), no SQL
+    * twin — Round18bSpec + the audit are the gates.
+    */
+  private def q348(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = chunkStore(s, d)
+    val store = s.read.parquet(s"$root/chunks")
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val occ = docChunks(s, docs.where($"doc_id" % 10 < 8), 0)
+      .unionByName(docChunks(s, docs.where($"doc_id" % 10 >= 8), 1))
+    val perBatch = occ.groupBy($"batch")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        count_distinct($"ch").as("n_distinct"),
+        sum($"clen").as("chunk_bytes"))
+    val stored = store.groupBy($"w_batch".as("batch"))
+      .agg(count(lit(1)).as("n_new_chunks"),
+        sum($"clen").as("stored_bytes"))
+    perBatch.join(stored, Seq("batch"))
+      .withColumn("saved_bytes", expr("chunk_bytes - stored_bytes"))
+      .withColumn("dedup_pct", expr("(100 * saved_bytes) DIV chunk_bytes"))
+      .orderBy($"batch")
+  }
+
+  // ---- q347: content-defined chunk dedup (gear CDC) -------------------
+
+  /** q347: BYTE-GRAIN DEDUP VIA CONTENT-DEFINED CHUNKING — the layer
+    * below the document (q35/q36) and passage (q177) grains: documents
+    * are split at gear-rolling-hash breakpoints
+    * ([[graft.functions.GearCdc]], min 24 / avg ~88 / max 192 bytes) and
+    * deduplicated by chunk hash, the storage-dedup discipline
+    * (LBFS/FastCDC) applied to corpus text. The query reports, per
+    * language: the chunk ledger (count, distinct, byte mass) and the
+    * operator's RAISON D'ÊTRE measured on an in-plan edit fixture —
+    * each doc is paired with a prefix-edited twin (21 bytes inserted at
+    * offset 0, the worst case for fixed-width chunking) and the mean
+    * shared-distinct-chunk fraction is computed for BOTH gear CDC and a
+    * 64-byte fixed-width baseline. CDC re-synchronizes (its cut
+    * positions depend only on a ~6-byte local window: the mask reads
+    * the LOW 6 bits of `h`, and `(h<<1)+g` carries bit k's value only
+    * ≤k shifts upward), the fixed grid never does — so `cdc_resync_mean`
+    * must dominate `fixed_resync_mean`, which Round18bSpec asserts
+    * along with kernel ≡ independent-reference-walk parity, length
+    * bounds, and the reassembly invariant.
+    *
+    * Exactness/determinism: per-doc shared fractions are floored to
+    * 1e-9 units and integer-summed (order-free); the two means are one
+    * IEEE division each at the end. No oracle: the rolling-hash kernel
+    * has no SQL twin (sketch class, like q35/q182) — Round18bSpec is
+    * the gate.
+    *
+    * Scale: chunking is one codegen kernel pass where the text lives;
+    * the only shuffle is the (lang, chunk-hash) rollup — 8-byte hashes,
+    * never chunk text. At 100 TB the distinct-count swaps for its HLL
+    * twin exactly as q08→q19.
+    */
+  private def q347(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edit = "edited prefix insert "
+    def cdc(c: Column): Column =
+      graft.functions.GearChunks.gearChunks(s, c, 24, 0x3fL, 192)
+    def fixedHashes(colExpr: String): Column = expr(
+      s"""transform(sequence(1, int(ceil(length($colExpr) / 64.0))),
+         |  i -> xxhash64(substring($colExpr, (i - 1) * 64 + 1, 64)))"""
+        .stripMargin)
+    val base = Tables.documents(s, d)
+      .filter(length($"text") >= 1)
+      .select($"doc_id", $"lang", $"text",
+        concat(lit(edit), $"text").as("twin"))
+      .select($"doc_id", $"lang",
+        cdc($"text").as("cc"), cdc($"twin").as("tc"),
+        fixedHashes("text").as("cf"), fixedHashes("twin").as("tf"))
+      .localCheckpoint()
+    val ledger = base
+      .select($"lang", explode($"cc").as("c"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct($"c.ch").as("n_distinct_chunks"),
+        sum($"c.clen").as("chunk_bytes"))
+    def resyncE9(cand: String, twin: String, distinctOf: String) = expr(
+      s"""CAST(FLOOR(size(array_intersect($cand, $twin)) * 1e9
+         |  / size(array_distinct($distinctOf))) AS BIGINT)""".stripMargin)
+    val resync = base
+      .select($"lang",
+        resyncE9("transform(cc, x -> x.ch)", "transform(tc, x -> x.ch)",
+          "transform(cc, x -> x.ch)").as("rc_e9"),
+        resyncE9("cf", "tf", "cf").as("rf_e9"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"rc_e9").as("cdc_resync_e9"), sum($"rf_e9").as("fixed_resync_e9"))
+    ledger.join(resync, Seq("lang"))
+      .withColumn("cdc_resync_mean",
+        expr("CAST(cdc_resync_e9 AS DOUBLE) / (1e9 * n_docs)"))
+      .withColumn("fixed_resync_mean",
+        expr("CAST(fixed_resync_e9 AS DOUBLE) / (1e9 * n_docs)"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q35_minhash_pairs", q35, None),
     QueryDef("q36_simhash_pairs", q36, None),
@@ -1120,5 +1330,13 @@ object Dedup {
     // Round18Spec gates erase ≡ from-scratch rebuild bit-identity,
     // zero erased signatures on disk, and both cascade directions
     QueryDef("q337_signature_erasure", q337, None),
+    // gear-CDC chunk dedup: rolling-hash kernel, no SQL twin —
+    // Round18bSpec gates kernel ≡ reference walk, bounds, reassembly,
+    // and the CDC-beats-fixed re-synchronization property
+    QueryDef("q347_cdc_chunk_dedup", q347, None),
+    // CDC chunk STORE: cross-run byte-grain dedup with an erase verb,
+    // registered in q338's audit — Round18bSpec gates erase ≡
+    // rebuild-without bit-identity and the batch ledger's conservation
+    QueryDef("q348_cdc_chunk_store", q348, None),
   )
 }

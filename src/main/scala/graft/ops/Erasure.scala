@@ -107,6 +107,10 @@ object Erasure {
       (s, d) => Graph.erasedServingStore(s, d)._1,
       "index", df => df("vec_id") % 53 === 7, Seq("index", "cents"),
       "target/graft_graph_store", "servivf"),
+    AuditedStore("cdc", "cdc_chunks",
+      (s, d) => Dedup.erasedChunkStore(s, d),
+      "chunks", df => df("w_doc") % 17 === 2, Seq("chunks"),
+      "target/stage_dedup", "cdcstore"),
   )
 
   /** Audit ledger over a registry — factored so Round18Spec can run
@@ -158,6 +162,7 @@ object Erasure {
   private val q338Sql =
     """SELECT t.*, CAST(0 AS BIGINT) AS n_stale_siblings
       |FROM (VALUES
+      |  ('cdc_chunks',      CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('mf4_econ',        CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('mf4_pairs',       CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('minhash_ledger',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -2218,7 +2218,272 @@ object Eval {
       |JOIN byfold bf ON bf.fold = c.fold, g
       |ORDER BY event_type, c.fold""".stripMargin
 
+  // ---- q343/q344: text-generation metrics (BLEU / ROUGE) -------------
+
+  /** Per-(doc, n, gram) candidate-side counts for n = 1..`maxN` over a
+    * token-array column — the shared gram frame of q343/q344. One
+    * nested-transform explode per row (grams built where the text lives),
+    * then a (doc, n, gram)-keyed hash aggregate; the join key IS the
+    * blocking, never pair×pair. At 100 TB the gram STRING column swaps
+    * for the q124 kernel's 8-byte hashes with the same frame shape.
+    */
+  private def gramCounts(
+      toks: DataFrame, arrCol: String, maxN: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks
+      .select($"doc_id", explode(expr(
+        s"""flatten(transform(sequence(1, $maxN), n ->
+           |  transform(sequence(1, size($arrCol) - n + 1), i ->
+           |    struct(n AS n, concat_ws(' ', slice($arrCol, i, n)) AS g))))"""
+          .stripMargin)).as("ng"))
+      .groupBy($"doc_id", $"ng.n".as("n"), $"ng.g".as("g"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** q343: CORPUS BLEU — the standard MT/generation n-gram metric
+    * (Papineni et al. 2002) as ONE distributed plan: modified (clipped)
+    * n-gram precision for n = 1..4 summed over the corpus, geometric
+    * mean, brevity penalty. The evaluation pair fixture is deterministic
+    * truncation — candidate = first 48 tokens, reference = first 40
+    * tokens of the same document — so clipping, the n-gram ladder, and
+    * the length ledger are all exercised (the tail 8 tokens repeat
+    * earlier grams or miss) while cand_len ≥ ref_len holds by
+    * construction, pinning BP = 1 on the exact CASE branch and keeping
+    * the whole row transcendental-free.
+    *
+    * Exactness: clipped matches and totals are INTEGER aggregates
+    * (Σ min(c, r) via least over a left join); p_n, the geometric mean
+    * `sqrt(sqrt(p1·p2·p3·p4))` and BLEU are IEEE-exact doubles built
+    * from those integers in identical operand order in both engines
+    * (÷, ×, and sqrt are correctly-rounded IEEE ops; exp sits on the
+    * dead CASE branch).
+    *
+    * Scale: gram shuffle keyed by (doc, n, gram) — clipping is a
+    * per-key least, the corpus rollup is map-side combinable; nothing
+    * is ever pairwise across documents.
+    */
+  private def q343(s: SparkSession, d: String): DataFrame =
+    corpusBleu(Tables.documents(s, d))
+
+  /** The q343 statistic over any (doc_id, text) frame — exposed so
+    * Round18bSpec can gate it against a driver-side reference BLEU on
+    * controlled fixtures.
+    */
+  private[graft] def corpusBleu(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 4)
+      .select($"doc_id", expr("slice(t, 1, 48)").as("ct"),
+        expr("slice(t, 1, 40)").as("rt"))
+    val clipped = gramCounts(toks, "ct", 4)
+      .join(gramCounts(toks, "rt", 4).withColumnRenamed("c", "rc"),
+        Seq("doc_id", "n", "g"), "left")
+      .groupBy($"n")
+      .agg(sum(least($"c", coalesce($"rc", lit(0L)))).as("clip"),
+        sum($"c").as("tot"))
+    val perN = clipped.agg(
+      sum(when($"n" === 1, $"clip")).as("clip_1"),
+      sum(when($"n" === 1, $"tot")).as("tot_1"),
+      sum(when($"n" === 2, $"clip")).as("clip_2"),
+      sum(when($"n" === 2, $"tot")).as("tot_2"),
+      sum(when($"n" === 3, $"clip")).as("clip_3"),
+      sum(when($"n" === 3, $"tot")).as("tot_3"),
+      sum(when($"n" === 4, $"clip")).as("clip_4"),
+      sum(when($"n" === 4, $"tot")).as("tot_4"))
+    val lens = toks.agg(count(lit(1)).as("n_pairs"),
+      sum(size($"ct")).as("cand_len"), sum(size($"rt")).as("ref_len"))
+    lens.crossJoin(perN)
+      .withColumn("p1", expr("CAST(clip_1 AS DOUBLE) / tot_1"))
+      .withColumn("p2", expr("CAST(clip_2 AS DOUBLE) / tot_2"))
+      .withColumn("p3", expr("CAST(clip_3 AS DOUBLE) / tot_3"))
+      .withColumn("p4", expr("CAST(clip_4 AS DOUBLE) / tot_4"))
+      .withColumn("bp", expr("CASE WHEN cand_len >= ref_len THEN 1.0 " +
+        "ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END"))
+      .withColumn("bleu4", expr("bp * sqrt(sqrt(p1 * p2 * p3 * p4))"))
+  }
+
+  private val q343Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t[1:48] AS ct, t[1:40] AS rt
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 4),
+      |cg AS (
+      |  SELECT doc_id, n, array_to_string(ct[i:i+n-1], ' ') AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, ct, n.n AS n,
+      |          unnest(generate_series(1, len(ct) - n.n + 1)) AS i
+      |        FROM toks JOIN generate_series(1, 4) n(n) ON TRUE) x
+      |  GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT doc_id, n, array_to_string(rt[i:i+n-1], ' ') AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, rt, n.n AS n,
+      |          unnest(generate_series(1, len(rt) - n.n + 1)) AS i
+      |        FROM toks JOIN generate_series(1, 4) n(n) ON TRUE) x
+      |  GROUP BY 1, 2, 3),
+      |cl AS (
+      |  SELECT n, CAST(SUM(LEAST(c, COALESCE(rc, 0))) AS BIGINT) AS clip,
+      |    CAST(SUM(c) AS BIGINT) AS tot
+      |  FROM cg LEFT JOIN (SELECT doc_id, n, g, c AS rc FROM rg)
+      |    USING (doc_id, n, g)
+      |  GROUP BY n),
+      |pern AS (
+      |  SELECT SUM(CASE WHEN n = 1 THEN clip END) AS clip_1,
+      |    SUM(CASE WHEN n = 1 THEN tot END) AS tot_1,
+      |    SUM(CASE WHEN n = 2 THEN clip END) AS clip_2,
+      |    SUM(CASE WHEN n = 2 THEN tot END) AS tot_2,
+      |    SUM(CASE WHEN n = 3 THEN clip END) AS clip_3,
+      |    SUM(CASE WHEN n = 3 THEN tot END) AS tot_3,
+      |    SUM(CASE WHEN n = 4 THEN clip END) AS clip_4,
+      |    SUM(CASE WHEN n = 4 THEN tot END) AS tot_4
+      |  FROM cl),
+      |lens AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(len(ct)) AS BIGINT) AS cand_len,
+      |    CAST(SUM(len(rt)) AS BIGINT) AS ref_len
+      |  FROM toks)
+      |SELECT n_pairs, cand_len, ref_len,
+      |  CAST(clip_1 AS BIGINT) AS clip_1, CAST(tot_1 AS BIGINT) AS tot_1,
+      |  CAST(clip_2 AS BIGINT) AS clip_2, CAST(tot_2 AS BIGINT) AS tot_2,
+      |  CAST(clip_3 AS BIGINT) AS clip_3, CAST(tot_3 AS BIGINT) AS tot_3,
+      |  CAST(clip_4 AS BIGINT) AS clip_4, CAST(tot_4 AS BIGINT) AS tot_4,
+      |  CAST(clip_1 AS DOUBLE) / tot_1 AS p1,
+      |  CAST(clip_2 AS DOUBLE) / tot_2 AS p2,
+      |  CAST(clip_3 AS DOUBLE) / tot_3 AS p3,
+      |  CAST(clip_4 AS DOUBLE) / tot_4 AS p4,
+      |  CASE WHEN cand_len >= ref_len THEN 1.0
+      |    ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END AS bp,
+      |  (CASE WHEN cand_len >= ref_len THEN 1.0
+      |    ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)
+      |  * sqrt(sqrt((CAST(clip_1 AS DOUBLE) / tot_1)
+      |            * (CAST(clip_2 AS DOUBLE) / tot_2)
+      |            * (CAST(clip_3 AS DOUBLE) / tot_3)
+      |            * (CAST(clip_4 AS DOUBLE) / tot_4))) AS bleu4
+      |FROM lens CROSS JOIN pern""".stripMargin
+
+  /** q344: ROUGE-1 / ROUGE-2 — the summarization-eval recall family
+    * next to q343's precision-first BLEU, macro-averaged per language.
+    * The pair fixture is NEIGHBOUR pairing: each document's reference is
+    * the NEXT doc_id within its (lang, source) shard (a partitioned
+    * lead window — deterministic, and the overlap is genuine
+    * cross-document vocabulary overlap, so precision/recall sit in the
+    * interior of (0,1) rather than the truncation fixture's near-1
+    * band).
+    *
+    * Exactness: per-pair overlap/totals are integers; per-pair
+    * P, R, F1 = (2·P·R)/(P+R) are IEEE doubles from those integers in
+    * identical operand order; the corpus macro-average floors each F1
+    * to 1e-9 units (floor, never round — the engines' CAST rounding
+    * rules differ) and integer-sums them order-free, dividing once at
+    * the end (q254's fixed-point discipline).
+    *
+    * Scale: one lead window partitioned by (lang, source), gram work
+    * keyed by (pair, n, gram) exactly as q343 — no cross-pair work.
+    */
+  private def q344(s: SparkSession, d: String): DataFrame =
+    rougeN(Tables.documents(s, d))
+
+  /** The q344 statistic over any (lang, source, doc_id, text) frame —
+    * exposed for Round18bSpec's reference-F1 fixtures.
+    */
+  private[graft] def rougeN(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"lang", $"source", $"doc_id", split($"text", " ").as("tk"))
+      .filter(size($"tk") >= 2)
+    val pairs = base
+      .withColumn("rtk", lead($"tk", 1).over(
+        Window.partitionBy($"lang", $"source").orderBy($"doc_id")))
+      .filter($"rtk".isNotNull)
+      .select($"lang", $"doc_id", $"tk".as("ct"), $"rtk".as("rt"))
+    val cand = gramCounts(pairs, "ct", 2)
+    val ref  = gramCounts(pairs, "rt", 2).withColumnRenamed("c", "rc")
+    val perPair = cand.join(ref, Seq("doc_id", "n", "g"), "left")
+      .groupBy($"doc_id", $"n")
+      .agg(sum(least($"c", coalesce($"rc", lit(0L)))).as("ov"),
+        sum($"c").as("ctot"))
+      .join(ref.groupBy($"doc_id", $"n").agg(sum($"rc").as("rtot")),
+        Seq("doc_id", "n"))
+      .withColumn("f1", expr(
+        """CASE WHEN ov > 0 THEN
+          |  (2.0 * (CAST(ov AS DOUBLE) / ctot) * (CAST(ov AS DOUBLE) / rtot))
+          |  / ((CAST(ov AS DOUBLE) / ctot) + (CAST(ov AS DOUBLE) / rtot))
+          |ELSE 0.0 END""".stripMargin))
+      .withColumn("f1_e9", expr("CAST(FLOOR(f1 * 1e9) AS BIGINT)"))
+    perPair
+      .join(pairs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(when($"n" === 1, 1)).as("n_pairs"),
+        sum(when($"n" === 1, $"f1_e9")).as("r1_f1_e9"),
+        sum(when($"n" === 2, $"f1_e9")).as("r2_f1_e9"))
+      .withColumn("r1_macro_f1",
+        expr("CAST(r1_f1_e9 AS DOUBLE) / (1e9 * n_pairs)"))
+      .withColumn("r2_macro_f1",
+        expr("CAST(r2_f1_e9 AS DOUBLE) / (1e9 * n_pairs)"))
+      .orderBy($"lang")
+  }
+
+  private val q344Sql =
+    """WITH base AS (
+      |  SELECT lang, source, doc_id, string_split(text, ' ') AS tk
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (
+      |  SELECT lang, doc_id, tk AS ct, rtk AS rt
+      |  FROM (SELECT lang, doc_id, tk,
+      |          LEAD(tk) OVER (PARTITION BY lang, source
+      |                         ORDER BY doc_id) AS rtk
+      |        FROM base)
+      |  WHERE rtk IS NOT NULL),
+      |cg AS (
+      |  SELECT doc_id, n, array_to_string(ct[i:i+n-1], ' ') AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, ct, n.n AS n,
+      |          unnest(generate_series(1, len(ct) - n.n + 1)) AS i
+      |        FROM pairs JOIN generate_series(1, 2) n(n) ON TRUE) x
+      |  GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT doc_id, n, array_to_string(rt[i:i+n-1], ' ') AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, rt, n.n AS n,
+      |          unnest(generate_series(1, len(rt) - n.n + 1)) AS i
+      |        FROM pairs JOIN generate_series(1, 2) n(n) ON TRUE) x
+      |  GROUP BY 1, 2, 3),
+      |pp AS (
+      |  SELECT cg.doc_id, cg.n,
+      |    CAST(SUM(LEAST(cg.c, COALESCE(rr.rc, 0))) AS BIGINT) AS ov,
+      |    CAST(SUM(cg.c) AS BIGINT) AS ctot
+      |  FROM cg LEFT JOIN (SELECT doc_id, n, g, c AS rc FROM rg) rr
+      |    USING (doc_id, n, g)
+      |  GROUP BY 1, 2),
+      |rtt AS (
+      |  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS rtot
+      |  FROM rg GROUP BY 1, 2),
+      |f AS (
+      |  SELECT pp.doc_id, pp.n,
+      |    CAST(FLOOR((CASE WHEN ov > 0 THEN
+      |      (2.0 * (CAST(ov AS DOUBLE) / ctot) * (CAST(ov AS DOUBLE) / rtot))
+      |      / ((CAST(ov AS DOUBLE) / ctot) + (CAST(ov AS DOUBLE) / rtot))
+      |    ELSE 0.0 END) * 1e9) AS BIGINT) AS f1_e9
+      |  FROM pp JOIN rtt USING (doc_id, n))
+      |SELECT lang,
+      |  CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN n = 1 THEN f1_e9 END) AS BIGINT) AS r1_f1_e9,
+      |  CAST(SUM(CASE WHEN n = 2 THEN f1_e9 END) AS BIGINT) AS r2_f1_e9,
+      |  CAST(SUM(CASE WHEN n = 1 THEN f1_e9 END) AS DOUBLE)
+      |    / (1e9 * COUNT(CASE WHEN n = 1 THEN 1 END)) AS r1_macro_f1,
+      |  CAST(SUM(CASE WHEN n = 2 THEN f1_e9 END) AS DOUBLE)
+      |    / (1e9 * COUNT(CASE WHEN n = 1 THEN 1 END)) AS r2_macro_f1
+      |FROM f JOIN (SELECT doc_id, lang FROM pairs) p USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q343_corpus_bleu", q343, Some(q343Sql)),
+    QueryDef("q344_rouge_n", q344, Some(q344Sql)),
     QueryDef("q294_target_encoding", q294, Some(q294Sql)),
     QueryDef("q269_bradley_terry", q269, Some(q269Sql)),
     QueryDef("q270_offpolicy_eval", q270, Some(q270Sql)),

@@ -3401,6 +3401,107 @@ object Events {
       |      FROM acf)
       |WHERE rk <= 5 ORDER BY rk""".stripMargin
 
+  // ---- q345: epoch-folding periodogram --------------------------------
+
+  /** q345: EPOCH-FOLDING PERIODOGRAM on the hourly event-count series —
+    * the phase-dispersion companion of q284's ACF. For each candidate
+    * period P ∈ 2..48 h the hours are FOLDED onto their phase
+    * φ = h mod P and the period is scored by the PER-PHASE-DF
+    * between-phase sum of squares BSS(P) DIV (P−1), with
+    * BSS(P) = Σ_φ n_φ·(mean_φ − mean)² — large exactly when the
+    * series repeats with period P (all of phase φ's hours sit on the
+    * same part of the cycle), while the df normalization keeps
+    * harmonics (2P, 3P reproduce the fundamental's BSS over more
+    * phases, plus a noise-df gain) below it. This is the
+    * astronomy-standard epoch
+    * folding / PDM detector and the second consumer-side inverse of the
+    * generator's `density_mode='sin'` knob (`eventstream.py:94-113`):
+    * where the ACF correlates the series with its lagged self (and so
+    * needs the period's NEIGHBOURHOOD sampled), folding pools every
+    * cycle directly and keeps its power at periods the lag grid
+    * undersamples. Round18bSpec feeds a sin-density generated stream
+    * and requires the planted period to surface at rank 1.
+    *
+    * Exactness: with A_φ = n·S_φ − n_φ·S (exact integers; n,S from ONE
+    * broadcast 1-row aggregate, never a global window),
+    * n_φ·(mean_φ − mean)² = A_φ²/(n²·n_φ), so each phase contributes
+    * the integer `A_φ² DIV (n²·n_φ)` — one truncating division by the
+    * assembled product (never chained DIVs, whose truncation would
+    * compound engine-specifically), summed exactly per period.
+    *
+    * Scale: one map-side-combinable rollup to the hour grain, then the
+    * period fan-out `explode(sequence(2, 48))` on the HOUR table
+    * (≤ 47·|hours| rows) into a (P, φ)-keyed aggregate of ≤ Σ P ≈ 1.2k
+    * groups; the rank window orders 47 rows (a candidate-period DOMAIN
+    * bound). No event-grain work past the rollup.
+    */
+  private def q345(s: SparkSession, d: String): DataFrame =
+    foldTopPeriods(Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")), maxP = 48, topK = 5)
+
+  /** The q345 statistic over any (h, x) series — exposed so Round18bSpec
+    * can feed a sin-density GENERATED stream's bucket counts and require
+    * the planted period to fold out on top.
+    */
+  private[graft] def foldTopPeriods(
+      hourly: DataFrame, maxP: Int, topK: Int): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val stats = hourly.agg(
+      count(lit(1)).cast("long").as("nn"), sum($"x").as("ss"))
+    val folded = hourly
+      .crossJoin(broadcast(stats))
+      .select($"h", $"x", $"nn", $"ss",
+        explode(expr(s"sequence(2L, ${maxP}L)")).as("p"))
+      .withColumn("phi", expr("h % p"))
+      .groupBy($"p", $"phi")
+      .agg(count(lit(1)).as("nphi"), sum($"x").as("sphi"),
+        max($"nn").as("nn"), max($"ss").as("ss"))
+    folded
+      .withColumn("a", expr("CAST(nn * sphi - nphi * ss AS DECIMAL(38,0))"))
+      .withColumn("term", expr(
+        "(a * a) DIV (CAST(nn AS DECIMAL(38,0)) * nn * nphi)"))
+      .groupBy($"p")
+      // per-degree-of-freedom normalization (BSS / (P−1)): folding at a
+      // MULTIPLE of the true period reproduces the fundamental's BSS
+      // (plus a noise-df gain), so raw BSS would let harmonics outrank
+      // it; per-df the fundamental wins (the PDM/F-statistic form)
+      .agg(expr("SUM(term) DIV (MAX(p) - 1)").as("f"))
+      .withColumn("rk", row_number().over(Window.orderBy($"f".desc, $"p")))
+      .where($"rk" <= topK)
+      .select($"rk".cast("long").as("rk"), $"p".as("period_hours"),
+        $"f".cast("string").as("score_scaled"))
+      .orderBy($"rk")
+  }
+
+  private val q345Sql =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS ss
+      |  FROM hourly),
+      |folded AS (
+      |  SELECT p.p AS p, h % p.p AS phi,
+      |    CAST(COUNT(*) AS BIGINT) AS nphi, CAST(SUM(x) AS BIGINT) AS sphi,
+      |    MAX(nn) AS nn, MAX(ss) AS ss
+      |  FROM hourly CROSS JOIN stats
+      |  JOIN generate_series(2, 48) p(p) ON TRUE
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT p,
+      |    SUM((CAST(nn * sphi - nphi * ss AS HUGEINT)
+      |         * CAST(nn * sphi - nphi * ss AS HUGEINT))
+      |        // (CAST(nn AS HUGEINT) * nn * nphi)) // (MAX(p) - 1) AS f
+      |  FROM folded GROUP BY p)
+      |SELECT CAST(rk AS BIGINT) AS rk, CAST(p AS BIGINT) AS period_hours,
+      |  CAST(f AS VARCHAR) AS score_scaled
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f DESC, p) AS rk
+      |      FROM scored)
+      |WHERE rk <= 5 ORDER BY rk""".stripMargin
+
   // ---- q285: journey-grain removal-effect attribution ----------------
 
   /** q285: JOURNEY-GRAIN REMOVAL ATTRIBUTION — the journey-grain
@@ -3590,6 +3691,7 @@ object Events {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q283_changepoints", q283, Some(q283Sql)),
     QueryDef("q284_periodicity", q284, Some(q284Sql)),
+    QueryDef("q345_epoch_folding", q345, Some(q345Sql)),
     QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),

@@ -213,6 +213,8 @@ class PlanSpec extends AnyFunSuite {
       "q298_skipgram_pairs", // q297's walk derivation feeds the pair join
       "q283_changepoints", // 1-row split/total broadcasts over the day grain
       "q206_kmv_merge", // 1-row n_days × 1-row exact-control cross
+      "q343_corpus_bleu", // 1-row length ledger × 1-row per-n clip cross
+      "q345_epoch_folding", // 1-row (n, S) stats broadcast over the hour grain
       // DOMAIN-bounded nested loops: the broadcast side is a bounded
       // dim (deciles, type CDF intervals, coalition masks, death
       // times, score bands) so per-stream-row cost is O(dim); the

@@ -56,8 +56,9 @@ class Round17Spec extends AnyFunSuite {
       "src/main/scala/graft/ops/Eval.scala" -> 8,
       // q283 binary segmentation + q284 ACF run on per-DAY / per-HOUR
       // series (calendar-bounded); the q204 incident window at :1992
-      // is hourly too
-      "src/main/scala/graft/ops/Events.scala" -> 9,
+      // is hourly too; q345's rank orders the 47-row candidate-period
+      // table (a period-grid DOMAIN bound)
+      "src/main/scala/graft/ops/Events.scala" -> 10,
       // q311's event-type marginal back-off: |types| = 5 rows
       "src/main/scala/graft/ops/Sequence.scala" -> 1,
       // q157's above-average cut over the |types|-row totals — kept a
@@ -120,6 +121,7 @@ class Round17Spec extends AnyFunSuite {
       "q272_ir_metrics",        // top-K system/ideal rank lists
       "q283_changepoints",      // per-day series
       "q284_periodicity",       // per-hour series + maxLag
+      "q345_epoch_folding",     // 47-row candidate-period grid
       "q311_next_event_serving", // 5-row type marginal back-off
       // (q334's |langs|-row remainder rank runs EAGERLY behind its
       // localCheckpoint, so it never reaches the final plan — the

@@ -1,0 +1,360 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 second-wave gates: text-generation metrics (q343 BLEU /
+  * q344 ROUGE) against driver-side reference computations, the q345
+  * epoch-folding periodogram's planted-period recovery, the q346
+  * ANALYZE stats + the stats-driven join-strategy decision, and the
+  * q347 gear-CDC chunking kernel (reference-walk parity, bounds,
+  * reassembly, and the re-synchronization property that is CDC's entire
+  * point).
+  */
+class Round18bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q343: corpus BLEU vs a reference implementation ----------------
+
+  /** Reference BLEU ledger: clipped matches and totals per n over
+    * (cand, ref) token pairs — the textbook multiset-clip definition,
+    * computed with driver-side Maps.
+    */
+  private def refBleu(pairs: Seq[(Seq[String], Seq[String])])
+      : (Map[Int, (Long, Long)], Long, Long) = {
+    def grams(t: Seq[String], n: Int): Map[Seq[String], Long] =
+      t.sliding(n).filter(_.size == n).toSeq.groupBy(identity)
+        .map { case (g, xs) => g -> xs.size.toLong }
+    val perN = (1 to 4).map { n =>
+      var clip = 0L
+      var tot  = 0L
+      for ((c, r) <- pairs) {
+        val cg = grams(c, n)
+        val rg = grams(r, n)
+        tot += cg.values.sum
+        clip += cg.map { case (g, cnt) =>
+          math.min(cnt, rg.getOrElse(g, 0L)) }.sum
+      }
+      n -> (clip, tot)
+    }.toMap
+    (perN, pairs.map(_._1.size.toLong).sum, pairs.map(_._2.size.toLong).sum)
+  }
+
+  test("q343 corpus BLEU matches the reference ledger on a fixture") {
+    import spark.implicits._
+    // 60-token docs with heavy repetition: the 48-token candidate
+    // carries 8 tokens past the 40-token reference, so clipping and
+    // the n-gram ladder are all non-trivial
+    val texts = Seq(7, 11, 13).map(m =>
+      Seq.tabulate(60)(i => s"w${i % m}").mkString(" "))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = ops.Eval.corpusBleu(docs).collect().head
+    val toks = texts.map(_.split(" ").toSeq)
+    val (perN, cLen, rLen) =
+      refBleu(toks.map(t => (t.take(48), t.take(40))))
+    assert(got.getAs[Long]("n_pairs") == 3L)
+    assert(got.getAs[Long]("cand_len") == cLen)
+    assert(got.getAs[Long]("ref_len") == rLen)
+    for (n <- 1 to 4) {
+      assert(got.getAs[Long](s"clip_$n") == perN(n)._1, s"clip n=$n")
+      assert(got.getAs[Long](s"tot_$n") == perN(n)._2, s"tot n=$n")
+    }
+    val p = (1 to 4).map(n => perN(n)._1.toDouble / perN(n)._2)
+    assert(got.getAs[Double]("bp") == 1.0)
+    assert(got.getAs[Double]("bleu4") ==
+      math.sqrt(math.sqrt(p.product)))
+  }
+
+  test("q343 on the driver corpus: BP pinned to 1, precisions in (0,1]") {
+    val row = SparkEntry.queries("q343_corpus_bleu")(spark, sf)
+      .collect().head
+    assert(row.getAs[Double]("bp") == 1.0) // cand_len >= ref_len fixture
+    for (n <- 1 to 4) {
+      val clip = row.getAs[Long](s"clip_$n")
+      val tot  = row.getAs[Long](s"tot_$n")
+      assert(clip > 0 && clip <= tot, s"n=$n: $clip/$tot")
+    }
+    val b = row.getAs[Double]("bleu4")
+    assert(b > 0.0 && b <= 1.0, s"bleu4: $b")
+  }
+
+  // ---- q344: ROUGE vs a reference F1 ----------------------------------
+
+  test("q344 ROUGE-1/2 matches reference F1 on a two-doc shard") {
+    import spark.implicits._
+    // one (lang, source) shard of two docs: pair = (doc 0 -> doc 1)
+    val docs = Seq(
+      ("en", "web", 0L, "the cat sat on the mat"),
+      ("en", "web", 1L, "the cat lay on a mat today"))
+      .toDF("lang", "source", "doc_id", "text")
+    val got = ops.Eval.rougeN(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    def f1(c: Seq[String], ref: Seq[String], n: Int): Double = {
+      def grams(t: Seq[String]) = t.sliding(n).filter(_.size == n).toSeq
+        .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+      val cg = grams(c); val rg = grams(ref)
+      val ov = cg.map { case (g, x) =>
+        math.min(x, rg.getOrElse(g, 0L)) }.sum
+      if (ov == 0) 0.0
+      else {
+        val p  = ov.toDouble / cg.values.sum
+        val rr = ov.toDouble / rg.values.sum
+        (2.0 * p * rr) / (p + rr)
+      }
+    }
+    val c = "the cat sat on the mat".split(" ").toSeq
+    val rf = "the cat lay on a mat today".split(" ").toSeq
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("r1_f1_e9") ==
+      math.floor(f1(c, rf, 1) * 1e9).toLong)
+    assert(r.getAs[Long]("r2_f1_e9") ==
+      math.floor(f1(c, rf, 2) * 1e9).toLong)
+  }
+
+  test("q344 on the driver corpus: macro F1 interior, pairs per lang") {
+    val rows = SparkEntry.queries("q344_rouge_n")(spark, sf).collect()
+    assert(rows.length == 5) // de en es fr zh
+    for (r <- rows) {
+      val f1 = r.getAs[Double]("r1_macro_f1")
+      val f2 = r.getAs[Double]("r2_macro_f1")
+      assert(f1 > 0.0 && f1 < 1.0 && f2 >= 0.0 && f2 < f1,
+        s"${r.getAs[String]("lang")}: r1=$f1 r2=$f2")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  // ---- q345: epoch folding recovers the planted sin period ------------
+
+  test("q345 epoch folding recovers the generator's planted sin period") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same fixture as the q284 gate: density_mode=sin, period=8000
+    // ticks (main.py:33-35) = period 16 in 500-tick buckets
+    val spec = gen.GenQueries.demoSpec(40000L).copy(
+      patterns = gen.ParityStream.patterns(
+        gen.PatternSpec(8, 10, 6, gen.Rng.IntervalDist.Uniform,
+          5, 3, 9, 137L)))
+    val buckets = gen.ParityStream.dataset(spark, spec)
+      .groupBy(expr("ts DIV 500").as("h")).agg(count(lit(1)).as("x"))
+    val top = ops.Events.foldTopPeriods(buckets, maxP = 48, topK = 3)
+      .select("period_hours").as[Long].collect().toList
+    // per-df normalization: the FUNDAMENTAL must beat its harmonics
+    assert(top.head == 16L, s"top period: $top")
+  }
+
+  // ---- q346: ANALYZE stats + the join decision they feed --------------
+
+  test("q346 stats: per-column ledger is consistent and exact") {
+    val rows = SparkEntry.queries("q346_table_stats")(spark, sf)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 11)
+    val n = rows("l_orderkey").getAs[Long]("n_rows")
+    assert(n > 0 && rows.values.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows.values.forall(_.getAs[Long]("n_null") == 0L))
+    assert(rows("l_linenumber").getAs[Long]("ndv") == 7L)
+    assert(rows("l_returnflag").getAs[Long]("ndv") == 3L)
+    assert(rows("l_returnflag").getAs[String]("min_v") == "A")
+    // ndv never exceeds non-null rows; byte mass consistent
+    for ((c, r) <- rows) {
+      assert(r.getAs[Long]("ndv") <= n, c)
+      assert(r.getAs[Long]("est_bytes") ==
+        r.getAs[Long]("sum_len") + 16L * n, c)
+    }
+  }
+
+  test("statsJoin: measured stats pick broadcast vs shuffle, not size guesses") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val sup = Tables.supplier(spark, sf)
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      def hasBhj(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val plan = df.queryExecution.executedPlan
+        val walked = plan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        walked.collectFirst { case b: BroadcastHashJoinExec => b }
+          .isDefined ||
+          walked.collectFirst { case e: BroadcastExchangeExec => e }
+            .isDefined
+      }
+      // supplier's measured mass is far under the budget -> broadcast
+      val small = ops.Analyze.statsJoin(li, sup, Seq("l_suppkey"))
+      assert(hasBhj(small), "stats-advised broadcast join missing")
+      // a 1-byte budget says nothing fits -> planner keeps a shuffle
+      // join even though the table is tiny
+      val big = ops.Analyze.statsJoin(li, sup, Seq("l_suppkey"), budget = 1L)
+      assert(!hasBhj(big), "un-advised join must not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  // ---- q347: gear-CDC chunking kernel ----------------------------------
+
+  /** Independent reference walk of the gear-CDC cut rule + FNV chunk
+    * hashes, straight off the Scaladoc pseudocode.
+    */
+  private def refChunks(
+      text: String, minSz: Int, mask: Long, maxSz: Int)
+      : Seq[(Long, Int)] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def fnv(from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      for (i <- from until until) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+      }
+      h
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var start = 0; var h = 0L
+    for (i <- bytes.indices) {
+      h = (h << 1) + functions.GearCdc.GEAR(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minSz && (h & mask) == 0L) || len == maxSz) {
+        out += ((fnv(start, i + 1), len)); start = i + 1; h = 0L
+      }
+    }
+    if (start < bytes.length)
+      out += ((fnv(start, bytes.length), bytes.length - start))
+    out.toSeq
+  }
+
+  test("gear_chunks kernel == reference walk on the driver corpus") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val viaKernel = Tables.documents(spark, sf)
+      .select($"doc_id",
+        functions.GearChunks.gearChunks(spark, $"text", 24, 0x3fL, 192)
+          .as("c"))
+      .collect()
+      .map { row =>
+        row.getLong(0) -> row.getSeq[org.apache.spark.sql.Row](1)
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      }.toMap
+    assert(texts.nonEmpty)
+    for ((id, t) <- texts) {
+      val ref = refChunks(t, 24, 0x3fL, 192)
+      assert(viaKernel(id) == ref, s"doc $id")
+      // bounds: every chunk <= max, every non-tail chunk >= min
+      assert(ref.forall(_._2 <= 192), s"doc $id max bound")
+      assert(ref.dropRight(1).forall(_._2 >= 24), s"doc $id min bound")
+      // reassembly: lengths partition the byte string
+      assert(ref.map(_._2.toLong).sum ==
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+        s"doc $id reassembly")
+    }
+  }
+
+  // ---- q348: CDC chunk store + erasure ---------------------------------
+
+  /** Staged corpus with a PLANTED byte-grain duplicate: doc 5's text is
+    * replaced by doc 2's, so their gear chunks coincide exactly. Doc 2
+    * is in the erased set (2 % 17 == 2), doc 5 survives — erasing must
+    * re-elect every shared chunk winner from 2 to 5. (The driver's
+    * synthetic docs share almost no ≥24-byte span, so orphan
+    * re-election needs the plant.)
+    */
+  private def stageCdcCorpus(): String = {
+    val dir = "target/r18b_cdc_stage"
+    val dest = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(dest)) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sf)
+      val t2 = docs.where(col("doc_id") === 2)
+        .select("text").head().getString(0)
+      val staged = docs.withColumn("text",
+        when(col("doc_id") === 5, lit(t2)).otherwise(col("text")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      val tmp = s"$dir/documents_tmp"
+      staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { l =>
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      }
+      java.nio.file.Files.move(part, dest)
+      streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
+    }
+    dir
+  }
+
+  test("q348 ledger: batch conservation; the planted dup saves bytes") {
+    val s = spark
+    import s.implicits._
+    val d = stageCdcCorpus()
+    val rows = SparkEntry.queries("q348_cdc_chunk_store")(spark, d)
+      .collect()
+    assert(rows.map(_.getAs[Long]("batch")).toSet == Set(0L, 1L))
+    val root = ops.Dedup.chunkStore(spark, d)
+    val stored = spark.read.parquet(s"$root/chunks").count()
+    assert(rows.map(_.getAs[Long]("n_new_chunks")).sum == stored)
+    for (r <- rows) {
+      assert(r.getAs[Long]("saved_bytes") >= 0L)
+      assert(r.getAs[Long]("chunk_bytes") ==
+        r.getAs[Long]("stored_bytes") + r.getAs[Long]("saved_bytes"))
+      assert(r.getAs[Long]("n_new_chunks") <= r.getAs[Long]("n_distinct"))
+    }
+    // the planted duplicate's whole chunk mass is saved (batch 0:
+    // docs 2 and 5 share every chunk)
+    assert(rows.find(_.getAs[Long]("batch") == 0L).get
+      .getAs[Long]("saved_bytes") > 0L)
+  }
+
+  test("q348 erase == rebuild-without; planted orphans re-elect to doc 5") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = stageCdcCorpus()
+    val base = ops.Dedup.chunkStore(spark, d)
+    val baseStore = spark.read.parquet(s"$base/chunks")
+      .localCheckpoint() // the erase vacuums the base payload below
+    // the plant holds: doc 2 (erased) wins every chunk it shares with 5
+    val orphans = baseStore.where($"w_doc" === 2)
+    assert(orphans.count() > 0, "planted winners missing")
+    val erased = ops.Dedup.erasedChunkStore(spark, d)
+    val got = spark.read.parquet(s"$erased/chunks")
+      .localCheckpoint() // survives the sf-store rebuild below
+    // physical forgetting: no winner row held by an erased doc
+    assert(got.where($"w_doc" % 17 === 2).count() == 0)
+    // every orphaned hash doc 5 shares re-elects to doc 5
+    val reElected = got.join(orphans.select("ch"), Seq("ch"), "left_semi")
+    assert(reElected.count() > 0, "expected re-elected chunk winners")
+    assert(reElected.where($"w_doc" =!= 5).count() == 0,
+      "shared chunks must re-elect to the planted survivor")
+    // erase == rebuild-without: global min-election over corpus \ E
+    // (provably ≡ the two-phase build because batch leads the key)
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"text").where($"doc_id" % 17 =!= 2)
+    val expect = ops.Dedup.electChunkWinners(
+      ops.Dedup.docChunks(spark, docs.where($"doc_id" % 10 < 8), 0)
+        .unionByName(
+          ops.Dedup.docChunks(spark, docs.where($"doc_id" % 10 >= 8), 1)))
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+      "erased store drifted from rebuild-without")
+  }
+
+  test("q347: CDC re-synchronizes after a prefix edit; fixed-width does not") {
+    val rows = SparkEntry.queries("q347_cdc_chunk_dedup")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // one per lang
+    for (r <- rows) {
+      val cdc = r.getAs[Double]("cdc_resync_mean")
+      val fix = r.getAs[Double]("fixed_resync_mean")
+      assert(cdc > fix + 0.2,
+        s"${r.getAs[String]("lang")}: cdc=$cdc fixed=$fix")
+      assert(r.getAs[Long]("n_chunks") >=
+        r.getAs[Long]("n_distinct_chunks"))
+      assert(r.getAs[Long]("chunk_bytes") > 0)
+    }
+  }
+}
