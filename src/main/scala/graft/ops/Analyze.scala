@@ -127,7 +127,107 @@ object Analyze {
       |    AS broadcastable
       |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // ---- q350: join-cardinality estimation ------------------------------
+
+  /** q350: JOIN-CARDINALITY ESTIMATION — the other half of the CBO
+    * story: q346 measures table mass, this measures JOIN OUTPUT SIZE
+    * before paying for the join, the number every join-order/strategy
+    * decision actually keys on. Two join shapes are estimated and then
+    * ground-truthed: the FK join orders⋈lineitem on orderkey
+    * (|J| = Σ_k c_o(k)·c_l(k), c_o ∈ {0,1}) and the many-to-many
+    * self-join lineitem⋈lineitem on partkey (|J| = Σ_k c_l(k)² — the
+    * classic self-join-size statistic where naive row counts
+    * mis-estimate worst). The estimator is Bernoulli row sampling on
+    * the probe side with the textbook unbiased scale-up
+    * est = (Σ_sampled c_build(k)) / p: a deterministic md5 digit of the
+    * row identity picks the sample (replayable in DuckDB — the same
+    * device as q90/q334), p = k/256 exactly, so the scale-up is the
+    * integer `· 256 DIV k` and the whole ledger is engine-exact.
+    *
+    * Scale: build-side histograms are one map-side-combinable aggregate
+    * each; the probe joins against the (key, count) histogram — never
+    * the join itself. The ground truth is ALSO computed on histograms
+    * (Σ products), so nothing here materializes a single joined row:
+    * estimating a join this way costs O(|tables|), the join it prices
+    * can cost O(|J|) ≫ that.
+    */
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val ords = Tables.orders(s, d)
+    // build-side histograms
+    val byOrder = ords.groupBy($"o_orderkey".as("k"))
+      .agg(count(lit(1)).as("c"))
+    val byPart = li.groupBy($"l_partkey".as("k"))
+      .agg(count(lit(1)).as("c"))
+    // probe rows with their deterministic md5 sampling digit
+    val probe = li.select(
+      $"l_orderkey", $"l_partkey",
+      expr("conv(substring(md5(cast(concat(cast(l_orderkey AS STRING), " +
+        "'#', cast(l_linenumber AS STRING)) AS BINARY)), 1, 2), 16, 10)")
+        .cast("long").as("dig"))
+    def arm(name: String, key: String, hist: DataFrame): DataFrame = {
+      val joined = probe
+        .join(hist.withColumnRenamed("k", key), Seq(key), "left")
+        .select($"dig", coalesce($"c", lit(0L)).as("c"))
+        .localCheckpoint() // two sampling rates read one probe pass
+      val actual = joined.agg(sum($"c")).head().getLong(0)
+      Seq(3L, 26L).map { k =>
+        val sampled = joined.where($"dig" < k)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum($"c"), lit(0L)).as("s"))
+          .head()
+        val est = sampled.getLong(1) * 256L / k
+        (name, k, sampled.getLong(0), est, actual,
+          (est - actual) * 1000000L / actual)
+      }.toDF("join_name", "p_num", "n_sampled", "est_rows",
+        "actual_rows", "err_ppm")
+    }
+    arm("fk_orders_lineitem", "l_orderkey", byOrder)
+      .unionByName(arm("selfjoin_partkey", "l_partkey", byPart))
+      .orderBy($"join_name", $"p_num")
+  }
+
+  private val q350Sql =
+    """WITH probe AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#'
+      |      || CAST(l_linenumber AS VARCHAR)), 1, 2)) AS BIGINT) AS dig
+      |  FROM lineitem),
+      |byorder AS (
+      |  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |bypart AS (
+      |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |jo AS (
+      |  SELECT p.dig, COALESCE(b.c, 0) AS c
+      |  FROM probe p LEFT JOIN byorder b ON b.k = p.l_orderkey),
+      |jp AS (
+      |  SELECT p.dig, COALESCE(b.c, 0) AS c
+      |  FROM probe p LEFT JOIN bypart b ON b.k = p.l_partkey),
+      |arms AS (
+      |  SELECT 'fk_orders_lineitem' AS join_name, k.k AS p_num,
+      |    CAST(COUNT(*) FILTER (WHERE dig < k.k) AS BIGINT) AS n_sampled,
+      |    CAST(COALESCE(SUM(c) FILTER (WHERE dig < k.k), 0) * 256 // k.k
+      |      AS BIGINT) AS est_rows,
+      |    CAST(SUM(c) AS BIGINT) AS actual_rows
+      |  FROM jo CROSS JOIN (VALUES (3), (26)) k(k) GROUP BY k.k
+      |  UNION ALL
+      |  SELECT 'selfjoin_partkey', k.k,
+      |    CAST(COUNT(*) FILTER (WHERE dig < k.k) AS BIGINT),
+      |    CAST(COALESCE(SUM(c) FILTER (WHERE dig < k.k), 0) * 256 // k.k
+      |      AS BIGINT),
+      |    CAST(SUM(c) AS BIGINT)
+      |  FROM jp CROSS JOIN (VALUES (3), (26)) k(k) GROUP BY k.k)
+      |SELECT join_name, CAST(p_num AS BIGINT) AS p_num, n_sampled,
+      |  est_rows, actual_rows,
+      |  CAST((est_rows - actual_rows) * 1000000 // actual_rows AS BIGINT)
+      |    AS err_ppm
+      |FROM arms ORDER BY join_name, p_num""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q346_table_stats", q346, Some(q346Sql)),
+    QueryDef("q350_join_cardinality", q350, Some(q350Sql)),
   )
 }

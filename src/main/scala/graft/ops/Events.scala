@@ -3502,6 +3502,80 @@ object Events {
       |      FROM scored)
       |WHERE rk <= 5 ORDER BY rk""".stripMargin
 
+  // ---- q349: Gorilla time-series compression ---------------------------
+
+  /** q349: GORILLA TIME-SERIES COMPRESSION LEDGER — the storage-codec
+    * layer under the event analytics: series are sorted and their
+    * (timestamp, value) columns compressed by the
+    * [[graft.functions.GorillaCodec]] delta-of-delta + XOR kernels
+    * (Pelkonen et al., VLDB 2015), in TWO arms — the per-type hourly
+    * count series (the rollup a TSDB stores: regular cadence, slowly
+    * moving values — where the codec earns bits-per-point), and the
+    * raw per-(user, type) µs event series, whose ledger row HONESTLY
+    * reads ≈ raw size (random arrivals overflow the dd classes, random
+    * values fill the XOR window) — the codec is for telemetry shapes,
+    * and the ledger is how a storage engineer would discover that. The
+    * plan also DECODES every series and counts roundtrip mismatches —
+    * the registered output carries its own identity proof
+    * (n_roundtrip_fail must read 0), and Round18bSpec re-proves
+    * decode ∘ encode ≡ id on adversarial fixtures (constant series,
+    * sign flips, NaN/Inf bit patterns, irregular gaps) where the
+    * driver data is too tame.
+    *
+    * Scale: one shuffle to (user, type) series — per-user series are
+    * memory-bounded by the same argument as every userWindow query
+    * here; encode/decode are one-pass kernels where the series lives.
+    * At 100 TB this is the difference between 16 bytes/point raw and
+    * the ~1-2 bits/point machine cadences compress to. No SQL twin
+    * (bit-packing); the in-plan roundtrip + spec are the gates.
+    */
+  private def q349(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts)").as("tus"), $"event_id", $"value")
+    // arm 1: the shape a TSDB actually stores — per-type HOURLY count
+    // series (regular cadence → delta-of-delta 0, slowly-moving small
+    // integers → tiny XOR windows). This is where Gorilla earns its
+    // ~1-2 bits/point.
+    val hourly = ev
+      .groupBy($"event_type", expr("tus DIV 3600000000").as("h"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"h", $"v"))).as("pts"))
+      .select(lit("hourly_counts").as("kind"), $"event_type",
+        expr("transform(pts, p -> p.h)").as("ts"),
+        expr("transform(pts, p -> p.v)").as("vs"))
+    // arm 2: raw per-(user, type) event series at µs grain — an HONEST
+    // ledger row: random arrival + random values do NOT compress (the
+    // dd classes overflow to 64-bit, the XOR windows are full-width),
+    // and the output says so instead of hiding it. The roundtrip proof
+    // is the point of this arm.
+    val raw = ev
+      .groupBy($"user_id", $"event_type")
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"value"))).as("pts"))
+      .select(lit("raw_events_us").as("kind"), $"event_type",
+        expr("transform(pts, p -> p.tus)").as("ts"),
+        expr("transform(pts, p -> p.value)").as("vs"))
+    val enc = hourly.unionByName(raw)
+      .select($"kind", $"event_type", size($"ts").as("n"), $"ts", $"vs",
+        graft.functions.Gorilla.encode(s, $"ts", $"vs").as("bin"))
+    enc
+      .withColumn("dec", graft.functions.Gorilla.decode(s, $"bin"))
+      .withColumn("ok", expr("dec.ts = ts AND dec.vs = vs"))
+      .groupBy($"kind", $"event_type")
+      .agg(count(lit(1)).as("n_series"),
+        sum($"n").cast("long").as("n_points"),
+        (sum($"n") * 16).cast("long").as("raw_bytes"),
+        sum(length($"bin")).cast("long").as("enc_bytes"),
+        sum(when($"ok", 0L).otherwise(1L)).as("n_roundtrip_fail"))
+      .withColumn("ratio", expr("CAST(raw_bytes AS DOUBLE) / enc_bytes"))
+      .withColumn("bits_per_point",
+        expr("CAST(8 * enc_bytes AS DOUBLE) / n_points"))
+      .orderBy($"kind", $"event_type")
+  }
+
   // ---- q285: journey-grain removal-effect attribution ----------------
 
   /** q285: JOURNEY-GRAIN REMOVAL ATTRIBUTION — the journey-grain
@@ -3692,6 +3766,10 @@ object Events {
     QueryDef("q283_changepoints", q283, Some(q283Sql)),
     QueryDef("q284_periodicity", q284, Some(q284Sql)),
     QueryDef("q345_epoch_folding", q345, Some(q345Sql)),
+    // Gorilla codec ledger: bit-packing kernels, no SQL twin — the
+    // output carries its own roundtrip proof (n_roundtrip_fail = 0)
+    // and Round18bSpec drives the adversarial fixtures
+    QueryDef("q349_gorilla_codec", q349, None),
     QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),

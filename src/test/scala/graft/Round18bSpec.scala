@@ -254,6 +254,78 @@ class Round18bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q349: Gorilla codec ---------------------------------------------
+
+  test("gorilla codec: roundtrip identity on adversarial fixtures") {
+    def rt(ts: Seq[Long], vs: Seq[Double]): Unit = {
+      val enc = functions.GorillaCodec.encode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ts.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray))
+      val dec = functions.GorillaCodec.decode(enc)
+      val gotTs = dec.getArray(0).toLongArray().toSeq
+      val gotVs = dec.getArray(1).toDoubleArray().toSeq
+      assert(gotTs == ts, s"ts roundtrip: $ts")
+      assert(gotVs.map(java.lang.Double.doubleToRawLongBits) ==
+        vs.map(java.lang.Double.doubleToRawLongBits),
+        s"vs roundtrip (bit compare): $vs")
+    }
+    rt(Seq.empty, Seq.empty)
+    rt(Seq(42L), Seq(3.14))
+    // regular cadence, constant value: the 1-bit/point sweet spot
+    rt((0 until 200).map(i => 1000L + 60L * i), Seq.fill(200)(7.0))
+    // irregular gaps crossing every delta-of-delta class incl. 64-bit
+    rt(Seq(0L, 10L, 20L, 100L, 90L, 5000L, 5001L, 1L << 40, 12L),
+      Seq(1.0, -1.0, 1.5, 0.0, -0.0, 1e300, -1e-300,
+        Double.NaN, Double.PositiveInfinity))
+    // slowly-moving doubles: window reuse branch
+    rt((0 until 100).map(_.toLong),
+      (0 until 100).map(i => 100.0 + i * 0.125))
+    // sign flips force fresh windows
+    rt((0 until 64).map(i => i * 3L),
+      (0 until 64).map(i => if (i % 2 == 0) 1e9 else -1e-9))
+  }
+
+  test("q349 ledger: roundtrip proof is zero, hourly arm compresses hard") {
+    val rows = SparkEntry.queries("q349_gorilla_codec")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_roundtrip_fail") == 0L,
+        s"${r.getAs[String]("event_type")}: roundtrip failures")
+      assert(r.getAs[Long]("n_points") > 0)
+    }
+    // the TSDB-shaped arm is where the codec earns its keep: at least
+    // 4x on the regular-cadence hourly count series
+    val hourly = rows.filter(_.getAs[String]("kind") == "hourly_counts")
+    assert(hourly.nonEmpty)
+    for (r <- hourly)
+      assert(r.getAs[Long]("enc_bytes") * 4 <= r.getAs[Long]("raw_bytes"),
+        s"hourly ${r.getAs[String]("event_type")}: " +
+          s"${r.getAs[Long]("enc_bytes")} vs ${r.getAs[Long]("raw_bytes")}")
+  }
+
+  // ---- q350: join-cardinality estimation --------------------------------
+
+  test("q350: ground truth is exact; both rates estimate within bounds") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q350_join_cardinality")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    // FK arm's actual == the real join size (the histogram product IS
+    // the join cardinality)
+    val fk = rows.filter(
+      _.getAs[String]("join_name") == "fk_orders_lineitem")
+    val realFk = Tables.lineitem(spark, sf).join(
+      Tables.orders(spark, sf),
+      $"l_orderkey" === $"o_orderkey").count()
+    assert(fk.forall(_.getAs[Long]("actual_rows") == realFk))
+    // estimates are honest: within 20% at the 10% rate on both arms
+    for (r <- rows if r.getAs[Long]("p_num") == 26L)
+      assert(math.abs(r.getAs[Long]("err_ppm")) < 200000L,
+        s"${r.getAs[String]("join_name")}: ${r.getAs[Long]("err_ppm")}")
+  }
+
   // ---- q348: CDC chunk store + erasure ---------------------------------
 
   /** Staged corpus with a PLANTED byte-grain duplicate: doc 5's text is
