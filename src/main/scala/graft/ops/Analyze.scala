@@ -167,21 +167,25 @@ object Analyze {
         "'#', cast(l_linenumber AS STRING)) AS BINARY)), 1, 2), 16, 10)")
         .cast("long").as("dig"))
     def arm(name: String, key: String, hist: DataFrame): DataFrame = {
-      val joined = probe
+      // ONE conditional-aggregate pass prices the ground truth and both
+      // sampling rates together (the oracle's FILTER shape) — never a
+      // second probe scan
+      val r = probe
         .join(hist.withColumnRenamed("k", key), Seq(key), "left")
         .select($"dig", coalesce($"c", lit(0L)).as("c"))
-        .localCheckpoint() // two sampling rates read one probe pass
-      val actual = joined.agg(sum($"c")).head().getLong(0)
-      Seq(3L, 26L).map { k =>
-        val sampled = joined.where($"dig" < k)
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum($"c"), lit(0L)).as("s"))
-          .head()
-        val est = sampled.getLong(1) * 256L / k
-        (name, k, sampled.getLong(0), est, actual,
-          (est - actual) * 1000000L / actual)
-      }.toDF("join_name", "p_num", "n_sampled", "est_rows",
-        "actual_rows", "err_ppm")
+        .agg(sum($"c").as("actual"),
+          count(when($"dig" < 3, 1)).as("n3"),
+          coalesce(sum(when($"dig" < 3, $"c")), lit(0L)).as("s3"),
+          count(when($"dig" < 26, 1)).as("n26"),
+          coalesce(sum(when($"dig" < 26, $"c")), lit(0L)).as("s26"))
+        .head()
+      val actual = r.getLong(0)
+      Seq((3L, r.getLong(1), r.getLong(2)), (26L, r.getLong(3), r.getLong(4)))
+        .map { case (k, n, sSum) =>
+          val est = sSum * 256L / k
+          (name, k, n, est, actual, (est - actual) * 1000000L / actual)
+        }.toDF("join_name", "p_num", "n_sampled", "est_rows",
+          "actual_rows", "err_ppm")
     }
     arm("fk_orders_lineitem", "l_orderkey", byOrder)
       .unionByName(arm("selfjoin_partkey", "l_partkey", byPart))
