@@ -192,6 +192,19 @@ class Round18bSpec extends AnyFunSuite {
       // join even though the table is tiny
       val big = ops.Analyze.statsJoin(li, sup, Seq("l_suppkey"), budget = 1L)
       assert(!hasBhj(big), "un-advised join must not broadcast")
+      // the PRODUCTION path decides from the persisted artifact (one
+      // metadata read, no ANALYZE pass) and reaches the same plan
+      val stored = ops.Analyze.statsJoinStored(spark, sf,
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), "supplier",
+        Seq("s_suppkey"))
+      assert(hasBhj(stored), "stored-stats broadcast join missing")
+      // store ≡ recompute, row for row (the q260 discipline; the
+      // sf0.01 hash gate is q351 sharing q346's oracle verbatim)
+      val direct = ops.Analyze.tableStats(li)
+      val viaStore = spark.read.parquet(
+        s"${ops.Analyze.statsStore(spark, sf, "lineitem")}/stats")
+      assert(viaStore.except(direct).isEmpty &&
+        direct.except(viaStore).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
