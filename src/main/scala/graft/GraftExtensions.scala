@@ -51,5 +51,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.MinHashSignature(exprs(0),
           functions.FoldableArg.positiveInt(exprs(1), "minhash_sig numHashes"))
       })
+    inject(ext, "gear_chunks", classOf[functions.GearChunksExpr],
+      exprs => {
+        require(exprs.length == 4 && exprs.drop(1).forall(_.foldable),
+          "gear_chunks(text, minSz, mask, maxSz): sizes must be literals")
+        functions.GearChunksExpr(
+          exprs(0),
+          functions.FoldableArg.positiveInt(exprs(1), "gear_chunks minSz"),
+          functions.FoldableArg.positiveLong(exprs(2), "gear_chunks mask"),
+          functions.FoldableArg.positiveInt(exprs(3), "gear_chunks maxSz"))
+      })
+    inject(ext, "gorilla_encode", classOf[functions.GorillaEncode],
+      exprs => {
+        require(exprs.length == 2, "gorilla_encode(ts, vals)")
+        functions.GorillaEncode(exprs(0), exprs(1))
+      })
+    inject(ext, "gorilla_decode", classOf[functions.GorillaDecode],
+      exprs => {
+        require(exprs.length == 1, "gorilla_decode(bin)")
+        functions.GorillaDecode(exprs(0))
+      })
   }
 }
