@@ -2389,17 +2389,27 @@ object Eval {
   /** The q344 statistic over any (lang, source, doc_id, text) frame —
     * exposed for Round18bSpec's reference-F1 fixtures.
     */
-  private[graft] def rougeN(docs: DataFrame): DataFrame = {
+  /** Neighbour evaluation pairs — each doc's reference is the NEXT
+    * doc_id within its (lang, source) shard (one partitioned lead
+    * window). The ONE pairing shared by q344 and q352, so the two
+    * ROUGE variants cannot drift onto different pair sets.
+    */
+  private def neighborPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val base = docs
+    docs
       .select($"lang", $"source", $"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= 2)
-    val pairs = base
       .withColumn("rtk", lead($"tk", 1).over(
         Window.partitionBy($"lang", $"source").orderBy($"doc_id")))
       .filter($"rtk".isNotNull)
       .select($"lang", $"doc_id", $"tk".as("ct"), $"rtk".as("rt"))
+  }
+
+  private[graft] def rougeN(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = neighborPairs(docs)
     val cand = gramCounts(pairs, "ct", 2)
     val ref  = gramCounts(pairs, "rt", 2).withColumnRenamed("c", "rc")
     val perPair = cand.join(ref, Seq("doc_id", "n", "g"), "left")
@@ -2481,9 +2491,51 @@ object Eval {
       |FROM f JOIN (SELECT doc_id, lang FROM pairs) p USING (doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q352: ROUGE-L — the LCS-based variant that actually headlines
+    * summarization papers, completing the family next to q344's
+    * n-gram ROUGE: per pair, P = LCS/|cand|, R = LCS/|ref|,
+    * F = 2PR/(P+R), macro-averaged per language under q254's
+    * fixed-point discipline (floor to 1e-9 units, integer-sum
+    * order-free, one final IEEE division). The LCS runs in the
+    * [[graft.functions.LcsLen]] codegen kernel — O(|c|·|r|) per pair
+    * where the pair lives, nothing cross-pair ever shuffles. The
+    * within-row DP dependency has no practical SQL form, so this is
+    * spec-gated (kernel ≡ independent reference DP over every driver
+    * pair, plus the F_L ≤ F_1 dominance ROUGE theory requires —
+    * LCS ≤ unigram clipped overlap, and F is monotone in (P, R)).
+    */
+  private def q352(s: SparkSession, d: String): DataFrame =
+    rougeL(Tables.documents(s, d))
+
+  private[graft] def rougeL(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    neighborPairs(docs)
+      .withColumn("lcs",
+        graft.functions.LcsExprs.lcsLen(s, $"ct", $"rt").cast("long"))
+      .withColumn("f1", expr(
+        """CASE WHEN lcs > 0 THEN
+          |  (2.0 * (CAST(lcs AS DOUBLE) / size(ct))
+          |       * (CAST(lcs AS DOUBLE) / size(rt)))
+          |  / ((CAST(lcs AS DOUBLE) / size(ct))
+          |   + (CAST(lcs AS DOUBLE) / size(rt)))
+          |ELSE 0.0 END""".stripMargin))
+      .withColumn("f1_e9", expr("CAST(FLOOR(f1 * 1e9) AS BIGINT)"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"lcs").as("lcs_total"),
+        sum($"f1_e9").as("rl_f1_e9"))
+      .withColumn("rl_macro_f1",
+        expr("CAST(rl_f1_e9 AS DOUBLE) / (1e9 * n_pairs)"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q343_corpus_bleu", q343, Some(q343Sql)),
     QueryDef("q344_rouge_n", q344, Some(q344Sql)),
+    // ROUGE-L: the LCS DP has no SQL twin — Round18bSpec gates kernel
+    // ≡ reference DP per pair and the F_L ≤ F_1 dominance
+    QueryDef("q352_rouge_l", q352, None),
     QueryDef("q294_target_encoding", q294, Some(q294Sql)),
     QueryDef("q269_bradley_terry", q269, Some(q269Sql)),
     QueryDef("q270_offpolicy_eval", q270, Some(q270Sql)),

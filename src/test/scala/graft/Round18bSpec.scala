@@ -125,6 +125,64 @@ class Round18bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q352: ROUGE-L ----------------------------------------------------
+
+  /** Independent reference LCS — full (n+1)×(m+1) table, no row reuse. */
+  private def refLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.size)(b.size)
+  }
+
+  test("lcs_len kernel == reference DP over every driver pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val pairs = docs
+      .select($"lang", $"source", $"doc_id", split($"text", " ").as("tk"))
+      .withColumn("rtk", lead($"tk", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"source").orderBy($"doc_id")))
+      .filter($"rtk".isNotNull)
+      .select($"doc_id", $"tk", $"rtk",
+        functions.LcsExprs.lcsLen(spark, $"tk", $"rtk").as("lcs"))
+      .as[(Long, Seq[String], Seq[String], Int)]
+      .collect()
+    assert(pairs.nonEmpty)
+    for ((id, a, b, got) <- pairs) {
+      val want = refLcs(a, b)
+      assert(got == want, s"doc $id: kernel $got vs reference $want")
+      assert(got <= math.min(a.size, b.size), s"doc $id bound")
+    }
+    // edge shapes the corpus can't produce
+    assert(refLcs(Nil, Seq("a")) == 0)
+    val e = Seq(("x", Seq.empty[String], Seq("a", "b")))
+      .toDF("k", "a", "b")
+      .select(functions.LcsExprs.lcsLen(spark, col("a"), col("b")))
+      .head().getInt(0)
+    assert(e == 0)
+  }
+
+  test("q352 ROUGE-L: macro interior and dominated by ROUGE-1") {
+    val rl = SparkEntry.queries("q352_rouge_l")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val r1 = SparkEntry.queries("q344_rouge_n")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rl.keySet == r1.keySet && rl.size == 5)
+    for ((lang, r) <- rl) {
+      val fL = r.getAs[Double]("rl_macro_f1")
+      assert(fL > 0.0 && fL < 1.0, s"$lang: $fL")
+      assert(r.getAs[Long]("n_pairs") == r1(lang).getAs[Long]("n_pairs"))
+      // LCS <= unigram clipped overlap and F is monotone in (P, R), so
+      // ROUGE-L macro F1 <= ROUGE-1 macro F1 (+1e-9 floor slack)
+      assert(fL <= r1(lang).getAs[Double]("r1_macro_f1") + 1e-9,
+        s"$lang: F_L $fL vs F_1 ${r1(lang).getAs[Double]("r1_macro_f1")}")
+    }
+  }
+
   // ---- q345: epoch folding recovers the planted sin period ------------
 
   test("q345 epoch folding recovers the generator's planted sin period") {
