@@ -111,6 +111,10 @@ object Erasure {
       (s, d) => Dedup.erasedChunkStore(s, d),
       "chunks", df => df("w_doc") % 17 === 2, Seq("chunks"),
       "target/stage_dedup", "cdcstore"),
+    AuditedStore("tsstore", "ts_series",
+      (s, d) => Events.erasedTsStore(s, d),
+      "series", df => df("user_id") % 19 === 3, Seq("series"),
+      "target/stage_events", "tsstore"),
   )
 
   /** Audit ledger over a registry — factored so Round18Spec can run
@@ -170,7 +174,8 @@ object Erasure {
       |  ('passage_hashes',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('search_postings', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('serving_index',   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-      |  ('sppmi_pairs',     CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+      |  ('sppmi_pairs',     CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('ts_series',       CAST(0 AS BIGINT), CAST(0 AS BIGINT))
       |) AS t(store, n_erased_refs, n_base_resident)
       |ORDER BY store""".stripMargin
 

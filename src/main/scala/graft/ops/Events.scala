@@ -3576,6 +3576,151 @@ object Events {
       .orderBy($"kind", $"event_type")
   }
 
+  // ---- q353: compressed time-series store + pruned range read ---------
+
+  /** The series frame the store persists: one row per (user, type,
+    * DAY block) carrying its time bounds, point count, and the Gorilla
+    * blob — 24 bytes of prune metadata + the compressed points. The
+    * day-grain blocking is the Gorilla paper's own block discipline
+    * (it closes blocks every 2 h): a whole-history blob would make the
+    * bounds columns useless (every series spans every range), while
+    * block-grain bounds let a range query skip every non-overlapping
+    * block BEFORE any decode runs.
+    */
+  private def seriesFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts)").as("tus"), $"event_id", $"value")
+      .groupBy($"user_id", $"event_type",
+        expr("tus DIV 86400000000").as("blk"))
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"value"))).as("pts"))
+      .select($"user_id", $"event_type",
+        expr("pts[0].tus").as("ts_min"),
+        expr("element_at(pts, -1).tus").as("ts_max"),
+        size($"pts").cast("long").as("n"),
+        graft.functions.Gorilla.encode(s,
+          expr("transform(pts, p -> p.tus)"),
+          expr("transform(pts, p -> p.value)")).as("bin"))
+  }
+
+  /** Pure freshness key of the q353 compressed-series store — the
+    * block grain is part of the key, so a layout-recipe change can
+    * never serve blobs blocked under the old grain.
+    */
+  private[graft] def tsStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/stage_events",
+      "tsstore", d, "events.parquet", extra = "blk:86400000000")
+
+  /** The ONE spelling of q353's erasure predicate tag (user_id % 19 == 3
+    * is the erased set; the tag names the SURVIVOR predicate).
+    */
+  private[graft] val TsErasedTag = "erased_u19ne3"
+
+  /** Build-if-absent compressed-series store. */
+  private[graft] def tsStore(s: SparkSession, d: String): String = {
+    val root = tsStoreRoot(s, d)
+    StoreGuard.ensureBuilt(s, root) {
+      seriesFrame(s, d)
+        .repartition(8, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/series")
+    }
+    root
+  }
+
+  /** q353's PHYSICAL erase — the codec store joins the erasure family:
+    * a user's compressed blobs ARE their event history, so erasing E
+    * (user_id % 19 == 3) must remove the rows from disk, not filter at
+    * read. Series are per-user, so the rewrite is a pure row drop (no
+    * re-election — the simplest member of the family, which is exactly
+    * why it must still go through the shared transaction + registry:
+    * the audit's sibling/base sweeps are what keep a "simple" store
+    * honest too).
+    */
+  private[graft] def erasedTsStore(s: SparkSession, d: String): String = {
+    val root = tsStoreRoot(s, d)
+    StoreGuard.sweepStaleSiblings(s, "target/stage_events",
+      "tsstore", Set(root.split('/').last))
+    StoreGuard.eraseRewrite(s, root, TsErasedTag,
+      Seq("series"))(tsStore(s, d)) { out =>
+      val base = s.read.parquet(s"$root/series")
+        .localCheckpoint() // pin: the base payload is vacuumed below
+      base.where(col("user_id") % 19 =!= 3)
+        .repartition(8, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/series")
+    }
+  }
+
+  /** Pruned range read over a compressed-series store root: series
+    * whose [ts_min, ts_max] bounds miss the range are NEVER decoded —
+    * the bounds are plain long columns, so parquet row-group min/max
+    * stats prune them at the scan and the decode kernel runs only on
+    * overlapping series.
+    */
+  private[graft] def tsRangeRead(
+      s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$root/series")
+      .where($"ts_max" >= lo && $"ts_min" < hi)
+      .withColumn("dec", graft.functions.Gorilla.decode(s, $"bin"))
+      .select($"user_id", $"event_type",
+        explode(expr("arrays_zip(dec.ts, dec.vs)")).as("p"))
+      .select($"user_id", $"event_type",
+        $"p.ts".as("tus"), $"p.vs".as("value"))
+      .where($"tus" >= lo && $"tus" < hi)
+  }
+
+  /** q353: COMPRESSED-SERIES STORE RANGE READ — q349's codec composed
+    * into the store lifecycle: build once (freshness-keyed), serve a
+    * time-range query by PRUNING series on their stored bounds before
+    * any decode runs, and prove the whole path by aggregating the
+    * decoded middle third of the time span per type — the oracle runs
+    * the SAME aggregate over the RAW events table in DuckDB, so a
+    * single wrong bit anywhere in encode, persist, prune, or decode
+    * hash-fails. The range bounds derive from the store's own 1-row
+    * min/max readback with integer thirds, identical in both engines.
+    *
+    * Scale: the store is one shuffle at build; a range query reads
+    * |overlapping series| blobs (row-group stats prune on the bounds
+    * columns), and the erase verb (q338-registered) rewrites only the
+    * survivor rows. This is the TSDB read path: never the raw event
+    * table, never a non-overlapping decode.
+    */
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = tsStore(s, d)
+    val b = s.read.parquet(s"$root/series")
+      .agg(min($"ts_min"), max($"ts_max")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val third = (mx - mn) / 3
+    val (lo, hi) = (mn + third, mn + 2 * third)
+    tsRangeRead(s, root, lo, hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val q353Sql =
+    """WITH b AS (
+      |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      |  FROM events),
+      |r AS (
+      |  SELECT mn + (mx - mn) // 3 AS lo,
+      |         mn + 2 * ((mx - mn) // 3) AS hi
+      |  FROM b)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events CROSS JOIN r
+      |WHERE epoch_us(ts) >= lo AND epoch_us(ts) < hi
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- q285: journey-grain removal-effect attribution ----------------
 
   /** q285: JOURNEY-GRAIN REMOVAL ATTRIBUTION — the journey-grain
@@ -3770,6 +3915,9 @@ object Events {
     // output carries its own roundtrip proof (n_roundtrip_fail = 0)
     // and Round18bSpec drives the adversarial fixtures
     QueryDef("q349_gorilla_codec", q349, None),
+    // the codec store's pruned range read, hash-gated against the RAW
+    // events table — one wrong bit in encode/persist/prune/decode fails
+    QueryDef("q353_ts_range_read", q353, Some(q353Sql)),
     QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),

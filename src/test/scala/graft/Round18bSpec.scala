@@ -356,6 +356,53 @@ class Round18bSpec extends AnyFunSuite {
       (0 until 64).map(i => if (i % 2 == 0) 1e9 else -1e-9))
   }
 
+  test("gorilla + gear kernels: randomized roundtrip / reference parity") {
+    // deterministic LCG so the property run is reproducible
+    var seed = 0x2545f4914f6cdd1dL
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    def nextInt(bound: Int): Int = math.floorMod(next(), bound.toLong).toInt
+    for (trial <- 0 until 200) {
+      val n = nextInt(120)
+      // timestamps: mostly-regular cadence with occasional wild jumps
+      var t = next() % (1L << 40)
+      val ts = (0 until n).map { _ =>
+        t += (if (nextInt(10) == 0) next() % (1L << 35) else 60L + nextInt(5))
+        t
+      }
+      // values: runs of constants, small drifts, and raw bit noise
+      var bits = next()
+      val vs = (0 until n).map { _ =>
+        nextInt(4) match {
+          case 0 => // hold
+          case 1 => bits ^= (next() & 0xffL) << nextInt(52)
+          case _ => bits = next()
+        }
+        java.lang.Double.longBitsToDouble(bits)
+      }
+      val enc = functions.GorillaCodec.encode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ts.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray))
+      val dec = functions.GorillaCodec.decode(enc)
+      assert(dec.getArray(0).toLongArray().toSeq == ts, s"trial $trial ts")
+      assert(dec.getArray(1).toDoubleArray().toSeq
+        .map(java.lang.Double.doubleToRawLongBits) ==
+        vs.map(java.lang.Double.doubleToRawLongBits), s"trial $trial vs")
+      // gear CDC: random byte-ish text, kernel == reference walk
+      val text = (0 until nextInt(600)).map(_ =>
+        (32 + nextInt(95)).toChar).mkString
+      val viaKernel = {
+        val arr = functions.GearCdc.chunks(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          24, 0x3fL, 192)
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (r.getLong(0), r.getInt(1))
+        }
+      }
+      assert(viaKernel == refChunks(text, 24, 0x3fL, 192), s"trial $trial cdc")
+    }
+  }
+
   test("q349 ledger: roundtrip proof is zero, hourly arm compresses hard") {
     val rows = SparkEntry.queries("q349_gorilla_codec")(spark, sf)
       .collect()
@@ -395,6 +442,48 @@ class Round18bSpec extends AnyFunSuite {
     for (r <- rows if r.getAs[Long]("p_num") == 26L)
       assert(math.abs(r.getAs[Long]("err_ppm")) < 200000L,
         s"${r.getAs[String]("join_name")}: ${r.getAs[Long]("err_ppm")}")
+  }
+
+  // ---- q353: compressed-series store ------------------------------------
+
+  test("q353: pruned compressed read == raw scan; erase drops the user") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // registered range read ≡ the raw-events aggregate (the sf0.01 hash
+    // gate is the DuckDB oracle; this is the sf0.001 spark-side twin)
+    val got = SparkEntry.queries("q353_ts_range_read")(spark, sf)
+    val root = ops.Events.tsStore(spark, sf)
+    val b = spark.read.parquet(s"$root/series")
+      .agg(min($"ts_min"), max($"ts_max")).head()
+    val third = (b.getLong(1) - b.getLong(0)) / 3
+    val (lo, hi) = (b.getLong(0) + third, b.getLong(0) + 2 * third)
+    val want = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("tus"),
+        $"value")
+      .where($"tus" >= lo && $"tus" < hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"),
+        countDistinct($"user_id").as("n_users"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "compressed range read drifted from the raw scan")
+    // pruning is real: a narrow range decodes fewer series than exist
+    val total = spark.read.parquet(s"$root/series").count()
+    val narrow = spark.read.parquet(s"$root/series")
+      .where($"ts_max" >= lo && $"ts_min" < lo + 1000L).count()
+    assert(narrow < total, "bounds never prune anything")
+    // erase: physical row drop, read path forgets the users
+    val erased = ops.Events.erasedTsStore(spark, sf)
+    val g = spark.read.parquet(s"$erased/series")
+    assert(g.where($"user_id" % 19 === 3).count() == 0)
+    val afterRead = ops.Events.tsRangeRead(spark, erased, lo, hi)
+    assert(afterRead.where($"user_id" % 19 === 3).count() == 0)
+    // erase ≡ rebuild-without, row for row
+    val expect = ops.Events.tsStore(spark, sf) // rebuilt base (vacuumed)
+    val direct = spark.read.parquet(s"$expect/series")
+      .where($"user_id" % 19 =!= 3)
+    assert(g.except(direct).isEmpty && direct.except(g).isEmpty)
   }
 
   // ---- q348: CDC chunk store + erasure ---------------------------------
