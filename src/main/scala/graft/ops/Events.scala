@@ -3673,6 +3673,145 @@ object Events {
       .where($"tus" >= lo && $"tus" < hi)
   }
 
+  /** The q353 series frame over an events SUBSET (batch arm of q354's
+    * incremental ingest) — same grouping, bounds, and codec as the
+    * full build, so merge ≡ rebuild can hold bit-for-bit.
+    */
+  private def seriesFrameOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    ev.groupBy($"user_id", $"event_type",
+        expr("tus DIV 86400000000").as("blk"))
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"value"))).as("pts"))
+      .select($"user_id", $"event_type", $"blk",
+        expr("pts[0].tus").as("ts_min"),
+        expr("element_at(pts, -1).tus").as("ts_max"),
+        size($"pts").cast("long").as("n"),
+        graft.functions.Gorilla.encode(s,
+          expr("transform(pts, p -> p.tus)"),
+          expr("transform(pts, p -> p.value)")).as("bin"))
+  }
+
+  /** q354: INCREMENTAL INGEST into the compressed store — the
+    * maintenance verb q353's store was missing (every persisted store
+    * here wants build / maintain / serve / erase): the base store is
+    * built from the first batch (event_id % 10 < 8), then the late
+    * batch arrives and ONLY the (user, type, day) blocks it actually
+    * touches are rewritten — each affected blob is DECODED, merged
+    * with the new points in (ts, event_id) order, and re-encoded;
+    * untouched block rows are carried over row-identical (asserted by
+    * Round18bSpec), never re-encoded. The raw event table is never
+    * read back for old points — the blobs ARE the history, which is
+    * the entire point of a TSDB ingest path. The registered query is
+    * q353's range read over the MERGED store and shares q353's oracle
+    * VERBATIM (q260's store ≡ recompute discipline): any point the
+    * merge lost, duplicated, or mis-valued hash-fails against the raw
+    * table. Round18bSpec additionally asserts full ROW identity
+    * (blobs included) against a from-scratch build — exact whenever no
+    * merged block holds a cross-batch microsecond tie (decoded points
+    * carry a sentinel event_id, so only the within-tie interleave
+    * could differ; the readout is tie-order-free either way).
+    *
+    * Scale: the delta shuffles once to its (user, type, day) blocks;
+    * rewrite cost is |affected blocks|, not |store| — the same
+    * partition-grain argument as q342's serving-index erase.
+    */
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = mergedTsStore(s, d)
+    val b = s.read.parquet(s"$root/series")
+      .agg(min($"ts_min"), max($"ts_max")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val third = (mx - mn) / 3
+    tsRangeReadAgg(s, root, mn + third, mn + 2 * third)
+  }
+
+  /** The q353/q354 shared readout: pruned range read → per-type
+    * aggregate (ONE spelling so the two stores cannot drift onto
+    * different readouts).
+    */
+  private def tsRangeReadAgg(
+      s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    tsRangeRead(s, root, lo, hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Build-if-absent MERGED store: base batch persisted, late batch
+    * folded in at block grain via decode-merge-encode.
+    */
+  private[graft] def mergedTsStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = StoreGuard.storeRoot(s, "target/stage_events",
+      "tsmerge", d, "events.parquet", extra = "blk:86400000000")
+    StoreGuard.ensureBuilt(s, root) {
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts)").as("tus"), $"event_id", $"value")
+      // base store: first batch only
+      seriesFrameOf(s, ev.where($"event_id" % 10 < 8))
+        .repartition(8, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/base")
+      val base = s.read.parquet(s"$root/base")
+      // the late batch, at block grain
+      val delta = ev.where($"event_id" % 10 >= 8)
+        .withColumn("blk", expr("tus DIV 86400000000"))
+      val deltaPts = delta
+        .groupBy($"user_id", $"event_type", $"blk")
+        .agg(collect_list(struct($"tus", $"event_id", $"value")).as("np"))
+      // affected blocks: decode, merge with the new points in
+      // (ts, event_id) order, re-encode — old points come from the
+      // BLOB, never from the raw table
+      val affected = base
+        .join(deltaPts, Seq("user_id", "event_type", "blk"))
+        .withColumn("dec", graft.functions.Gorilla.decode(s, $"bin"))
+        .withColumn("old", expr(
+          "transform(arrays_zip(dec.ts, dec.vs), " +
+            "p -> struct(p.ts AS tus, CAST(-1 AS LONG) AS event_id, " +
+            "p.vs AS value))"))
+        .withColumn("pts", expr(
+          // merge: old points keep their encoded (ts asc) order and
+          // sort_array restores the global (ts, event_id) order over
+          // the union — event_id -1 on decoded points sorts them
+          // FIRST within a tied timestamp, matching their original
+          // position (the base encode already folded their true ids)
+          "sort_array(concat(old, np))"))
+        .select($"user_id", $"event_type", $"blk",
+          expr("pts[0].tus").as("ts_min"),
+          expr("element_at(pts, -1).tus").as("ts_max"),
+          size($"pts").cast("long").as("n"),
+          graft.functions.Gorilla.encode(s,
+            expr("transform(pts, p -> p.tus)"),
+            expr("transform(pts, p -> p.value)")).as("bin"))
+      // brand-new blocks the base never held
+      val fresh = deltaPts
+        .join(base.select($"user_id", $"event_type", $"blk"),
+          Seq("user_id", "event_type", "blk"), "left_anti")
+        .withColumn("pts", sort_array($"np"))
+        .select($"user_id", $"event_type", $"blk",
+          expr("pts[0].tus").as("ts_min"),
+          expr("element_at(pts, -1).tus").as("ts_max"),
+          size($"pts").cast("long").as("n"),
+          graft.functions.Gorilla.encode(s,
+            expr("transform(pts, p -> p.tus)"),
+            expr("transform(pts, p -> p.value)")).as("bin"))
+      // untouched rows carry over row-identical — never re-encoded
+      val untouched = base
+        .join(deltaPts.select($"user_id", $"event_type", $"blk"),
+          Seq("user_id", "event_type", "blk"), "left_anti")
+      untouched.unionByName(affected).unionByName(fresh)
+        .repartition(8, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/series")
+    }
+    root
+  }
+
   /** q353: COMPRESSED-SERIES STORE RANGE READ — q349's codec composed
     * into the store lifecycle: build once (freshness-keyed), serve a
     * time-range query by PRUNING series on their stored bounds before
@@ -3696,13 +3835,7 @@ object Events {
       .agg(min($"ts_min"), max($"ts_max")).head()
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     val third = (mx - mn) / 3
-    val (lo, hi) = (mn + third, mn + 2 * third)
-    tsRangeRead(s, root, lo, hi)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_points"),
-        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"),
-        countDistinct($"user_id").as("n_users"))
-      .orderBy($"event_type")
+    tsRangeReadAgg(s, root, mn + third, mn + 2 * third)
   }
 
   private val q353Sql =
@@ -3918,6 +4051,9 @@ object Events {
     // the codec store's pruned range read, hash-gated against the RAW
     // events table — one wrong bit in encode/persist/prune/decode fails
     QueryDef("q353_ts_range_read", q353, Some(q353Sql)),
+    // incremental decode-merge-encode ingest, sharing q353's oracle —
+    // merged store ≡ the raw table under the same readout
+    QueryDef("q354_ts_incremental", q354, Some(q353Sql)),
     QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),
