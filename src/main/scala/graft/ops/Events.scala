@@ -3812,6 +3812,80 @@ object Events {
     root
   }
 
+  /** q355: COMPACTION of the compressed store — the remaining verb of
+    * the store's lifecycle (build q353 / maintain q354 / serve q353 /
+    * erase q338-registered / COMPACT here): day blocks accumulate one
+    * small row per (user, type, day) under ingest, so the compactor
+    * re-blocks them to WEEK grain — q321's selective discipline at the
+    * codec layer: weeks holding a SINGLE day block carry their row
+    * over byte-for-byte (never decoded, never re-encoded — the
+    * right-sized-input rule), weeks holding several decode their
+    * blocks in day order (already globally time-sorted — day ranges
+    * are disjoint), concatenate, and re-encode once. The registered
+    * query is the same pruned range readout over the compacted store,
+    * sharing q353's oracle VERBATIM — a point lost or reordered by
+    * compaction hash-fails against the RAW table; Round18bSpec
+    * additionally asserts the byte-carry of single-block weeks, the
+    * point-count conservation of merged weeks, and that compaction
+    * actually reduced the row count.
+    *
+    * Scale: one (user, type, week) shuffle of blob-sized rows; decode
+    * work is |multi-block weeks| only. The monthly maintenance verb
+    * that keeps the per-day ingest from fragmenting the store.
+    */
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = compactedTsStore(s, d)
+    val b = s.read.parquet(s"$root/series")
+      .agg(min($"ts_min"), max($"ts_max")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val third = (mx - mn) / 3
+    tsRangeReadAgg(s, root, mn + third, mn + 2 * third)
+  }
+
+  /** Build-if-absent week-compacted store over [[mergedTsStore]]. */
+  private[graft] def compactedTsStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = StoreGuard.storeRoot(s, "target/stage_events",
+      "tscompact", d, "events.parquet", extra = "blk:86400000000:wk:7")
+    StoreGuard.ensureBuilt(s, root) {
+      graft.functions.Gorilla.register(s)
+      val st = s.read
+        .parquet(s"${mergedTsStore(s, d)}/series")
+        .withColumn("wk", expr("blk DIV 7"))
+      val grouped = st
+        .groupBy($"user_id", $"event_type", $"wk")
+        .agg(count(lit(1)).as("nb"),
+          sort_array(collect_list(struct(
+            $"blk", $"ts_min", $"ts_max", $"n", $"bin"))).as("blocks"))
+      // right-sized weeks: the original row carries over byte-for-byte
+      val singles = grouped.where($"nb" === 1)
+        .select($"user_id", $"event_type",
+          expr("blocks[0].blk").as("blk"),
+          expr("blocks[0].ts_min").as("ts_min"),
+          expr("blocks[0].ts_max").as("ts_max"),
+          expr("blocks[0].n").as("n"),
+          expr("blocks[0].bin").as("bin"))
+      // fragmented weeks: decode in day order (disjoint ascending
+      // ranges — concatenation IS the global time order), re-encode
+      val merged = grouped.where($"nb" > 1)
+        .withColumn("decs", expr("transform(blocks, b -> gorilla_decode(b.bin))"))
+        .withColumn("tss", expr("flatten(transform(decs, x -> x.ts))"))
+        .withColumn("vss", expr("flatten(transform(decs, x -> x.vs))"))
+        .select($"user_id", $"event_type",
+          expr("blocks[0].blk").as("blk"),
+          expr("tss[0]").as("ts_min"),
+          expr("element_at(tss, -1)").as("ts_max"),
+          size($"tss").cast("long").as("n"),
+          expr("gorilla_encode(tss, vss)").as("bin"))
+      singles.unionByName(merged)
+        .repartition(8, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/series")
+    }
+    root
+  }
+
   /** q353: COMPRESSED-SERIES STORE RANGE READ — q349's codec composed
     * into the store lifecycle: build once (freshness-keyed), serve a
     * time-range query by PRUNING series on their stored bounds before
@@ -4054,6 +4128,8 @@ object Events {
     // incremental decode-merge-encode ingest, sharing q353's oracle —
     // merged store ≡ the raw table under the same readout
     QueryDef("q354_ts_incremental", q354, Some(q353Sql)),
+    // week-grain compaction, same oracle — right-sized weeks byte-carry
+    QueryDef("q355_ts_compaction", q355, Some(q353Sql)),
     QueryDef("q285_removal_attribution", q285, Some(q285Sql)),
     QueryDef("q278_feature_matrix", q278, Some(q278Sql)),
     QueryDef("q204_interval_overlap", q204, Some(q204Sql)),

@@ -517,6 +517,39 @@ class Round18bSpec extends AnyFunSuite {
       "every block was touched — the untouched carry-over is untested")
   }
 
+  // ---- q355: week-grain compaction ---------------------------------------
+
+  test("q355: compaction preserves the readout; right-sized weeks byte-carry") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val mergedRoot = ops.Events.mergedTsStore(spark, sf)
+    val compactRoot = ops.Events.compactedTsStore(spark, sf)
+    val before = spark.read.parquet(s"$mergedRoot/series")
+    val after = spark.read.parquet(s"$compactRoot/series")
+    // compaction actually collapsed fragmented weeks...
+    assert(after.count() < before.count(),
+      "no week held more than one day block — compaction untested")
+    // ...while conserving every point
+    assert(after.agg(sum($"n")).head().getLong(0) ==
+      before.agg(sum($"n")).head().getLong(0))
+    // single-block weeks carried over byte-for-byte: every compacted
+    // row for such a week IS a row of the merged store (bin included)
+    val wk = before.withColumn("wk", expr("blk DIV 7"))
+    val singleKeys = wk.groupBy($"user_id", $"event_type", $"wk")
+      .agg(count(lit(1)).as("nb")).where($"nb" === 1)
+      .select($"user_id", $"event_type", $"wk")
+    val carried = after.withColumn("wk", expr("blk DIV 7"))
+      .join(singleKeys, Seq("user_id", "event_type", "wk"))
+      .drop("wk")
+    assert(carried.except(before).isEmpty,
+      "a right-sized week was rewritten instead of byte-carried")
+    // the compacted readout ≡ the merged readout (same derived range)
+    val a = SparkEntry.queries("q355_ts_compaction")(spark, sf)
+    val b = SparkEntry.queries("q354_ts_incremental")(spark, sf)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   // ---- q348: CDC chunk store + erasure ---------------------------------
 
   /** Staged corpus with a PLANTED byte-grain duplicate: doc 5's text is
