@@ -1,6 +1,75 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Third-pass re-time in a FRESH child JVM for queries whose
+    * in-session min blew past 5× their pinned floor (see the call
+    * site for why). The child is this same main with
+    * `SPARK_GRAFT_ONLY=<names>` + `SPARK_GRAFT_ISOLATED=1` (recursion
+    * guard) and writes its full-precision result file to a side path
+    * the parent parses. Flags are inherited verbatim from this JVM's
+    * own input arguments (add-opens, -Xmx, -D pins), classpath from
+    * `java.class.path` — `run / fork := true` makes both real. Any
+    * failure degrades to "no isolated numbers" with a stderr note;
+    * the in-session timings are never at risk.
+    */
+  private def runIsolated(
+      names: Seq[String], sfDir: String): Map[String, Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val sidePath = "target/bench_isolated.json"
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sidePath))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_ONLY", names.mkString(","))
+      env.put("SPARK_GRAFT_ISOLATED", "1")
+      env.put("SPARK_GRAFT_FULL_PATH", sidePath)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      sys.env.get("SPARK_GRAFT_CPUS").foreach(env.put("SPARK_GRAFT_CPUS", _))
+      // child chatter must never reach OUR stdout tail window
+      val logDir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(logDir)
+      pb.redirectOutput(logDir.resolve("bench_isolated_stdout.log").toFile)
+      pb.redirectError(logDir.resolve("bench_isolated_stderr.log").toFile)
+      val proc = pb.start()
+      // warm-up (~2 min) + generous per-query allowance; a hung child
+      // must not hang the round
+      val budgetSec = 300L + 120L * names.size
+      val done = proc.waitFor(budgetSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        System.err.println(s"[bench] isolated child timed out (${budgetSec}s)")
+        proc.destroyForcibly(); return Map.empty
+      }
+      if (proc.exitValue() != 0) {
+        System.err.println(
+          s"[bench] isolated child exited ${proc.exitValue()}")
+        return Map.empty
+      }
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sidePath)), "UTF-8")
+      // we own the format: {"min":{"name":sec,...},...} — pull the min
+      // object and regex its entries
+      val minObj = {
+        val i = txt.indexOf("\"min\":{")
+        val j = txt.indexOf("}", i)
+        txt.substring(i + 7, j)
+      }
+      val ent = """"([^"]+)":([0-9][0-9.eE+-]*)""".r
+      ent.findAllMatchIn(minObj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .filter { case (k, _) => names.contains(k) }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] isolated pass failed: ${e.getMessage}")
+        Map.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // The bench contract is local[32] with shuffle.partitions=32; the
@@ -20,6 +89,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query task-metrics attribution (r18 verdict item 1): spill,
+    // peak execution memory, executor run/CPU time, task count — the
+    // evidence that lets a q243-style in-session blowup be read as
+    // "starved for slots" vs "plan doing more work" vs "spilling"
+    // straight from the round artifact.
+    val bm = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(bm)
+    def drainBus(): Unit = org.apache.spark.graft.BusSync.drain(spark.sparkContext)
     // Streaming-harness scratch space: staged sources are deleted by the
     // harnesses themselves, but sink dirs outlive their query (the
     // returned DataFrame reads them lazily), so each RUN starts by
@@ -210,9 +287,15 @@ object Bench {
     }
     val gc1 = scala.collection.mutable.Map.empty[String, Long]
     val gc2 = scala.collection.mutable.Map.empty[String, Long]
+    // pass → name → (counterDelta, peakBytes); full fidelity goes to
+    // bench_full.json, a digest of the worst offenders to the LINE
+    val met1 = scala.collection.mutable.Map.empty[String, (BenchSnap, Long)]
+    val met2 = scala.collection.mutable.Map.empty[String, (BenchSnap, Long)]
     // Deterministic name order: Map iteration order is arbitrary, and a
     // run-order change shifts which query absorbs shared lazy costs.
     val pass1 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainBus(); bm.resetPeak()
+      val s0 = bm.snap()
       val g0 = gcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -222,8 +305,11 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
       gc1(name) = gcMs() - g0
-      name -> (System.nanoTime() - t0) / 1e9
+      drainBus()
+      met1(name) = (bm.snap().delta(s0), bm.peak.get)
+      name -> sec
     }
     // Second pass over the K slowest: a single-pass bench has no defense
     // against a contended-machine artifact — the r9 snapshot recorded
@@ -271,6 +357,8 @@ object Bench {
       pass1.map(_._1).filter(pinned)).toSet
     val pass2 = pass1.filter(p => retimeSet(p._1)).collect {
       case (name, p1time) if !errors.contains(name) =>
+        drainBus(); bm.resetPeak()
+        val s0 = bm.snap()
         val g0 = gcMs()
         val t0 = System.nanoTime()
         val t =
@@ -286,10 +374,48 @@ object Bench {
               p1time
           }
         gc2(name) = gcMs() - g0
+        drainBus()
+        met2(name) = (bm.snap().delta(s0), bm.peak.get)
         name -> t
     }.toMap
-    val results = pass1.map { case (k, v) =>
+    val inSession = pass1.map { case (k, v) =>
       k -> math.min(v, pass2.getOrElse(k, v))
+    }
+    // Isolated third pass (r18 verdict item 1). The dual-pass defense
+    // catches NOISE (a regression must survive two passes) but not
+    // SESSION POLLUTION: r18 recorded q243 at 93.23 s on BOTH passes —
+    // identical, deterministic — against a 5.3 s standalone floor
+    // re-proven the same day, and that one artifact carried 100 s of
+    // harness state into the official record. So: any query whose
+    // in-session min blows past 5× its pinned historical floor gets a
+    // third timing in a FRESH child JVM (same classpath, same flags,
+    // same sf dir, SPARK_GRAFT_ONLY= filter). The artifact reports
+    // min(in-session, isolated) per query AND the raw pair under
+    // "isolated" — the blowup stays visible as evidence, it just stops
+    // polluting the headline number. Floors are deliberately generous
+    // (the trigger is 5×): a genuine 2-3× plan regression still
+    // surfaces through the normal dual-pass numbers and history diffs.
+    val floors = Map(
+      "q243_bh_fdr" -> 6.5, "gen_detect_10m" -> 5.5,
+      "gen_block_10m" -> 5.0, "q289_personalized_pagerank" -> 8.0,
+      "q291_stream_triangles" -> 15.0, "q281_stream_markov" -> 10.0,
+      "q267_stream_episode_mining" -> 8.0, "q327_live_compaction" -> 9.0,
+      "q301_fuzzy_decontam" -> 5.0, "q253_entity_resolution" -> 5.5,
+      "q03_topk_orders" -> 1.5, "q242_mann_whitney" -> 1.5,
+      "q75_pagerank" -> 6.0, "q287_kcore" -> 6.0)
+    val blown = inSession.collect {
+      case (k, v) if floors.get(k).exists(f => v > 5 * f) => k
+    }.sorted
+    val isolated: Map[String, Double] =
+      if (blown.isEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED")) Map.empty
+      else {
+        blown.foreach(n => System.err.println(
+          s"[bench] ISOLATE: $n in-session min > 5x pinned floor — " +
+            "re-timing in a fresh JVM"))
+        runIsolated(blown, sfDir)
+      }
+    val results = inSession.map { case (k, v) =>
+      k -> math.min(v, isolated.getOrElse(k, v))
     }
     // min(pass1, pass2) hides the case the r13 advice flagged: a
     // PINNED query whose RE-time blows past its first pass by > 2×
@@ -317,7 +443,8 @@ object Bench {
       val both = pass2.toSeq.sortBy(_._1)
         .map { case (k, v2) => s""""$k":[${p1(k)},$v2]""" }
         .mkString("{", ",", "}")
-      val p = java.nio.file.Paths.get("target/bench_full.json")
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FULL_PATH", "target/bench_full.json"))
       java.nio.file.Files.createDirectories(p.getParent)
       val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
       // per-pass GC evidence for every retimed query (r16 verdict
@@ -327,8 +454,20 @@ object Bench {
       val gcPairs = pass2.keys.toSeq.sorted
         .map(k => s""""$k":[${gc1.getOrElse(k, -1L)},${gc2(k)}]""")
         .mkString("{", ",", "}")
+      // full task-metrics attribution for every query, both passes:
+      // [spillMemMB, spillDiskMB, peakMB, runMs, cpuMs, tasks,
+      //  shufWriteMB, shufReadMB] (r18 verdict item 1)
+      def metJson(m: scala.collection.Map[String, (BenchSnap, Long)]) =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, (d, pk)) => s""""$k":${d.json(pk)}""" }
+          .mkString("{", ",", "}")
+      val iso = isolated.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":[${p1.getOrElse(k, -1.0)},$v]""" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(p,
-        s"""{"min":$full,"retimed_passes":$both,"suspect":$sus,"gc_ms":$gcPairs}"""
+        (s"""{"min":$full,"retimed_passes":$both,"suspect":$sus,""" +
+          s""""gc_ms":$gcPairs,"isolated":$iso,""" +
+          s""""metrics1":${metJson(met1)},"metrics2":${metJson(met2)}}""")
           .getBytes("UTF-8"))
     }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -399,8 +538,28 @@ object Bench {
         "\"" + n + "\":[" + r2(p1ByName(n)) + "," + r2(pass2(n)) + "," +
           gc1.getOrElse(n, -1L) + "," + gc2(n) + "]"
       }.mkString("{", ",", "}")
+    // isolated-pass evidence IN the round artifact: [in-session min,
+    // fresh-JVM sec] per isolated query — the pollution stays visible
+    // even though min() adopts the clean number (usually empty)
+    val inSessByName = inSession.toMap
+    val isoLine =
+      if (isolated.isEmpty) ""
+      else "," + "\"isolated\":" + isolated.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + shortKey(k) + "\":[" + r2(inSessByName(k)) + "," +
+            r2(v) + "]" }
+        .mkString("{", ",", "}")
+    // task-metrics digest for the 4 slowest pass-1 queries (r18
+    // verdict item 1): [spillMemMB, spillDiskMB, peakMB, runMs, cpuMs,
+    // tasks, shufWriteMB, shufReadMB] — full map in bench_full.json
+    val diagLine = "," + "\"diag\":" + pass1.sortBy(-_._2).take(4)
+      .map(_._1).sorted
+      .flatMap(k => met1.get(k).map { case (d, pk) =>
+        "\"" + shortKey(k) + "\":" + d.json(pk) })
+      .mkString("{", ",", "}")
+    val extras = susGc + isoLine + diagLine
     def line(qs: String, omit: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit$susGc,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit$extras,"errors":$errs,"sf":"$sfDir"}"""
     // tier-3 frame: every non-load-bearing char dropped so the complete
     // vector survives registry growth — r10 additions at 166 queries:
     // gen_* keys lose their "gen_" prefix (lossless — no registered
@@ -418,14 +577,14 @@ object Bench {
     // "errors" stays in EVERY tier, empty or not — prior rounds always
     // emitted it and the external driver's parser may require the key
     def line3(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1$susGc,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"retimed":$retimed1$extras,"errors":$errs,"sf":"$sfBase"}"""
     // tier 3b: the COMPLETE vector beats in-line dual timings — when the
     // registry outgrows tier 3 (166 queries measured 1815 chars), drop
     // the retimed map from the LINE (every pair stays in
     // target/bench_full.json) before even thinking about truncating the
     // vector itself
     def line3b(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$susGc,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$extras,"errors":$errs,"sf":"$sfBase"}"""
     // tier 3c (180 queries measured 1848 chars at 3b): keep every query
     // at or above 0.25 s individually and collapse the sub-threshold
     // tail to {"n","sec"} — a VALUE threshold, not a budget cutoff: a
@@ -438,7 +597,7 @@ object Bench {
         .mkString("{", ",", "}")
       val fastPart =
         s""","fast":{"n":${fast.size},"sec":${r3(fast.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastPart$susGc,"errors":$errs,"sf":"$sfBase"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastPart$extras,"errors":$errs,"sf":"$sfBase"}"""
     }
     val cap = 1800
     val fullMap = sorted

@@ -71,6 +71,17 @@ object GorillaCodec extends Serializable {
   def encode(ts: ArrayData, vs: ArrayData): Array[Byte] = {
     val n = ts.numElements()
     require(vs.numElements() == n, "gorilla_encode: ragged arrays")
+    // a null element read through UnsafeArrayData.getLong/getDouble
+    // silently yields 0/0.0 — that would be a CORRUPT blob with no
+    // error (r18 advice), so reject nulls loudly here (the type check
+    // can't: SQL callers arrive as ArrayType(..., containsNull=true))
+    var k = 0
+    while (k < n) {
+      require(!ts.isNullAt(k) && !vs.isNullAt(k),
+        s"gorilla_encode: null element at index $k — nulls are not " +
+          "encodable; filter or impute before encoding")
+      k += 1
+    }
     val w = new BitWriter(8 + n * 2)
     w.writeBits(n.toLong & 0xffffffffL, 32)
     if (n == 0) return w.toBytes

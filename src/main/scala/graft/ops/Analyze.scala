@@ -43,8 +43,11 @@ object Analyze {
     */
   private val CellOverhead = 16L
 
-  /** Per-column statistics of `df` — one row per column. */
-  def tableStats(df: DataFrame): DataFrame = {
+  /** Canonical melt: one (col_name, value-as-string) row per cell —
+    * the ONE projection every stats path (direct q346, stored q351,
+    * incremental q359) computes from, so the three cannot drift.
+    */
+  private def melt(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val cells: Array[Column] = df.schema.fields.map { f =>
@@ -52,6 +55,13 @@ object Analyze {
     }
     df.select(explode(array(cells: _*)).as("kv"))
       .select($"kv.col_name".as("col_name"), $"kv.v".as("v"))
+  }
+
+  /** Per-column statistics of `df` — one row per column. */
+  def tableStats(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    melt(df)
       .groupBy($"col_name")
       .agg(count(lit(1)).as("n_rows"),
         (count(lit(1)) - count($"v")).as("n_null"),
@@ -76,7 +86,11 @@ object Analyze {
     */
   def adviseBroadcast(
       df: DataFrame, budget: Long = BroadcastBudgetBytes): Boolean =
-    tableStats(df).agg(sum("est_bytes")).head().getLong(0) < budget
+    // coalesce: a ZERO-column / zero-row stats frame sums to NULL, and
+    // getLong on NULL is an NPE instead of a verdict — an empty build
+    // side is trivially broadcastable (r18 advice)
+    tableStats(df).agg(coalesce(sum("est_bytes"), lit(0L)))
+      .head().getLong(0) < budget
 
   /** Build-if-absent PERSISTED ANALYZE artifact for a driver table —
     * the production shape of q346: statistics are computed once per
@@ -104,7 +118,8 @@ object Analyze {
       s: SparkSession, d: String, table: String,
       budget: Long = BroadcastBudgetBytes): Boolean =
     s.read.parquet(s"${statsStore(s, d, table)}/stats")
-      .agg(sum("est_bytes")).head().getLong(0) < budget
+      .agg(coalesce(sum("est_bytes"), lit(0L)))
+      .head().getLong(0) < budget
 
   /** Stats-informed equi-join: broadcast the right side iff ANALYZE says
     * it fits the budget; otherwise leave the shuffle strategy to the
@@ -283,11 +298,176 @@ object Analyze {
       .orderBy($"col_name")
   }
 
+  // ---- q359: incremental ANALYZE --------------------------------------
+
+  /** KMV sketch size for the incremental-NDV arm (64 hashes ⇒ ~12.5%
+    * 1σ relative error — q206's setting).
+    */
+  private[graft] val KmvK = 64
+
+  /** Per-batch PARTIAL statistics of one delta (r18 verdict item 3) —
+    * the mergeable sufficient statistic of ANALYZE: rows / nulls /
+    * byte mass are additive, min/max compose by min/max, and NDV —
+    * the one non-additive statistic — travels as a KMV sketch (the
+    * k smallest distinct md5 hashes per column, q206's device: the
+    * union of per-batch k-smallest sets contains the global k-smallest
+    * set, so merge ≡ recompute EXACTLY, not approximately — only the
+    * sketch→NDV readout is an estimate). Returns (partials, sketch):
+    * |columns| rows and ≤ |columns|·k rows per batch.
+    */
+  private[graft] def colPartials(
+      df: DataFrame, batch: Int): (DataFrame, DataFrame) = {
+    val s = df.sparkSession
+    import s.implicits._
+    val m = melt(df)
+    val p = m
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"v")).as("n_null"),
+        min($"v").as("min_v"), max($"v").as("max_v"),
+        coalesce(sum(length($"v")), lit(0L)).cast("long").as("sum_len"))
+      .withColumn("batch", lit(batch.toLong))
+    val sk = m
+      .where($"v".isNotNull)
+      .select($"col_name", $"v").distinct()
+      .withColumn("h", md5($"v".cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"col_name").orderBy($"h")))
+      .where($"rk" <= KmvK)
+      .select(lit(batch.toLong).as("batch"), $"col_name", $"h")
+    (p, sk)
+  }
+
+  /** Build-if-absent incremental-ANALYZE store over `lineitem`: batch 0
+    * (l_orderkey % 10 < 8) written, batch 1 APPENDED — each batch costs
+    * one scan of ITS OWN rows (the nightly shape: a delta never
+    * re-scans the base, which is the entire point at 100 TB — q351's
+    * store re-ANALYZEs the world per source version; this one pays
+    * O(delta) + a KB-sized merge at read time).
+    */
+  private[graft] def incrStatsStore(s: SparkSession, d: String): String = {
+    val root = StoreGuard.storeRoot(s, "target/stage_analyze",
+      "incrstats_lineitem", d, "lineitem.parquet", extra = s"kmv:$KmvK")
+    StoreGuard.ensureBuilt(s, root) {
+      val li = Tables.lineitem(s, d)
+      for ((b, slice) <- Seq(
+          (0, li.where(col("l_orderkey") % 10 < 8)),
+          (1, li.where(col("l_orderkey") % 10 >= 8)))) {
+        val mode =
+          if (b == 0) org.apache.spark.sql.SaveMode.Overwrite
+          else org.apache.spark.sql.SaveMode.Append
+        val (p, sk) = colPartials(slice, b)
+        p.coalesce(1).write.mode(mode).parquet(s"$root/partials")
+        sk.coalesce(1).write.mode(mode).parquet(s"$root/sketch")
+      }
+    }
+    root
+  }
+
+  /** q359: INCREMENTAL ANALYZE, oracle-gated — the merged readout of
+    * the per-batch partial-stats store: exact columns fold additively
+    * (rows/nulls/mass) or by composition (min/max), NDV re-reads the
+    * UNION of the per-batch KMV sketches (distinct hashes → k smallest
+    * → θ → (k−1)·2³²/θ, q206's estimator verbatim — deterministic md5,
+    * so DuckDB replays the estimate bit-for-bit). The oracle recomputes
+    * EVERYTHING from the raw table in one scan — a green row proves
+    * merge ≡ recompute for every exact statistic AND the sketch union
+    * (q260's discipline; the NDV→exact ERROR is additionally bounded
+    * in Round19Spec, which is a property of KMV, not of the merge).
+    */
+  private def q359(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = incrStatsStore(s, d)
+    val merged = s.read.parquet(s"$root/partials")
+      .groupBy($"col_name")
+      .agg(sum($"n_rows").as("n_rows"), sum($"n_null").as("n_null"),
+        min($"min_v").as("min_v"), max($"max_v").as("max_v"),
+        sum($"sum_len").as("sum_len"))
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}L")
+      .mkString(" + ")
+    val sk = s.read.parquet(s"$root/sketch")
+      .select($"col_name", $"h").distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"col_name").orderBy($"h")))
+      .where($"rk" <= KmvK)
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_sketch"), max($"h").as("theta"))
+    merged
+      .join(sk, Seq("col_name"), "left")
+      .na.fill(0L, Seq("n_sketch"))
+      .withColumn("ndv_est", round(
+        when($"n_sketch" < KmvK, $"n_sketch".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * 4294967296.0 / expr(uInt)),
+        2))
+      .select($"col_name", $"n_rows", $"n_null", $"min_v", $"max_v",
+        $"sum_len", $"n_sketch", $"ndv_est")
+      .orderBy($"col_name")
+  }
+
+  private val q359Sql = {
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH c AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+      |    CAST(l_partkey AS VARCHAR) AS l_partkey,
+      |    CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+      |    CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+      |    CAST(l_quantity AS VARCHAR) AS l_quantity,
+      |    CAST(l_extendedprice AS VARCHAR) AS l_extendedprice,
+      |    CAST(l_discount AS VARCHAR) AS l_discount,
+      |    CAST(l_tax AS VARCHAR) AS l_tax,
+      |    CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+      |    CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+      |    CAST(l_shipdate AS VARCHAR) AS l_shipdate
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT col_name, v FROM c
+      |  UNPIVOT INCLUDE NULLS (v FOR col_name IN (
+      |    l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |    l_shipdate))),
+      |ex AS (
+      |  SELECT col_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+      |    MIN(v) AS min_v, MAX(v) AS max_v,
+      |    CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS sum_len
+      |  FROM m GROUP BY col_name),
+      |hs AS (
+      |  SELECT DISTINCT col_name, md5(v) AS h FROM m WHERE v IS NOT NULL),
+      |rk AS (
+      |  SELECT col_name, h,
+      |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) AS rn
+      |  FROM hs),
+      |sk AS (
+      |  SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+      |    MAX(h) AS theta
+      |  FROM rk WHERE rn <= $KmvK GROUP BY col_name)
+      |SELECT e.col_name, n_rows, n_null, min_v, max_v, sum_len,
+      |  CAST(COALESCE(n_sketch, 0) AS BIGINT) AS n_sketch,
+      |  ROUND(CASE WHEN COALESCE(n_sketch, 0) < $KmvK
+      |    THEN CAST(COALESCE(n_sketch, 0) AS DOUBLE)
+      |    ELSE ${KmvK - 1}.0 * 4294967296.0 / ($uInt) END, 2) AS ndv_est
+      |FROM ex e LEFT JOIN sk ON sk.col_name = e.col_name
+      |ORDER BY e.col_name""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q346_table_stats", q346, Some(q346Sql)),
     QueryDef("q350_join_cardinality", q350, Some(q350Sql)),
     // the persisted ANALYZE store, hash-gated against the SAME SQL as
     // the direct compute — store ≡ recompute (q260's pattern)
     QueryDef("q351_stats_store", q351, Some(q346Sql)),
+    // incremental ANALYZE: per-batch partials merged at read time,
+    // oracle = one full recompute (merge ≡ recompute, q260 discipline)
+    QueryDef("q359_incremental_analyze", q359, Some(q359Sql)),
   )
 }

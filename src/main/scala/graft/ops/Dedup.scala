@@ -1218,10 +1218,18 @@ object Dedup {
     * the q338 registry. Sketch class (rolling-hash kernel), no SQL
     * twin — Round18bSpec + the audit are the gates.
     */
-  private def q348(s: SparkSession, d: String): DataFrame = {
+  private def q348(s: SparkSession, d: String): DataFrame =
+    chunkLedgerFrom(s, d,
+      s.read.parquet(s"${chunkStore(s, d)}/chunks"))
+
+  /** The q348 batch ledger computed against an arbitrary chunk-store
+    * frame — ONE spelling shared by q348 (the original store) and q358
+    * (the compacted rewrite), so the compaction gate "same ledger from
+    * the compacted store" cannot drift onto a different readout.
+    */
+  private def chunkLedgerFrom(
+      s: SparkSession, d: String, store: DataFrame): DataFrame = {
     import s.implicits._
-    val root = chunkStore(s, d)
-    val store = s.read.parquet(s"$root/chunks")
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     val occ = docChunks(s, docs.where($"doc_id" % 10 < 8), 0)
       .unionByName(docChunks(s, docs.where($"doc_id" % 10 >= 8), 1))
@@ -1233,11 +1241,62 @@ object Dedup {
     val stored = store.groupBy($"w_batch".as("batch"))
       .agg(count(lit(1)).as("n_new_chunks"),
         sum($"clen").as("stored_bytes"))
-    perBatch.join(stored, Seq("batch"))
+    // LEFT join + coalesce: a batch whose chunks were ALL already in
+    // the store (a fully-deduplicated late batch) contributes zero new
+    // winners, so `stored` has no row for it — an inner join would
+    // silently drop its ledger row instead of reading n_new_chunks=0
+    // (r18 advice).
+    perBatch.join(stored, Seq("batch"), "left")
+      .withColumn("n_new_chunks", coalesce($"n_new_chunks", lit(0L)))
+      .withColumn("stored_bytes", coalesce($"stored_bytes", lit(0L)))
       .withColumn("saved_bytes", expr("chunk_bytes - stored_bytes"))
       .withColumn("dedup_pct", expr("(100 * saved_bytes) DIV chunk_bytes"))
       .orderBy($"batch")
   }
+
+  /** q357: SIGNATURE-STORE COMPACTION — the q337 MinHash store through
+    * the [[StoreCompact.fragmentCompactServe]] maintenance drill
+    * (r18 verdict item 2): staged into the fragmented partitioned
+    * layout nightly appends produce, rewritten to size-targeted files
+    * with the collapse / layout / byte-carry proofs executed in-plan,
+    * then SERVED — per doc-bucket, the kept-doc count and an
+    * order-free xxhash64 checksum over every (doc, signature) row, so
+    * one flipped signature long anywhere in the compacted store flips
+    * the readout. Sketch class (MinHash has no SQL twin — q337's
+    * contract); Round19Spec gates the readout identical against the
+    * UNCOMPACTED store.
+    */
+  private def q357(s: SparkSession, d: String): DataFrame =
+    sigStoreReadout(s, StoreCompact.fragmentCompactServe(s,
+      s.read.parquet(s"${sigStore(s, d)}/sigs"), "doc",
+      s"target/stage_dedup/q357_compact_${d.replaceAll("[^A-Za-z0-9]", "_")}"))
+
+  /** ONE spelling of the q357 readout (shared with its spec gate, which
+    * runs it over the uncompacted store).
+    */
+  private[graft] def sigStoreReadout(
+      s: SparkSession, store: DataFrame): DataFrame = {
+    import s.implicits._
+    store
+      .groupBy(pmod($"doc", lit(7)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(xxhash64(doc, sig))").as("sig_checksum"))
+      .orderBy($"bucket")
+  }
+
+  /** q358: CHUNK-STORE COMPACTION — the q348 CDC store through the same
+    * drill, with the strongest gate the store admits: the REGISTERED
+    * output is q348's batch ledger computed FROM THE COMPACTED STORE
+    * via the shared [[chunkLedgerFrom]] spelling, so a winner row
+    * lost, duplicated, or altered by the rewrite moves
+    * n_new_chunks/stored_bytes and fails the q348-equality gate
+    * Round19Spec asserts (sketch class — the gear kernel has no SQL
+    * twin, q348's contract).
+    */
+  private def q358(s: SparkSession, d: String): DataFrame =
+    chunkLedgerFrom(s, d, StoreCompact.fragmentCompactServe(s,
+      s.read.parquet(s"${chunkStore(s, d)}/chunks"), "ch",
+      s"target/stage_dedup/q358_compact_${d.replaceAll("[^A-Za-z0-9]", "_")}"))
 
   // ---- q347: content-defined chunk dedup (gear CDC) -------------------
 
@@ -1338,5 +1397,9 @@ object Dedup {
     // registered in q338's audit — Round18bSpec gates erase ≡
     // rebuild-without bit-identity and the batch ledger's conservation
     QueryDef("q348_cdc_chunk_store", q348, None),
+    // store maintenance (r18 verdict item 2): fragment → compact →
+    // serve, gated readout-identical against the uncompacted store
+    QueryDef("q357_sig_store_compaction", q357, None),
+    QueryDef("q358_chunk_store_compaction", q358, None),
   )
 }

@@ -3779,7 +3779,14 @@ object Events {
           // sort_array restores the global (ts, event_id) order over
           // the union — event_id -1 on decoded points sorts them
           // FIRST within a tied timestamp, matching their original
-          // position (the base encode already folded their true ids)
+          // position (the base encode already folded their true ids).
+          // CAVEAT (both directions of the tie hazard): two BASE
+          // points tied at the same µs also both carry -1, so the tie
+          // breaks on VALUE, not their original event_id order — the
+          // decoded point MULTISET is exact, but blob-byte identity
+          // with a from-scratch rebuild is guaranteed only per
+          // tie-normalized decode (Round18bSpec compares exactly
+          // that; the aggregate readout is order-free regardless)
           "sort_array(concat(old, np))"))
         .select($"user_id", $"event_type", $"blk",
           expr("pts[0].tus").as("ts_min"),

@@ -2370,6 +2370,53 @@ object Text {
       |FROM post p JOIN pre ON pre.passage = p.passage
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q356: PASSAGE-STORE COMPACTION, oracle-gated — the maintenance
+    * verb the q336 cross-run store was missing (r18 verdict item 2):
+    * nightly delta appends fragment the winner store into piles of
+    * small files, so the store is staged into the partitioned layout a
+    * month of appends produces (base + two delta appends per bucket,
+    * one deliberately right-sized bucket) and rewritten by
+    * [[StoreCompact.fragmentCompactServe]] — q321's discipline applied
+    * to dedup state: in-plan `require`s prove the file-count collapse,
+    * the preserved partition layout, and the byte-carry of the
+    * right-sized bucket (skipped, hard-copied, never decoded). The
+    * registered readout is the per-winner-doc fingerprint ledger
+    * served FROM THE COMPACTED STORE, and the oracle recomputes the
+    * winner election from the raw corpus over passage STRINGS — a
+    * green row proves the rewrite preserved every 24-byte winner row
+    * bit-exactly.
+    */
+  private def q356(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val store = s.read.parquet(s"${passageStore(s, d)}/store")
+    StoreCompact.fragmentCompactServe(s, store, "ph",
+        s"target/graft_text_store/q356_compact_$tag")
+      .groupBy($"w_doc")
+      .agg(count(lit(1)).as("n_hashes"))
+      .orderBy($"w_doc")
+  }
+
+  private val q356Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, (doc_id % 10 >= 8) AS is_delta,
+      |         string_split(text, ' ') AS t
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, is_delta, i AS chunk_idx,
+      |         array_to_string(t[(i*4+1):(i*4+4)], ' ') AS passage
+      |  FROM (SELECT doc_id, is_delta, t,
+      |          unnest(generate_series(0, (len(t)-1)//4)) AS i FROM toks) g),
+      |pre AS (
+      |  SELECT passage, doc_id FROM (
+      |    SELECT passage, doc_id,
+      |           row_number() OVER (PARTITION BY passage
+      |             ORDER BY is_delta, doc_id, chunk_idx) AS rn
+      |    FROM chunks) r
+      |  WHERE rn = 1)
+      |SELECT doc_id AS w_doc, CAST(COUNT(*) AS BIGINT) AS n_hashes
+      |FROM pre GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q155: INVERTED INDEX build — the search-engine/RAG-retrieval
     * primitive none of the per-doc stats queries produce: term →
     * document frequency, collection frequency, and the head of the
@@ -2516,6 +2563,9 @@ object Text {
     // cross-run dedup-store erasure: remove + re-elect, erase ≡
     // rebuild-without replayed externally over passage strings
     QueryDef("q336_dedup_store_erasure", q336, Some(q336Sql)),
+    // store maintenance: fragment (nightly appends in miniature) →
+    // compact → serve, the readout gated by the raw-corpus election
+    QueryDef("q356_passage_store_compaction", q356, Some(q356Sql)),
     QueryDef("q89_pii_mask", q89, Some(q89Sql)),
     // Streaming dedup under the oracle gate: watermark-bounded
     // dropDuplicates (streaming twin of q30/q62) must keep exactly one

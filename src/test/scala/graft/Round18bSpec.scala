@@ -498,21 +498,38 @@ class Round18bSpec extends AnyFunSuite {
       s"${ops.Events.tsStore(spark, sf)}/series")
       .withColumn("blk", expr("ts_min DIV 86400000000"))
       .select(merged.columns.map(col): _*)
-    // full row identity including the compressed blobs: the merge path
-    // reproduced every from-scratch block byte-for-byte (no cross-batch
-    // microsecond tie exists in the driver data; the shared-oracle
-    // readout would hold regardless)
-    assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
-      "merged store drifted from the from-scratch build")
-    // the merge actually carried base blocks over untouched: blocks
-    // with no late point must be bit-identical base rows (they are,
-    // by the row-identity above) and some must exist
+    // Tie-normalized identity (r18 advice): blob-BYTE identity with the
+    // from-scratch build is data-dependent — decoded base points lose
+    // their event_ids (sentinel -1), so a µs tie between two BASE
+    // points (not just cross-batch) can re-encode in value order. The
+    // merge CONTRACT is the decoded point multiset per block, so
+    // compare exactly that: (keys, bounds, n, sorted (ts, value)
+    // pairs) — an assertion that holds for any data, not just a
+    // tie-free driver table.
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("dec", graft.functions.Gorilla.decode(spark, col("bin")))
+      .select($"user_id", $"event_type", $"blk", $"ts_min", $"ts_max",
+        $"n", expr("sort_array(arrays_zip(dec.ts, dec.vs))").as("pts"))
+    assert(norm(merged).except(norm(full)).isEmpty &&
+      norm(full).except(norm(merged)).isEmpty,
+      "merged store drifted from the from-scratch build (decoded points)")
+    // the merge actually carried base blocks over untouched — and for
+    // THOSE rows byte identity IS guaranteed (never decoded, never
+    // re-encoded), so assert it raw
     val ev = Tables.events(spark, sf)
       .select($"user_id", $"event_type",
         expr("unix_micros(ts)").as("tus"), $"event_id")
-    val touched = ev.where($"event_id" % 10 >= 8)
+    val touchedKeys = ev.where($"event_id" % 10 >= 8)
       .select($"user_id", $"event_type",
-        expr("tus DIV 86400000000").as("blk")).distinct().count()
+        expr("tus DIV 86400000000").as("blk")).distinct()
+    val untouchedMerged = merged.join(touchedKeys,
+      Seq("user_id", "event_type", "blk"), "left_anti")
+    val untouchedFull = full.join(touchedKeys,
+      Seq("user_id", "event_type", "blk"), "left_anti")
+    assert(untouchedMerged.except(untouchedFull).isEmpty &&
+      untouchedFull.except(untouchedMerged).isEmpty,
+      "untouched blocks must carry over byte-identical")
+    val touched = touchedKeys.count()
     assert(touched < merged.count(),
       "every block was touched — the untouched carry-over is untested")
   }
