@@ -376,9 +376,16 @@ object Analyze {
     * (q260's discipline; the NDV→exact ERROR is additionally bounded
     * in Round19Spec, which is a property of KMV, not of the merge).
     */
-  private def q359(s: SparkSession, d: String): DataFrame = {
+  private def q359(s: SparkSession, d: String): DataFrame =
+    mergedStatsReadout(s, incrStatsStore(s, d))
+
+  /** Merged readout over a partials+sketch store root — ONE spelling
+    * shared by q359 (batch-built store) and q362 (the same store
+    * maintained by a stream), so the two paths cannot drift.
+    */
+  private[graft] def mergedStatsReadout(
+      s: SparkSession, root: String): DataFrame = {
     import s.implicits._
-    val root = incrStatsStore(s, d)
     val merged = s.read.parquet(s"$root/partials")
       .groupBy($"col_name")
       .agg(sum($"n_rows").as("n_rows"), sum($"n_null").as("n_null"),
@@ -460,6 +467,279 @@ object Analyze {
       |ORDER BY e.col_name""".stripMargin
   }
 
+  private val q362Sql = {
+    val uInt = (1 to 8)
+      .map(i =>
+        s"(instr('0123456789abcdef', substr(theta, $i, 1)) - 1) * " +
+          s"${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH c AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+      |    CAST(l_partkey AS VARCHAR) AS l_partkey,
+      |    CAST(l_quantity AS VARCHAR) AS l_quantity,
+      |    CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+      |    CAST(l_shipdate AS VARCHAR) AS l_shipdate
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT col_name, v FROM c
+      |  UNPIVOT INCLUDE NULLS (v FOR col_name IN (
+      |    l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate))),
+      |ex AS (
+      |  SELECT col_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+      |    MIN(v) AS min_v, MAX(v) AS max_v,
+      |    CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS sum_len
+      |  FROM m GROUP BY col_name),
+      |hs AS (
+      |  SELECT DISTINCT col_name, md5(v) AS h FROM m WHERE v IS NOT NULL),
+      |rk AS (
+      |  SELECT col_name, h,
+      |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) AS rn
+      |  FROM hs),
+      |sk AS (
+      |  SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+      |    MAX(h) AS theta
+      |  FROM rk WHERE rn <= $KmvK GROUP BY col_name)
+      |SELECT e.col_name, n_rows, n_null, min_v, max_v, sum_len,
+      |  CAST(COALESCE(n_sketch, 0) AS BIGINT) AS n_sketch,
+      |  ROUND(CASE WHEN COALESCE(n_sketch, 0) < $KmvK
+      |    THEN CAST(COALESCE(n_sketch, 0) AS DOUBLE)
+      |    ELSE ${KmvK - 1}.0 * 4294967296.0 / ($uInt) END, 2) AS ndv_est
+      |FROM ex e LEFT JOIN sk ON sk.col_name = e.col_name
+      |ORDER BY e.col_name""".stripMargin
+  }
+
+  // ---- q360: incremental quantile store --------------------------------
+
+  /** Pure freshness key of the q360 per-batch histogram store. */
+  private def quantStoreRoot(s: SparkSession, d: String): String =
+    StoreGuard.storeRoot(s, "target/stage_analyze",
+      "incrquant_lineitem", d, "lineitem.parquet")
+
+  /** Build-if-absent incremental QUANTILE store: per batch, the
+    * cents-grain value histogram of `l_extendedprice` per return flag —
+    * the mergeable sufficient statistic for EXACT order statistics
+    * (counts add; the values are exact integers), the distribution
+    * column a CBO wants next to q359's moments. Each batch costs one
+    * scan of its own rows (the q359 delta discipline).
+    */
+  private[graft] def quantStore(s: SparkSession, d: String): String = {
+    val root = quantStoreRoot(s, d)
+    StoreGuard.ensureBuilt(s, root) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag").as("rf"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      for ((b, slice) <- Seq(
+          (0, li.where(col("l_orderkey") % 10 < 8)),
+          (1, li.where(col("l_orderkey") % 10 >= 8)))) {
+        val mode =
+          if (b == 0) org.apache.spark.sql.SaveMode.Overwrite
+          else org.apache.spark.sql.SaveMode.Append
+        slice.groupBy(col("rf"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch", lit(b.toLong))
+          .coalesce(1).write.mode(mode).parquet(s"$root/hist")
+      }
+    }
+    root
+  }
+
+  /** q360: INCREMENTAL EXACT QUANTILES, oracle-gated — discrete
+    * order statistics (p50/p90/p99 as permille ranks) served from the
+    * MERGED per-batch histograms: rank r = (n−1)·q DIV 1000
+    * (0-indexed), answer = the unique cents value whose cumulative
+    * count straddles r. Everything is integer-decided (counts add,
+    * ranks divide exactly), so the merge is EXACT — not a sketch — and
+    * the oracle recomputes the same ranks from the raw table in one
+    * scan: a green row proves merge ≡ recompute for the full
+    * distribution, not just its moments.
+    *
+    * Scale: the histogram is value-grain (bounded by distinct prices,
+    * not rows) and merges by additive rollup; the cumulative walk runs
+    * per flag over the value grain. At extreme cardinality the walk
+    * swaps to the two-level coarse/refine device (q268's histogram
+    * threshold): bucket prefix sums locate the target bucket, one
+    * refine pass inside it — never a global row sort.
+    */
+  private def q360(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = quantStore(s, d)
+    val merged = s.read.parquet(s"$root/hist")
+      .groupBy($"rf", $"cents")
+      .agg(sum($"cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"rf").orderBy($"cents")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy($"rf")
+    merged
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(tot))
+      .withColumn("q", explode(array(lit(500L), lit(900L), lit(990L))))
+      .withColumn("r", expr("((n - 1) * q) DIV 1000"))
+      .where($"cum" > $"r" && $"cum" - $"cnt" <= $"r")
+      .groupBy($"rf".as("l_returnflag"), $"q".as("q_permille"))
+      .agg(min($"n").as("n_rows"), min($"cents").as("cents_q"))
+      .orderBy($"l_returnflag", $"q_permille")
+  }
+
+  private val q360Sql =
+    """WITH h AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT rf, cents, cnt,
+      |    SUM(cnt) OVER (PARTITION BY rf ORDER BY cents) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY rf) AS n
+      |  FROM h),
+      |qs AS (
+      |  SELECT rf, cents, cnt, cum, n, q,
+      |    ((n - 1) * q) // 1000 AS r
+      |  FROM c CROSS JOIN (VALUES (500), (900), (990)) v(q))
+      |SELECT rf AS l_returnflag, CAST(q AS BIGINT) AS q_permille,
+      |  CAST(MIN(n) AS BIGINT) AS n_rows,
+      |  CAST(MIN(cents) AS BIGINT) AS cents_q
+      |FROM qs WHERE cum > r AND cum - cnt <= r
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q361: join-order advice ------------------------------------------
+
+  /** q361: JOIN-ORDER ADVICE, oracle-gated — the decision q350's
+    * cardinality estimator exists to feed: for the 3-table join
+    * σ(orders) ⋈ lineitem ⋈ σ(part) (both dims filtered, so the two
+    * left-deep orders genuinely differ), estimate EACH order's first
+    * intermediate size by the deterministic Bernoulli sampler
+    * (md5 digit < 26/256 on the probe row identity, q350's replayable
+    * device) against the filtered dim's key histogram, and advise the
+    * order with the smaller estimate. The ledger carries est + EXACT
+    * intermediate sizes (Σ products over histograms — no join is ever
+    * materialized) + the advice bit per order; the oracle replays
+    * sampler, histograms, and arithmetic. Round19Spec additionally
+    * locks that the advice agrees with the exact argmin on the driver
+    * data — the estimator is good enough to make the right call, and
+    * the call is derived from MEASURED statistics, never file sizes.
+    */
+  private def q361(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    // the probe with its sampling digit (q350's identity spelling)
+    val probe = li.select(
+      $"l_orderkey", $"l_partkey",
+      expr("conv(substring(md5(cast(concat(cast(l_orderkey AS STRING), " +
+        "'#', cast(l_linenumber AS STRING)) AS BINARY)), 1, 2), 16, 10)")
+        .cast("long").as("dig"))
+    // filtered dims: low-priority orders vs brand-13 parts — genuinely
+    // different selectivities, so order matters
+    val selOrders = Tables.orders(s, d)
+      .where($"o_orderpriority" === "5-LOW")
+      .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("c"))
+    val selParts = Tables.part(s, d)
+      .where($"p_brand" === "Brand#13")
+      .groupBy($"p_partkey".as("k")).agg(count(lit(1)).as("c"))
+    def arm(name: String, key: String, hist: DataFrame): DataFrame = {
+      val r = probe
+        .join(hist.withColumnRenamed("k", key), Seq(key), "left")
+        .select($"dig", coalesce($"c", lit(0L)).as("c"))
+        .agg(sum($"c").as("actual"),
+          coalesce(sum(when($"dig" < 26, $"c")), lit(0L)).as("s26"))
+        .head()
+      Seq((name, r.getLong(1) * 256L / 26L, r.getLong(0)))
+        .toDF("first_join", "est_rows", "actual_rows")
+    }
+    val ledger = arm("orders_first", "l_orderkey", selOrders)
+      .unionByName(arm("parts_first", "l_partkey", selParts))
+    val best = ledger.agg(min($"est_rows").as("best_est"))
+    ledger.crossJoin(broadcast(best))
+      .withColumn("advised", $"est_rows" === $"best_est")
+      .select($"first_join", $"est_rows", $"actual_rows", $"advised")
+      .orderBy($"first_join")
+  }
+
+  private val q361Sql =
+    """WITH probe AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#'
+      |      || CAST(l_linenumber AS VARCHAR)), 1, 2)) AS BIGINT) AS dig
+      |  FROM lineitem),
+      |so AS (
+      |  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1),
+      |sp AS (
+      |  SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM part WHERE p_brand = 'Brand#13' GROUP BY 1),
+      |ledger AS (
+      |  SELECT 'orders_first' AS first_join,
+      |    CAST(COALESCE(SUM(c) FILTER (WHERE dig < 26), 0) * 256 // 26
+      |      AS BIGINT) AS est_rows,
+      |    CAST(SUM(c) AS BIGINT) AS actual_rows
+      |  FROM (SELECT p.dig, COALESCE(b.c, 0) AS c
+      |        FROM probe p LEFT JOIN so b ON b.k = p.l_orderkey) j
+      |  UNION ALL
+      |  SELECT 'parts_first',
+      |    CAST(COALESCE(SUM(c) FILTER (WHERE dig < 26), 0) * 256 // 26
+      |      AS BIGINT),
+      |    CAST(SUM(c) AS BIGINT)
+      |  FROM (SELECT p.dig, COALESCE(b.c, 0) AS c
+      |        FROM probe p LEFT JOIN sp b ON b.k = p.l_partkey) j)
+      |SELECT first_join, est_rows, actual_rows,
+      |  est_rows = (SELECT MIN(est_rows) FROM ledger) AS advised
+      |FROM ledger ORDER BY first_join""".stripMargin
+
+  // ---- q363: skew diagnosis + salt advice -------------------------------
+
+  /** Reducer count the skew arithmetic is sized for — the session's
+    * shuffle parallelism (32 on the bench contract; a cluster job
+    * passes its own).
+    */
+  private[graft] val SkewParallelism = 32L
+
+  /** q363: SKEW DIAGNOSIS + SALT ADVICE, oracle-gated — the decision
+    * that parameterizes [[Salting.saltedJoin]] from MEASURED key
+    * histograms instead of folklore constants: per join key, the
+    * measured row count, its ppm share, the ideal per-reducer row
+    * count ⌈n/P⌉, the advised salt factor ⌈c/ideal⌉ (how many
+    * sub-keys the hot key needs so no reducer carries more than the
+    * ideal), and the skew verdict c > ideal. Everything is integer
+    * arithmetic over one map-side-combinable histogram — the oracle
+    * replays it exactly, and Round19Spec applies the advised factor
+    * through the REAL salting device and proves the hot key actually
+    * fans out over that many sub-keys with the join result unchanged.
+    * The events⋈type-dim join is the engine's canonical skew case:
+    * 5 keys carry everything, so an unsalted hash join leaves P−5
+    * reducers idle — exactly what this ledger makes visible before
+    * the join runs.
+    */
+  private def q363(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = SkewParallelism
+    val hist = Tables.events(s, d)
+      .groupBy($"event_type").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum($"c").as("n"))
+    hist.crossJoin(broadcast(tot)) // 1-row total
+      .withColumn("ideal_rows", expr(s"(n + $p - 1) DIV $p"))
+      .withColumn("share_ppm", expr("(c * 1000000) DIV n"))
+      .withColumn("salt_factor",
+        expr("(c + ideal_rows - 1) DIV ideal_rows"))
+      .withColumn("is_skewed", $"c" > $"ideal_rows")
+      .select($"event_type", $"c".as("n_rows"), $"share_ppm",
+        $"ideal_rows", $"salt_factor", $"is_skewed")
+      .orderBy($"event_type")
+  }
+
+  private val q363Sql =
+    s"""WITH h AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+      |i AS (SELECT (n + $SkewParallelism - 1) // $SkewParallelism
+      |        AS ideal_rows, n FROM t)
+      |SELECT event_type, c AS n_rows,
+      |  (c * 1000000) // n AS share_ppm, ideal_rows,
+      |  (c + ideal_rows - 1) // ideal_rows AS salt_factor,
+      |  c > ideal_rows AS is_skewed
+      |FROM h, i ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q346_table_stats", q346, Some(q346Sql)),
     QueryDef("q350_join_cardinality", q350, Some(q350Sql)),
@@ -469,5 +749,16 @@ object Analyze {
     // incremental ANALYZE: per-batch partials merged at read time,
     // oracle = one full recompute (merge ≡ recompute, q260 discipline)
     QueryDef("q359_incremental_analyze", q359, Some(q359Sql)),
+    // exact order statistics from merged per-batch histograms
+    QueryDef("q360_incremental_quantiles", q360, Some(q360Sql)),
+    // the join-ORDER decision fed by sampled cardinality estimates
+    QueryDef("q361_join_order_advice", q361, Some(q361Sql)),
+    // q359's store maintained by a live stream; same merge spelling,
+    // oracle = the same one-scan recompute (batching-independent)
+    QueryDef("q362_stream_analyze",
+      (s, d) => graft.streaming.Streams.streamAnalyze(s, d),
+      Some(q362Sql)),
+    // measured-histogram skew diagnosis parameterizing the salt device
+    QueryDef("q363_skew_salt_advice", q363, Some(q363Sql)),
   )
 }

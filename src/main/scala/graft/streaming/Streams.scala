@@ -2427,6 +2427,55 @@ object Streams {
     }
   }
 
+  /** q362: STREAMING INCREMENTAL ANALYZE — q359's partial-stats store
+    * maintained BY A STREAM: the projected table is staged as three
+    * part files, each microbatch (`maxFilesPerTrigger = 1`) appends
+    * its own per-column additive partials + KMV sketch rows via
+    * `foreachBatch` (the nightly stats delta running as a live job —
+    * no state store: the PARQUET STORE is the state, exactly like the
+    * batch verb), and the read side merges through the SAME
+    * [[graft.ops.Analyze.mergedStatsReadout]] spelling as q359. The
+    * result is batching-independent — every partial is a pure function
+    * of its batch's rows and the merge is associative/commutative
+    * (counts add, min/max compose, the KMV union keeps the k smallest
+    * distinct hashes) — so the oracle recomputes everything from the
+    * raw table in one scan: merge ≡ recompute, under streaming
+    * delivery.
+    */
+  def streamAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Paths.get("target", "graft_stream",
+      s"ana_$uuid")
+    val srcDir = root.resolve("src").toString
+    val storeDir = root.resolve("store").toString
+    // exact-canonical-string column subset (integer keys, a double with
+    // the proven sub-1e7 print parity, a flag, a timestamp — q346's
+    // parity classes)
+    graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity",
+        $"l_returnflag", $"l_shipdate")
+      .repartition(3)
+      .write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val (p, sk) = graft.ops.Analyze.colPartials(batch.toDF(), id.toInt)
+        p.coalesce(1).write.mode("append").parquet(s"$storeDir/partials")
+        sk.coalesce(1).write.mode("append").parquet(s"$storeDir/sketch")
+      }
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.ops.Analyze.mergedStatsReadout(spark, storeDir)
+  }
+
   // ---- q256: streaming anytime-valid mSPRT monitor ------------------
 
   final case class MsprtDayOut(

@@ -170,6 +170,85 @@ class Round19Spec extends AnyFunSuite {
     assert(parts.count() == 2L * full.size)
   }
 
+  // ---- q360/q361: quantile store + join-order advice ---------------------
+
+  test("q360: store holds per-batch histograms; readout is order-exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q360_incremental_quantiles")(spark, sf)
+      .collect()
+    // 3 return flags x 3 permille ranks, each answer an exact order
+    // statistic: re-derive p50 per flag from the raw table and compare
+    assert(rows.length == 9)
+    val raw = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for (r <- rows) {
+      val vs = raw(r.getAs[String]("l_returnflag"))
+      val q = r.getAs[Long]("q_permille")
+      val want = vs(((vs.length - 1).toLong * q / 1000L).toInt)
+      assert(r.getAs[Long]("n_rows") == vs.length.toLong)
+      assert(r.getAs[Long]("cents_q") == want,
+        s"${r.getAs[String]("l_returnflag")} p$q")
+    }
+    val hist = spark.read.parquet(
+      s"${ops.Analyze.quantStore(spark, sf)}/hist")
+    assert(hist.select("batch").distinct().count() == 2,
+      "the store must hold per-batch partial histograms")
+  }
+
+  test("q361: the sampled advice agrees with the exact argmin") {
+    val rows = SparkEntry.queries("q361_join_order_advice")(spark, sf)
+      .collect()
+    assert(rows.length == 2)
+    val best = rows.minBy(_.getAs[Long]("actual_rows"))
+    assert(best.getAs[Boolean]("advised"),
+      "the estimator must pick the truly smaller first join")
+    for (r <- rows) {
+      val est = r.getAs[Long]("est_rows").toDouble
+      val act = r.getAs[Long]("actual_rows").toDouble
+      assert(act == 0.0 || math.abs(est - act) / act <= 0.5,
+        s"${r.getAs[String]("first_join")}: est $est vs actual $act")
+    }
+  }
+
+  test("q363: advised salt factor drives a real fan-out, result unchanged") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q363_skew_salt_advice")(spark, sf)
+      .collect()
+    // the 5-type events table: every key is hot (c >> n/32)
+    assert(rows.length == 5 && rows.forall(_.getAs[Boolean]("is_skewed")))
+    // driver recompute of the arithmetic
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    val ideal = (n + 31) / 32
+    for (r <- rows) {
+      assert(r.getAs[Long]("ideal_rows") == ideal)
+      assert(r.getAs[Long]("salt_factor") ==
+        (r.getAs[Long]("n_rows") + ideal - 1) / ideal)
+    }
+    // apply the advice through the REAL device: the hot keys fan out
+    // over exactly `salts` sub-keys and the join result is unchanged
+    val salts = rows.map(_.getAs[Long]("salt_factor")).max.toInt
+    val fact = Tables.events(spark, sf)
+      .select($"event_id", $"event_type")
+    val dim = fact.select($"event_type").distinct()
+      .withColumn("dim_tag", concat(lit("t:"), $"event_type"))
+    val salted = ops.Salting.saltedJoin(fact, dim, "event_type",
+      "event_id", salts)
+    val plain = fact.join(dim, Seq("event_type"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+      "salting changed the join result")
+    val fan = fact
+      .withColumn("_salt",
+        pmod(xxhash64($"event_id"), lit(salts.toLong)).cast("int"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"_salt").as("n_sub"))
+      .collect()
+    assert(fan.forall(_.getAs[Long]("n_sub") == salts.toLong),
+      s"hot keys must fan out over all $salts sub-keys")
+  }
+
   test("adviseBroadcast returns a verdict for an empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
