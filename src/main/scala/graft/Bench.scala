@@ -405,15 +405,29 @@ object Bench {
       "q301_fuzzy_decontam" -> 5.0, "q253_entity_resolution" -> 5.5,
       "q03_topk_orders" -> 1.5, "q242_mann_whitney" -> 1.5,
       "q75_pagerank" -> 6.0, "q287_kcore" -> 6.0)
-    val blown = inSession.collect {
-      case (k, v) if floors.get(k).exists(f => v > 5 * f) => k
-    }.sorted
+    // cap the isolation list at the 6 worst offenders (by blowup
+    // ratio): a fully-contended host could blow every floor at once,
+    // and an unbounded child-JVM budget (300 + 120·N s) must not stall
+    // the round — the remaining blowups stay visible in the dual-pass
+    // numbers and the diag metrics
+    // test/diagnostic override: force-isolate named queries regardless
+    // of floors (exercises the child-JVM path without a real blowup)
+    val forced = sys.env.get("SPARK_GRAFT_FORCE_ISOLATE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val blown = (inSession.collect {
+      case (k, v) if floors.get(k).exists(f => v > 5 * f) =>
+        (k, v / floors(k))
+    }.sortBy(-_._2).take(6).map(_._1) ++
+      inSession.map(_._1).filter(forced)).distinct.sorted
     val isolated: Map[String, Double] =
       if (blown.isEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED")) Map.empty
       else {
         blown.foreach(n => System.err.println(
-          s"[bench] ISOLATE: $n in-session min > 5x pinned floor — " +
-            "re-timing in a fresh JVM"))
+          s"[bench] ISOLATE: $n (" +
+            (if (forced(n)) "forced via SPARK_GRAFT_FORCE_ISOLATE"
+             else "in-session min > 5x pinned floor") +
+            ") — re-timing in a fresh JVM"))
         runIsolated(blown, sfDir)
       }
     val results = inSession.map { case (k, v) =>

@@ -2458,21 +2458,25 @@ object Streams {
       .repartition(3)
       .write.parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val (p, sk) = graft.ops.Analyze.colPartials(batch.toDF(), id.toInt)
-        p.coalesce(1).write.mode("append").parquet(s"$storeDir/partials")
-        sk.coalesce(1).write.mode("append").parquet(s"$storeDir/sketch")
-      }
-      .option("checkpointLocation", root.resolve("ck").toString)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // per-batch partials are |cols|-row rollups of one staged file —
+    // 4-way shuffles beat 32 near-empty state files per microbatch
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          val (p, sk) = graft.ops.Analyze.colPartials(batch.toDF(), id.toInt)
+          p.coalesce(1).write.mode("append").parquet(s"$storeDir/partials")
+          sk.coalesce(1).write.mode("append").parquet(s"$storeDir/sketch")
+        }
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     graft.ops.Analyze.mergedStatsReadout(spark, storeDir)
   }
 

@@ -263,7 +263,11 @@ class PlanSpec extends AnyFunSuite {
       "q334_budget_apportion",
       // q340 inherits q334's 1-row total/extra broadcasts (the fill's
       // corpus-sized cumulation is Rank.runningSum, checkpointed)
-      "q340_token_apportion")
+      "q340_token_apportion",
+      // r19: the CBO advice ledgers cross a broadcast 1-row aggregate
+      // (best estimate / histogram grand total) into a |keys|-row or
+      // 2-row ledger — the q78 device on metadata-sized frames
+      "q361_join_order_advice", "q363_skew_salt_advice")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at
@@ -274,7 +278,12 @@ class PlanSpec extends AnyFunSuite {
       // construction; their batch tails (RDD scans of the committed
       // servings) are gated by Round17Spec
       "q323_serving_cutover", "q327_live_compaction",
-      "q330_stream_erasure")
+      "q330_stream_erasure",
+      // r19: the compaction drills rewrite their store and q362 runs a
+      // complete stream AT CONSTRUCTION; their batch tails are trivial
+      // store-readout aggregates gated by Round19Spec
+      "q356_passage_store_compaction", "q357_sig_store_compaction",
+      "q358_chunk_store_compaction", "q362_stream_analyze")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("gen_")).filterNot(skip).foreach { q =>
         val p = plan(q)
