@@ -686,6 +686,139 @@ object Analyze {
       |  est_rows = (SELECT MIN(est_rows) FROM ledger) AS advised
       |FROM ledger ORDER BY first_join""".stripMargin
 
+  // ---- q364: range selectivity from equi-depth boundaries ---------------
+
+  /** q364: RANGE-SELECTIVITY ESTIMATION, oracle-gated — the statistic
+    * a CBO keeps when it CANNOT keep q360's full histogram: 8
+    * equi-depth bucket boundaries (exact order statistics at ranks
+    * (n−1)·j DIV 8 over the merged q360 store), and the textbook
+    * uniform-within-bucket interpolation for a range predicate's
+    * selectivity — est = Σ_buckets overlap_ppm DIV 8, where
+    * overlap_ppm = (min(hi,b₊)−max(lo,b))·10⁶ DIV (b₊−b), clamped;
+    * a zero-width bucket contributes all-or-nothing. Three fixed
+    * ranges spanning a narrow head slice, a middle band, and a wide
+    * tail band are each priced by the ESTIMATOR (which sees only the
+    * 9 boundary values) and ground-truthed EXACTLY from the histogram;
+    * est, actual, and the signed error are all integer ppm, so DuckDB
+    * replays the whole ledger bit-for-bit. Round19Spec additionally
+    * bounds the estimator's error on the driver distribution — the
+    * point of equi-depth over equi-width: every bucket holds n/8 rows,
+    * so the interpolation error per range is at most ~2 buckets.
+    */
+  private def q364(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = quantStore(s, d)
+    val hist = s.read.parquet(s"$root/hist")
+      .groupBy($"cents").agg(sum($"cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum($"cnt").as("n")))) // 1-row total
+    // 9 boundaries: b_j straddles rank (n-1)*j DIV 8
+    val bounds = cum
+      .withColumn("j", explode(sequence(lit(0), lit(8))))
+      .withColumn("r", expr("((n - 1) * j) DIV 8"))
+      .where($"cum" > $"r" && $"cum" - $"cnt" <= $"r")
+      .groupBy($"j").agg(min($"cents").as("b"), min($"n").as("n"))
+    val lo8 = bounds.where($"j" === 0).select($"b".as("bmin"), $"n")
+    val hi8 = bounds.where($"j" === 8).select($"b".as("bmax"))
+    // three deterministic ranges off the value span
+    val ranges = lo8.crossJoin(broadcast(hi8))
+      .withColumn("span", $"bmax" - $"bmin")
+      .select(explode(array(
+        struct(lit("head_5pct").as("range_id"),
+          $"bmin".as("lo"),
+          ($"bmin" + expr("span DIV 20")).as("hi"), $"n"),
+        struct(lit("mid_band").as("range_id"),
+          ($"bmin" + expr("span DIV 3")).as("lo"),
+          ($"bmin" + expr("span DIV 2")).as("hi"), $"n"),
+        struct(lit("wide_tail").as("range_id"),
+          ($"bmin" + expr("span DIV 2")).as("lo"),
+          ($"bmin" + expr("(span * 19) DIV 20")).as("hi"), $"n"),
+      )).as("rg"))
+      .select($"rg.range_id", $"rg.lo", $"rg.hi", $"rg.n")
+    // estimator arm: sees ONLY the 9 boundaries
+    val buckets = bounds.select($"j", $"b")
+      .withColumn("bn", lead($"b", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"j")))
+      .where($"bn".isNotNull)
+    val est = ranges.crossJoin(broadcast(buckets)) // 3-row × 8-row
+      .withColumn("ov",
+        least($"hi", $"bn") - greatest($"lo", $"b"))
+      .withColumn("frac_ppm",
+        when($"bn" === $"b",
+          when($"b" >= $"lo" && $"b" < $"hi", lit(1000000L))
+            .otherwise(lit(0L)))
+          .otherwise(expr(
+            "greatest(0L, least(1000000L, (ov * 1000000) DIV (bn - b)))")))
+      .groupBy($"range_id", $"lo", $"hi", $"n")
+      .agg(expr("sum(frac_ppm) DIV 8").as("est_ppm"))
+    // exact arm: the histogram itself
+    val actual = hist.crossJoin(broadcast(ranges))
+      .where($"cents" >= $"lo" && $"cents" < $"hi")
+      .groupBy($"range_id")
+      .agg(sum($"cnt").as("actual_rows"))
+    est.join(actual, Seq("range_id"), "left")
+      .na.fill(0L, Seq("actual_rows"))
+      .withColumn("actual_ppm", expr("(actual_rows * 1000000) DIV n"))
+      .withColumn("err_ppm", $"est_ppm" - $"actual_ppm")
+      .select($"range_id", $"lo", $"hi", $"est_ppm", $"actual_ppm",
+        $"err_ppm")
+      .orderBy($"range_id")
+  }
+
+  private val q364Sql =
+    """WITH h AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT cents, cnt,
+      |    SUM(cnt) OVER (ORDER BY cents) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT j, MIN(cents) AS b, MIN(n) AS n
+      |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) g
+      |  WHERE cum > ((n - 1) * j) // 8 AND cum - cnt <= ((n - 1) * j) // 8
+      |  GROUP BY j),
+      |span AS (
+      |  SELECT b0.b AS bmin, b8.b AS bmax, b8.b - b0.b AS span, b0.n
+      |  FROM (SELECT b, n FROM b WHERE j = 0) b0,
+      |       (SELECT b FROM b WHERE j = 8) b8),
+      |ranges AS (
+      |  SELECT 'head_5pct' AS range_id, bmin AS lo,
+      |    bmin + span // 20 AS hi, n FROM span
+      |  UNION ALL
+      |  SELECT 'mid_band', bmin + span // 3, bmin + span // 2, n FROM span
+      |  UNION ALL
+      |  SELECT 'wide_tail', bmin + span // 2,
+      |    bmin + (span * 19) // 20, n FROM span),
+      |buckets AS (
+      |  SELECT j, b, LEAD(b) OVER (ORDER BY j) AS bn FROM b
+      |  QUALIFY bn IS NOT NULL),
+      |est AS (
+      |  SELECT range_id, lo, hi, n,
+      |    CAST(SUM(CASE WHEN bn = b
+      |      THEN CASE WHEN b >= lo AND b < hi THEN 1000000 ELSE 0 END
+      |      ELSE GREATEST(0, LEAST(1000000,
+      |        ((LEAST(hi, bn) - GREATEST(lo, b)) * 1000000) // (bn - b)))
+      |      END) // 8 AS BIGINT) AS est_ppm
+      |  FROM ranges CROSS JOIN buckets
+      |  GROUP BY range_id, lo, hi, n),
+      |act AS (
+      |  SELECT range_id, CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+      |    AS actual_rows
+      |  FROM ranges r LEFT JOIN h
+      |    ON h.cents >= r.lo AND h.cents < r.hi
+      |  GROUP BY range_id)
+      |SELECT e.range_id, lo, hi, est_ppm,
+      |  CAST((a.actual_rows * 1000000) // n AS BIGINT) AS actual_ppm,
+      |  CAST(est_ppm - (a.actual_rows * 1000000) // n AS BIGINT)
+      |    AS err_ppm
+      |FROM est e JOIN act a ON a.range_id = e.range_id
+      |ORDER BY e.range_id""".stripMargin
+
   // ---- q363: skew diagnosis + salt advice -------------------------------
 
   /** Reducer count the skew arithmetic is sized for — the session's
@@ -760,5 +893,7 @@ object Analyze {
       Some(q362Sql)),
     // measured-histogram skew diagnosis parameterizing the salt device
     QueryDef("q363_skew_salt_advice", q363, Some(q363Sql)),
+    // equi-depth boundaries pricing range predicates (CBO selectivity)
+    QueryDef("q364_range_selectivity", q364, Some(q364Sql)),
   )
 }

@@ -249,6 +249,23 @@ class Round19Spec extends AnyFunSuite {
       s"hot keys must fan out over all $salts sub-keys")
   }
 
+  test("q364: equi-depth interpolation lands within 2 buckets of exact") {
+    val rows = SparkEntry.queries("q364_range_selectivity")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val err = r.getAs[Long]("err_ppm")
+      // equi-depth buckets hold n/8 rows each, and a range's
+      // interpolation error is confined to its two edge buckets —
+      // 2/8 = 250000 ppm is the structural bound (driver data lands
+      // well inside it; the bound is the property being gated)
+      assert(math.abs(err) <= 250000,
+        s"${r.getAs[String]("range_id")}: err_ppm $err")
+      assert(r.getAs[Long]("est_ppm") >= 0L &&
+        r.getAs[Long]("est_ppm") <= 1000000L)
+    }
+  }
+
   test("adviseBroadcast returns a verdict for an empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
