@@ -873,6 +873,76 @@ object Analyze {
       |  c > ideal_rows AS is_skewed
       |FROM h, i ORDER BY event_type""".stripMargin
 
+  // ---- q365: shuffle-sizing advice ---------------------------------------
+
+  /** Target on-heap bytes per shuffle partition (128 MiB — the
+    * spark.sql.files.maxPartitionBytes default, the number the
+    * shuffle.partitions knob is actually sized against).
+    */
+  private[graft] val PartitionTargetBytes = 128L * 1024 * 1024
+
+  /** q365: SHUFFLE-SIZING ADVICE, oracle-gated — the remaining config
+    * decision measured stats should make instead of folklore: per
+    * driver table (small / medium / large exemplars), the measured
+    * byte mass (q346's est_bytes summed over columns), the broadcast
+    * verdict, and the advised shuffle-partition count
+    * clamp(⌈bytes/128 MiB⌉, 1, 2000) — the q122 file-sizing
+    * arithmetic applied to the exchange knob. A 100 TB job derives
+    * `spark.sql.shuffle.partitions` from THIS ledger (per stage, from
+    * the post-projection mass actually flowing into the exchange),
+    * not from the session default; the bench's own 32 matches the
+    * machine because every driver table advises ≤ 32 at test SF.
+    * Integer arithmetic end to end; the oracle replays the same melt
+    * and clamps per table.
+    */
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = PartitionTargetBytes
+    val arms = Seq("nation", "customer", "lineitem").map { name =>
+      tableStats(Tables.load(s, d, name))
+        .agg(coalesce(sum($"est_bytes"), lit(0L)).as("est_bytes"))
+        .withColumn("table_name", lit(name))
+    }
+    arms.reduce(_ unionByName _)
+      .withColumn("broadcastable",
+        $"est_bytes" < lit(BroadcastBudgetBytes))
+      .withColumn("advised_partitions", expr(
+        s"least(2000L, greatest(1L, (est_bytes + $t - 1) DIV $t))"))
+      .select($"table_name", $"est_bytes", $"broadcastable",
+        $"advised_partitions")
+      .orderBy($"table_name")
+  }
+
+  private val q365Sql = {
+    // per-table mass = Σ_cols (Σ coalesce(length(v),0) + 16·n_rows):
+    // spelled per table as sum(lengths) + 16·rows·cols — identical to
+    // the melt's column-sum because length is per-cell
+    def arm(table: String, cols: Seq[String]): String = {
+      val lens = cols
+        .map(c => s"COALESCE(LENGTH(CAST($c AS VARCHAR)), 0)")
+        .mkString(" + ")
+      s"""SELECT '$table' AS table_name,
+         |  CAST(COALESCE(SUM($lens), 0) + 16 * COUNT(*) * ${cols.size}
+         |    AS BIGINT) AS est_bytes
+         |FROM $table""".stripMargin
+    }
+    val nation = arm("nation",
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    val customer = arm("customer",
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    val lineitem = arm("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+    s"""WITH arms AS ($nation UNION ALL $customer UNION ALL $lineitem)
+      |SELECT table_name, est_bytes,
+      |  est_bytes < ${BroadcastBudgetBytes} AS broadcastable,
+      |  CAST(LEAST(2000, GREATEST(1,
+      |    (est_bytes + $PartitionTargetBytes - 1)
+      |      // $PartitionTargetBytes)) AS BIGINT) AS advised_partitions
+      |FROM arms ORDER BY table_name""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q346_table_stats", q346, Some(q346Sql)),
     QueryDef("q350_join_cardinality", q350, Some(q350Sql)),
@@ -895,5 +965,8 @@ object Analyze {
     QueryDef("q363_skew_salt_advice", q363, Some(q363Sql)),
     // equi-depth boundaries pricing range predicates (CBO selectivity)
     QueryDef("q364_range_selectivity", q364, Some(q364Sql)),
+    // measured-mass shuffle-partition sizing (the q122 arithmetic on
+    // the exchange knob)
+    QueryDef("q365_shuffle_sizing", q365, Some(q365Sql)),
   )
 }

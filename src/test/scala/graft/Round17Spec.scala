@@ -70,6 +70,11 @@ class Round17Spec extends AnyFunSuite {
       // q151/q183's token-count frontier: distinct n_tokens values — a
       // max DOC-LENGTH domain bound, not a corpus bound
       "src/main/scala/graft/ops/Text.scala" -> 1,
+      // r19 q364: the cumulative walk over the VALUE-grain merged
+      // histogram (distinct prices, never rows — the two-level
+      // coarse/refine swap is the documented extreme-cardinality
+      // path) and the 9-row boundary lead()
+      "src/main/scala/graft/ops/Analyze.scala" -> 2,
     )
     val pat = ("(?<![A-Za-z0-9_])Window\\s*\\.\\s*" +
       "(orderBy|rowsBetween|rangeBetween|partitionBy\\(\\s*\\))").r
@@ -123,6 +128,8 @@ class Round17Spec extends AnyFunSuite {
       "q284_periodicity",       // per-hour series + maxLag
       "q345_epoch_folding",     // 47-row candidate-period grid
       "q311_next_event_serving", // 5-row type marginal back-off
+      "q364_range_selectivity", // value-grain histogram walk + 9-row
+                                // boundary lead (see the source audit)
       // (q334's |langs|-row remainder rank runs EAGERLY behind its
       // localCheckpoint, so it never reaches the final plan — the
       // SOURCE audit above is the layer covering it)
