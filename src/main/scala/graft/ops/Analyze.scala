@@ -705,21 +705,41 @@ object Analyze {
     * point of equi-depth over equi-width: every bucket holds n/8 rows,
     * so the interpolation error per range is at most ~2 buckets.
     */
-  private def q364(s: SparkSession, d: String): DataFrame = {
+  private def q364(s: SparkSession, d: String): DataFrame =
+    selectivityLedger(s, d, equiDepthBounds(s, d))
+
+  /** The 9 equi-depth boundaries (j, b, n) from the merged quantile
+    * store — b_j straddles rank (n−1)·j DIV 8.
+    */
+  private def equiDepthBounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = quantStore(s, d)
-    val hist = s.read.parquet(s"$root/hist")
-      .groupBy($"cents").agg(sum($"cnt").as("cnt"))
+    val hist = mergedHist(s, d)
     val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
     val cum = hist
       .withColumn("cum", sum($"cnt").over(w))
       .crossJoin(broadcast(hist.agg(sum($"cnt").as("n")))) // 1-row total
-    // 9 boundaries: b_j straddles rank (n-1)*j DIV 8
-    val bounds = cum
+    cum
       .withColumn("j", explode(sequence(lit(0), lit(8))))
       .withColumn("r", expr("((n - 1) * j) DIV 8"))
       .where($"cum" > $"r" && $"cum" - $"cnt" <= $"r")
       .groupBy($"j").agg(min($"cents").as("b"), min($"n").as("n"))
+  }
+
+  private def mergedHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"${quantStore(s, d)}/hist")
+      .groupBy($"cents").agg(sum($"cnt").as("cnt"))
+  }
+
+  /** The q364 ledger from a 9-row boundary frame — ONE spelling shared
+    * by q364 (boundaries computed in-plan) and q366 (boundaries read
+    * back from the persisted artifact), so the two cannot drift. The
+    * exact arm always prices from the merged histogram.
+    */
+  private def selectivityLedger(
+      s: SparkSession, d: String, bounds: DataFrame): DataFrame = {
+    import s.implicits._
+    val hist = mergedHist(s, d)
     val lo8 = bounds.where($"j" === 0).select($"b".as("bmin"), $"n")
     val hi8 = bounds.where($"j" === 8).select($"b".as("bmax"))
     // three deterministic ranges off the value span
@@ -818,6 +838,33 @@ object Analyze {
       |    AS err_ppm
       |FROM est e JOIN act a ON a.range_id = e.range_id
       |ORDER BY e.range_id""".stripMargin
+
+  /** Build-if-absent PERSISTED boundary artifact (q351's discipline on
+    * q364's statistic): 9 rows per source version, every later
+    * selectivity decision a metadata read.
+    */
+  private def boundaryStore(s: SparkSession, d: String): String = {
+    val root = StoreGuard.storeRoot(s, "target/stage_analyze",
+      "bounds_lineitem", d, "lineitem.parquet", extra = "depth:8")
+    StoreGuard.ensureBuilt(s, root) {
+      equiDepthBounds(s, d)
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/bounds")
+    }
+    root
+  }
+
+  /** q366: the PERSISTED boundary artifact read back — the same
+    * selectivity ledger as q364 served from the stored 9 rows through
+    * the SHARED [[selectivityLedger]] spelling, hash-gated against
+    * q364's oracle verbatim (q260's store ≡ recompute discipline): a
+    * stale or drifted boundary store mis-prices a range and fails the
+    * hash.
+    */
+  private def q366(s: SparkSession, d: String): DataFrame =
+    selectivityLedger(s, d,
+      s.read.parquet(s"${boundaryStore(s, d)}/bounds"))
 
   // ---- q363: skew diagnosis + salt advice -------------------------------
 
@@ -968,5 +1015,8 @@ object Analyze {
     // measured-mass shuffle-partition sizing (the q122 arithmetic on
     // the exchange knob)
     QueryDef("q365_shuffle_sizing", q365, Some(q365Sql)),
+    // the persisted boundary artifact served back, q364's oracle
+    // verbatim (store ≡ recompute)
+    QueryDef("q366_boundary_store", q366, Some(q364Sql)),
   )
 }

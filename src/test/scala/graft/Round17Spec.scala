@@ -130,6 +130,8 @@ class Round17Spec extends AnyFunSuite {
       "q311_next_event_serving", // 5-row type marginal back-off
       "q364_range_selectivity", // value-grain histogram walk + 9-row
                                 // boundary lead (see the source audit)
+      "q366_boundary_store",    // the same 9-row boundary lead, served
+                                // from the persisted artifact
       // (q334's |langs|-row remainder rank runs EAGERLY behind its
       // localCheckpoint, so it never reaches the final plan — the
       // SOURCE audit above is the layer covering it)
