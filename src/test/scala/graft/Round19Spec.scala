@@ -266,6 +266,29 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("q365: advised partitions re-derive from the measured mass") {
+    val rows = SparkEntry.queries("q365_shuffle_sizing")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSeq ==
+      Seq("customer", "lineitem", "nation"))
+    val t = 128L * 1024 * 1024
+    for (r <- rows) {
+      val bytes = r.getAs[Long]("est_bytes")
+      // re-derive the clamp arithmetic and the broadcast verdict from
+      // the ledger's own mass column
+      assert(r.getAs[Long]("advised_partitions") ==
+        math.min(2000L, math.max(1L, (bytes + t - 1) / t)))
+      assert(r.getAs[Boolean]("broadcastable") ==
+        (bytes < 10L * 1024 * 1024))
+      assert(bytes > 0L)
+    }
+    // the exemplars must order by mass: nation < customer < lineitem
+    val byName = rows.map(r =>
+      r.getAs[String]("table_name") -> r.getAs[Long]("est_bytes")).toMap
+    assert(byName("nation") < byName("customer") &&
+      byName("customer") < byName("lineitem"))
+  }
+
   test("adviseBroadcast returns a verdict for an empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
