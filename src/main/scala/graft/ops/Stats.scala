@@ -1884,8 +1884,122 @@ object Stats {
       |FROM rel GROUP BY nation_key, cohort_day
       |ORDER BY nation_key, cohort_day""".stripMargin
 
+  // ---- q367: Misra–Gries heavy hitters ----------------------------------
+
+  /** Misra–Gries k-counter compress of an exact (key, cnt) histogram:
+    * keep the top-k keys with every count decremented by the (k+1)-th
+    * largest (0 when fewer than k+1 keys) — the deterministic
+    * "summary of a summary" operation from the mergeable-summaries
+    * literature (Agarwal et al., PODS'12): union two compressed
+    * summaries, sum by key, compress again, and every estimate
+    * UNDERESTIMATES its true count by at most the sum of the
+    * decrements, while any key whose true count exceeds that sum is
+    * GUARANTEED present. Scale shape: the only global step is a
+    * top-(k+1) via orderBy+limit (TakeOrderedAndProject — bounded
+    * per-task heaps), and every window/rank runs on that ≤ k+1-row
+    * frame, never on the key domain. Ties break on (cnt DESC, key) so
+    * the whole summary is engine-exact.
+    *
+    * Returns (key, est, t) — t the decrement this compress applied
+    * (constant column, for the guarantee ledger).
+    */
+  private def mgCompress(
+      s: SparkSession, h: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val top = h.orderBy($"cnt".desc, $"key").limit(k + 1)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy($"cnt".desc, $"key")))
+    val t = ranked.agg(coalesce(
+      max(when($"rn" === k + 1, $"cnt")), lit(0L)).as("t"))
+    ranked.where($"rn" <= k)
+      .crossJoin(broadcast(t)) // 1-row decrement
+      .where($"cnt" > $"t")
+      .select($"key", ($"cnt" - $"t").as("est"), $"t")
+  }
+
+  /** q367: MERGEABLE HEAVY HITTERS, oracle-gated — the deterministic
+    * complement of the probabilistic CMS (q137): per batch
+    * (event_id % 10 < 8 / ≥ 8), the exact per-user histogram is
+    * Misra–Gries-compressed to k = 16 counters; the two summaries
+    * merge by key-sum + one more compress — never touching the raw
+    * rows again — and the ledger joins the exact control: per surviving
+    * counter, the estimate, the true count, the underestimate, and the
+    * total decrement bound T = t₁ + t₂ + t_merge. The MG contract the
+    * spec asserts: 0 ≤ true − est ≤ T for every counter, and every key
+    * with true > T survives the merge. Everything is integer and
+    * tie-broken on (cnt DESC, key), so DuckDB replays the compresses,
+    * the merge, and the bound bit-for-bit.
+    */
+  private def q367(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val ev = Tables.events(s, d).select($"user_id".as("key"), $"event_id")
+    def hist(pred: org.apache.spark.sql.Column) = ev.where(pred)
+      .groupBy($"key").agg(count(lit(1)).as("cnt"))
+    val s1 = mgCompress(s, hist($"event_id" % 10 < 8), k)
+    val s2 = mgCompress(s, hist($"event_id" % 10 >= 8), k)
+    val merged = mgCompress(s,
+      s1.select($"key", $"est".as("cnt"))
+        .unionByName(s2.select($"key", $"est".as("cnt")))
+        .groupBy($"key").agg(sum($"cnt").as("cnt")),
+      k)
+    val tsum = s1.agg(coalesce(max($"t"), lit(0L)).as("t1"))
+      .crossJoin(s2.agg(coalesce(max($"t"), lit(0L)).as("t2")))
+      .crossJoin(merged.agg(coalesce(max($"t"), lit(0L)).as("tm")))
+      .select(($"t1" + $"t2" + $"tm").as("t_bound"))
+    val truth = ev.groupBy($"key").agg(count(lit(1)).as("true_cnt"))
+    merged
+      .join(truth, Seq("key"))
+      .crossJoin(broadcast(tsum)) // 1-row bound
+      .select($"key".as("user_id"), $"est".as("est_cnt"), $"true_cnt",
+        ($"true_cnt" - $"est").as("under_by"), $"t_bound")
+      .orderBy($"est_cnt".desc, $"user_id")
+  }
+
+  private val q367Sql =
+    """WITH ev AS (SELECT user_id AS key, event_id FROM events),
+      |h1 AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev
+      |       WHERE event_id % 10 < 8 GROUP BY 1),
+      |r1 AS (SELECT key, cnt,
+      |         ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      |       FROM (SELECT * FROM h1 ORDER BY cnt DESC, key LIMIT 17) x),
+      |t1 AS (SELECT COALESCE(MAX(CASE WHEN rn = 17 THEN cnt END), 0)
+      |         AS t FROM r1),
+      |s1 AS (SELECT key, cnt - t AS est, t FROM r1, t1
+      |       WHERE rn <= 16 AND cnt > t),
+      |h2 AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev
+      |       WHERE event_id % 10 >= 8 GROUP BY 1),
+      |r2 AS (SELECT key, cnt,
+      |         ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      |       FROM (SELECT * FROM h2 ORDER BY cnt DESC, key LIMIT 17) x),
+      |t2 AS (SELECT COALESCE(MAX(CASE WHEN rn = 17 THEN cnt END), 0)
+      |         AS t FROM r2),
+      |s2 AS (SELECT key, cnt - t AS est, t FROM r2, t2
+      |       WHERE rn <= 16 AND cnt > t),
+      |hm AS (SELECT key, SUM(est) AS cnt FROM
+      |        (SELECT key, est FROM s1 UNION ALL SELECT key, est FROM s2)
+      |       GROUP BY 1),
+      |rm AS (SELECT key, cnt,
+      |         ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      |       FROM (SELECT * FROM hm ORDER BY cnt DESC, key LIMIT 17) x),
+      |tm AS (SELECT COALESCE(MAX(CASE WHEN rn = 17 THEN cnt END), 0)
+      |         AS t FROM rm),
+      |sm AS (SELECT key, cnt - t AS est FROM rm, tm
+      |       WHERE rn <= 16 AND cnt > t),
+      |bound AS (SELECT (SELECT MAX(t) FROM s1) + (SELECT MAX(t) FROM s2)
+      |            + (SELECT t FROM tm) AS t_bound),
+      |truth AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      |          FROM ev GROUP BY 1)
+      |SELECT sm.key AS user_id, CAST(est AS BIGINT) AS est_cnt, true_cnt,
+      |  CAST(true_cnt - est AS BIGINT) AS under_by,
+      |  CAST(t_bound AS BIGINT) AS t_bound
+      |FROM sm JOIN truth ON truth.key = sm.key CROSS JOIN bound
+      |ORDER BY est_cnt DESC, user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_ks_test", q186, Some(q186Sql)),
+    // deterministic mergeable heavy hitters (the CMS complement)
+    QueryDef("q367_heavy_hitters_mg", q367, Some(q367Sql)),
     QueryDef("q191_kmv_intersect", q191, Some(q191Sql)),
     QueryDef("q192_bootstrap_ci", q192, Some(q192Sql)),
     QueryDef("q194_cuped", q194, Some(q194Sql)),

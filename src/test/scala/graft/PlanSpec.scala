@@ -269,7 +269,9 @@ class PlanSpec extends AnyFunSuite {
       // 2-row ledger — the q78 device on metadata-sized frames; q364
       // crosses the 9-row boundary dim into the 3-row range dim
       "q361_join_order_advice", "q363_skew_salt_advice",
-      "q364_range_selectivity", "q366_boundary_store")
+      "q364_range_selectivity", "q366_boundary_store",
+      // q367 crosses three broadcast 1-row decrements + the 1-row bound
+      "q367_heavy_hitters_mg")
     // streaming/generator entries build side effects or stream plans —
     // plan text is checked by their own specs. q315 RUNS a complete
     // streaming query (staging, RocksDB state, retrain) at

@@ -65,8 +65,9 @@ class Round17Spec extends AnyFunSuite {
       // real Filter node deliberately so DPP attaches its subquery
       "src/main/scala/graft/ops/Sources.scala" -> 1,
       // q185/q194 variant pairs and q195's type histogram: group-count
-      // bounded (variants × metrics, 5 types)
-      "src/main/scala/graft/ops/Stats.scala" -> 2,
+      // bounded (variants × metrics, 5 types); +1 r19: q367's MG rank
+      // over a top-(k+1) = 17-row limited frame
+      "src/main/scala/graft/ops/Stats.scala" -> 3,
       // q151/q183's token-count frontier: distinct n_tokens values — a
       // max DOC-LENGTH domain bound, not a corpus bound
       "src/main/scala/graft/ops/Text.scala" -> 1,
@@ -132,6 +133,7 @@ class Round17Spec extends AnyFunSuite {
                                 // boundary lead (see the source audit)
       "q366_boundary_store",    // the same 9-row boundary lead, served
                                 // from the persisted artifact
+      "q367_heavy_hitters_mg",  // MG ranks over 17-row limited frames
       // (q334's |langs|-row remainder rank runs EAGERLY behind its
       // localCheckpoint, so it never reaches the final plan — the
       // SOURCE audit above is the layer covering it)

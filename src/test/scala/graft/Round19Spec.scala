@@ -289,6 +289,31 @@ class Round19Spec extends AnyFunSuite {
       byName("customer") < byName("lineitem"))
   }
 
+  test("q367: MG guarantees — bounded underestimate, heavy keys survive") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q367_heavy_hitters_mg")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val tBound = rows.head.getAs[Long]("t_bound")
+    for (r <- rows) {
+      val under = r.getAs[Long]("under_by")
+      // est ≥ f − (t1 + t2 + t_merge): never overestimates, and the
+      // underestimate is bounded by the total decrement
+      assert(under >= 0L && under <= tBound,
+        s"user ${r.getAs[Long]("user_id")}: under_by $under vs $tBound")
+      assert(r.getAs[Long]("est_cnt") > 0L)
+    }
+    // completeness: every key whose TRUE count exceeds the decrement
+    // bound must survive the merge (the MG membership guarantee)
+    val present = rows.map(_.getAs[Long]("user_id")).toSet
+    val big = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .where($"c" > tBound)
+      .collect().map(_.getLong(0)).toSet
+    assert(big.subsetOf(present),
+      s"heavy keys missing from the summary: ${big.diff(present)}")
+  }
+
   test("adviseBroadcast returns a verdict for an empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
