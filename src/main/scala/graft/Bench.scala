@@ -21,6 +21,16 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
+      // classpath inheritance is only meaningful under a forked sbt run
+      // (`run / fork := true`); inside an unforked `sbt run` the JVM's
+      // classpath is just the sbt launcher and the child would die with
+      // ClassNotFoundException — say so up front instead of letting the
+      // generic "exited 1" hide it (r19 advice)
+      if (cp.contains("sbt-launch") && !cp.contains("classes"))
+        System.err.println(
+          "[bench] WARNING: classpath looks like an unforked sbt launcher " +
+            s"($cp) — the isolated child will likely fail to resolve " +
+            "graft.Bench; set `run / fork := true`")
       val sidePath = "target/bench_isolated.json"
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sidePath))
       val cmd = (Seq(javaBin) ++ jvmArgs ++
@@ -53,11 +63,26 @@ object Bench {
       }
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(sidePath)), "UTF-8")
-      // we own the format: {"min":{"name":sec,...},...} — pull the min
-      // object and regex its entries
+      // we own the format: {"min":{"name":sec,...},...} — "min" is the
+      // FIRST key and its values are plain numbers, so first-'}' closes
+      // it. Any drift (key moved, missing file contract) must fail
+      // LOUDLY, not dissolve into an empty map that silently drops the
+      // isolation evidence (r19 advice).
       val minObj = {
         val i = txt.indexOf("\"min\":{")
+        if (i < 0) {
+          System.err.println(
+            "[bench] isolated child result has no leading \"min\" object " +
+              s"— format drift? head: ${txt.take(160)}")
+          return Map.empty
+        }
         val j = txt.indexOf("}", i)
+        if (j < 0) {
+          System.err.println(
+            "[bench] isolated child result's \"min\" object is unclosed " +
+              s"— truncated write? tail: ${txt.takeRight(160)}")
+          return Map.empty
+        }
         txt.substring(i + 7, j)
       }
       val ent = """"([^"]+)":([0-9][0-9.eE+-]*)""".r

@@ -327,17 +327,39 @@ object Analyze {
         min($"v").as("min_v"), max($"v").as("max_v"),
         coalesce(sum(length($"v")), lit(0L)).cast("long").as("sum_len"))
       .withColumn("batch", lit(batch.toLong))
+    // Two-level k-smallest (r19 verdict item 3): the k smallest hashes
+    // of a high-NDV column must NEVER be found by sorting the whole
+    // distinct-value domain on one reducer per column. Level 1 ranks
+    // within (col_name, hash-bucket) — KmvFanout-way parallel, each
+    // window frame ~|domain|/fanout rows; level 2 re-ranks the
+    // survivors, a frame of at most KmvFanout·k rows per column. The
+    // result is EXACTLY the old single-window sketch: every member of
+    // the global k-smallest set is k-smallest within its own bucket,
+    // so the level-1 filter cannot drop it (the same union-contains-
+    // global argument the batch merge itself rests on).
     val sk = m
       .where($"v".isNotNull)
       .select($"col_name", $"v").distinct()
       .withColumn("h", md5($"v".cast("binary")))
+      .withColumn("sb", pmod(xxhash64($"h"), lit(KmvFanout)))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy($"col_name").orderBy($"h")))
+          .partitionBy($"col_name", $"sb").orderBy($"h")))
       .where($"rk" <= KmvK)
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"col_name").orderBy($"h")))
+      .where($"rk2" <= KmvK)
       .select(lit(batch.toLong).as("batch"), $"col_name", $"h")
     (p, sk)
   }
+
+  /** Level-1 fan-out of the two-level KMV build: buckets per column.
+    * 32 matches the bench parallelism; at cluster scale the bound that
+    * matters is the level-2 frame, KmvFanout·KmvK = 2048 rows per
+    * column regardless of domain size.
+    */
+  private[graft] val KmvFanout = 32
 
   /** Build-if-absent incremental-ANALYZE store over `lineitem`: batch 0
     * (l_orderkey % 10 < 8) written, batch 1 APPENDED — each batch costs

@@ -1900,21 +1900,25 @@ object Stats {
     * frame, never on the key domain. Ties break on (cnt DESC, key) so
     * the whole summary is engine-exact.
     *
-    * Returns (key, est, t) — t the decrement this compress applied
-    * (constant column, for the guarantee ledger).
+    * Returns (summary, t): summary = (key, est) survivors, and t the
+    * 1-row decrement this compress applied — emitted from the RANKED
+    * frame, not the survivors, so a compress that empties its summary
+    * (every top-k count equal to the (k+1)-th) still reports its real
+    * nonzero decrement to the guarantee ledger (r19 advice).
     */
   private def mgCompress(
-      s: SparkSession, h: DataFrame, k: Int): DataFrame = {
+      s: SparkSession, h: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val top = h.orderBy($"cnt".desc, $"key").limit(k + 1)
     val ranked = top.withColumn("rn",
       row_number().over(Window.orderBy($"cnt".desc, $"key")))
     val t = ranked.agg(coalesce(
       max(when($"rn" === k + 1, $"cnt")), lit(0L)).as("t"))
-    ranked.where($"rn" <= k)
+    val summary = ranked.where($"rn" <= k)
       .crossJoin(broadcast(t)) // 1-row decrement
       .where($"cnt" > $"t")
-      .select($"key", ($"cnt" - $"t").as("est"), $"t")
+      .select($"key", ($"cnt" - $"t").as("est"))
+    (summary, t)
   }
 
   /** q367: MERGEABLE HEAVY HITTERS, oracle-gated — the deterministic
@@ -1936,16 +1940,18 @@ object Stats {
     val ev = Tables.events(s, d).select($"user_id".as("key"), $"event_id")
     def hist(pred: org.apache.spark.sql.Column) = ev.where(pred)
       .groupBy($"key").agg(count(lit(1)).as("cnt"))
-    val s1 = mgCompress(s, hist($"event_id" % 10 < 8), k)
-    val s2 = mgCompress(s, hist($"event_id" % 10 >= 8), k)
-    val merged = mgCompress(s,
+    val (s1, t1) = mgCompress(s, hist($"event_id" % 10 < 8), k)
+    val (s2, t2) = mgCompress(s, hist($"event_id" % 10 >= 8), k)
+    val (merged, tm) = mgCompress(s,
       s1.select($"key", $"est".as("cnt"))
         .unionByName(s2.select($"key", $"est".as("cnt")))
         .groupBy($"key").agg(sum($"cnt").as("cnt")),
       k)
-    val tsum = s1.agg(coalesce(max($"t"), lit(0L)).as("t1"))
-      .crossJoin(s2.agg(coalesce(max($"t"), lit(0L)).as("t2")))
-      .crossJoin(merged.agg(coalesce(max($"t"), lit(0L)).as("tm")))
+    // each t comes from its compress's RANKED frame (1 row, 0 when
+    // fewer than k+1 keys), so an emptied summary cannot understate T
+    val tsum = t1.select($"t".as("t1"))
+      .crossJoin(t2.select($"t".as("t2")))
+      .crossJoin(tm.select($"t".as("tm")))
       .select(($"t1" + $"t2" + $"tm").as("t_bound"))
     val truth = ev.groupBy($"key").agg(count(lit(1)).as("true_cnt"))
     merged
@@ -1986,7 +1992,7 @@ object Stats {
       |         AS t FROM rm),
       |sm AS (SELECT key, cnt - t AS est FROM rm, tm
       |       WHERE rn <= 16 AND cnt > t),
-      |bound AS (SELECT (SELECT MAX(t) FROM s1) + (SELECT MAX(t) FROM s2)
+      |bound AS (SELECT (SELECT t FROM t1) + (SELECT t FROM t2)
       |            + (SELECT t FROM tm) AS t_bound),
       |truth AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt
       |          FROM ev GROUP BY 1)

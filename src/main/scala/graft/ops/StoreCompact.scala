@@ -47,6 +47,13 @@ object StoreCompact {
     // q321's contract); stale prior attempts must not double-count
     graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(root))
     val bucketed = store.withColumn("pb", pmod(hash(col(slotCol)), lit(8)))
+    // the right-sized byte-carry arm is only PROVABLY exercised when
+    // bucket pb=0 exists: on a degenerate store where nothing hashes to
+    // 0 the layout/skip requires below would compare None==None and pass
+    // vacuously (r19 advice) — fail the drill loudly instead
+    require(bucketed.where($"pb" === 0).limit(1).count() == 1L,
+      s"store compaction drill under $root staged no pb=0 rows — the " +
+        "byte-carry skip arm would be vacuous; use a store with more slots")
     // delta slicing on a SALTED hash so it is independent of pb
     val slice = pmod(hash(col(slotCol), lit(101)), lit(10))
     bucketed.where($"pb" === 0).coalesce(1)

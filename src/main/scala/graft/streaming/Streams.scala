@@ -2469,8 +2469,17 @@ object Streams {
         .outputMode(OutputMode.Append)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           val (p, sk) = graft.ops.Analyze.colPartials(batch.toDF(), id.toInt)
-          p.coalesce(1).write.mode("append").parquet(s"$storeDir/partials")
-          sk.coalesce(1).write.mode("append").parquet(s"$storeDir/sketch")
+          // foreachBatch is at-least-once (fanoutInstall's contract): a
+          // replayed microbatch must REPLACE its own prior write, never
+          // append a double-count that breaks the merge≡recompute
+          // oracle. Each epoch owns a batch=<id> partition directory it
+          // overwrites idempotently; partition discovery on the read
+          // side restores the batch column the blind-append used to
+          // carry in-file.
+          p.drop("batch").coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/partials/batch=$id")
+          sk.drop("batch").coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/sketch/batch=$id")
         }
         .option("checkpointLocation", root.resolve("ck").toString)
         .start()

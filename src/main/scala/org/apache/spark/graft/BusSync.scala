@@ -17,7 +17,13 @@ object BusSync {
   def drain(sc: SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty()
     catch {
-      case e: Throwable =>
+      // NonFatal only: an OOM/fatal error must propagate, and an
+      // interrupt must keep its flag — the bench's child-JVM kill path
+      // interrupts this thread and a swallowed flag would hang it
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        System.err.println(s"[bench] listener bus drain interrupted: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] listener bus drain failed: ${e.getMessage}")
     }
 }
