@@ -1906,7 +1906,7 @@ object Stats {
     * (every top-k count equal to the (k+1)-th) still reports its real
     * nonzero decrement to the guarantee ledger (r19 advice).
     */
-  private def mgCompress(
+  private[graft] def mgCompress(
       s: SparkSession, h: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val top = h.orderBy($"cnt".desc, $"key").limit(k + 1)

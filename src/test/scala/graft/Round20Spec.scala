@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 gates for the r19 advice/verdict items: the two-level KMV
+  * sketch build (no single-reducer sort of a column's distinct domain),
+  * the q367 emptied-summary decrement edge, and the stream-ANALYZE
+  * replay idempotence contract.
+  */
+class Round20Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- KMV two-level build (r19 verdict item 3) -----------------------
+
+  test("KMV sketch: two-level build matches the single-window k-smallest exactly") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val (_, sk) = ops.Analyze.colPartials(li, 0)
+    val twoLevel = sk.select($"col_name", $"h").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(identity).toSeq
+    // the reference spelling: one global rank per column over the full
+    // distinct domain — correct, just not the shape we ship
+    val m = li.columns.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (acc, c) =>
+        val one = li.select(lit(c).as("col_name"),
+          col(c).cast("string").as("v"))
+        Some(acc.map(_.unionByName(one)).getOrElse(one))
+    }.get
+    val single = m.where($"v".isNotNull)
+      .select($"col_name", $"v").distinct()
+      .withColumn("h", md5($"v".cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"col_name").orderBy($"h")))
+      .where($"rk" <= ops.Analyze.KmvK)
+      .select($"col_name", $"h").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(identity).toSeq
+    assert(twoLevel == single,
+      "two-level KMV build diverged from the global k-smallest set")
+  }
+
+  test("KMV sketch plan: level-1 rank is bucketed, level-2 sits above its filter") {
+    val li = Tables.lineitem(spark, sf)
+    val (_, sk) = ops.Analyze.colPartials(li, 0)
+    val plan = sk.queryExecution.executedPlan.toString
+    val colOnly = """windowspecdefinition\(col_name#\d+, h#""".r
+      .findFirstMatchIn(plan).map(_.start)
+    val bucketed = """windowspecdefinition\(col_name#\d+, sb#\d+L?, h#""".r
+      .findFirstMatchIn(plan).map(_.start)
+    assert(bucketed.nonEmpty,
+      "no (col_name, sb)-partitioned window in the sketch plan — the " +
+        "level-1 bucketed rank is gone and a full-domain per-column " +
+        "sort is back")
+    assert(colOnly.nonEmpty, "no level-2 per-column window in the plan")
+    // executedPlan prints top-down: the per-column window must be the
+    // UPPER one, running on level-1 survivors (<= fanout*k rows per
+    // column), never on the raw distinct domain
+    assert(colOnly.get < bucketed.get,
+      "the per-column window sits BELOW the bucketed one — it is " +
+        "ranking the full distinct domain again")
+  }
+
+  // ---- q367: emptied-summary decrement (r19 advice) -------------------
+
+  test("MG compress reports its decrement even when the summary empties") {
+    import spark.implicits._
+    // k=2, three keys all tied at 5: t = 5 (the (k+1)-th count), and no
+    // survivor has cnt > t — the summary is EMPTY but a real decrement
+    // of 5 was applied and must reach the guarantee ledger
+    val h = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("key", "cnt")
+    val (summary, t) = ops.Stats.mgCompress(spark, h, 2)
+    assert(summary.count() == 0L, "tied top-(k+1) must empty the summary")
+    assert(t.head().getLong(0) == 5L,
+      "emptied summary understated its decrement — t must come from " +
+        "the ranked frame, not the survivors")
+  }
+
+  // ---- q362: replay-idempotent partials store (r19 advice) ------------
+
+  test("stream-ANALYZE store: a replayed batch write replaces, never double-counts") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r20_replay").toString
+    def writeBatch(store: String, id: Long): Unit = {
+      val (p, sk) = ops.Analyze.colPartials(li, id.toInt)
+      p.drop("batch").coalesce(1).write.mode("overwrite")
+        .parquet(s"$store/partials/batch=$id")
+      sk.drop("batch").coalesce(1).write.mode("overwrite")
+        .parquet(s"$store/sketch/batch=$id")
+    }
+    writeBatch(s"$root/once", 0)
+    writeBatch(s"$root/replayed", 0)
+    writeBatch(s"$root/replayed", 0) // the at-least-once redelivery
+    val once = ops.Analyze.mergedStatsReadout(spark, s"$root/once")
+      .collect().toSeq
+    val replayed = ops.Analyze.mergedStatsReadout(spark, s"$root/replayed")
+      .collect().toSeq
+    assert(replayed == once,
+      "a redelivered microbatch changed the merged readout — the " +
+        "batch-keyed overwrite is not idempotent")
+    // and the readout really covers the rows (a vacuous pass guard)
+    assert(once.map(_.getAs[Long]("n_rows")).distinct == Seq(li.count()),
+      "per-column row counts must equal the batch size")
+  }
+}
