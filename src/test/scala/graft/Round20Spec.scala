@@ -77,6 +77,61 @@ class Round20Spec extends AnyFunSuite {
         "the ranked frame, not the survivors")
   }
 
+  // ---- q368/q369: the plan follows the ARTIFACT (CBO loop closure) ----
+
+  test("q368: flipping the stored join-order advice flips the physical plan, not the answer") {
+    import spark.implicits._
+    val honest = SparkEntry.queries("q368_stats_planned_join")(spark, sf)
+      .collect().toSeq
+    val root = ops.Analyze.cboStore(spark, sf)
+    val led = spark.read.parquet(s"$root/ledger").collect()
+      .map(r => (r.getAs[String]("first_join"), r.getAs[Long]("est_rows"),
+        r.getAs[Long]("actual_rows"), !r.getAs[Boolean]("advised")))
+      .toSeq
+    try {
+      led.toDF("first_join", "est_rows", "actual_rows", "advised")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/ledger")
+      // q368's own in-plan `require`s assert the innermost join matches
+      // whatever the artifact advises — a green run under the flipped
+      // ledger PROVES the physical order followed the store, and the
+      // identical rows prove the decision changed the plan only
+      val flipped = SparkEntry.queries("q368_stats_planned_join")(
+        spark, sf).collect().toSeq
+      assert(flipped == honest,
+        "join order changed the ANSWER — the oracle contract is broken")
+    } finally
+      // the tampered ledger must not outlive the test: drop the store
+      // so the next consumer rebuilds the honest artifact
+      graft.streaming.Streams.deleteStaged(
+        java.nio.file.Paths.get(root))
+  }
+
+  test("q369: the stored salt factor parameterizes the join's fan-out") {
+    import spark.implicits._
+    val honest = SparkEntry.queries("q369_salted_join_stored")(spark, sf)
+      .collect().toSeq
+    val root = ops.Analyze.skewStore(spark, sf)
+    val sk = spark.read.parquet(s"$root/skew").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("ideal_rows"),
+        3L, true))
+      .toSeq
+    try {
+      sk.toDF("event_type", "n_rows", "share_ppm", "ideal_rows",
+        "salt_factor", "is_skewed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/skew")
+      // q369 `require`s the plan's pmod literal equals the STORED
+      // factor — green under the tampered 3 proves consumption, and
+      // the result must not move (salt-independence)
+      val tampered = SparkEntry.queries("q369_salted_join_stored")(
+        spark, sf).collect().toSeq
+      assert(tampered == honest,
+        "salt factor changed the ANSWER — salting must be result-neutral")
+    } finally
+      graft.streaming.Streams.deleteStaged(
+        java.nio.file.Paths.get(root))
+  }
+
   // ---- q362: replay-idempotent partials store (r19 advice) ------------
 
   test("stream-ANALYZE store: a replayed batch write replaces, never double-counts") {
