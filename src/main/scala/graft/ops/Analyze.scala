@@ -146,6 +146,21 @@ object Analyze {
     left.join(r, keys)
   }
 
+  /** [[statsJoinStored]] for differently-named key columns: the join
+    * condition is built AFTER the advice decides the build side, so a
+    * production dim join spells `statsJoinStoredOn(..., col("l_partkey")
+    * === col("p_partkey"))` and the broadcast hint comes from the
+    * persisted ANALYZE artifact, never from a hand-placed constant.
+    */
+  def statsJoinStoredOn(
+      s: SparkSession, d: String, left: DataFrame, rightTable: String,
+      cond: Column, budget: Long = BroadcastBudgetBytes): DataFrame = {
+    val right = Tables.load(s, d, rightTable)
+    val r = if (adviseBroadcastStored(s, d, rightTable, budget))
+      broadcast(right) else right
+    left.join(r, cond)
+  }
+
   /** q346: ANALYZE over `lineitem` — the widest driver table. */
   private def q346(s: SparkSession, d: String): DataFrame =
     tableStats(Tables.lineitem(s, d))

@@ -132,6 +132,33 @@ class Round20Spec extends AnyFunSuite {
         java.nio.file.Paths.get(root))
   }
 
+  test("q04: the stored ANALYZE artifact decides its broadcast, both ways") {
+    import spark.implicits._
+    val sizeOff = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    sizeOff.foreach { case (k, v) =>
+      val old = spark.conf.get(k)
+      spark.conf.set(k, v)
+      try {
+        // advised branch: part's measured mass fits the budget -> the
+        // query's plan must carry the broadcast WITHOUT any
+        // size-estimate help
+        val hinted = SparkEntry.queries("q04_brand_volume")(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(hinted.contains("BroadcastHashJoin"),
+          "stored advice did not materialize as a broadcast join")
+        // refused branch: a zero budget must yield a shuffle join from
+        // the SAME artifact read
+        val refused = ops.Analyze.statsJoinStoredOn(spark, sf,
+          Tables.lineitem(spark, sf), "part",
+          $"l_partkey" === $"p_partkey", budget = 0L)
+          .groupBy($"p_brand").agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+        assert(!refused.contains("BroadcastHashJoin"),
+          "zero budget still broadcast — the artifact is decorative")
+      } finally spark.conf.set(k, old)
+    }
+  }
+
   // ---- q362: replay-idempotent partials store (r19 advice) ------------
 
   test("stream-ANALYZE store: a replayed batch write replaces, never double-counts") {
