@@ -129,12 +129,19 @@ object Analyze {
     */
   def adviseBroadcastStored(
       s: SparkSession, d: String, table: String,
-      budget: Long = BroadcastBudgetBytes): Boolean = {
+      budget: Long = BroadcastBudgetBytes): Boolean =
+    storedMassBytes(s, d, table) < budget
+
+  /** The measured total byte mass of a driver table, from its persisted
+    * ANALYZE artifact (memoized on the freshness-keyed root).
+    */
+  private[graft] def storedMassBytes(
+      s: SparkSession, d: String, table: String): Long = {
     val root = statsStore(s, d, table)
     storedMass.computeIfAbsent(root, _ =>
       s.read.parquet(s"$root/stats")
         .agg(coalesce(sum("est_bytes"), lit(0L)))
-        .head().getLong(0)) < budget
+        .head().getLong(0))
   }
 
   /** Stats-informed equi-join: broadcast the right side iff ANALYZE says
@@ -615,10 +622,17 @@ object Analyze {
     * threshold): bucket prefix sums locate the target bucket, one
     * refine pass inside it — never a global row sort.
     */
-  private def q360(s: SparkSession, d: String): DataFrame = {
+  private def q360(s: SparkSession, d: String): DataFrame =
+    quantReadout(s, s.read.parquet(s"${quantStore(s, d)}/hist"))
+
+  /** The merged quantile walk from raw (rf, cents, cnt[, batch]) store
+    * rows — ONE spelling shared by q360 (store read) and q372 (the
+    * compacted store), so the two cannot drift.
+    */
+  private[graft] def quantReadout(
+      s: SparkSession, hist: DataFrame): DataFrame = {
     import s.implicits._
-    val root = quantStore(s, d)
-    val merged = s.read.parquet(s"$root/hist")
+    val merged = hist
       .groupBy($"rf", $"cents")
       .agg(sum($"cnt").as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -784,6 +798,33 @@ object Analyze {
       .groupBy($"cents").agg(sum($"cnt").as("cnt"))
   }
 
+  /** The equi-depth interpolation estimator — ONE spelling shared by
+    * the q364/q366 ledger and q371's plan decision (so the ledger the
+    * oracle certifies and the number a join strategy keys on cannot
+    * drift): per (range × bucket), overlap_ppm = clamped
+    * (min(hi,b₊)−max(lo,b))·10⁶ DIV (b₊−b) (zero-width buckets
+    * all-or-nothing), est = Σ DIV 8. Sees ONLY the 9 boundaries.
+    */
+  private def rangeEstPpm(
+      s: SparkSession, bounds: DataFrame, ranges: DataFrame): DataFrame = {
+    import s.implicits._
+    val buckets = bounds.select($"j", $"b")
+      .withColumn("bn", lead($"b", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"j")))
+      .where($"bn".isNotNull)
+    ranges.crossJoin(broadcast(buckets)) // few-row × 8-row
+      .withColumn("ov",
+        least($"hi", $"bn") - greatest($"lo", $"b"))
+      .withColumn("frac_ppm",
+        when($"bn" === $"b",
+          when($"b" >= $"lo" && $"b" < $"hi", lit(1000000L))
+            .otherwise(lit(0L)))
+          .otherwise(expr(
+            "greatest(0L, least(1000000L, (ov * 1000000) DIV (bn - b)))")))
+      .groupBy($"range_id", $"lo", $"hi", $"n")
+      .agg(expr("sum(frac_ppm) DIV 8").as("est_ppm"))
+  }
+
   /** The q364 ledger from a 9-row boundary frame — ONE spelling shared
     * by q364 (boundaries computed in-plan) and q366 (boundaries read
     * back from the persisted artifact), so the two cannot drift. The
@@ -811,21 +852,7 @@ object Analyze {
       )).as("rg"))
       .select($"rg.range_id", $"rg.lo", $"rg.hi", $"rg.n")
     // estimator arm: sees ONLY the 9 boundaries
-    val buckets = bounds.select($"j", $"b")
-      .withColumn("bn", lead($"b", 1).over(
-        org.apache.spark.sql.expressions.Window.orderBy($"j")))
-      .where($"bn".isNotNull)
-    val est = ranges.crossJoin(broadcast(buckets)) // 3-row × 8-row
-      .withColumn("ov",
-        least($"hi", $"bn") - greatest($"lo", $"b"))
-      .withColumn("frac_ppm",
-        when($"bn" === $"b",
-          when($"b" >= $"lo" && $"b" < $"hi", lit(1000000L))
-            .otherwise(lit(0L)))
-          .otherwise(expr(
-            "greatest(0L, least(1000000L, (ov * 1000000) DIV (bn - b)))")))
-      .groupBy($"range_id", $"lo", $"hi", $"n")
-      .agg(expr("sum(frac_ppm) DIV 8").as("est_ppm"))
+    val est = rangeEstPpm(s, bounds, ranges)
     // exact arm: the histogram itself
     val actual = hist.crossJoin(broadcast(ranges))
       .where($"cents" >= $"lo" && $"cents" < $"hi")
@@ -1305,6 +1332,115 @@ object Analyze {
     mergedStatsReadout(s, outRoot)
   }
 
+  /** q371: SELECTIVITY-PLANNED JOIN STRATEGY, oracle-gated — the last
+    * CBO ledger consumed by a plan decision (q368 took order/
+    * broadcast/width, q369 the salt; this takes q366's range
+    * selectivity): for the head-5% price band derived from the STORED
+    * equi-depth boundaries (the same 9-row read q366 serves), the
+    * filtered fact's estimated mass = stored table mass (q346's
+    * artifact) × est_ppm (the SHARED [[rangeEstPpm]] interpolation)
+    * decides the orders⋈σ(lineitem) strategy: under the budget the
+    * FILTERED side broadcasts — the decision a planner cannot make
+    * from table-level stats alone, because the unfiltered fact is
+    * never broadcastable; only a selectivity estimate prices the
+    * band. The decision is proven in-plan when it fires; the answer
+    * is strategy-independent and the oracle replays boundary
+    * derivation + range + join in plain SQL. Round20Spec locks the
+    * refused arm (zero budget ⇒ shuffle join) with autobroadcast off.
+    *
+    * 100 TB story: est costs a 9-row + 1-row metadata read; the wrong
+    * default (always shuffle) pays a full fact exchange for a band
+    * that fits in a broadcast, and the other wrong default (trust
+    * file-size estimates) never fires because the FILTER's output size
+    * is unknown to the planner without exactly this histogram.
+    */
+  private def q371(s: SparkSession, d: String): DataFrame =
+    q371Inner(s, d, BroadcastBudgetBytes)
+
+  private[graft] def q371Inner(
+      s: SparkSession, d: String, budget: Long): DataFrame = {
+    import s.implicits._
+    val bounds = s.read.parquet(s"${boundaryStore(s, d)}/bounds")
+    val lo8 = bounds.where($"j" === 0).select($"b".as("bmin"), $"n")
+    val hi8 = bounds.where($"j" === 8).select($"b".as("bmax"))
+    val ranges = lo8.crossJoin(broadcast(hi8))
+      .withColumn("span", $"bmax" - $"bmin")
+      .select(lit("head_5pct").as("range_id"), $"bmin".as("lo"),
+        ($"bmin" + expr("span DIV 20")).as("hi"), $"n")
+    val est = rangeEstPpm(s, bounds, ranges).head()
+    val (lo, hi) = (est.getAs[Long]("lo"), est.getAs[Long]("hi"))
+    val estBytes = storedMassBytes(s, d, "lineitem") *
+      est.getAs[Long]("est_ppm") / 1000000L
+    val filtered = Tables.lineitem(s, d)
+      .withColumn("cents",
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+      .where($"cents" >= lo && $"cents" < hi)
+      .select($"l_orderkey", $"cents")
+    val doBroadcast = estBytes < budget
+    val side = if (doBroadcast) broadcast(filtered) else filtered
+    val out = Tables.orders(s, d)
+      .join(side, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("sum_cents"))
+      .orderBy($"o_orderpriority")
+    // prove the fired decision physically; the refused arm is locked
+    // in Round20Spec with size-estimate autobroadcast disabled (here a
+    // small ACTUAL band could legitimately auto-broadcast)
+    if (doBroadcast)
+      require(out.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "selectivity advice said broadcast but the plan shuffles")
+    out
+  }
+
+  private val q371Sql =
+    """WITH h AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT cents, cnt,
+      |    SUM(cnt) OVER (ORDER BY cents) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT j, MIN(cents) AS b
+      |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) g
+      |  WHERE cum > ((n - 1) * j) // 8 AND cum - cnt <= ((n - 1) * j) // 8
+      |  GROUP BY j),
+      |rng AS (
+      |  SELECT b0.b AS lo, b0.b + (b8.b - b0.b) // 20 AS hi
+      |  FROM (SELECT b FROM b WHERE j = 0) b0,
+      |       (SELECT b FROM b WHERE j = 8) b8)
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |CROSS JOIN rng
+      |WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) >= lo
+      |  AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) < hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q372: QUANTILE-STORE COMPACTION, oracle-gated — q370's drill for
+    * the OTHER incremental store class: the q360 histogram's per-batch
+    * appends run through the q356/q321 fragmentCompactServe staging
+    * (slot = the cents value, so buckets are value-hash-uniform) and
+    * the SERVED rows feed the SAME [[quantReadout]] walk against
+    * q360's oracle VERBATIM — compacted store ≡ one-scan recompute of
+    * the full distribution, q260's discipline on the distribution
+    * statistic.
+    */
+  private def q372(s: SparkSession, d: String): DataFrame = {
+    val src = quantStore(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"target/graft_stats_store/q372_compact_$tag"
+    quantReadout(s, StoreCompact.fragmentCompactServe(s,
+      s.read.parquet(s"$src/hist"), "cents", root))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q346_table_stats", q346, Some(q346Sql)),
     QueryDef("q350_join_cardinality", q350, Some(q350Sql)),
@@ -1343,5 +1479,12 @@ object Analyze {
     // the stats store through the q356/q321 compaction drill; oracle =
     // q359's recompute VERBATIM (compacted store ≡ recompute)
     QueryDef("q370_stats_store_compaction", q370, Some(q359Sql)),
+    // q366's selectivity estimate deciding a join STRATEGY (broadcast
+    // the filtered band iff its estimated mass fits), proven in-plan;
+    // oracle replays boundaries + range + join in plain SQL
+    QueryDef("q371_selectivity_planned", q371, Some(q371Sql)),
+    // the quantile store through the compaction drill; oracle = q360's
+    // recompute VERBATIM (compacted store ≡ recompute)
+    QueryDef("q372_quant_store_compaction", q372, Some(q360Sql)),
   )
 }

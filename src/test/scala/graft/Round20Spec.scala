@@ -159,6 +159,28 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("q371: the selectivity estimate decides the join strategy, both ways") {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      // fired arm: the head-band's estimated mass fits -> broadcast,
+      // proven by q371's own in-plan require (it ran green above the
+      // size-estimate machinery, which is disabled here)
+      val fired = SparkEntry.queries("q371_selectivity_planned")(spark, sf)
+      assert(fired.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // refused arm: a zero budget must shuffle the SAME estimated band
+      val refused = ops.Analyze.q371Inner(spark, sf, budget = 0L)
+      assert(!refused.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "zero budget still broadcast — the selectivity estimate is " +
+          "not the decision input")
+      assert(refused.collect().toSeq == fired.collect().toSeq,
+        "join strategy changed the ANSWER")
+    } finally spark.conf.set(k, old)
+  }
+
   // ---- q362: replay-idempotent partials store (r19 advice) ------------
 
   test("stream-ANALYZE store: a replayed batch write replaces, never double-counts") {
