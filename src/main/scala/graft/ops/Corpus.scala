@@ -529,7 +529,11 @@ object Corpus {
       docs: DataFrame, minMatches: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs.select($"doc_id", $"split", split($"text", " ").as("t"))
+    // single-split corpora run the shingle explode + 16 md5 mins on one
+    // core (r20: 4.2 s of single-task CPU); layout-adaptive spread, a
+    // no-op when the scan already has >= cores splits (Scale helper)
+    val toks = Scale.spreadIfNarrow(docs, col("doc_id"))
+      .select($"doc_id", $"split", split($"text", " ").as("t"))
     val sh = toks
       .filter(size($"t") >= 3)
       .select($"doc_id", $"split",
@@ -852,8 +856,9 @@ object Corpus {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy($"cnt".desc, $"bg".desc)
-    Tables
-      .documents(s, d)
+    // bigram explode + map-side agg run upstream of the first exchange;
+    // spread a narrow scan across the cores first (no-op at scale)
+    Scale.spreadIfNarrow(Tables.documents(s, d), $"doc_id")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 2)
       .select(

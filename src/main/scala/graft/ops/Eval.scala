@@ -2273,7 +2273,10 @@ object Eval {
   private[graft] def corpusBleu(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs
+    // the n-gram ladder (1..4 nested transforms) is the expensive part
+    // and runs upstream of any exchange — spread a narrow scan first
+    // (no-op at production split counts; see Scale.spreadIfNarrow)
+    val toks = Scale.spreadIfNarrow(docs, col("doc_id"))
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 4)
       .select($"doc_id", expr("slice(t, 1, 48)").as("ct"),
@@ -2409,7 +2412,10 @@ object Eval {
   private[graft] def rougeN(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val pairs = neighborPairs(docs)
+    // neighborPairs leaves the frame on its few (lang, source) window
+    // partitions; both gram ladders below are per-row-expensive, so
+    // re-spread by doc before them (layout-adaptive — no-op at scale)
+    val pairs = Scale.spreadIfNarrow(neighborPairs(docs), col("doc_id"))
     val cand = gramCounts(pairs, "ct", 2)
     val ref  = gramCounts(pairs, "rt", 2).withColumnRenamed("c", "rc")
     val perPair = cand.join(ref, Seq("doc_id", "n", "g"), "left")

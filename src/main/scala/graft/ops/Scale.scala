@@ -81,6 +81,48 @@ object Scale {
       call_function("graft_might_contain", lit(b), xxhash64(key)))
   }
 
+  /** LAYOUT-ADAPTIVE compute spread (r20, guide §2.5/§6): hash-spread
+    * `df` across the session's cores — but ONLY when its file scan has
+    * fewer splits than the session parallelism. The problem it solves:
+    * at bench SFs a table arrives as ONE parquet file, so every
+    * per-row-expensive stage UPSTREAM of the first exchange (shingle
+    * explodes, per-gram md5s, kernel hashing) runs on ONE core while 31
+    * idle — r20 metrics showed q301 at 4.6 s wall with 5 tasks and
+    * 4.2 s of single-task CPU, q343/q344/q132/q264 the same shape (the
+    * q243 fan documented this first: 38 s single-split vs ~4 s spread).
+    * The spread is CONDITIONAL on the observed layout, not a constant:
+    * estimated splits = Σ file bytes / `maxPartitionBytes` (the same
+    * arithmetic FilePartition uses, ignoring the per-file open-cost
+    * packing — an UNDERestimate of splits never suppresses a needed
+    * spread) — at production scale a corpus scan has thousands of
+    * splits, the condition never fires, and the payload-sized exchange
+    * this would add (the objection to spreading TEXT) simply is not in
+    * the plan. Keyed by a real column (deterministic under task
+    * retries — guide §2.5's round-robin/rand hazard), width = the
+    * session's `defaultParallelism` so the driver's reduced-core PERF
+    * runs scale it down automatically.
+    */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      s.sessionState.conf.filesMaxPartitionBytes)
+    val splits =
+      try {
+        val hconf = s.sparkContext.hadoopConfiguration
+        val bytes = df.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }.sum
+        math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+      } catch {
+        // an unlistable source (ExistingRDD, dropped file) must not
+        // fail the query over a load-balancing hint; assume narrow
+        case scala.util.control.NonFatal(_) => 1L
+      }
+    if (splits >= cores) df else df.repartition(cores, key)
+  }
+
   /** q87: bloom-prefiltered semi-join. The dim side (urgent orders) is
     * sketched into a bloom filter in one native-aggregate pass; the
     * fact scan drops non-matching rows BEFORE the join shuffle; the

@@ -235,8 +235,13 @@ object Text {
   private def q264(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val G = 6
-    val toksArr = Tables
-      .documents(s, d)
+    // the 6-gram position explode + per-gram md5 is computed twice
+    // (dup aggregate + hits join) upstream of any exchange — spread a
+    // narrow scan first (layout-adaptive; no-op at production split
+    // counts, so the hash-only-shuffle discipline below is untouched
+    // where it matters)
+    val toksArr = Scale
+      .spreadIfNarrow(Tables.documents(s, d), $"doc_id")
       .select($"doc_id", tokens($"text").as("toks"))
     val grams = toksArr
       .where(size($"toks") >= G)

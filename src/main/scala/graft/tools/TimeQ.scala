@@ -7,6 +7,24 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional microbatch profile: SPARK_GRAFT_STREAMPROF=1 prints each
+    // progress event's durationMs map (triggerExecution, queryPlanning,
+    // walCommit, addBatch, ...) — where a streaming harness's wall
+    // clock actually goes
+    if (sys.env.contains("SPARK_GRAFT_STREAMPROF"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          def onQueryStarted(e: QueryStartedEvent): Unit =
+            println(s"[sq] started ${e.id}")
+          def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"[sq] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}")
+          }
+          def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            println(s"[sq] terminated")
+        })
     graft.ops.Graph.coPurchaseEdges(spark, "/root/testdata/sf0.1").count()
     for (q <- args(0).split(","); r <- 1 to 2) {
       val t0 = System.nanoTime()

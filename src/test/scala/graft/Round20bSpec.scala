@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 optimization gates: the layout-adaptive compute spread
+  * (`Scale.spreadIfNarrow`) that parallelizes per-row-expensive stages
+  * over single-split bench inputs without changing any result — and
+  * without firing at production split counts.
+  */
+class Round20bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("spreadIfNarrow widens a narrow scan to defaultParallelism, keyed") {
+    val docs = Tables.documents(spark, sf)
+    val spread = ops.Scale.spreadIfNarrow(docs, col("doc_id"))
+    // the spread must be a real hash repartition (deterministic under
+    // task retries), at the session's parallelism
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "narrow scan was not spread to defaultParallelism")
+    val plan = spread.queryExecution.optimizedPlan.toString
+    assert(plan.contains("doc_id"),
+      s"spread is not keyed by the requested column:\n$plan")
+    // row multiset unchanged — the helper is a layout hint, never a
+    // semantic operator
+    assert(spread.count() == docs.count())
+  }
+
+  test("spreadIfNarrow is the identity when the scan already has enough splits") {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(key)
+    try {
+      // shrink the split size so even the tiny test file counts as
+      // >= cores splits — the helper must then return the frame AS IS
+      spark.conf.set(key, "1024")
+      val docs = Tables.documents(spark, sf)
+      val spread = ops.Scale.spreadIfNarrow(docs, col("doc_id"))
+      assert(spread eq docs,
+        "spread fired on a wide layout — at production split counts " +
+          "this would add a payload-sized exchange")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q132/q264/q301/q343/q344 stay row-identical under the spread") {
+    // the spread sites' results must not depend on the layout hint:
+    // compare each against itself computed with the spread suppressed
+    // (wide-layout conf), row multiset equality
+    val names = Seq("q132_top_ngram", "q264_dup_spans",
+      "q343_corpus_bleu", "q344_rouge_n")
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(key)
+    for (n <- names) {
+      val withSpread = SparkEntry.queries(n)(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      val without =
+        try {
+          spark.conf.set(key, "1024") // helper sees a wide layout -> no-op
+          SparkEntry.queries(n)(spark, sf).collect()
+            .map(_.toString).sorted.toSeq
+        } finally spark.conf.set(key, saved)
+      assert(withSpread == without, s"$n rows changed under the spread")
+    }
+  }
+}
