@@ -773,14 +773,23 @@ object Analyze {
     * so the interpolation error per range is at most ~2 buckets.
     */
   private def q364(s: SparkSession, d: String): DataFrame =
-    selectivityLedger(s, d, equiDepthBounds(s, d))
+    // r20: the ledger references its boundary frame from THREE subtrees
+    // (lo8/hi8 inside `ranges`, the estimator's buckets) — as a lazy
+    // plan each one re-ran the store scan + merge + rank walk (~3× the
+    // whole boundary build, measured 2.1 s wall for a 3-row ledger).
+    // Materialize the 9-row frame once; q366 gets this for free (its
+    // boundaries are already a persisted 9-row parquet).
+    selectivityLedger(s, d, equiDepthBounds(s, d).localCheckpoint())
 
   /** The 9 equi-depth boundaries (j, b, n) from the merged quantile
     * store — b_j straddles rank (n−1)·j DIV 8.
     */
   private def equiDepthBounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hist = mergedHist(s, d)
+    // r20: the merged histogram feeds BOTH the cumulative walk and the
+    // 1-row total below — materialize the value-grain frame (distinct
+    // cents, bounded) so the store scan + merge runs once, not twice
+    val hist = mergedHist(s, d).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
     val cum = hist
       .withColumn("cum", sum($"cnt").over(w))

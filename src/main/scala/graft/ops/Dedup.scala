@@ -335,19 +335,31 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
+      // r20 (guide §2.4/§1.2): the convergence test used to be its OWN
+      // planned join job per sweep (next ⋈ labels, filter, isEmpty) —
+      // at bench SFs that doubled the loop's job count for frames of a
+      // few thousand slim rows. Fold the change flag INTO the sweep:
+      // min-label propagation only ever LOWERS a label, so
+      // changed ⟺ propagated min < old label, computable in the same
+      // left join that merges the propagation into the old labels. The
+      // convergence probe is then a filter scan of the just-
+      // materialized checkpoint, not a fresh join. Same fixpoint, same
+      // node set (init covers every sym endpoint, and a left join
+      // preserves it), same labels — CorpusSpec's union-find and
+      // long-chain gates hold.
       val next = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("label"))
-        .unionByName(labels)
         .groupBy("node")
-        .agg(min("label").as("label"))
+        .agg(min("label").as("mv"))
+        .join(labels, Seq("node"), "right")
+        .select(col("node"),
+          least(col("label"), coalesce(col("mv"), col("label")))
+            .as("label"),
+          coalesce(col("mv") < col("label"), lit(false)).as("chg"))
         .localCheckpoint(true)
-      done = next
-        .withColumnRenamed("label", "next_label")
-        .join(labels, "node")
-        .filter(col("next_label") =!= col("label"))
-        .isEmpty
-      labels = next
+      done = next.filter(col("chg")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     sym.unpersist()

@@ -25,6 +25,26 @@ object TimeQ {
           def onQueryTerminated(e: QueryTerminatedEvent): Unit =
             println(s"[sq] terminated")
         })
+    // optional job profile: SPARK_GRAFT_JOBPROF=1 prints every job's
+    // wall ms + task count — is a harness many tiny sequential jobs
+    // (driver/scheduler-bound) or a few real ones?
+    if (sys.env.contains("SPARK_GRAFT_JOBPROF"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[
+            Int, (Long, Int)]()
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(e.jobId,
+              (System.nanoTime(), e.stageInfos.map(_.numTasks).sum))
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = t0.remove(e.jobId)
+            if (s != null)
+              println(f"[job] id=${e.jobId} wall=${
+                (System.nanoTime() - s._1) / 1e6}%.0fms tasks=${s._2}")
+          }
+        })
     graft.ops.Graph.coPurchaseEdges(spark, "/root/testdata/sf0.1").count()
     for (q <- args(0).split(","); r <- 1 to 2) {
       val t0 = System.nanoTime()
