@@ -103,8 +103,8 @@ object Bench {
     // leaving 8× the machine idle (gen_block_10m: 17.3 s at 4 threads,
     // 3.4 s at 32). Env-overridable for constrained local profiling.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = SessionTuning(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       // the NTZ ts layout is interpreted in the SESSION time zone — pin
       // UTC like Verify/SqlRunner/tests, or a non-UTC host JVM would
@@ -144,13 +144,59 @@ object Bench {
     // after it — including the q88 bucketed-table pre-build — silently
     // never ran, so q88's timed number still paid the one-time write.
     // A warm-up failure must cost only its own step, and must be loud.
-    def warm(stage: String)(body: => Unit): Unit =
+    //
+    // r20 verdict item 1: the warm steps are where the build-if-absent
+    // store family pays its one-time builds, and `warm()` used to time
+    // nothing — the erase transaction q337 serves from was invisible in
+    // the artifact. Every step is now WALL-TIMED and flagged
+    // built-vs-found: `built` = the step's body physically completed at
+    // least one store this run, detected as a delta in the count of
+    // `_GRAFT_STORE_COMPLETE` markers under the store bases (plus the
+    // marker-less bucketed catalog tables under the warehouse dir).
+    // The full ledger rides bench_full.json; the JSON line carries the
+    // attributable entries (see the emit site).
+    def storeMarkerCount(): Int =
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val tgt = new org.apache.hadoop.fs.Path(
+          new java.io.File("target").getAbsolutePath)
+        val bases =
+          if (!fs.exists(tgt)) Seq.empty
+          else fs.listStatus(tgt).toSeq.filter(st => st.isDirectory && {
+            val n = st.getPath.getName
+            n.startsWith("stage_") || n.startsWith("graft_")
+          }).map(_.getPath)
+        val markers = bases.iterator.flatMap { b =>
+          fs.listStatus(b).iterator.filter(_.isDirectory).filter(d =>
+            fs.exists(new org.apache.hadoop.fs.Path(
+              d.getPath, "_GRAFT_STORE_COMPLETE")))
+        }.size
+        val wh = new org.apache.hadoop.fs.Path(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val tables =
+          if (!fs.exists(wh)) 0
+          else fs.listStatus(wh)
+            .count(st => st.isDirectory &&
+              st.getPath.getName.startsWith("graft_bk_"))
+        markers + tables
+      } catch { case scala.util.control.NonFatal(_) => -1 }
+    val warmLedger =
+      scala.collection.mutable.ListBuffer.empty[(String, Double, Boolean)]
+    def warm(stage: String)(body: => Unit): Unit = {
+      val m0 = storeMarkerCount()
+      val t0 = System.nanoTime()
       try body
       catch {
         case e: Throwable =>
           System.err.println(
             s"[bench] warm-up step '$stage' failed: ${e.getMessage}")
+      } finally {
+        val sec = (System.nanoTime() - t0) / 1e9
+        val m1 = storeMarkerCount()
+        warmLedger += ((stage, sec, m0 >= 0 && m1 > m0))
       }
+    }
     // first: the session-wide nanos contract, so the events read below
     // (and every streaming query's file source) sees LONG, not an
     // illegal µs-precision TIMESTAMP(NANOS)
@@ -290,8 +336,9 @@ object Bench {
     // TRANSACTION (erase + cascade replay + rewrite) whose steady state
     // is a ledger read. r19 recorded 12.87 s for it — the transaction on
     // a contended host — and never retimed; the serving number is
-    // ~0.13 s. The build cost stays visible as this warm step's wall
-    // time in the harness log.
+    // ~0.13 s. The build cost is visible in the warm ledger: this step's
+    // wall time + built flag ride the bench JSON line and
+    // bench_full.json (r20 verdict item 1).
     warm("erased signature store") {
       graft.ops.Dedup.erasedSigStore(spark, sfDir): Unit
     }
@@ -621,12 +668,18 @@ object Bench {
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val blownJson = recordBlown.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // warm-store ledger, full fidelity: every step's wall time and
+      // whether it physically BUILT a store this run (r20 verdict item 1)
+      val warmFull = warmLedger
+        .map { case (st, sec, b) =>
+          s""""$st":[${(math.round(sec * 1000) / 1000.0)},${if (b) 1 else 0}]"""
+        }.mkString("{", ",", "}")
       java.nio.file.Files.write(p,
         (s"""{"min":$full,"retimed_passes":$both,"suspect":$sus,""" +
           s""""gc_ms":$gcPairs,"isolated":$iso,""" +
           s""""calib":$calibJson,"load":$loadJson,""" +
           s""""cpu_jiffies":$jiffJson,"load_retime":$loadReJson,""" +
-          s""""record_blown":$blownJson,""" +
+          s""""record_blown":$blownJson,"warm":$warmFull,""" +
           s""""metrics1":${metJson(met1)},"metrics2":${metJson(met2)}}""")
           .getBytes("UTF-8"))
     }
@@ -724,7 +777,36 @@ object Bench {
     // queued external demand). Full fidelity stays in bench_full.json.
     val calLine = "," + "\"calib\":[" + calib.map(r2).mkString(",") +
       "],\"load\":[" + loads.map(r2).mkString(",") + "]"
-    val extras = susGc + isoLine + diagLine + calLine
+    // warm-store ledger ON THE LINE (r20 verdict item 1): per-step
+    // [sec, built] so q337-class serving numbers carry their one-time
+    // build cost in the round artifact itself. Char discipline: short
+    // stage keys, and sub-0.1 s found-not-built steps (no adjudicable
+    // signal) collapse into one {"n","sec"} rest entry; every step
+    // stays full-name/full-precision in bench_full.json.
+    val warmLine = {
+      val keyMap = Map(
+        "nanosAsLong" -> "nanos", "lineitem scan" -> "li",
+        "text kernels" -> "txtk", "vector kernel" -> "veck",
+        "events scan" -> "ev", "gen_block slice" -> "genb",
+        "stream-stream join" -> "ssj",
+        "derived-artifact stores" -> "deriv",
+        "transformWithState slice" -> "tws",
+        "bucketed tables" -> "bkt", "co-purchase edge store" -> "copur",
+        "erased signature store" -> "esig",
+        "incremental-triangle snapshot store" -> "itri",
+        "walk corpus store" -> "walk", "calibration probe" -> "calw")
+      def k(st: String): String = keyMap.getOrElse(st,
+        st.replaceAll("[^A-Za-z0-9]+", "_").take(10))
+      val (keep, rest) = warmLedger.partition {
+        case (_, sec, built) => built || sec >= 0.1
+      }
+      val ents = keep.map { case (st, sec, b) =>
+        "\"" + k(st) + "\":[" + r1(sec) + "," + (if (b) 1 else 0) + "]"
+      } ++ (if (rest.isEmpty) Nil
+            else Seq(s""""rest":[${rest.size},${r1(rest.map(_._2).sum)}]"""))
+      ",\"warm\":" + ents.mkString("{", ",", "}")
+    }
+    val extras = susGc + isoLine + diagLine + calLine + warmLine
     def line(qs: String, omit: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$retimed$omit$extras,"errors":$errs,"sf":"$sfDir"}"""
     // tier-3 frame: every non-load-bearing char dropped so the complete
@@ -783,7 +865,11 @@ object Bench {
       else if (line3b(numMap1).length <= cap) line3b(numMap1)
       else if (line3c.length <= cap) line3c
       else {
-        val budget = 800
+        // size the queries budget from what the frame + extras actually
+        // cost, so extras growth (warm ledger, isolated evidence) can
+        // never push the line past the driver's tail window
+        val budget = math.max(400, cap - line("{}",
+          s""","queries_omitted":999,"omitted_sec":9999.999""").length)
         val kept = scala.collection.mutable.ListBuffer.empty[String]
         var used = 0
         var omitted = 0
