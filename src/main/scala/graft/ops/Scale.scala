@@ -109,16 +109,29 @@ object Scale {
       s.sessionState.conf.filesMaxPartitionBytes)
     val splits =
       try {
+        val files = df.inputFiles
+        // non-file sources (ExistingRDD, cached frames) list empty: the
+        // helper cannot SEE their layout, and the conservative default
+        // on estimation failure at scale is identity (assume wide), not
+        // a payload-sized exchange (r20 verdict item 7 / advice)
+        if (files.isEmpty) return df
+        // file count is a lower bound on splits — when it already meets
+        // the parallelism, skip the per-file getFileStatus RPCs
+        // entirely (O(files) driver-side namenode round-trips at
+        // production file counts, for a guaranteed no-op)
+        if (files.length >= cores) return df
         val hconf = s.sparkContext.hadoopConfiguration
-        val bytes = df.inputFiles.map { f =>
+        val bytes = files.map { f =>
           val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
           p.getFileSystem(hconf).getFileStatus(p).getLen
         }.sum
         math.max(1L, (bytes + maxSplit - 1) / maxSplit)
       } catch {
-        // an unlistable source (ExistingRDD, dropped file) must not
-        // fail the query over a load-balancing hint; assume narrow
-        case scala.util.control.NonFatal(_) => 1L
+        // a listing failure (dropped file, odd scheme) must not fail
+        // the query over a load-balancing hint — and must not FIRE it
+        // either: identity is the safe default when the layout is
+        // unknowable (assume wide)
+        case scala.util.control.NonFatal(_) => return df
       }
     if (splits >= cores) df else df.repartition(cores, key)
   }

@@ -43,12 +43,28 @@ class Round20bSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("spreadIfNarrow is the identity on a non-file source (ExistingRDD)") {
+    import spark.implicits._
+    // an unlistable input (no file scan behind it) must resolve to
+    // identity — the conservative default when the layout is unknowable
+    // is "assume wide", never a payload-sized exchange (r20 verdict
+    // item 7: the old fail-narrow default would repartition exactly the
+    // frames whose layout the helper cannot see)
+    val rdd = spark.sparkContext.parallelize(Seq((1L, "a"), (2L, "b")), 2)
+    val df = rdd.toDF("doc_id", "text")
+    assert(df.inputFiles.isEmpty, "fixture must be a non-file source")
+    val spread = ops.Scale.spreadIfNarrow(df, col("doc_id"))
+    assert(spread eq df,
+      "spread fired on an unlistable source — estimation failure must " +
+        "default to identity (assume wide)")
+  }
+
   test("q132/q264/q301/q343/q344 stay row-identical under the spread") {
     // the spread sites' results must not depend on the layout hint:
     // compare each against itself computed with the spread suppressed
     // (wide-layout conf), row multiset equality
     val names = Seq("q132_top_ngram", "q264_dup_spans",
-      "q343_corpus_bleu", "q344_rouge_n")
+      "q301_fuzzy_decontam", "q343_corpus_bleu", "q344_rouge_n")
     val key = "spark.sql.files.maxPartitionBytes"
     val saved = spark.conf.get(key)
     for (n <- names) {
