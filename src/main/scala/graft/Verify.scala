@@ -13,8 +13,10 @@ object Verify {
     // local[32] to match the machine (and the Bench contract); the
     // correctness dump is IO-heavy but gen_block_10m is compute-bound
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same scale-adaptive AQE tuning as Bench, so the verified plans
+    // and the timed plans are the same plans
+    val spark = SessionTuning(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -2,11 +2,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.SessionTuning(SparkSession.builder()
+      .master("local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B experiment passthrough: SPARK_GRAFT_CONF="k=v;k=v" sets
+    // runtime SQL confs on the session before any timing — the local
+    // measurement harness for config candidates (guide §1)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     // optional microbatch profile: SPARK_GRAFT_STREAMPROF=1 prints each
     // progress event's durationMs map (triggerExecution, queryPlanning,
     // walCommit, addBatch, ...) — where a streaming harness's wall
