@@ -876,11 +876,15 @@ object Eval {
       .withColumn("s", sum($"s_t").over(tot))
       .withColumn("hi", expr("cum * 4294967296 DIV n"))
       .withColumn("lo", expr("(cum - n_t) * 4294967296 DIV n"))
-    val u32 = (1 to 8)
-      .map(i =>
-        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
-          s"${math.pow(16, 8 - i).toLong}L")
-      .mkString(" + ")
+    // value-identical to the spelled-out Σ hexdigit(h[i])·16^(8−i) the
+    // oracle uses (and this site used through r20): the first 8 hex
+    // digits of h read as one base-16 number. `conv` is a single
+    // codegen'd call where the per-digit spelling paid 8 substr
+    // allocations + 8 constant-scans PER ROW — and this expression runs
+    // on the ×64 fan, the hottest row count in the suite (r21, guide
+    // §1.2 per-task work). The DuckDB oracle keeps the digit-sum
+    // spelling, so the identity is oracle-gated.
+    val u32 = "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)"
     // the corpus arrives as ONE small file at test SF — without an
     // explicit spread the ×64 fan, the md5s, and the CDF assignment all
     // run on its single input split (38 s measured). The partition
