@@ -2823,7 +2823,11 @@ object Corpus {
       s: SparkSession, d: String, frag: String): Unit = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    def postings(df: DataFrame) = df
+    // the corpus arrives as one split at bench SFs, so each of the
+    // three staging writes ran its tokenize-explode on one core —
+    // layout-adaptive spread (no-op at production split counts), same
+    // device as the q301/q343 sites (r21, guide §2.5)
+    def postings(df: DataFrame) = Scale.spreadIfNarrow(df, $"doc_id")
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"))

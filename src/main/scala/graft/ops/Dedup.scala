@@ -347,12 +347,35 @@ object Dedup {
       // node set (init covers every sym endpoint, and a left join
       // preserves it), same labels — CorpusSpec's union-find and
       // long-chain gates hold.
+      // r21 (guide §1.2 — the distributed algorithm before per-task
+      // work): POINTER JUMPING before each edge hop — label'(n) =
+      // min(label(n), label(label(n))) — turns the O(diameter) sweep
+      // count into O(log diameter): q341's pair graph measured 21
+      // edge-hop sweeps (each a checkpoint barrier + a convergence job
+      // + ~5 broadcast sub-jobs), and a path of length d halves per
+      // jump instead of shrinking by one per hop. The jump is a
+      // self-join of the just-CHECKPOINTED label frame (two leaf
+      // scans — jumping the un-materialized sweep output instead was
+      // measured WORSE: it duplicates the whole sweep subtree into
+      // both join sides). Same fixpoint: every label is the id of a
+      // node in the SAME component that is <= the node (init and both
+      // steps preserve it), and the loop still exits only when an EDGE
+      // hop lowers nothing — stability under the edge hop forces
+      // labels constant along every edge, hence the component min; the
+      // jump only accelerates, never decides. CorpusSpec's union-find
+      // equivalence and diameter-20 chain gates pin both claims.
+      val jumped = labels.as("m")
+        .join(labels.select(col("node").as("ln"), col("label").as("ll"))
+          .as("j"), col("m.label") === col("j.ln"), "left")
+        .select(col("m.node").as("node"),
+          least(col("m.label"), coalesce(col("j.ll"), col("m.label")))
+            .as("label"))
       val next = sym
-        .join(labels.withColumnRenamed("node", "v"), "v")
+        .join(jumped.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("label"))
         .groupBy("node")
         .agg(min("label").as("mv"))
-        .join(labels, Seq("node"), "right")
+        .join(jumped, Seq("node"), "right")
         .select(col("node"),
           least(col("label"), coalesce(col("mv"), col("label")))
             .as("label"),
@@ -363,6 +386,8 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    if (sys.env.contains("SPARK_GRAFT_CCPROF"))
+      println(s"[cc] converged in $iter sweeps")
     require(done, s"connectedComponents did not converge in $maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_root"))
   }

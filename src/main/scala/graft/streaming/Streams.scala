@@ -2468,7 +2468,20 @@ object Streams {
         .writeStream
         .outputMode(OutputMode.Append)
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
-          val (p, sk) = graft.ops.Analyze.colPartials(batch.toDF(), id.toInt)
+          // maxFilesPerTrigger=1 means every microbatch is ONE staged
+          // file = ONE scan split, so the per-row-heavy melt + partial
+          // aggregation upstream of the first exchange ran on one core
+          // while the rest idled (r21, guide §2.5 — the q301/q243
+          // single-split shape inside a microbatch; JOBPROF showed the
+          // two single-task ~0.8 s map jobs per batch). The layout is
+          // known here by construction, so spread explicitly by a
+          // high-cardinality key; the partials/sketch are partition-
+          // independent (additive aggs + k-smallest-distinct), so the
+          // merge ≡ recompute oracle is unchanged.
+          val spread = batch.toDF().repartition(
+            batch.sparkSession.sparkContext.defaultParallelism,
+            col("l_orderkey"))
+          val (p, sk) = graft.ops.Analyze.colPartials(spread, id.toInt)
           // foreachBatch is at-least-once (fanoutInstall's contract): a
           // replayed microbatch must REPLACE its own prior write, never
           // append a double-count that breaks the merge≡recompute

@@ -40,17 +40,19 @@ object TimeQ {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val t0 = new java.util.concurrent.ConcurrentHashMap[
-            Int, (Long, Int)]()
+            Int, (Long, Int, String)]()
           override def onJobStart(
               e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             t0.put(e.jobId,
-              (System.nanoTime(), e.stageInfos.map(_.numTasks).sum))
+              (System.nanoTime(), e.stageInfos.map(_.numTasks).sum,
+                e.stageInfos.lastOption.map(_.name).getOrElse("?")))
           override def onJobEnd(
               e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val s = t0.remove(e.jobId)
             if (s != null)
               println(f"[job] id=${e.jobId} wall=${
-                (System.nanoTime() - s._1) / 1e6}%.0fms tasks=${s._2}")
+                (System.nanoTime() - s._1) / 1e6}%.0fms tasks=${s._2} " +
+                s"site=${s._3}")
           }
         })
     graft.ops.Graph.coPurchaseEdges(spark, "/root/testdata/sf0.1").count()
