@@ -3141,7 +3141,7 @@ object Corpus {
     // erasure-family store: a superseded freshness-tagged sibling would
     // RETAIN erased posting rows on disk — sweep it, don't orphan it
     StoreGuard.sweepStaleSiblings(s, "target/stage_corpus",
-      "fullpostings", Set(root.split('/').last))
+      "fullpostings", d, Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -3181,7 +3181,7 @@ object Corpus {
     // steady-state sweep of superseded freshness-tagged roots: an old
     // root orphaned by a source rewrite may hold PRE-erase payloads
     StoreGuard.sweepStaleSiblings(s, "target/stage_corpus",
-      "fullpostings", Set(root.split('/').last))
+      "fullpostings", d, Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, PostingErasedTag,
       Seq("postings"))(fullPostingStore(s, d)) { out =>
       s.read.parquet(s"$root/postings")

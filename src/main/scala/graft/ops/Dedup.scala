@@ -884,7 +884,7 @@ object Dedup {
     // steady-state sweep: an orphaned pre-erase root would RETAIN the
     // erased docs' signatures on disk
     StoreGuard.sweepStaleSiblings(s, "target/stage_dedup",
-      "sigstore", Set(root.split('/').last))
+      "sigstore", d, Set(root.split('/').last))
     StoreGuard.eraseRewrite(s, root, SigErasedTag,
       Seq("sigs"))(sigStore(s, d)) { out =>
       val store = s.read.parquet(s"$root/sigs")
@@ -1225,7 +1225,7 @@ object Dedup {
     // steady-state sweep: an orphaned pre-erase root would RETAIN the
     // erased docs' chunk fingerprints on disk
     StoreGuard.sweepStaleSiblings(s, "target/stage_dedup",
-      "cdcstore", Set(root.split('/').last))
+      "cdcstore", d, Set(root.split('/').last))
     StoreGuard.eraseRewrite(s, root, ChunkErasedTag,
       Seq("chunks"))(chunkStore(s, d)) { out =>
       val store = s.read.parquet(s"$root/chunks")

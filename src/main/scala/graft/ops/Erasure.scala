@@ -190,8 +190,16 @@ object Erasure {
         hp.getFileSystem(conf).exists(hp)
       }
       // superseded freshness-tagged SIBLING roots: a stale sibling is
-      // a retained pre-erase copy — the sweep must have removed it
+      // a retained pre-erase copy — the sweep must have removed it.
+      // r21: scoped to THIS source dir's tag, mirroring the sweep —
+      // a same-prefix sibling keyed to ANOTHER source dir is that SF's
+      // live store, not residue of this one (the old any-sibling rule
+      // is what made SF-alternating runs destroy each other's stores);
+      // pre-migration single-tag roots are unconditionally stale.
       val liveName = base.substring(base.lastIndexOf('/') + 1)
+      val scoped = s"${a.siblingPrefix}_${StoreGuard.dirTag(d)}_"
+      val oldFormat =
+        s"^${java.util.regex.Pattern.quote(a.siblingPrefix)}_[0-9a-f]+$$".r
       val bp = new org.apache.hadoop.fs.Path(a.siblingBase)
       val bfs = bp.getFileSystem(conf)
       val nStale =
@@ -199,7 +207,8 @@ object Erasure {
         else bfs.listStatus(bp).count { st =>
           val n = st.getPath.getName
           st.isDirectory &&
-            n.startsWith(s"${a.siblingPrefix}_") && n != liveName
+            ((n.startsWith(scoped) && n != liveName) ||
+              oldFormat.findFirstIn(n).nonEmpty)
         }.toLong
       // subject-grain violations (r18 verdict item 4): rows whose
       // erasure subject is absent from the schema (the whole payload

@@ -3642,7 +3642,7 @@ object Events {
   private[graft] def erasedTsStore(s: SparkSession, d: String): String = {
     val root = tsStoreRoot(s, d)
     StoreGuard.sweepStaleSiblings(s, "target/stage_events",
-      "tsstore", Set(root.split('/').last))
+      "tsstore", d, Set(root.split('/').last))
     StoreGuard.eraseRewrite(s, root, TsErasedTag,
       Seq("series"))(tsStore(s, d)) { out =>
       val base = s.read.parquet(s"$root/series")

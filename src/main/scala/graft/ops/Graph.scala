@@ -2203,7 +2203,7 @@ object Graph {
     // erasure-family store: a superseded freshness-tagged sibling would
     // RETAIN erased pair rows on disk — sweep it, don't just orphan it
     StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
-      "fullpairs", Set(root.split('/').last))
+      "fullpairs", d, Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       skipgramPairs(walkStore(s, d))
         .repartition(8, col("center"))
@@ -2261,7 +2261,7 @@ object Graph {
     // steady-state sweep of superseded freshness-tagged roots: an old
     // root orphaned by a source rewrite may hold PRE-erase payloads
     StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
-      "fullpairs", Set(root.split('/').last))
+      "fullpairs", d, Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, SppmiErasedTag,
       Seq("pairs.parquet"))(fullPairStore(s, d)) { out =>
       s.read.parquet(s"$root/pairs.parquet")
@@ -2619,7 +2619,7 @@ object Graph {
     // steady-state sweep: an orphaned pre-erase root would RETAIN the
     // erased vectors on disk
     StoreGuard.sweepStaleSiblings(s, "target/graft_graph_store",
-      "servivf", Set(root.split('/').last))
+      "servivf", d, Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, ServingErasedTag,
       Seq("index", "cents"))(servingIvfStore(s, d)) { out =>
       val conf = s.sparkContext.hadoopConfiguration

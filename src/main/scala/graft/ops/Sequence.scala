@@ -737,7 +737,16 @@ object Sequence {
   final case class SeqMatchRowOut(user_id: Long, start_us: Long,
       us: Long, event_id: Long, event_type: String, step: Int)
 
-  private final case class MatchBounds(b_user: Long, start_us: Long,
+  // private[graft], not private: an object-private Scala class is
+  // emitted PACKAGE-PRIVATE in bytecode, and whole-stage-codegen'd
+  // classes live in another package — Janino then refuses the (public)
+  // accessor as inaccessible and every projection over this row falls
+  // back to interpreted mode (the bench log's recurring
+  // "No applicable constructor/method found ... MatchBounds.b_user()"
+  // CompileException). private[graft] erases to public bytecode, which
+  // keeps the deserialized bounds inside codegen (r21, guide §4-class
+  // non-codegen-expression hunt).
+  private[graft] final case class MatchBounds(b_user: Long, start_us: Long,
       start_eid: Long, end_us: Long, end_eid: Long)
 
   /** ALL ROWS PER MATCH — MATCH_RECOGNIZE's other output mode: instead

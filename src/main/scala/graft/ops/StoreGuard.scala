@@ -33,9 +33,26 @@ private[graft] object StoreGuard {
   def storeRoot(s: SparkSession, base: String, prefix: String,
       dir: String, sourceName: String, extra: String = ""): String = {
     val suffix = if (extra.isEmpty) "" else s":$extra"
-    s"$base/${prefix}_" + Scale.bucketTag(
+    // the name carries TWO tags: the SOURCE-DIR tag, then the
+    // freshness tag. r21 fix: the sweep below used to treat every
+    // same-prefix sibling as superseded, but a sibling keyed to a
+    // DIFFERENT source dir (another SF) is live for that SF — a verify
+    // at sf0.01 was sweeping the sf0.1 erasure stores (and vice
+    // versa), forcing a full store rebuild on every SF-alternating
+    // run. The dir tag makes "superseded sibling of THIS source"
+    // distinguishable from "live store of another source". Migration
+    // note: the rename orphans every pre-r21 single-tag root once;
+    // [[sweepStaleSiblings]] deletes those old-format roots for
+    // swept prefixes.
+    s"$base/${prefix}_" + dirTag(dir) + "_" + Scale.bucketTag(
       s"$dir:${sourceFreshness(s, dir, sourceName)}$suffix")
   }
+
+  /** Stable tag of a source DIRECTORY alone (no freshness component) —
+    * the sweep scope for per-source store families.
+    */
+  private[graft] def dirTag(dir: String): String =
+    Scale.bucketTag(s"dir:$dir")
 
   /** CRC32 over the first and last `block` bytes of `p` (whole file
     * when shorter) — the cheap content component of the store key.
@@ -93,29 +110,35 @@ private[graft] object StoreGuard {
     }
   }
 
-  /** Delete SUPERSEDED sibling store roots: every directory under
-    * `base` named `<prefix>_<tag>` whose full name is not in `keep`.
-    * Safe ONLY when the caller enumerates every LIVE tag of the prefix
-    * — true for freshness-keyed single-store prefixes (the tag is a
-    * pure function of the current source, so any other tag is provably
-    * stale: the r17-advice dead-weight finding), and REQUIRED for the
-    * erasure-family stores, where a stale sibling is not mere dead
-    * weight but a RETAINED COPY of rows a later erase physically
-    * removed (the source rewrites, the store root moves, and the
-    * pre-rewrite root — erased rows included — would sit on disk
-    * forever). Version-keyed prefixes (regivf — one live root PER
-    * registry version, rollback is a store lookup) must NOT sweep.
+  /** Delete SUPERSEDED sibling store roots of `prefix` FOR SOURCE
+    * `dir`: every directory under `base` named
+    * `<prefix>_<dirTag(dir)>_<freshTag>` whose full name is not in
+    * `keep` — the freshness tag is a pure function of the current
+    * source, so any other freshness tag UNDER THE SAME DIR is provably
+    * stale. Sweeping is REQUIRED for the erasure-family stores, where
+    * a stale sibling is not mere dead weight but a RETAINED COPY of
+    * rows a later erase physically removed. Siblings keyed to OTHER
+    * source dirs are NOT superseded — they are live stores of other
+    * SFs, and sweeping them (the pre-r21 behaviour) forced a full
+    * rebuild on every SF-alternating run. Pre-migration single-tag
+    * roots (`<prefix>_<hex>` with no dir component) are deleted
+    * unconditionally — every one is orphaned by the r21 rename.
+    * Version-keyed prefixes (regivf — one live root PER registry
+    * version, rollback is a store lookup) must NOT sweep.
     */
   def sweepStaleSiblings(
-      s: SparkSession, base: String, prefix: String,
+      s: SparkSession, base: String, prefix: String, dir: String,
       keep: Set[String]): Unit = {
     val b = new org.apache.hadoop.fs.Path(base)
     val fs = b.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scoped = s"${prefix}_${dirTag(dir)}_"
+    val oldFormat = s"^${java.util.regex.Pattern.quote(prefix)}_[0-9a-f]+$$".r
     if (fs.exists(b)) {
       fs.listStatus(b).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith(s"${prefix}_") && !keep(n))
-          fs.delete(st.getPath, true)
+        val stale = (n.startsWith(scoped) && !keep(n)) ||
+          oldFormat.findFirstIn(n).nonEmpty
+        if (st.isDirectory && stale) fs.delete(st.getPath, true)
       }
     }
   }

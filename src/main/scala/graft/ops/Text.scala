@@ -1247,7 +1247,7 @@ object Text {
     // erasure-family store: a superseded freshness-tagged sibling would
     // RETAIN erased econ/pair rows on disk — sweep it, don't orphan it
     StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
-      "mf4era", Set(root.split('/').last))
+      "mf4era", d, Set(root.split('/').last))
     StoreGuard.ensureBuilt(s, root) {
       // yesterday: price every doc, and keep the pair EVIDENCE —
       // doc-cardinality and pair-cardinality state, hash-distributed
@@ -1282,7 +1282,7 @@ object Text {
     // steady-state sweep of superseded freshness-tagged roots: an old
     // root orphaned by a source rewrite may hold PRE-erase payloads
     StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
-      "mf4era", Set(root.split('/').last))
+      "mf4era", d, Set(root.split('/').last))
     val erased = StoreGuard.eraseRewrite(s, root, Mf4ErasedTag,
       Seq("econ", "pairs"))(mf4ErasureState(s, d)) { out =>
       s.read.parquet(s"$root/econ")
@@ -1500,7 +1500,7 @@ object Text {
       "mf5inc", d, "documents.parquet",
       s"${embFreshness(s, d)}:$Mf4ErasedTag")
     StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
-      "mf5inc", Set(root.split('/').last))
+      "mf5inc", d, Set(root.split('/').last))
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val isBase = col("doc_id") % 10 < 8
@@ -2299,7 +2299,7 @@ object Text {
     // steady-state sweep: an orphaned pre-erase root would RETAIN the
     // erased docs' fingerprints on disk
     StoreGuard.sweepStaleSiblings(s, "target/graft_text_store",
-      "pdedup", Set(root.split('/').last))
+      "pdedup", d, Set(root.split('/').last))
     StoreGuard.eraseRewrite(s, root, PassageErasedTag,
       Seq("store"))(passageStore(s, d)) { out =>
       val store = s.read.parquet(s"$root/store")

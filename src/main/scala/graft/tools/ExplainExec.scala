@@ -28,7 +28,27 @@ object ExplainExec {
       try {
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         df.collect(): Unit
-        println(df.queryExecution.executedPlan.toString)
+        val plan = df.queryExecution.executedPlan
+        println(plan.toString)
+        // the toString hides HOW FAR each AQEShuffleRead coalesced —
+        // print the post-coalesce partition count per exchange
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                  .AQEShuffleReadExec =>
+              println(s"[aqe] AQEShuffleRead partitions=" +
+                s"${a.partitionSpecs.length}")
+            case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec =>
+              walk(q.plan)
+            case _ =>
+          }
+          p.children.foreach(walk)
+        }
+        walk(plan)
       } catch { case e: Throwable => println(s"failed: $e") }
     }
     spark.stop()

@@ -184,12 +184,24 @@ class Round18Spec extends AnyFunSuite {
     // the NULL doc_id row is the planted GRAIN violation: a row whose
     // erasure subject is unknown is an aggregate a row-drop erase
     // cannot reach (r19: the subject-grain audit column must fail too)
+    // store names follow r21's two-tag format <prefix>_<dirTag>_<fresh>:
+    // the audit (like the sweep) must flag a stale SAME-dir sibling and
+    // a pre-migration single-tag root, and must NOT flag a sibling
+    // keyed to another source dir (that is another SF's live store —
+    // the pre-r21 any-sibling rule destroyed it on every alternating
+    // run)
+    val dt = ops.StoreGuard.dirTag(sf)
+    val otherDir = "0" * 16
+    assert(dt != otherDir)
     Seq(Some(1L), Some(2L), Some(7L), Some(14L), None).toDF("doc_id")
-      .write.parquet(s"$tmp/x_live/erased_test/payload")
-    Seq(9L).toDF("doc_id").write.parquet(s"$tmp/x_live/payload")
-    Seq(7L).toDF("doc_id").write.parquet(s"$tmp/x_stale/payload")
+      .write.parquet(s"$tmp/x_${dt}_aaaa/erased_test/payload")
+    Seq(9L).toDF("doc_id").write.parquet(s"$tmp/x_${dt}_aaaa/payload")
+    Seq(7L).toDF("doc_id").write.parquet(s"$tmp/x_${dt}_bbbb/payload")
+    Seq(7L).toDF("doc_id").write.parquet(s"$tmp/x_deadbeef00/payload")
+    Seq(7L).toDF("doc_id")
+      .write.parquet(s"$tmp/x_${otherDir}_cccc/payload")
     val reg = Seq(ops.Erasure.AuditedStore("x", "x_store",
-      (_, _) => s"$tmp/x_live/erased_test", "payload",
+      (_, _) => s"$tmp/x_${dt}_aaaa/erased_test", "payload",
       df => df("doc_id") % 7 === 0, Seq("doc_id"), Seq("payload"),
       tmp, "x"))
     val row = ops.Erasure.auditFrame(spark, sf, reg).collect().head
@@ -198,8 +210,9 @@ class Round18Spec extends AnyFunSuite {
       "audit must count the resident erased references (7, 14)")
     assert(row.getLong(2) == 1L,
       "audit must flag the resident superseded base payload")
-    assert(row.getLong(3) == 1L,
-      "audit must flag the unswept stale sibling root")
+    assert(row.getLong(3) == 2L,
+      "audit must flag the unswept same-dir stale sibling and the " +
+        "pre-migration single-tag root — and NOT the other-dir sibling")
     assert(row.getLong(4) == 1L,
       "audit must flag the null-subject row as a grain violation")
     graft.streaming.Streams.deleteStaged(java.nio.file.Paths.get(tmp))
