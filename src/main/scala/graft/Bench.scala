@@ -150,12 +150,15 @@ object Bench {
     // nothing — the erase transaction q337 serves from was invisible in
     // the artifact. Every step is now WALL-TIMED and flagged
     // built-vs-found: `built` = the step's body physically completed at
-    // least one store this run, detected as a delta in the count of
-    // `_GRAFT_STORE_COMPLETE` markers under the store bases (plus the
-    // marker-less bucketed catalog tables under the warehouse dir).
+    // least one store this run, detected as a NEW `_GRAFT_STORE_COMPLETE`
+    // marker PATH under the store bases (plus the marker-less bucketed
+    // catalog tables under the warehouse dir) — a path SET difference,
+    // not a count delta: a build that also sweeps superseded roots can
+    // remove more markers than it adds, and the count heuristic read
+    // such a step as found (observed on the store-rename migration run).
     // The full ledger rides bench_full.json; the JSON line carries the
     // attributable entries (see the emit site).
-    def storeMarkerCount(): Int =
+    def storeMarkers(): Option[Set[String]] =
       try {
         val fs = org.apache.hadoop.fs.FileSystem.getLocal(
           spark.sparkContext.hadoopConfiguration)
@@ -171,20 +174,22 @@ object Bench {
           fs.listStatus(b).iterator.filter(_.isDirectory).filter(d =>
             fs.exists(new org.apache.hadoop.fs.Path(
               d.getPath, "_GRAFT_STORE_COMPLETE")))
-        }.size
+            .map(_.getPath.toString)
+        }.toSet
         val wh = new org.apache.hadoop.fs.Path(new java.net.URI(
           spark.conf.get("spark.sql.warehouse.dir")).getPath)
         val tables =
-          if (!fs.exists(wh)) 0
-          else fs.listStatus(wh)
-            .count(st => st.isDirectory &&
+          if (!fs.exists(wh)) Set.empty[String]
+          else fs.listStatus(wh).iterator
+            .filter(st => st.isDirectory &&
               st.getPath.getName.startsWith("graft_bk_"))
-        markers + tables
-      } catch { case scala.util.control.NonFatal(_) => -1 }
+            .map(_.getPath.toString).toSet
+        Some(markers ++ tables)
+      } catch { case scala.util.control.NonFatal(_) => None }
     val warmLedger =
       scala.collection.mutable.ListBuffer.empty[(String, Double, Boolean)]
     def warm(stage: String)(body: => Unit): Unit = {
-      val m0 = storeMarkerCount()
+      val m0 = storeMarkers()
       val t0 = System.nanoTime()
       try body
       catch {
@@ -193,8 +198,9 @@ object Bench {
             s"[bench] warm-up step '$stage' failed: ${e.getMessage}")
       } finally {
         val sec = (System.nanoTime() - t0) / 1e9
-        val m1 = storeMarkerCount()
-        warmLedger += ((stage, sec, m0 >= 0 && m1 > m0))
+        val built = (for (a <- m0; b <- storeMarkers())
+          yield (b -- a).nonEmpty).getOrElse(false)
+        warmLedger += ((stage, sec, built))
       }
     }
     // first: the session-wide nanos contract, so the events read below
